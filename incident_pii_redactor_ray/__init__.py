@@ -1,0 +1,13 @@
+"""Ray-Data-native corpus-hygiene engine.
+
+A from-scratch re-expression of the query/data-processing capabilities
+of `kishorealliiita/incident-pii-redactor` (reference snapshot at
+/root/reference) as a Ray Data pipeline over Parquet tables of
+source-code files: language-ID + quality-filter + PII/secret scrub with
+keep/drop labels, per-partition lineage manifests and checkpoint-resume.
+
+Nothing in this package calls ``ray.init()`` / ``ray.shutdown()`` — the
+session is owned by the caller (driver, bench.py, or the test fixture).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,65 @@
+"""Deterministic hashing helpers.
+
+All content-addressed identity in the engine is pure hashing — the
+reference's pseudonym "caches" only memoize pure md5 functions
+(src/processing/deterministic_extractor.py:49-102,
+src/processing/arbitration_engine.py:185-189), so no shared state is
+ever needed: any worker at any parallelism level produces identical
+results (SURVEY §3.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+
+def md5_hex(text: str) -> str:
+    """Lowercase hex md5 of ``text`` (utf-8)."""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def sha256_hex(text: str) -> str:
+    """Lowercase hex sha256 of ``text`` (utf-8)."""
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def file_id(repo: str, path: str, commit: str) -> str:
+    """Stable row key for the source-file table (SURVEY §2.2 M2):
+    sha256 over the NUL-joined natural key — deterministic, no
+    timestamp fallback (unlike the reference's id sniffing at
+    process_incidents.py:51-68)."""
+    return hashlib.sha256(f"{repo}\x00{path}\x00{commit}".encode("utf-8")).hexdigest()
+
+
+def stable_u64(text: str) -> int:
+    """Stable unsigned 64-bit hash (first 8 bytes of sha1). Used for
+    salting/partition assignment; NOT Python's randomized hash()."""
+    return int.from_bytes(hashlib.sha1(text.encode("utf-8")).digest()[:8], "big")
+
+
+def salted_partition(repo: str, path: str, num_partitions: int, salt: int = 8) -> int:
+    """Skew-resistant partition id: repo-hash XOR (path-hash % salt).
+
+    Files of one repo land in at most ``salt`` partitions (locality for
+    per-repo rollups) while a mega-repo can no longer serialize into a
+    single task (SURVEY §4.4).
+    """
+    return (stable_u64(repo) ^ (stable_u64(path) % salt)) % num_partitions
+
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array — cheap,
+    high-quality mixing for minhash/simhash seed derivation."""
+    x = np.asarray(x, dtype=np.uint64)
+    x = (x + _MIX)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x

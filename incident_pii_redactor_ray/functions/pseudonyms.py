@@ -1,0 +1,66 @@
+"""Replacement-text generation for the scrub stage.
+
+Re-implements the reference's ``TextProcessor`` replacement semantics
+(src/processing/arbitration_engine.py:152-220) as pure functions:
+REDACT literals from a fixed table and deterministic md5-derived
+pseudonyms. Template ids are looked up by *base* entity type
+(``custom_`` prefix stripped) — see the documented deviation in
+``spec.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from .. import spec
+
+
+def _h(text: str, n: int) -> str:
+    """First ``n`` hex chars of md5(text.lower()) —
+    arbitration_engine.py:185-189."""
+    return hashlib.md5(text.lower().encode("utf-8")).hexdigest()[:n]
+
+
+def base_type(entity_type: str) -> str:
+    """Strip the ``custom_`` tier prefix: ``custom_jira_ticket`` ->
+    ``jira_ticket``; other types pass through."""
+    return entity_type[7:] if entity_type.startswith("custom_") else entity_type
+
+
+def pseudonym(entity_type: str, original: str) -> str:
+    """Deterministic pseudonym per arbitration_engine.py:159-171."""
+    t = base_type(entity_type)
+    if t == "email":
+        return f"user_{_h(original, 4)}@company.com"
+    if t == "person_name":
+        return f"Person_{_h(original, 6)}"
+    if t == "hostname":
+        return f"server-{_h(original, 3)}.internal"
+    if t == "ip_address":
+        return f"192.168.1.{int(_h(original, 1), 16) % 254 + 1}"
+    if t == "phone":
+        return f"+1-555-{_h(original, 3)}-{_h(original, 4)}"
+    if t == "credit_card":
+        return f"CARD-****-****-****-{_h(original, 4)}"
+    if t == "ssn":
+        return f"SSN-***-**-{_h(original, 4)}"
+    if t == "customer_id":
+        return f"CUST_{_h(original, 8)}"
+    if t == "api_key":
+        return f"API_{_h(original, 12)}"
+    if t == "jira_ticket":
+        return f"REF-{_h(original, 6)}"
+    if t == "slack_channel":
+        return f"#channel-{_h(original, 4)}"
+    return f"[PSEUDONYM_{t.upper()}]"
+
+
+def replacement(entity_type: str, original: str, action: str) -> str:
+    """Final replacement text for a span given its arbitrated action
+    (arbitration_engine.py:191-220)."""
+    t = base_type(entity_type)
+    if action == spec.REDACT:
+        return spec.REDACTION_LITERALS.get(t, "[REDACTED]")
+    if action == spec.PSEUDONYMIZE:
+        return pseudonym(entity_type, original)
+    return original

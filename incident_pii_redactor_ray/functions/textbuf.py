@@ -1,0 +1,108 @@
+"""Zero-copy access to the UTF-8 byte buffer of Arrow string arrays.
+
+Ray Data hands ``map_batches`` zero-copy Arrow batches; these helpers
+expose a string column as one contiguous numpy uint8 view plus row
+offsets so per-character statistics (alnum ratios, line stats, n-gram
+models) run as single vectorized numpy kernels over the whole batch
+instead of a Python loop over rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def utf8_view(arr: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Return ``(data, offsets)`` for a string / large_string column:
+    ``data`` is a uint8 view of the concatenated UTF-8 bytes and
+    ``offsets`` is int64 of length n_rows+1, so row i's bytes are
+    ``data[offsets[i]:offsets[i+1]]``. Nulls become empty rows.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_string(arr.type):
+        arr = arr.cast(pa.large_string())
+    # large_string: buffers = [validity, offsets(int64), data]
+    buffers = arr.buffers()
+    raw_off = np.frombuffer(buffers[1], dtype=np.int64, count=len(arr) + 1 + arr.offset)
+    offsets = raw_off[arr.offset: arr.offset + len(arr) + 1].astype(np.int64, copy=True)
+    data = np.frombuffer(buffers[2], dtype=np.uint8)
+    lo = offsets[0]
+    if lo != 0:
+        data = data[lo:offsets[-1]]
+        offsets = offsets - lo
+    else:
+        data = data[: offsets[-1]]
+    if arr.null_count:
+        # nulls keep zero-length slices already (Arrow writes equal offsets)
+        pass
+    return data, offsets
+
+
+_ALNUM = np.zeros(256, dtype=bool)
+for _c in range(256):
+    _ALNUM[_c] = chr(_c).isalnum() if _c < 128 else False
+
+_NL = ord("\n")
+
+
+def alnum_ratio(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row ratio of ASCII-alphanumeric bytes to total bytes
+    (empty row -> 0.0). Spec: computed over UTF-8 bytes; multi-byte
+    sequences count as non-alphanumeric."""
+    n = len(offsets) - 1
+    if len(data) == 0:
+        return np.zeros(n, dtype=np.float64)
+    is_alnum = _ALNUM[data].astype(np.int64)
+    cum = np.concatenate(([0], np.cumsum(is_alnum)))
+    counts = cum[offsets[1:]] - cum[offsets[:-1]]
+    total = (offsets[1:] - offsets[:-1]).astype(np.float64)
+    return np.divide(counts, total, out=np.zeros(n, dtype=np.float64), where=total > 0)
+
+
+def line_stats(data: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row ``(n_lines, max_line_len, avg_line_len)`` in BYTES,
+    splitting on ``\\n``. One vectorized pass: newline positions across
+    the whole batch buffer + reduceat over per-row line-boundary groups.
+    Empty row -> (1, 0, 0.0) to mirror ``"".split("\\n") == [""]``.
+    """
+    n = len(offsets) - 1
+    n_lines = np.ones(n, dtype=np.int64)
+    max_len = np.zeros(n, dtype=np.int64)
+    avg_len = np.zeros(n, dtype=np.float64)
+    if len(data) == 0:
+        return n_lines, max_len, avg_len
+
+    nl_pos = np.flatnonzero(data == _NL)
+    # line boundaries per row: row start, each newline+1, row end
+    nl_row = np.searchsorted(offsets[1:], nl_pos, side="right")  # row index of each newline (nl < offsets[row+1])
+    n_lines = 1 + np.bincount(nl_row, minlength=n)
+
+    # boundary array: for each row, [start, nl+1 ..., end]
+    # build flattened starts and ends of every line
+    total_lines = int(n_lines.sum())
+    line_starts = np.empty(total_lines, dtype=np.int64)
+    line_ends = np.empty(total_lines, dtype=np.int64)
+    # first line of each row starts at offsets[row]
+    first_idx = np.concatenate(([0], np.cumsum(n_lines)))[:-1]
+    line_starts[first_idx] = offsets[:-1]
+    # subsequent lines start right after each newline
+    not_first = np.ones(total_lines, dtype=bool)
+    not_first[first_idx] = False
+    line_starts[not_first] = nl_pos + 1
+    # ends: line i ends at start of next line - 1 (the newline), last line ends at row end
+    last_idx = first_idx + n_lines - 1
+    line_ends[last_idx] = offsets[1:]
+    not_last = np.ones(total_lines, dtype=bool)
+    not_last[last_idx] = False
+    line_ends[not_last] = nl_pos
+    lens = line_ends - line_starts
+
+    # per-row max and mean via reduceat over contiguous line groups
+    max_len = np.maximum.reduceat(lens, first_idx)
+    sums = np.add.reduceat(lens, first_idx)
+    # reduceat quirk: rows with identical consecutive indices (0 lines)
+    # cannot occur since every row has >=1 line
+    avg_len = sums / n_lines
+    return n_lines, max_len, avg_len

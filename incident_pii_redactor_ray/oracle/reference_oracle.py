@@ -1,0 +1,223 @@
+"""Single-process reference oracle for the corpus-hygiene semantics.
+
+A deliberately naive, document-at-a-time implementation of the spec in
+``spec.py`` — structured like the reference engine's 5-stage chain
+(src/processing/processing_pipeline.py:61-126): detect -> resolve
+overlaps -> contextual finder -> arbitrate -> splice, plus the quality
+stats and keep/drop labels. The Ray engine (stages/) implements the same
+spec with batched/vectorized code; the parity pytest compares the two
+row-for-row (keep/drop F1 and sha256 of scrubbed content, per
+BASELINE.json).
+
+Deliberately shared with the engine: the declarative spec constants and
+the two numpy scorer models (stages/models.py) — the models ARE the
+spec for langid/perplexity (bit-exact floats matter). Independently
+re-implemented here: detection, claim/overlap logic, arbitration,
+splicing, and all quality statistics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+from .. import spec
+from ..stages.models import LangIdModel, PerplexityModel
+
+# compile pattern banks locally (independent of stages/scrub.py)
+_BASE = [(n, re.compile(p), c, a) for n, p, c, _cat, a in spec.BASE_DETECTORS]
+_CUSTOM = [(n, re.compile(p), c, a) for n, p, c, _cat, a in spec.CUSTOM_DETECTORS]
+_FINDER = [(n, re.compile(p)) for n, p in spec.FINDER_DETECTORS]
+
+
+def _md5(text: str, n: int) -> str:
+    return hashlib.md5(text.lower().encode("utf-8")).hexdigest()[:n]
+
+
+def oracle_pseudonym(entity_type: str, original: str) -> str:
+    t = entity_type[len("custom_"):] if entity_type.startswith("custom_") else entity_type
+    table = {
+        "email": lambda o: f"user_{_md5(o, 4)}@company.com",
+        "person_name": lambda o: f"Person_{_md5(o, 6)}",
+        "hostname": lambda o: f"server-{_md5(o, 3)}.internal",
+        "ip_address": lambda o: f"192.168.1.{int(_md5(o, 1), 16) % 254 + 1}",
+        "phone": lambda o: f"+1-555-{_md5(o, 3)}-{_md5(o, 4)}",
+        "credit_card": lambda o: f"CARD-****-****-****-{_md5(o, 4)}",
+        "ssn": lambda o: f"SSN-***-**-{_md5(o, 4)}",
+        "customer_id": lambda o: f"CUST_{_md5(o, 8)}",
+        "api_key": lambda o: f"API_{_md5(o, 12)}",
+        "jira_ticket": lambda o: f"REF-{_md5(o, 6)}",
+        "slack_channel": lambda o: f"#channel-{_md5(o, 4)}",
+    }
+    fn = table.get(t)
+    return fn(original) if fn else f"[PSEUDONYM_{t.upper()}]"
+
+
+def oracle_scrub(text: str) -> tuple[str, list[dict]]:
+    """Scrub one document per the spec; naive O(n*k) position-set
+    claim logic like the reference (deterministic_extractor.py:227-231).
+    """
+    spans = []  # (start, end, type, conf, method, suggested_action, text)
+    for name, rx, conf, action in _BASE:
+        for m in rx.finditer(text):
+            spans.append([m.start(), m.end(), name, conf, "regex_base", action, m.group()])
+    claimed: set[int] = set()
+    for s in spans:
+        claimed.update(range(s[0], s[1]))
+    for name, rx, conf, action in _CUSTOM:
+        for m in rx.finditer(text):
+            if any(p in claimed for p in range(m.start(), m.end())):
+                continue
+            spans.append([m.start(), m.end(), name, conf, "regex_custom", action, m.group()])
+
+    # overlap resolution: sort by start, keep higher conf, tie -> shorter
+    spans.sort(key=lambda s: s[0])
+    resolved: list[list] = []
+    for cur in spans:
+        if resolved and cur[0] < resolved[-1][1]:
+            last = resolved[-1]
+            if cur[3] > last[3] or (cur[3] == last[3] and (cur[1] - cur[0]) < (last[1] - last[0])):
+                resolved[-1] = cur
+        else:
+            resolved.append(cur)
+
+    # contextual finder
+    lower = text.lower()
+    det_claimed: set[int] = set()
+    for s in resolved:
+        det_claimed.update(range(s[0], s[1]))
+    finder_spans: list[list] = []
+    for name, rx in _FINDER:
+        for m in rx.finditer(text):
+            if any(p in det_claimed for p in range(m.start(), m.end())):
+                continue
+            conf = spec.FINDER_BASE_CONFIDENCE
+            w = spec.FINDER_CONTEXT_WINDOW
+            ctx = lower[max(0, m.start() - w): m.end() + w]
+            for kws in spec.FINDER_CONTEXT_KEYWORDS.values():
+                if any(k in ctx for k in kws):
+                    conf += 0.2
+            if any(k in ctx for k in spec.FINDER_PRIVACY_INDICATORS):
+                conf += 0.15
+            if any(k in ctx for k in spec.FINDER_INCIDENT_INDICATORS):
+                conf += 0.1
+            mlen = m.end() - m.start()
+            if mlen > 20:
+                conf += 0.1
+            elif mlen < 5:
+                conf -= 0.1
+            conf = min(1.0, max(0.0, conf))
+            if conf < spec.FINDER_THRESHOLD:
+                continue
+            base = name.rsplit("_", 1)[-1]
+            action = spec.FINDER_ACTION_BY_BASE_TYPE.get(base, spec.RETAIN)
+            finder_spans.append([m.start(), m.end(), name, conf, "llm_finder", action, m.group()])
+
+    # document-context flags over the FULL text
+    has_public = any(k in lower for k in spec.PUBLIC_INDICATORS)
+    has_security = any(k in lower for k in spec.SECURITY_INDICATORS)
+    has_internal = any(k in lower for k in spec.INTERNAL_INDICATORS)
+
+    def arbitrate(etype: str, suggested: str) -> str:
+        if etype in spec.FORCE_REDACT_TYPES:
+            return spec.REDACT
+        action = suggested
+        if etype in spec.CONTEXT_DEPENDENT_TYPES:
+            if has_public:
+                return spec.RETAIN
+            if has_security and action == spec.RETAIN:
+                action = spec.PSEUDONYMIZE
+            if has_internal and action == spec.RETAIN and etype == "person_name":
+                action = spec.PSEUDONYMIZE
+        return action
+
+    findings = []
+    for s in sorted(resolved + finder_spans, key=lambda s: (s[0], s[1])):
+        findings.append({
+            "entity_type": s[2], "start": s[0], "end": s[1],
+            "action": arbitrate(s[2], s[5]), "method": s[4],
+            "confidence": round(s[3], 4),
+        })
+
+    # splice back-to-front over the resolved deterministic spans
+    out = text
+    for s in sorted(resolved, key=lambda s: -s[0]):
+        action = arbitrate(s[2], s[5])
+        if action == spec.RETAIN:
+            continue
+        if action == spec.REDACT:
+            t = s[2][len("custom_"):] if s[2].startswith("custom_") else s[2]
+            rep = spec.REDACTION_LITERALS.get(t, "[REDACTED]")
+        else:
+            rep = oracle_pseudonym(s[2], s[6])
+        out = out[: s[0]] + rep + out[s[1]:]
+    return out, findings
+
+
+def oracle_quality(text: str) -> dict:
+    """Byte-based quality stats: lengths over UTF-8 bytes, lines split
+    on b'\\n', rep_ratio = 1 - distinct/total lines."""
+    b = text.encode("utf-8")
+    lines = b.split(b"\n")
+    lens = [len(x) for x in lines]
+    n_alnum = sum(1 for ch in b if (48 <= ch <= 57) or (65 <= ch <= 90) or (97 <= ch <= 122))
+    return {
+        "n_bytes": len(b),
+        "n_lines": len(lines),
+        "max_line_len": max(lens),
+        "avg_line_len": sum(lens) / len(lens),
+        "alnum_ratio": (n_alnum / len(b)) if b else 0.0,
+        "rep_ratio": 1.0 - len(set(lines)) / len(lines),
+    }
+
+
+_MODELS: dict[str, object] = {}
+
+
+def _models() -> tuple[LangIdModel, PerplexityModel]:
+    if not _MODELS:
+        _MODELS["lang"] = LangIdModel()
+        _MODELS["ppl"] = PerplexityModel()
+    return _MODELS["lang"], _MODELS["ppl"]  # type: ignore[return-value]
+
+
+def oracle_row(text: str) -> dict:
+    """Full per-document oracle result: quality, langid, perplexity,
+    scrub, keep/drop — the golden label for one row."""
+    lang_model, ppl_model = _models()
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    offsets = np.array([0, len(data)], dtype=np.int64)
+    langs, conf = lang_model.score(data, offsets)
+    ppl = float(ppl_model.score(data, offsets)[0])
+    q = oracle_quality(text)
+    scrubbed, findings = oracle_scrub(text)
+
+    reasons = []
+    if q["max_line_len"] > spec.QUALITY_MAX_LINE_LEN:
+        reasons.append(spec.DROP_LONG_LINES)
+    if q["alnum_ratio"] < spec.QUALITY_MIN_ALNUM_RATIO and q["n_bytes"] >= spec.QUALITY_MIN_CHARS:
+        reasons.append(spec.DROP_LOW_ALNUM)
+    if q["rep_ratio"] > spec.QUALITY_MAX_REP_RATIO:
+        reasons.append(spec.DROP_REPETITIVE)
+    if q["n_bytes"] < spec.QUALITY_MIN_CHARS:
+        reasons.append(spec.DROP_TOO_SHORT)
+    if ppl > spec.PERPLEXITY_MAX:
+        reasons.append(spec.DROP_HIGH_PERPLEXITY)
+    if conf[0] < spec.LANGID_MIN_CONFIDENCE:
+        reasons.append(spec.DROP_NO_LANG_SIGNAL)
+
+    return {
+        "quality": q,
+        "lang_detected": langs[0],
+        "lang_confidence": float(conf[0]),
+        "perplexity": ppl,
+        "scrubbed_content": scrubbed,
+        "findings": findings,
+        "n_redactions": sum(1 for f in findings if f["action"] != spec.RETAIN),
+        "keep": not reasons,
+        "drop_reasons": reasons,
+        "content_sha256": hashlib.sha256(text.encode("utf-8")).hexdigest(),
+        "scrubbed_sha256": hashlib.sha256(scrubbed.encode("utf-8")).hexdigest(),
+    }

@@ -1,0 +1,146 @@
+"""The flagship corpus-hygiene pipeline (north_rule).
+
+    read_parquet (pruned columns)
+      -> map_batches[stateless]  quality_batch        (heuristic rules)
+      -> map_batches[actor pool] ScorerStage          (langid + perplexity)
+      -> map_batches[stateless]  scrub_batch          (regex scrub + arbitration)
+      -> map_batches[stateless]  label_batch          (keep/drop)
+      -> map_batches[stateless]  add partition_id     (salted repo key, skew-safe)
+      -> groupby(partition_id).map_groups             (THE one shuffle)
+           -> atomic per-partition parquet + lineage manifest
+
+All per-row logic is embarrassingly parallel (the central structural
+fact inherited from the reference, SURVEY §3.4); the single shuffle
+exists only to co-locate rows of one output partition for transactional
+writes and per-partition lineage (SURVEY §4.4). Resume anti-joins the
+completed-manifest set on the driver and filters partitions before the
+shuffle, so finished work is never re-read past the scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..stages.actors import ScorerStage, label_batch
+from ..stages.quality import quality_batch
+from ..stages.scrub import scrub_batch
+from ..state import manifests as mf
+
+SOURCE_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def read_source_files(paths: str | list[str], columns: list[str] | None = None) -> ray.data.Dataset:
+    """Column-pruned scan of the source-file table."""
+    return ray.data.read_parquet(paths, columns=columns or SOURCE_COLUMNS)
+
+
+def _add_keys(num_partitions: int, salt: int = 8):
+    """Batch UDF factory: appends ``file_id`` (sha256 of the natural key,
+    SURVEY §2.2 M2) and the salted ``partition_id``:
+    (sha1(repo) ^ (sha1(path) % salt)) % num_partitions — a mega-repo
+    spreads over ``salt`` partitions instead of serializing into one."""
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        repos = batch.column("repo").to_pylist()
+        paths = batch.column("path").to_pylist()
+        commits = batch.column("commit").to_pylist()
+        fids = []
+        pids = np.empty(len(repos), dtype=np.int64)
+        for i, (r, p, c) in enumerate(zip(repos, paths, commits)):
+            fids.append(hashlib.sha256(f"{r}\x00{p}\x00{c}".encode()).hexdigest())
+            hr = int.from_bytes(hashlib.sha1(r.encode()).digest()[:8], "big")
+            hp = int.from_bytes(hashlib.sha1(p.encode()).digest()[:8], "big")
+            pids[i] = (hr ^ (hp % salt)) % num_partitions
+        return batch.append_column("file_id", pa.array(fids, type=pa.string())) \
+                    .append_column("partition_id", pa.array(pids))
+
+    return add_keys
+
+
+def hygiene_transform(ds: ray.data.Dataset, *, scorer_concurrency: int | tuple[int, int] = (2, 8),
+                      batch_size: int = 512) -> ray.data.Dataset:
+    """Apply the per-row hygiene stages (no shuffle, no sink)."""
+    ds = ds.map_batches(quality_batch, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(ScorerStage, batch_format="pyarrow", batch_size=batch_size,
+                        concurrency=scorer_concurrency, num_cpus=1)
+    ds = ds.map_batches(scrub_batch, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(label_batch, batch_format="pyarrow", batch_size=batch_size)
+    return ds
+
+
+def _partition_writer(out_dir: str):
+    """map_groups fn: write one output partition atomically with its
+    lineage manifest; return a one-row summary."""
+
+    def write_group(group: pa.Table) -> pa.Table:
+        pid = int(group.column("partition_id")[0].as_py())
+        # deterministic row order within the partition
+        order = pa.compute.sort_indices(group, sort_keys=[("file_id", "ascending")])
+        group = group.take(order)
+
+        keep = np.asarray(group.column("keep"))
+        langs = group.column("lang_detected").to_pylist()
+        ppl = np.asarray(group.column("perplexity"), dtype=np.float64)
+        lang_hist: dict[str, int] = {}
+        for lg in langs:
+            lang_hist[lg] = lang_hist.get(lg, 0) + 1
+        red: dict[str, int] = {}
+        for row_f in group.column("findings").to_pylist():
+            for f in row_f:
+                if f["action"] != "RETAIN":
+                    k = f"{f['entity_type']}:{f['action']}"
+                    red[k] = red.get(k, 0) + 1
+        digest = hashlib.sha256()
+        for fid, sh in zip(group.column("file_id").to_pylist(),
+                           group.column("scrubbed_sha256").to_pylist()):
+            digest.update(fid.encode())
+            digest.update(sh.encode())
+        manifest = {
+            "partition_id": pid,
+            "n_rows": group.num_rows,
+            "n_keep": int(keep.sum()),
+            "lang_histogram": dict(sorted(lang_hist.items())),
+            "redaction_counts": dict(sorted(red.items())),
+            "perplexity_quantiles": [float(np.quantile(ppl, q)) if len(ppl) else 0.0
+                                     for q in mf.PPL_QUANTILES],
+            "rows_digest": digest.hexdigest(),
+        }
+        mf.write_partition_atomic(out_dir, pid, group, manifest)
+        return pa.table({
+            "partition_id": pa.array([pid], type=pa.int64()),
+            "n_rows": pa.array([group.num_rows], type=pa.int64()),
+            "n_keep": pa.array([int(keep.sum())], type=pa.int64()),
+        })
+
+    return write_group
+
+
+def run_hygiene(input_paths: str | list[str], out_dir: str, *,
+                num_partitions: int = 64, salt: int = 8,
+                scorer_concurrency: int | tuple[int, int] = (2, 8),
+                batch_size: int = 512, resume: bool = True) -> dict:
+    """End-to-end run with checkpoint-resume; returns the merged run
+    summary. Ray must already be initialised by the caller."""
+    done = mf.completed_partitions(out_dir) if resume else set()
+
+    ds = read_source_files(input_paths)
+    ds = ds.map_batches(_add_keys(num_partitions, salt), batch_format="pyarrow")
+    if done:
+        done_arr = np.array(sorted(done), dtype=np.int64)
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            pids = np.asarray(batch.column("partition_id"))
+            mask = ~np.isin(pids, done_arr)
+            return batch.filter(pa.array(mask))
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+    ds = hygiene_transform(ds, scorer_concurrency=scorer_concurrency, batch_size=batch_size)
+    summary_ds = ds.groupby("partition_id").map_groups(
+        _partition_writer(out_dir), batch_format="pyarrow")
+    # consume (small: one row per partition)
+    summary_ds.count()
+    return mf.merge_run_summary(out_dir)

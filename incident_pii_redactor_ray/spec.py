@@ -1,0 +1,223 @@
+"""Single source of truth for the corpus-hygiene semantics.
+
+This module holds only *declarative* data: detector pattern strings,
+policy/action tables, arbitration rules, replacement templates, and
+keep/drop thresholds. Both implementations — the distributed Ray Data
+engine (``incident_pii_redactor_ray.stages``) and the single-process
+reference oracle (``incident_pii_redactor_ray.oracle``) — consume these
+constants but implement the *logic* independently, so the oracle-parity
+tests compare two separate implementations of one spec.
+
+The spec distils the reference engine `kishorealliiita/incident-pii-redactor`
+(read-only snapshot at /root/reference). Citations below are
+``file:line`` into that snapshot. Deliberate, documented deviations from
+reference quirks:
+
+* The reference's keyword-proximity stage is a no-op in practice because
+  its pattern string is malformed and raises per keyword
+  (``src/processing/deterministic_extractor.py:278``); we keep the
+  stage's *effective* behavior (zero spans) and therefore do not define
+  keyword detectors at all.
+* The reference's judge stage never merges into arbitration because
+  ``JudgeDecision`` has no positions and its ``entity_id`` never matches
+  a ``start:end`` key (``src/processing/arbitration_engine.py:389-399``);
+  we reproduce that: arbitration sees deterministic + finder votes only.
+* Replacement lookup: the reference looks up pseudonym templates by the
+  raw entity type, so ``custom_jira_ticket`` misses the ``jira_ticket``
+  template and falls back to ``[PSEUDONYM_CUSTOM_JIRA_TICKET]``
+  (``arbitration_engine.py:210-214``). We normalize by stripping the
+  ``custom_`` prefix before template lookup so the template table
+  (``arbitration_engine.py:159-171``) is actually reachable. This is the
+  one intentional semantic cleanup and it applies identically to engine
+  and oracle.
+"""
+
+from __future__ import annotations
+
+# --------------------------------------------------------------------------
+# Categories / actions (src/policies/policy_manager.py:13-33)
+# --------------------------------------------------------------------------
+
+PII = "PII"
+OPERATIONAL = "OPERATIONAL_IDENTIFIERS"
+SECRETS = "SECRETS"
+CUSTOMER_ORG = "CUSTOMER_ORG_INFO"
+MISC = "MISCELLANEOUS"
+
+REDACT = "REDACT"
+PSEUDONYMIZE = "PSEUDONYMIZE"
+RETAIN = "RETAIN"
+
+# --------------------------------------------------------------------------
+# Tier A — base detectors (stand-in for the Presidio tier,
+# src/core/pii_detector.py:26-38 + the residual patterns at
+# src/processing/quality_validator.py:68-79 which define the shapes the
+# reference actually recognises). RE2-compatible so the DuckDB oracle SQL
+# can reuse the very same strings.
+# Each: (entity_type, pattern, confidence, category, suggested_action)
+# --------------------------------------------------------------------------
+
+BASE_DETECTORS: list[tuple[str, str, float, str, str]] = [
+    # order matters: earlier detectors claim positions first
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", 0.95, PII, REDACT),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", 0.85, PII, REDACT),
+    ("credit_card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", 0.85, PII, REDACT),
+    ("phone", r"\+1-\d{3}-\d{3}-\d{4}\b|\(\d{3}\) \d{3}-\d{4}\b|\b\d{3}-\d{3}-\d{4}\b", 0.85, PII, REDACT),
+    ("ip_address", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", 0.90, OPERATIONAL, PSEUDONYMIZE),
+    ("person_name", r"\b[A-Z][a-z]+ [A-Z][a-z]+\b", 0.75, PII, PSEUDONYMIZE),
+]
+
+# --------------------------------------------------------------------------
+# Tier B — custom regex detectors
+# (src/processing/deterministic_extractor.py:118-125 for the six custom
+# patterns; policy regexes at src/policies/policy_manager.py:130-166).
+# Confidence fixed at 0.8 like the reference's regex tier
+# (deterministic_extractor.py:254), except where noted.
+# --------------------------------------------------------------------------
+
+CUSTOM_DETECTORS: list[tuple[str, str, float, str, str]] = [
+    ("database_url", r"\b(?:postgres|mysql|mongodb|redis)://[^\s]+", 0.9, SECRETS, REDACT),
+    ("custom_internal_url", r"https?://internal-[A-Za-z0-9\-]+\.[A-Za-z]{2,}(?:/[^\s]*)?", 0.8, SECRETS, REDACT),
+    ("custom_aws_arn", r"\barn:aws:[a-z0-9\-]+:[a-z0-9\-]*:[0-9]{12}:[A-Za-z0-9\-_/:]+", 0.8, SECRETS, REDACT),
+    ("api_key", r"\b[A-Za-z0-9]{24,}\b", 0.8, SECRETS, REDACT),
+    ("custom_kubernetes_pod", r"\b[a-z][a-z0-9\-]*-[a-z0-9]{8,10}-[a-z0-9]{5}\b", 0.8, OPERATIONAL, PSEUDONYMIZE),
+    ("custom_docker_image", r"\b[a-z0-9]+/[a-z0-9\-_]+:[A-Za-z0-9_][A-Za-z0-9\-_.]*", 0.8, OPERATIONAL, PSEUDONYMIZE),
+    ("custom_jira_ticket", r"\b[A-Z]{2,}-\d+\b", 0.8, OPERATIONAL, PSEUDONYMIZE),
+    ("custom_slack_channel", r"#[A-Za-z0-9\-_]+\b", 0.8, CUSTOMER_ORG, RETAIN),
+    ("customer_id", r"\bcust_\d+\b", 0.8, CUSTOMER_ORG, PSEUDONYMIZE),
+    ("hostname", r"\b[a-z][a-z0-9\-]*\.(?:internal|local|corp)(?:\.[a-z]{2,})?\b", 0.8, OPERATIONAL, PSEUDONYMIZE),
+]
+
+#: All deterministic-stage detectors in claim order (tier A then tier B —
+#: tier B skips positions already claimed, deterministic_extractor.py:227-243).
+ALL_DETECTORS = BASE_DETECTORS + CUSTOM_DETECTORS
+
+# --------------------------------------------------------------------------
+# Tier D — contextual "LLM finder" patterns
+# (src/processing/llm_detector.py:58-95). Pure regex + arithmetic in the
+# reference's simulation mode; detections never change text (their
+# inferred action resolves to RETAIN, arbitration_engine.py:403-421) but
+# they do appear in findings. Confidence model: llm_detector.py:143-173.
+# --------------------------------------------------------------------------
+
+FINDER_DETECTORS: list[tuple[str, str]] = [
+    ("contextual_salary_info",
+     r"(?i)(?:salary|wage|compensation|income|pay rate|hourly|annual|monthly)\s*[:\-]?\s*\$[0-9,]+(?:\.[0-9]{2})?"),
+    ("contextual_internal_platforms",
+     r"(?i)(?:confluence|jira|slack|notion|asana|trello|github|gitlab|bitbucket)\.(?:com|org|io)(?:/[A-Za-z0-9/\-_]+)?"),
+    ("contextual_internal_metrics",
+     r"(?i)(?:uptime|latency|throughput|error rate|availability)\s*[:\-]?\s*\d+(?:\.\d+)?%?"),
+    ("contextual_intellectual_property",
+     r"(?i)(?:source code|algorithm|trade secret|patent|proprietary|confidential information)"),
+]
+
+FINDER_BASE_CONFIDENCE = 0.5
+FINDER_THRESHOLD = 0.6  # llm_detector.py:124
+#: doc-context keyword boosts: +0.2 per category with any hit in the ±100-char
+#: window (llm_detector.py:153-155), +0.15 privacy, +0.1 incident,
+#: ±0.1 by match length (llm_detector.py:157-171).
+FINDER_CONTEXT_KEYWORDS: dict[str, tuple[str, ...]] = {
+    "sensitive": ("confidential", "private", "restricted", "classified", "security breach", "data leak"),
+    "internal": ("internal meeting", "team chat", "staff discussion", "employee review", "company policy"),
+    "financial": ("revenue", "profit", "loss", "budget", "expense", "investment", "cost"),
+    "operational": ("incident response", "crisis management", "business continuity", "disaster recovery"),
+}
+FINDER_PRIVACY_INDICATORS = ("pii", "gdpr", "ccpa", "sox", "hipaa", "compliance", "privacy", "protection")
+FINDER_INCIDENT_INDICATORS = ("incident", "breach", "outage", "failure", "issue", "problem", "alert")
+FINDER_CONTEXT_WINDOW = 100
+
+# --------------------------------------------------------------------------
+# Arbitration (src/processing/arbitration_engine.py:64-150)
+# --------------------------------------------------------------------------
+
+#: entity types whose action is forced to REDACT regardless of votes
+#: (arbitration_engine.py:78-83).
+FORCE_REDACT_TYPES = frozenset({"email", "phone", "credit_card", "ssn", "api_key"})
+
+#: entity types subject to document-context adjustment
+#: (arbitration_engine.py:84-87).
+CONTEXT_DEPENDENT_TYPES = frozenset({"person_name", "hostname", "ip_address", "customer_id"})
+
+#: stage vote weights (arbitration_engine.py:71-75). The judge never
+#: merges (see module docstring) so its weight is unreachable.
+STAGE_WEIGHTS = {"judge": 3, "llm_finder": 2, "deterministic": 1}
+
+#: finder action inference by base entity type
+#: (arbitration_engine.py:406-421); base type = text after the last '_'.
+FINDER_ACTION_BY_BASE_TYPE = {
+    "email": REDACT, "phone": REDACT, "credit_card": REDACT, "ssn": REDACT,
+    "person_name": PSEUDONYMIZE, "hostname": PSEUDONYMIZE,
+    "ip_address": PSEUDONYMIZE, "customer_id": PSEUDONYMIZE,
+}
+
+#: document-context adjustment rules (arbitration_engine.py:127-150).
+#: Checked against the lowercased FULL document text, in this order;
+#: 'public' short-circuits to RETAIN.
+PUBLIC_INDICATORS = ("public", "support@", "noreply@", "admin@company.com", "team member jane", "contact sales")
+SECURITY_INDICATORS = ("breach", "security incident", "unauthorized access", "data leak", "compromise")
+INTERNAL_INDICATORS = ("internal discussion", "team meeting", "employee review", "confidential")
+
+# --------------------------------------------------------------------------
+# Replacement generation (src/processing/arbitration_engine.py:152-220).
+# Pseudonyms derive from md5(original.lower()) hex digests — pure
+# functions, no shared state needed (SURVEY §3.4).
+# --------------------------------------------------------------------------
+
+#: REDACT literals (arbitration_engine.py:174-183); fallback '[REDACTED]'.
+REDACTION_LITERALS = {
+    "email": "[REDACTED_EMAIL]",
+    "phone": "[REDACTED_PHONE]",
+    "credit_card": "[REDACTED_CARD]",
+    "ssn": "[REDACTED_SSN]",
+    "api_key": "[REDACTED_KEY]",
+    "person_name": "[REDACTED_NAME]",
+    "hostname": "[REDACTED_HOST]",
+    "ip_address": "[REDACTED_IP]",
+}
+
+#: pseudonym template ids by *base* entity type (``custom_`` prefix
+#: stripped; see module docstring). Template semantics live in
+#: ``functions.pseudonyms`` (engine) and the oracle, both implementing:
+#:   email        -> user_{h4}@company.com
+#:   person_name  -> Person_{h6}
+#:   hostname     -> server-{h3}.internal
+#:   ip_address   -> 192.168.1.{int(h1,16) % 254 + 1}
+#:   phone        -> +1-555-{h3}-{h4}
+#:   credit_card  -> CARD-****-****-****-{h4}
+#:   ssn          -> SSN-***-**-{h4}
+#:   customer_id  -> CUST_{h8}
+#:   api_key      -> API_{h12}
+#:   jira_ticket  -> REF-{h6}
+#:   slack_channel-> #channel-{h4}
+#:   (other)      -> [PSEUDONYM_{TYPE}]
+#: where h{n} = first n hex chars of md5(original_text.lower()).
+PSEUDONYM_TYPES = frozenset({
+    "email", "person_name", "hostname", "ip_address", "phone", "credit_card",
+    "ssn", "customer_id", "api_key", "jira_ticket", "slack_channel",
+})
+
+# --------------------------------------------------------------------------
+# Quality heuristics + keep/drop thresholds (north_star: line-length
+# stats, alphanumeric ratio, repetition; thresholds are this engine's
+# own policy — the reference has no corpus-level quality filter).
+# --------------------------------------------------------------------------
+
+QUALITY_MAX_LINE_LEN = 1000       # drop: minified / single-line blobs
+QUALITY_MIN_ALNUM_RATIO = 0.25    # drop: punctuation soup / binary-ish
+QUALITY_MAX_REP_RATIO = 0.70      # drop: > 70% duplicate lines
+QUALITY_MIN_CHARS = 10            # drop: empty / trivial files
+
+PERPLEXITY_MAX = 24.0             # drop: shuffled-token gibberish
+LANGID_MIN_CONFIDENCE = 0.10      # drop: no language signal at all
+
+#: languages the langid model is trained for (seed corpora in
+#: stages/langid.py; 'code' langs share the English/profile space).
+LANGID_LANGS = ("en", "de", "es", "fr", "zh", "py", "js", "java", "go", "c")
+
+# Drop-reason codes emitted in `drop_reasons` (stable, sorted in output)
+DROP_LONG_LINES = "long_lines"
+DROP_LOW_ALNUM = "low_alnum"
+DROP_REPETITIVE = "repetitive"
+DROP_TOO_SHORT = "too_short"
+DROP_HIGH_PERPLEXITY = "high_perplexity"
+DROP_NO_LANG_SIGNAL = "no_lang_signal"

@@ -1,0 +1,68 @@
+"""Actor-pool stage wrappers and the keep/drop labeler.
+
+``ScorerStage`` is the callable-class form required for stateful
+``map_batches`` stages (ray_guide: "Stateful stages = actor pools"):
+model construction happens once per actor in ``__init__``; ``__call__``
+scores one zero-copy Arrow batch. Both scorers are fused into one actor
+class to halve serialization hops (SURVEY §7.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import spec
+from ..functions.textbuf import utf8_view
+from .models import LangIdModel, PerplexityModel
+
+
+class ScorerStage:
+    """map_batches(ScorerStage, batch_format="pyarrow", concurrency=N).
+
+    Appends ``lang_detected`` (string), ``lang_confidence`` (float64)
+    and ``perplexity`` (float64).
+    """
+
+    def __init__(self, content_col: str = "content") -> None:
+        self.content_col = content_col
+        self.langid = LangIdModel()
+        self.ppl = PerplexityModel()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data, offsets = utf8_view(batch.column(self.content_col))
+        langs, conf = self.langid.score(data, offsets)
+        ppl = self.ppl.score(data, offsets)
+        return (
+            batch
+            .append_column("lang_detected", pa.array(langs, type=pa.string()))
+            .append_column("lang_confidence", pa.array(conf))
+            .append_column("perplexity", pa.array(ppl))
+        )
+
+
+def label_batch(batch: pa.Table) -> pa.Table:
+    """Stateless UDF combining quality, perplexity and langid signals
+    into the final ``keep`` / ``drop_reasons`` label (north_rule). Runs
+    after quality_batch and ScorerStage. Drop-reason order is stable:
+    quality codes (as emitted), then high_perplexity, then
+    no_lang_signal.
+    """
+    qd = batch.column("quality_drop").to_pylist()
+    ppl = np.asarray(batch.column("perplexity"))
+    conf = np.asarray(batch.column("lang_confidence"))
+    high_ppl = ppl > spec.PERPLEXITY_MAX
+    no_lang = conf < spec.LANGID_MIN_CONFIDENCE
+    reasons: list[list[str]] = []
+    keep = np.empty(len(qd), dtype=bool)
+    for i, r in enumerate(qd):
+        r = list(r)
+        if high_ppl[i]:
+            r.append(spec.DROP_HIGH_PERPLEXITY)
+        if no_lang[i]:
+            r.append(spec.DROP_NO_LANG_SIGNAL)
+        reasons.append(r)
+        keep[i] = not r
+    out = batch.append_column("keep", pa.array(keep))
+    out = out.append_column("drop_reasons", pa.array(reasons, type=pa.list_(pa.string())))
+    return out.drop_columns(["quality_drop"])

@@ -1,0 +1,171 @@
+"""Stateful content scorers: language-ID and n-gram perplexity.
+
+These fill the reference's "model loaded once per worker" slot (the
+Presidio ``AnalyzerEngine`` at src/core/pii_detector.py:40-48; SURVEY
+§2.3): in the Ray engine they are plain Python classes wrapped by
+``ScorerStage`` (stages/actors.py), a callable class passed to
+``map_batches(Cls, concurrency=N)`` so the model build happens ONCE per
+actor in ``__init__``, never per batch.
+
+Both models are deterministic, pure numpy, trained from the in-repo
+seed corpora (seed_corpora.py) — no network, no external artifacts.
+
+LangIdModel  — fastText-style: hashed character 1–3-gram multinomial
+               Naive Bayes over a 64-symbol byte alphabet.
+PerplexityModel — KenLM-style: character trigram LM with add-k
+               smoothing over the same alphabet; score = perplexity
+               per symbol.
+
+Inference is vectorized over the whole batch buffer: bytes -> symbol
+ids via a 256-entry LUT, trigram ids by integer arithmetic, per-doc
+aggregation via bincount / slicing on row offsets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import spec
+from .seed_corpora import SEEDS
+
+# --- 64-symbol byte alphabet ----------------------------------------------
+# 0-25 a-z (case-folded), 26-35 digits, 36 space/tab, 37 newline,
+# 38..61 common punctuation, 62 other ASCII, 63 non-ASCII byte.
+_PUNCT = b".,;:!?'\"()[]{}<>=+-*/\\#@_%&|^~`$"
+
+
+def _build_lut() -> np.ndarray:
+    lut = np.full(256, 62, dtype=np.int32)
+    for c in range(ord("a"), ord("z") + 1):
+        lut[c] = c - ord("a")
+    for c in range(ord("A"), ord("Z") + 1):
+        lut[c] = c - ord("A")
+    for c in range(ord("0"), ord("9") + 1):
+        lut[c] = 26 + c - ord("0")
+    lut[ord(" ")] = 36
+    lut[ord("\t")] = 36
+    lut[ord("\n")] = 37
+    lut[ord("\r")] = 37
+    for i, c in enumerate(_PUNCT[:24]):
+        lut[c] = 38 + i
+    for c in range(128, 256):
+        lut[c] = 63
+    return lut
+
+
+LUT = _build_lut()
+K = 64
+K2 = K * K
+K3 = K * K * K
+
+
+def symbol_ids(data: np.ndarray) -> np.ndarray:
+    """Map a uint8 byte buffer to symbol ids (int32)."""
+    return LUT[data]
+
+
+def trigram_ids(ids: np.ndarray) -> np.ndarray:
+    """Trigram index array of length n-2 for a symbol-id array."""
+    if len(ids) < 3:
+        return np.empty(0, dtype=np.int64)
+    return (ids[:-2].astype(np.int64) * K2 + ids[1:-1] * K + ids[2:])
+
+
+class PerplexityModel:
+    """Character-trigram LM, add-k smoothing, trained on the seed text of
+    every language pooled together ("what well-formed text looks like").
+
+    perplexity(doc) = exp(-mean log P(c_i | c_{i-2} c_{i-1})); docs
+    shorter than 3 symbols get perplexity 0.0 (defined, not NaN).
+    """
+
+    ADD_K = 0.1
+
+    def __init__(self) -> None:
+        counts = np.zeros(K3, dtype=np.float64)
+        for text in SEEDS.values():
+            ids = symbol_ids(np.frombuffer(text.encode("utf-8"), dtype=np.uint8))
+            tri = trigram_ids(ids)
+            counts += np.bincount(tri, minlength=K3)
+        ctx = counts.reshape(K2, K).sum(axis=1, keepdims=True)
+        logp = np.log(counts.reshape(K2, K) + self.ADD_K) - np.log(ctx + self.ADD_K * K)
+        self.logp = logp.reshape(K3).astype(np.float32)
+
+    def score(self, data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """Per-row perplexity for a batch buffer (see textbuf.utf8_view).
+
+        Each row is scored from its own byte slice only, so the result
+        is bit-identical regardless of how rows are batched or
+        partitioned — required for the determinism invariants
+        (SURVEY §4.3).
+        """
+        ids = symbol_ids(data)
+        n = len(offsets) - 1
+        out = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            tri = trigram_ids(ids[offsets[i]:offsets[i + 1]])
+            if len(tri) == 0:
+                continue
+            out[i] = np.exp(-float(self.logp[tri].astype(np.float64).mean()))
+        return out
+
+
+class LangIdModel:
+    """Hashed char-n-gram Naive Bayes language classifier.
+
+    Features: symbol unigrams, bigrams and trigrams hashed into one
+    id space (trigram ids already span K^3; bigrams/unigrams are offset
+    into the same table). Per language l: log P(feature|l) with add-k
+    smoothing; doc score = mean feature log-prob; confidence = softmax
+    posterior of the top language (uniform prior).
+    """
+
+    ADD_K = 0.5
+    N_FEATURES = K3 + K2 + K
+
+    def __init__(self, langs: tuple[str, ...] = spec.LANGID_LANGS) -> None:
+        self.langs = tuple(langs)
+        mat = np.zeros((len(self.langs), self.N_FEATURES), dtype=np.float64)
+        for li, lang in enumerate(self.langs):
+            ids = symbol_ids(np.frombuffer(SEEDS[lang].encode("utf-8"), dtype=np.uint8))
+            mat[li] += np.bincount(self._features(ids), minlength=self.N_FEATURES)
+        totals = mat.sum(axis=1, keepdims=True)
+        self.logp = (np.log(mat + self.ADD_K) - np.log(totals + self.ADD_K * self.N_FEATURES)).astype(np.float32)
+
+    @staticmethod
+    def _features(ids: np.ndarray) -> np.ndarray:
+        uni = ids.astype(np.int64)
+        parts = [uni + K3 + K2]
+        if len(ids) >= 2:
+            parts.append(ids[:-1].astype(np.int64) * K + ids[1:] + K3)
+        if len(ids) >= 3:
+            parts.append(trigram_ids(ids))
+        return np.concatenate(parts)
+
+    def score(self, data: np.ndarray, offsets: np.ndarray) -> tuple[list[str], np.ndarray]:
+        """Per-row ``(lang_detected, lang_confidence)`` for a batch buffer.
+
+        Empty docs get ('', 0.0).
+        """
+        n = len(offsets) - 1
+        langs_out: list[str] = []
+        conf_out = np.zeros(n, dtype=np.float64)
+        ids_all = symbol_ids(data)
+        for i in range(n):
+            ids = ids_all[offsets[i]:offsets[i + 1]]
+            if len(ids) == 0:
+                langs_out.append("")
+                continue
+            feats = self._features(ids)
+            # sparse scoring: gather only the columns this doc uses
+            # (a dense 10 x 266k matvec would re-read the whole model
+            # per doc and be memory-bound)
+            uniq, cnt = np.unique(feats, return_counts=True)
+            scores = (self.logp[:, uniq] @ cnt.astype(np.float64)) / len(feats)
+            top = int(np.argmax(scores))
+            # temperature-free softmax over mean log-probs
+            e = np.exp(scores - scores[top])
+            conf = 1.0 / e.sum()
+            langs_out.append(self.langs[top])
+            conf_out[i] = conf
+        return langs_out, conf_out

@@ -1,0 +1,87 @@
+"""Heuristic quality rules — stateless, vectorized batch UDF.
+
+Per-row statistics (north_star: line-length stats, alphanumeric ratio,
+repetition) computed as numpy kernels over the zero-copy Arrow UTF-8
+buffer (see functions/textbuf.py); only the distinct-line count uses a
+per-row C-level ``bytes.split`` + ``set``.
+
+Spec (shared with the oracle): all lengths/ratios are over UTF-8 BYTES;
+lines split on ``\\n``; ``rep_ratio = 1 - distinct_lines / n_lines``.
+Thresholds in spec.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import spec
+from ..functions.textbuf import alnum_ratio, line_stats, utf8_view
+
+QUALITY_FIELDS = [
+    ("n_bytes", pa.int64()),
+    ("n_lines", pa.int64()),
+    ("max_line_len", pa.int64()),
+    ("avg_line_len", pa.float64()),
+    ("alnum_ratio", pa.float64()),
+    ("rep_ratio", pa.float64()),
+]
+QUALITY_TYPE = pa.struct(QUALITY_FIELDS)
+
+
+def quality_arrays(data: np.ndarray, offsets: np.ndarray) -> dict[str, np.ndarray]:
+    """Compute all quality stats for one batch buffer."""
+    n = len(offsets) - 1
+    n_bytes = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    n_lines, max_len, avg_len = line_stats(data, offsets)
+    alnum = alnum_ratio(data, offsets)
+    rep = np.zeros(n, dtype=np.float64)
+    # distinct lines per row: C-level split/set over the row's bytes
+    raw = data.tobytes()
+    for i in range(n):
+        lines = raw[offsets[i]:offsets[i + 1]].split(b"\n")
+        rep[i] = 1.0 - len(set(lines)) / len(lines)
+    return {
+        "n_bytes": n_bytes,
+        "n_lines": np.asarray(n_lines, dtype=np.int64),
+        "max_line_len": np.asarray(max_len, dtype=np.int64),
+        "avg_line_len": avg_len,
+        "alnum_ratio": alnum,
+        "rep_ratio": rep,
+    }
+
+
+def quality_drop_reasons(q: dict[str, np.ndarray]) -> list[list[str]]:
+    """Vectorized threshold checks -> per-row drop-reason lists (sorted,
+    stable codes from spec.py)."""
+    n = len(q["n_bytes"])
+    too_short = q["n_bytes"] < spec.QUALITY_MIN_CHARS
+    long_lines = q["max_line_len"] > spec.QUALITY_MAX_LINE_LEN
+    low_alnum = (q["alnum_ratio"] < spec.QUALITY_MIN_ALNUM_RATIO) & ~too_short
+    repetitive = q["rep_ratio"] > spec.QUALITY_MAX_REP_RATIO
+    out: list[list[str]] = []
+    for i in range(n):
+        r = []
+        if long_lines[i]:
+            r.append(spec.DROP_LONG_LINES)
+        if low_alnum[i]:
+            r.append(spec.DROP_LOW_ALNUM)
+        if repetitive[i]:
+            r.append(spec.DROP_REPETITIVE)
+        if too_short[i]:
+            r.append(spec.DROP_TOO_SHORT)
+        out.append(r)
+    return out
+
+
+def quality_batch(batch: pa.Table, content_col: str = "content") -> pa.Table:
+    """Stateless ``map_batches`` UDF: appends a ``quality`` struct column
+    and a ``quality_drop`` list<string> column."""
+    data, offsets = utf8_view(batch.column(content_col))
+    q = quality_arrays(data, offsets)
+    struct = pa.StructArray.from_arrays(
+        [pa.array(q[name], type=typ) for name, typ in QUALITY_FIELDS],
+        names=[name for name, _ in QUALITY_FIELDS],
+    )
+    drops = pa.array(quality_drop_reasons(q), type=pa.list_(pa.string()))
+    return batch.append_column("quality", struct).append_column("quality_drop", drops)

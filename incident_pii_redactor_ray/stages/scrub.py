@@ -1,0 +1,267 @@
+"""Deterministic regex scrub + arbitration — the engine's core transform.
+
+Re-expresses the reference's stage 3 (deterministic extraction,
+src/processing/deterministic_extractor.py:134-192), stage 4 (contextual
+finder, src/processing/llm_detector.py:97-141), and stage 6
+(arbitration + redaction, src/processing/arbitration_engine.py:64-272)
+as ONE stateless ``map_batches`` UDF over Arrow batches:
+
+* regexes are compiled once per worker process at module import;
+* per row: tiered span detection -> overlap resolution -> force-rule /
+  weighted-vote arbitration with document-context adjustment ->
+  deterministic replacement -> back-to-front splice;
+* splicing is correct by construction (spans are non-overlapping and
+  sorted), unlike the reference's ±10-char re-verification fallback
+  (arbitration_engine.py:231-249);
+* no timestamps, no shared caches — byte-identical output at any
+  parallelism (SURVEY §4.3).
+
+The judge stage is intentionally absent: in the reference it never
+merges into arbitration (arbitration_engine.py:389-399) and so never
+affects labels or text — see spec.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from .. import spec
+from ..functions.pseudonyms import replacement as make_replacement
+
+# --- compiled pattern banks (once per worker process) ---------------------
+
+_BASE = [(name, re.compile(pat), conf, cat, action)
+         for name, pat, conf, cat, action in spec.BASE_DETECTORS]
+_CUSTOM = [(name, re.compile(pat), conf, cat, action)
+           for name, pat, conf, cat, action in spec.CUSTOM_DETECTORS]
+_FINDER = [(name, re.compile(pat)) for name, pat in spec.FINDER_DETECTORS]
+
+_FINDER_CTX = {k: tuple(v) for k, v in spec.FINDER_CONTEXT_KEYWORDS.items()}
+
+
+@dataclass(slots=True)
+class Span:
+    entity_type: str
+    start: int
+    end: int
+    confidence: float
+    method: str        # 'regex_base' | 'regex_custom' | 'llm_finder'
+    action: str        # final arbitrated action (filled by arbitrate)
+    text: str
+
+
+def _detect_deterministic(text: str) -> list[Span]:
+    """Tier A + tier B detection. Tier B skips any match overlapping a
+    tier-A span (deterministic_extractor.py:227-243: the claimed-position
+    set is built once from the earlier tier); B-vs-B overlaps survive to
+    overlap resolution, as in the reference."""
+    spans: list[Span] = []
+    for name, rx, conf, _cat, action in _BASE:
+        for m in rx.finditer(text):
+            spans.append(Span(name, m.start(), m.end(), conf, "regex_base", action, m.group()))
+    # merge tier-A intervals into a disjoint union (equivalent to the
+    # reference's claimed-position set but O(k log k), not O(chars))
+    starts: list[int] = []
+    ends: list[int] = []
+    for a, b in sorted((s.start, s.end) for s in spans):
+        if ends and a <= ends[-1]:
+            ends[-1] = max(ends[-1], b)
+        else:
+            starts.append(a)
+            ends.append(b)
+
+    import bisect
+
+    def overlaps_claimed(a: int, b: int) -> bool:
+        # any claimed interval [s,e) with s < b and e > a
+        i = bisect.bisect_left(ends, a + 1)  # first interval with e > a
+        return i < len(starts) and starts[i] < b
+
+    for name, rx, conf, _cat, action in _CUSTOM:
+        for m in rx.finditer(text):
+            if overlaps_claimed(m.start(), m.end()):
+                continue
+            spans.append(Span(name, m.start(), m.end(), conf, "regex_custom", action, m.group()))
+    return spans
+
+
+def _resolve_overlaps(spans: list[Span]) -> list[Span]:
+    """Sweep by start; on overlap keep higher confidence, tie -> shorter
+    match (deterministic_extractor.py:320-344)."""
+    if not spans:
+        return spans
+    spans.sort(key=lambda s: s.start)
+    out = [spans[0]]
+    for cur in spans[1:]:
+        last = out[-1]
+        if cur.start < last.end:
+            if cur.confidence > last.confidence or (
+                cur.confidence == last.confidence and (cur.end - cur.start) < (last.end - last.start)
+            ):
+                out[-1] = cur
+        else:
+            out.append(cur)
+    return out
+
+
+def _finder_confidence(text_lower: str, m_start: int, m_len: int) -> float:
+    """Contextual confidence model (llm_detector.py:143-173)."""
+    conf = spec.FINDER_BASE_CONFIDENCE
+    w = spec.FINDER_CONTEXT_WINDOW
+    ctx = text_lower[max(0, m_start - w): m_start + m_len + w]
+    for kws in _FINDER_CTX.values():
+        if any(k in ctx for k in kws):
+            conf += 0.2
+    if any(k in ctx for k in spec.FINDER_PRIVACY_INDICATORS):
+        conf += 0.15
+    if any(k in ctx for k in spec.FINDER_INCIDENT_INDICATORS):
+        conf += 0.1
+    if m_len > 20:
+        conf += 0.1
+    elif m_len < 5:
+        conf -= 0.1
+    return min(1.0, max(0.0, conf))
+
+
+def _detect_finder(text: str, text_lower: str, resolved: list[Span]) -> list[Span]:
+    """Tier D contextual finder (llm_detector.py:97-141): skips positions
+    claimed by the resolved deterministic spans; threshold 0.6. Inferred
+    action comes from the base-type table (arbitration_engine.py:403-421)
+    — for every contextual_* type that resolves to RETAIN."""
+    import bisect
+    starts = [s.start for s in resolved]
+    ends = [s.end for s in resolved]
+
+    def overlaps(a: int, b: int) -> bool:
+        i = bisect.bisect_left(ends, a + 1)
+        return i < len(starts) and starts[i] < b
+
+    out: list[Span] = []
+    for name, rx in _FINDER:
+        for m in rx.finditer(text):
+            if overlaps(m.start(), m.end()):
+                continue
+            conf = _finder_confidence(text_lower, m.start(), m.end() - m.start())
+            if conf < spec.FINDER_THRESHOLD:
+                continue
+            base = name.rsplit("_", 1)[-1]
+            action = spec.FINDER_ACTION_BY_BASE_TYPE.get(base, spec.RETAIN)
+            out.append(Span(name, m.start(), m.end(), conf, "llm_finder", action, m.group()))
+    return out
+
+
+def _doc_context_flags(text_lower: str) -> tuple[bool, bool, bool]:
+    """(public, security, internal) indicator presence over the whole
+    document — the reference passes the full original text as 'context'
+    to every resolve_conflict call (arbitration_engine.py:312,444)."""
+    return (
+        any(k in text_lower for k in spec.PUBLIC_INDICATORS),
+        any(k in text_lower for k in spec.SECURITY_INDICATORS),
+        any(k in text_lower for k in spec.INTERNAL_INDICATORS),
+    )
+
+
+def _arbitrate(span: Span, flags: tuple[bool, bool, bool]) -> str:
+    """Force rules -> weighted vote -> context adjustment
+    (arbitration_engine.py:90-150). Deterministic and finder spans never
+    share a start:end key (the finder skips claimed positions), so each
+    entity has exactly one voter and the vote reduces to that stage's
+    action; the weights in spec.STAGE_WEIGHTS document the general rule."""
+    etype = span.entity_type
+    if etype in spec.FORCE_REDACT_TYPES:
+        return spec.REDACT
+    action = span.action
+    if etype in spec.CONTEXT_DEPENDENT_TYPES:
+        public, security, internal = flags
+        if public:
+            return spec.RETAIN
+        if security and action == spec.RETAIN:
+            action = spec.PSEUDONYMIZE
+        if internal and action == spec.RETAIN and etype == "person_name":
+            action = spec.PSEUDONYMIZE
+    return action
+
+
+def scrub_text(text: str) -> tuple[str, list[dict]]:
+    """Scrub one document. Returns (scrubbed_text, findings).
+
+    findings: list of dicts with entity_type/start/end/action/method/
+    confidence, sorted by start, positions into the ORIGINAL text.
+    """
+    spans = _resolve_overlaps(_detect_deterministic(text))
+    text_lower = text.lower()
+    finder = _detect_finder(text, text_lower, spans)
+    flags = _doc_context_flags(text_lower)
+
+    all_spans = spans + finder
+    findings: list[dict] = []
+    for s in all_spans:
+        s.action = _arbitrate(s, flags)
+    all_spans.sort(key=lambda s: (s.start, s.end))
+    for s in all_spans:
+        findings.append({
+            "entity_type": s.entity_type,
+            "start": s.start,
+            "end": s.end,
+            "action": s.action,
+            "method": s.method,
+            "confidence": round(s.confidence, 4),
+        })
+
+    # splice back-to-front (arbitration_engine.py:222-272); resolved
+    # deterministic spans are non-overlapping; finder spans are RETAIN
+    # no-ops and are skipped.
+    pieces: list[str] = []
+    pos = 0
+    for s in spans:  # already sorted asc, non-overlapping
+        if s.action == spec.RETAIN:
+            continue
+        pieces.append(text[pos:s.start])
+        pieces.append(make_replacement(s.entity_type, s.text, s.action))
+        pos = s.end
+    pieces.append(text[pos:])
+    return "".join(pieces), findings
+
+
+FINDINGS_TYPE = pa.list_(pa.struct([
+    ("entity_type", pa.string()),
+    ("start", pa.int64()),
+    ("end", pa.int64()),
+    ("action", pa.string()),
+    ("method", pa.string()),
+    ("confidence", pa.float64()),
+]))
+
+
+def scrub_batch(batch: pa.Table, content_col: str = "content") -> pa.Table:
+    """Stateless ``map_batches`` UDF: adds ``scrubbed_content``,
+    ``findings``, ``n_redactions``, ``content_sha256``,
+    ``scrubbed_sha256`` columns to the batch."""
+    col = batch.column(content_col)
+    texts = col.to_pylist()
+    scrubbed: list[str] = []
+    findings: list[list[dict]] = []
+    n_red = np.zeros(len(texts), dtype=np.int64)
+    sha_in: list[str] = []
+    sha_out: list[str] = []
+    for i, t in enumerate(texts):
+        t = t if t is not None else ""
+        s, f = scrub_text(t)
+        scrubbed.append(s)
+        findings.append(f)
+        n_red[i] = sum(1 for x in f if x["action"] != spec.RETAIN)
+        sha_in.append(hashlib.sha256(t.encode("utf-8")).hexdigest())
+        sha_out.append(hashlib.sha256(s.encode("utf-8")).hexdigest())
+    return (
+        batch
+        .append_column("scrubbed_content", pa.array(scrubbed, type=pa.large_string()))
+        .append_column("findings", pa.array(findings, type=FINDINGS_TYPE))
+        .append_column("n_redactions", pa.array(n_red))
+        .append_column("content_sha256", pa.array(sha_in, type=pa.string()))
+        .append_column("scrubbed_sha256", pa.array(sha_out, type=pa.string()))
+    )

@@ -1,0 +1,159 @@
+"""Deterministic in-repo training seeds for the langid and perplexity
+models.
+
+No network and no external data are available in the build environment
+(SURVEY environment facts), so the fastText-style language classifier
+and the KenLM-style n-gram LM are trained at actor start-up from these
+fixed samples. The samples are ordinary public-domain-style prose /
+code written for this repo; they are part of the spec: changing them
+changes model outputs, so they are versioned here next to the models.
+"""
+
+SEEDS: dict[str, str] = {
+    "en": (
+        "The quick brown fox jumps over the lazy dog while the morning sun rises over the quiet valley. "
+        "Engineers review the design documents before the weekly planning meeting and discuss the schedule. "
+        "Data processing systems read records from storage, transform each batch, and write the results back. "
+        "A distributed query engine partitions the table, shuffles rows by key, and aggregates the partial sums. "
+        "There is nothing more practical than a good theory, and nothing more useful than a working example. "
+        "The committee will announce the final decision after considering all of the available evidence. "
+        "Most of the time the simplest explanation that fits the facts is also the correct explanation. "
+        "She walked along the river in the early evening and watched the light change on the water."
+    ),
+    "de": (
+        "Der schnelle braune Fuchs springt über den faulen Hund, während die Morgensonne über dem stillen Tal aufgeht. "
+        "Die Ingenieure prüfen die Entwürfe vor der wöchentlichen Planungssitzung und besprechen den Zeitplan. "
+        "Datenverarbeitungssysteme lesen Datensätze aus dem Speicher, verarbeiten jede Charge und schreiben die Ergebnisse zurück. "
+        "Eine verteilte Abfrage zerlegt die Tabelle, verteilt die Zeilen nach Schlüsseln und fasst die Teilsummen zusammen. "
+        "Es gibt nichts Praktischeres als eine gute Theorie und nichts Nützlicheres als ein funktionierendes Beispiel. "
+        "Der Ausschuss wird die endgültige Entscheidung nach Prüfung aller verfügbaren Beweise bekannt geben. "
+        "Meistens ist die einfachste Erklärung, die zu den Tatsachen passt, auch die richtige Erklärung. "
+        "Sie ging am frühen Abend am Fluss entlang und beobachtete, wie sich das Licht auf dem Wasser veränderte."
+    ),
+    "es": (
+        "El rápido zorro marrón salta sobre el perro perezoso mientras el sol de la mañana se eleva sobre el valle tranquilo. "
+        "Los ingenieros revisan los documentos de diseño antes de la reunión semanal de planificación y discuten el calendario. "
+        "Los sistemas de procesamiento de datos leen registros del almacenamiento, transforman cada lote y escriben los resultados. "
+        "Un motor de consultas distribuido divide la tabla, redistribuye las filas por clave y agrega las sumas parciales. "
+        "No hay nada más práctico que una buena teoría, y nada más útil que un ejemplo que funciona. "
+        "El comité anunciará la decisión final después de considerar todas las pruebas disponibles. "
+        "La mayoría de las veces la explicación más simple que encaja con los hechos es también la correcta. "
+        "Ella caminó junto al río al atardecer y observó cómo cambiaba la luz sobre el agua."
+    ),
+    "fr": (
+        "Le rapide renard brun saute par-dessus le chien paresseux pendant que le soleil du matin se lève sur la vallée calme. "
+        "Les ingénieurs examinent les documents de conception avant la réunion hebdomadaire et discutent du calendrier. "
+        "Les systèmes de traitement des données lisent les enregistrements, transforment chaque lot et écrivent les résultats. "
+        "Un moteur de requêtes distribué partitionne la table, redistribue les lignes par clé et agrège les sommes partielles. "
+        "Il n'y a rien de plus pratique qu'une bonne théorie, et rien de plus utile qu'un exemple qui fonctionne. "
+        "Le comité annoncera la décision finale après avoir examiné toutes les preuves disponibles. "
+        "La plupart du temps, l'explication la plus simple qui correspond aux faits est aussi la bonne. "
+        "Elle marchait le long de la rivière en début de soirée et regardait la lumière changer sur l'eau."
+    ),
+    "zh": (
+        "敏捷的棕色狐狸跳过懒惰的狗，清晨的太阳从安静的山谷上升起。"
+        "工程师在每周计划会议之前审查设计文档并讨论时间表。"
+        "数据处理系统从存储中读取记录，转换每个批次，并将结果写回。"
+        "分布式查询引擎对表进行分区，按键重新分配行，并聚合部分和。"
+        "没有什么比一个好的理论更实用，也没有什么比一个可行的例子更有用。"
+        "委员会将在考虑所有可用证据后宣布最终决定。"
+        "大多数时候，符合事实的最简单解释也是正确的解释。"
+        "她在傍晚沿着河边散步，看着水面上的光线变化。"
+    ),
+    "py": (
+        "def process_batch(batch, config):\n"
+        "    \"\"\"Transform one batch of rows and return the result.\"\"\"\n"
+        "    results = []\n"
+        "    for row in batch:\n"
+        "        value = row.get('value', 0)\n"
+        "        if value is None:\n"
+        "            continue\n"
+        "        results.append({'id': row['id'], 'value': value * config.scale})\n"
+        "    return results\n\n"
+        "class Pipeline:\n"
+        "    def __init__(self, stages):\n"
+        "        self.stages = list(stages)\n"
+        "    def run(self, data):\n"
+        "        for stage in self.stages:\n"
+        "            data = stage(data)\n"
+        "        return data\n\n"
+        "import os\nimport sys\nfrom collections import defaultdict\n"
+        "counts = defaultdict(int)\nwith open(path) as f:\n"
+        "    for line in f:\n        counts[line.strip()] += 1\n"
+        "print(sorted(counts.items(), key=lambda kv: -kv[1])[:10])\n"
+    ),
+    "js": (
+        "function processBatch(batch, config) {\n"
+        "  const results = [];\n"
+        "  for (const row of batch) {\n"
+        "    const value = row.value ?? 0;\n"
+        "    results.push({ id: row.id, value: value * config.scale });\n"
+        "  }\n"
+        "  return results;\n"
+        "}\n\n"
+        "const pipeline = stages => data => stages.reduce((acc, fn) => fn(acc), data);\n"
+        "export default class Store {\n"
+        "  constructor() { this.items = new Map(); }\n"
+        "  set(key, value) { this.items.set(key, value); return this; }\n"
+        "  get(key) { return this.items.get(key); }\n"
+        "}\n"
+        "async function main() {\n"
+        "  const response = await fetch(url);\n"
+        "  const json = await response.json();\n"
+        "  console.log(JSON.stringify(json, null, 2));\n"
+        "}\n"
+    ),
+    "java": (
+        "public class BatchProcessor {\n"
+        "    private final Config config;\n"
+        "    public BatchProcessor(Config config) { this.config = config; }\n"
+        "    public List<Result> process(List<Row> batch) {\n"
+        "        List<Result> results = new ArrayList<>();\n"
+        "        for (Row row : batch) {\n"
+        "            if (row.getValue() == null) continue;\n"
+        "            results.add(new Result(row.getId(), row.getValue() * config.getScale()));\n"
+        "        }\n"
+        "        return results;\n"
+        "    }\n"
+        "    public static void main(String[] args) {\n"
+        "        System.out.println(\"starting batch processor\");\n"
+        "    }\n"
+        "}\n"
+    ),
+    "go": (
+        "package main\n\n"
+        "import (\n\t\"fmt\"\n\t\"sort\"\n)\n\n"
+        "type Row struct {\n\tID    int64\n\tValue float64\n}\n\n"
+        "func processBatch(batch []Row, scale float64) []Row {\n"
+        "\tresults := make([]Row, 0, len(batch))\n"
+        "\tfor _, row := range batch {\n"
+        "\t\tresults = append(results, Row{ID: row.ID, Value: row.Value * scale})\n"
+        "\t}\n"
+        "\treturn results\n"
+        "}\n\n"
+        "func main() {\n"
+        "\trows := processBatch(input, 2.0)\n"
+        "\tsort.Slice(rows, func(i, j int) bool { return rows[i].ID < rows[j].ID })\n"
+        "\tfmt.Println(len(rows))\n"
+        "}\n"
+    ),
+    "c": (
+        "#include <stdio.h>\n"
+        "#include <stdlib.h>\n"
+        "#include <string.h>\n\n"
+        "typedef struct { long id; double value; } row_t;\n\n"
+        "static int compare_rows(const void *a, const void *b) {\n"
+        "    const row_t *ra = (const row_t *)a, *rb = (const row_t *)b;\n"
+        "    return (ra->id > rb->id) - (ra->id < rb->id);\n"
+        "}\n\n"
+        "int main(int argc, char **argv) {\n"
+        "    size_t n = 0, cap = 1024;\n"
+        "    row_t *rows = malloc(cap * sizeof(row_t));\n"
+        "    if (rows == NULL) { fprintf(stderr, \"out of memory\\n\"); return 1; }\n"
+        "    qsort(rows, n, sizeof(row_t), compare_rows);\n"
+        "    printf(\"%zu rows\\n\", n);\n"
+        "    free(rows);\n"
+        "    return 0;\n"
+        "}\n"
+    ),
+}

@@ -1,0 +1,106 @@
+"""Per-partition lineage manifests + checkpoint/resume.
+
+Generalizes the reference's only resume notion — the SQLite anti-join of
+unprocessed incidents (src/database/incident_db.py:234-263; SURVEY §3.3)
+— to partition-granular manifests: each output partition directory is
+written atomically (temp file + rename) together with a JSON manifest
+recording lineage (row counts, keep/drop counts, lang histogram,
+perplexity quantiles, redaction counts, and a digest over the sorted
+(file_id, scrubbed_sha256) pairs). A resumed run lists completed
+manifests and anti-joins them against the partition ids on the driver —
+a set difference, no distributed join needed (SURVEY §2.4 J3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+MANIFEST_DIR = "_manifest"
+PPL_QUANTILES = (0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+
+
+def manifest_path(out_dir: str, partition_id: int) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, f"part-{partition_id:05d}.json")
+
+
+def data_path(out_dir: str, partition_id: int) -> str:
+    return os.path.join(out_dir, f"part-{partition_id:05d}.parquet")
+
+
+def completed_partitions(out_dir: str) -> set[int]:
+    """Partition ids with a committed manifest (the resume anti-join's
+    right side)."""
+    d = os.path.join(out_dir, MANIFEST_DIR)
+    if not os.path.isdir(d):
+        return set()
+    out = set()
+    for name in os.listdir(d):
+        if name.startswith("part-") and name.endswith(".json"):
+            out.add(int(name[5:-5]))
+    return out
+
+
+def write_partition_atomic(out_dir: str, partition_id: int, table, manifest: dict[str, Any]) -> None:
+    """Write the partition parquet then its manifest, both via
+    temp-file + rename so a killed run never leaves a half partition
+    that resume would skip. The manifest rename is the commit point.
+    """
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    dpath = data_path(out_dir, partition_id)
+    tmp = dpath + ".tmp"
+    pq.write_table(table, tmp, row_group_size=16384)
+    os.replace(tmp, dpath)
+
+    mpath = manifest_path(out_dir, partition_id)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, mpath)
+
+
+def read_manifests(out_dir: str) -> list[dict[str, Any]]:
+    out = []
+    for pid in sorted(completed_partitions(out_dir)):
+        with open(manifest_path(out_dir, pid)) as f:
+            out.append(json.load(f))
+    return out
+
+
+def merge_run_summary(out_dir: str) -> dict[str, Any]:
+    """Driver-side roll-up of all partition manifests into one run
+    summary (the analogue of the reference's overall_summary.json,
+    process_incidents.py:324-370) — mergeable by construction, no
+    global shuffle."""
+    manifests = read_manifests(out_dir)
+    lang_hist: dict[str, int] = {}
+    red_counts: dict[str, int] = {}
+    total = kept = 0
+    ppl_all: list[list[float]] = []
+    for m in manifests:
+        total += m["n_rows"]
+        kept += m["n_keep"]
+        for k, v in m["lang_histogram"].items():
+            lang_hist[k] = lang_hist.get(k, 0) + v
+        for k, v in m["redaction_counts"].items():
+            red_counts[k] = red_counts.get(k, 0) + v
+        ppl_all.append(m["perplexity_quantiles"])
+    summary = {
+        "n_partitions": len(manifests),
+        "n_rows": total,
+        "n_keep": kept,
+        "n_drop": total - kept,
+        "lang_histogram": dict(sorted(lang_hist.items())),
+        "redaction_counts": dict(sorted(red_counts.items())),
+        # median-of-partition-quantiles: a coarse but mergeable sketch
+        "perplexity_quantiles": {
+            str(q): (sorted(p[i] for p in ppl_all)[len(ppl_all) // 2] if ppl_all else None)
+            for i, q in enumerate(PPL_QUANTILES)
+        },
+    }
+    with open(os.path.join(out_dir, "run_summary.json"), "w") as f:
+        json.dump(summary, f, sort_keys=True, indent=1)
+    return summary

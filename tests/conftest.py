@@ -1,0 +1,38 @@
+"""Session-scoped Ray fixture: ONE ray.init per pytest session."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=4, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield ray
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def small_corpus(tmp_path_factory):
+    """Deterministic sf-small source-file corpus (FIXTURES.md scale
+    points), written once per session."""
+    import pyarrow.parquet as pq
+
+    from fixtures.gen_corpus import generate
+
+    d = tmp_path_factory.mktemp("corpus_small")
+    table = generate(600, seed=42)
+    pq.write_table(table.slice(0, 306), d / "part-0.parquet", row_group_size=4096)
+    pq.write_table(table.slice(306), d / "part-1.parquet", row_group_size=4096)
+    return str(d), table

@@ -1,0 +1,111 @@
+"""End-to-end flagship pipeline: run, oracle parity, resume, invariance."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from incident_pii_redactor_ray.oracle.reference_oracle import oracle_row
+from incident_pii_redactor_ray.pipelines.hygiene import run_hygiene
+from incident_pii_redactor_ray.state import manifests as mf
+
+
+def _read_output(out_dir: str):
+    import pyarrow as pa
+    parts = sorted(p for p in os.listdir(out_dir) if p.endswith(".parquet"))
+    tables = [pq.read_table(os.path.join(out_dir, p)) for p in parts]
+    return pa.concat_tables(tables)
+
+
+@pytest.fixture(scope="module")
+def hygiene_run(ray_session, small_corpus, tmp_path_factory):
+    src, table = small_corpus
+    out = str(tmp_path_factory.mktemp("hygiene_out"))
+    summary = run_hygiene(src, out, num_partitions=8, scorer_concurrency=2, batch_size=128)
+    return src, table, out, summary
+
+
+def test_pipeline_counts(hygiene_run):
+    src, table, out, summary = hygiene_run
+    assert summary["n_rows"] == table.num_rows
+    assert summary["n_keep"] + summary["n_drop"] == table.num_rows
+    assert 0.5 < summary["n_keep"] / summary["n_rows"] < 0.98
+    got = _read_output(out)
+    assert got.num_rows == table.num_rows
+
+
+def test_oracle_parity(hygiene_run):
+    """Keep/drop + scrubbed sha256 parity vs the single-process oracle —
+    the BASELINE.json gate (F1 >= 0.99; sha equality)."""
+    _, table, out, _ = hygiene_run
+    got = _read_output(out)
+    by_key = {}
+    for i in range(got.num_rows):
+        key = (got.column("repo")[i].as_py(), got.column("path")[i].as_py(),
+               got.column("commit")[i].as_py())
+        by_key[key] = i
+    mismatch_keep = 0
+    for row in table.to_pylist():
+        o = oracle_row(row["content"])
+        i = by_key[(row["repo"], row["path"], row["commit"])]
+        assert got.column("scrubbed_sha256")[i].as_py() == o["scrubbed_sha256"]
+        assert got.column("content_sha256")[i].as_py() == o["content_sha256"]
+        if got.column("keep")[i].as_py() != o["keep"]:
+            mismatch_keep += 1
+        assert got.column("drop_reasons")[i].as_py() == o["drop_reasons"]
+    assert mismatch_keep == 0
+
+
+def test_manifests(hygiene_run):
+    _, table, out, _ = hygiene_run
+    ms = mf.read_manifests(out)
+    assert ms, "no manifests written"
+    assert sum(m["n_rows"] for m in ms) == table.num_rows
+    for m in ms:
+        assert set(m) >= {"partition_id", "n_rows", "n_keep", "lang_histogram",
+                          "redaction_counts", "perplexity_quantiles", "rows_digest"}
+
+
+def test_resume_identical(ray_session, small_corpus, tmp_path_factory, hygiene_run):
+    """Kill-and-resume at a partition boundary: delete some partitions'
+    outputs, rerun with resume=True, final output identical."""
+    src, table, full_out, _ = hygiene_run
+    out = str(tmp_path_factory.mktemp("resume_out"))
+    run_hygiene(src, out, num_partitions=8, scorer_concurrency=2, batch_size=128)
+
+    # simulate a crash: remove 3 partitions (data + manifest)
+    victims = sorted(mf.completed_partitions(out))[:3]
+    for pid in victims:
+        os.remove(mf.data_path(out, pid))
+        os.remove(mf.manifest_path(out, pid))
+    assert mf.completed_partitions(out).isdisjoint(victims)
+
+    run_hygiene(src, out, num_partitions=8, scorer_concurrency=2, batch_size=128)
+    a = _read_output(full_out)
+    b = _read_output(out)
+    key = lambda t: sorted(zip(t.column("file_id").to_pylist(), t.column("scrubbed_sha256").to_pylist()))
+    assert key(a) == key(b)
+    # manifests digest-identical too
+    da = {m["partition_id"]: m["rows_digest"] for m in mf.read_manifests(full_out)}
+    db = {m["partition_id"]: m["rows_digest"] for m in mf.read_manifests(out)}
+    assert da == db
+
+
+def test_parallelism_invariance(ray_session, small_corpus, tmp_path_factory):
+    """Same labels + hashes across batch sizes and partition counts
+    (SURVEY §5 item 3)."""
+    src, _, = small_corpus[0], None
+    out_a = str(tmp_path_factory.mktemp("inv_a"))
+    out_b = str(tmp_path_factory.mktemp("inv_b"))
+    run_hygiene(small_corpus[0], out_a, num_partitions=4, scorer_concurrency=1, batch_size=32)
+    run_hygiene(small_corpus[0], out_b, num_partitions=16, scorer_concurrency=3, batch_size=1024)
+    a = _read_output(out_a)
+    b = _read_output(out_b)
+    key = lambda t: sorted(zip(t.column("file_id").to_pylist(),
+                               t.column("scrubbed_sha256").to_pylist(),
+                               t.column("keep").to_pylist(),
+                               map(str, t.column("perplexity").to_pylist())))
+    assert key(a) == key(b)

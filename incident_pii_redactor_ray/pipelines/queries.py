@@ -1,0 +1,511 @@
+"""Driver-facing query registry: one Ray Data implementation + (where
+SQL-expressible) one DuckDB oracle per operator (SURVEY §2).
+
+Contract (driver): every callable takes ``sf_dir`` and returns a
+Dataset / pandas DataFrame / pyarrow Table; the oracle SQL runs on
+DuckDB views named after the parquet tables. Column names and dtypes
+match between the two sides; float outputs are explicitly rounded on
+BOTH sides (6 decimals for ratios, 4 for large sums) so value-hash
+comparison is stable across summation orders.
+
+Ray is initialised by the caller — nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+from ..stages import dedup, similarity, textstats
+from ..stages.multimodal import MediaFeatureStage, media_from_documents
+from ..stages.scrub import scrub_batch
+
+
+def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _emb(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# A. aggregates / sort / anti-join (reference ops A1-A4, O3, J3)
+# --------------------------------------------------------------------------
+
+def q_lang_histogram(sf_dir: str):
+    """groupby-count rollup (SURVEY A6: lang histogram)."""
+    return (_docs(sf_dir, ["lang"]).groupby("lang")
+            .aggregate(Count(alias_name="n_docs")))
+
+
+def q_summary_rollup(sf_dir: str):
+    """Global aggregate rollup (reference A1 overall summary,
+    process_incidents.py:324-358)."""
+    ds = _docs(sf_dir, ["n_chars"])
+    out = ds.aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="total_chars"),
+                       Mean("n_chars", alias_name="avg_chars"))
+    df = pd.DataFrame([out])
+    df["avg_chars"] = df["avg_chars"].round(6)
+    return df[["n_docs", "total_chars", "avg_chars"]]
+
+
+def q_events_by_type(sf_dir: str):
+    """groupby aggregate over the events table (reference A2 judge
+    summary shape, llm_verifier.py:355-396)."""
+    ds = _events(sf_dir, ["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="value_sum"),
+        Mean("value", alias_name="value_avg"))
+    df = out.to_pandas()
+    df["value_sum"] = df["value_sum"].round(4)
+    df["value_avg"] = df["value_avg"].round(6)
+    return df
+
+
+def q_top_events(sf_dir: str):
+    """ORDER BY ts DESC LIMIT n (reference O3, incident_db.py:208-232)."""
+    ds = _events(sf_dir, ["event_id", "ts", "event_type", "value"])
+    return ds.sort(["ts", "event_id"], descending=[True, True]).limit(100)
+
+
+def q_resume_antijoin(sf_dir: str):
+    """Unprocessed-rows anti-join (reference J3,
+    incident_db.py:234-263): completed ids are broadcast as a set and
+    filtered inside map_batches — semi/anti joins never shuffle the big
+    side."""
+    import ray
+    done_ds = _docs(sf_dir, ["doc_id"])
+    done = {i for i in done_ds.to_pandas()["doc_id"] if i % 3 == 0}
+    ref = ray.put(np.fromiter(done, dtype=np.int64))
+
+    class DropDone:
+        def __init__(self):
+            self.done = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("doc_id"))
+            return batch.filter(pa.array(~np.isin(ids, self.done)))
+
+    return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        DropDone, batch_format="pyarrow", concurrency=1)
+
+
+# --------------------------------------------------------------------------
+# B. text analysis
+# --------------------------------------------------------------------------
+
+def q_doc_stats(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = ds.map_batches(textstats.doc_quality_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_chars_calc", "n_tokens", "punct_ratio", "stopword_ratio"])
+
+
+def q_token_totals(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+    ds = ds.map_batches(textstats.token_count_batch, batch_format="pyarrow")
+    return ds.groupby("lang").aggregate(Sum("n_tokens", alias_name="total_tokens"),
+                                        Count(alias_name="n_docs"))
+
+
+def q_lang_markers(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = ds.map_batches(textstats.lang_markers_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_en", "n_de", "n_es", "n_fr", "n_zh", "marker_lang"])
+
+
+def q_doc_fingerprint(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = ds.map_batches(textstats.fingerprint_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+# --------------------------------------------------------------------------
+# C. scrub (the reference's core M3-M15 chain, SQL-checkable slice)
+# --------------------------------------------------------------------------
+
+def _augment(batch: pa.Table) -> pa.Table:
+    """Append a deterministic PII-bearing suffix to every document so
+    the scrub oracle exercises real redactions (the raw word-soup corpus
+    contains no PII). The same construction is expressed in SQL."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    aug = [
+        f"{t} contact: user{i}@corp-mail.com phone +1-555-{200 + i % 700:03d}-{1000 + i % 9000:04d}"
+        f" ssn {100 + i % 900:03d}-{10 + i % 90:02d}-{1000 + i % 9000:04d}"
+        f" ip 10.{i % 256}.0.1 by Maria Garcia"
+        for i, t in zip(ids, texts)
+    ]
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                     "content": pa.array(aug, type=pa.large_string())})
+
+
+def q_scrub_redact(sf_dir: str):
+    """Full scrub over augmented documents; returns the positional
+    splice result + redaction count per doc."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(_augment, batch_format="pyarrow")
+    ds = ds.map_batches(scrub_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "scrubbed_content", "n_redactions"])
+
+
+def q_scrub_findings(sf_dir: str):
+    """Findings exploded to (doc_id, entity_type, action, n) — checks
+    detector coverage + arbitration actions without positional
+    reconstruction."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(_augment, batch_format="pyarrow")
+    ds = ds.map_batches(scrub_batch, batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_t, out_a, out_n = [], [], [], []
+        for did, fs in zip(batch.column("doc_id").to_pylist(), batch.column("findings").to_pylist()):
+            agg: dict[tuple[str, str], int] = {}
+            for f in fs:
+                k = (f["entity_type"], f["action"])
+                agg[k] = agg.get(k, 0) + 1
+            for (t, a), n in sorted(agg.items()):
+                out_id.append(did)
+                out_t.append(t)
+                out_a.append(a)
+                out_n.append(n)
+        return pa.table({"doc_id": pa.array(out_id, type=pa.int64()),
+                         "entity_type": pa.array(out_t), "action": pa.array(out_a),
+                         "n": pa.array(out_n, type=pa.int64())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# D. dedup
+# --------------------------------------------------------------------------
+
+def _docs_doubled(sf_dir: str) -> ray.data.Dataset:
+    """documents UNION ALL an id-shifted copy — makes exact dedup
+    non-trivial (every text appears exactly twice)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        ids = pa.compute.add(batch.column("doc_id"), 1000000)
+        return pa.table({"doc_id": ids, "text": batch.column("text")})
+
+    return ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+
+
+def q_exact_dedup(sf_dir: str):
+    return dedup.exact_dedup(_docs_doubled(sf_dir))
+
+
+def _docs_with_neardups(sf_dir: str) -> ray.data.Dataset:
+    """documents UNION ALL a near-duplicate copy (one token appended,
+    id + 1000000) — gives minhash/simhash true positives to find."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        ids = pa.compute.add(batch.column("doc_id"), 1000000)
+        texts = [f"{t} zzz" for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": ids, "text": pa.array(texts, type=batch.column("text").type)})
+
+    return ds.union(ds.map_batches(mutate, batch_format="pyarrow"))
+
+
+def q_minhash_pairs(sf_dir: str):
+    return dedup.minhash_lsh_pairs(_docs_with_neardups(sf_dir), threshold=0.6)
+
+
+def q_simhash_pairs(sf_dir: str):
+    return dedup.simhash_pairs(_docs_with_neardups(sf_dir), max_hamming=3)
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Word-set Jaccard between the two docs of each pair_id =
+    doc_id // 2 — groupby(pair).map_groups, SQL-checkable via a
+    self-join + list_intersect/list_distinct."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def add_pair(batch: pa.Table) -> pa.Table:
+        pid = np.asarray(batch.column("doc_id"), dtype=np.int64) // 2
+        return batch.append_column("pair_id", pa.array(pid))
+
+    def pair_jaccard(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:
+            return pd.DataFrame({"pair_id": pd.Series([], dtype="int64"),
+                                 "id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        g = g.sort_values("doc_id")
+        sa = set((g["text"].iloc[0] or "").lower().split())
+        sb = set((g["text"].iloc[1] or "").lower().split())
+        j = len(sa & sb) / len(sa | sb) if (sa or sb) else 1.0
+        return pd.DataFrame({"pair_id": [g["pair_id"].iloc[0]],
+                             "id_a": [g["doc_id"].iloc[0]], "id_b": [g["doc_id"].iloc[1]],
+                             "jaccard": [round(j, 6)]})
+
+    return (ds.map_batches(add_pair, batch_format="pyarrow")
+              .groupby("pair_id").map_groups(pair_jaccard, batch_format="pandas"))
+
+
+# --------------------------------------------------------------------------
+# E. similarity search
+# --------------------------------------------------------------------------
+
+def _query_vectors(sf_dir: str, n: int = 8):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mask = pa.compute.less(t.column("vec_id"), n)
+    t = t.filter(mask)
+    ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+    arr = t.column("embedding").combine_chunks()
+    mat = np.asarray(arr.flatten(), dtype=np.float64).reshape(len(ids), -1)
+    order = np.argsort(ids)
+    return mat[order], ids[order]
+
+
+def q_ann_topk(sf_dir: str):
+    q, qids = _query_vectors(sf_dir)
+    return similarity.brute_force_topk(_emb(sf_dir), q, qids, k=10)
+
+
+def q_ann_lsh_topk(sf_dir: str):
+    q, qids = _query_vectors(sf_dir)
+    return similarity.lsh_bucketed_topk(_emb(sf_dir), q, qids, k=10)
+
+
+def q_embedding_neardup(sf_dir: str):
+    return similarity.embedding_neardup_pairs(_emb(sf_dir), threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# F. multimodal plumbing
+# --------------------------------------------------------------------------
+
+def q_media_bytes(sf_dir: str):
+    ds = media_from_documents(_docs(sf_dir, ["doc_id", "text"]))
+    ds = ds.map_batches(MediaFeatureStage, batch_format="pyarrow", batch_size=64,
+                        concurrency=2, fn_constructor_kwargs={"fake": True})
+    return ds.select_columns(["media_id", "n_bytes"])
+
+
+def q_multimodal_features(sf_dir: str):
+    ds = media_from_documents(_docs(sf_dir, ["doc_id", "text"]))
+    ds = ds.map_batches(MediaFeatureStage, batch_format="pyarrow", batch_size=64,
+                        concurrency=2, fn_constructor_kwargs={"fake": True})
+    return ds.select_columns(["media_id", "media_type", "width", "height", "n_bytes", "features"])
+
+
+# --------------------------------------------------------------------------
+# G. model-based (rows-only checks: no SQL equivalent)
+# --------------------------------------------------------------------------
+
+def q_langid_model(sf_dir: str):
+    from ..stages.actors import ScorerStage
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "content"])
+
+    ds = ds.map_batches(rename, batch_format="pyarrow")
+    ds = ds.map_batches(ScorerStage, batch_format="pyarrow", batch_size=256, concurrency=2)
+
+    def roundcols(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang_detected": batch.column("lang_detected"),
+            "lang_confidence": pa.compute.round(batch.column("lang_confidence"), ndigits=6),
+            "perplexity": pa.compute.round(batch.column("perplexity"), ndigits=4),
+        })
+
+    return ds.map_batches(roundcols, batch_format="pyarrow")
+
+
+def q_hygiene_full(sf_dir: str):
+    """Flagship hygiene pipeline over the documents table mapped into
+    the source-file schema (north_rule shape)."""
+    from .hygiene import hygiene_transform
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "source"])
+
+    def to_source(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "repo": batch.column("source").cast(pa.string()),
+            "path": pa.array([f"doc_{i}.txt" for i in ids]),
+            "commit": pa.array(["0" * 40] * len(ids)),
+            "lang": batch.column("lang").cast(pa.string()),
+            "content": batch.column("text").cast(pa.large_string()),
+            "doc_id": batch.column("doc_id"),
+        })
+
+    ds = ds.map_batches(to_source, batch_format="pyarrow")
+    ds = hygiene_transform(ds, scorer_concurrency=2, batch_size=256)
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "keep": batch.column("keep"),
+            "lang_detected": batch.column("lang_detected"),
+            "perplexity": pa.compute.round(batch.column("perplexity"), ndigits=4),
+            "n_redactions": batch.column("n_redactions"),
+            "scrubbed_sha256": batch.column("scrubbed_sha256"),
+        })
+
+    return ds.map_batches(final, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# registry + oracle SQL
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "lang_histogram": q_lang_histogram,
+    "summary_rollup": q_summary_rollup,
+    "events_by_type": q_events_by_type,
+    "top_events": q_top_events,
+    "resume_antijoin": q_resume_antijoin,
+    "doc_stats": q_doc_stats,
+    "token_totals": q_token_totals,
+    "lang_markers": q_lang_markers,
+    "doc_fingerprint": q_doc_fingerprint,
+    "scrub_redact": q_scrub_redact,
+    "scrub_findings": q_scrub_findings,
+    "exact_dedup": q_exact_dedup,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ann_topk": q_ann_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "media_bytes": q_media_bytes,
+    "multimodal_features": q_multimodal_features,
+    "langid_model": q_langid_model,
+    "hygiene_full": q_hygiene_full,
+}
+
+_EN_MARKERS = textstats.LANG_MARKERS["en"]
+
+ORACLE_SQL = {
+    "lang_histogram": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+
+    "summary_rollup": (
+        "SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars, "
+        "round(avg(n_chars), 6) AS avg_chars FROM documents"
+    ),
+
+    "events_by_type": (
+        "SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS value_sum, "
+        "round(avg(value), 6) AS value_avg FROM events GROUP BY event_type"
+    ),
+
+    "top_events": (
+        "SELECT event_id, ts, event_type, value FROM events "
+        "ORDER BY ts DESC, event_id DESC LIMIT 100"
+    ),
+
+    "resume_antijoin": (
+        "SELECT doc_id, lang FROM documents WHERE doc_id NOT IN "
+        "(SELECT doc_id FROM documents WHERE doc_id % 3 = 0)"
+    ),
+
+    "doc_stats": (
+        "SELECT doc_id, length(text) AS n_chars_calc, "
+        "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+        "round(CASE WHEN length(text) > 0 THEN "
+        "  (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE / length(text) "
+        "  ELSE 0 END, 6) AS punct_ratio, "
+        "round(CASE WHEN trim(text) = '' THEN 0 ELSE "
+        f"  len(regexp_extract_all(text, '{_EN_MARKERS}'))::DOUBLE / "
+        "   len(regexp_split_to_array(trim(text), '\\s+')) END, 6) AS stopword_ratio "
+        "FROM documents"
+    ),
+
+    "token_totals": (
+        "SELECT lang, sum(CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS total_tokens, "
+        "count(*) AS n_docs FROM documents GROUP BY lang"
+    ),
+
+    "lang_markers": (
+        "WITH m AS (SELECT doc_id, "
+        + ", ".join(
+            f"len(regexp_extract_all(text, '{pat}')) AS n_{lang}"
+            for lang, pat in textstats.LANG_MARKERS.items())
+        + " FROM documents) "
+        "SELECT doc_id, n_en, n_de, n_es, n_fr, n_zh, "
+        "CASE WHEN greatest(n_en, n_de, n_es, n_fr, n_zh) = 0 THEN 'und' "
+        "WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr AND n_en >= n_zh THEN 'en' "
+        "WHEN n_de >= n_es AND n_de >= n_fr AND n_de >= n_zh THEN 'de' "
+        "WHEN n_es >= n_fr AND n_es >= n_zh THEN 'es' "
+        "WHEN n_fr >= n_zh THEN 'fr' ELSE 'zh' END AS marker_lang FROM m"
+    ),
+
+    "doc_fingerprint": (
+        "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint "
+        "FROM documents"
+    ),
+
+    "scrub_redact": (
+        "SELECT doc_id, text || ' contact: [REDACTED_EMAIL] phone [REDACTED_PHONE]"
+        " ssn [REDACTED_SSN] ip 192.168.1.' || "
+        "instr('0123456789abcdef', substr(md5('10.' || (doc_id % 256) || '.0.1'), 1, 1)) || "
+        "' by Person_' || substr(md5('maria garcia'), 1, 6) AS scrubbed_content, "
+        "5 AS n_redactions FROM documents"
+    ),
+
+    "scrub_findings": (
+        "WITH f AS ("
+        "  SELECT doc_id, 'email' AS entity_type, 'REDACT' AS action, 1 AS n FROM documents"
+        "  UNION ALL SELECT doc_id, 'phone', 'REDACT', 1 FROM documents"
+        "  UNION ALL SELECT doc_id, 'ssn', 'REDACT', 1 FROM documents"
+        "  UNION ALL SELECT doc_id, 'ip_address', 'PSEUDONYMIZE', 1 FROM documents"
+        "  UNION ALL SELECT doc_id, 'person_name', 'PSEUDONYMIZE', 1 FROM documents"
+        ") SELECT doc_id, entity_type, action, n FROM f"
+    ),
+
+    "exact_dedup": (
+        "SELECT min(doc_id) AS doc_id, md5(text) AS text_hash FROM "
+        "(SELECT doc_id, text FROM documents "
+        " UNION ALL SELECT doc_id + 1000000, text FROM documents) "
+        "GROUP BY md5(text)"
+    ),
+
+    "ngram_jaccard": (
+        "WITH t AS (SELECT doc_id, doc_id // 2 AS pair_id, "
+        "  list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks "
+        "  FROM documents), "
+        "p AS (SELECT a.pair_id, a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb "
+        "  FROM t a JOIN t b ON a.pair_id = b.pair_id AND a.doc_id < b.doc_id) "
+        "SELECT pair_id, id_a, id_b, "
+        "round(len(list_intersect(ta, tb))::DOUBLE / len(list_distinct(list_concat(ta, tb))), 6) AS jaccard "
+        "FROM p"
+    ),
+
+    "ann_topk": (
+        "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), "
+        "s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "
+        "  list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS cos "
+        "  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.qid), "
+        "r AS (SELECT query_id, neighbor_id, cos, row_number() OVER "
+        "  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s) "
+        "SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine FROM r WHERE rank <= 10"
+    ),
+
+    "embedding_neardup": (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"
+    ),
+
+    "media_bytes": (
+        "SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes FROM documents"
+    ),
+    # minhash_pairs / simhash_pairs / ann_lsh_topk / multimodal_features /
+    # langid_model / hygiene_full: model- or sketch-based -> rows-only check.
+}

@@ -1,0 +1,248 @@
+"""Corpus-level deduplication operators.
+
+The reference has no corpus-level dedup (SURVEY §2.7) — these are the
+large-scale training-data operators the engine adds as first-class
+stages. All are deterministic (seeded splitmix64 permutations, stable
+byte-level hashing) and expressed Ray-Data-first:
+
+exact        — content-hash in map_batches, then ONE groupby(hash) with
+               first-wins-by-min-id per group.
+minhash_lsh  — shingle -> 64-perm minhash -> banded signature rows
+               (band_id, band_hash, doc_id) exploded in map_batches,
+               groupby(band) emits candidate pairs, exact-Jaccard
+               verification joins texts back by doc id.
+simhash      — 64-bit simhash over token hashes; near-dup candidates by
+               identical 16-bit band (Hamming <= 3 over 4 bands finds
+               all pairs with <= 3 differing bits); verified by true
+               Hamming distance.
+
+Partitioning assumptions are documented per operator; the only
+all-to-all exchanges are the hash/band groupbys, whose keys are
+uniformly distributed by construction (no salt needed).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.hashing import mix64
+
+# --- shingling / hashing (vectorized helpers) ------------------------------
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    """Stable 64-bit hashes of whitespace tokens (md5-based, not
+    Python's randomized hash)."""
+    toks = text.lower().split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    return np.array(
+        [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in toks],
+        dtype=np.uint64,
+    )
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Hashes of word k-shingles: combine token hashes in a sliding
+    window with splitmix64 mixing — avoids materializing shingle
+    strings."""
+    th = _token_hashes(text)
+    if len(th) < k:
+        return mix64(th) if len(th) else th
+    acc = th[: len(th) - k + 1].copy()
+    for j in range(1, k):
+        acc = mix64(acc ^ th[j: len(th) - k + 1 + j])
+    return np.unique(acc)
+
+
+def minhash_signature(sh: np.ndarray, num_perm: int = 64) -> np.ndarray:
+    """num_perm minhash values: min over shingles of mix64(shingle ^ seed_p).
+    Empty shingle set -> all-max sentinel."""
+    if len(sh) == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    seeds = mix64(np.arange(1, num_perm + 1, dtype=np.uint64))
+    # (num_perm, n_shingles) would be large for big docs; loop perms (64 passes, vectorized)
+    out = np.empty(num_perm, dtype=np.uint64)
+    for p in range(num_perm):
+        out[p] = mix64(sh ^ seeds[p]).min()
+    return out
+
+
+def simhash64(text: str) -> int:
+    """Classic 64-bit simhash over token hashes."""
+    th = _token_hashes(text)
+    if len(th) == 0:
+        return 0
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / (len(a) + len(b) - inter)
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
+                id_col: str = "doc_id") -> ray.data.Dataset:
+    """First-wins exact dedup: md5(text) per row in map_batches, one
+    groupby(text_hash), min id per group. Returns
+    (doc_id, text_hash) survivors. Scales: the shuffle moves only
+    (id, 32-byte hash) pairs, never the content."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or "").encode()).hexdigest() for t in batch.column(text_col).to_pylist()]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "text_hash": pa.array(hs, type=pa.string()),
+        })
+
+    import pandas as pd
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: [g[id_col].min()], "text_hash": [g["text_hash"].iloc[0]]})
+
+    return (ds.map_batches(add_hash, batch_format="pyarrow")
+              .groupby("text_hash")
+              .map_groups(first_wins, batch_format="pandas"))
+
+
+# --- minhash + LSH ---------------------------------------------------------
+
+NUM_PERM = 64
+NUM_BANDS = 16  # 4 rows per band -> catches J >~ 0.5 reliably
+
+
+def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.6,
+                      shingle_k: int = 3) -> ray.data.Dataset:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Stage 1 (map_batches): per doc, shingle -> minhash -> NUM_BANDS
+    banded hashes, exploded to (band, band_hash, doc_id) rows.
+    Stage 2 (groupby band key): each bucket of size s emits s-1
+    candidate pairs against the bucket minimum (a superset-generating
+    heuristic that is transitive-closure-friendly and caps bucket fanout
+    at O(s), not O(s^2); exact pairs within a bucket then come from
+    verification).
+    Stage 3: exact Jaccard verification. The texts needed for
+    verification are looked up from a broadcast {id: shingles} map
+    (ray.put once) — fine while the candidate universe fits one node;
+    at 100 TB swap the broadcast for a repartition join of pair rows
+    against the corpus on doc_id (same semantics, documented here).
+    """
+    rows_per_band = NUM_PERM // NUM_BANDS
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        ids, bands, bhash = [], [], []
+        for did, text in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            sig = minhash_signature(shingle_hashes(text or "", shingle_k), NUM_PERM)
+            for b in range(NUM_BANDS):
+                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                h = hashlib.md5(chunk.tobytes() + bytes([b])).hexdigest()[:16]
+                ids.append(did)
+                bands.append(b)
+                bhash.append(h)
+        return pa.table({id_col: pa.array(ids), "band": pa.array(bands, type=pa.int32()),
+                         "band_hash": pa.array(bhash, type=pa.string())})
+
+    import pandas as pd
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        ids = sorted(g[id_col].unique())
+        a = ids[0]
+        return pd.DataFrame({"id_a": [a] * (len(ids) - 1), "id_b": ids[1:]})
+
+    cand = (ds.map_batches(signatures, batch_format="pyarrow")
+              .groupby(["band", "band_hash"])
+              .map_groups(bucket_pairs, batch_format="pandas"))
+
+    # dedupe candidate pairs (same pair from several bands)
+    def uniq_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    cand = cand.groupby(["id_a", "id_b"]).map_groups(uniq_pairs, batch_format="pandas")
+
+    # verification against broadcast shingle sets
+    shingle_map: dict[int, np.ndarray] = {}
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for did, text in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            shingle_map[did] = shingle_hashes(text or "", shingle_k)
+    ref = ray.put(shingle_map)
+
+    class Verify:
+        def __init__(self):
+            self.sm = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ia = batch.column("id_a").to_pylist()
+            ib = batch.column("id_b").to_pylist()
+            js = [jaccard(self.sm[a], self.sm[b]) for a, b in zip(ia, ib)]
+            out = pa.table({"id_a": pa.array(ia), "id_b": pa.array(ib),
+                            "jaccard": pa.array([round(j, 6) for j in js])})
+            return out.filter(pa.compute.greater_equal(out.column("jaccard"), threshold))
+
+    return cand.map_batches(Verify, batch_format="pyarrow", concurrency=2)
+
+
+# --- simhash ---------------------------------------------------------------
+
+
+def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> ray.data.Dataset:
+    """Near-dup pairs by simhash Hamming distance <= max_hamming,
+    blocked on 4 x 16-bit bands (pigeonhole: any pair within distance 3
+    agrees on at least one band)."""
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        ids, bands, keys, hashes = [], [], [], []
+        for did, text in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            h = simhash64(text or "")
+            for b in range(4):
+                ids.append(did)
+                bands.append(b)
+                keys.append((h >> (16 * b)) & 0xFFFF)
+                hashes.append(h)
+        return pa.table({id_col: pa.array(ids), "band": pa.array(bands, type=pa.int32()),
+                         "band_key": pa.array(keys, type=pa.int64()),
+                         "simhash": pa.array(hashes, type=pa.uint64())})
+
+    import pandas as pd
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_d = [], [], []
+        rows = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = rows[id_col].to_numpy()
+        hs = rows["simhash"].to_numpy(dtype=np.uint64)
+        for i in range(len(ids)):
+            x = hs[i] ^ hs[i + 1:]
+            d = np.array([bin(int(v)).count("1") for v in x])
+            for j in np.nonzero(d <= max_hamming)[0]:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[i + 1 + j]))
+                out_d.append(int(d[j]))
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                             "id_b": pd.Series(out_b, dtype="int64"),
+                             "hamming": pd.Series(out_d, dtype="int64")})
+
+    pairs = (ds.map_batches(sigs, batch_format="pyarrow")
+               .groupby(["band", "band_key"])
+               .map_groups(bucket_pairs, batch_format="pandas"))
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(uniq, batch_format="pandas")

@@ -1,0 +1,88 @@
+"""Multimodal column plumbing: opaque binary payloads with typed
+metadata, processed by an actor-pool decode/feature stage.
+
+The container ships no image/audio codecs, so the actual decode is a
+clearly marked stub (``decode_image`` raises NotImplementedError unless
+``fake=True``, which produces a deterministic fake feature vector). The
+Ray-side plumbing is real and tested: binary columns round-trip through
+Arrow (`large_binary`), batches stay in ``batch_format="pyarrow"`` (the
+pandas path would degrade binary to object dtype), batch sizes are
+small because payload rows are wide, and the stage is an actor pool so
+a real codec/model would load once per actor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("media_type", pa.string()),      # 'image' | 'audio' | 'video'
+    ("payload", pa.large_binary()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+])
+
+FEATURE_DIM = 8
+
+
+def decode_image(payload: bytes, *, fake: bool = False) -> np.ndarray:
+    """Decode an image payload to a FEATURE_DIM feature vector.
+
+    STUB: no codec libraries exist in this environment. With
+    ``fake=True`` returns a deterministic sha256-derived vector (keeps
+    the pipeline testable end-to-end); otherwise raises.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires a codec library not present in this "
+            "environment; run with fake=True for the deterministic stub")
+    dig = hashlib.sha256(payload).digest()
+    return (np.frombuffer(dig[:FEATURE_DIM], dtype=np.uint8).astype(np.float64) / 255.0).round(6)
+
+
+class MediaFeatureStage:
+    """Actor-pool map_batches stage: payload -> feature vector + size.
+
+    Use ``map_batches(MediaFeatureStage, batch_format="pyarrow",
+    batch_size=64, concurrency=N, num_cpus=1)`` — small batches because
+    payload rows are wide; a real model would be loaded here in
+    __init__ once per actor.
+    """
+
+    def __init__(self, fake: bool = True) -> None:
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        feats = [decode_image(p or b"", fake=self.fake).tolist() for p in payloads]
+        sizes = [len(p or b"") for p in payloads]
+        return (batch
+                .append_column("n_bytes", pa.array(sizes, type=pa.int64()))
+                .append_column("features", pa.array(feats, type=pa.list_(pa.float64())))
+                .drop_columns(["payload"]))
+
+
+def media_from_documents(ds: ray.data.Dataset, *, text_col: str = "text",
+                         id_col: str = "doc_id") -> ray.data.Dataset:
+    """Synthesize a media table from a text table (test fixture path):
+    payload = utf-8 bytes of the text, metadata derived
+    deterministically."""
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        payloads = [(t or "").encode("utf-8") for t in texts]
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "media_type": pa.array(["image"] * len(ids)),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "width": pa.array([64] * len(ids), type=pa.int32()),
+            "height": pa.array([64] * len(ids), type=pa.int32()),
+        })
+
+    return ds.map_batches(to_media, batch_format="pyarrow")

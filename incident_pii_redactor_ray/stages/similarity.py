@@ -1,0 +1,170 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k as the exact baseline: the query matrix is
+broadcast once (ray.put), every batch does one numpy matmul against it
+and emits only its local top-k candidates, and a final tiny
+groupby(query) merge keeps the global top-k — the classic
+partial-topk-then-merge pattern, so the shuffle carries
+O(n_batches * k) rows, never the corpus.
+
+The scale path is LSH-bucketed search: random-hyperplane signatures
+put near vectors in shared buckets; queries probe only their bucket
+(plus optional multiprobe neighbors). Deterministic planes from a
+seeded generator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return m / nrm
+
+
+def brute_force_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.ndarray,
+                     *, k: int = 10, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> ray.data.Dataset:
+    """Exact cosine top-k of every query against the dataset.
+
+    Returns (query_id, rank, neighbor_id, cosine) with rank 1..k,
+    self-matches excluded, ties broken by neighbor_id ascending,
+    cosine rounded to 6 decimals AFTER ranking.
+    """
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    ref = ray.put((qn, np.asarray(query_ids, dtype=np.int64)))
+
+    class PartialTopK:
+        def __init__(self):
+            self.q, self.qids = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch, vec_col))
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            cos = self.q @ m.T  # (n_queries, n_batch)
+            out_q, out_n, out_c = [], [], []
+            kk = min(k + 1, cos.shape[1])  # +1 to survive self-match removal
+            for qi in range(cos.shape[0]):
+                row = cos[qi]
+                part = np.argpartition(-row, kk - 1)[:kk]
+                out_q.extend([int(self.qids[qi])] * len(part))
+                out_n.extend(ids[part].tolist())
+                out_c.extend(row[part].tolist())
+            return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                             "neighbor_id": pa.array(out_n, type=pa.int64()),
+                             "cosine": pa.array(out_c, type=pa.float64())})
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cosine"] = g["cosine"].round(6)
+        return g[["query_id", "rank", "neighbor_id", "cosine"]]
+
+    return (ds.map_batches(PartialTopK, batch_format="pyarrow", concurrency=2)
+              .groupby("query_id")
+              .map_groups(merge_topk, batch_format="pandas"))
+
+
+def lsh_bucketed_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.ndarray,
+                      *, k: int = 10, n_planes: int = 8, seed: int = 42,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> ray.data.Dataset:
+    """Approximate cosine top-k: random-hyperplane LSH buckets; each
+    query searches only vectors sharing its bucket signature. Recall
+    trades against n_planes; the bucket groupby is the only shuffle.
+
+    Partitioning assumption: bucket keys are balanced because planes
+    are random w.r.t. the data; heavily clustered corpora may need
+    fewer planes + multiprobe.
+    """
+    dim = np.asarray(queries).shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qsig = (qn @ planes > 0) @ (1 << np.arange(n_planes))
+    ref = ray.put((qn, np.asarray(query_ids, dtype=np.int64), qsig.astype(np.int64), planes))
+
+    class BucketScore:
+        def __init__(self):
+            self.q, self.qids, self.qsig, self.planes = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch, vec_col))
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            sig = (m @ self.planes > 0) @ (1 << np.arange(self.planes.shape[1]))
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(self.qids)):
+                mask = sig == self.qsig[qi]
+                if not mask.any():
+                    continue
+                row = self.q[qi] @ m[mask].T
+                sel = ids[mask]
+                out_q.extend([int(self.qids[qi])] * len(sel))
+                out_n.extend(sel.tolist())
+                out_c.extend(row.tolist())
+            return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                             "neighbor_id": pa.array(out_n, type=pa.int64()),
+                             "cosine": pa.array(out_c, type=pa.float64())})
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cosine"] = g["cosine"].round(6)
+        return g[["query_id", "rank", "neighbor_id", "cosine"]]
+
+    return (ds.map_batches(BucketScore, batch_format="pyarrow", concurrency=2)
+              .groupby("query_id")
+              .map_groups(merge_topk, batch_format="pandas"))
+
+
+def embedding_neardup_pairs(ds: ray.data.Dataset, *, threshold: float = 0.95,
+                            id_col: str = "vec_id", vec_col: str = "embedding") -> ray.data.Dataset:
+    """All pairs (a < b) with cosine >= threshold.
+
+    Implementation: block-wise matmul of each batch against a broadcast
+    of the normalized corpus matrix (ray.put once — embeddings are the
+    small side at test scale; at 100 TB replace the broadcast with
+    LSH-bucketed pair generation as in dedup.minhash_lsh_pairs).
+    """
+    mats, ids = [], []
+    for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        mats.append(_batch_matrix(b, vec_col))
+        ids.append(np.asarray(b.column(id_col), dtype=np.int64))
+    corpus = _normalize(np.vstack(mats))
+    corpus_ids = np.concatenate(ids)
+    ref = ray.put((corpus, corpus_ids))
+
+    class PairFinder:
+        def __init__(self):
+            self.m, self.ids = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bm = _normalize(_batch_matrix(batch, vec_col))
+            bids = np.asarray(batch.column(id_col), dtype=np.int64)
+            cos = bm @ self.m.T
+            ai, bj = np.nonzero(cos >= threshold)
+            a = bids[ai]
+            bb = self.ids[bj]
+            keep = a < bb
+            return pa.table({"id_a": pa.array(a[keep]), "id_b": pa.array(bb[keep]),
+                             "cosine": pa.array(np.round(cos[ai, bj][keep], 6))})
+
+    return ds.map_batches(PairFinder, batch_format="pyarrow", concurrency=2)

@@ -1,0 +1,93 @@
+"""Text-analysis operators over a document table: token counting,
+marker-based language ID, quality scoring, document fingerprinting.
+
+These are the SQL-expressible text operators (each has a DuckDB oracle
+in __ray_entry__.oracle_sql); the model-based variants live in
+models.py. All are stateless vectorized batch UDFs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: marker-word inventories for the heuristic (SQL-parity) language ID.
+#: \b word alternations — RE2-compatible, shared verbatim with the
+#: DuckDB oracle.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is|that|with|for)\b",
+    "de": r"\b(der|die|das|und|nicht|ist|ein|zu)\b",
+    "es": r"\b(el|la|los|las|que|es|de|para)\b",
+    "fr": r"\b(le|la|les|et|est|que|des|une)\b",
+    "zh": r"(的|是|在|了|和|有)",
+}
+_MARKER_RX = {lang: re.compile(pat) for lang, pat in LANG_MARKERS.items()}
+
+_WS_RX = re.compile(r"\s+")
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count per row (empty/blank text -> 0)."""
+    counts = [len(_WS_RX.split(t.strip())) if t and t.strip() else 0
+              for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("n_tokens", pa.array(counts, type=pa.int64()))
+
+
+def lang_markers_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Marker-word hit counts per language + argmax decision.
+
+    detected = language with the most marker hits; ties broken by the
+    fixed order en, de, es, fr, zh; all-zero -> 'und'. The DuckDB oracle
+    expresses the same with regexp_extract_all + CASE.
+    """
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    counts = {lang: np.zeros(n, dtype=np.int64) for lang in LANG_MARKERS}
+    for i, t in enumerate(texts):
+        t = t or ""
+        for lang, rx in _MARKER_RX.items():
+            counts[lang][i] = len(rx.findall(t))
+    detected = []
+    for i in range(n):
+        best, best_n = "und", 0
+        for lang in LANG_MARKERS:  # fixed priority order
+            if counts[lang][i] > best_n:
+                best, best_n = lang, counts[lang][i]
+        detected.append(best)
+    out = batch
+    for lang in LANG_MARKERS:
+        out = out.append_column(f"n_{lang}", pa.array(counts[lang]))
+    return out.append_column("marker_lang", pa.array(detected, type=pa.string()))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Document fingerprint: md5 of the lowercased,
+    whitespace-normalized text — a canonical-form content address for
+    exact-after-normalization dedup."""
+    fps = [hashlib.md5(_WS_RX.sub(" ", (t or "").strip().lower()).encode()).hexdigest()
+           for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("fingerprint", pa.array(fps, type=pa.string()))
+
+
+def doc_quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Simple quality scoring over prose docs: length, punctuation
+    ratio, stopword ratio (en markers), mean word length — all
+    SQL-expressible. Ratios rounded to 6 decimals (float-parity with
+    the DuckDB oracle)."""
+    texts = batch.column(text_col).to_pylist()
+    n_chars = np.array([len(t or "") for t in texts], dtype=np.int64)
+    n_tokens = np.array([len(_WS_RX.split(t.strip())) if t and t.strip() else 0 for t in texts],
+                        dtype=np.int64)
+    n_punct = np.array([sum((t or "").count(c) for c in ".,;:!?") for t in texts], dtype=np.int64)
+    n_stop = np.array([len(_MARKER_RX["en"].findall(t or "")) for t in texts], dtype=np.int64)
+    punct_ratio = np.round(np.divide(n_punct, n_chars, out=np.zeros(len(texts)), where=n_chars > 0), 6)
+    stop_ratio = np.round(np.divide(n_stop, n_tokens, out=np.zeros(len(texts)), where=n_tokens > 0), 6)
+    return (batch
+            .append_column("n_chars_calc", pa.array(n_chars))
+            .append_column("n_tokens", pa.array(n_tokens))
+            .append_column("punct_ratio", pa.array(punct_ratio))
+            .append_column("stopword_ratio", pa.array(stop_ratio)))

@@ -1,0 +1,61 @@
+"""Local replica of the driver's correctness comparison: run each
+queries() entry and its oracle_sql() side-by-side at a given sf_dir and
+compare row count, schema (column names) and an order-insensitive
+value hash (columns sorted by name, rows sorted by all values)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def canonical(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = canonical(df)
+    h = hashlib.sha256()
+    for c in df.columns:
+        col = df[c]
+        if str(col.dtype).startswith("float"):
+            vals = col.round(9).astype(str)
+        else:
+            vals = col.astype(str)
+        h.update(("\x01".join(vals) + "\x02" + c).encode())
+    return h.hexdigest()
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con.execute(sql).fetchdf()
+
+
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> dict:
+    out = {"name": name, "ray_rows": len(ray_df), "sql_rows": len(sql_df)}
+    out["rows_match"] = len(ray_df) == len(sql_df)
+    out["schema_match"] = sorted(map(str, ray_df.columns)) == sorted(map(str, sql_df.columns))
+    out["hash_match"] = (out["rows_match"] and out["schema_match"]
+                         and value_hash(ray_df) == value_hash(sql_df))
+    return out

@@ -1,0 +1,85 @@
+"""Driver-replica correctness: every queries() entry runs at sf0.001
+and SQL-checkable ones hash-match their DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.harness import compare, run_oracle, to_pandas
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry(ray_session):
+    import __ray_entry__ as e
+    return e.queries(), e.oracle_sql()
+
+
+def test_oracle_keys_subset(registry):
+    qs, osql = registry
+    assert set(osql) <= set(qs)
+
+
+@pytest.mark.parametrize("name", [
+    "lang_histogram", "summary_rollup", "events_by_type", "top_events",
+    "resume_antijoin", "doc_stats", "token_totals", "lang_markers",
+    "doc_fingerprint", "scrub_redact", "scrub_findings", "exact_dedup",
+    "ngram_jaccard", "ann_topk", "embedding_neardup", "media_bytes",
+])
+def test_sql_parity(registry, name):
+    qs, osql = registry
+    df = to_pandas(qs[name](SF))
+    sdf = run_oracle(osql[name], SF)
+    r = compare(name, df, sdf)
+    assert r["hash_match"], r
+
+
+def test_minhash_finds_injected_neardups(registry):
+    qs, _ = registry
+    df = to_pandas(qs["minhash_pairs"](SF))
+    # every doc d has an injected near-dup d+1000000 (one token appended)
+    injected = {(a, b) for a, b in zip(df["id_a"], df["id_b"]) if b == a + 1000000}
+    assert len(injected) >= 450  # recall >= 90% of 500 injected pairs
+    assert (df["jaccard"] >= 0.6).all()
+
+
+def test_simhash_finds_injected_neardups(registry):
+    qs, _ = registry
+    df = to_pandas(qs["simhash_pairs"](SF))
+    injected = {(a, b) for a, b in zip(df["id_a"], df["id_b"]) if b == a + 1000000}
+    # appending one token flips >3 simhash bits for ~27% of these short
+    # docs, so full recall is ~367/500 here; the blocking must find all
+    # pairs that truly are within the Hamming radius
+    assert len(injected) >= 350
+    assert (df["hamming"] <= 3).all()
+
+
+def test_ann_lsh_subset_of_exact_space(registry):
+    qs, _ = registry
+    approx = to_pandas(qs["ann_lsh_topk"](SF))
+    exact = to_pandas(qs["ann_topk"](SF))
+    assert set(approx["query_id"]) <= set(exact["query_id"])
+    assert (approx["rank"] >= 1).all()
+
+
+def test_multimodal_features(registry):
+    qs, _ = registry
+    df = to_pandas(qs["multimodal_features"](SF))
+    assert len(df) == 500
+    assert all(len(f) == 8 for f in df["features"])
+    assert (df["n_bytes"] > 0).all()
+
+
+def test_langid_model_deterministic(registry):
+    qs, _ = registry
+    a = to_pandas(qs["langid_model"](SF)).sort_values("doc_id").reset_index(drop=True)
+    b = to_pandas(qs["langid_model"](SF)).sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_entry_smoke(registry, ray_session):
+    import __ray_entry__ as e
+    df = to_pandas(e.entry())
+    assert len(df) >= 1
+    assert {"doc_id", "keep", "scrubbed_sha256"} <= set(df.columns)

@@ -1,0 +1,141 @@
+"""Unit tests for the pure per-document / per-batch operators (no Ray)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from incident_pii_redactor_ray import spec
+from incident_pii_redactor_ray.functions.pseudonyms import pseudonym, replacement
+from incident_pii_redactor_ray.functions.textbuf import alnum_ratio, line_stats, utf8_view
+from incident_pii_redactor_ray.oracle.reference_oracle import oracle_row, oracle_scrub
+from incident_pii_redactor_ray.stages.dedup import (jaccard, minhash_signature,
+                                                   shingle_hashes, simhash64)
+from incident_pii_redactor_ray.stages.models import LangIdModel, PerplexityModel
+from incident_pii_redactor_ray.stages.quality import quality_batch
+from incident_pii_redactor_ray.stages.scrub import scrub_batch, scrub_text
+from incident_pii_redactor_ray.stages.seed_corpora import SEEDS
+
+
+def test_redact_literals():
+    s, f = scrub_text("mail a.b@c.io ssn 123-45-6789 card 4000-1111-2222-3333 key abcdefgh0123456789abcdefgh")
+    assert "[REDACTED_EMAIL]" in s and "[REDACTED_SSN]" in s and "[REDACTED_CARD]" in s
+    assert "[REDACTED_KEY]" in s
+    assert "a.b@c.io" not in s and "123-45-6789" not in s
+
+
+def test_pseudonym_stability():
+    assert pseudonym("person_name", "Maria Garcia") == pseudonym("person_name", "maria garcia")
+    assert pseudonym("custom_jira_ticket", "OPS-1").startswith("REF-")
+    assert replacement("email", "x@y.com", spec.RETAIN) == "x@y.com"
+
+
+def test_context_rules():
+    # public indicator -> context-dependent types retained
+    s_pub, _ = scrub_text("public note: server 10.0.0.1 by Maria Garcia")
+    assert "10.0.0.1" in s_pub and "Maria Garcia" in s_pub
+    # no indicator -> pseudonymized
+    s, _ = scrub_text("note: server 10.0.0.1 by Maria Garcia")
+    assert "10.0.0.1" not in s and "Maria Garcia" not in s
+    # force rules ignore context
+    s2, _ = scrub_text("public mail a.b@c.io")
+    assert "[REDACTED_EMAIL]" in s2
+
+
+def test_overlap_resolution_priority():
+    # email (0.95) wins over person-name-ish overlap and over api_key (0.8)
+    s, f = scrub_text("ping First.Last@example.org now")
+    assert s == "ping [REDACTED_EMAIL] now"
+    types = [x["entity_type"] for x in f]
+    assert types == ["email"]
+
+
+def test_keyword_stage_contributes_zero_spans():
+    """Reference quirk (deterministic_extractor.py:278): the keyword
+    tier is a no-op; bare keywords must not produce findings."""
+    s, f = scrub_text("the prod password token secret staging admin")
+    assert f == [] and "password" in s
+
+
+def test_quality_batch_matches_oracle():
+    texts = ["", "one\ntwo\nthree", "x" * 2000, "a\na\na\na\na", "!!!???...,,,", "日本語テキスト\nline"]
+    b = quality_batch(pa.table({"content": pa.array(texts, type=pa.large_string())}))
+    for i, t in enumerate(texts):
+        got = b.column("quality")[i].as_py()
+        want = oracle_row(t)["quality"]
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-12, (k, t)
+
+
+def test_utf8_view_offsets():
+    arr = pa.array(["ab", "", "cdef"], type=pa.large_string())
+    data, off = utf8_view(arr)
+    assert off.tolist() == [0, 2, 2, 6]
+    assert data.tobytes() == b"abcdef"
+    # sliced arrays (non-zero arrow offset)
+    data2, off2 = utf8_view(arr.slice(1))
+    assert off2.tolist() == [0, 0, 4]
+    assert data2.tobytes() == b"cdef"
+
+
+def test_line_stats_vs_python():
+    texts = ["a\nbb\nccc", "", "single", "\n\n", "x" * 10 + "\n" + "y" * 3]
+    arr = pa.array(texts, type=pa.large_string())
+    data, off = utf8_view(arr)
+    n, mx, avg = line_stats(data, off)
+    ar = alnum_ratio(data, off)
+    for i, t in enumerate(texts):
+        lines = t.encode().split(b"\n")
+        assert n[i] == len(lines)
+        assert mx[i] == max(len(x) for x in lines)
+        assert abs(avg[i] - sum(len(x) for x in lines) / len(lines)) < 1e-12
+        b = t.encode()
+        want = (sum(ch.isalnum() and ch.isascii() for ch in t) / len(b)) if b else 0.0
+        assert abs(ar[i] - want) < 1e-12
+
+
+def test_langid_on_seeds():
+    m = LangIdModel()
+    for lang, text in SEEDS.items():
+        data = np.frombuffer(text.encode(), dtype=np.uint8)
+        langs, conf = m.score(data, np.array([0, len(data)], dtype=np.int64))
+        assert langs[0] == lang, (lang, langs[0])
+        assert conf[0] > 0.15
+
+
+def test_perplexity_orders_gibberish_above_text():
+    m = PerplexityModel()
+    good = SEEDS["en"].encode()
+    bad = b"qzx9#k@!pw}{rv|m~^&zzj0)" * 20
+    buf = np.frombuffer(good + bad, dtype=np.uint8)
+    off = np.array([0, len(good), len(good) + len(bad)], dtype=np.int64)
+    ppl = m.score(buf, off)
+    assert ppl[0] < spec.PERPLEXITY_MAX < ppl[1]
+
+
+def test_minhash_similarity_estimate():
+    a = shingle_hashes("the quick brown fox jumps over the lazy dog and runs away fast now")
+    b = shingle_hashes("the quick brown fox jumps over the lazy dog and runs away fast today")
+    sim_true = jaccard(a, b)
+    sa, sb = minhash_signature(a), minhash_signature(b)
+    est = (sa == sb).mean()
+    assert abs(est - sim_true) < 0.25
+
+
+def test_simhash_locality():
+    h1 = simhash64("alpha beta gamma delta epsilon zeta eta theta")
+    h2 = simhash64("alpha beta gamma delta epsilon zeta eta iota")
+    h3 = simhash64("completely different words entirely unrelated content here now")
+    d12 = bin(h1 ^ h2).count("1")
+    d13 = bin(h1 ^ h3).count("1")
+    assert d12 < d13
+
+
+def test_scrub_batch_shapes():
+    b = scrub_batch(pa.table({"content": pa.array(["x@y.io", ""], type=pa.large_string())}))
+    assert b.column("n_redactions").to_pylist() == [1, 0]
+    assert len(b.column("content_sha256")[0].as_py()) == 64
+
+
+def test_oracle_scrub_empty():
+    assert oracle_scrub("") == ("", [])

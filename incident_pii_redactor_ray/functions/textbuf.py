@@ -40,11 +40,32 @@ def utf8_view(arr: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return data, offsets
 
 
-_ALNUM = np.zeros(256, dtype=bool)
+_ALNUM = np.zeros(256, dtype=np.int64)
 for _c in range(256):
-    _ALNUM[_c] = chr(_c).isalnum() if _c < 128 else False
+    _ALNUM[_c] = 1 if (_c < 128 and chr(_c).isalnum()) else 0
 
 _NL = ord("\n")
+
+
+def segment_sums(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row sums of ``values`` over contiguous row segments.
+
+    Uses ``np.add.reduceat`` over the starts of NON-empty rows — valid
+    because offsets are contiguous (row i ends where row i+1 starts),
+    so reducing from one non-empty start to the next covers exactly one
+    row. Avoids np.cumsum, whose scalar loop is pathologically slow on
+    this host (~250 ns/element measured vs ~1 ns for SIMD ops).
+    """
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=values.dtype)
+    if len(values) == 0:
+        return out
+    lens = offsets[1:] - offsets[:-1]
+    nz = np.flatnonzero(lens > 0)
+    if len(nz) == 0:
+        return out
+    out[nz] = np.add.reduceat(values, offsets[:-1][nz])
+    return out
 
 
 def alnum_ratio(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -54,9 +75,7 @@ def alnum_ratio(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     n = len(offsets) - 1
     if len(data) == 0:
         return np.zeros(n, dtype=np.float64)
-    is_alnum = _ALNUM[data].astype(np.int64)
-    cum = np.concatenate(([0], np.cumsum(is_alnum)))
-    counts = cum[offsets[1:]] - cum[offsets[:-1]]
+    counts = segment_sums(_ALNUM[data], offsets)
     total = (offsets[1:] - offsets[:-1]).astype(np.float64)
     return np.divide(counts, total, out=np.zeros(n, dtype=np.float64), where=total > 0)
 

@@ -210,6 +210,12 @@ QUALITY_MIN_CHARS = 10            # drop: empty / trivial files
 PERPLEXITY_MAX = 24.0             # drop: shuffled-token gibberish
 LANGID_MIN_CONFIDENCE = 0.10      # drop: no language signal at all
 
+#: model input caps (part of the spec — the oracle shares the model
+#: code): language ID reads the first 512 content bytes, perplexity the
+#: first 4096. Bounds per-row scoring cost for arbitrarily large files.
+LANGID_PREFIX_BYTES = 512
+PERPLEXITY_PREFIX_BYTES = 4096
+
 #: languages the langid model is trained for (seed corpora in
 #: stages/langid.py; 'code' langs share the English/profile space).
 LANGID_LANGS = ("en", "de", "es", "fr", "zh", "py", "js", "java", "go", "c")

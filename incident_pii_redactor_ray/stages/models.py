@@ -94,16 +94,18 @@ class PerplexityModel:
     def score(self, data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         """Per-row perplexity for a batch buffer (see textbuf.utf8_view).
 
-        Each row is scored from its own byte slice only, so the result
-        is bit-identical regardless of how rows are batched or
-        partitioned — required for the determinism invariants
-        (SURVEY §4.3).
+        Each row is scored from its own byte slice only (capped at
+        spec.PERPLEXITY_PREFIX_BYTES), so the result is bit-identical
+        regardless of how rows are batched or partitioned — required
+        for the determinism invariants (SURVEY §4.3).
         """
         ids = symbol_ids(data)
         n = len(offsets) - 1
+        cap = spec.PERPLEXITY_PREFIX_BYTES
         out = np.zeros(n, dtype=np.float64)
         for i in range(n):
-            tri = trigram_ids(ids[offsets[i]:offsets[i + 1]])
+            end = min(offsets[i + 1], offsets[i] + cap)
+            tri = trigram_ids(ids[offsets[i]:end])
             if len(tri) == 0:
                 continue
             out[i] = np.exp(-float(self.logp[tri].astype(np.float64).mean()))
@@ -111,59 +113,54 @@ class PerplexityModel:
 
 
 class LangIdModel:
-    """Hashed char-n-gram Naive Bayes language classifier.
+    """Hashed char-trigram Naive Bayes language classifier
+    (fastText-style: bucketed n-gram features + linear scoring).
 
-    Features: symbol unigrams, bigrams and trigrams hashed into one
-    id space (trigram ids already span K^3; bigrams/unigrams are offset
-    into the same table). Per language l: log P(feature|l) with add-k
-    smoothing; doc score = mean feature log-prob; confidence = softmax
-    posterior of the top language (uniform prior).
+    Trigram ids (span K^3) are hashed into N_BUCKETS buckets; per
+    language l the model stores log P(bucket|l) with add-k smoothing.
+    A doc is scored from its first spec.LANGID_PREFIX_BYTES bytes:
+    score_l = mean bucket log-prob; confidence = softmax posterior of
+    the top language (uniform prior).
+
+    Scoring is a per-doc bincount over <= 510 trigrams plus one
+    elementwise (L x N_BUCKETS) multiply-sum — no BLAS calls (their
+    threaded reductions are not bit-stable across CPU counts) and no
+    sort-based np.unique (scalar loops are ~100x slow on this host).
     """
 
     ADD_K = 0.5
-    N_FEATURES = K3 + K2 + K
+    N_BUCKETS = 4096
 
     def __init__(self, langs: tuple[str, ...] = spec.LANGID_LANGS) -> None:
         self.langs = tuple(langs)
-        mat = np.zeros((len(self.langs), self.N_FEATURES), dtype=np.float64)
+        mat = np.zeros((len(self.langs), self.N_BUCKETS), dtype=np.float64)
         for li, lang in enumerate(self.langs):
             ids = symbol_ids(np.frombuffer(SEEDS[lang].encode("utf-8"), dtype=np.uint8))
-            mat[li] += np.bincount(self._features(ids), minlength=self.N_FEATURES)
+            tri = trigram_ids(ids) % self.N_BUCKETS
+            mat[li] += np.bincount(tri, minlength=self.N_BUCKETS)
         totals = mat.sum(axis=1, keepdims=True)
-        self.logp = (np.log(mat + self.ADD_K) - np.log(totals + self.ADD_K * self.N_FEATURES)).astype(np.float32)
-
-    @staticmethod
-    def _features(ids: np.ndarray) -> np.ndarray:
-        uni = ids.astype(np.int64)
-        parts = [uni + K3 + K2]
-        if len(ids) >= 2:
-            parts.append(ids[:-1].astype(np.int64) * K + ids[1:] + K3)
-        if len(ids) >= 3:
-            parts.append(trigram_ids(ids))
-        return np.concatenate(parts)
+        self.logp = np.log(mat + self.ADD_K) - np.log(totals + self.ADD_K * self.N_BUCKETS)
 
     def score(self, data: np.ndarray, offsets: np.ndarray) -> tuple[list[str], np.ndarray]:
         """Per-row ``(lang_detected, lang_confidence)`` for a batch buffer.
 
-        Empty docs get ('', 0.0).
+        Empty/too-short docs get ('', 0.0). Each row is scored from its
+        own (capped) byte slice only — batch-layout independent.
         """
         n = len(offsets) - 1
+        cap = spec.LANGID_PREFIX_BYTES
         langs_out: list[str] = []
         conf_out = np.zeros(n, dtype=np.float64)
         ids_all = symbol_ids(data)
         for i in range(n):
-            ids = ids_all[offsets[i]:offsets[i + 1]]
-            if len(ids) == 0:
+            end = min(offsets[i + 1], offsets[i] + cap)
+            tri = trigram_ids(ids_all[offsets[i]:end])
+            if len(tri) == 0:
                 langs_out.append("")
                 continue
-            feats = self._features(ids)
-            # sparse scoring: gather only the columns this doc uses
-            # (a dense 10 x 266k matvec would re-read the whole model
-            # per doc and be memory-bound)
-            uniq, cnt = np.unique(feats, return_counts=True)
-            scores = (self.logp[:, uniq] @ cnt.astype(np.float64)) / len(feats)
+            cnt = np.bincount(tri % self.N_BUCKETS, minlength=self.N_BUCKETS)
+            scores = (self.logp * cnt).sum(axis=1) / len(tri)
             top = int(np.argmax(scores))
-            # temperature-free softmax over mean log-probs
             e = np.exp(scores - scores[top])
             conf = 1.0 / e.sum()
             langs_out.append(self.langs[top])

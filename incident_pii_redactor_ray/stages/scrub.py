@@ -43,6 +43,47 @@ _FINDER = [(name, re.compile(pat)) for name, pat in spec.FINDER_DETECTORS]
 
 _FINDER_CTX = {k: tuple(v) for k, v in spec.FINDER_CONTEXT_KEYWORDS.items()}
 
+_HAS_DIGIT = re.compile(r"\d")
+_HAS_UPPER = re.compile(r"[A-Z]")
+
+# Cheap pre-guards: a pattern's finditer pass is skipped when its guard
+# substring cannot be present. Pure optimization — every guard is a
+# necessary condition of its regex, so results are unchanged; it turns
+# the common no-PII document into a handful of C-level substring scans
+# instead of ~20 full regex passes.
+_GUARDS: dict[str, object] = {
+    "email": lambda t, lo, d, u: "@" in t,
+    "ssn": lambda t, lo, d, u: d,
+    "credit_card": lambda t, lo, d, u: d,
+    "phone": lambda t, lo, d, u: d,
+    "ip_address": lambda t, lo, d, u: d,
+    "person_name": lambda t, lo, d, u: u,
+    "database_url": lambda t, lo, d, u: "://" in t,
+    "custom_internal_url": lambda t, lo, d, u: "internal-" in lo,
+    "custom_aws_arn": lambda t, lo, d, u: "arn:aws:" in t,
+    "api_key": lambda t, lo, d, u: len(t) >= 24,
+    "custom_kubernetes_pod": lambda t, lo, d, u: d and "-" in t,
+    "custom_docker_image": lambda t, lo, d, u: ":" in t and "/" in t,
+    "custom_jira_ticket": lambda t, lo, d, u: d and u and "-" in t,
+    "custom_slack_channel": lambda t, lo, d, u: "#" in t,
+    "customer_id": lambda t, lo, d, u: "cust_" in lo,
+    "hostname": lambda t, lo, d, u: ".internal" in t or ".local" in t or ".corp" in t,
+    "contextual_salary_info": lambda t, lo, d, u: "$" in t,
+    "contextual_internal_platforms": lambda t, lo, d, u: any(
+        k in lo for k in ("confluence", "jira", "slack", "notion", "asana",
+                          "trello", "github", "gitlab", "bitbucket")),
+    "contextual_internal_metrics": lambda t, lo, d, u: any(
+        k in lo for k in ("uptime", "latency", "throughput", "error rate", "availability")),
+    "contextual_intellectual_property": lambda t, lo, d, u: any(
+        k in lo for k in ("source code", "algorithm", "trade secret", "patent",
+                          "proprietary", "confidential information")),
+}
+
+
+def _guard_ok(name: str, t: str, lo: str, d: bool, u: bool) -> bool:
+    g = _GUARDS.get(name)
+    return True if g is None else bool(g(t, lo, d, u))  # type: ignore[operator]
+
 
 @dataclass(slots=True)
 class Span:
@@ -55,13 +96,15 @@ class Span:
     text: str
 
 
-def _detect_deterministic(text: str) -> list[Span]:
+def _detect_deterministic(text: str, lo: str, d: bool, u: bool) -> list[Span]:
     """Tier A + tier B detection. Tier B skips any match overlapping a
     tier-A span (deterministic_extractor.py:227-243: the claimed-position
     set is built once from the earlier tier); B-vs-B overlaps survive to
     overlap resolution, as in the reference."""
     spans: list[Span] = []
     for name, rx, conf, _cat, action in _BASE:
+        if not _guard_ok(name, text, lo, d, u):
+            continue
         for m in rx.finditer(text):
             spans.append(Span(name, m.start(), m.end(), conf, "regex_base", action, m.group()))
     # merge tier-A intervals into a disjoint union (equivalent to the
@@ -83,6 +126,8 @@ def _detect_deterministic(text: str) -> list[Span]:
         return i < len(starts) and starts[i] < b
 
     for name, rx, conf, _cat, action in _CUSTOM:
+        if not _guard_ok(name, text, lo, d, u):
+            continue
         for m in rx.finditer(text):
             if overlaps_claimed(m.start(), m.end()):
                 continue
@@ -128,7 +173,8 @@ def _finder_confidence(text_lower: str, m_start: int, m_len: int) -> float:
     return min(1.0, max(0.0, conf))
 
 
-def _detect_finder(text: str, text_lower: str, resolved: list[Span]) -> list[Span]:
+def _detect_finder(text: str, text_lower: str, resolved: list[Span],
+                   d: bool, u: bool) -> list[Span]:
     """Tier D contextual finder (llm_detector.py:97-141): skips positions
     claimed by the resolved deterministic spans; threshold 0.6. Inferred
     action comes from the base-type table (arbitration_engine.py:403-421)
@@ -143,6 +189,8 @@ def _detect_finder(text: str, text_lower: str, resolved: list[Span]) -> list[Spa
 
     out: list[Span] = []
     for name, rx in _FINDER:
+        if not _guard_ok(name, text, text_lower, d, u):
+            continue
         for m in rx.finditer(text):
             if overlaps(m.start(), m.end()):
                 continue
@@ -193,9 +241,11 @@ def scrub_text(text: str) -> tuple[str, list[dict]]:
     findings: list of dicts with entity_type/start/end/action/method/
     confidence, sorted by start, positions into the ORIGINAL text.
     """
-    spans = _resolve_overlaps(_detect_deterministic(text))
     text_lower = text.lower()
-    finder = _detect_finder(text, text_lower, spans)
+    d = _HAS_DIGIT.search(text) is not None
+    u = _HAS_UPPER.search(text) is not None
+    spans = _resolve_overlaps(_detect_deterministic(text, text_lower, d, u))
+    finder = _detect_finder(text, text_lower, spans, d, u)
     flags = _doc_context_flags(text_lower)
 
     all_spans = spans + finder

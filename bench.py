@@ -1,0 +1,124 @@
+"""Benchmark harness (driver-run per round; see BASELINE.md).
+
+Default mode: runs the headline corpus-hygiene pipeline over a cached
+deterministic synthetic source-file corpus (north_rule input shape) and
+a set of representative queries over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1), printing ONE JSON line:
+
+    {"metric": "hygiene_e2e", "value": <headline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "files_per_sec": ..., "mb_per_sec": ...}
+
+--scaling: runs the headline pipeline in two fresh processes at
+RAY_GRAFT_CPUS=8 and 32 on the identical input and reports both
+throughputs plus scaling efficiency (the sandbox stand-in for the
+north-rule N vs 4N cluster sizes; no real multi-node cluster exists
+here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_FILES = int(os.environ.get("BENCH_FILES", "200000"))
+
+BENCH_QUERIES = [
+    "lang_histogram", "doc_stats", "scrub_redact", "exact_dedup",
+    "ann_topk", "minhash_pairs", "hygiene_full",
+]
+
+
+def run_bench() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+    from ray.data import DataContext
+
+    from fixtures.gen_corpus import corpus_path
+    from incident_pii_redactor_ray.pipelines.hygiene import run_hygiene
+    from incident_pii_redactor_ray.pipelines.queries import QUERIES
+
+    corpus = corpus_path(BENCH_FILES)  # cached across rounds
+    with open(os.path.join(corpus, "_DONE")) as f:
+        meta = json.load(f)
+    corpus_mb = meta["content_bytes"] / 1e6  # uncompressed content bytes
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    # Warm-up (untimed): one full-pipeline run over a small corpus spins
+    # up worker processes, imports the package in each, and exercises the
+    # actor/task code paths; plus one scan of the bench corpus to warm
+    # the page cache. The timed run then measures compute + shuffle, not
+    # process spawn + first disk read.
+    warm_out = "/tmp/bench_warmup_out"
+    shutil.rmtree(warm_out, ignore_errors=True)
+    run_hygiene(corpus_path(2000), warm_out, num_partitions=8,
+                scorer_concurrency=(2, NUM_CPUS),
+                batch_size=512, resume=False)
+    ray.data.read_parquet(corpus).count()
+
+    out = "/tmp/bench_hygiene_out"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    summary = run_hygiene(corpus, out, num_partitions=64,
+                          scorer_concurrency=(2, NUM_CPUS),
+                          batch_size=512, resume=False)
+    headline = time.time() - t0
+
+    qtimes = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        res = QUERIES[name](SF_DIR)
+        if hasattr(res, "count"):
+            res.count()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "hygiene_e2e",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_files": summary["n_rows"],
+        "files_per_sec": round(summary["n_rows"] / headline, 1),
+        "mb_per_sec": round(corpus_mb / headline, 2),
+        "keep_fraction": round(summary["n_keep"] / summary["n_rows"], 4),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus": [lo, hi],
+        "sec": [t_lo, t_hi],
+        "files_per_sec": [r_lo["files_per_sec"], r_hi["files_per_sec"]],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

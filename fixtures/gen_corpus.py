@@ -185,8 +185,13 @@ def corpus_path(n_files: int, seed: int = 42, n_shards: int = 8) -> str:
         if chunk.num_rows == 0:
             break
         pq.write_table(chunk, os.path.join(d, f"part-{s:04d}.parquet"), row_group_size=4096)
+    import json
+    import pyarrow.compute as pc
+    meta = {"n_rows": rows,
+            "content_bytes": int(pc.sum(pc.binary_length(
+                table.column("content").cast("large_binary"))).as_py())}
     with open(done, "w") as f:
-        f.write("ok")
+        json.dump(meta, f)
     return d
 
 

@@ -1,28 +1,38 @@
 """The flagship corpus-hygiene pipeline (north_rule).
 
     read_parquet (pruned columns)
-      -> map_batches[stateless]  quality_batch        (heuristic rules)
-      -> map_batches[actor pool] ScorerStage          (langid + perplexity)
-      -> map_batches[stateless]  scrub_batch          (regex scrub + arbitration)
-      -> map_batches[stateless]  label_batch          (keep/drop)
-      -> map_batches[stateless]  add partition_id     (salted repo key, skew-safe)
-      -> groupby(partition_id).map_groups             (THE one shuffle)
-           -> atomic per-partition parquet + lineage manifest
+      -> map_batches[stateless]  add_keys            (file_id, salted partition_id)
+      -> [resume filter: drop rows of committed partitions]
+      -> map_batches[stateless]  quality_batch       (heuristic rules)
+      -> map_batches[actor pool] ScorerStage         (langid + perplexity)
+      -> map_batches[stateless]  scrub_batch         (regex scrub + arbitration)
+      -> map_batches[stateless]  label_batch         (keep/drop)
+      -> map_batches[stateless]  piece writer        (atomic per-partition
+             parquet pieces, content-addressed names; emits tiny summary rows)
+      -> groupby(partition_id) over SUMMARY ROWS ONLY
+             -> merge piece summaries, GC orphans, commit manifest
 
-All per-row logic is embarrassingly parallel (the central structural
-fact inherited from the reference, SURVEY §3.4); the single shuffle
-exists only to co-locate rows of one output partition for transactional
-writes and per-partition lineage (SURVEY §4.4). Resume anti-joins the
-completed-manifest set on the driver and filters partitions before the
-shuffle, so finished work is never re-read past the scan.
+Content never crosses an all-to-all exchange: every per-row stage is
+embarrassingly parallel (the central structural fact inherited from the
+reference, SURVEY §3.4), partition pieces are written map-side, and the
+single shuffle moves only kilobytes of per-piece metadata. (An earlier
+design shuffled full rows through groupby(partition_id) to co-locate
+partitions for writing; at 8 CPUs that sort moved ~300 MB and cost 34 s
+of a 61 s run — the map-side piece write + metadata reduce removes it.)
+
+Skew: partition_id = (sha1(repo) ^ (sha1(path) % salt)) % N spreads a
+mega-repo over ``salt`` partitions; since pieces are written map-side,
+even a fully skewed partition costs no single task more than one batch.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..stages.actors import ScorerStage, label_batch
@@ -40,9 +50,7 @@ def read_source_files(paths: str | list[str], columns: list[str] | None = None) 
 
 def _add_keys(num_partitions: int, salt: int = 8):
     """Batch UDF factory: appends ``file_id`` (sha256 of the natural key,
-    SURVEY §2.2 M2) and the salted ``partition_id``:
-    (sha1(repo) ^ (sha1(path) % salt)) % num_partitions — a mega-repo
-    spreads over ``salt`` partitions instead of serializing into one."""
+    SURVEY §2.2 M2) and the salted ``partition_id``."""
 
     def add_keys(batch: pa.Table) -> pa.Table:
         repos = batch.column("repo").to_pylist()
@@ -72,57 +80,123 @@ def hygiene_transform(ds: ray.data.Dataset, *, scorer_concurrency: int | tuple[i
     return ds
 
 
-def _partition_writer(out_dir: str):
-    """map_groups fn: write one output partition atomically with its
-    lineage manifest; return a one-row summary."""
+SUMMARY_SCHEMA = pa.schema([
+    ("partition_id", pa.int64()),
+    ("file", pa.string()),
+    ("n_rows", pa.int64()),
+    ("n_keep", pa.int64()),
+    ("digest_xor", pa.string()),       # 64-hex XOR digest of the piece's rows
+    ("lang_hist", pa.string()),        # json dict
+    ("red_counts", pa.string()),       # json dict
+    ("ppl_hist", pa.list_(pa.int64())),
+])
 
-    def write_group(group: pa.Table) -> pa.Table:
+
+def _strip_for_output(batch: pa.Table) -> pa.Table:
+    """Drop raw content (not part of the output schema, FIXTURES.md §2)
+    and rename lang -> lang_declared."""
+    batch = batch.drop_columns(["content"])
+    idx = batch.schema.get_field_index("lang")
+    return batch.rename_columns(
+        [("lang_declared" if i == idx else n) for i, n in enumerate(batch.schema.names)])
+
+
+def _piece_writer(out_dir: str):
+    """map_batches fn: split the batch by partition_id, write one
+    atomic content-addressed parquet piece per partition, emit one
+    summary row per piece. Large ``batch_size`` keeps piece files big."""
+
+    def write_pieces(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch.column("partition_id"))
+        batch = batch.take(order)
+        pids = np.asarray(batch.column("partition_id"))
+        bounds = np.flatnonzero(np.diff(pids)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(pids)]))
+        rows = {name: [] for name in SUMMARY_SCHEMA.names}
+        for s, e in zip(starts, ends):
+            piece = batch.slice(s, e - s)
+            pid = int(pids[s])
+            fids = piece.column("file_id").to_pylist()
+            shas = piece.column("scrubbed_sha256").to_pylist()
+            digest = mf.row_digest_xor(fids, shas)
+            name12 = hashlib.sha256(f"{digest:064x}".encode()).hexdigest()[:12]
+            path = mf.piece_path(out_dir, pid, name12)
+            mf.write_atomic_table(path, piece)
+
+            langs = piece.column("lang_detected").to_pylist()
+            lang_hist: dict[str, int] = {}
+            for lg in langs:
+                lang_hist[lg] = lang_hist.get(lg, 0) + 1
+            red: dict[str, int] = {}
+            for row_f in piece.column("findings").to_pylist():
+                for f in row_f:
+                    if f["action"] != "RETAIN":
+                        k = f"{f['entity_type']}:{f['action']}"
+                        red[k] = red.get(k, 0) + 1
+            ppl = np.asarray(piece.column("perplexity"), dtype=np.float64)
+            rows["partition_id"].append(pid)
+            rows["file"].append(path.rsplit("/", 1)[-1])
+            rows["n_rows"].append(piece.num_rows)
+            rows["n_keep"].append(int(np.asarray(piece.column("keep")).sum()))
+            rows["digest_xor"].append(f"{digest:064x}")
+            rows["lang_hist"].append(json.dumps(lang_hist, sort_keys=True))
+            rows["red_counts"].append(json.dumps(red, sort_keys=True))
+            rows["ppl_hist"].append(mf.ppl_hist(ppl).tolist())
+        return pa.Table.from_pydict(rows, schema=SUMMARY_SCHEMA)
+
+    return write_pieces
+
+
+def _manifest_committer(out_dir: str):
+    """map_groups fn over summary rows of ONE partition: merge piece
+    summaries and commit the manifest (atomic; also GCs orphan pieces
+    from crashed runs)."""
+
+    def commit(group: pa.Table) -> pa.Table:
         pid = int(group.column("partition_id")[0].as_py())
-        # deterministic row order within the partition
-        order = pa.compute.sort_indices(group, sort_keys=[("file_id", "ascending")])
-        group = group.take(order)
-
-        keep = np.asarray(group.column("keep"))
-        langs = group.column("lang_detected").to_pylist()
-        ppl = np.asarray(group.column("perplexity"), dtype=np.float64)
+        digest = 0
         lang_hist: dict[str, int] = {}
-        for lg in langs:
-            lang_hist[lg] = lang_hist.get(lg, 0) + 1
         red: dict[str, int] = {}
-        for row_f in group.column("findings").to_pylist():
-            for f in row_f:
-                if f["action"] != "RETAIN":
-                    k = f"{f['entity_type']}:{f['action']}"
-                    red[k] = red.get(k, 0) + 1
-        digest = hashlib.sha256()
-        for fid, sh in zip(group.column("file_id").to_pylist(),
-                           group.column("scrubbed_sha256").to_pylist()):
-            digest.update(fid.encode())
-            digest.update(sh.encode())
+        hist = np.zeros(mf.PPL_HIST_BINS, dtype=np.int64)
+        for d in group.column("digest_xor").to_pylist():
+            digest ^= int(d, 16)
+        for js in group.column("lang_hist").to_pylist():
+            for k, v in json.loads(js).items():
+                lang_hist[k] = lang_hist.get(k, 0) + v
+        for js in group.column("red_counts").to_pylist():
+            for k, v in json.loads(js).items():
+                red[k] = red.get(k, 0) + v
+        for h in group.column("ppl_hist").to_pylist():
+            hist += np.asarray(h, dtype=np.int64)
+        n_rows = int(pc.sum(group.column("n_rows")).as_py())
+        n_keep = int(pc.sum(group.column("n_keep")).as_py())
         manifest = {
             "partition_id": pid,
-            "n_rows": group.num_rows,
-            "n_keep": int(keep.sum()),
+            "n_rows": n_rows,
+            "n_keep": n_keep,
             "lang_histogram": dict(sorted(lang_hist.items())),
             "redaction_counts": dict(sorted(red.items())),
-            "perplexity_quantiles": [float(np.quantile(ppl, q)) if len(ppl) else 0.0
-                                     for q in mf.PPL_QUANTILES],
-            "rows_digest": digest.hexdigest(),
+            "ppl_hist": hist.tolist(),
+            "perplexity_quantiles": mf.ppl_quantiles_from_hist(hist),
+            "rows_digest": f"{digest:064x}",
+            "files": sorted(group.column("file").to_pylist()),
         }
-        mf.write_partition_atomic(out_dir, pid, group, manifest)
+        mf.commit_manifest(out_dir, pid, manifest)
         return pa.table({
             "partition_id": pa.array([pid], type=pa.int64()),
-            "n_rows": pa.array([group.num_rows], type=pa.int64()),
-            "n_keep": pa.array([int(keep.sum())], type=pa.int64()),
+            "n_rows": pa.array([n_rows], type=pa.int64()),
+            "n_keep": pa.array([n_keep], type=pa.int64()),
         })
 
-    return write_group
+    return commit
 
 
 def run_hygiene(input_paths: str | list[str], out_dir: str, *,
-                num_partitions: int = 64, salt: int = 8,
+                num_partitions: int = 32, salt: int = 8,
                 scorer_concurrency: int | tuple[int, int] = (2, 8),
-                batch_size: int = 512, resume: bool = True) -> dict:
+                batch_size: int = 512, write_batch_rows: int = 16384,
+                resume: bool = True) -> dict:
     """End-to-end run with checkpoint-resume; returns the merged run
     summary. Ray must already be initialised by the caller."""
     done = mf.completed_partitions(out_dir) if resume else set()
@@ -139,8 +213,10 @@ def run_hygiene(input_paths: str | list[str], out_dir: str, *,
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
     ds = hygiene_transform(ds, scorer_concurrency=scorer_concurrency, batch_size=batch_size)
-    summary_ds = ds.groupby("partition_id").map_groups(
-        _partition_writer(out_dir), batch_format="pyarrow")
-    # consume (small: one row per partition)
-    summary_ds.count()
+    ds = ds.map_batches(_strip_for_output, batch_format="pyarrow")
+    summaries = ds.map_batches(_piece_writer(out_dir), batch_format="pyarrow",
+                               batch_size=write_batch_rows)
+    committed = summaries.groupby("partition_id").map_groups(
+        _manifest_committer(out_dir), batch_format="pyarrow")
+    committed.count()  # consume (tiny: one row per partition)
     return mf.merge_run_summary(out_dir)

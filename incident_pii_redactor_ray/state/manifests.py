@@ -2,31 +2,81 @@
 
 Generalizes the reference's only resume notion — the SQLite anti-join of
 unprocessed incidents (src/database/incident_db.py:234-263; SURVEY §3.3)
-— to partition-granular manifests: each output partition directory is
-written atomically (temp file + rename) together with a JSON manifest
-recording lineage (row counts, keep/drop counts, lang histogram,
-perplexity quantiles, redaction counts, and a digest over the sorted
-(file_id, scrubbed_sha256) pairs). A resumed run lists completed
-manifests and anti-joins them against the partition ids on the driver —
-a set difference, no distributed join needed (SURVEY §2.4 J3).
+— to partition-granular manifests, WITHOUT shuffling data rows:
+
+* Map side: each task splits its batch by ``partition_id`` and writes
+  one *piece* parquet per partition it sees, atomically (temp+rename),
+  under a content-addressed name ``part-{pid}-{digest12}.parquet`` so a
+  re-run of the same rows overwrites rather than duplicates. The task
+  emits one tiny summary row per piece (counts, histograms, an
+  order-insensitive XOR digest).
+* Reduce side: a groupby over the summary rows (metadata only — the
+  single all-to-all moves kilobytes, not content) merges the pieces'
+  summaries, deletes orphan pieces from crashed runs, and commits the
+  partition manifest. The manifest rename is the commit point.
+* Resume: list committed manifests, anti-join against partition ids on
+  the driver (a set difference), filter before any work.
+
+All manifest fields are layout-independent (mergeable counts, XOR
+digest, fixed log-spaced perplexity histogram), so the same input at
+any parallelism yields identical manifests except the piece-file list.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from typing import Any
 
+import numpy as np
+
 MANIFEST_DIR = "_manifest"
 PPL_QUANTILES = (0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+PPL_HIST_BINS = 128
+_PPL_BINS_PER_DECADE = 32
+
+
+def ppl_bin(values: np.ndarray) -> np.ndarray:
+    """Deterministic log-spaced histogram bin per perplexity value."""
+    v = np.log10(np.asarray(values, dtype=np.float64) + 1.0) * _PPL_BINS_PER_DECADE
+    return np.clip(v.astype(np.int64), 0, PPL_HIST_BINS - 1)
+
+
+def ppl_hist(values: np.ndarray) -> np.ndarray:
+    return np.bincount(ppl_bin(values), minlength=PPL_HIST_BINS)
+
+
+def ppl_quantiles_from_hist(hist: np.ndarray) -> list[float]:
+    """Approximate quantiles (bin lower edges) from the merged histogram."""
+    total = int(hist.sum())
+    if total == 0:
+        return [0.0] * len(PPL_QUANTILES)
+    cum = np.cumsum(hist)
+    out = []
+    for q in PPL_QUANTILES:
+        target = min(total, max(1, int(np.ceil(q * total)))) if q > 0 else 1
+        b = int(np.searchsorted(cum, target))
+        out.append(round(10.0 ** (b / _PPL_BINS_PER_DECADE) - 1.0, 4))
+    return out
+
+
+def row_digest_xor(file_ids: list[str], shas: list[str]) -> int:
+    """Order-insensitive 256-bit digest of a row set: XOR over rows of
+    sha256(file_id ':' scrubbed_sha256). Mergeable across pieces with
+    '^' — no sorting, no row shipping."""
+    acc = 0
+    for fid, sh in zip(file_ids, shas):
+        acc ^= int.from_bytes(hashlib.sha256(f"{fid}:{sh}".encode()).digest(), "big")
+    return acc
 
 
 def manifest_path(out_dir: str, partition_id: int) -> str:
     return os.path.join(out_dir, MANIFEST_DIR, f"part-{partition_id:05d}.json")
 
 
-def data_path(out_dir: str, partition_id: int) -> str:
-    return os.path.join(out_dir, f"part-{partition_id:05d}.parquet")
+def piece_path(out_dir: str, partition_id: int, digest12: str) -> str:
+    return os.path.join(out_dir, f"part-{partition_id:05d}-{digest12}.parquet")
 
 
 def completed_partitions(out_dir: str) -> set[int]:
@@ -42,21 +92,25 @@ def completed_partitions(out_dir: str) -> set[int]:
     return out
 
 
-def write_partition_atomic(out_dir: str, partition_id: int, table, manifest: dict[str, Any]) -> None:
-    """Write the partition parquet then its manifest, both via
-    temp-file + rename so a killed run never leaves a half partition
-    that resume would skip. The manifest rename is the commit point.
-    """
+def write_atomic_table(path: str, table) -> None:
     import pyarrow.parquet as pq
-
-    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
-    dpath = data_path(out_dir, partition_id)
-    tmp = dpath + ".tmp"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
     pq.write_table(table, tmp, row_group_size=16384)
-    os.replace(tmp, dpath)
+    os.replace(tmp, path)
 
+
+def commit_manifest(out_dir: str, partition_id: int, manifest: dict[str, Any]) -> None:
+    """Write the manifest atomically (the commit point) and garbage-
+    collect orphan pieces for this partition left by crashed runs."""
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    keep = set(manifest["files"])
+    prefix = f"part-{partition_id:05d}-"
+    for name in os.listdir(out_dir):
+        if name.startswith(prefix) and name.endswith(".parquet") and name not in keep:
+            os.remove(os.path.join(out_dir, name))
     mpath = manifest_path(out_dir, partition_id)
-    tmp = mpath + ".tmp"
+    tmp = mpath + f".tmp{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(manifest, f, sort_keys=True)
     os.replace(tmp, mpath)
@@ -70,16 +124,25 @@ def read_manifests(out_dir: str) -> list[dict[str, Any]]:
     return out
 
 
+def output_files(out_dir: str) -> list[str]:
+    """Data files listed by committed manifests (the only files a
+    reader should trust)."""
+    files = []
+    for m in read_manifests(out_dir):
+        files.extend(os.path.join(out_dir, f) for f in m["files"])
+    return files
+
+
 def merge_run_summary(out_dir: str) -> dict[str, Any]:
     """Driver-side roll-up of all partition manifests into one run
     summary (the analogue of the reference's overall_summary.json,
     process_incidents.py:324-370) — mergeable by construction, no
-    global shuffle."""
+    data shuffle."""
     manifests = read_manifests(out_dir)
     lang_hist: dict[str, int] = {}
     red_counts: dict[str, int] = {}
     total = kept = 0
-    ppl_all: list[list[float]] = []
+    hist = np.zeros(PPL_HIST_BINS, dtype=np.int64)
     for m in manifests:
         total += m["n_rows"]
         kept += m["n_keep"]
@@ -87,7 +150,7 @@ def merge_run_summary(out_dir: str) -> dict[str, Any]:
             lang_hist[k] = lang_hist.get(k, 0) + v
         for k, v in m["redaction_counts"].items():
             red_counts[k] = red_counts.get(k, 0) + v
-        ppl_all.append(m["perplexity_quantiles"])
+        hist += np.asarray(m["ppl_hist"], dtype=np.int64)
     summary = {
         "n_partitions": len(manifests),
         "n_rows": total,
@@ -95,11 +158,8 @@ def merge_run_summary(out_dir: str) -> dict[str, Any]:
         "n_drop": total - kept,
         "lang_histogram": dict(sorted(lang_hist.items())),
         "redaction_counts": dict(sorted(red_counts.items())),
-        # median-of-partition-quantiles: a coarse but mergeable sketch
-        "perplexity_quantiles": {
-            str(q): (sorted(p[i] for p in ppl_all)[len(ppl_all) // 2] if ppl_all else None)
-            for i, q in enumerate(PPL_QUANTILES)
-        },
+        "perplexity_quantiles": dict(zip(map(str, PPL_QUANTILES),
+                                         ppl_quantiles_from_hist(hist))),
     }
     with open(os.path.join(out_dir, "run_summary.json"), "w") as f:
         json.dump(summary, f, sort_keys=True, indent=1)

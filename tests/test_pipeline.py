@@ -15,8 +15,7 @@ from incident_pii_redactor_ray.state import manifests as mf
 
 def _read_output(out_dir: str):
     import pyarrow as pa
-    parts = sorted(p for p in os.listdir(out_dir) if p.endswith(".parquet"))
-    tables = [pq.read_table(os.path.join(out_dir, p)) for p in parts]
+    tables = [pq.read_table(p) for p in sorted(mf.output_files(out_dir))]
     return pa.concat_tables(tables)
 
 
@@ -66,7 +65,8 @@ def test_manifests(hygiene_run):
     assert sum(m["n_rows"] for m in ms) == table.num_rows
     for m in ms:
         assert set(m) >= {"partition_id", "n_rows", "n_keep", "lang_histogram",
-                          "redaction_counts", "perplexity_quantiles", "rows_digest"}
+                          "redaction_counts", "perplexity_quantiles", "rows_digest",
+                          "files"}
 
 
 def test_resume_identical(ray_session, small_corpus, tmp_path_factory, hygiene_run):
@@ -76,10 +76,14 @@ def test_resume_identical(ray_session, small_corpus, tmp_path_factory, hygiene_r
     out = str(tmp_path_factory.mktemp("resume_out"))
     run_hygiene(src, out, num_partitions=8, scorer_concurrency=2, batch_size=128)
 
-    # simulate a crash: remove 3 partitions (data + manifest)
+    # simulate a crash: remove 3 partitions (data pieces + manifest)
     victims = sorted(mf.completed_partitions(out))[:3]
+    import json
     for pid in victims:
-        os.remove(mf.data_path(out, pid))
+        with open(mf.manifest_path(out, pid)) as f:
+            m = json.load(f)
+        for fname in m["files"]:
+            os.remove(os.path.join(out, fname))
         os.remove(mf.manifest_path(out, pid))
     assert mf.completed_partitions(out).isdisjoint(victims)
 

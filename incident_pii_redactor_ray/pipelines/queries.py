@@ -301,6 +301,117 @@ def q_multimodal_features(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# F2. relational primitives (joins / windows, SURVEY §2.4-§2.5 gaps)
+# --------------------------------------------------------------------------
+
+def q_orders_customer_join(sf_dir: str):
+    """Broadcast hash join: orders (big side) enriched with the small
+    customer dimension via ray.put — no shuffle — then a groupby rollup
+    per market segment."""
+    import pyarrow.parquet as pq
+
+    from ..stages.relational import broadcast_join
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, on="o_custkey", how="inner")
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+    df = out.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df
+
+
+def q_orders_customer_bucket_join(sf_dir: str):
+    """Bucketed hash join (large-large path): same result as the
+    broadcast join, via explicit bucket co-partitioning."""
+    from ..stages.relational import bucketed_hash_join
+    from ray.data.aggregate import Count, Sum
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["o_custkey", "c_mktsegment"])
+
+    cust = cust.map_batches(rn, batch_format="pyarrow")
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+    joined = bucketed_hash_join(orders, cust, on="o_custkey", num_buckets=16)
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+    df = out.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events stream table."""
+    from ..stages.relational import tumbling_window
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+    return tumbling_window(ev, window="1h")
+
+
+def q_pseudonym_map(sf_dir: str):
+    """Pseudonym map emission (reference S8,
+    deterministic_extractor.py:91-102): original -> pseudonym pairs for
+    the PSEUDONYMIZE-actioned entities of the augmented corpus. Pure
+    md5 — SQL-checkable."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(_augment, batch_format="pyarrow")
+    ds = ds.map_batches(scrub_batch, batch_format="pyarrow")
+
+    from ..functions.pseudonyms import pseudonym
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_t, out_o, out_p = [], [], [], []
+        for did, content, fs in zip(batch.column("doc_id").to_pylist(),
+                                    batch.column("content").to_pylist(),
+                                    batch.column("findings").to_pylist()):
+            seen = set()
+            for f in fs:
+                if f["action"] != "PSEUDONYMIZE":
+                    continue
+                orig = content[f["start"]:f["end"]]
+                key = (f["entity_type"], orig.lower())
+                if key in seen:
+                    continue
+                seen.add(key)
+                out_id.append(did)
+                out_t.append(f["entity_type"])
+                out_o.append(orig)
+                out_p.append(pseudonym(f["entity_type"], orig))
+        return pa.table({"doc_id": pa.array(out_id, type=pa.int64()),
+                         "entity_type": pa.array(out_t), "original": pa.array(out_o),
+                         "pseudonym": pa.array(out_p)})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def q_validation_metrics(sf_dir: str):
+    """Validation tier (M16-M20) over the augmented scrub output —
+    rows-only check (position-based residual suppression is not
+    SQL-expressible)."""
+    from ..stages.validate import validate_batch
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(_augment, batch_format="pyarrow")
+    ds = ds.map_batches(scrub_batch, batch_format="pyarrow")
+    ds = ds.map_batches(validate_batch, batch_format="pyarrow")
+
+    def final(batch: pa.Table) -> pa.Table:
+        v = batch.column("validation")
+        cols = {"doc_id": batch.column("doc_id")}
+        for f in ("residual_pii", "schema_violations", "adversarial_flags",
+                  "precision", "recall", "f1", "quality_score"):
+            cols[f] = v.combine_chunks().field(f)
+        return pa.table(cols)
+
+    return ds.map_batches(final, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
 # G. model-based (rows-only checks: no SQL equivalent)
 # --------------------------------------------------------------------------
 
@@ -386,6 +497,11 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "langid_model": q_langid_model,
     "hygiene_full": q_hygiene_full,
+    "orders_customer_join": q_orders_customer_join,
+    "orders_customer_bucket_join": q_orders_customer_bucket_join,
+    "events_window": q_events_window,
+    "pseudonym_map": q_pseudonym_map,
+    "validation_metrics": q_validation_metrics,
 }
 
 _EN_MARKERS = textstats.LANG_MARKERS["en"]
@@ -505,6 +621,34 @@ ORACLE_SQL = {
 
     "media_bytes": (
         "SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes FROM documents"
+    ),
+
+    "orders_customer_join": (
+        "SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment"
+    ),
+
+    "orders_customer_bucket_join": (
+        "SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment"
+    ),
+
+    "events_window": (
+        "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+        "count(*)::BIGINT AS n_events, round(sum(value), 4) AS value_sum "
+        "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+    ),
+
+    "pseudonym_map": (
+        # the augmented corpus pseudonymizes exactly the injected ip and
+        # person name per doc; pseudonyms are md5-derived exactly as in
+        # functions/pseudonyms.py (arbitration_engine.py:159-189)
+        "WITH base AS (SELECT doc_id, '10.' || (doc_id % 256) || '.0.1' AS ip FROM documents) "
+        "SELECT doc_id, 'ip_address' AS entity_type, ip AS original, "
+        "'192.168.1.' || instr('0123456789abcdef', substr(md5(ip), 1, 1)) AS pseudonym FROM base "
+        "UNION ALL "
+        "SELECT doc_id, 'person_name', 'Maria Garcia', "
+        "'Person_' || substr(md5('maria garcia'), 1, 6) FROM documents"
     ),
     # minhash_pairs / simhash_pairs / ann_lsh_topk / multimodal_features /
     # langid_model / hygiene_full: model- or sketch-based -> rows-only check.

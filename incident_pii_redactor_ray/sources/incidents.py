@@ -1,0 +1,95 @@
+"""Incident-document source: JSONL reader + text flattening.
+
+Mirrors the reference's primary input path (S1/S2: JSONL/JSON readers at
+process_incidents.py:24-49; M1: text flattening at
+process_incidents.py:70-116 — the ``Title:``/``Summary:``/… sections
+with participant lines ``- name (email) - role``; M2: incident-id
+probing across 6 key spellings at process_incidents.py:51-68), expressed
+as ``ray.data.read_json`` + a stateless flatten ``map_batches`` UDF that
+produces the engine's standard ``(repo, path, commit, lang, content)``
+row shape so the whole hygiene pipeline runs unchanged on incident
+corpora.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import ray.data
+
+ID_KEYS = ("id", "incident_id", "incidentId", "incident-id", "ticket_id", "ticketId")
+
+
+def incident_id(doc: dict) -> str:
+    """Probe the id key spellings like the reference
+    (process_incidents.py:51-68); fall back to a title slug — never a
+    timestamp (determinism, SURVEY §4.3)."""
+    for k in ID_KEYS:
+        v = doc.get(k)
+        if v:
+            return str(v)
+    title = str(doc.get("title", "untitled"))
+    slug = "".join(c if c.isalnum() else "_" for c in title.lower())[:40]
+    return f"slug_{slug}_{hashlib.md5(title.encode()).hexdigest()[:8]}"
+
+
+def flatten_incident(doc: dict) -> str:
+    """Nested incident dict -> one flat text (process_incidents.py:70-116):
+    Title/Summary/Description sections, participant lines
+    ``- name (email) - role``, timeline events with nested user lines,
+    comments, tags."""
+    parts: list[str] = []
+    for key, label in (("title", "Title"), ("summary", "Summary"),
+                       ("description", "Description"), ("status", "Status"),
+                       ("severity", "Severity")):
+        if doc.get(key):
+            parts.append(f"{label}: {doc[key]}")
+    if doc.get("participants"):
+        parts.append("Participants:")
+        for p in doc["participants"]:
+            name = p.get("name", "unknown")
+            email = p.get("email", "")
+            role = p.get("role", "")
+            parts.append(f"- {name} ({email}) - {role}")
+    if doc.get("timelineEvents"):
+        parts.append("Timeline Events:")
+        for ev in doc["timelineEvents"]:
+            parts.append(f"[{ev.get('type', 'event')}] {ev.get('title', '')}: {ev.get('content', '')}")
+            user = ev.get("user") or {}
+            if user:
+                parts.append(f"  by {user.get('name', '')} ({user.get('email', '')})")
+    if doc.get("comments"):
+        parts.append("Comments:")
+        for c in doc["comments"]:
+            parts.append(f"- {c if isinstance(c, str) else c.get('content', '')}")
+    if doc.get("tags"):
+        parts.append("Tags: " + ", ".join(map(str, doc["tags"])))
+    return "\n".join(parts)
+
+
+def flatten_batch(batch: pa.Table) -> pa.Table:
+    """Stateless map_batches UDF: incident rows -> source-file-shaped
+    rows (repo = platform/source, path = incident id, commit = content
+    hash, lang = 'en', content = flattened text)."""
+    docs = batch.to_pylist()
+    rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+    for doc in docs:
+        text = flatten_incident(doc)
+        rows["repo"].append(str(doc.get("platform", "incidents")))
+        rows["path"].append(incident_id(doc))
+        rows["commit"].append(hashlib.sha1(text.encode()).hexdigest())
+        rows["lang"].append("en")
+        rows["content"].append(text)
+    return pa.table({
+        "repo": pa.array(rows["repo"], type=pa.string()),
+        "path": pa.array(rows["path"], type=pa.string()),
+        "commit": pa.array(rows["commit"], type=pa.string()),
+        "lang": pa.array(rows["lang"], type=pa.string()),
+        "content": pa.array(rows["content"], type=pa.large_string()),
+    })
+
+
+def read_incidents(paths: str | list[str]) -> ray.data.Dataset:
+    """JSONL incident corpus -> source-file-shaped Dataset."""
+    return ray.data.read_json(paths).map_batches(flatten_batch, batch_format="pyarrow")

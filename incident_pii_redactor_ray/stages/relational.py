@@ -1,0 +1,106 @@
+"""Relational primitives: broadcast hash join, bucketed hash join,
+tumbling-window aggregate.
+
+The reference's only join-like ops are in-record merges and a
+driver-side anti-join (SURVEY §2.4) — these primitives widen the engine
+to the relational shapes a corpus pipeline meets around its edges
+(dimension enrichment, log windowing) while keeping the Ray-Data-first
+rules: small side broadcast via ``ray.put`` (no shuffle), large-large
+via explicit bucket co-partitioning, windows as key-grouped pandas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def broadcast_join(big: ray.data.Dataset, small_df: pd.DataFrame, *, on: str,
+                   how: str = "inner") -> ray.data.Dataset:
+    """Join a big Dataset against a small pandas table without any
+    shuffle: the small side is put in the object store ONCE and each
+    map task merges its batch against it (ray_guide 'Joins and
+    lookups'). Supports 'inner' and 'left'."""
+    ref = ray.put(small_df)
+
+    class JoinBatch:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how=how)
+
+    return big.map_batches(JoinBatch, batch_format="pandas", concurrency=(1, 8))
+
+
+def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *, on: str,
+                       num_buckets: int = 32) -> ray.data.Dataset:
+    """Large-large equi-join: both sides get ``bucket = key % B`` (or a
+    stable hash for non-int keys), are tagged with a side marker, and a
+    single groupby(bucket).map_groups joins matching buckets pairwise —
+    an explicit partitioned hash join (the portable pattern from
+    ray_guide). Skewed keys should be salted upstream.
+    """
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(on)
+            if pa.types.is_integer(keys.type):
+                buckets = np.asarray(keys) % num_buckets
+            else:
+                import hashlib
+                # stable digest, NOT Python's per-process-randomized hash()
+                buckets = np.array([
+                    int.from_bytes(hashlib.md5(str(k).encode()).digest()[:8], "big") % num_buckets
+                    for k in keys.to_pylist()])
+            return (batch.append_column("__bucket", pa.array(buckets.astype(np.int64)))
+                         .append_column("__side", pa.array([side] * len(batch), type=pa.int8())))
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lt = g[g["__side"] == 0].drop(columns=["__bucket", "__side"])
+        rt = g[g["__side"] == 1].drop(columns=["__bucket", "__side"])
+        rt = rt.dropna(axis=1, how="all")
+        lt = lt.dropna(axis=1, how="all")
+        if lt.empty or rt.empty:
+            return lt.head(0).merge(rt.head(0), on=on)
+        return lt.merge(rt, on=on, how="inner")
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def tumbling_window(events: ray.data.Dataset, *, ts_col: str = "ts",
+                    key_col: str = "event_type", value_col: str = "value",
+                    window: str = "1h") -> ray.data.Dataset:
+    """Tumbling-window aggregate: floor each timestamp to the window,
+    then ONE groupby (key, window_start) over per-batch partial
+    aggregates. Pre-aggregation inside map_batches shrinks the shuffle
+    to one row per (key, window) per batch (ray_guide 'Aggregation at
+    scale'). Returns (key, window_start, n_events, value_sum rounded 4).
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["window_start"] = batch[ts_col].dt.floor(window)
+        g = (batch.groupby([key_col, "window_start"], as_index=False)
+                  .agg(n=(value_col, "size"), s=(value_col, "sum")))
+        return g
+
+    from ray.data.aggregate import Sum
+
+    partials = events.map_batches(partial, batch_format="pandas")
+    out = partials.groupby([key_col, "window_start"]).aggregate(
+        Sum("n", alias_name="n_events"), Sum("s", alias_name="value_sum"))
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["value_sum"] = batch["value_sum"].round(4)
+        batch["n_events"] = batch["n_events"].astype("int64")
+        return batch
+
+    return out.map_batches(final, batch_format="pandas")

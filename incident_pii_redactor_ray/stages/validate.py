@@ -1,0 +1,170 @@
+"""Validation tier: residual-PII detection, schema-integrity checks,
+adversarial checks, and quality metrics (reference stage 7).
+
+Re-expresses the reference's ``quality_validator.py`` as ONE stateless
+``map_batches`` UDF over (original, scrubbed, findings) rows:
+
+* M16 residual-PII (src/processing/quality_validator.py:60-165):
+  fragment regexes over the SCRUBBED text, skipping positions already
+  covered by findings and texts matching the exclusion patterns.
+* M17 schema integrity (quality_validator.py:167-254): line-count
+  match, structural-pattern count deltas, bracket/quote deltas > 2.
+* M19 adversarial (quality_validator.py:370-431): obfuscation regexes
+  + suspicion heuristics over the scrubbed text.
+* M20 quality metrics (quality_validator.py:527-577): precision /
+  recall / F1 / overall score from decision + issue counts.
+
+Counts (not issue objects) are emitted per row — the per-issue dumps in
+the reference are report noise; the metrics derive from counts only.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+# M16 residual fragment patterns (quality_validator.py:68-79); the
+# broken hostname pattern there (double-escaped \\b) matches nothing and
+# is omitted — same effective behavior.
+RESIDUAL_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, pattern, severity)
+    ("email_fragments", r"\b[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}\b", "critical"),
+    ("phone_fragments", r"\b(?:\+?1[-.\s]?)?\(?[0-9]{3}\)?[-.\s]?[0-9]{3}[-.\s]?[0-9]{4}\b", "high"),
+    ("ssn_fragments", r"\b\d{3}-?\d{2}-?\d{4}\b", "critical"),
+    ("credit_card_fragments", r"\b(?:\d{4}[-\s]?){3}\d{4}\b", "critical"),
+    ("ip_address_fragments", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "high"),
+    ("name_fragments", r"\b[A-Z][a-z]+ [A-Z][a-z]+\b", "high"),
+    ("api_key_fragments", r"\b[A-Za-z0-9]{20,}\b", "critical"),
+    ("customer_ids", r"\b(?:cust|customer|user|account)_\d+\b", "medium"),
+]
+
+# exclusion patterns (quality_validator.py:82-88)
+EXCLUSIONS = [
+    r"\[REDACTED_[A-Z_]+\]",
+    r"Person_[a-f0-9]{6}",
+    r"\[.*?\]",
+    r"(?i)(?:SEC|INC|JIRA|TICKET)-\d+",
+]
+
+# M17 structural patterns (quality_validator.py:171-177)
+SCHEMA_PATTERNS = [
+    ("json_structure", r"(?s)\{.*\}"),
+    ("markdown_structure", r"(?m)^#+ .*$"),
+    ("log_structure", r"(?m)^\d{4}-\d{2}-\d{2}.*"),
+]
+
+# M19 adversarial patterns (quality_validator.py:374-382)
+ADVERSARIAL_PATTERNS = [
+    ("obfuscated_emails", r"\b[a-zA-Z0-9._%+-]+\s*@\s*[a-zA-Z0-9.-]+\s*\.\s*[a-zA-Z]{2,}\b"),
+    ("spaced_phones", r"\b(?:\+?1\s*[-.\s]?\s*)?\(?\s*[0-9]{3}\s*\)?\s*[-.\s]?\s*[0-9]{3}\s*[-.\s]?\s*[0-9]{4}\b"),
+    ("encoded_data", r"\b[A-Za-z0-9+/]{20,}={0,2}\b"),
+    ("hex_patterns", r"\b[0-9a-fA-F]{8,}\b"),
+]
+
+_RESIDUAL = [(n, re.compile(p), s) for n, p, s in RESIDUAL_PATTERNS]
+_EXCL = [re.compile(p) for p in EXCLUSIONS]
+_SCHEMA = [(n, re.compile(p)) for n, p in SCHEMA_PATTERNS]
+_ADV = [(n, re.compile(p)) for n, p in ADVERSARIAL_PATTERNS]
+
+_SEV_WEIGHT = {"critical": 0.3, "high": 0.2, "medium": 0.1, "low": 0.05}
+
+
+def _excluded(text: str) -> bool:
+    return any(rx.search(text) for rx in _EXCL)
+
+
+def validate_row(original: str, scrubbed: str, findings: list[dict]) -> dict:
+    """Validation metrics for one row (pure function; see module doc)."""
+    # positions covered by findings: on ORIGINAL coordinates in the
+    # reference too (quality_validator.py:94-98) — same approximation
+    covered: list[tuple[int, int]] = [(f["start"], f["end"]) for f in findings]
+
+    def on_covered(a: int, b: int) -> bool:
+        return any(s < b and e > a for s, e in covered)
+
+    issues = {"critical": 0, "high": 0, "medium": 0, "low": 0}
+    residual = 0
+    for name, rx, sev in _RESIDUAL:
+        for m in rx.finditer(scrubbed):
+            if on_covered(m.start(), m.end()) or _excluded(m.group()):
+                continue
+            residual += 1
+            issues[sev] += 1
+
+    schema_violations = 0
+    if original.count("\n") != scrubbed.count("\n"):
+        schema_violations += 1
+        issues["high"] += 1
+    for _name, rx in _SCHEMA:
+        if len(rx.findall(original)) != len(rx.findall(scrubbed)):
+            schema_violations += 1
+            issues["medium"] += 1
+    if abs((original.count("[") + original.count("]")) -
+           (scrubbed.count("[") + scrubbed.count("]"))) > 2:
+        schema_violations += 1
+        issues["medium"] += 1
+    if abs((original.count('"') + original.count("'")) -
+           (scrubbed.count('"') + scrubbed.count("'"))) > 2:
+        schema_violations += 1
+        issues["low"] += 1
+
+    adversarial = 0
+    for name, rx in _ADV:
+        for m in rx.finditer(scrubbed):
+            t = m.group()
+            if "[REDACTED" in t or "Person_" in t or "server-" in t:
+                continue
+            if name == "obfuscated_emails" and not ("@" in t and "." in t and len(t) > 10):
+                continue
+            if name == "spaced_phones" and sum(c.isdigit() for c in t) < 10:
+                continue
+            if name == "encoded_data" and not (len(t) > 20 and t.isalnum()):
+                continue
+            if name == "hex_patterns" and len(t) < 8:
+                continue
+            adversarial += 1
+
+    # M20 metrics (quality_validator.py:535-560)
+    decisions = len(findings)
+    correct = max(0, decisions - residual)
+    precision = correct / decisions if decisions else 1.0
+    est_total = decisions + residual
+    recall = decisions / est_total if est_total else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if (precision + recall) else 0.0
+    penalty = sum(_SEV_WEIGHT[s] * c for s, c in issues.items())
+    quality = max(0.0, min(1.0, 1.0 - penalty))
+
+    return {
+        "residual_pii": residual,
+        "schema_violations": schema_violations,
+        "adversarial_flags": adversarial,
+        "precision": round(precision, 6),
+        "recall": round(recall, 6),
+        "f1": round(f1, 6),
+        "quality_score": round(quality, 6),
+    }
+
+
+VALIDATION_TYPE = pa.struct([
+    ("residual_pii", pa.int64()),
+    ("schema_violations", pa.int64()),
+    ("adversarial_flags", pa.int64()),
+    ("precision", pa.float64()),
+    ("recall", pa.float64()),
+    ("f1", pa.float64()),
+    ("quality_score", pa.float64()),
+])
+
+
+def validate_batch(batch: pa.Table, original_col: str = "content",
+                   scrubbed_col: str = "scrubbed_content") -> pa.Table:
+    """Stateless map_batches UDF: appends a ``validation`` struct column."""
+    originals = batch.column(original_col).to_pylist()
+    scrubbed = batch.column(scrubbed_col).to_pylist()
+    findings = batch.column("findings").to_pylist()
+    out = [validate_row(o or "", s or "", f or [])
+           for o, s, f in zip(originals, scrubbed, findings)]
+    arr = pa.array(out, type=VALIDATION_TYPE)
+    return batch.append_column("validation", arr)

@@ -1,0 +1,122 @@
+"""Incident-source (S1/M1/M2) + validation-tier (M16-M20) tests."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from incident_pii_redactor_ray.sources.incidents import (flatten_incident, incident_id,
+                                                        read_incidents)
+from incident_pii_redactor_ray.stages.scrub import scrub_batch, scrub_text
+from incident_pii_redactor_ray.stages.validate import validate_batch, validate_row
+
+INCIDENTS = [
+    {
+        "id": "inc_001",
+        "title": "Database Connection Pool Overflow",
+        "summary": "Pool exhausted after deploy; paging dana.kim@opsmail.example",
+        "description": "Rollback initiated. Root cause under investigation.",
+        "status": "resolved",
+        "severity": "high",
+        "participants": [
+            {"name": "Dana Kim", "email": "dana.kim@opsmail.example", "role": "incident_commander"},
+            {"name": "Lee Park", "email": "lee.park@opsmail.example", "role": "responder"},
+        ],
+        "timelineEvents": [
+            {"type": "incident.note", "title": "Mitigation", "content": "Failover to 10.2.3.4 complete",
+             "user": {"name": "Dana Kim", "email": "dana.kim@opsmail.example"}},
+        ],
+        "tags": ["database", "sev1"],
+    },
+    {"incidentId": "inc_002", "title": "API latency", "summary": "p99 spiked", "comments": ["ack"]},
+    {"title": "Untitled issue with no id at all"},
+]
+
+
+def test_incident_id_probing():
+    assert incident_id(INCIDENTS[0]) == "inc_001"
+    assert incident_id(INCIDENTS[1]) == "inc_002"
+    assert incident_id(INCIDENTS[2]).startswith("slug_untitled")
+    # deterministic fallback (no timestamps)
+    assert incident_id(INCIDENTS[2]) == incident_id(dict(INCIDENTS[2]))
+
+
+def test_flatten_sections():
+    text = flatten_incident(INCIDENTS[0])
+    assert text.startswith("Title: Database Connection Pool Overflow")
+    assert "Participants:" in text
+    assert "- Dana Kim (dana.kim@opsmail.example) - incident_commander" in text
+    assert "Timeline Events:" in text
+    assert "Tags: database, sev1" in text
+
+
+def test_incident_scrub_redacts_pii():
+    """The reference's own test assertions (tests/test_pipeline.py:26-63):
+    redaction markers present, raw PII absent, Person_ pseudonyms stable."""
+    text = flatten_incident(INCIDENTS[0])
+    scrubbed, findings = scrub_text(text)
+    assert "dana.kim@opsmail.example" not in scrubbed
+    assert "[REDACTED_EMAIL]" in scrubbed
+    assert "10.2.3.4" not in scrubbed
+    # same name -> same pseudonym everywhere: "Dana Kim" appears twice
+    # in the text and must map to one stable Person_ token
+    import re
+    from incident_pii_redactor_ray.functions.pseudonyms import pseudonym
+    dana = pseudonym("person_name", "Dana Kim")
+    assert scrubbed.count(dana) == 2
+    assert "Dana Kim" not in scrubbed and "Lee Park" not in scrubbed
+    assert re.search(r"Person_[0-9a-f]{6}", scrubbed)
+    assert any(f["entity_type"] == "email" for f in findings)
+
+
+def test_read_incidents_pipeline(ray_session, tmp_path):
+    p = tmp_path / "incidents.jsonl"
+    with open(p, "w") as f:
+        for doc in INCIDENTS:
+            f.write(json.dumps(doc) + "\n")
+    ds = read_incidents(str(p))
+    out = ds.map_batches(scrub_batch, batch_format="pyarrow").to_pandas()
+    assert len(out) == 3
+    assert set(out.columns) >= {"repo", "path", "commit", "lang", "content",
+                                "scrubbed_content", "findings"}
+    row = out[out["path"] == "inc_001"].iloc[0]
+    assert "[REDACTED_EMAIL]" in row["scrubbed_content"]
+
+
+def test_validate_clean_text():
+    v = validate_row("hello world", "hello world", [])
+    assert v["residual_pii"] == 0 and v["schema_violations"] == 0
+    assert v["precision"] == 1.0 and v["quality_score"] == 1.0
+
+
+def test_validate_flags_residual_email():
+    v = validate_row("x", "leaked a.b@c.io here", [])
+    assert v["residual_pii"] >= 1
+    assert v["quality_score"] < 1.0
+
+
+def test_validate_line_count_violation():
+    v = validate_row("a\nb\nc", "a b c", [])
+    assert v["schema_violations"] >= 1
+
+
+def test_validate_redaction_markers_excluded():
+    v = validate_row("mail x@y.io", "mail [REDACTED_EMAIL]",
+                     [{"entity_type": "email", "start": 5, "end": 11,
+                       "action": "REDACT", "method": "regex_base", "confidence": 0.95}])
+    assert v["residual_pii"] == 0
+
+
+def test_validate_batch_shape():
+    b = pa.table({
+        "content": pa.array(["mail x@y.io"], type=pa.large_string()),
+        "scrubbed_content": pa.array(["mail [REDACTED_EMAIL]"], type=pa.large_string()),
+        "findings": pa.array([[{"entity_type": "email", "start": 5, "end": 11,
+                                "action": "REDACT", "method": "regex_base",
+                                "confidence": 0.95}]]),
+    })
+    out = validate_batch(b)
+    v = out.column("validation")[0].as_py()
+    assert v["residual_pii"] == 0 and v["precision"] == 1.0

@@ -26,6 +26,8 @@ def test_oracle_keys_subset(registry):
     "resume_antijoin", "doc_stats", "token_totals", "lang_markers",
     "doc_fingerprint", "scrub_redact", "scrub_findings", "exact_dedup",
     "ngram_jaccard", "ann_topk", "embedding_neardup", "media_bytes",
+    "orders_customer_join", "orders_customer_bucket_join", "events_window",
+    "pseudonym_map",
 ])
 def test_sql_parity(registry, name):
     qs, osql = registry

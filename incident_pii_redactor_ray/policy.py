@@ -1,0 +1,86 @@
+"""User-extension surface: config-driven hygiene policy.
+
+Mirrors the reference's policy JSON mechanism (``--policy`` flag,
+src/policies/policy_manager.py:307-340; config shape at
+config/policies/default_policy.json) extended with the new engine's
+langid/quality/perplexity thresholds (SURVEY §2.10).
+
+A policy JSON may contain any of:
+
+```json
+{
+  "extra_detectors": [
+    {"name": "badge_id", "pattern": "\\\\bBDG-\\\\d{6}\\\\b", "confidence": 0.9,
+     "category": "OPERATIONAL_IDENTIFIERS", "action": "PSEUDONYMIZE",
+     "tier": "custom"}
+  ],
+  "disable_detectors": ["custom_slack_channel"],
+  "force_redact_types": ["badge_id"],
+  "thresholds": {"PERPLEXITY_MAX": 30.0, "QUALITY_MAX_LINE_LEN": 2000}
+}
+```
+
+``HygienePolicy.default()`` reproduces spec.py exactly; every stage that
+consumes a policy defaults to it, so behavior without a config file is
+byte-identical to the spec'd engine.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field, replace
+
+from . import spec
+
+_THRESHOLD_KEYS = (
+    "QUALITY_MAX_LINE_LEN", "QUALITY_MIN_ALNUM_RATIO", "QUALITY_MAX_REP_RATIO",
+    "QUALITY_MIN_CHARS", "PERPLEXITY_MAX", "LANGID_MIN_CONFIDENCE",
+)
+
+
+@dataclass(frozen=True)
+class HygienePolicy:
+    """Frozen policy: detector tables + arbitration sets + thresholds.
+    Built once per worker (cheap), compiled into regex banks by the
+    consuming stage."""
+
+    base_detectors: tuple = tuple(spec.BASE_DETECTORS)
+    custom_detectors: tuple = tuple(spec.CUSTOM_DETECTORS)
+    finder_detectors: tuple = tuple(spec.FINDER_DETECTORS)
+    force_redact_types: frozenset = spec.FORCE_REDACT_TYPES
+    context_dependent_types: frozenset = spec.CONTEXT_DEPENDENT_TYPES
+    thresholds: dict = field(default_factory=lambda: {
+        k: getattr(spec, k) for k in _THRESHOLD_KEYS})
+
+    @classmethod
+    def default(cls) -> "HygienePolicy":
+        return cls()
+
+    @classmethod
+    def from_config(cls, config: dict) -> "HygienePolicy":
+        p = cls.default()
+        disable = set(config.get("disable_detectors", ()))
+        base = [d for d in p.base_detectors if d[0] not in disable]
+        custom = [d for d in p.custom_detectors if d[0] not in disable]
+        finder = [d for d in p.finder_detectors if d[0] not in disable]
+        for d in config.get("extra_detectors", ()):
+            row = (d["name"], d["pattern"], float(d.get("confidence", 0.8)),
+                   d.get("category", spec.MISC), d.get("action", spec.RETAIN))
+            if d.get("tier", "custom") == "base":
+                base.append(row)
+            else:
+                custom.append(row)
+        force = set(p.force_redact_types) | set(config.get("force_redact_types", ()))
+        thresholds = dict(p.thresholds)
+        for k, v in config.get("thresholds", {}).items():
+            if k not in _THRESHOLD_KEYS:
+                raise ValueError(f"unknown threshold {k!r}")
+            thresholds[k] = v
+        return replace(p, base_detectors=tuple(base), custom_detectors=tuple(custom),
+                       finder_detectors=tuple(finder),
+                       force_redact_types=frozenset(force), thresholds=thresholds)
+
+    @classmethod
+    def from_json(cls, path: str) -> "HygienePolicy":
+        with open(path) as f:
+            return cls.from_config(json.load(f))

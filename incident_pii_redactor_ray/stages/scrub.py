@@ -33,7 +33,9 @@ import pyarrow as pa
 from .. import spec
 from ..functions.pseudonyms import replacement as make_replacement
 
-# --- compiled pattern banks (once per worker process) ---------------------
+# --- compiled pattern banks ------------------------------------------------
+# Default banks compile once per worker process at module import; a
+# custom policy (policy.HygienePolicy) swaps the banks via Scrubber.
 
 _BASE = [(name, re.compile(pat), conf, cat, action)
          for name, pat, conf, cat, action in spec.BASE_DETECTORS]
@@ -96,13 +98,14 @@ class Span:
     text: str
 
 
-def _detect_deterministic(text: str, lo: str, d: bool, u: bool) -> list[Span]:
+def _detect_deterministic(text: str, lo: str, d: bool, u: bool,
+                          base=_BASE, custom=_CUSTOM) -> list[Span]:
     """Tier A + tier B detection. Tier B skips any match overlapping a
     tier-A span (deterministic_extractor.py:227-243: the claimed-position
     set is built once from the earlier tier); B-vs-B overlaps survive to
     overlap resolution, as in the reference."""
     spans: list[Span] = []
-    for name, rx, conf, _cat, action in _BASE:
+    for name, rx, conf, _cat, action in base:
         if not _guard_ok(name, text, lo, d, u):
             continue
         for m in rx.finditer(text):
@@ -125,7 +128,7 @@ def _detect_deterministic(text: str, lo: str, d: bool, u: bool) -> list[Span]:
         i = bisect.bisect_left(ends, a + 1)  # first interval with e > a
         return i < len(starts) and starts[i] < b
 
-    for name, rx, conf, _cat, action in _CUSTOM:
+    for name, rx, conf, _cat, action in custom:
         if not _guard_ok(name, text, lo, d, u):
             continue
         for m in rx.finditer(text):
@@ -174,7 +177,7 @@ def _finder_confidence(text_lower: str, m_start: int, m_len: int) -> float:
 
 
 def _detect_finder(text: str, text_lower: str, resolved: list[Span],
-                   d: bool, u: bool) -> list[Span]:
+                   d: bool, u: bool, finder=_FINDER) -> list[Span]:
     """Tier D contextual finder (llm_detector.py:97-141): skips positions
     claimed by the resolved deterministic spans; threshold 0.6. Inferred
     action comes from the base-type table (arbitration_engine.py:403-421)
@@ -188,7 +191,7 @@ def _detect_finder(text: str, text_lower: str, resolved: list[Span],
         return i < len(starts) and starts[i] < b
 
     out: list[Span] = []
-    for name, rx in _FINDER:
+    for name, rx in finder:
         if not _guard_ok(name, text, text_lower, d, u):
             continue
         for m in rx.finditer(text):
@@ -214,17 +217,19 @@ def _doc_context_flags(text_lower: str) -> tuple[bool, bool, bool]:
     )
 
 
-def _arbitrate(span: Span, flags: tuple[bool, bool, bool]) -> str:
+def _arbitrate(span: Span, flags: tuple[bool, bool, bool],
+               force=spec.FORCE_REDACT_TYPES,
+               ctx_dep=spec.CONTEXT_DEPENDENT_TYPES) -> str:
     """Force rules -> weighted vote -> context adjustment
     (arbitration_engine.py:90-150). Deterministic and finder spans never
     share a start:end key (the finder skips claimed positions), so each
     entity has exactly one voter and the vote reduces to that stage's
     action; the weights in spec.STAGE_WEIGHTS document the general rule."""
     etype = span.entity_type
-    if etype in spec.FORCE_REDACT_TYPES:
+    if etype in force:
         return spec.REDACT
     action = span.action
-    if etype in spec.CONTEXT_DEPENDENT_TYPES:
+    if etype in ctx_dep:
         public, security, internal = flags
         if public:
             return spec.RETAIN
@@ -235,7 +240,9 @@ def _arbitrate(span: Span, flags: tuple[bool, bool, bool]) -> str:
     return action
 
 
-def scrub_text(text: str) -> tuple[str, list[dict]]:
+def scrub_text(text: str, *, base=_BASE, custom=_CUSTOM, finder_bank=_FINDER,
+               force=spec.FORCE_REDACT_TYPES,
+               ctx_dep=spec.CONTEXT_DEPENDENT_TYPES) -> tuple[str, list[dict]]:
     """Scrub one document. Returns (scrubbed_text, findings).
 
     findings: list of dicts with entity_type/start/end/action/method/
@@ -244,14 +251,14 @@ def scrub_text(text: str) -> tuple[str, list[dict]]:
     text_lower = text.lower()
     d = _HAS_DIGIT.search(text) is not None
     u = _HAS_UPPER.search(text) is not None
-    spans = _resolve_overlaps(_detect_deterministic(text, text_lower, d, u))
-    finder = _detect_finder(text, text_lower, spans, d, u)
+    spans = _resolve_overlaps(_detect_deterministic(text, text_lower, d, u, base, custom))
+    finder = _detect_finder(text, text_lower, spans, d, u, finder_bank)
     flags = _doc_context_flags(text_lower)
 
     all_spans = spans + finder
     findings: list[dict] = []
     for s in all_spans:
-        s.action = _arbitrate(s, flags)
+        s.action = _arbitrate(s, flags, force, ctx_dep)
     all_spans.sort(key=lambda s: (s.start, s.end))
     for s in all_spans:
         findings.append({
@@ -289,9 +296,13 @@ FINDINGS_TYPE = pa.list_(pa.struct([
 
 
 def scrub_batch(batch: pa.Table, content_col: str = "content") -> pa.Table:
-    """Stateless ``map_batches`` UDF: adds ``scrubbed_content``,
-    ``findings``, ``n_redactions``, ``content_sha256``,
-    ``scrubbed_sha256`` columns to the batch."""
+    """Stateless ``map_batches`` UDF with the DEFAULT policy: adds
+    ``scrubbed_content``, ``findings``, ``n_redactions``,
+    ``content_sha256``, ``scrubbed_sha256`` columns to the batch."""
+    return _scrub_batch_impl(batch, content_col, scrub_text)
+
+
+def _scrub_batch_impl(batch: pa.Table, content_col, scrub_fn) -> pa.Table:
     col = batch.column(content_col)
     texts = col.to_pylist()
     scrubbed: list[str] = []
@@ -301,7 +312,7 @@ def scrub_batch(batch: pa.Table, content_col: str = "content") -> pa.Table:
     sha_out: list[str] = []
     for i, t in enumerate(texts):
         t = t if t is not None else ""
-        s, f = scrub_text(t)
+        s, f = scrub_fn(t)
         scrubbed.append(s)
         findings.append(f)
         n_red[i] = sum(1 for x in f if x["action"] != spec.RETAIN)
@@ -315,3 +326,33 @@ def scrub_batch(batch: pa.Table, content_col: str = "content") -> pa.Table:
         .append_column("content_sha256", pa.array(sha_in, type=pa.string()))
         .append_column("scrubbed_sha256", pa.array(sha_out, type=pa.string()))
     )
+
+
+class Scrubber:
+    """Policy-parameterized scrub engine (user-extension surface,
+    SURVEY §2.10). ``Scrubber()`` reproduces the module-level default
+    banks exactly; a custom ``policy.HygienePolicy`` swaps detector
+    tables / force rules. Usable directly or as a ``map_batches``
+    callable class (compiles once per actor)."""
+
+    def __init__(self, policy=None) -> None:
+        if policy is None:
+            self.base, self.custom, self.finder = _BASE, _CUSTOM, _FINDER
+            self.force = spec.FORCE_REDACT_TYPES
+            self.ctx_dep = spec.CONTEXT_DEPENDENT_TYPES
+        else:
+            self.base = [(n, re.compile(p), c, cat, a)
+                         for n, p, c, cat, a in policy.base_detectors]
+            self.custom = [(n, re.compile(p), c, cat, a)
+                           for n, p, c, cat, a in policy.custom_detectors]
+            self.finder = [(n, re.compile(p)) for n, p in policy.finder_detectors]
+            self.force = policy.force_redact_types
+            self.ctx_dep = policy.context_dependent_types
+
+    def scrub_text(self, text: str) -> tuple[str, list[dict]]:
+        return scrub_text(text, base=self.base, custom=self.custom,
+                          finder_bank=self.finder, force=self.force,
+                          ctx_dep=self.ctx_dep)
+
+    def __call__(self, batch: pa.Table, content_col: str = "content") -> pa.Table:
+        return _scrub_batch_impl(batch, content_col, self.scrub_text)

@@ -1,0 +1,52 @@
+"""Policy extension surface (SURVEY §2.10): config-driven detectors,
+force rules and thresholds."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from incident_pii_redactor_ray.policy import HygienePolicy
+from incident_pii_redactor_ray.stages.scrub import Scrubber, scrub_text
+
+
+def test_default_policy_identical_to_module_default():
+    texts = ["mail a.b@c.io ssn 123-45-6789", "see OPS-123 at 10.1.2.3 by Maria Garcia", ""]
+    s = Scrubber()
+    for t in texts:
+        assert s.scrub_text(t) == scrub_text(t)
+
+
+def test_extra_detector_and_disable():
+    pol = HygienePolicy.from_config({
+        "extra_detectors": [{"name": "badge_id", "pattern": r"\bBDG-\d{6}\b",
+                             "confidence": 0.9, "action": "REDACT"}],
+        "disable_detectors": ["custom_jira_ticket"],
+    })
+    s = Scrubber(pol)
+    out, findings = s.scrub_text("badge BDG-123456 ticket OPS-99")
+    assert "[REDACTED]" in out and "BDG-123456" not in out
+    assert "OPS-99" in out  # jira detector disabled
+    assert [f["entity_type"] for f in findings] == ["badge_id"]
+
+
+def test_force_redact_override():
+    pol = HygienePolicy.from_config({"force_redact_types": ["custom_jira_ticket"]})
+    out, _ = Scrubber(pol).scrub_text("ticket OPS-99")
+    assert out == "ticket [REDACTED]"
+
+
+def test_threshold_override_and_validation():
+    pol = HygienePolicy.from_config({"thresholds": {"PERPLEXITY_MAX": 99.0}})
+    assert pol.thresholds["PERPLEXITY_MAX"] == 99.0
+    with pytest.raises(ValueError):
+        HygienePolicy.from_config({"thresholds": {"NOT_A_THRESHOLD": 1}})
+
+
+def test_from_json(tmp_path):
+    p = tmp_path / "policy.json"
+    p.write_text(json.dumps({"disable_detectors": ["person_name"]}))
+    pol = HygienePolicy.from_json(str(p))
+    out, _ = Scrubber(pol).scrub_text("by Maria Garcia")
+    assert "Maria Garcia" in out

@@ -35,16 +35,29 @@ from ..functions.hashing import mix64
 # --- shingling / hashing (vectorized helpers) ------------------------------
 
 
+_TOKEN_CACHE: dict[str, int] = {}
+_TOKEN_CACHE_MAX = 1_000_000
+
+
 def _token_hashes(text: str) -> np.ndarray:
     """Stable 64-bit hashes of whitespace tokens (md5-based, not
-    Python's randomized hash)."""
+    Python's randomized hash). Natural-language vocabularies are small,
+    so a per-worker memo of md5(token) turns the dominant cost into a
+    dict lookup; the cache is an optimization only — values are pure
+    md5, identical on every worker."""
     toks = text.lower().split()
     if not toks:
         return np.empty(0, dtype=np.uint64)
-    return np.array(
-        [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in toks],
-        dtype=np.uint64,
-    )
+    cache = _TOKEN_CACHE
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+            if len(cache) < _TOKEN_CACHE_MAX:
+                cache[t] = h
+        out[i] = h
+    return out
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
@@ -66,10 +79,12 @@ def minhash_signature(sh: np.ndarray, num_perm: int = 64) -> np.ndarray:
     if len(sh) == 0:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
     seeds = mix64(np.arange(1, num_perm + 1, dtype=np.uint64))
-    # (num_perm, n_shingles) would be large for big docs; loop perms (64 passes, vectorized)
-    out = np.empty(num_perm, dtype=np.uint64)
-    for p in range(num_perm):
-        out[p] = mix64(sh ^ seeds[p]).min()
+    # one (num_perm, n_shingles) broadcast pass; chunk the shingle axis
+    # so huge docs don't allocate num_perm * n at once
+    out = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    for s in range(0, len(sh), 8192):
+        block = mix64(sh[np.newaxis, s:s + 8192] ^ seeds[:, np.newaxis])
+        np.minimum(out, block.min(axis=1), out=out)
     return out
 
 
@@ -144,7 +159,7 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     rows_per_band = NUM_PERM // NUM_BANDS
 
     def signatures(batch: pa.Table) -> pa.Table:
-        ids, bands, bhash = [], [], []
+        ids, bands, bhash, shards = [], [], [], []
         for did, text in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
             sig = minhash_signature(shingle_hashes(text or "", shingle_k), NUM_PERM)
             for b in range(NUM_BANDS):
@@ -153,28 +168,44 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                 ids.append(did)
                 bands.append(b)
                 bhash.append(h)
+                shards.append(int(h[:2], 16))
         return pa.table({id_col: pa.array(ids), "band": pa.array(bands, type=pa.int32()),
-                         "band_hash": pa.array(bhash, type=pa.string())})
+                         "band_hash": pa.array(bhash, type=pa.string()),
+                         "shard": pa.array(shards, type=pa.int32())})
 
     import pandas as pd
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        ids = sorted(g[id_col].unique())
-        a = ids[0]
-        return pd.DataFrame({"id_a": [a] * (len(ids) - 1), "id_b": ids[1:]})
+    # Bucket -> candidate pairs. Grouping by the raw (band, band_hash)
+    # key would create one Ray group per bucket (~100k tiny groups;
+    # per-group overhead dominated the stage). Instead shuffle by a
+    # 256-way hash SHARD of the bucket key and do the per-bucket
+    # pairing VECTORIZED inside each shard with pandas: every bucket
+    # lands wholly in one shard (shard is a function of band_hash).
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["band", "band_hash", id_col])
+        amin = g.groupby(["band", "band_hash"])[id_col].transform("min")
+        mask = g[id_col] != amin
+        out = pd.DataFrame({"id_a": amin[mask].to_numpy(dtype="int64"),
+                            "id_b": g.loc[mask, id_col].to_numpy(dtype="int64")})
+        return out.drop_duplicates()
 
     cand = (ds.map_batches(signatures, batch_format="pyarrow")
-              .groupby(["band", "band_hash"])
-              .map_groups(bucket_pairs, batch_format="pandas"))
+              .groupby("shard")
+              .map_groups(shard_pairs, batch_format="pandas"))
 
-    # dedupe candidate pairs (same pair from several bands)
-    def uniq_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # cross-shard duplicate pairs (same pair found via several bands)
+    # are deduped the same way: 64-way shard of id_a, vectorized
+    # drop_duplicates per shard
+    def add_pair_shard(batch: pa.Table) -> pa.Table:
+        sh = (np.asarray(batch.column("id_a")) ^ np.asarray(batch.column("id_b"))) % 64
+        return batch.append_column("pair_shard", pa.array(sh.astype(np.int64)))
 
-    cand = cand.groupby(["id_a", "id_b"]).map_groups(uniq_pairs, batch_format="pandas")
+    def dedup_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b"]]
+
+    cand = (cand.map_batches(add_pair_shard, batch_format="pyarrow")
+                .groupby("pair_shard")
+                .map_groups(dedup_shard, batch_format="pandas"))
 
     # verification against broadcast shingle sets
     shingle_map: dict[int, np.ndarray] = {}
@@ -208,41 +239,56 @@ def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     agrees on at least one band)."""
 
     def sigs(batch: pa.Table) -> pa.Table:
-        ids, bands, keys, hashes = [], [], [], []
+        ids, bands, keys, hashes, shards = [], [], [], [], []
         for did, text in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
             h = simhash64(text or "")
             for b in range(4):
+                k = (h >> (16 * b)) & 0xFFFF
                 ids.append(did)
                 bands.append(b)
-                keys.append((h >> (16 * b)) & 0xFFFF)
+                keys.append(k)
                 hashes.append(h)
+                shards.append((b << 8) | (k & 0xFF))
         return pa.table({id_col: pa.array(ids), "band": pa.array(bands, type=pa.int32()),
                          "band_key": pa.array(keys, type=pa.int64()),
-                         "simhash": pa.array(hashes, type=pa.uint64())})
+                         "simhash": pa.array(hashes, type=pa.uint64()),
+                         "shard": pa.array(shards, type=pa.int32())})
 
     import pandas as pd
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    # shard = (band, low byte of key): every bucket lands wholly in one
+    # of 1024 shards; per-bucket O(s^2) Hamming check runs inside the
+    # shard (see minhash_lsh_pairs for why buckets are not Ray groups)
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_d = [], [], []
-        rows = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = rows[id_col].to_numpy()
-        hs = rows["simhash"].to_numpy(dtype=np.uint64)
-        for i in range(len(ids)):
-            x = hs[i] ^ hs[i + 1:]
-            d = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.nonzero(d <= max_hamming)[0]:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[i + 1 + j]))
-                out_d.append(int(d[j]))
+        for (_b, _k), rows in g.groupby(["band", "band_key"]):
+            rows = rows.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            if len(rows) < 2:
+                continue
+            ids = rows[id_col].to_numpy()
+            hs = rows["simhash"].to_numpy(dtype=np.uint64)
+            for i in range(len(ids)):
+                x = hs[i] ^ hs[i + 1:]
+                d = np.array([bin(int(v)).count("1") for v in x])
+                for j in np.nonzero(d <= max_hamming)[0]:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[i + 1 + j]))
+                    out_d.append(int(d[j]))
         return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
                              "id_b": pd.Series(out_b, dtype="int64"),
                              "hamming": pd.Series(out_d, dtype="int64")})
 
     pairs = (ds.map_batches(sigs, batch_format="pyarrow")
-               .groupby(["band", "band_key"])
-               .map_groups(bucket_pairs, batch_format="pandas"))
+               .groupby("shard")
+               .map_groups(shard_pairs, batch_format="pandas"))
 
-    def uniq(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def add_pair_shard(batch: pa.Table) -> pa.Table:
+        sh = (np.asarray(batch.column("id_a")) ^ np.asarray(batch.column("id_b"))) % 64
+        return batch.append_column("pair_shard", pa.array(sh.astype(np.int64)))
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(uniq, batch_format="pandas")
+    def dedup_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b", "hamming"]]
+
+    return (pairs.map_batches(add_pair_shard, batch_format="pyarrow")
+                 .groupby("pair_shard")
+                 .map_groups(dedup_shard, batch_format="pandas"))

@@ -70,13 +70,36 @@ def _add_keys(num_partitions: int, salt: int = 8):
 
 
 def hygiene_transform(ds: ray.data.Dataset, *, scorer_concurrency: int | tuple[int, int] = (2, 8),
-                      batch_size: int = 512) -> ray.data.Dataset:
-    """Apply the per-row hygiene stages (no shuffle, no sink)."""
+                      batch_size: int = 512, policy=None,
+                      validate: bool = False) -> ray.data.Dataset:
+    """Apply the per-row hygiene stages (no shuffle, no sink).
+
+    ``policy``: optional ``policy.HygienePolicy`` — swaps the scrub
+    detector banks and keep/drop thresholds (user-extension surface,
+    SURVEY §2.10); None keeps the spec defaults (byte-identical).
+    ``validate``: append the M16-M20 validation struct column (costs a
+    second regex pass over the scrubbed text).
+    """
     ds = ds.map_batches(quality_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(ScorerStage, batch_format="pyarrow", batch_size=batch_size,
                         concurrency=scorer_concurrency, num_cpus=1)
-    ds = ds.map_batches(scrub_batch, batch_format="pyarrow", batch_size=batch_size)
-    ds = ds.map_batches(label_batch, batch_format="pyarrow", batch_size=batch_size)
+    if policy is None:
+        ds = ds.map_batches(scrub_batch, batch_format="pyarrow", batch_size=batch_size)
+        ds = ds.map_batches(label_batch, batch_format="pyarrow", batch_size=batch_size)
+    else:
+        from ..stages.scrub import Scrubber
+        ds = ds.map_batches(Scrubber, batch_format="pyarrow", batch_size=batch_size,
+                            concurrency=scorer_concurrency, num_cpus=1,
+                            fn_constructor_kwargs={"policy": policy})
+        th = policy.thresholds
+
+        def label_with_policy(batch: pa.Table) -> pa.Table:
+            return label_batch(batch, thresholds=th)
+
+        ds = ds.map_batches(label_with_policy, batch_format="pyarrow", batch_size=batch_size)
+    if validate:
+        from ..stages.validate import validate_batch
+        ds = ds.map_batches(validate_batch, batch_format="pyarrow", batch_size=batch_size)
     return ds
 
 
@@ -196,6 +219,7 @@ def run_hygiene(input_paths: str | list[str], out_dir: str, *,
                 num_partitions: int = 32, salt: int = 8,
                 scorer_concurrency: int | tuple[int, int] = (2, 8),
                 batch_size: int = 512, write_batch_rows: int = 16384,
+                policy=None, validate: bool = False,
                 resume: bool = True) -> dict:
     """End-to-end run with checkpoint-resume; returns the merged run
     summary. Ray must already be initialised by the caller."""
@@ -212,7 +236,8 @@ def run_hygiene(input_paths: str | list[str], out_dir: str, *,
             return batch.filter(pa.array(mask))
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
-    ds = hygiene_transform(ds, scorer_concurrency=scorer_concurrency, batch_size=batch_size)
+    ds = hygiene_transform(ds, scorer_concurrency=scorer_concurrency,
+                           batch_size=batch_size, policy=policy, validate=validate)
     ds = ds.map_batches(_strip_for_output, batch_format="pyarrow")
     summaries = ds.map_batches(_piece_writer(out_dir), batch_format="pyarrow",
                                batch_size=write_batch_rows)

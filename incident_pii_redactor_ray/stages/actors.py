@@ -41,18 +41,27 @@ class ScorerStage:
         )
 
 
-def label_batch(batch: pa.Table) -> pa.Table:
+def label_batch(batch: pa.Table, thresholds: dict | None = None) -> pa.Table:
     """Stateless UDF combining quality, perplexity and langid signals
     into the final ``keep`` / ``drop_reasons`` label (north_rule). Runs
     after quality_batch and ScorerStage. Drop-reason order is stable:
     quality codes (as emitted), then high_perplexity, then
-    no_lang_signal.
+    no_lang_signal. ``thresholds`` overrides the spec defaults (policy
+    surface); quality drops are then recomputed from the quality struct.
     """
-    qd = batch.column("quality_drop").to_pylist()
+    th = thresholds or {}
+    if thresholds is None:
+        qd = batch.column("quality_drop").to_pylist()
+    else:
+        from .quality import quality_drop_reasons
+        qs = batch.column("quality").combine_chunks()
+        q = {name: np.asarray(qs.field(name))
+             for name in ("n_bytes", "max_line_len", "alnum_ratio", "rep_ratio")}
+        qd = quality_drop_reasons(q, th)
     ppl = np.asarray(batch.column("perplexity"))
     conf = np.asarray(batch.column("lang_confidence"))
-    high_ppl = ppl > spec.PERPLEXITY_MAX
-    no_lang = conf < spec.LANGID_MIN_CONFIDENCE
+    high_ppl = ppl > th.get("PERPLEXITY_MAX", spec.PERPLEXITY_MAX)
+    no_lang = conf < th.get("LANGID_MIN_CONFIDENCE", spec.LANGID_MIN_CONFIDENCE)
     reasons: list[list[str]] = []
     keep = np.empty(len(qd), dtype=bool)
     for i, r in enumerate(qd):

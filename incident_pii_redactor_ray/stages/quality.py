@@ -51,14 +51,18 @@ def quality_arrays(data: np.ndarray, offsets: np.ndarray) -> dict[str, np.ndarra
     }
 
 
-def quality_drop_reasons(q: dict[str, np.ndarray]) -> list[list[str]]:
+def quality_drop_reasons(q: dict[str, np.ndarray],
+                         thresholds: dict | None = None) -> list[list[str]]:
     """Vectorized threshold checks -> per-row drop-reason lists (sorted,
-    stable codes from spec.py)."""
+    stable codes from spec.py). ``thresholds`` overrides the spec
+    defaults (policy surface)."""
+    th = thresholds or {}
     n = len(q["n_bytes"])
-    too_short = q["n_bytes"] < spec.QUALITY_MIN_CHARS
-    long_lines = q["max_line_len"] > spec.QUALITY_MAX_LINE_LEN
-    low_alnum = (q["alnum_ratio"] < spec.QUALITY_MIN_ALNUM_RATIO) & ~too_short
-    repetitive = q["rep_ratio"] > spec.QUALITY_MAX_REP_RATIO
+    too_short = q["n_bytes"] < th.get("QUALITY_MIN_CHARS", spec.QUALITY_MIN_CHARS)
+    long_lines = q["max_line_len"] > th.get("QUALITY_MAX_LINE_LEN", spec.QUALITY_MAX_LINE_LEN)
+    low_alnum = (q["alnum_ratio"] < th.get("QUALITY_MIN_ALNUM_RATIO",
+                                           spec.QUALITY_MIN_ALNUM_RATIO)) & ~too_short
+    repetitive = q["rep_ratio"] > th.get("QUALITY_MAX_REP_RATIO", spec.QUALITY_MAX_REP_RATIO)
     out: list[list[str]] = []
     for i in range(n):
         r = []

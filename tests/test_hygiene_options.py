@@ -1,0 +1,53 @@
+"""Policy + validation plumbing through the flagship pipeline."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from incident_pii_redactor_ray.policy import HygienePolicy
+from incident_pii_redactor_ray.pipelines.hygiene import run_hygiene
+from incident_pii_redactor_ray.state import manifests as mf
+
+
+def _read(out):
+    import os
+    import pyarrow as pa
+    return pa.concat_tables([pq.read_table(p) for p in sorted(mf.output_files(out))])
+
+
+def test_policy_changes_labels_and_scrub(ray_session, small_corpus, tmp_path_factory):
+    src, _ = small_corpus
+    out_default = str(tmp_path_factory.mktemp("pol_a"))
+    out_custom = str(tmp_path_factory.mktemp("pol_b"))
+    run_hygiene(src, out_default, num_partitions=4, scorer_concurrency=1,
+                batch_size=256, resume=False)
+    pol = HygienePolicy.from_config({
+        "disable_detectors": ["person_name"],
+        "thresholds": {"PERPLEXITY_MAX": 1.0},  # drops everything scoreable
+    })
+    run_hygiene(src, out_custom, num_partitions=4, scorer_concurrency=1,
+                batch_size=256, policy=pol, resume=False)
+    a = _read(out_default)
+    b = _read(out_custom)
+    assert a.num_rows == b.num_rows
+    # tightened perplexity threshold drops (almost) everything
+    import numpy as np
+    keep_a = np.asarray(a.column("keep")).sum()
+    keep_b = np.asarray(b.column("keep")).sum()
+    assert keep_b < keep_a * 0.05
+    # person_name disabled -> no person_name findings on the custom run
+    types_b = {f["entity_type"] for row in b.column("findings").to_pylist() for f in row}
+    assert "person_name" not in types_b
+    types_a = {f["entity_type"] for row in a.column("findings").to_pylist() for f in row}
+    assert "person_name" in types_a
+
+
+def test_validate_option_adds_metrics(ray_session, small_corpus, tmp_path_factory):
+    src, _ = small_corpus
+    out = str(tmp_path_factory.mktemp("val"))
+    run_hygiene(src, out, num_partitions=4, scorer_concurrency=1,
+                batch_size=256, validate=True, resume=False)
+    t = _read(out)
+    assert "validation" in t.schema.names
+    v0 = t.column("validation")[0].as_py()
+    assert set(v0) >= {"residual_pii", "precision", "recall", "f1", "quality_score"}

@@ -1,0 +1,65 @@
+"""Job-runner CLI (the `ray job submit` entrypoint, SURVEY §7.1 step 8).
+
+    python -m incident_pii_redactor_ray.cli \
+        --input /data/source_files --out /data/hygiene_out \
+        --num-partitions 256 --policy policy.json --validate
+
+Owns a Ray session only when run standalone (guarded ``ray.init``);
+under ``ray job submit`` the cluster session is reused. Resumes by
+default: committed partitions are skipped, so re-submitting the same
+job after a crash finishes the remainder.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="Ray Data corpus-hygiene pipeline")
+    ap.add_argument("--input", required=True, help="input parquet file/dir/glob")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--num-partitions", type=int, default=64)
+    ap.add_argument("--salt", type=int, default=8)
+    ap.add_argument("--batch-size", type=int, default=512)
+    ap.add_argument("--scorer-concurrency", type=int, default=8)
+    ap.add_argument("--policy", help="policy JSON file (see policy.HygienePolicy)")
+    ap.add_argument("--validate", action="store_true",
+                    help="append the M16-M20 validation column")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="reprocess everything, ignoring committed partitions")
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="only for standalone runs: ray.init(num_cpus=...)")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    policy = None
+    if args.policy:
+        from .policy import HygienePolicy
+        policy = HygienePolicy.from_json(args.policy)
+
+    from .pipelines.hygiene import run_hygiene
+    summary = run_hygiene(
+        args.input, args.out,
+        num_partitions=args.num_partitions, salt=args.salt,
+        scorer_concurrency=(2, args.scorer_concurrency),
+        batch_size=args.batch_size, policy=policy,
+        validate=args.validate, resume=not args.no_resume)
+    print(json.dumps(summary))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

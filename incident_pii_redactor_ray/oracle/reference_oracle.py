@@ -139,6 +139,7 @@ def oracle_scrub(text: str) -> tuple[str, list[dict]]:
             "entity_type": s[2], "start": s[0], "end": s[1],
             "action": arbitrate(s[2], s[5]), "method": s[4],
             "confidence": round(s[3], 4),
+            "requires_llm_review": s[3] < 0.7,
         })
 
     # splice back-to-front over the resolved deterministic spans

@@ -268,6 +268,10 @@ def scrub_text(text: str, *, base=_BASE, custom=_CUSTOM, finder_bank=_FINDER,
             "action": s.action,
             "method": s.method,
             "confidence": round(s.confidence, 4),
+            # M8 candidate flag (deterministic_extractor.py:362): the
+            # keyword method no longer exists, so this reduces to the
+            # confidence test
+            "requires_llm_review": s.confidence < 0.7,
         })
 
     # splice back-to-front (arbitration_engine.py:222-272); resolved
@@ -292,6 +296,7 @@ FINDINGS_TYPE = pa.list_(pa.struct([
     ("action", pa.string()),
     ("method", pa.string()),
     ("confidence", pa.float64()),
+    ("requires_llm_review", pa.bool_()),
 ]))
 
 

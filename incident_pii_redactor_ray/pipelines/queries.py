@@ -78,6 +78,37 @@ def q_top_events(sf_dir: str):
     return ds.sort(["ts", "event_id"], descending=[True, True]).limit(100)
 
 
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate over lineitem: filter pushed
+    to the read (row-group pruning), vectorized derived column, partial
+    aggregation handled by Ray's groupby."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch.column("l_shipdate"),
+                                           pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc = pc.multiply(batch.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return batch.append_column("disc_price", disc)
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                        Sum("disc_price", alias_name="sum_disc_price"),
+                        Mean("l_quantity", alias_name="avg_qty"),
+                        Count(alias_name="count_order")))
+    df = out.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_disc_price"] = df["sum_disc_price"].round(2)
+    df["avg_qty"] = df["avg_qty"].round(6)
+    return df
+
+
 def q_resume_antijoin(sf_dir: str):
     """Unprocessed-rows anti-join (reference J3,
     incident_db.py:234-263): completed ids are broadcast as a set and
@@ -480,6 +511,7 @@ QUERIES = {
     "events_by_type": q_events_by_type,
     "top_events": q_top_events,
     "resume_antijoin": q_resume_antijoin,
+    "pricing_summary": q_pricing_summary,
     "doc_stats": q_doc_stats,
     "token_totals": q_token_totals,
     "lang_markers": q_lang_markers,
@@ -527,6 +559,14 @@ ORACLE_SQL = {
     "resume_antijoin": (
         "SELECT doc_id, lang FROM documents WHERE doc_id NOT IN "
         "(SELECT doc_id FROM documents WHERE doc_id % 3 = 0)"
+    ),
+
+    "pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(avg(l_quantity), 6) AS avg_qty, count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
     ),
 
     "doc_stats": (

@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis): engine == oracle on arbitrary
+text; scrubbed output carries no residual force-type PII; quality stats
+match a naive recomputation; large rows flow through the batch path."""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from incident_pii_redactor_ray import spec
+from incident_pii_redactor_ray.oracle.reference_oracle import oracle_quality, oracle_scrub
+from incident_pii_redactor_ray.stages.quality import quality_batch
+from incident_pii_redactor_ray.stages.scrub import scrub_batch, scrub_text
+
+# text with PII-ish fragments mixed in
+_pii_bits = st.sampled_from([
+    "a.b@c.io", "123-45-6789", "+1-555-200-3000", "10.0.0.1",
+    "4000-1111-2222-3333", "Maria Garcia", "OPS-1234", "cust_991",
+    "postgres://u:p@h/x", "#general", "public", "breach", "confidential",
+    " ", "\n", "word", "the quick fox", "{[(']\"", "123", "é€中",
+])
+texts = st.lists(_pii_bits, max_size=30).map(" ".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts)
+def test_engine_matches_oracle(text):
+    assert scrub_text(text) == oracle_scrub(text)
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts)
+def test_no_residual_force_type_pii(text):
+    """Mirrors M16: after scrubbing, no email/ssn/cc survives outside
+    replacement markers. (These types are force-REDACT, so unlike the
+    context-dependent ones they can never be retained.)"""
+    scrubbed, _ = scrub_text(text)
+    residual = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    for m in residual.finditer(scrubbed):
+        assert "company.com" in m.group() or "[REDACTED" in m.group(), (text, scrubbed)
+    assert not re.search(r"\b\d{3}-\d{2}-\d{4}\b(?!\d)", scrubbed.replace("SSN-***-**-", "")), scrubbed
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(max_codepoint=0x2FFF), max_size=400))
+def test_quality_batch_matches_oracle_any_unicode(text):
+    b = quality_batch(pa.table({"content": pa.array([text], type=pa.large_string())}))
+    got = b.column("quality")[0].as_py()
+    want = oracle_quality(text)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12, (k, repr(text))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.characters(max_codepoint=0x2FFF), max_size=300))
+def test_splice_positions_consistent(text):
+    """Every finding's [start,end) indexes the ORIGINAL text and
+    deterministic findings never overlap."""
+    _, findings = scrub_text(text)
+    det = [f for f in findings if f["method"] != "llm_finder"]
+    for a, b in zip(det, det[1:]):
+        assert a["end"] <= b["start"]
+    for f in findings:
+        assert 0 <= f["start"] < f["end"] <= len(text)
+
+
+def test_large_row_flows_through():
+    """A ~2 MB row (FIXTURES tail size) passes the batch path; model
+    prefix caps keep scoring cost bounded."""
+    from incident_pii_redactor_ray.stages.seed_corpora import SEEDS
+    big = ("line with a.b@c.io inside\n" + SEEDS["en"][:700] + "\n") * 3000
+    assert len(big) > 2_000_000
+    batch = pa.table({"content": pa.array([big], type=pa.large_string())})
+    from incident_pii_redactor_ray.stages.actors import ScorerStage
+    out = ScorerStage()(quality_batch(batch))
+    out = scrub_batch(out)
+    assert out.column("n_redactions")[0].as_py() == 3000
+    assert out.column("perplexity")[0].as_py() < spec.PERPLEXITY_MAX

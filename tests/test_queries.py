@@ -27,7 +27,7 @@ def test_oracle_keys_subset(registry):
     "doc_fingerprint", "scrub_redact", "scrub_findings", "exact_dedup",
     "ngram_jaccard", "ann_topk", "embedding_neardup", "media_bytes",
     "orders_customer_join", "orders_customer_bucket_join", "events_window",
-    "pseudonym_map",
+    "pseudonym_map", "pricing_summary",
 ])
 def test_sql_parity(registry, name):
     qs, osql = registry

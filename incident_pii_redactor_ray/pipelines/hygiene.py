@@ -218,7 +218,7 @@ def _manifest_committer(out_dir: str):
 def run_hygiene(input_paths: str | list[str], out_dir: str, *,
                 num_partitions: int = 32, salt: int = 8,
                 scorer_concurrency: int | tuple[int, int] = (2, 8),
-                batch_size: int = 512, write_batch_rows: int = 16384,
+                batch_size: int = 512, write_batch_rows: int = 4096,
                 policy=None, validate: bool = False,
                 resume: bool = True) -> dict:
     """End-to-end run with checkpoint-resume; returns the merged run

@@ -94,17 +94,22 @@ def q_pricing_summary(sf_dir: str):
                                            pa.scalar(pd.Timestamp("1998-09-02"))))
         disc = pc.multiply(batch.column("l_extendedprice"),
                            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
-        return batch.append_column("disc_price", disc)
+        # price (2 dp) x (1 - discount) (2 dp) is an exact 4-dp decimal,
+        # so the per-row value in integer ten-thousandths is exact and
+        # the distributed Sum becomes order-independent int arithmetic
+        # (a float Sum rounded to 2 dp flipped on a .005-boundary group)
+        e4 = pc.cast(pc.round(pc.multiply(disc, pa.scalar(10000.0))), pa.int64())
+        return batch.append_column("disc_price_e4", e4)
 
     out = (ds.map_batches(derive, batch_format="pyarrow")
              .groupby(["l_returnflag", "l_linestatus"])
              .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                        Sum("disc_price", alias_name="sum_disc_price"),
+                        Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
                         Mean("l_quantity", alias_name="avg_qty"),
                         Count(alias_name="count_order")))
     df = out.to_pandas()
     df["sum_qty"] = df["sum_qty"].round(2)
-    df["sum_disc_price"] = df["sum_disc_price"].round(2)
+    df["sum_disc_price_e4"] = df["sum_disc_price_e4"].astype("int64")
     df["avg_qty"] = df["avg_qty"].round(6)
     return df
 
@@ -563,7 +568,8 @@ ORACLE_SQL = {
 
     "pricing_summary": (
         "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))::BIGINT"
+        " AS sum_disc_price_e4, "
         "round(avg(l_quantity), 6) AS avg_qty, count(*) AS count_order "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
         "GROUP BY l_returnflag, l_linestatus"

@@ -392,6 +392,21 @@ def q_events_window(sf_dir: str):
     return tumbling_window(ev, window="1h")
 
 
+def q_session_windows(sf_dir: str):
+    """Session windows (30-min gap) over the events stream, per user."""
+    from ..stages.relational import session_windows
+    ev = _events(sf_dir, ["user_id", "ts"])
+    return session_windows(ev, gap="30min")
+
+
+def q_dedup_components(sf_dir: str):
+    """Connected components over the MinHash near-dup pairs — each
+    near-dup cluster collapses to its minimum doc id (the survivor)."""
+    from ..stages.dedup import dedup_components
+    pairs = dedup.minhash_lsh_pairs(_docs_with_neardups(sf_dir), threshold=0.6)
+    return dedup_components(pairs.select_columns(["id_a", "id_b"]))
+
+
 def q_pseudonym_map(sf_dir: str):
     """Pseudonym map emission (reference S8,
     deterministic_extractor.py:91-102): original -> pseudonym pairs for
@@ -537,6 +552,8 @@ QUERIES = {
     "orders_customer_join": q_orders_customer_join,
     "orders_customer_bucket_join": q_orders_customer_bucket_join,
     "events_window": q_events_window,
+    "session_windows": q_session_windows,
+    "dedup_components": q_dedup_components,
     "pseudonym_map": q_pseudonym_map,
     "validation_metrics": q_validation_metrics,
 }
@@ -683,6 +700,17 @@ ORACLE_SQL = {
         "SELECT event_type, date_trunc('hour', ts) AS window_start, "
         "count(*)::BIGINT AS n_events, round(sum(value), 4) AS value_sum "
         "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+    ),
+
+    "session_windows": (
+        "WITH o AS (SELECT user_id, ts, CASE WHEN "
+        "  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR "
+        "  ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
+        "  THEN 1 ELSE 0 END AS new_s FROM events), "
+        "s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+        "  ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+        "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
+        "count(*)::BIGINT AS n_events FROM s GROUP BY user_id, sid"
     ),
 
     "pseudonym_map": (

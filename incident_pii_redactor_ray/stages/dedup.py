@@ -229,6 +229,83 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     return cand.map_batches(Verify, batch_format="pyarrow", concurrency=2)
 
 
+# --- connected components over near-dup pairs ------------------------------
+
+
+def dedup_components(pairs: ray.data.Dataset, *, max_rounds: int = 8) -> ray.data.Dataset:
+    """Connected components over (id_a, id_b) near-dup pairs by
+    iterative min-label propagation (ray_guide: 'iterate a few rounds of
+    min-label propagation with groupby'): each round every node adopts
+    the minimum label among itself and its neighbors; converged when a
+    round changes nothing. Returns (doc_id, component) where component
+    is the minimum doc id of the cluster — the dedup survivor.
+
+    Rounds are groupby shuffles over (node, label) rows — O(edges) per
+    round, no driver-side union-find, so the candidate set never has to
+    fit one machine. max_rounds bounds the label-path diameter; near-dup
+    clusters are shallow in practice (pairs are anchored at bucket
+    minima, so most clusters converge in 2 rounds).
+    """
+    import pandas as pd
+
+    def seed(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("id_a"), dtype=np.int64)
+        b = np.asarray(batch.column("id_b"), dtype=np.int64)
+        m = np.minimum(a, b)
+        return pa.table({"node": pa.array(np.concatenate([a, b])),
+                         "label": pa.array(np.concatenate([m, m]))})
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        sh = np.asarray(batch.column("node"), dtype=np.int64) % 64
+        return batch.append_column("shard", pa.array(sh))
+
+    def shard_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["label"].min()
+        return out
+
+    def reduce_min(ds_labels: ray.data.Dataset) -> ray.data.Dataset:
+        return (ds_labels.map_batches(add_shard, batch_format="pyarrow")
+                .groupby("shard").map_groups(shard_min, batch_format="pandas"))
+
+    labels = reduce_min(pairs.map_batches(seed, batch_format="pyarrow"))
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        # broadcast the current label table (one row per node touched by
+        # any pair — small relative to the corpus; swap for
+        # relational.bucketed_hash_join on 'node' if the pair set ever
+        # rivals the corpus) and relabel every edge vectorized.
+        ldf = labels.to_pandas().sort_values("node")
+        # labels only ever decrease, so an unchanged sum == convergence
+        cur_sum = int(ldf["label"].sum())
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        nodes = ldf["node"].to_numpy(dtype=np.int64)
+        labs = ldf["label"].to_numpy(dtype=np.int64)
+        ref = ray.put((nodes, labs))
+
+        class Relabel:
+            def __init__(self):
+                self.nodes, self.labs = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                a = np.asarray(batch.column("id_a"), dtype=np.int64)
+                b = np.asarray(batch.column("id_b"), dtype=np.int64)
+                la = self.labs[np.searchsorted(self.nodes, a)]
+                lb = self.labs[np.searchsorted(self.nodes, b)]
+                m = np.minimum(la, lb)
+                return pa.table({"node": pa.array(np.concatenate([a, b])),
+                                 "label": pa.array(np.concatenate([m, m]))})
+
+        labels = reduce_min(pairs.map_batches(Relabel, batch_format="pyarrow", concurrency=1))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.select(["node", "label"]).rename_columns(["doc_id", "component"])
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
 # --- simhash ---------------------------------------------------------------
 
 

@@ -104,3 +104,30 @@ def tumbling_window(events: ray.data.Dataset, *, ts_col: str = "ts",
         return batch
 
     return out.map_batches(final, batch_format="pandas")
+
+
+def session_windows(events: ray.data.Dataset, *, ts_col: str = "ts",
+                    key_col: str = "user_id", gap: str = "30min") -> ray.data.Dataset:
+    """Session windowing: one groupby(key) co-locates a key's events,
+    then the session split (gap > threshold starts a new session) runs
+    sorted-vectorized inside the group with pandas — the ray_guide
+    pattern for stream-shaped workloads (no event-time runtime exists;
+    the ordering assumption is 'all events of a key fit one group').
+
+    Returns (key, session_start, session_end, n_events) — one row per
+    session. Keys are assumed not to be individually huge; a hot key
+    would need time-bucketed pre-splitting.
+    """
+    gap_td = pd.Timedelta(gap)
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        new_session = (g[ts_col].diff() > gap_td).cumsum()
+        agg = g.groupby(new_session).agg(
+            session_start=(ts_col, "min"), session_end=(ts_col, "max"),
+            n_events=(ts_col, "size"))
+        agg[key_col] = g[key_col].iloc[0]
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return agg[[key_col, "session_start", "session_end", "n_events"]]
+
+    return events.groupby(key_col).map_groups(sessionize, batch_format="pandas")

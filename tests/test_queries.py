@@ -27,7 +27,7 @@ def test_oracle_keys_subset(registry):
     "doc_fingerprint", "scrub_redact", "scrub_findings", "exact_dedup",
     "ngram_jaccard", "ann_topk", "embedding_neardup", "media_bytes",
     "orders_customer_join", "orders_customer_bucket_join", "events_window",
-    "pseudonym_map", "pricing_summary",
+    "pseudonym_map", "pricing_summary", "session_windows",
 ])
 def test_sql_parity(registry, name):
     qs, osql = registry
@@ -63,6 +63,19 @@ def test_ann_lsh_subset_of_exact_space(registry):
     exact = to_pandas(qs["ann_topk"](SF))
     assert set(approx["query_id"]) <= set(exact["query_id"])
     assert (approx["rank"] >= 1).all()
+
+
+def test_dedup_components_cluster_to_original(registry):
+    """Connected components over near-dup pairs: shifted copies
+    (doc_id + 1000000) must resolve to their original's component."""
+    qs, _ = registry
+    df = to_pandas(qs["dedup_components"](SF))
+    m = dict(zip(df["doc_id"], df["component"]))
+    copies = [d for d in m if d >= 1000000]
+    ok = sum(1 for d in copies if m[d] == d - 1000000 or m[d] < d - 1000000)
+    assert ok / len(copies) > 0.9
+    # a component label is always the minimum of its members
+    assert all(m[c] == c for c in set(m.values()) if c in m)
 
 
 def test_multimodal_features(registry):

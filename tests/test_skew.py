@@ -1,0 +1,34 @@
+"""Skew handling: the salted partition key must spread a mega-repo
+(30% of rows in fixtures) across `salt` partitions and keep the overall
+partition-size distribution bounded (SURVEY §4.4)."""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+
+from incident_pii_redactor_ray.pipelines.hygiene import _add_keys
+
+
+def test_salted_partitioning_spreads_mega_repo(small_corpus):
+    _, table = small_corpus
+    batch = _add_keys(num_partitions=32, salt=8)(table)
+    pids = np.asarray(batch.column("partition_id"))
+    repos = table.column("repo").to_pylist()
+
+    mega = [p for p, r in zip(pids, repos) if r == "bigco/monorepo"]
+    assert len(mega) > 0.2 * len(repos)  # fixture guarantees a mega-repo
+    # the mega-repo occupies exactly `salt` distinct partitions
+    assert len(set(mega)) == 8
+
+    # no partition holds more than ~4x its fair share overall
+    counts = collections.Counter(pids.tolist())
+    fair = len(repos) / 32
+    assert max(counts.values()) < 4 * fair
+
+    # partition assignment is deterministic and path-salted: same
+    # (repo, path) -> same partition regardless of commit
+    batch2 = _add_keys(num_partitions=32, salt=8)(table)
+    assert np.array_equal(pids, np.asarray(batch2.column("partition_id")))

@@ -314,6 +314,11 @@ def q_ann_lsh_topk(sf_dir: str):
     return similarity.lsh_bucketed_topk(_emb(sf_dir), q, qids, k=10)
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    q, qids = _query_vectors(sf_dir)
+    return similarity.ivf_topk(_emb(sf_dir), q, qids, k=10)
+
+
 def q_embedding_neardup(sf_dir: str):
     return similarity.embedding_neardup_pairs(_emb(sf_dir), threshold=0.4)
 
@@ -544,6 +549,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
     "media_bytes": q_media_bytes,
     "multimodal_features": q_multimodal_features,

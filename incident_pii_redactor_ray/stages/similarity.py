@@ -135,6 +135,86 @@ def lsh_bucketed_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.n
               .map_groups(merge_topk, batch_format="pandas"))
 
 
+def kmeans_centroids(ds: ray.data.Dataset, *, k: int = 16, iters: int = 10,
+                     sample_rows: int = 4096, seed: int = 42,
+                     vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic mini k-means for the IVF coarse quantizer: train on
+    a seeded sample (first ``sample_rows`` rows by streaming order of a
+    deterministic read — no random_shuffle, so the result is stable),
+    fixed iteration count, k-means++-free seeded init. Returns
+    L2-normalized centroids (k, dim)."""
+    mats = []
+    seen = 0
+    for b in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        mats.append(_batch_matrix(b, vec_col))
+        seen += len(mats[-1])
+        if seen >= sample_rows:
+            break
+    x = _normalize(np.vstack(mats)[:sample_rows])
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.ndarray,
+             *, k: int = 10, n_lists: int = 16, n_probe: int = 4, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> ray.data.Dataset:
+    """IVF approximate top-k: a k-means coarse quantizer assigns every
+    vector to its nearest centroid list; each query scores only vectors
+    whose list is among its ``n_probe`` closest centroids. The centroid
+    table is broadcast; candidate scoring is a per-batch masked matmul;
+    the final merge is the same partial-topk groupby as the exact path.
+    Recall trades against n_probe / n_lists.
+    """
+    centroids = kmeans_centroids(ds, k=n_lists, seed=seed, vec_col=vec_col)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qprobe = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    ref = ray.put((qn, np.asarray(query_ids, dtype=np.int64), centroids, qprobe))
+
+    class ProbeScore:
+        def __init__(self):
+            self.q, self.qids, self.cent, self.qprobe = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch, vec_col))
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            lists = np.argmax(m @ self.cent.T, axis=1)
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(self.qids)):
+                mask = np.isin(lists, self.qprobe[qi])
+                if not mask.any():
+                    continue
+                row = self.q[qi] @ m[mask].T
+                sel = ids[mask]
+                kk = min(k, len(sel))
+                part = np.argpartition(-row, kk - 1)[:kk]
+                out_q.extend([int(self.qids[qi])] * len(part))
+                out_n.extend(sel[part].tolist())
+                out_c.extend(row[part].tolist())
+            return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                             "neighbor_id": pa.array(out_n, type=pa.int64()),
+                             "cosine": pa.array(out_c, type=pa.float64())})
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cosine"] = g["cosine"].round(6)
+        return g[["query_id", "rank", "neighbor_id", "cosine"]]
+
+    return (ds.map_batches(ProbeScore, batch_format="pyarrow", concurrency=2)
+              .groupby("query_id")
+              .map_groups(merge_topk, batch_format="pandas"))
+
+
 def embedding_neardup_pairs(ds: ray.data.Dataset, *, threshold: float = 0.95,
                             id_col: str = "vec_id", vec_col: str = "embedding") -> ray.data.Dataset:
     """All pairs (a < b) with cosine >= threshold.

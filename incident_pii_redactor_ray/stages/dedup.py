@@ -248,6 +248,13 @@ def dedup_components(pairs: ray.data.Dataset, *, max_rounds: int = 8) -> ray.dat
     """
     import pandas as pd
 
+    # pin the pair set: it is re-read every propagation round, and
+    # leaving it lazy would re-execute the whole upstream candidate
+    # pipeline per round. Pairs are orders of magnitude smaller than
+    # the corpus, so materializing is the intended use of the object
+    # store here.
+    pairs = pairs.materialize()
+
     def seed(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch.column("id_a"), dtype=np.int64)
         b = np.asarray(batch.column("id_b"), dtype=np.int64)

@@ -139,3 +139,12 @@ def test_scrub_batch_shapes():
 
 def test_oracle_scrub_empty():
     assert oracle_scrub("") == ("", [])
+
+
+def test_null_content_flows_through_stages():
+    from incident_pii_redactor_ray.stages.actors import ScorerStage, label_batch
+    b = pa.table({"content": pa.array(["ok text here long", None, ""], type=pa.large_string())})
+    out = label_batch(scrub_batch(ScorerStage()(quality_batch(b))))
+    assert out.num_rows == 3
+    assert out.column("scrubbed_content").to_pylist()[1] == ""
+    assert out.column("keep").to_pylist()[1] is False  # null -> too_short drop

@@ -18,6 +18,15 @@ import sys
 
 
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv[:1] == ["stats"]:
+        # inspection surface (reference db_cli stats/list,
+        # src/database/incident_db.py:283-315): summarize a completed
+        # output directory from its manifests — no Ray needed.
+        from .state.manifests import merge_run_summary
+        print(json.dumps(merge_run_summary(argv[1]), indent=1, sort_keys=True))
+        return 0
+
     ap = argparse.ArgumentParser(description="Ray Data corpus-hygiene pipeline")
     ap.add_argument("--input", required=True, help="input parquet file/dir/glob")
     ap.add_argument("--out", required=True, help="output directory")

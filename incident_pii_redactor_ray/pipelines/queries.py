@@ -397,6 +397,26 @@ def q_events_window(sf_dir: str):
     return tumbling_window(ev, window="1h")
 
 
+def q_event_props(sf_dir: str):
+    """JSON scalar-function surface (SURVEY §2.8: json.loads/dumps
+    everywhere in the reference): parse the events ``props`` JSON blob,
+    extract a field, aggregate per event_type."""
+    import json as _json
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _events(sf_dir, ["event_type", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ks = [int(_json.loads(p or "{}").get("k", 0)) for p in batch.column("props").to_pylist()]
+        return pa.table({"event_type": batch.column("event_type"),
+                         "k": pa.array(ks, type=pa.int64())})
+
+    return (ds.map_batches(parse, batch_format="pyarrow")
+              .groupby("event_type")
+              .aggregate(Sum("k", alias_name="k_sum"), Count(alias_name="n")))
+
+
 def q_session_windows(sf_dir: str):
     """Session windows (30-min gap) over the events stream, per user."""
     from ..stages.relational import session_windows
@@ -558,6 +578,7 @@ QUERIES = {
     "orders_customer_join": q_orders_customer_join,
     "orders_customer_bucket_join": q_orders_customer_bucket_join,
     "events_window": q_events_window,
+    "event_props": q_event_props,
     "session_windows": q_session_windows,
     "dedup_components": q_dedup_components,
     "pseudonym_map": q_pseudonym_map,
@@ -706,6 +727,12 @@ ORACLE_SQL = {
         "SELECT event_type, date_trunc('hour', ts) AS window_start, "
         "count(*)::BIGINT AS n_events, round(sum(value), 4) AS value_sum "
         "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+    ),
+
+    "event_props": (
+        "SELECT event_type, "
+        "sum(coalesce(json_extract_string(props, '$.k')::BIGINT, 0))::BIGINT AS k_sum, "
+        "count(*) AS n FROM events GROUP BY event_type"
     ),
 
     "session_windows": (

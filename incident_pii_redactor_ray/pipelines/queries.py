@@ -268,24 +268,29 @@ def q_ngram_jaccard(sf_dir: str):
 
     def add_pair(batch: pa.Table) -> pa.Table:
         pid = np.asarray(batch.column("doc_id"), dtype=np.int64) // 2
-        return batch.append_column("pair_id", pa.array(pid))
+        batch = batch.append_column("pair_id", pa.array(pid))
+        return batch.append_column("shard", pa.array(pid % 64))
 
-    def pair_jaccard(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) != 2:
-            return pd.DataFrame({"pair_id": pd.Series([], dtype="int64"),
-                                 "id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
-        g = g.sort_values("doc_id")
-        sa = set((g["text"].iloc[0] or "").lower().split())
-        sb = set((g["text"].iloc[1] or "").lower().split())
-        j = len(sa & sb) / len(sa | sb) if (sa or sb) else 1.0
-        return pd.DataFrame({"pair_id": [g["pair_id"].iloc[0]],
-                             "id_a": [g["doc_id"].iloc[0]], "id_b": [g["doc_id"].iloc[1]],
-                             "jaccard": [round(j, 6)]})
+    # shuffle by pair_id shard (not one Ray group per pair); each shard
+    # computes all of its complete pairs in one pandas pass
+    def shard_jaccard(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"pair_id": [], "id_a": [], "id_b": [], "jaccard": []}
+        for pid, rows in g.groupby("pair_id"):
+            if len(rows) != 2:
+                continue
+            rows = rows.sort_values("doc_id")
+            sa = set((rows["text"].iloc[0] or "").lower().split())
+            sb = set((rows["text"].iloc[1] or "").lower().split())
+            j = len(sa & sb) / len(sa | sb) if (sa or sb) else 1.0
+            out["pair_id"].append(pid)
+            out["id_a"].append(rows["doc_id"].iloc[0])
+            out["id_b"].append(rows["doc_id"].iloc[1])
+            out["jaccard"].append(round(j, 6))
+        return pd.DataFrame({k: pd.Series(v, dtype=("float64" if k == "jaccard" else "int64"))
+                             for k, v in out.items()})
 
     return (ds.map_batches(add_pair, batch_format="pyarrow")
-              .groupby("pair_id").map_groups(pair_jaccard, batch_format="pandas"))
+              .groupby("shard").map_groups(shard_jaccard, batch_format="pandas"))
 
 
 # --------------------------------------------------------------------------

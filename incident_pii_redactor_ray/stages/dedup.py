@@ -117,18 +117,23 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hs = [hashlib.md5((t or "").encode()).hexdigest() for t in batch.column(text_col).to_pylist()]
+        shard = [int(h[:2], 16) for h in hs]
         return pa.table({
             id_col: batch.column(id_col),
             "text_hash": pa.array(hs, type=pa.string()),
+            "shard": pa.array(shard, type=pa.int32()),
         })
 
     import pandas as pd
 
+    # shuffle by a 256-way hash shard of the content hash (one Ray
+    # group per distinct content would mean corpus-cardinality tiny
+    # groups); the per-hash first-wins min runs vectorized per shard
     def first_wins(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({id_col: [g[id_col].min()], "text_hash": [g["text_hash"].iloc[0]]})
+        return g.groupby("text_hash", as_index=False)[id_col].min()[[id_col, "text_hash"]]
 
     return (ds.map_batches(add_hash, batch_format="pyarrow")
-              .groupby("text_hash")
+              .groupby("shard")
               .map_groups(first_wins, batch_format="pandas"))
 
 

@@ -120,14 +120,23 @@ def session_windows(events: ray.data.Dataset, *, ts_col: str = "ts",
     """
     gap_td = pd.Timedelta(gap)
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        new_session = (g[ts_col].diff() > gap_td).cumsum()
-        agg = g.groupby(new_session).agg(
+    def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["shard"] = (batch[key_col].astype("int64") % 64).astype("int64")
+        return batch
+
+    # shuffle by a 64-way shard of the key (one Ray group per user would
+    # mean key-cardinality tiny groups); sessionize every key in the
+    # shard with one vectorized pandas pass
+    def sessionize_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col])
+        d = g.groupby(key_col)[ts_col].diff()
+        sid = (d.isna() | (d > gap_td)).cumsum()
+        agg = g.groupby([key_col, sid]).agg(
             session_start=(ts_col, "min"), session_end=(ts_col, "max"),
-            n_events=(ts_col, "size"))
-        agg[key_col] = g[key_col].iloc[0]
+            n_events=(ts_col, "size")).reset_index(level=0)
         agg["n_events"] = agg["n_events"].astype("int64")
         return agg[[key_col, "session_start", "session_end", "n_events"]]
 
-    return events.groupby(key_col).map_groups(sessionize, batch_format="pandas")
+    return (events.map_batches(add_shard, batch_format="pandas")
+                  .groupby("shard").map_groups(sessionize_shard, batch_format="pandas"))

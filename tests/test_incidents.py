@@ -85,6 +85,32 @@ def test_read_incidents_pipeline(ray_session, tmp_path):
     assert "[REDACTED_EMAIL]" in row["scrubbed_content"]
 
 
+def test_incidents_through_full_hygiene(ray_session, tmp_path):
+    """The flagship pipeline runs unchanged on an incident corpus
+    (SURVEY §3.1 lifecycle parity: read -> flatten -> 5-stage chain ->
+    reports), producing labels + manifests."""
+    from incident_pii_redactor_ray.pipelines.hygiene import run_hygiene
+    from incident_pii_redactor_ray.state import manifests as mf
+
+    src = tmp_path / "inc.jsonl"
+    with open(src, "w") as f:
+        for doc in INCIDENTS * 10:
+            f.write(json.dumps(doc) + "\n")
+    # flatten to parquet in the standard shape, then run the pipeline
+    import pyarrow.parquet as pq
+    from incident_pii_redactor_ray.sources.incidents import read_incidents
+    table = read_incidents(str(src)).to_pandas()
+    pq.write_table(pa.Table.from_pandas(table), tmp_path / "flat.parquet")
+
+    out = str(tmp_path / "out")
+    summary = run_hygiene(str(tmp_path / "flat.parquet"), out, num_partitions=4,
+                          scorer_concurrency=1, batch_size=16, resume=False)
+    assert summary["n_rows"] == 30
+    assert mf.completed_partitions(out)
+    red = summary["redaction_counts"]
+    assert any(k.startswith("email:") for k in red)
+
+
 def test_validate_clean_text():
     v = validate_row("hello world", "hello world", [])
     assert v["residual_pii"] == 0 and v["schema_violations"] == 0

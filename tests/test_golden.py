@@ -1,0 +1,41 @@
+"""Golden-corpus scrub assertions (the reference's own test style,
+tests/test_pipeline.py:26-99: markers present, raw PII absent,
+pseudonym stability, structure preserved) over this repo's original
+incident fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+from incident_pii_redactor_ray.oracle.reference_oracle import oracle_scrub
+from incident_pii_redactor_ray.sources.incidents import flatten_incident
+from incident_pii_redactor_ray.stages.scrub import scrub_text
+from tests.golden_incidents import GOLDEN
+
+
+@pytest.mark.parametrize("doc,expect", GOLDEN, ids=[d["id"] for d, _ in GOLDEN])
+def test_golden_scrub(doc, expect):
+    text = flatten_incident(doc)
+    scrubbed, findings = scrub_text(text)
+    for frag in expect.get("absent", []):
+        assert frag not in scrubbed, (doc["id"], frag, scrubbed)
+    for frag in expect.get("present", []):
+        assert frag in scrubbed, (doc["id"], frag, scrubbed)
+    # engine/oracle agreement on every golden doc
+    assert (scrubbed, findings) == oracle_scrub(text)
+
+
+def test_golden_structure_preserved():
+    doc = GOLDEN[-1][0]
+    text = flatten_incident(doc)
+    scrubbed, _ = scrub_text(text)
+    assert text.count("\n") == scrubbed.count("\n")
+
+
+def test_golden_pseudonym_stability():
+    doc = GOLDEN[-1][0]  # Dana Kim appears twice (commander + scribe)
+    scrubbed, _ = scrub_text(flatten_incident(doc))
+    import re
+    persons = re.findall(r"Person_[0-9a-f]{6}", scrubbed)
+    from incident_pii_redactor_ray.functions.pseudonyms import pseudonym
+    assert persons.count(pseudonym("person_name", "Dana Kim")) >= 2

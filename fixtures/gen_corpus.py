@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from incident_pii_redactor_ray.stages.seed_corpora import SEEDS  # noqa: E402
 
-RECIPE_VERSION = 2
+RECIPE_VERSION = 3
 
 LANGS = ("py", "js", "java", "go", "c", "en", "de", "es", "fr", "zh")
 LANG_WEIGHTS = (0.25, 0.12, 0.08, 0.08, 0.08, 0.15, 0.06, 0.06, 0.06, 0.06)
@@ -137,6 +137,15 @@ def generate(n_files: int, seed: int = 42) -> pa.Table:
             content = "".join(rng.choice(list("{}[]()<>~!@#$%^&*-+=|;:',.?/\\\"")) for _ in range(400))
         elif s < 0.16:     # shuffled-token gibberish (perplexity target)
             content = _gibberish(rng, 200 + int(size_class[i] * 2000))
+        elif s < 0.18:     # toxic rant (toxicity screen target)
+            words = _body(rng, lang, 6).split()
+            tox = ["damn", "stupid", "crap", "idiot", "bullshit", "jerk"]
+            out = []
+            for k, w in enumerate(words):
+                out.append(w)
+                if k % 8 == 3:
+                    out.append(tox[int(rng.integers(0, len(tox)))])
+            content = " ".join(out)
         else:              # normal content with optional PII lines
             body = _body(rng, lang, n_sent)
             lines = body.split("\n")

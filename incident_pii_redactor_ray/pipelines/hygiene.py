@@ -80,7 +80,10 @@ def hygiene_transform(ds: ray.data.Dataset, *, scorer_concurrency: int | tuple[i
     ``validate``: append the M16-M20 validation struct column (costs a
     second regex pass over the scrubbed text).
     """
+    from ..stages.toxicity import toxicity_batch
+
     ds = ds.map_batches(quality_batch, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(toxicity_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(ScorerStage, batch_format="pyarrow", batch_size=batch_size,
                         concurrency=scorer_concurrency, num_cpus=1)
     if policy is None:

@@ -402,6 +402,36 @@ def q_events_window(sf_dir: str):
     return tumbling_window(ev, window="1h")
 
 
+def q_toxicity_scores(sf_dir: str):
+    """Toxicity screen (north_rule 'PII/toxicity-scrub'): word-list hit
+    ratio per doc over documents augmented with deterministic toxic
+    suffixes (the raw word-soup corpus has no hits)."""
+    from ..stages.toxicity import toxicity_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        suffix = " damn stupid idiot crap bullshit jerk damn stupid idiot crap"
+        aug = [t + (suffix if i % 5 == 0 else "") for i, t in zip(ids, texts)]
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "content": pa.array(aug, type=pa.large_string())})
+
+    ds = ds.map_batches(augment, batch_format="pyarrow")
+    ds = ds.map_batches(toxicity_batch, batch_format="pyarrow")
+
+    def final(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        toxic = pc.greater(batch.column("toxicity_ratio"), 0.05)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_toxic": batch.column("n_toxic"),
+                         "toxicity_ratio": batch.column("toxicity_ratio"),
+                         "toxic": toxic})
+
+    return ds.map_batches(final, batch_format="pyarrow")
+
+
 def q_event_props(sf_dir: str):
     """JSON scalar-function surface (SURVEY §2.8: json.loads/dumps
     everywhere in the reference): parse the events ``props`` JSON blob,
@@ -584,6 +614,7 @@ QUERIES = {
     "orders_customer_bucket_join": q_orders_customer_bucket_join,
     "events_window": q_events_window,
     "event_props": q_event_props,
+    "toxicity_scores": q_toxicity_scores,
     "session_windows": q_session_windows,
     "dedup_components": q_dedup_components,
     "pseudonym_map": q_pseudonym_map,
@@ -732,6 +763,19 @@ ORACLE_SQL = {
         "SELECT event_type, date_trunc('hour', ts) AS window_start, "
         "count(*)::BIGINT AS n_events, round(sum(value), 4) AS value_sum "
         "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+    ),
+
+    "toxicity_scores": (
+        "WITH a AS (SELECT doc_id, text || CASE WHEN doc_id % 5 = 0 THEN "
+        "' damn stupid idiot crap bullshit jerk damn stupid idiot crap' ELSE '' END AS t "
+        "FROM documents), "
+        "m AS (SELECT doc_id, t, "
+        "  len(regexp_extract_all(lower(t), "
+        "  '\\b(damn|hell|crap|idiot|stupid|moron|dumbass|bastard|bullshit|asshole|jerk|screwed)\\b')) AS h, "
+        "  len(regexp_split_to_array(trim(t), '\\s+')) AS n FROM a) "
+        "SELECT doc_id, h::BIGINT AS n_toxic, "
+        "round(CASE WHEN h > 0 THEN h::DOUBLE / n ELSE 0 END, 6) AS toxicity_ratio, "
+        "(CASE WHEN h > 0 THEN round(h::DOUBLE / n, 6) ELSE 0 END) > 0.05 AS toxic FROM m"
     ),
 
     "event_props": (

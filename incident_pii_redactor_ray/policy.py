@@ -35,6 +35,7 @@ from . import spec
 _THRESHOLD_KEYS = (
     "QUALITY_MAX_LINE_LEN", "QUALITY_MIN_ALNUM_RATIO", "QUALITY_MAX_REP_RATIO",
     "QUALITY_MIN_CHARS", "PERPLEXITY_MAX", "LANGID_MIN_CONFIDENCE",
+    "TOXICITY_MAX_RATIO",
 )
 
 

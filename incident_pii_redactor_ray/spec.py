@@ -220,6 +220,20 @@ PERPLEXITY_PREFIX_BYTES = 4096
 #: stages/langid.py; 'code' langs share the English/profile space).
 LANGID_LANGS = ("en", "de", "es", "fr", "zh", "py", "js", "java", "go", "c")
 
+# --------------------------------------------------------------------------
+# Toxicity screen (north_rule: "PII/toxicity-scrub"). Word-list
+# heuristic: ratio of toxic-list token hits to whitespace tokens; rows
+# above the threshold are dropped. The list is a deliberately mild,
+# extensible placeholder — swap via policy `thresholds`/detectors for a
+# production lexicon.
+# --------------------------------------------------------------------------
+
+TOXICITY_WORDS = (
+    "damn", "hell", "crap", "idiot", "stupid", "moron", "dumbass",
+    "bastard", "bullshit", "asshole", "jerk", "screwed",
+)
+TOXICITY_MAX_RATIO = 0.05
+
 # Drop-reason codes emitted in `drop_reasons` (stable, sorted in output)
 DROP_LONG_LINES = "long_lines"
 DROP_LOW_ALNUM = "low_alnum"
@@ -227,3 +241,4 @@ DROP_REPETITIVE = "repetitive"
 DROP_TOO_SHORT = "too_short"
 DROP_HIGH_PERPLEXITY = "high_perplexity"
 DROP_NO_LANG_SIGNAL = "no_lang_signal"
+DROP_TOXIC = "toxic"

@@ -62,6 +62,11 @@ def label_batch(batch: pa.Table, thresholds: dict | None = None) -> pa.Table:
     conf = np.asarray(batch.column("lang_confidence"))
     high_ppl = ppl > th.get("PERPLEXITY_MAX", spec.PERPLEXITY_MAX)
     no_lang = conf < th.get("LANGID_MIN_CONFIDENCE", spec.LANGID_MIN_CONFIDENCE)
+    if "toxicity_ratio" in batch.schema.names:
+        toxic = np.asarray(batch.column("toxicity_ratio")) > th.get(
+            "TOXICITY_MAX_RATIO", spec.TOXICITY_MAX_RATIO)
+    else:
+        toxic = np.zeros(len(qd), dtype=bool)
     reasons: list[list[str]] = []
     keep = np.empty(len(qd), dtype=bool)
     for i, r in enumerate(qd):
@@ -70,6 +75,8 @@ def label_batch(batch: pa.Table, thresholds: dict | None = None) -> pa.Table:
             r.append(spec.DROP_HIGH_PERPLEXITY)
         if no_lang[i]:
             r.append(spec.DROP_NO_LANG_SIGNAL)
+        if toxic[i]:
+            r.append(spec.DROP_TOXIC)
         reasons.append(r)
         keep[i] = not r
     out = batch.append_column("keep", pa.array(keep))

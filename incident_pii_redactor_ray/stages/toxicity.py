@@ -1,0 +1,45 @@
+"""Toxicity screen (north_rule: 'PII/toxicity-scrub').
+
+Word-list heuristic as a stateless batch UDF: one compiled alternation
+counts toxic-token hits; ``toxicity_ratio = hits / whitespace_tokens``.
+Rows above spec.TOXICITY_MAX_RATIO get the ``toxic`` drop reason in
+label_batch. RE2-compatible pattern shared verbatim with the DuckDB
+oracle (queries 'toxicity_scores').
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from .. import spec
+
+TOXICITY_PATTERN = r"(?i)\b(" + "|".join(spec.TOXICITY_WORDS) + r")\b"
+_TOX_RX = re.compile(TOXICITY_PATTERN)
+_WS_RX = re.compile(r"\s+")
+
+
+def toxicity_arrays(texts: list[str | None]) -> tuple[np.ndarray, np.ndarray]:
+    """(n_toxic_hits, toxicity_ratio) per row; empty text -> (0, 0.0)."""
+    n = len(texts)
+    hits = np.zeros(n, dtype=np.int64)
+    ratio = np.zeros(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        st = t.strip()
+        if not st:
+            continue
+        h = len(_TOX_RX.findall(t))
+        if h:
+            hits[i] = h
+            ratio[i] = h / len(_WS_RX.split(st))
+    return hits, ratio
+
+
+def toxicity_batch(batch: pa.Table, content_col: str = "content") -> pa.Table:
+    hits, ratio = toxicity_arrays(batch.column(content_col).to_pylist())
+    return (batch
+            .append_column("n_toxic", pa.array(hits))
+            .append_column("toxicity_ratio", pa.array(np.round(ratio, 6))))

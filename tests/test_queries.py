@@ -28,6 +28,7 @@ def test_oracle_keys_subset(registry):
     "ngram_jaccard", "ann_topk", "embedding_neardup", "media_bytes",
     "orders_customer_join", "orders_customer_bucket_join", "events_window",
     "pseudonym_map", "pricing_summary", "session_windows", "event_props",
+    "toxicity_scores",
 ])
 def test_sql_parity(registry, name):
     qs, osql = registry

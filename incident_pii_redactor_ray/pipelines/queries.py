@@ -395,6 +395,80 @@ def q_orders_customer_bucket_join(sf_dir: str):
     return df
 
 
+def q_customer_nation_region(sf_dir: str):
+    """Two-hop dimension join (customer -> nation -> region), both small
+    sides broadcast — no shuffle — then a grouped rollup by region."""
+    import pyarrow.parquet as pq
+
+    from ..stages.relational import broadcast_join
+    from ray.data.aggregate import Count, Mean
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim.rename(columns={"n_nationkey": "c_nationkey"})[["c_nationkey", "r_name"]]
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    joined = broadcast_join(cust, dim, on="c_nationkey", how="inner")
+    df = joined.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"),
+        Mean("c_acctbal", alias_name="avg_acctbal")).to_pandas()
+    df["avg_acctbal"] = df["avg_acctbal"].round(4)
+    return df
+
+
+def q_top_orders_per_segment(sf_dir: str):
+    """Per-group top-k (window-function shape): top-3 orders by total
+    price per market segment; ties broken by order key."""
+    import pyarrow.parquet as pq
+
+    from ..stages.relational import broadcast_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, on="o_custkey", how="inner")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["c_mktsegment", "rank", "o_orderkey", "o_totalprice"]]
+
+    return joined.groupby("c_mktsegment").map_groups(topk, batch_format="pandas")
+
+
+def q_distinct_parts(sf_dir: str):
+    """Distinct-count rollup (set-op surface): count(distinct p_type) +
+    count(*) via a partial-dedup groupby, never a full-row distinct."""
+    from ray.data.aggregate import Count
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_type"])
+    n_types = part.groupby("p_type").aggregate(Count(alias_name="n")).count()
+    n_parts = part.count()
+    return pd.DataFrame({"n_types": pd.Series([n_types], dtype="int64"),
+                         "n_parts": pd.Series([n_parts], dtype="int64")})
+
+
+def q_filtered_orders(sf_dir: str):
+    """Read-level predicate pushdown: the filter expression prunes
+    row groups at the parquet scan, not in a downstream stage."""
+    import pyarrow.compute as pcc
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice"],
+        filter=(pcc.field("o_totalprice") > 300000.0))
+    df = ds.groupby("o_orderstatus").aggregate(
+        Count(alias_name="n"), Sum("o_totalprice", alias_name="total")).to_pandas()
+    df["total"] = df["total"].round(2)
+    return df
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour window aggregate over the events stream table."""
     from ..stages.relational import tumbling_window
@@ -612,6 +686,10 @@ QUERIES = {
     "hygiene_full": q_hygiene_full,
     "orders_customer_join": q_orders_customer_join,
     "orders_customer_bucket_join": q_orders_customer_bucket_join,
+    "customer_nation_region": q_customer_nation_region,
+    "top_orders_per_segment": q_top_orders_per_segment,
+    "distinct_parts": q_distinct_parts,
+    "filtered_orders": q_filtered_orders,
     "events_window": q_events_window,
     "event_props": q_event_props,
     "toxicity_scores": q_toxicity_scores,
@@ -757,6 +835,29 @@ ORACLE_SQL = {
     "orders_customer_bucket_join": (
         "SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment"
+    ),
+
+    "customer_nation_region": (
+        "SELECT r.r_name, count(*) AS n_customers, round(avg(c.c_acctbal), 4) AS avg_acctbal "
+        "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
+    ),
+
+    "top_orders_per_segment": (
+        "WITH j AS (SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice, "
+        "row_number() OVER (PARTITION BY c.c_mktsegment "
+        "ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rank "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) "
+        "SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM j WHERE rank <= 3"
+    ),
+
+    "distinct_parts": (
+        "SELECT count(DISTINCT p_type)::BIGINT AS n_types, count(*) AS n_parts FROM part"
+    ),
+
+    "filtered_orders": (
+        "SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total "
+        "FROM orders WHERE o_totalprice > 300000 GROUP BY o_orderstatus"
     ),
 
     "events_window": (

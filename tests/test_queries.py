@@ -28,7 +28,8 @@ def test_oracle_keys_subset(registry):
     "ngram_jaccard", "ann_topk", "embedding_neardup", "media_bytes",
     "orders_customer_join", "orders_customer_bucket_join", "events_window",
     "pseudonym_map", "pricing_summary", "session_windows", "event_props",
-    "toxicity_scores",
+    "toxicity_scores", "customer_nation_region", "top_orders_per_segment",
+    "distinct_parts", "filtered_orders",
 ])
 def test_sql_parity(registry, name):
     qs, osql = registry

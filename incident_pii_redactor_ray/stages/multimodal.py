@@ -67,6 +67,61 @@ class MediaFeatureStage:
                 .drop_columns(["payload"]))
 
 
+def resize_image(payload: bytes, width: int, height: int, *, fake: bool = False) -> bytes:
+    """Resize stub: no codec libraries exist here. With ``fake=True``
+    returns a deterministic truncation/padding of the payload scaled by
+    the pixel ratio (keeps byte-budget semantics testable); otherwise
+    raises."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires a codec library not present in this "
+            "environment; run with fake=True for the deterministic stub")
+    target = max(1, int(len(payload) * (width * height) / (64 * 64)))
+    return (payload * (target // max(1, len(payload)) + 1))[:target]
+
+
+def sample_frames(n_frames: int, fps: float, *, every_s: float = 1.0) -> list[int]:
+    """Deterministic frame sampling plan: indices of one frame per
+    ``every_s`` seconds. Pure metadata math — real decode is the
+    stubbed part, the plan is what the Ray stage distributes."""
+    if n_frames <= 0 or fps <= 0:
+        return []
+    step = max(1, int(round(fps * every_s)))
+    return list(range(0, n_frames, step))
+
+
+class VideoFrameSampleStage:
+    """Actor-pool map_batches stage: explode each video row into its
+    sampled frames (media_id, frame_index, t_offset_s) + a stub frame
+    feature. Demonstrates the 1->N multimodal explode with bounded
+    output batches; a real decoder would be opened once per actor here.
+    """
+
+    def __init__(self, every_s: float = 1.0, fake: bool = True) -> None:
+        self.every_s = every_s
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, offs, feats = [], [], [], []
+        for mid, payload, fps, nf in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("payload").to_pylist(),
+                batch.column("fps").to_pylist(),
+                batch.column("n_frames").to_pylist()):
+            for fi in sample_frames(int(nf), float(fps), every_s=self.every_s):
+                ids.append(mid)
+                frames.append(fi)
+                offs.append(round(fi / float(fps), 4))
+                feats.append(decode_image((payload or b"") + fi.to_bytes(4, "big"),
+                                          fake=self.fake).tolist())
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "frame_index": pa.array(frames, type=pa.int64()),
+            "t_offset_s": pa.array(offs, type=pa.float64()),
+            "frame_features": pa.array(feats, type=pa.list_(pa.float64())),
+        })
+
+
 def media_from_documents(ds: ray.data.Dataset, *, text_col: str = "text",
                          id_col: str = "doc_id") -> ray.data.Dataset:
     """Synthesize a media table from a text table (test fixture path):

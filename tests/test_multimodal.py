@@ -1,0 +1,45 @@
+"""Multimodal plumbing: decode/resize stubs, frame sampling, 1->N
+explode through an actor-pool stage."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from incident_pii_redactor_ray.stages.multimodal import (VideoFrameSampleStage,
+                                                        decode_image, resize_image,
+                                                        sample_frames)
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx")
+    v = decode_image(b"xx", fake=True)
+    assert len(v) == 8 and (decode_image(b"xx", fake=True) == v).all()
+
+
+def test_resize_stub():
+    with pytest.raises(NotImplementedError):
+        resize_image(b"data", 32, 32)
+    small = resize_image(b"d" * 100, 32, 32, fake=True)
+    assert len(small) == 25  # quarter of the pixels -> quarter of the bytes
+
+
+def test_sample_frames_plan():
+    assert sample_frames(100, 25.0, every_s=1.0) == [0, 25, 50, 75]
+    assert sample_frames(10, 30.0, every_s=0.1) == list(range(0, 10, 3))
+    assert sample_frames(0, 25.0) == []
+    assert sample_frames(5, 0.0) == []
+
+
+def test_video_frame_stage(ray_session):
+    import ray.data
+    rows = [{"media_id": i, "payload": bytes([i]) * 10, "fps": 10.0, "n_frames": 25}
+            for i in range(4)]
+    ds = ray.data.from_items(rows)
+    out = ds.map_batches(VideoFrameSampleStage, batch_format="pyarrow", batch_size=2,
+                         concurrency=1, fn_constructor_kwargs={"every_s": 1.0}).to_pandas()
+    # 25 frames at 10 fps, 1/s -> frames 0, 10, 20 per video
+    assert len(out) == 12
+    assert sorted(out[out.media_id == 0]["frame_index"]) == [0, 10, 20]
+    assert all(len(f) == 8 for f in out["frame_features"])

@@ -159,6 +159,25 @@ def q_lang_markers(sf_dir: str):
     return ds.select_columns(["doc_id", "n_en", "n_de", "n_es", "n_fr", "n_zh", "marker_lang"])
 
 
+def q_train_val_split(sf_dir: str):
+    """Deterministic train/val/test split by content-id hash (the
+    standard leakage-safe split for training corpora): bucket =
+    md5(doc_id) last hex digit -> 80/10/10. Pure hashing — stable
+    across runs, machines and partitionings; SQL-checkable."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        buckets = [int(hashlib.md5(str(i).encode()).hexdigest()[-1], 16) for i in ids]
+        names = ["train" if b < 13 else ("val" if b < 14 else "test") for b in buckets]
+        return (batch.append_column("bucket", pa.array(buckets, type=pa.int64()))
+                     .append_column("split", pa.array(names, type=pa.string())))
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
 def q_doc_fingerprint(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     ds = ds.map_batches(textstats.fingerprint_batch, batch_format="pyarrow")
@@ -670,6 +689,7 @@ QUERIES = {
     "token_totals": q_token_totals,
     "lang_markers": q_lang_markers,
     "doc_fingerprint": q_doc_fingerprint,
+    "train_val_split": q_train_val_split,
     "scrub_redact": q_scrub_redact,
     "scrub_findings": q_scrub_findings,
     "exact_dedup": q_exact_dedup,
@@ -768,6 +788,14 @@ ORACLE_SQL = {
     "doc_fingerprint": (
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint "
         "FROM documents"
+    ),
+
+    "train_val_split": (
+        "WITH b AS (SELECT doc_id, lang, "
+        "instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), 32, 1)) - 1 AS bucket "
+        "FROM documents) "
+        "SELECT doc_id, lang, bucket, CASE WHEN bucket < 13 THEN 'train' "
+        "WHEN bucket < 14 THEN 'val' ELSE 'test' END AS split FROM b"
     ),
 
     "scrub_redact": (

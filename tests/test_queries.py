@@ -29,7 +29,7 @@ def test_oracle_keys_subset(registry):
     "orders_customer_join", "orders_customer_bucket_join", "events_window",
     "pseudonym_map", "pricing_summary", "session_windows", "event_props",
     "toxicity_scores", "customer_nation_region", "top_orders_per_segment",
-    "distinct_parts", "filtered_orders",
+    "distinct_parts", "filtered_orders", "train_val_split",
 ])
 def test_sql_parity(registry, name):
     qs, osql = registry

@@ -109,14 +109,24 @@ def run_scaling() -> dict:
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # interleaved A/B/A/B: the host has +/-25% ambient noise on a
+    # multi-minute timescale; alternating the two levels samples that
+    # noise across both instead of attributing a noisy window to one
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    runs_lo = [run(lo)]
+    runs_hi = [run(hi)]
+    runs_lo.append(run(lo))
+    runs_hi.append(run(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "cpus": [lo, hi],
         "sec": [t_lo, t_hi],
+        "sec_all_runs": {"8": [r["value"] for r in runs_lo],
+                         "32": [r["value"] for r in runs_hi]},
         "files_per_sec": [r_lo["files_per_sec"], r_hi["files_per_sec"]],
         "scaling_efficiency": round(eff, 3),
     }

@@ -414,6 +414,26 @@ def q_orders_customer_bucket_join(sf_dir: str):
     return df
 
 
+def q_orders_customer_native_join(sf_dir: str):
+    """Same orders x customer rollup via Ray Data's native hash-
+    partitioned ``Dataset.join`` (available in this Ray version) — the
+    third join strategy next to the broadcast and explicit-bucket
+    variants."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+    joined = orders.join(cust, join_type="inner", num_partitions=16,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+    df = out.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df
+
+
 def q_customer_nation_region(sf_dir: str):
     """Two-hop dimension join (customer -> nation -> region), both small
     sides broadcast — no shuffle — then a grouped rollup by region."""
@@ -706,6 +726,7 @@ QUERIES = {
     "hygiene_full": q_hygiene_full,
     "orders_customer_join": q_orders_customer_join,
     "orders_customer_bucket_join": q_orders_customer_bucket_join,
+    "orders_customer_native_join": q_orders_customer_native_join,
     "customer_nation_region": q_customer_nation_region,
     "top_orders_per_segment": q_top_orders_per_segment,
     "distinct_parts": q_distinct_parts,
@@ -861,6 +882,11 @@ ORACLE_SQL = {
     ),
 
     "orders_customer_bucket_join": (
+        "SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment"
+    ),
+
+    "orders_customer_native_join": (
         "SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment"
     ),

@@ -30,6 +30,7 @@ def test_oracle_keys_subset(registry):
     "pseudonym_map", "pricing_summary", "session_windows", "event_props",
     "toxicity_scores", "customer_nation_region", "top_orders_per_segment",
     "distinct_parts", "filtered_orders", "train_val_split",
+    "orders_customer_native_join",
 ])
 def test_sql_parity(registry, name):
     qs, osql = registry

@@ -1,0 +1,78 @@
+"""Unit tests for the manifest/commit machinery (state/manifests.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from incident_pii_redactor_ray.state import manifests as mf
+
+
+def test_commit_gc_removes_orphan_pieces(tmp_path):
+    out = str(tmp_path)
+    keep_piece = "part-00003-aaaaaaaaaaaa.parquet"
+    orphan = "part-00003-bbbbbbbbbbbb.parquet"
+    other_pid = "part-00004-cccccccccccc.parquet"
+    t = pa.table({"x": pa.array([1])})
+    for name in (keep_piece, orphan, other_pid):
+        mf.write_atomic_table(os.path.join(out, name), t)
+
+    mf.commit_manifest(out, 3, {
+        "partition_id": 3, "n_rows": 1, "n_keep": 1, "lang_histogram": {},
+        "redaction_counts": {}, "ppl_hist": [0] * mf.PPL_HIST_BINS,
+        "perplexity_quantiles": [], "rows_digest": "0" * 64,
+        "files": [keep_piece],
+    })
+    assert os.path.exists(os.path.join(out, keep_piece))
+    assert not os.path.exists(os.path.join(out, orphan))       # GC'd
+    assert os.path.exists(os.path.join(out, other_pid))        # other pid untouched
+    assert mf.completed_partitions(out) == {3}
+    assert [os.path.basename(p) for p in mf.output_files(out)] == [keep_piece]
+
+
+def test_row_digest_xor_is_order_insensitive_and_mergeable():
+    a = mf.row_digest_xor(["f1", "f2"], ["s1", "s2"])
+    b = mf.row_digest_xor(["f2", "f1"], ["s2", "s1"])
+    assert a == b
+    p1 = mf.row_digest_xor(["f1"], ["s1"])
+    p2 = mf.row_digest_xor(["f2"], ["s2"])
+    assert p1 ^ p2 == a
+    assert mf.row_digest_xor([], []) == 0
+
+
+def test_ppl_hist_quantiles_monotone():
+    vals = np.array([1.0, 2.0, 5.0, 8.0, 20.0, 100.0, 500.0])
+    hist = mf.ppl_hist(vals)
+    assert hist.sum() == len(vals)
+    qs = mf.ppl_quantiles_from_hist(hist)
+    assert qs == sorted(qs)
+    assert qs[0] <= 1.5 and qs[-1] >= 300
+    # mergeable: hist of concatenation == sum of hists
+    h2 = mf.ppl_hist(np.array([3.0, 7.0]))
+    assert (mf.ppl_hist(np.concatenate([vals, [3.0, 7.0]])) == hist + h2).all()
+    assert mf.ppl_quantiles_from_hist(np.zeros(mf.PPL_HIST_BINS, dtype=np.int64)) == \
+        [0.0] * len(mf.PPL_QUANTILES)
+
+
+def test_merge_run_summary_accumulates(tmp_path):
+    out = str(tmp_path)
+    t = pa.table({"x": pa.array([1])})
+    for pid, langs in ((0, {"en": 2}), (1, {"en": 1, "de": 3})):
+        name = f"part-{pid:05d}-{'d' * 12}.parquet"
+        mf.write_atomic_table(os.path.join(out, name), t)
+        mf.commit_manifest(out, pid, {
+            "partition_id": pid, "n_rows": sum(langs.values()),
+            "n_keep": 1, "lang_histogram": langs,
+            "redaction_counts": {"email:REDACT": pid + 1},
+            "ppl_hist": [1] * mf.PPL_HIST_BINS,
+            "perplexity_quantiles": [], "rows_digest": "0" * 64,
+            "files": [name],
+        })
+    s = mf.merge_run_summary(out)
+    assert s["n_rows"] == 6 and s["n_keep"] == 2
+    assert s["lang_histogram"] == {"de": 3, "en": 3}
+    assert s["redaction_counts"] == {"email:REDACT": 3}
+    assert os.path.exists(os.path.join(out, "run_summary.json"))

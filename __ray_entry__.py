@@ -12,9 +12,7 @@ nothing here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
-import importlib
 import os
-import pkgutil
 import sys
 from collections.abc import Callable
 from typing import Any
@@ -22,43 +20,11 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from incident_pii_redactor_ray.pipelines.queries import ORACLE_SQL, QUERIES  # noqa: E402
+from incident_pii_redactor_ray.shipping import register_package_by_value  # noqa: E402
 
-
-def _register_package_by_value() -> None:
-    """Ship the library to Ray workers BY VALUE.
-
-    Ray workers import task callables by module name from their own
-    sys.path; if the driver was launched outside /root/repo (and after
-    ray.init, when PYTHONPATH changes no longer reach the raylet's
-    worker processes), that import fails and tasks retry forever.
-    Registering every package module with cloudpickle's
-    pickle-by-value makes the shipped closures self-contained — no
-    worker-side import of this repo is ever needed.
-    """
-    import incident_pii_redactor_ray as pkg
-
-    # eagerly import every submodule so lazily-imported stages are
-    # also registered before any callable is shipped
-    for info in pkgutil.walk_packages(pkg.__path__, prefix=pkg.__name__ + "."):
-        if info.name.endswith("__main__"):
-            continue  # executing the CLI entrypoint would sys.exit
-        try:
-            importlib.import_module(info.name)
-        except Exception:
-            pass
-    try:
-        from ray import cloudpickle
-    except Exception:  # pragma: no cover
-        import cloudpickle  # type: ignore[no-redef]
-    for name, mod in list(sys.modules.items()):
-        if mod is not None and name.split(".")[0] == "incident_pii_redactor_ray":
-            try:
-                cloudpickle.register_pickle_by_value(mod)
-            except Exception:
-                pass
-
-
-_register_package_by_value()
+# Ray workers must be able to run this repo's callables even when the
+# driver process was launched outside /root/repo — see shipping.py.
+register_package_by_value()
 
 
 def entry() -> Any:

@@ -44,6 +44,9 @@ def run_bench() -> dict:
     from fixtures.gen_corpus import corpus_path
     from incident_pii_redactor_ray.pipelines.hygiene import run_hygiene
     from incident_pii_redactor_ray.pipelines.queries import QUERIES
+    from incident_pii_redactor_ray.shipping import register_package_by_value
+
+    register_package_by_value()
 
     corpus = corpus_path(BENCH_FILES)  # cached across rounds
     with open(os.path.join(corpus, "_DONE")) as f:

@@ -52,6 +52,9 @@ def main(argv: list[str] | None = None) -> int:
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
+    from .shipping import register_package_by_value
+    register_package_by_value()
+
     policy = None
     if args.policy:
         from .policy import HygienePolicy

@@ -1,0 +1,48 @@
+"""Worker-shipping helper: register the whole package for cloudpickle
+pickle-by-value.
+
+Ray workers import task callables by module name from their own
+sys.path. When the driver process was launched outside the repo root
+(so workers inherit a cwd/PYTHONPATH without it), every shipped task
+dies on ModuleNotFoundError and retries forever. Registering the
+package modules by value makes shipped closures self-contained — no
+worker-side import of this repo is needed. Call once per driver
+process, before executing any Dataset (entry points: __ray_entry__,
+bench.py, cli.py; tests get it via __ray_entry__).
+"""
+
+from __future__ import annotations
+
+import importlib
+import pkgutil
+import sys
+
+_done = False
+
+
+def register_package_by_value() -> None:
+    global _done
+    if _done:
+        return
+    import incident_pii_redactor_ray as pkg
+
+    # eagerly import every submodule so lazily-imported stages are also
+    # registered before any callable is shipped
+    for info in pkgutil.walk_packages(pkg.__path__, prefix=pkg.__name__ + "."):
+        if info.name.endswith("__main__"):
+            continue  # executing the CLI entrypoint would sys.exit
+        try:
+            importlib.import_module(info.name)
+        except Exception:
+            pass
+    try:
+        from ray import cloudpickle
+    except Exception:  # pragma: no cover
+        import cloudpickle  # type: ignore[no-redef]
+    for name, mod in list(sys.modules.items()):
+        if mod is not None and name.split(".")[0] == "incident_pii_redactor_ray":
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:
+                pass
+    _done = True

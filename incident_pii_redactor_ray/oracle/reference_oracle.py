@@ -143,12 +143,21 @@ def oracle_scrub(text: str) -> tuple[str, list[dict]]:
             "requires_llm_review": s[3] < 0.7,
         })
 
-    # splice back-to-front over the resolved deterministic spans
-    out = text
-    for s in sorted(resolved, key=lambda s: -s[0]):
+    # splice every non-RETAIN span (finder spans included — mirrors
+    # stages/scrub.py): forward scan picks the kept spans (first-by-start
+    # wins among overlapping non-RETAIN spans; finder-vs-deterministic
+    # never overlap by construction), then splice back-to-front.
+    kept: list[list] = []
+    pos = 0
+    for s in sorted(resolved + finder_spans, key=lambda s: (s[0], s[1])):
         action = arbitrate(s[2], s[5])
-        if action == spec.RETAIN:
+        if action == spec.RETAIN or s[0] < pos:
             continue
+        kept.append(s + [action])
+        pos = s[1]
+    out = text
+    for s in sorted(kept, key=lambda s: -s[0]):
+        action = s[-1]
         if action == spec.REDACT:
             t = s[2][len("custom_"):] if s[2].startswith("custom_") else s[2]
             rep = spec.REDACTION_LITERALS.get(t, "[REDACTED]")

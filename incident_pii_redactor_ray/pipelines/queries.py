@@ -132,8 +132,10 @@ def q_resume_antijoin(sf_dir: str):
             ids = np.asarray(batch.column("doc_id"))
             return batch.filter(pa.array(~np.isin(ids, self.done)))
 
+    # broadcast ref is immutable — a multi-actor pool is safe and keeps
+    # the filter stage from starving the pipeline (VERDICT r1 #6)
     return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
-        DropDone, batch_format="pyarrow", concurrency=1)
+        DropDone, batch_format="pyarrow", concurrency=(2, 8))
 
 
 # --------------------------------------------------------------------------

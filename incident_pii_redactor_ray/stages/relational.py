@@ -19,11 +19,16 @@ import ray.data
 
 
 def broadcast_join(big: ray.data.Dataset, small_df: pd.DataFrame, *, on: str,
-                   how: str = "inner") -> ray.data.Dataset:
+                   how: str = "inner",
+                   concurrency: int | tuple[int, int] = (2, 32)) -> ray.data.Dataset:
     """Join a big Dataset against a small pandas table without any
     shuffle: the small side is put in the object store ONCE and each
     map task merges its batch against it (ray_guide 'Joins and
-    lookups'). Supports 'inner' and 'left'."""
+    lookups'). Supports 'inner' and 'left'.
+
+    ``concurrency`` sizes the actor pool; the broadcast ref is immutable
+    so any pool size is safe — default scales to a 32-core node, pass a
+    larger upper bound on bigger clusters."""
     ref = ray.put(small_df)
 
     class JoinBatch:
@@ -33,7 +38,7 @@ def broadcast_join(big: ray.data.Dataset, small_df: pd.DataFrame, *, on: str,
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             return batch.merge(self.small, on=on, how=how)
 
-    return big.map_batches(JoinBatch, batch_format="pandas", concurrency=(1, 8))
+    return big.map_batches(JoinBatch, batch_format="pandas", concurrency=concurrency)
 
 
 def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *, on: str,
@@ -44,6 +49,24 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *, on: s
     an explicit partitioned hash join (the portable pattern from
     ray_guide). Skewed keys should be salted upstream.
     """
+
+    # Explicit per-side column sets, captured at graph-build time from
+    # the dataset schemas — side membership must never be inferred from
+    # nullness (a legitimately all-null column would be mis-attributed,
+    # and a one-sided bucket used to crash on dropna of a 0-row frame).
+    l_schema, r_schema = left.schema(), right.schema()
+    l_names, r_names = list(l_schema.names), list(r_schema.names)
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    dup = (set(l_names) & set(r_names)) - {on}
+    if dup:
+        raise ValueError(f"bucketed_hash_join: non-key columns {sorted(dup)} "
+                         "exist on both sides; rename before joining")
+    out_fields = ([pa.field(on, l_types[on])]
+                  + [pa.field(n, l_types[n]) for n in l_names if n != on]
+                  + [pa.field(n, r_types[n]) for n in r_names if n != on])
+    empty_out = pa.table(
+        {f.name: pa.array([], type=f.type) for f in out_fields}).to_pandas()
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -64,13 +87,18 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *, on: s
         right.map_batches(tag(1), batch_format="pyarrow"))
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lt = g[g["__side"] == 0].drop(columns=["__bucket", "__side"])
-        rt = g[g["__side"] == 1].drop(columns=["__bucket", "__side"])
-        rt = rt.dropna(axis=1, how="all")
-        lt = lt.dropna(axis=1, how="all")
+        lt = g.loc[g["__side"] == 0, [c for c in l_names if c in g.columns]]
+        rt = g.loc[g["__side"] == 1, [c for c in r_names if c in g.columns]]
         if lt.empty or rt.empty:
-            return lt.head(0).merge(rt.head(0), on=on)
-        return lt.merge(rt, on=on, how="inner")
+            return empty_out.copy()
+        out = lt.merge(rt, on=on, how="inner")
+        # concat across mixed-schema blocks can promote ints to floats
+        # (missing columns become NaN); restore the declared dtypes so
+        # every group emits one schema. Arrow round-trip (not pandas
+        # astype) so genuine nulls survive the int restore.
+        return pa.Table.from_pandas(out[[f.name for f in out_fields]],
+                                    schema=pa.schema(out_fields),
+                                    preserve_index=False).to_pandas()
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 

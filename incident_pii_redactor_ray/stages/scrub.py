@@ -64,7 +64,11 @@ _GUARDS: dict[str, object] = {
     "custom_internal_url": lambda t, lo, d, u: "internal-" in lo,
     "custom_aws_arn": lambda t, lo, d, u: "arn:aws:" in t,
     "api_key": lambda t, lo, d, u: len(t) >= 24,
-    "custom_kubernetes_pod": lambda t, lo, d, u: d and "-" in t,
+    # NOTE: no digit guard — the pod regex matches all-letter names like
+    # 'nginx-dplymnt-bcdfghjk-bcdfg', so a digit is NOT a necessary
+    # condition (ADVICE r1: a digit guard silently broke oracle parity
+    # on digit-free documents).
+    "custom_kubernetes_pod": lambda t, lo, d, u: "-" in t,
     "custom_docker_image": lambda t, lo, d, u: ":" in t and "/" in t,
     "custom_jira_ticket": lambda t, lo, d, u: d and u and "-" in t,
     "custom_slack_channel": lambda t, lo, d, u: "#" in t,
@@ -274,13 +278,19 @@ def scrub_text(text: str, *, base=_BASE, custom=_CUSTOM, finder_bank=_FINDER,
             "requires_llm_review": s.confidence < 0.7,
         })
 
-    # splice back-to-front (arbitration_engine.py:222-272); resolved
-    # deterministic spans are non-overlapping; finder spans are RETAIN
-    # no-ops and are skipped.
+    # splice (arbitration_engine.py:222-272) over EVERY non-RETAIN span,
+    # finder spans included: a custom policy can force-redact a finder
+    # type, and leaving its text unspliced while findings report REDACT
+    # would be a silent PII leak (ADVICE r1). Finder spans are disjoint
+    # from resolved deterministic spans by construction; finder-vs-finder
+    # overlaps are resolved first-by-start (skip any span starting inside
+    # the previously spliced one). Default spec: all finder actions are
+    # RETAIN, so this is byte-identical to splicing deterministic spans
+    # only.
     pieces: list[str] = []
     pos = 0
-    for s in spans:  # already sorted asc, non-overlapping
-        if s.action == spec.RETAIN:
+    for s in all_spans:  # sorted by (start, end)
+        if s.action == spec.RETAIN or s.start < pos:
             continue
         pieces.append(text[pos:s.start])
         pieces.append(make_replacement(s.entity_type, s.text, s.action))

@@ -61,7 +61,11 @@ def brute_force_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.nd
             kk = min(k + 1, cos.shape[1])  # +1 to survive self-match removal
             for qi in range(cos.shape[0]):
                 row = cos[qi]
-                part = np.argpartition(-row, kk - 1)[:kk]
+                # lexicographic (cosine desc, neighbor_id asc) selection so
+                # batch-local candidate choice matches the global tie-break
+                # (argpartition picked arbitrarily among boundary ties —
+                # ADVICE r1 latent nondeterminism vs the SQL oracle)
+                part = np.lexsort((ids, -row))[:kk]
                 out_q.extend([int(self.qids[qi])] * len(part))
                 out_n.extend(ids[part].tolist())
                 out_c.extend(row[part].tolist())
@@ -194,7 +198,8 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.ndarray,
                 row = self.q[qi] @ m[mask].T
                 sel = ids[mask]
                 kk = min(k, len(sel))
-                part = np.argpartition(-row, kk - 1)[:kk]
+                # tie-break as in PartialTopK: (cosine desc, neighbor_id asc)
+                part = np.lexsort((sel, -row))[:kk]
                 out_q.extend([int(self.qids[qi])] * len(part))
                 out_n.extend(sel[part].tolist())
                 out_c.extend(row[part].tolist())

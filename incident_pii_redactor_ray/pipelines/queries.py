@@ -1002,6 +1002,37 @@ ORACLE_SQL = {
         + " SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.6"
     ),
 
+    "simhash_pairs": (
+        # digit-by-digit reproduction of stages/dedup.simhash_hex:
+        # token hash = md5(tok) first 16 hex; per-bit +/-1 sums over
+        # tokens WITH duplicates; signature rebuilt as 16 hex digits;
+        # 4x16-bit band blocking; Hamming via per-digit bit_count(xor)
+        "WITH corpus AS (SELECT doc_id, text FROM documents "
+        "  UNION ALL SELECT doc_id + 1000000, text || ' zzz' FROM documents), "
+        "tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok "
+        "  FROM corpus WHERE trim(text) != ''), "
+        "hx AS (SELECT doc_id, md5(tok)[1:16] AS h FROM tk), "
+        "dg AS (SELECT doc_id, g.i AS i, instr('0123456789abcdef', h[g.i:g.i]) - 1 AS dv "
+        "  FROM hx CROSS JOIN (SELECT unnest(generate_series(1,16)) AS i) g), "
+        "bt AS (SELECT doc_id, i, kk.k AS k, CASE WHEN (dv // (CASE kk.k WHEN 0 THEN 8 "
+        "  WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1 THEN 1 ELSE -1 END AS s "
+        "  FROM dg CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) kk), "
+        "vv AS (SELECT doc_id, i, k, sum(s) AS v FROM bt GROUP BY doc_id, i, k), "
+        "sgd AS (SELECT doc_id, i, sum((CASE WHEN v > 0 THEN 1 ELSE 0 END) * "
+        "  (CASE k WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS digit "
+        "  FROM vv GROUP BY doc_id, i), "
+        "sig AS (SELECT doc_id, string_agg(substr('0123456789abcdef', (digit + 1)::INT, 1), "
+        "  '' ORDER BY i) AS sg FROM sgd GROUP BY doc_id), "
+        "bb AS (SELECT doc_id, sg, unnest([0,1,2,3]) AS band, "
+        "  unnest([sg[1:4], sg[5:8], sg[9:12], sg[13:16]]) AS bk FROM sig), "
+        "cp AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.sg AS sa, y.sg AS sb "
+        "  FROM bb x JOIN bb y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id), "
+        "hm AS (SELECT id_a, id_b, list_sum([bit_count(xor("
+        "  instr('0123456789abcdef', sa[i:i]) - 1, instr('0123456789abcdef', sb[i:i]) - 1)) "
+        "  for i in generate_series(1,16)]) AS hamming FROM cp) "
+        "SELECT id_a, id_b, hamming::BIGINT AS hamming FROM hm WHERE hamming <= 3"
+    ),
+
     "dedup_components": (
         # recursive-CTE transitive closure over the minhash edge set:
         # component = min doc id reachable from each node

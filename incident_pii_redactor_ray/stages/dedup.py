@@ -53,7 +53,9 @@ def _token_hashes(text: str) -> np.ndarray:
     for i, t in enumerate(toks):
         h = cache.get(t)
         if h is None:
-            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+            # big-endian: equals int(md5(t).hexdigest()[:16], 16), the
+            # form the simhash SQL oracle reproduces digit-by-digit
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
             if len(cache) < _TOKEN_CACHE_MAX:
                 cache[t] = h
         out[i] = h
@@ -564,26 +566,53 @@ def dedup_components(pairs: ray.data.Dataset, *, max_rounds: int = 8,
 # --- simhash ---------------------------------------------------------------
 
 
+_HEX = "0123456789abcdef"
+_BIT_SHIFTS = (63 - np.arange(64)).astype(np.uint64)  # MSB-first bit order
+
+
+def simhash_hex(text: str) -> str | None:
+    """64-bit simhash as a 16-hex-char string (MSB-first), or None for a
+    token-less document.
+
+    Defined so the DuckDB oracle reproduces it digit-by-digit: token
+    hash = int(md5(token)[:16 hex], 16); bit j (MSB order) contributes
+    +1/-1 by that bit of the token hash, summed over tokens WITH
+    duplicates; signature bit = (sum > 0)."""
+    th = _token_hashes(text)
+    if len(th) == 0:
+        return None
+    bits = ((th[:, None] >> _BIT_SHIFTS) & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    b = (v > 0).astype(np.int64)
+    digits = (b[0::4] << 3) | (b[1::4] << 2) | (b[2::4] << 1) | b[3::4]
+    return "".join(_HEX[d] for d in digits)
+
+
 def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3) -> ray.data.Dataset:
     """Near-dup pairs by simhash Hamming distance <= max_hamming,
     blocked on 4 x 16-bit bands (pigeonhole: any pair within distance 3
-    agrees on at least one band)."""
+    agrees on at least one band). Deterministic + SQL-reproducible
+    (simhash_hex): ORACLE_SQL['simhash_pairs'] computes the identical
+    pair set and distances, so the driver hash-checks this operator."""
 
     def sigs(batch: pa.Table) -> pa.Table:
-        ids, bands, keys, hashes, shards = [], [], [], [], []
+        ids, bands, keys, hexes, shards = [], [], [], [], []
         for did, text in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-            h = simhash64(text or "")
+            hx = simhash_hex(text or "")
+            if hx is None:
+                continue
             for b in range(4):
-                k = (h >> (16 * b)) & 0xFFFF
+                bk = hx[4 * b: 4 * b + 4]
                 ids.append(did)
                 bands.append(b)
-                keys.append(k)
-                hashes.append(h)
-                shards.append((b << 8) | (k & 0xFF))
-        return pa.table({id_col: pa.array(ids), "band": pa.array(bands, type=pa.int32()),
-                         "band_key": pa.array(keys, type=pa.int64()),
-                         "simhash": pa.array(hashes, type=pa.uint64()),
+                keys.append(bk)
+                hexes.append(hx)
+                shards.append((b << 8) | (int(bk, 16) & 0xFF))
+        return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                         "band": pa.array(bands, type=pa.int32()),
+                         "band_key": pa.array(keys, type=pa.string()),
+                         "simhash": pa.array(hexes, type=pa.string()),
                          "shard": pa.array(shards, type=pa.int32())})
 
     import pandas as pd
@@ -593,14 +622,15 @@ def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     # shard (see minhash_lsh_pairs for why buckets are not Ray groups)
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_d = [], [], []
-        for (_b, _k), rows in g.groupby(["band", "band_key"]):
+        for (_b, _k), rows in g.groupby(["band", "band_key"], sort=False):
             rows = rows.drop_duplicates(subset=[id_col]).sort_values(id_col)
             if len(rows) < 2:
                 continue
             ids = rows[id_col].to_numpy()
-            hs = rows["simhash"].to_numpy(dtype=np.uint64)
+            hs = rows["simhash"].to_numpy()
+            hv = np.array([int(h, 16) for h in hs], dtype=np.uint64)
             for i in range(len(ids)):
-                x = hs[i] ^ hs[i + 1:]
+                x = hv[i] ^ hv[i + 1:]
                 d = np.array([bin(int(v)).count("1") for v in x])
                 for j in np.nonzero(d <= max_hamming)[0]:
                     out_a.append(int(ids[i]))

@@ -901,6 +901,31 @@ ORACLE_SQL = {
         "SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine FROM r WHERE rank <= 10"
     ),
 
+    "ann_lsh_topk": (
+        # rebuilds similarity.md5_planes: sign(p,d) = +1 iff first hex
+        # digit of md5('plane:p:d') >= 8; bucket = 8-bit sign string of
+        # the plane dots; each query ranks only its bucket
+        "WITH pl AS (SELECT p.p, d.d, CASE WHEN instr('0123456789abcdef', "
+        "  md5('plane:' || p.p || ':' || (d.d - 1))[1:1]) - 1 >= 8 "
+        "  THEN 1.0 ELSE -1.0 END AS s "
+        "  FROM (SELECT unnest(generate_series(0, 7)) AS p) p "
+        "  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) d), "
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), "
+        "dots AS (SELECT e.vec_id, pl.p, sum(e.emb[pl.d] * pl.s) AS dot "
+        "  FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.p), "
+        "sig AS (SELECT vec_id, string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, "
+        "  '' ORDER BY p) AS sg FROM dots GROUP BY vec_id), "
+        "q AS (SELECT s.vec_id AS qid, s.sg, e.emb AS qe FROM sig s "
+        "  JOIN e ON e.vec_id = s.vec_id WHERE s.vec_id < 8), "
+        "cand AS (SELECT q.qid AS query_id, s.vec_id AS neighbor_id, "
+        "  list_cosine_similarity(q.qe, e2.emb) AS cos FROM q "
+        "  JOIN sig s ON s.sg = q.sg JOIN e e2 ON e2.vec_id = s.vec_id "
+        "  WHERE s.vec_id != q.qid), "
+        "r AS (SELECT query_id, neighbor_id, cos, row_number() OVER "
+        "  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM cand) "
+        "SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine FROM r WHERE rank <= 10"
+    ),
+
     "embedding_neardup": (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine "

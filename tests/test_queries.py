@@ -21,17 +21,14 @@ def test_oracle_keys_subset(registry):
     assert set(osql) <= set(qs)
 
 
-@pytest.mark.parametrize("name", [
-    "lang_histogram", "summary_rollup", "events_by_type", "top_events",
-    "resume_antijoin", "doc_stats", "token_totals", "lang_markers",
-    "doc_fingerprint", "scrub_redact", "scrub_findings", "exact_dedup",
-    "ngram_jaccard", "ann_topk", "embedding_neardup", "media_bytes",
-    "orders_customer_join", "orders_customer_bucket_join", "events_window",
-    "pseudonym_map", "pricing_summary", "session_windows", "event_props",
-    "toxicity_scores", "customer_nation_region", "top_orders_per_segment",
-    "distinct_parts", "filtered_orders", "train_val_split",
-    "orders_customer_native_join",
-])
+def _oracle_names():
+    # collection-time import (no Ray session needed): every ORACLE_SQL
+    # entry is parity-tested automatically
+    from incident_pii_redactor_ray.pipelines.queries import ORACLE_SQL
+    return sorted(ORACLE_SQL)
+
+
+@pytest.mark.parametrize("name", _oracle_names())
 def test_sql_parity(registry, name):
     qs, osql = registry
     df = to_pandas(qs[name](SF))

@@ -1,0 +1,126 @@
+"""Golden-parquet generator for the model-based queries.
+
+langid / perplexity / hygiene keep-labels are model inference, not SQL,
+so their driver oracle reads a committed golden parquet instead
+(pipelines/queries.py GOLDEN note). The goldens are produced HERE, by
+the single-process oracle path (oracle/reference_oracle.py — the
+independent document-at-a-time implementation), over each
+/root/testdata/sf* documents table, and committed to golden/.
+
+Each file carries a ``corpus_key`` column (= sum(n_chars) of its source
+corpus) so one static SQL string can select the right slice for
+whatever sf the driver registered:
+
+    SELECT ... FROM read_parquet('/root/repo/golden/<q>_*.parquet')
+    WHERE corpus_key = (SELECT sum(n_chars) FROM documents)
+
+What this checks: cross-implementation agreement for scrub/keep
+semantics (engine stages vs the naive oracle), and cross-run /
+cross-parallelism determinism for the shared numpy models (the models
+ARE the spec for langid/perplexity — reference_oracle.py module doc).
+
+Run: python fixtures/gen_golden.py   (no Ray; rewrites golden/*.parquet)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from incident_pii_redactor_ray.oracle.reference_oracle import (  # noqa: E402
+    _models, oracle_row, oracle_scrub)
+from incident_pii_redactor_ray.stages.validate import validate_row  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN_DIR = os.path.join(REPO, "golden")
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def _augment_text(doc_id: int, text: str) -> str:
+    """Mirror of pipelines/queries._augment for one row."""
+    i = doc_id
+    return (f"{text} contact: user{i}@corp-mail.com phone "
+            f"+1-555-{200 + i % 700:03d}-{1000 + i % 9000:04d}"
+            f" ssn {100 + i % 900:03d}-{10 + i % 90:02d}-{1000 + i % 9000:04d}"
+            f" ip 10.{i % 256}.0.1 by Maria Garcia")
+
+
+def gen_for_sf(sf_dir: str) -> dict[str, pa.Table]:
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+    corpus_key = int(np.asarray(docs.column("n_chars")).sum())
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+
+    lang_model, ppl_model = _models()
+
+    lang_rows = {"doc_id": [], "lang_detected": [], "lang_confidence": [],
+                 "perplexity": []}
+    hyg_rows = {"doc_id": [], "keep": [], "lang_detected": [], "perplexity": [],
+                "n_redactions": [], "scrubbed_sha256": []}
+    val_rows = {"doc_id": [], "residual_pii": [], "schema_violations": [],
+                "adversarial_flags": [], "mixed_action_flags": [],
+                "repeated_redaction_flags": [], "precision": [], "recall": [],
+                "f1": [], "quality_score": []}
+
+    for did, text in zip(ids, texts):
+        text = text or ""
+        r = oracle_row(text)
+        lang_rows["doc_id"].append(did)
+        lang_rows["lang_detected"].append(r["lang_detected"])
+        lang_rows["lang_confidence"].append(round(r["lang_confidence"], 6))
+        lang_rows["perplexity"].append(round(r["perplexity"], 4))
+
+        hyg_rows["doc_id"].append(did)
+        hyg_rows["keep"].append(r["keep"])
+        hyg_rows["lang_detected"].append(r["lang_detected"])
+        hyg_rows["perplexity"].append(round(r["perplexity"], 4))
+        hyg_rows["n_redactions"].append(r["n_redactions"])
+        hyg_rows["scrubbed_sha256"].append(r["scrubbed_sha256"])
+
+        aug = _augment_text(did, text)
+        scrubbed, findings = oracle_scrub(aug)
+        v = validate_row(aug, scrubbed, findings)
+        val_rows["doc_id"].append(did)
+        for k in ("residual_pii", "schema_violations", "adversarial_flags",
+                  "mixed_action_flags", "repeated_redaction_flags",
+                  "precision", "recall", "f1", "quality_score"):
+            val_rows[k].append(v[k])
+
+    def finish(rows: dict, int_cols: tuple[str, ...]) -> pa.Table:
+        t = pa.table({k: pa.array(v) for k, v in rows.items()})
+        for c in int_cols:
+            idx = t.schema.get_field_index(c)
+            t = t.set_column(idx, c, t.column(c).cast(pa.int64()))
+        return t.append_column(
+            "corpus_key", pa.array([corpus_key] * t.num_rows, type=pa.int64()))
+
+    return {
+        "langid_model": finish(lang_rows, ("doc_id",)),
+        "hygiene_full": finish(hyg_rows, ("doc_id", "n_redactions")),
+        "validation_metrics": finish(
+            val_rows, ("doc_id", "residual_pii", "schema_violations",
+                       "adversarial_flags", "mixed_action_flags",
+                       "repeated_redaction_flags")),
+    }
+
+
+def main() -> None:
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for sf_dir in SF_DIRS:
+        tag = os.path.basename(sf_dir).replace(".", "")
+        for name, table in gen_for_sf(sf_dir).items():
+            path = os.path.join(GOLDEN_DIR, f"{name}_{tag}.parquet")
+            pq.write_table(table, path)
+            print(f"wrote {path}: {table.num_rows} rows, "
+                  f"corpus_key={table.column('corpus_key')[0].as_py()}")
+
+
+if __name__ == "__main__":
+    main()

@@ -56,10 +56,44 @@ def oracle_pseudonym(entity_type: str, original: str) -> str:
     return fn(original) if fn else f"[PSEUDONYM_{t.upper()}]"
 
 
-def oracle_scrub(text: str) -> tuple[str, list[dict]]:
+def oracle_scrub(text: str, *, max_chars: int = spec.SCRUB_MAX_CHARS) -> tuple[str, list[dict]]:
     """Scrub one document per the spec; naive O(n*k) position-set
     claim logic like the reference (deterministic_extractor.py:227-231).
+
+    Oversized documents are segmented per spec.SCRUB_MAX_CHARS
+    (independent re-implementation of the engine's _segments rule:
+    split at the last newline inside each cap window, context flags
+    from the whole document).
     """
+    if len(text) > max_chars:
+        lower_all = text.lower()
+        doc_flags = (
+            any(k in lower_all for k in spec.PUBLIC_INDICATORS),
+            any(k in lower_all for k in spec.SECURITY_INDICATORS),
+            any(k in lower_all for k in spec.INTERNAL_INDICATORS),
+        )
+        out_parts: list[str] = []
+        out_findings: list[dict] = []
+        pos = 0
+        while pos < len(text):
+            end = min(pos + max_chars, len(text))
+            if end < len(text):
+                nl = text.rfind("\n", pos, end)
+                if nl > pos:
+                    end = nl + 1
+            seg_s, seg_f = _oracle_scrub_one(text[pos:end], doc_flags)
+            out_parts.append(seg_s)
+            for f in seg_f:
+                f["start"] += pos
+                f["end"] += pos
+            out_findings.extend(seg_f)
+            pos = end
+        return "".join(out_parts), out_findings
+    return _oracle_scrub_one(text, None)
+
+
+def _oracle_scrub_one(text: str,
+                      doc_flags: tuple[bool, bool, bool] | None) -> tuple[str, list[dict]]:
     spans = []  # (start, end, type, conf, method, suggested_action, text)
     for name, rx, conf, action in _BASE:
         for m in rx.finditer(text):
@@ -116,10 +150,14 @@ def oracle_scrub(text: str) -> tuple[str, list[dict]]:
             action = spec.FINDER_ACTION_BY_BASE_TYPE.get(base, spec.RETAIN)
             finder_spans.append([m.start(), m.end(), name, conf, "llm_finder", action, m.group()])
 
-    # document-context flags over the FULL text
-    has_public = any(k in lower for k in spec.PUBLIC_INDICATORS)
-    has_security = any(k in lower for k in spec.SECURITY_INDICATORS)
-    has_internal = any(k in lower for k in spec.INTERNAL_INDICATORS)
+    # document-context flags over the FULL text (pre-computed by the
+    # caller on the segmented path)
+    if doc_flags is not None:
+        has_public, has_security, has_internal = doc_flags
+    else:
+        has_public = any(k in lower for k in spec.PUBLIC_INDICATORS)
+        has_security = any(k in lower for k in spec.SECURITY_INDICATORS)
+        has_internal = any(k in lower for k in spec.INTERNAL_INDICATORS)
 
     def arbitrate(etype: str, suggested: str) -> str:
         if etype in spec.FORCE_REDACT_TYPES:

@@ -50,23 +50,43 @@ def read_source_files(paths: str | list[str], columns: list[str] | None = None) 
 
 def _add_keys(num_partitions: int, salt: int = 8):
     """Batch UDF factory: appends ``file_id`` (sha256 of the natural key,
-    SURVEY §2.2 M2) and the salted ``partition_id``."""
+    SURVEY §2.2 M2) and — unless the batch already carries one (the
+    partition_by='files' path) — the salted ``partition_id``."""
 
     def add_keys(batch: pa.Table) -> pa.Table:
         repos = batch.column("repo").to_pylist()
         paths = batch.column("path").to_pylist()
         commits = batch.column("commit").to_pylist()
         fids = []
-        pids = np.empty(len(repos), dtype=np.int64)
-        for i, (r, p, c) in enumerate(zip(repos, paths, commits)):
+        for r, p, c in zip(repos, paths, commits):
             fids.append(hashlib.sha256(f"{r}\x00{p}\x00{c}".encode()).hexdigest())
+        batch = batch.append_column("file_id", pa.array(fids, type=pa.string()))
+        if "partition_id" in batch.schema.names:
+            return batch
+        pids = np.empty(len(repos), dtype=np.int64)
+        for i, (r, p) in enumerate(zip(repos, paths)):
             hr = int.from_bytes(hashlib.sha1(r.encode()).digest()[:8], "big")
             hp = int.from_bytes(hashlib.sha1(p.encode()).digest()[:8], "big")
             pids[i] = (hr ^ (hp % salt)) % num_partitions
-        return batch.append_column("file_id", pa.array(fids, type=pa.string())) \
-                    .append_column("partition_id", pa.array(pids))
+        return batch.append_column("partition_id", pa.array(pids))
 
     return add_keys
+
+
+def _expand_input_files(paths: str | list[str]) -> list[str]:
+    """Concrete sorted parquet file list for partition_by='files'."""
+    import glob as _glob
+    import os
+    if isinstance(paths, str):
+        paths = [paths]
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(_glob.glob(os.path.join(p, "*.parquet")))
+        else:
+            hits = _glob.glob(p)
+            out.extend(hits if hits else [p])
+    return sorted(out)
 
 
 def hygiene_transform(ds: ray.data.Dataset, *, scorer_concurrency: int | tuple[int, int] = (2, 8),
@@ -223,29 +243,61 @@ def run_hygiene(input_paths: str | list[str], out_dir: str, *,
                 scorer_concurrency: int | tuple[int, int] = (2, 8),
                 batch_size: int = 512, write_batch_rows: int = 4096,
                 policy=None, validate: bool = False,
-                resume: bool = True) -> dict:
+                resume: bool = True, partition_by: str = "hash") -> dict:
     """End-to-end run with checkpoint-resume; returns the merged run
     summary. Ray must already be initialised by the caller.
 
-    Resume skips all per-row compute and writes for committed
-    partitions, but the input scan itself still reads every row (the
-    salted partition key is row-derived, not encoded in the input file
-    layout). If rescans matter at your scale, lay the INPUT out
-    partitioned by the same salted key so resume can prune files.
+    ``partition_by``:
+      * 'hash' (default) — partition_id = salted hash of (repo, path);
+        resume skips all per-row compute and writes for committed
+        partitions, but the input scan still reads every row (the key
+        is row-derived, not encoded in the input layout).
+      * 'files' — partition_id = index of the input parquet FILE
+        (sorted order); resume prunes the file list BEFORE the read, so
+        committed partitions cost zero I/O (VERDICT r1 #8). Requires a
+        stable file set between runs; num_partitions/salt are ignored.
+        The summary reports n_input_files / n_skipped_files. Skew note:
+        a mega-file still maps to one partition, but pieces are written
+        map-side so no single task exceeds one batch either way.
     """
     done = mf.completed_partitions(out_dir) if resume else set()
 
-    ds = read_source_files(input_paths)
-    ds = ds.map_batches(_add_keys(num_partitions, salt), batch_format="pyarrow")
-    if done:
-        done_arr = np.array(sorted(done), dtype=np.int64)
+    if partition_by == "files":
+        files = _expand_input_files(input_paths)
+        remaining = [(i, f) for i, f in enumerate(files) if i not in done]
+        n_skipped = len(files) - len(remaining)
+        if not remaining:
+            out = mf.merge_run_summary(out_dir)
+            out["n_input_files"] = len(files)
+            out["n_skipped_files"] = n_skipped
+            return out
+        # one lazy dataset per remaining file, each tagged with its
+        # partition id, unioned. (At very large file counts, prefer an
+        # input layout where the row's own key determines the file so
+        # the 'hash' mode prunes equivalently.)
+        parts = []
+        for pid, f in remaining:
+            d = ray.data.read_parquet(f, columns=SOURCE_COLUMNS)
 
-        def drop_done(batch: pa.Table) -> pa.Table:
-            pids = np.asarray(batch.column("partition_id"))
-            mask = ~np.isin(pids, done_arr)
-            return batch.filter(pa.array(mask))
+            def tag(batch: pa.Table, pid: int = pid) -> pa.Table:
+                return batch.append_column(
+                    "partition_id", pa.array(np.full(len(batch), pid, dtype=np.int64)))
 
-        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+            parts.append(d.map_batches(tag, batch_format="pyarrow"))
+        ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        ds = ds.map_batches(_add_keys(num_partitions, salt), batch_format="pyarrow")
+    else:
+        ds = read_source_files(input_paths)
+        ds = ds.map_batches(_add_keys(num_partitions, salt), batch_format="pyarrow")
+        if done:
+            done_arr = np.array(sorted(done), dtype=np.int64)
+
+            def drop_done(batch: pa.Table) -> pa.Table:
+                pids = np.asarray(batch.column("partition_id"))
+                mask = ~np.isin(pids, done_arr)
+                return batch.filter(pa.array(mask))
+
+            ds = ds.map_batches(drop_done, batch_format="pyarrow")
     ds = hygiene_transform(ds, scorer_concurrency=scorer_concurrency,
                            batch_size=batch_size, policy=policy, validate=validate)
     ds = ds.map_batches(_strip_for_output, batch_format="pyarrow")
@@ -254,4 +306,8 @@ def run_hygiene(input_paths: str | list[str], out_dir: str, *,
     committed = summaries.groupby("partition_id").map_groups(
         _manifest_committer(out_dir), batch_format="pyarrow")
     committed.count()  # consume (tiny: one row per partition)
-    return mf.merge_run_summary(out_dir)
+    out = mf.merge_run_summary(out_dir)
+    if partition_by == "files":
+        out["n_input_files"] = len(files)
+        out["n_skipped_files"] = n_skipped
+    return out

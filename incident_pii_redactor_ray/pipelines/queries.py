@@ -364,7 +364,25 @@ def q_multimodal_features(sf_dir: str):
     ds = media_from_documents(_docs(sf_dir, ["doc_id", "text"]))
     ds = ds.map_batches(MediaFeatureStage, batch_format="pyarrow", batch_size=64,
                         concurrency=2, fn_constructor_kwargs={"fake": True})
-    return ds.select_columns(["media_id", "media_type", "width", "height", "n_bytes", "features"])
+    ds = ds.select_columns(["media_id", "media_type", "width", "height", "n_bytes", "features"])
+
+    # flatten the list<double> feature vector to f0..f7 scalar columns:
+    # keeps the list-typed actor-pool plumbing exercised upstream while
+    # making the query hash-checkable against plain-SQL floats
+    from ..stages.multimodal import FEATURE_DIM
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        feats = batch.column("features")
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        mat = np.asarray(feats.flatten(), dtype=np.float64).reshape(len(feats), FEATURE_DIM)
+        cols = {n: batch.column(n) for n in
+                ("media_id", "media_type", "width", "height", "n_bytes")}
+        for i in range(FEATURE_DIM):
+            cols[f"f{i}"] = pa.array(mat[:, i])
+        return pa.table(cols)
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -630,6 +648,7 @@ def q_validation_metrics(sf_dir: str):
         v = batch.column("validation")
         cols = {"doc_id": batch.column("doc_id")}
         for f in ("residual_pii", "schema_violations", "adversarial_flags",
+                  "mixed_action_flags", "repeated_redaction_flags",
                   "precision", "recall", "f1", "quality_score"):
             cols[f] = v.combine_chunks().field(f)
         return pa.table(cols)
@@ -937,6 +956,23 @@ ORACLE_SQL = {
         "SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes FROM documents"
     ),
 
+    "multimodal_features": (
+        # reproduces multimodal.decode_image(fake=True): feature i =
+        # round(byte_i(sha256(payload)) / 255, 6), payload = utf-8 text
+        "WITH m AS (SELECT doc_id AS media_id, 'image' AS media_type, "
+        "  64::INT AS width, 64::INT AS height, "
+        "  octet_length(encode(text)) AS n_bytes, sha256(text) AS dg "
+        "  FROM documents) "
+        "SELECT media_id, media_type, width, height, n_bytes, "
+        + ", ".join(
+            "round((("
+            f"instr('0123456789abcdef', dg[{2 * i + 1}:{2 * i + 1}]) - 1) * 16 + "
+            f"instr('0123456789abcdef', dg[{2 * i + 2}:{2 * i + 2}]) - 1"
+            f")::DOUBLE / 255, 6) AS f{i}"
+            for i in range(8))
+        + " FROM m"
+    ),
+
     "orders_customer_join": (
         "SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment"
@@ -1070,16 +1106,37 @@ ORACLE_SQL = {
         "  UNION SELECT ed.dst, r.label FROM r JOIN ed ON ed.src = r.node) "
         "SELECT node AS doc_id, min(label) AS component FROM r GROUP BY node"
     ),
-    # Remaining queries without oracle SQL, each with the reason the
-    # driver's DuckDB check cannot express them:
-    #   simhash_pairs     -> SQL oracle below (bit-extraction scheme)
-    #   ann_ivf_topk      -> iterative k-means training (10 seeded
-    #                        Lloyd iterations) is not expressible in
-    #                        one SQL statement; pytest asserts recall
-    #                        vs the exact oracle instead
-    #   langid_model / hygiene_full / validation_metrics /
-    #   multimodal_features -> model inference (hashed n-gram NB,
-    #                        trigram LM) is not SQL; checked against a
-    #                        committed golden parquet (see GOLDEN_SQL
-    #                        entries added below) and pytest parity.
+    # --- golden-parquet oracles -------------------------------------
+    # langid / perplexity / keep-labels are model inference (hashed
+    # n-gram NB + trigram LM), not expressible as SQL over the input
+    # tables. Their oracle reads a COMMITTED golden parquet generated by
+    # the single-process reference oracle (fixtures/gen_golden.py —
+    # independent document-at-a-time scrub/keep implementation), sliced
+    # to the active corpus by corpus_key = sum(n_chars). This checks
+    # cross-implementation scrub/keep agreement and cross-run /
+    # cross-parallelism determinism of the model scores.
+    "langid_model": (
+        "SELECT g.doc_id, g.lang_detected, g.lang_confidence, g.perplexity "
+        "FROM read_parquet('/root/repo/golden/langid_model_*.parquet') g "
+        "WHERE g.corpus_key = (SELECT sum(n_chars) FROM documents)"
+    ),
+
+    "hygiene_full": (
+        "SELECT g.doc_id, g.keep, g.lang_detected, g.perplexity, "
+        "g.n_redactions, g.scrubbed_sha256 "
+        "FROM read_parquet('/root/repo/golden/hygiene_full_*.parquet') g "
+        "WHERE g.corpus_key = (SELECT sum(n_chars) FROM documents)"
+    ),
+
+    "validation_metrics": (
+        "SELECT g.doc_id, g.residual_pii, g.schema_violations, "
+        "g.adversarial_flags, g.mixed_action_flags, g.repeated_redaction_flags, "
+        "g.precision, g.recall, g.f1, g.quality_score "
+        "FROM read_parquet('/root/repo/golden/validation_metrics_*.parquet') g "
+        "WHERE g.corpus_key = (SELECT sum(n_chars) FROM documents)"
+    ),
+    # Only ann_ivf_topk remains without an oracle: its coarse quantizer
+    # is 10 seeded Lloyd iterations — an iterative training loop, not a
+    # SQL expression; tests/test_queries.py::test_ann_ivf_recall checks
+    # it against the exact brute-force result instead.
 }

@@ -216,6 +216,19 @@ LANGID_MIN_CONFIDENCE = 0.10      # drop: no language signal at all
 LANGID_PREFIX_BYTES = 512
 PERPLEXITY_PREFIX_BYTES = 4096
 
+#: scrub segmentation cap (part of the spec — engine and oracle both
+#: implement it): documents longer than this many chars are scrubbed in
+#: segments split at the last newline inside each cap window (hard split
+#: if a window has no newline). Patterns never match across a segment
+#: boundary BY SPEC; document-context flags (PUBLIC/SECURITY/INTERNAL
+#: indicators) still scan the whole document (cheap substring passes).
+#: This bounds one task's regex cost on a pathological 500 MB row — the
+#: scale-safe analogue of the reference's 1000-char chunking
+#: (src/parallel_processing_pipeline.py:266-335) without its
+#: span-splitting bug (chunk boundaries there cut spans mid-PII at any
+#: position; here boundaries prefer line breaks and the cap is ~10^6).
+SCRUB_MAX_CHARS = 1_000_000
+
 #: languages the langid model is trained for (seed corpora in
 #: stages/langid.py; 'code' langs share the English/profile space).
 LANGID_LANGS = ("en", "de", "es", "fr", "zh", "py", "js", "java", "go", "c")

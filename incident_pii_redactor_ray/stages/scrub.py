@@ -244,20 +244,63 @@ def _arbitrate(span: Span, flags: tuple[bool, bool, bool],
     return action
 
 
+def _segments(n: int, text: str, cap: int) -> list[tuple[int, int]]:
+    """Segment boundaries for the oversized-document path
+    (spec.SCRUB_MAX_CHARS): each segment is at most ``cap`` chars,
+    split at the last newline inside the window when one exists."""
+    out = []
+    pos = 0
+    while pos < n:
+        end = min(pos + cap, n)
+        if end < n:
+            nl = text.rfind("\n", pos, end)
+            if nl > pos:
+                end = nl + 1
+        out.append((pos, end))
+        pos = end
+    return out
+
+
 def scrub_text(text: str, *, base=_BASE, custom=_CUSTOM, finder_bank=_FINDER,
                force=spec.FORCE_REDACT_TYPES,
-               ctx_dep=spec.CONTEXT_DEPENDENT_TYPES) -> tuple[str, list[dict]]:
+               ctx_dep=spec.CONTEXT_DEPENDENT_TYPES,
+               max_chars: int = spec.SCRUB_MAX_CHARS) -> tuple[str, list[dict]]:
     """Scrub one document. Returns (scrubbed_text, findings).
 
     findings: list of dicts with entity_type/start/end/action/method/
     confidence, sorted by start, positions into the ORIGINAL text.
+
+    Documents over ``max_chars`` are scrubbed per segment (_segments):
+    bounds one task's regex cost on pathological rows; document-context
+    flags still come from the whole text (spec.SCRUB_MAX_CHARS note).
     """
+    if len(text) > max_chars:
+        flags = _doc_context_flags(text.lower())
+        pieces: list[str] = []
+        findings: list[dict] = []
+        for s, e in _segments(len(text), text, max_chars):
+            seg_scrubbed, seg_findings = _scrub_core(
+                text[s:e], flags, base, custom, finder_bank, force, ctx_dep)
+            pieces.append(seg_scrubbed)
+            for f in seg_findings:
+                f["start"] += s
+                f["end"] += s
+            findings.extend(seg_findings)
+        return "".join(pieces), findings
     text_lower = text.lower()
+    return _scrub_core(text, _doc_context_flags(text_lower), base, custom,
+                       finder_bank, force, ctx_dep, text_lower=text_lower)
+
+
+def _scrub_core(text: str, flags: tuple[bool, bool, bool], base, custom,
+                finder_bank, force, ctx_dep,
+                text_lower: str | None = None) -> tuple[str, list[dict]]:
+    if text_lower is None:
+        text_lower = text.lower()
     d = _HAS_DIGIT.search(text) is not None
     u = _HAS_UPPER.search(text) is not None
     spans = _resolve_overlaps(_detect_deterministic(text, text_lower, d, u, base, custom))
     finder = _detect_finder(text, text_lower, spans, d, u, finder_bank)
-    flags = _doc_context_flags(text_lower)
 
     all_spans = spans + finder
     findings: list[dict] = []

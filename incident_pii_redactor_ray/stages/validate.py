@@ -9,6 +9,12 @@ Re-expresses the reference's ``quality_validator.py`` as ONE stateless
   covered by findings and texts matching the exclusion patterns.
 * M17 schema integrity (quality_validator.py:167-254): line-count
   match, structural-pattern count deltas, bracket/quote deltas > 2.
+* M18 consistency (quality_validator.py:256-368): mixed final actions
+  per entity type (medium) and >10 identical REDACT replacements
+  (medium). Pseudonym-consistency (quality_validator.py:287-315) is
+  structurally impossible here — pseudonyms are pure md5 functions of
+  (type, text.lower()), so one key can never map to two replacements —
+  and contributes a constant 0.
 * M19 adversarial (quality_validator.py:370-431): obfuscation regexes
   + suspicion heuristics over the scrubbed text.
 * M20 quality metrics (quality_validator.py:527-577): precision /
@@ -70,6 +76,10 @@ _ADV = [(n, re.compile(p)) for n, p in ADVERSARIAL_PATTERNS]
 
 _SEV_WEIGHT = {"critical": 0.3, "high": 0.2, "medium": 0.1, "low": 0.05}
 
+# M18: REDACT replacement literal per base type (spec.REDACTION_LITERALS
+# mirror, used only to count identical replacements)
+from ..spec import REDACTION_LITERALS as _REDACTION_LITERALS  # noqa: E402
+
 
 def _excluded(text: str) -> bool:
     return any(rx.search(text) for rx in _EXCL)
@@ -110,6 +120,20 @@ def validate_row(original: str, scrubbed: str, findings: list[dict]) -> dict:
         schema_violations += 1
         issues["low"] += 1
 
+    # M18 consistency checks (quality_validator.py:317-368)
+    actions_by_type: dict[str, set] = {}
+    redact_counts: dict[str, int] = {}
+    for f in findings:
+        actions_by_type.setdefault(f["entity_type"], set()).add(f["action"])
+        if f["action"] == "REDACT":
+            t = f["entity_type"]
+            base = t[len("custom_"):] if t.startswith("custom_") else t
+            rep = _REDACTION_LITERALS.get(base, "[REDACTED]")
+            redact_counts[rep] = redact_counts.get(rep, 0) + 1
+    mixed_action_flags = sum(1 for a in actions_by_type.values() if len(a) > 1)
+    repeated_redaction_flags = sum(1 for c in redact_counts.values() if c > 10)
+    issues["medium"] += mixed_action_flags + repeated_redaction_flags
+
     adversarial = 0
     for name, rx in _ADV:
         for m in rx.finditer(scrubbed):
@@ -140,6 +164,8 @@ def validate_row(original: str, scrubbed: str, findings: list[dict]) -> dict:
         "residual_pii": residual,
         "schema_violations": schema_violations,
         "adversarial_flags": adversarial,
+        "mixed_action_flags": mixed_action_flags,
+        "repeated_redaction_flags": repeated_redaction_flags,
         "precision": round(precision, 6),
         "recall": round(recall, 6),
         "f1": round(f1, 6),
@@ -151,6 +177,8 @@ VALIDATION_TYPE = pa.struct([
     ("residual_pii", pa.int64()),
     ("schema_violations", pa.int64()),
     ("adversarial_flags", pa.int64()),
+    ("mixed_action_flags", pa.int64()),
+    ("repeated_redaction_flags", pa.int64()),
     ("precision", pa.float64()),
     ("recall", pa.float64()),
     ("f1", pa.float64()),

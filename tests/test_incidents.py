@@ -146,3 +146,31 @@ def test_validate_batch_shape():
     out = validate_batch(b)
     v = out.column("validation")[0].as_py()
     assert v["residual_pii"] == 0 and v["precision"] == 1.0
+
+
+def test_validate_m18_mixed_actions_flag():
+    """M18 (quality_validator.py:317-341): an entity type appearing with
+    two different final actions in one document is flagged once."""
+    from incident_pii_redactor_ray.stages.validate import validate_row
+    findings = [
+        {"entity_type": "ip_address", "start": 0, "end": 8, "action": "PSEUDONYMIZE"},
+        {"entity_type": "ip_address", "start": 20, "end": 28, "action": "RETAIN"},
+        {"entity_type": "email", "start": 40, "end": 50, "action": "REDACT"},
+    ]
+    v = validate_row("x" * 60, "x" * 60, findings)
+    assert v["mixed_action_flags"] == 1
+    assert v["repeated_redaction_flags"] == 0
+
+
+def test_validate_m18_repeated_redactions_flag():
+    """M18 (quality_validator.py:343-368): >10 identical REDACT
+    replacements in one document raise the over-redaction flag."""
+    from incident_pii_redactor_ray.stages.validate import validate_row
+    findings = [{"entity_type": "email", "start": i * 10, "end": i * 10 + 5,
+                 "action": "REDACT"} for i in range(11)]
+    v = validate_row("y" * 200, "y" * 200, findings)
+    assert v["repeated_redaction_flags"] == 1
+    assert v["mixed_action_flags"] == 0
+    # 11 REDACTs at threshold 10 -> exactly one medium issue beyond the
+    # residual/schema checks on this clean text
+    assert v["quality_score"] <= 0.9

@@ -99,7 +99,10 @@ def test_multimodal_features(registry):
     qs, _ = registry
     df = to_pandas(qs["multimodal_features"](SF))
     assert len(df) == 500
-    assert all(len(f) == 8 for f in df["features"])
+    feat_cols = [f"f{i}" for i in range(8)]
+    assert all(c in df.columns for c in feat_cols)
+    assert df[feat_cols].notna().all().all()
+    assert ((df[feat_cols] >= 0) & (df[feat_cols] <= 1)).all().all()
     assert (df["n_bytes"] > 0).all()
 
 

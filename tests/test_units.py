@@ -176,3 +176,41 @@ def test_forced_finder_span_is_spliced():
     assert forced and all(x["action"] == "REDACT" for x in forced)
     assert "proprietary" not in s  # text actually spliced
     assert "[REDACTED]" in s
+
+
+def test_oversized_doc_segmented_scrub_parity():
+    """VERDICT r1 #7: documents over the scrub cap are segmented (last
+    newline inside each cap window); engine and oracle implement the
+    rule independently and must agree byte-for-byte. Uses a small cap to
+    keep the test fast — the cap is spec'd, not hardcoded."""
+    from incident_pii_redactor_ray.oracle.reference_oracle import oracle_scrub as osc
+
+    body = ("line alpha beta gamma\n" * 40 +
+            "reach me at big.doc@example.com now\n" +
+            "lines delta epsilon\n" * 40 +
+            "server 10.9.8.7 managed by Maria Garcia\n" +
+            "tail words omega\n" * 40)
+    text = body * 3  # ~3 segments at cap=2000
+    s_e, f_e = scrub_text(text, max_chars=2000)
+    s_o, f_o = osc(text, max_chars=2000)
+    assert s_e == s_o
+    assert f_e == f_o
+    assert "[REDACTED_EMAIL]" in s_e and "big.doc@example.com" not in s_e
+    # findings positions index the ORIGINAL text across segments
+    for f in f_e:
+        if f["entity_type"] == "email":
+            assert text[f["start"]:f["end"]] == "big.doc@example.com"
+    # un-segmented scrub of the same text (huge cap) gives the same
+    # result here because no span straddles a segment boundary
+    s_full, _ = scrub_text(text)
+    assert s_full == s_e
+
+
+def test_oversized_doc_no_newline_hard_split():
+    """A cap window with no newline hard-splits; both sides agree."""
+    from incident_pii_redactor_ray.oracle.reference_oracle import oracle_scrub as osc
+
+    text = ("word " * 1000).strip()  # 4999 chars, no newline
+    s_e, f_e = scrub_text(text, max_chars=1500)
+    s_o, f_o = osc(text, max_chars=1500)
+    assert (s_e, f_e) == (s_o, f_o)

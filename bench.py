@@ -120,24 +120,41 @@ def run_scaling() -> dict:
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # one measurement per level (each internally best-of-2 on the big
-    # corpus); the 2x corpus amortizes the ~3s fixed costs that would
-    # otherwise cap the short 32-CPU run's efficiency
+    # INTERLEAVED A/B/A/B measurement (VERDICT r1 #10): alternating the
+    # CPU levels means slow host drift (thermal, page cache, background
+    # load) hits both levels equally instead of biasing one, so the
+    # recorded efficiency can't land on a one-sided outlier. Each run()
+    # is a fresh process, internally best-of-2 on the 2x corpus (the
+    # bigger corpus amortizes the ~3s fixed costs that would otherwise
+    # cap the short 32-CPU run's efficiency).
     lo, hi = 8, 32
-    runs_lo = [run(lo)]
-    runs_hi = [run(hi)]
+    runs_lo: list[dict] = []
+    runs_hi: list[dict] = []
+    for _ in range(2):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+
+    def med(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+    t_lo_all = [r["value"] for r in runs_lo]
+    t_hi_all = [r["value"] for r in runs_hi]
+    t_lo, t_hi = min(t_lo_all), min(t_hi_all)
+    eff_min = (t_lo / t_hi) / (hi / lo)
+    eff_med = (med(t_lo_all) / med(t_hi_all)) / (hi / lo)
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "cpus": [lo, hi],
         "sec": [t_lo, t_hi],
-        "sec_all_runs": {"8": [r["value"] for r in runs_lo],
-                         "32": [r["value"] for r in runs_hi]},
+        "sec_all_runs": {"8": t_lo_all, "32": t_hi_all},
+        "sec_median": [med(t_lo_all), med(t_hi_all)],
         "files_per_sec": [r_lo["files_per_sec"], r_hi["files_per_sec"]],
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": round(eff_min, 3),
+        "scaling_efficiency_median": round(eff_med, 3),
     }
 
 

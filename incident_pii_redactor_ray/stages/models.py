@@ -71,6 +71,18 @@ def trigram_ids(ids: np.ndarray) -> np.ndarray:
     return (ids[:-2].astype(np.int64) * K2 + ids[1:-1] * K + ids[2:])
 
 
+def langid_feature_ids(ids: np.ndarray) -> np.ndarray:
+    """LangIdModel feature stream: trigrams plus bigrams (offset by K^3
+    into their own id space). Bigrams sharpen short-document profiles —
+    a 1-sentence doc has ~2x the feature evidence (fastText-style
+    multi-order char n-grams)."""
+    tri = trigram_ids(ids)
+    if len(ids) < 2:
+        return tri
+    bi = (ids[:-1].astype(np.int64) * K + ids[1:]) + K3
+    return np.concatenate([tri, bi])
+
+
 class PerplexityModel:
     """Character-trigram LM, add-k smoothing, trained on the seed text of
     every language pooled together ("what well-formed text looks like").
@@ -136,8 +148,8 @@ class LangIdModel:
         mat = np.zeros((len(self.langs), self.N_BUCKETS), dtype=np.float64)
         for li, lang in enumerate(self.langs):
             ids = symbol_ids(np.frombuffer(SEEDS[lang].encode("utf-8"), dtype=np.uint8))
-            tri = trigram_ids(ids) % self.N_BUCKETS
-            mat[li] += np.bincount(tri, minlength=self.N_BUCKETS)
+            feats = langid_feature_ids(ids) % self.N_BUCKETS
+            mat[li] += np.bincount(feats, minlength=self.N_BUCKETS)
         totals = mat.sum(axis=1, keepdims=True)
         self.logp = np.log(mat + self.ADD_K) - np.log(totals + self.ADD_K * self.N_BUCKETS)
 
@@ -154,12 +166,12 @@ class LangIdModel:
         ids_all = symbol_ids(data)
         for i in range(n):
             end = min(offsets[i + 1], offsets[i] + cap)
-            tri = trigram_ids(ids_all[offsets[i]:end])
-            if len(tri) == 0:
+            feats = langid_feature_ids(ids_all[offsets[i]:end])
+            if len(feats) == 0:
                 langs_out.append("")
                 continue
-            cnt = np.bincount(tri % self.N_BUCKETS, minlength=self.N_BUCKETS)
-            scores = (self.logp * cnt).sum(axis=1) / len(tri)
+            cnt = np.bincount(feats % self.N_BUCKETS, minlength=self.N_BUCKETS)
+            scores = (self.logp * cnt).sum(axis=1) / len(feats)
             top = int(np.argmax(scores))
             e = np.exp(scores - scores[top])
             conf = 1.0 / e.sum()

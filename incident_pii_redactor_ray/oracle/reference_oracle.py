@@ -174,11 +174,15 @@ def _oracle_scrub_one(text: str,
 
     findings = []
     for s in sorted(resolved + finder_spans, key=lambda s: (s[0], s[1])):
+        review = s[3] < 0.7
         findings.append({
             "entity_type": s[2], "start": s[0], "end": s[1],
             "action": arbitrate(s[2], s[5]), "method": s[4],
             "confidence": round(s[3], 4),
-            "requires_llm_review": s[3] < 0.7,
+            "requires_llm_review": review,
+            # M12 metadata (spec.LLM_REVIEW_CONFIDENCE_MULTIPLIER note)
+            "llm_confidence": (round(s[3] * spec.LLM_REVIEW_CONFIDENCE_MULTIPLIER, 4)
+                               if review else None),
         })
 
     # splice every non-RETAIN span (finder spans included — mirrors

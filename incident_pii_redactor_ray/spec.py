@@ -127,6 +127,24 @@ FINDER_INCIDENT_INDICATORS = ("incident", "breach", "outage", "failure", "issue"
 FINDER_CONTEXT_WINDOW = 100
 
 # --------------------------------------------------------------------------
+# M12 — simulated LLM span analysis (metadata only; never changes text
+# or labels). The reference enriches candidate spans
+# (requires_llm_review) with confidence_score =
+#   conf + _get_confidence_adjustment(span)
+# (src/processing/llm_detector.py:368) where _get_confidence_adjustment
+# (llm_detector.py:244-257) looks up round(conf, 1) in a table keyed
+# {0.85, 0.75, 0.65, 0.45} — values round(x, 1) can never produce, so
+# the lookup always misses, the adjustment is 0, and the function
+# returns clamp01(conf + 0) = conf. The effective reference behavior is
+# therefore confidence_score = 2 * conf (uncapped), which we reproduce
+# as the findings field ``llm_confidence`` for candidate spans.
+# (The flat +0.1 path at src/core/llm_clients.py:262-275 belongs to the
+# GPT4o client's API-failure fallback, not the wired simulator.)
+# --------------------------------------------------------------------------
+
+LLM_REVIEW_CONFIDENCE_MULTIPLIER = 2.0
+
+# --------------------------------------------------------------------------
 # Arbitration (src/processing/arbitration_engine.py:64-150)
 # --------------------------------------------------------------------------
 

@@ -308,6 +308,7 @@ def _scrub_core(text: str, flags: tuple[bool, bool, bool], base, custom,
         s.action = _arbitrate(s, flags, force, ctx_dep)
     all_spans.sort(key=lambda s: (s.start, s.end))
     for s in all_spans:
+        review = s.confidence < 0.7
         findings.append({
             "entity_type": s.entity_type,
             "start": s.start,
@@ -318,7 +319,13 @@ def _scrub_core(text: str, flags: tuple[bool, bool, bool], base, custom,
             # M8 candidate flag (deterministic_extractor.py:362): the
             # keyword method no longer exists, so this reduces to the
             # confidence test
-            "requires_llm_review": s.confidence < 0.7,
+            "requires_llm_review": review,
+            # M12 simulated-analysis metadata (spec.py: the reference's
+            # dead adjustment table makes this 2 * conf); null for
+            # non-candidate spans, never affects action or text
+            "llm_confidence": (
+                round(s.confidence * spec.LLM_REVIEW_CONFIDENCE_MULTIPLIER, 4)
+                if review else None),
         })
 
     # splice (arbitration_engine.py:222-272) over EVERY non-RETAIN span,
@@ -350,6 +357,7 @@ FINDINGS_TYPE = pa.list_(pa.struct([
     ("method", pa.string()),
     ("confidence", pa.float64()),
     ("requires_llm_review", pa.bool_()),
+    ("llm_confidence", pa.float64()),
 ]))
 
 

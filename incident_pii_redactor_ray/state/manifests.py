@@ -151,6 +151,26 @@ def merge_run_summary(out_dir: str) -> dict[str, Any]:
         for k, v in m["redaction_counts"].items():
             red_counts[k] = red_counts.get(k, 0) + v
         hist += np.asarray(m["ppl_hist"], dtype=np.int64)
+    # M21 recommendations (threshold-based advice strings, the minimal
+    # analogue of quality_validator.py:579-622; SURVEY marks the tier
+    # low-value so this is deliberately a handful of rules, stated here
+    # rather than omitted)
+    recs: list[str] = []
+    n_red = sum(red_counts.values())
+    if total:
+        keep_frac = kept / total
+        if keep_frac < 0.5:
+            recs.append(f"keep fraction {keep_frac:.2f} < 0.5: "
+                        "review quality/langid thresholds before training")
+        if n_red / total > 5:
+            recs.append(f"{n_red / total:.1f} redactions/doc: corpus is "
+                        "PII-dense; consider source filtering upstream")
+        if not red_counts:
+            recs.append("0 redactions across the corpus: verify detector "
+                        "config if PII was expected")
+    if not recs:
+        recs.append("no action needed")
+
     summary = {
         "n_partitions": len(manifests),
         "n_rows": total,
@@ -160,6 +180,7 @@ def merge_run_summary(out_dir: str) -> dict[str, Any]:
         "redaction_counts": dict(sorted(red_counts.items())),
         "perplexity_quantiles": dict(zip(map(str, PPL_QUANTILES),
                                          ppl_quantiles_from_hist(hist))),
+        "recommendations": recs,
     }
     with open(os.path.join(out_dir, "run_summary.json"), "w") as f:
         json.dump(summary, f, sort_keys=True, indent=1)

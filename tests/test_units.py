@@ -235,3 +235,22 @@ def test_langid_accuracy_short_docs():
                 ok += pred[0] == lang
                 total += 1
         assert ok / total >= floor, (n_sent, ok / total)
+
+
+def test_llm_confidence_metadata():
+    """M12 (llm_detector.py:244-257,368): candidate spans (conf < 0.7)
+    carry llm_confidence = 2 * conf — the reference's dead adjustment
+    table makes the lookup always miss; see spec.py. Non-candidates get
+    null. Never affects action or text."""
+    text = "per the incident report the proprietary algorithm leaked and mail a.b@c.io"
+    s, f = scrub_text(text)
+    from incident_pii_redactor_ray.oracle.reference_oracle import oracle_scrub as osc
+    s_o, f_o = osc(text)
+    assert f == f_o
+    finder = [x for x in f if x["method"] == "llm_finder"]
+    assert finder, "finder span expected"
+    for x in f:
+        if x["requires_llm_review"]:
+            assert x["llm_confidence"] == round(2 * x["confidence"], 4)
+        else:
+            assert x["llm_confidence"] is None

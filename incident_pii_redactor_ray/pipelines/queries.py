@@ -186,6 +186,24 @@ def q_doc_fingerprint(sf_dir: str):
     return ds.select_columns(["doc_id", "fingerprint"])
 
 
+def q_bpe_token_count(sf_dir: str):
+    """Subword token-budget estimate (BPE-ish: <=4-char word chunks +
+    punctuation chars) — the deterministic stand-in for a real BPE
+    tokenizer when sizing training corpora."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = ds.map_batches(textstats.bpe_token_count_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_bpe_tokens"])
+
+
+def q_winnow_fingerprint(sf_dir: str):
+    """Winnowing fingerprints (Schleimer et al. 2003): k-gram rolling
+    md5 hashes, window-min selection — the plagiarism/near-dup
+    fingerprint family the plain md5 fingerprint can't provide."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = ds.map_batches(textstats.winnow_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_fingerprints", "min_fingerprint"])
+
+
 # --------------------------------------------------------------------------
 # C. scrub (the reference's core M3-M15 chain, SQL-checkable slice)
 # --------------------------------------------------------------------------
@@ -731,6 +749,8 @@ QUERIES = {
     "lang_markers": q_lang_markers,
     "doc_fingerprint": q_doc_fingerprint,
     "train_val_split": q_train_val_split,
+    "bpe_token_count": q_bpe_token_count,
+    "winnow_fingerprint": q_winnow_fingerprint,
     "scrub_redact": q_scrub_redact,
     "scrub_findings": q_scrub_findings,
     "exact_dedup": q_exact_dedup,
@@ -864,6 +884,31 @@ ORACLE_SQL = {
     "doc_fingerprint": (
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint "
         "FROM documents"
+    ),
+
+    "bpe_token_count": (
+        "SELECT doc_id, (coalesce(list_sum([(len(w) + 3) // 4 "
+        "  for w in regexp_extract_all(text, '[A-Za-z0-9_]+')]), 0) "
+        "  + len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')))::BIGINT AS n_bpe_tokens "
+        "FROM documents"
+    ),
+
+    "winnow_fingerprint": (
+        # engine semantics (textstats.winnow_fingerprints): k=5 char
+        # grams of the whitespace-normalized lowercase text, hashed
+        # md5[:16]; each window of 4 consecutive gram hashes contributes
+        # its minimum; distinct selected hashes are the fingerprint set
+        "WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t "
+        "  FROM documents), "
+        "g AS (SELECT doc_id, CASE WHEN len(t) >= 5 THEN "
+        "  [md5(t[i:i+4])[1:16] for i in generate_series(1, len(t) - 4)] "
+        "  ELSE []::VARCHAR[] END AS grams FROM n), "
+        "p AS (SELECT doc_id, CASE WHEN len(grams) = 0 THEN []::VARCHAR[] "
+        "  WHEN len(grams) <= 4 THEN [list_min(grams)] "
+        "  ELSE list_distinct([list_min(grams[i:i+3]) "
+        "    for i in generate_series(1, len(grams) - 3)]) END AS fps FROM g) "
+        "SELECT doc_id, len(fps)::BIGINT AS n_fingerprints, "
+        "coalesce(list_min(fps), '') AS min_fingerprint FROM p"
     ),
 
     "train_val_split": (

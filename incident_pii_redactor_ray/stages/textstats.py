@@ -91,3 +91,63 @@ def doc_quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             .append_column("n_tokens", pa.array(n_tokens))
             .append_column("punct_ratio", pa.array(punct_ratio))
             .append_column("stopword_ratio", pa.array(stop_ratio)))
+
+
+# BPE-ish subword token estimate: word tokens split into <=4-char
+# chunks plus standalone punctuation — the cheap deterministic stand-in
+# for a real BPE vocab (token-budget estimation for training corpora).
+# SQL-expressible: sum over regex word matches of ceil(len/4) + number
+# of non-word/non-space chars.
+_BPE_WORD_RX = __import__("re").compile(r"[A-Za-z0-9_]+")
+_BPE_PUNCT_RX = __import__("re").compile(r"[^A-Za-z0-9_\s]")
+_BPE_CHUNK = 4
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Appends ``n_bpe_tokens``: sum of ceil(len(word)/4) over word
+    tokens plus one token per punctuation char."""
+    out = []
+    for t in batch.column(text_col).to_pylist():
+        t = t or ""
+        n = sum((len(w) + _BPE_CHUNK - 1) // _BPE_CHUNK
+                for w in _BPE_WORD_RX.findall(t))
+        n += len(_BPE_PUNCT_RX.findall(t))
+        out.append(n)
+    return batch.append_column("n_bpe_tokens", pa.array(out, type=pa.int64()))
+
+
+def winnow_fingerprints(text: str, *, k: int = 5, window: int = 4) -> list[str]:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    md5 char-k-gram hashes over the normalized text; each sliding window
+    of ``window`` consecutive k-gram hashes contributes its minimum
+    (rightmost on ties, per the robust-winnowing rule of picking a
+    deterministic tie holder); the distinct selected hashes are the
+    fingerprint set. md5-hex comparison makes it SQL-reproducible."""
+    norm = " ".join(text.lower().split())
+    if len(norm) < k:
+        return []
+    import hashlib as _hl
+    grams = [_hl.md5(norm[i:i + k].encode()).hexdigest()[:16]
+             for i in range(len(norm) - k + 1)]
+    if len(grams) <= window:
+        return sorted({min(grams)})
+    picked: set[str] = set()
+    for i in range(len(grams) - window + 1):
+        w = grams[i:i + window]
+        m = min(w)
+        # rightmost minimum in the window (deterministic tie holder)
+        idx = max(j for j, g in enumerate(w) if g == m)
+        picked.add(w[idx])
+    return sorted(picked)
+
+
+def winnow_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Appends ``n_fingerprints`` and ``min_fingerprint`` (lexicographic
+    min of the winnowed set; '' for texts shorter than k)."""
+    ns, mins = [], []
+    for t in batch.column(text_col).to_pylist():
+        fps = winnow_fingerprints(t or "")
+        ns.append(len(fps))
+        mins.append(fps[0] if fps else "")
+    return (batch.append_column("n_fingerprints", pa.array(ns, type=pa.int64()))
+                 .append_column("min_fingerprint", pa.array(mins, type=pa.string())))

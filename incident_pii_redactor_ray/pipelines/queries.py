@@ -610,6 +610,23 @@ def q_session_windows(sf_dir: str):
     return session_windows(ev, gap="30min")
 
 
+def q_sliding_window(sf_dir: str):
+    """Sliding 1-hour window hopping every 30 min over the events
+    stream — completes the window family (tumbling / session / sliding)."""
+    from ..stages.relational import sliding_window
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+    return sliding_window(ev, window="1h", hop="30min")
+
+
+def q_approx_distinct(sf_dir: str):
+    """KMV distinct-count sketch over lineitem.l_orderkey — a
+    deterministic approximate sketch the driver can still hash-check
+    (stages/sketches.py)."""
+    from ..stages.sketches import approx_distinct
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    return approx_distinct(ds, "l_orderkey", k=256)
+
+
 def q_dedup_components(sf_dir: str):
     """Connected components over the MinHash near-dup pairs — each
     near-dup cluster collapses to its minimum doc id (the survivor)."""
@@ -776,6 +793,8 @@ QUERIES = {
     "event_props": q_event_props,
     "toxicity_scores": q_toxicity_scores,
     "session_windows": q_session_windows,
+    "sliding_window": q_sliding_window,
+    "approx_distinct": q_approx_distinct,
     "dedup_components": q_dedup_components,
     "pseudonym_map": q_pseudonym_map,
     "validation_metrics": q_validation_metrics,
@@ -1090,6 +1109,32 @@ ORACLE_SQL = {
         "  ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
         "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
         "count(*)::BIGINT AS n_events FROM s GROUP BY user_id, sid"
+    ),
+
+    "sliding_window": (
+        # epoch-aligned 30-min hop floor (matches pandas dt.floor);
+        # each event lands in window/hop = 2 windows
+        "SELECT event_type, window_start, count(*)::BIGINT AS n_events, "
+        "round(sum(value), 4) AS value_sum FROM ("
+        "  SELECT event_type, value, "
+        "  ts - to_microseconds(epoch_us(ts) % 1800000000) "
+        "     - to_microseconds(i.i * 1800000000) AS window_start "
+        "  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) i) "
+        "GROUP BY event_type, window_start"
+    ),
+
+    "approx_distinct": (
+        # stages/sketches.py KMV: hash fraction = first 8 hex of md5 over
+        # 16^8 (dyadic -> bit-exact as a digit sum); estimate =
+        # floor((k-1)/kth * 1e4 + 0.5)/1e4 with k = 256
+        "WITH h AS (SELECT DISTINCT md5(l_orderkey::VARCHAR) AS hx FROM lineitem), "
+        "f AS (SELECT DISTINCT list_sum([(instr('0123456789abcdef', hx[i:i]) - 1) "
+        "  / pow(16, i) for i in generate_series(1, 8)]) AS frac FROM h), "
+        "k AS (SELECT frac FROM f ORDER BY frac LIMIT 256), "
+        "s AS (SELECT count(*) AS n, max(frac) AS kth FROM k) "
+        "SELECT CASE WHEN n < 256 THEN n::DOUBLE "
+        "ELSE floor((256 - 1) / kth * 10000 + 0.5) / 10000 END AS estimate, "
+        "n::BIGINT AS n_kept FROM s"
     ),
 
     "pseudonym_map": (

@@ -134,6 +134,47 @@ def tumbling_window(events: ray.data.Dataset, *, ts_col: str = "ts",
     return out.map_batches(final, batch_format="pandas")
 
 
+def sliding_window(events: ray.data.Dataset, *, ts_col: str = "ts",
+                   key_col: str = "event_type", value_col: str = "value",
+                   window: str = "1h", hop: str = "30min") -> ray.data.Dataset:
+    """Sliding (hopping) window aggregate: each event contributes to the
+    window/hop hop-aligned windows covering its timestamp; per-batch
+    partial aggregation shrinks the shuffle to one row per
+    (key, window_start) per batch before ONE groupby — same shape as
+    tumbling_window with a bounded replicate factor instead of 1.
+    Returns (key, window_start, n_events, value_sum rounded 4).
+    """
+    window_td, hop_td = pd.Timedelta(window), pd.Timedelta(hop)
+    n_hops = int(window_td / hop_td)
+    if window_td != n_hops * hop_td:
+        raise ValueError("window must be a multiple of hop")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        base = batch[ts_col].dt.floor(hop)
+        parts = []
+        for i in range(n_hops):
+            p = pd.DataFrame({key_col: batch[key_col],
+                              "window_start": base - i * hop_td,
+                              value_col: batch[value_col]})
+            parts.append(p)
+        rep = pd.concat(parts, ignore_index=True)
+        return (rep.groupby([key_col, "window_start"], as_index=False)
+                   .agg(n=(value_col, "size"), s=(value_col, "sum")))
+
+    from ray.data.aggregate import Sum
+
+    partials = events.map_batches(partial, batch_format="pandas")
+    out = partials.groupby([key_col, "window_start"]).aggregate(
+        Sum("n", alias_name="n_events"), Sum("s", alias_name="value_sum"))
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["value_sum"] = batch["value_sum"].round(4)
+        batch["n_events"] = batch["n_events"].astype("int64")
+        return batch
+
+    return out.map_batches(final, batch_format="pandas")
+
+
 def session_windows(events: ray.data.Dataset, *, ts_col: str = "ts",
                     key_col: str = "user_id", gap: str = "30min") -> ray.data.Dataset:
     """Session windowing: one groupby(key) co-locates a key's events,

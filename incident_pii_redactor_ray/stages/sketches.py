@@ -1,0 +1,72 @@
+"""Mergeable distinct-count sketch: KMV (k minimum values).
+
+The reference has no sketches (SURVEY §2.5 "no distinct-count
+sketches"); this is one of the engine's training-data additions. KMV is
+chosen over HLL because it is fully DETERMINISTIC given a fixed hash —
+the k smallest md5 values of the distinct keys — so the driver can
+hash-check the approximate estimate against an exact SQL reproduction
+(ORACLE_SQL['approx_distinct']); an HLL register array would only be
+comparable against itself.
+
+Estimator (Beyer et al., PODS 2007): with K the k-th smallest of the
+distinct hash fractions in [0, 1), distinct ≈ (k - 1) / K; if fewer
+than k distinct hashes exist the sketch IS the exact distinct set.
+
+The hash fraction uses the FIRST 8 HEX CHARS of md5 only: a 32-bit
+numerator over 16^8 is a dyadic rational representable exactly in a
+float64, so the engine's int(hx[:8], 16) / 16**8 and the SQL's
+digit-by-digit sum are bit-identical (full-16-hex fractions would
+differ in the last ulp between one division and a 16-term sum).
+
+Distributed shape: per batch, keep the <= k smallest distinct hashes
+(map-side combine); ONE tiny groupby merges the per-batch partials
+(shuffle volume: k hashes per batch, never the column).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+FRAC_DENOM = 16 ** 8
+
+
+def _hash_fracs(values: list) -> np.ndarray:
+    out = np.empty(len(values), dtype=np.float64)
+    for i, v in enumerate(values):
+        hx = hashlib.md5(str(v).encode()).hexdigest()
+        out[i] = int(hx[:8], 16) / FRAC_DENOM
+    return out
+
+
+def kmv_estimate(fracs: np.ndarray, k: int) -> tuple[float, int]:
+    """(estimate, n_kept) from a merged, deduplicated fraction array."""
+    fracs = np.unique(fracs)
+    if len(fracs) < k:
+        return float(len(fracs)), len(fracs)
+    kth = fracs[k - 1]
+    return float(np.floor((k - 1) / kth * 1e4 + 0.5) / 1e4), k
+
+
+def approx_distinct(ds: ray.data.Dataset, col: str, *, k: int = 256) -> pd.DataFrame:
+    """One-row DataFrame (estimate: double, n_kept: int64) for the
+    approximate distinct count of ``col``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_pylist()
+        fr = np.unique(_hash_fracs(vals))[:k]
+        return pa.table({"g": pa.array(np.zeros(len(fr), dtype=np.int64)),
+                         "frac": pa.array(fr)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        est, kept = kmv_estimate(g["frac"].to_numpy(), k)
+        return pd.DataFrame({"estimate": pd.Series([est], dtype="float64"),
+                             "n_kept": pd.Series([kept], dtype="int64")})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("g").map_groups(merge, batch_format="pandas"))
+    return out.to_pandas()

@@ -183,6 +183,10 @@ def _oracle_scrub_one(text: str,
             # M12 metadata (spec.LLM_REVIEW_CONFIDENCE_MULTIPLIER note)
             "llm_confidence": (round(s[3] * spec.LLM_REVIEW_CONFIDENCE_MULTIPLIER, 4)
                                if review else None),
+            # M22 metadata (spec.FALSE_POSITIVE_PATTERNS; independent
+            # naive re-check, re.match semantics like the reference)
+            "likely_false_positive": any(
+                re.match(p, s[6]) for p in spec.FALSE_POSITIVE_PATTERNS.get(s[2], ())),
         })
 
     # splice every non-RETAIN span (finder spans included — mirrors

@@ -145,6 +145,24 @@ FINDER_CONTEXT_WINDOW = 100
 LLM_REVIEW_CONFIDENCE_MULTIPLIER = 2.0
 
 # --------------------------------------------------------------------------
+# M22 — false-positive heuristics (src/core/pii_detector.py:121-140).
+# The reference defines validate_pii_false_positive but never calls it
+# from any pipeline, so it cannot affect labels or text; we surface it
+# as the findings metadata flag ``likely_false_positive``. Faithful
+# quirk: the reference tests with re.match (anchored at span start), so
+# its suffix-only EMAIL patterns (r"@example\.com$") can never fire on
+# a real address — we reproduce re.match semantics exactly, quirk
+# included. Types mapped from the reference's Presidio names to ours
+# (M4 table).
+# --------------------------------------------------------------------------
+
+FALSE_POSITIVE_PATTERNS: dict[str, tuple[str, ...]] = {
+    "person_name": (r"^\d+$", r"^[A-Z]{2,}$", r"^\w{1,2}$"),
+    "email": (r"@example\.com$", r"@test\.com$"),
+    "phone": (r"^\d{4}$", r"^\d{3}-\d{4}$"),
+}
+
+# --------------------------------------------------------------------------
 # Arbitration (src/processing/arbitration_engine.py:64-150)
 # --------------------------------------------------------------------------
 

@@ -48,6 +48,15 @@ _FINDER_CTX = {k: tuple(v) for k, v in spec.FINDER_CONTEXT_KEYWORDS.items()}
 _HAS_DIGIT = re.compile(r"\d")
 _HAS_UPPER = re.compile(r"[A-Z]")
 
+# M22 false-positive heuristics (spec.FALSE_POSITIVE_PATTERNS; re.match
+# semantics, reference quirk included)
+_FP_PATTERNS = {t: tuple(re.compile(p) for p in ps)
+                for t, ps in spec.FALSE_POSITIVE_PATTERNS.items()}
+
+
+def _likely_false_positive(entity_type: str, text: str) -> bool:
+    return any(rx.match(text) for rx in _FP_PATTERNS.get(entity_type, ()))
+
 # Cheap pre-guards: a pattern's finditer pass is skipped when its guard
 # substring cannot be present. Pure optimization — every guard is a
 # necessary condition of its regex, so results are unchanged; it turns
@@ -326,6 +335,9 @@ def _scrub_core(text: str, flags: tuple[bool, bool, bool], base, custom,
             "llm_confidence": (
                 round(s.confidence * spec.LLM_REVIEW_CONFIDENCE_MULTIPLIER, 4)
                 if review else None),
+            # M22 metadata (never affects labels/text — the reference
+            # defines but never calls its FP validator)
+            "likely_false_positive": _likely_false_positive(s.entity_type, s.text),
         })
 
     # splice (arbitration_engine.py:222-272) over EVERY non-RETAIN span,
@@ -358,6 +370,7 @@ FINDINGS_TYPE = pa.list_(pa.struct([
     ("confidence", pa.float64()),
     ("requires_llm_review", pa.bool_()),
     ("llm_confidence", pa.float64()),
+    ("likely_false_positive", pa.bool_()),
 ]))
 
 

@@ -254,3 +254,30 @@ def test_llm_confidence_metadata():
             assert x["llm_confidence"] == round(2 * x["confidence"], 4)
         else:
             assert x["llm_confidence"] is None
+
+
+def test_m22_false_positive_flag():
+    """M22 (pii_detector.py:121-140, defined-but-never-called in the
+    reference): surfaced as findings metadata with faithful re.match
+    semantics. With the default detector shapes no emitted span can
+    match an FP shape (person_name is never all-caps/short, phone is
+    never a bare partial, and the suffix-only email patterns cannot
+    fire under re.match) — mirroring the reference where the validator
+    is dead code. The predicate itself is exercised directly."""
+    from incident_pii_redactor_ray.oracle.reference_oracle import oracle_scrub as osc
+    from incident_pii_redactor_ray.stages.scrub import _likely_false_positive
+
+    assert _likely_false_positive("person_name", "ABC") is True
+    assert _likely_false_positive("person_name", "Jo") is True
+    assert _likely_false_positive("person_name", "Maria Garcia") is False
+    assert _likely_false_positive("phone", "555-1234") is True
+    assert _likely_false_positive("phone", "+1-555-234-5678") is False
+    # faithful quirk: suffix-only email patterns never fire via re.match
+    assert _likely_false_positive("email", "bob@example.com") is False
+
+    # findings parity incl. the new field; flag False on real spans
+    text = "mail bob@example.com, call +1-555-234-5678, by Maria Garcia"
+    s_e, f_e = scrub_text(text)
+    s_o, f_o = osc(text)
+    assert f_e == f_o and s_e == s_o
+    assert all(x["likely_false_positive"] is False for x in f_e)

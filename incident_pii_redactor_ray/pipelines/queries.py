@@ -618,6 +618,33 @@ def q_sliding_window(sf_dir: str):
     return sliding_window(ev, window="1h", hop="30min")
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join: every non-signup event picks up the user's most
+    recent signup value at-or-before its timestamp (inner, backward) —
+    checked against DuckDB's native ASOF JOIN."""
+    from ray.data.aggregate import Max
+
+    from ..stages.relational import asof_join
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def split_left(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.not_equal(batch.column("event_type"), pa.scalar("signup"))
+        return batch.filter(mask).drop_columns(["event_type"])
+
+    def split_right(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.equal(batch.column("event_type"), pa.scalar("signup"))
+        return batch.filter(mask).select(["user_id", "ts", "value"])
+
+    left = ev.map_batches(split_left, batch_format="pyarrow")
+    # right must be unique per (key, ts) for deterministic as-of picks:
+    # global groupby-max collapses same-instant duplicates
+    right = (ev.map_batches(split_right, batch_format="pyarrow")
+               .groupby(["user_id", "ts"])
+               .aggregate(Max("value", alias_name="ref_value")))
+    return asof_join(left, right, key_col="user_id", ts_col="ts")
+
+
 def q_approx_distinct(sf_dir: str):
     """KMV distinct-count sketch over lineitem.l_orderkey — a
     deterministic approximate sketch the driver can still hash-check
@@ -794,6 +821,7 @@ QUERIES = {
     "toxicity_scores": q_toxicity_scores,
     "session_windows": q_session_windows,
     "sliding_window": q_sliding_window,
+    "asof_join": q_asof_join,
     "approx_distinct": q_approx_distinct,
     "dedup_components": q_dedup_components,
     "pseudonym_map": q_pseudonym_map,
@@ -1121,6 +1149,15 @@ ORACLE_SQL = {
         "     - to_microseconds(i.i * 1800000000) AS window_start "
         "  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) i) "
         "GROUP BY event_type, window_start"
+    ),
+
+    "asof_join": (
+        "WITH r AS (SELECT user_id, ts, max(value) AS ref_value FROM events "
+        "  WHERE event_type = 'signup' GROUP BY user_id, ts), "
+        "l AS (SELECT event_id, user_id, ts, value FROM events "
+        "  WHERE event_type != 'signup') "
+        "SELECT l.event_id, l.user_id, l.ts, l.value, r.ts AS ref_ts, r.ref_value "
+        "FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
     ),
 
     "approx_distinct": (

@@ -134,6 +134,75 @@ def tumbling_window(events: ray.data.Dataset, *, ts_col: str = "ts",
     return out.map_batches(final, batch_format="pandas")
 
 
+def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+              key_col: str, ts_col: str = "ts",
+              left_cols: list[str] | None = None,
+              right_value_col: str = "ref_value",
+              num_shards: int = 64) -> ray.data.Dataset:
+    """As-of join (inner, backward): each left row gets the right row
+    with the greatest ``ts_col`` <= its own for the same ``key_col``;
+    unmatched left rows are dropped — the temporal-join shape Ray Data
+    has no primitive for (DuckDB: native ``ASOF JOIN``, which the
+    oracle uses).
+
+    Implementation: both sides shard on ``key_col % num_shards`` (every
+    key's rows co-locate), one groupby, and a vectorized
+    ``pandas.merge_asof`` inside the shard. Determinism requirement:
+    right must be unique per (key, ts) — pre-aggregate duplicates
+    upstream, or the picked row is order-dependent.
+
+    Output: left_cols + [ref_ts, right_value_col].
+    """
+    left_cols = left_cols or ["event_id", key_col, ts_col, "value"]
+
+    # declared output schema: union NaN-fill promotes left int columns
+    # to float inside the shard; the Arrow round-trip below restores the
+    # build-time dtypes (same hazard as bucketed_hash_join)
+    l_schema = left.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    out_schema = pa.schema(
+        [pa.field(c, l_types[c]) for c in left_cols]
+        + [pa.field("ref_ts", l_types[ts_col]), pa.field(right_value_col, pa.float64())])
+
+    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[left_cols].copy()
+        out["ref_ts"] = pd.NaT
+        out[right_value_col] = np.nan
+        out["__kind"] = np.int8(0)
+        out["__shard"] = (batch[key_col].astype("int64") % num_shards)
+        return out
+
+    def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({key_col: batch[key_col], ts_col: batch[ts_col]})
+        for c in left_cols:
+            if c not in out.columns:
+                out[c] = pd.NaT if c == ts_col else np.nan
+        out["ref_ts"] = batch[ts_col]
+        out[right_value_col] = batch[right_value_col]
+        out["__kind"] = np.int8(1)
+        out["__shard"] = (batch[key_col].astype("int64") % num_shards)
+        return out[[*left_cols, "ref_ts", right_value_col, "__kind", "__shard"]]
+
+    both = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas"))
+
+    def join_shard(g: pd.DataFrame) -> pd.DataFrame:
+        lt = g[g["__kind"] == 0][left_cols].sort_values(ts_col, kind="mergesort")
+        rt = (g[g["__kind"] == 1][[key_col, ts_col, "ref_ts", right_value_col]]
+              .sort_values(ts_col, kind="mergesort"))
+        if lt.empty or rt.empty:
+            return pa.table({f.name: pa.array([], type=f.type)
+                             for f in out_schema}).to_pandas()
+        merged = pd.merge_asof(lt, rt.rename(columns={ts_col: "__rts"}),
+                               left_on=ts_col, right_on="__rts", by=key_col,
+                               direction="backward", allow_exact_matches=True)
+        merged = merged[merged["ref_ts"].notna()].drop(columns=["__rts"])
+        return pa.Table.from_pandas(merged, schema=out_schema,
+                                    preserve_index=False).to_pandas()
+
+    return both.groupby("__shard").map_groups(join_shard, batch_format="pandas")
+
+
 def sliding_window(events: ray.data.Dataset, *, ts_col: str = "ts",
                    key_col: str = "event_type", value_col: str = "value",
                    window: str = "1h", hop: str = "30min") -> ray.data.Dataset:

@@ -31,8 +31,9 @@ BENCH_FILES = int(os.environ.get("BENCH_FILES", "200000"))
 
 BENCH_QUERIES = [
     "lang_histogram", "doc_stats", "scrub_redact", "exact_dedup",
-    "ann_topk", "minhash_pairs", "hygiene_full", "pricing_summary",
-    "events_window", "toxicity_scores",
+    "ann_topk", "minhash_pairs", "simhash_pairs", "embedding_neardup",
+    "asof_join", "hygiene_full", "pricing_summary", "events_window",
+    "toxicity_scores",
 ]
 
 

@@ -35,20 +35,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from incident_pii_redactor_ray.oracle.reference_oracle import (  # noqa: E402
     _models, oracle_row, oracle_scrub)
+from incident_pii_redactor_ray.pipelines.queries import augment_one  # noqa: E402
 from incident_pii_redactor_ray.stages.validate import validate_row  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GOLDEN_DIR = os.path.join(REPO, "golden")
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
-
-
-def _augment_text(doc_id: int, text: str) -> str:
-    """Mirror of pipelines/queries._augment for one row."""
-    i = doc_id
-    return (f"{text} contact: user{i}@corp-mail.com phone "
-            f"+1-555-{200 + i % 700:03d}-{1000 + i % 9000:04d}"
-            f" ssn {100 + i % 900:03d}-{10 + i % 90:02d}-{1000 + i % 9000:04d}"
-            f" ip 10.{i % 256}.0.1 by Maria Garcia")
 
 
 def gen_for_sf(sf_dir: str) -> dict[str, pa.Table]:
@@ -84,7 +76,7 @@ def gen_for_sf(sf_dir: str) -> dict[str, pa.Table]:
         hyg_rows["n_redactions"].append(r["n_redactions"])
         hyg_rows["scrubbed_sha256"].append(r["scrubbed_sha256"])
 
-        aug = _augment_text(did, text)
+        aug = augment_one(did, text)
         scrubbed, findings = oracle_scrub(aug)
         v = validate_row(aug, scrubbed, findings)
         val_rows["doc_id"].append(did)

@@ -260,6 +260,13 @@ def run_hygiene(input_paths: str | list[str], out_dir: str, *,
         a mega-file still maps to one partition, but pieces are written
         map-side so no single task exceeds one batch either way.
     """
+    if partition_by not in ("hash", "files"):
+        raise ValueError(f"partition_by must be 'hash' or 'files', got {partition_by!r}")
+    # partition ids mean different things in the two modes; resuming an
+    # out_dir written by the other mode would silently drop the wrong
+    # rows — a persisted mode marker makes the mixup a hard error
+    mf.check_partition_mode(out_dir, partition_by)
+
     done = mf.completed_partitions(out_dir) if resume else set()
 
     if partition_by == "files":

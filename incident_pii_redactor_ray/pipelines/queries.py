@@ -13,6 +13,8 @@ Ray is initialised by the caller — nothing here calls ray.init().
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -208,18 +210,25 @@ def q_winnow_fingerprint(sf_dir: str):
 # C. scrub (the reference's core M3-M15 chain, SQL-checkable slice)
 # --------------------------------------------------------------------------
 
+def augment_one(doc_id: int, text: str) -> str:
+    """Deterministic PII-bearing suffix for one document — the single
+    source of the augmented-corpus construction, shared with
+    fixtures/gen_golden.py so the golden corpus can never silently
+    diverge from the query's corpus."""
+    i = doc_id
+    return (f"{text} contact: user{i}@corp-mail.com phone "
+            f"+1-555-{200 + i % 700:03d}-{1000 + i % 9000:04d}"
+            f" ssn {100 + i % 900:03d}-{10 + i % 90:02d}-{1000 + i % 9000:04d}"
+            f" ip 10.{i % 256}.0.1 by Maria Garcia")
+
+
 def _augment(batch: pa.Table) -> pa.Table:
     """Append a deterministic PII-bearing suffix to every document so
     the scrub oracle exercises real redactions (the raw word-soup corpus
     contains no PII). The same construction is expressed in SQL."""
     ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
-    aug = [
-        f"{t} contact: user{i}@corp-mail.com phone +1-555-{200 + i % 700:03d}-{1000 + i % 9000:04d}"
-        f" ssn {100 + i % 900:03d}-{10 + i % 90:02d}-{1000 + i % 9000:04d}"
-        f" ip 10.{i % 256}.0.1 by Maria Garcia"
-        for i, t in zip(ids, texts)
-    ]
+    aug = [augment_one(i, t) for i, t in zip(ids, texts)]
     return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
                      "content": pa.array(aug, type=pa.large_string())})
 
@@ -830,6 +839,12 @@ QUERIES = {
 
 _EN_MARKERS = textstats.LANG_MARKERS["en"]
 
+#: repo root for the committed golden parquets (checkout-relative, not
+#: a hardcoded absolute path)
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "golden")
+
 
 def _minhash_sql_prefix() -> str:
     """CTE chain reproducing stages/dedup.py's md5-based minhash+LSH
@@ -849,7 +864,7 @@ def _minhash_sql_prefix() -> str:
     return (
         "corpus AS (SELECT doc_id, text FROM documents "
         "  UNION ALL SELECT doc_id + 1000000, text || ' zzz' FROM documents), "
-        "t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM corpus), "
+        "t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM corpus), "
         "s AS (SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2] "
         "  for i in generate_series(1, len(toks)-2)]) AS sh FROM t WHERE len(toks) >= 3), "
         "m AS (SELECT doc_id, sh, " + ", ".join(bh_exprs) + " FROM s WHERE len(sh) > 0), "
@@ -945,7 +960,7 @@ ORACLE_SQL = {
         # grams of the whitespace-normalized lowercase text, hashed
         # md5[:16]; each window of 4 consecutive gram hashes contributes
         # its minimum; distinct selected hashes are the fingerprint set
-        "WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t "
+        "WITH n AS (SELECT doc_id, array_to_string(regexp_extract_all(lower(text), '\\S+'), ' ') AS t "
         "  FROM documents), "
         "g AS (SELECT doc_id, CASE WHEN len(t) >= 5 THEN "
         "  [md5(t[i:i+4])[1:16] for i in generate_series(1, len(t) - 4)] "
@@ -1197,8 +1212,8 @@ ORACLE_SQL = {
         # 4x16-bit band blocking; Hamming via per-digit bit_count(xor)
         "WITH corpus AS (SELECT doc_id, text FROM documents "
         "  UNION ALL SELECT doc_id + 1000000, text || ' zzz' FROM documents), "
-        "tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok "
-        "  FROM corpus WHERE trim(text) != ''), "
+        "tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok "
+        "  FROM corpus), "
         "hx AS (SELECT doc_id, md5(tok)[1:16] AS h FROM tk), "
         "dg AS (SELECT doc_id, g.i AS i, instr('0123456789abcdef', h[g.i:g.i]) - 1 AS dv "
         "  FROM hx CROSS JOIN (SELECT unnest(generate_series(1,16)) AS i) g), "
@@ -1244,14 +1259,14 @@ ORACLE_SQL = {
     # cross-parallelism determinism of the model scores.
     "langid_model": (
         "SELECT g.doc_id, g.lang_detected, g.lang_confidence, g.perplexity "
-        "FROM read_parquet('/root/repo/golden/langid_model_*.parquet') g "
+        f"FROM read_parquet('{_GOLDEN_DIR}/langid_model_*.parquet') g "
         "WHERE g.corpus_key = (SELECT sum(n_chars) FROM documents)"
     ),
 
     "hygiene_full": (
         "SELECT g.doc_id, g.keep, g.lang_detected, g.perplexity, "
         "g.n_redactions, g.scrubbed_sha256 "
-        "FROM read_parquet('/root/repo/golden/hygiene_full_*.parquet') g "
+        f"FROM read_parquet('{_GOLDEN_DIR}/hygiene_full_*.parquet') g "
         "WHERE g.corpus_key = (SELECT sum(n_chars) FROM documents)"
     ),
 
@@ -1259,7 +1274,7 @@ ORACLE_SQL = {
         "SELECT g.doc_id, g.residual_pii, g.schema_violations, "
         "g.adversarial_flags, g.mixed_action_flags, g.repeated_redaction_flags, "
         "g.precision, g.recall, g.f1, g.quality_score "
-        "FROM read_parquet('/root/repo/golden/validation_metrics_*.parquet') g "
+        f"FROM read_parquet('{_GOLDEN_DIR}/validation_metrics_*.parquet') g "
         "WHERE g.corpus_key = (SELECT sum(n_chars) FROM documents)"
     ),
     # Only ann_ivf_topk remains without an oracle: its coarse quantizer

@@ -24,6 +24,7 @@ uniformly distributed by construction (no salt needed).
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -46,13 +47,26 @@ _SHINGLE_CACHE: dict[str, tuple[np.uint64, list[str]]] = {}
 _SHINGLE_CACHE_MAX = 2_000_000
 
 
+# Tokenizer shared by every SQL-checked sketch: runs of non-whitespace
+# with the EXPLICIT RE2 whitespace set [\t\n\f\r ] — Python str.split()
+# splits on Unicode whitespace (U+00A0, U+2000…) and the oracle's
+# trim() strips spaces only, so both differ from RE2 '\S+' on edge
+# whitespace; one explicit class keeps engine and DuckDB bit-identical
+# on any input.
+_WS_RE = re.compile(r"[ \t\n\f\r]+")
+
+
+def ws_tokens(text: str) -> list[str]:
+    return [t for t in _WS_RE.split(text.lower()) if t]
+
+
 def _token_hashes(text: str) -> np.ndarray:
     """Stable 64-bit hashes of whitespace tokens (md5-based, not
     Python's randomized hash). Natural-language vocabularies are small,
     so a per-worker memo of md5(token) turns the dominant cost into a
     dict lookup; the cache is an optimization only — values are pure
     md5, identical on every worker."""
-    toks = text.lower().split()
+    toks = ws_tokens(text)
     if not toks:
         return np.empty(0, dtype=np.uint64)
     cache = _TOKEN_CACHE
@@ -176,7 +190,7 @@ def minhash_doc_signature(text: str) -> tuple[np.ndarray, list[str]] | None:
       g=0 digest as uint64;
     * band b hash = md5(f"{b}:" + concat of its 4 minhash values).
     """
-    toks = text.lower().split()
+    toks = ws_tokens(text)
     if len(toks) < MINHASH_SHINGLE_K:
         return None
     sh = {" ".join(toks[i:i + MINHASH_SHINGLE_K])
@@ -355,9 +369,9 @@ def _attach_label(pairs: ray.data.Dataset, labels: ray.data.Dataset,
                   key_col: str, out_col: str, carry: list[str],
                   num_shards: int = 64) -> ray.data.Dataset:
     """Repartition join: attach ``labels``' label to each pair row by
-    ``key_col`` (doc-id sharded groupby zip — same shape as
-    _attach_shingles, int64 payload). Used when the label table is too
-    big to broadcast."""
+    ``key_col`` — both sides sharded on node % num_shards, zipped inside
+    the groupby (int64 payload). Used when the label table is too big
+    to broadcast."""
 
     def tag_pairs(batch: pa.Table) -> pa.Table:
         key = np.asarray(batch.column(key_col), dtype=np.int64)
@@ -401,7 +415,7 @@ def _attach_label(pairs: ray.data.Dataset, labels: ray.data.Dataset,
     return both.groupby("jshard").map_groups(join_shard, batch_format="pyarrow")
 
 
-def dedup_components(pairs: ray.data.Dataset, *, max_rounds: int = 8,
+def dedup_components(pairs: ray.data.Dataset, *, max_rounds: int | None = None,
                      broadcast_max_nodes: int = 2_000_000) -> ray.data.Dataset:
     """Connected components over (id_a, id_b) near-dup pairs by
     iterative min-label propagation (ray_guide: 'iterate a few rounds of
@@ -418,8 +432,11 @@ def dedup_components(pairs: ray.data.Dataset, *, max_rounds: int = 8,
     cheapest while the dup graph is small) or via a repartition JOIN of
     the edges against the label rows (_attach_label) — automatic, so a
     corpus-sized dup graph never materializes on the driver (VERDICT r1
-    'What's wrong' #3). max_rounds bounds the label-path diameter;
-    near-dup clusters are shallow in practice.
+    'What's wrong' #3). Propagation runs UNTIL CONVERGENCE by default
+    (labels decrease monotonically, so rounds <= cluster diameter and
+    the result equals the oracle's exact recursive-CTE closure even on
+    chain-shaped clusters); pass ``max_rounds`` only as a safety valve
+    for adversarial diameters, accepting divergence from the closure.
     """
     import pandas as pd
 
@@ -450,8 +467,17 @@ def dedup_components(pairs: ray.data.Dataset, *, max_rounds: int = 8,
 
     labels = reduce_min(pairs.map_batches(seed, batch_format="pyarrow")).materialize()
 
+    # empty pair set -> empty component table (Ray's sum() on an empty
+    # dataset returns None; guard before arithmetic)
+    if labels.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "component": pa.array([], type=pa.int64())}))
+
     prev_sum = None
-    for _ in range(max_rounds):
+    rounds = 0
+    while max_rounds is None or rounds < max_rounds:
+        rounds += 1
         # labels only ever decrease, so an unchanged sum == convergence
         cur_sum = int(labels.sum("label"))
         if prev_sum is not None and cur_sum == prev_sum:

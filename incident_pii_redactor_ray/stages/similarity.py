@@ -22,6 +22,22 @@ import ray
 import ray.data
 
 
+def _topk_tiebreak(row: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the top ``kk`` by (cosine desc, id asc): O(n)
+    argpartition to find the boundary value, extend the cut to every
+    boundary tie, then lexsort only that small candidate set — same
+    deterministic result as a full sort without the O(n log n) pass
+    (ADVICE r1 tie-break, review r2 efficiency note)."""
+    if kk >= len(row):
+        cand = np.arange(len(row))
+    else:
+        part = np.argpartition(-row, kk - 1)
+        boundary = row[part[kk - 1]]
+        cand = np.flatnonzero(row >= boundary)
+    order = np.lexsort((ids[cand], -row[cand]))[:kk]
+    return cand[order]
+
+
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
@@ -61,11 +77,7 @@ def brute_force_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.nd
             kk = min(k + 1, cos.shape[1])  # +1 to survive self-match removal
             for qi in range(cos.shape[0]):
                 row = cos[qi]
-                # lexicographic (cosine desc, neighbor_id asc) selection so
-                # batch-local candidate choice matches the global tie-break
-                # (argpartition picked arbitrarily among boundary ties —
-                # ADVICE r1 latent nondeterminism vs the SQL oracle)
-                part = np.lexsort((ids, -row))[:kk]
+                part = _topk_tiebreak(row, ids, kk)
                 out_q.extend([int(self.qids[qi])] * len(part))
                 out_n.extend(ids[part].tolist())
                 out_c.extend(row[part].tolist())
@@ -213,8 +225,7 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.ndarray,
                 row = self.q[qi] @ m[mask].T
                 sel = ids[mask]
                 kk = min(k, len(sel))
-                # tie-break as in PartialTopK: (cosine desc, neighbor_id asc)
-                part = np.lexsort((sel, -row))[:kk]
+                part = _topk_tiebreak(row, sel, kk)
                 out_q.extend([int(self.qids[qi])] * len(part))
                 out_n.extend(sel[part].tolist())
                 out_c.extend(row[part].tolist())

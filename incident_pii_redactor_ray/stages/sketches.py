@@ -57,7 +57,9 @@ def approx_distinct(ds: ray.data.Dataset, col: str, *, k: int = 256) -> pd.DataF
     approximate distinct count of ``col``."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        vals = batch.column(col).to_pylist()
+        # nulls are excluded on both sides (DuckDB's md5(NULL) is NULL
+        # and drops out of the k-minimum set; str(None) would not)
+        vals = [v for v in batch.column(col).to_pylist() if v is not None]
         fr = np.unique(_hash_fracs(vals))[:k]
         return pa.table({"g": pa.array(np.zeros(len(fr), dtype=np.int64)),
                          "frac": pa.array(fr)})

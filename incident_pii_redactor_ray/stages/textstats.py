@@ -98,8 +98,10 @@ def doc_quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 # for a real BPE vocab (token-budget estimation for training corpora).
 # SQL-expressible: sum over regex word matches of ceil(len/4) + number
 # of non-word/non-space chars.
-_BPE_WORD_RX = __import__("re").compile(r"[A-Za-z0-9_]+")
-_BPE_PUNCT_RX = __import__("re").compile(r"[^A-Za-z0-9_\s]")
+_BPE_WORD_RX = re.compile(r"[A-Za-z0-9_]+")
+# explicit whitespace set: Python's \s is Unicode-aware, RE2's is
+# ASCII — the explicit class keeps engine and DuckDB identical
+_BPE_PUNCT_RX = re.compile(r"[^A-Za-z0-9_ \t\n\f\r]")
 _BPE_CHUNK = 4
 
 
@@ -120,10 +122,10 @@ def winnow_fingerprints(text: str, *, k: int = 5, window: int = 4) -> list[str]:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
     md5 char-k-gram hashes over the normalized text; each sliding window
     of ``window`` consecutive k-gram hashes contributes its minimum
-    (rightmost on ties, per the robust-winnowing rule of picking a
-    deterministic tie holder); the distinct selected hashes are the
-    fingerprint set. md5-hex comparison makes it SQL-reproducible."""
-    norm = " ".join(text.lower().split())
+    VALUE (tie positions are irrelevant to a value set); the distinct
+    selected hashes are the fingerprint set. md5-hex comparison makes it SQL-reproducible."""
+    from .dedup import ws_tokens
+    norm = " ".join(ws_tokens(text))
     if len(norm) < k:
         return []
     import hashlib as _hl
@@ -134,10 +136,9 @@ def winnow_fingerprints(text: str, *, k: int = 5, window: int = 4) -> list[str]:
     picked: set[str] = set()
     for i in range(len(grams) - window + 1):
         w = grams[i:i + window]
-        m = min(w)
-        # rightmost minimum in the window (deterministic tie holder)
-        idx = max(j for j, g in enumerate(w) if g == m)
-        picked.add(w[idx])
+        # the picked VALUE is the window minimum regardless of which
+        # position holds it, so no tie-break scan is needed for a set
+        picked.add(min(w))
     return sorted(picked)
 
 

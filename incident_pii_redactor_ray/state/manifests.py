@@ -92,6 +92,28 @@ def completed_partitions(out_dir: str) -> set[int]:
     return out
 
 
+def check_partition_mode(out_dir: str, mode: str) -> None:
+    """Persist the partitioning mode ('hash' | 'files') on first use of
+    an out_dir and refuse a resume under a different mode: partition ids
+    are file indexes in one mode and salted hashes in the other, so a
+    cross-mode resume would silently drop the wrong rows."""
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_partition_mode")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            existing = f.read().strip()
+        if existing != mode:
+            raise ValueError(
+                f"{out_dir} was written with partition_by={existing!r}; "
+                f"refusing to run with partition_by={mode!r} (partition ids "
+                "are incompatible between modes — use a fresh out_dir)")
+        return
+    tmp = marker + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(mode)
+    os.replace(tmp, marker)
+
+
 def write_atomic_table(path: str, table) -> None:
     import pyarrow.parquet as pq
     os.makedirs(os.path.dirname(path), exist_ok=True)

@@ -182,3 +182,74 @@ def test_dedup_components_join_path_no_driver_materialization(ray_session):
                  .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert out_join.equals(out_bcast)
     assert out_join["component"].tolist() == [0, 0, 0, 0, 0, 0, 10, 10]
+
+
+def test_dedup_components_empty_pairs(ray_session):
+    """Review r2: an empty pair set must yield an empty component table,
+    not crash on Ray's sum() returning None."""
+    import pyarrow as pa
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.dedup import dedup_components
+
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64())}))
+    out = dedup_components(pairs).to_pandas()
+    # Ray drops the schema of fully-empty datasets on to_pandas; the
+    # contract here is "empty result, no crash"
+    assert len(out) == 0
+    assert list(out.columns) in ([], ["doc_id", "component"])
+
+
+def test_deep_chain_components_converge(ray_session):
+    """Review r2: propagation runs until convergence, so a chain deeper
+    than the old 8-round cap still collapses to the true minimum (the
+    oracle's recursive-CTE closure)."""
+    import pyarrow as pa
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.dedup import dedup_components
+
+    n = 24  # diameter 23 > 8
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array(list(range(n - 1)), type=pa.int64()),
+        "id_b": pa.array(list(range(1, n)), type=pa.int64())}))
+    out = dedup_components(pairs).to_pandas()
+    assert (out["component"] == 0).all() and len(out) == n
+
+
+def test_ws_tokens_matches_duckdb_regex():
+    """Review r2: engine tokenization must equal RE2's \\S+ on edge
+    whitespace (tabs/newlines/NBSP) — Python str.split() and DuckDB
+    trim() both diverge from it."""
+    import duckdb
+
+    from incident_pii_redactor_ray.stages.dedup import ws_tokens
+
+    con = duckdb.connect()
+    cases = ["a b c\n", "\tx  y\t", " lead trail ", "one two", "", "\n\n",
+             "a\fb\rc"]
+    for t in cases:
+        sql = con.execute(
+            "SELECT regexp_extract_all(lower(?), '\\S+')", [t]).fetchone()[0]
+        assert ws_tokens(t) == list(sql), (t, ws_tokens(t), sql)
+
+
+def test_files_mode_marker_blocks_cross_mode_resume(ray_session, small_corpus, tmp_path_factory):
+    """Review r2: resuming a files-mode out_dir in hash mode must be a
+    hard error (partition ids are incompatible between modes)."""
+    import pytest as _pytest
+
+    from incident_pii_redactor_ray.pipelines.hygiene import run_hygiene
+
+    src, _ = small_corpus
+    out = str(tmp_path_factory.mktemp("mode_guard"))
+    run_hygiene(src, out, partition_by="files", batch_size=64,
+                scorer_concurrency=2, resume=False)
+    with _pytest.raises(ValueError, match="partition_by"):
+        run_hygiene(src, out, partition_by="hash", batch_size=64,
+                    scorer_concurrency=2, resume=True)
+    with _pytest.raises(ValueError, match="partition_by"):
+        run_hygiene(src, out, partition_by="file", batch_size=64,
+                    scorer_concurrency=2, resume=True)  # typo -> explicit error

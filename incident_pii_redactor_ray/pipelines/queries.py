@@ -654,6 +654,66 @@ def q_asof_join(sf_dir: str):
     return asof_join(left, right, key_col="user_id", ts_col="ts")
 
 
+def q_semi_join(sf_dir: str):
+    """Customers having at least one high-value order (semi join: the
+    order keys are reduced to a set and broadcast; the customer side
+    never shuffles)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.relational import broadcast_semi_join
+
+    keys = pq.read_table(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    keys = keys.filter(pa.compute.greater(keys.column("o_totalprice"), 200000.0))
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+    out = broadcast_semi_join(cust, keys.column("o_custkey").to_pylist(),
+                              on="c_custkey")
+    return out
+
+
+def q_anti_join(sf_dir: str):
+    """Customers with NO high-value order (anti join, same broadcast
+    shape as the hygiene resume filter / reference J3; the high-value
+    predicate keeps the result nonempty — every customer has SOME order
+    on the test corpora, and Ray drops the schema of fully-empty
+    datasets)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.relational import broadcast_semi_join
+
+    keys = pq.read_table(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    keys = keys.filter(pa.compute.greater(keys.column("o_totalprice"), 400000.0))
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    return broadcast_semi_join(cust, keys.column("o_custkey").to_pylist(),
+                               on="c_custkey", anti=True)
+
+
+PRICE_BAND_EDGES = [0.0, 1_000.0, 10_000.0, 50_000.0, 150_000.0, 300_000.0, 500_000.0]
+PRICE_BAND_LABELS = ["micro", "small", "mid", "large", "xl", "jumbo"]
+
+
+def q_range_join(sf_dir: str):
+    """Range (band) join: orders labeled by irregular price band, then a
+    per-band rollup — the interval-join shape with a broadcast band
+    table."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.relational import range_join_bands
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_totalprice"])
+    banded = range_join_bands(orders, "o_totalprice",
+                              PRICE_BAND_EDGES, PRICE_BAND_LABELS)
+    df = banded.groupby("band").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="revenue")).to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df
+
+
 def q_approx_distinct(sf_dir: str):
     """KMV distinct-count sketch over lineitem.l_orderkey — a
     deterministic approximate sketch the driver can still hash-check
@@ -831,6 +891,9 @@ QUERIES = {
     "session_windows": q_session_windows,
     "sliding_window": q_sliding_window,
     "asof_join": q_asof_join,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "range_join": q_range_join,
     "approx_distinct": q_approx_distinct,
     "dedup_components": q_dedup_components,
     "pseudonym_map": q_pseudonym_map,
@@ -1164,6 +1227,27 @@ ORACLE_SQL = {
         "     - to_microseconds(i.i * 1800000000) AS window_start "
         "  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) i) "
         "GROUP BY event_type, window_start"
+    ),
+
+    "semi_join": (
+        "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 200000)"
+    ),
+
+    "anti_join": (
+        "SELECT c_custkey, c_mktsegment FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 400000)"
+    ),
+
+    "range_join": (
+        "WITH bands(band, lo, hi) AS (VALUES "
+        "  ('micro', 0, 1000), ('small', 1000, 10000), ('mid', 10000, 50000), "
+        "  ('large', 50000, 150000), ('xl', 150000, 300000), ('jumbo', 300000, 500000)) "
+        "SELECT b.band, count(*)::BIGINT AS n_orders, round(sum(o.o_totalprice), 2) AS revenue "
+        "FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi "
+        "GROUP BY b.band"
     ),
 
     "asof_join": (

@@ -134,6 +134,53 @@ def tumbling_window(events: ray.data.Dataset, *, ts_col: str = "ts",
     return out.map_batches(final, batch_format="pandas")
 
 
+def broadcast_semi_join(big: ray.data.Dataset, keys, *, on: str,
+                        anti: bool = False) -> ray.data.Dataset:
+    """Semi- (or anti-) join: keep big-side rows whose ``on`` key is
+    (not) present in ``keys`` — the small side is reduced to its key SET
+    and broadcast once, so the big side never shuffles (the same shape
+    as the hygiene resume filter). Assumption: the distinct key set fits
+    a worker's heap; above that, bucket both sides instead
+    (bucketed_hash_join + drop of the payload columns).
+    """
+    karr = np.asarray(sorted(set(keys)), dtype=np.int64)
+    ref = ray.put(karr)
+
+    class Filter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = np.asarray(batch.column(on), dtype=np.int64)
+            mask = np.isin(vals, self.keys)
+            if anti:
+                mask = ~mask
+            return batch.filter(pa.array(mask))
+
+    return big.map_batches(Filter, batch_format="pyarrow", concurrency=(2, 16))
+
+
+def range_join_bands(ds: ray.data.Dataset, col: str, edges: list[float],
+                     labels: list[str], *, label_col: str = "band") -> ray.data.Dataset:
+    """Range (band) join: label every row with the half-open interval
+    [edges[i], edges[i+1]) containing ``col`` — the broadcast-side
+    special case of an interval join (bands are tiny and sorted, so the
+    lookup is one vectorized searchsorted per batch; rows outside every
+    band are dropped, matching an inner interval join)."""
+    assert len(labels) == len(edges) - 1
+    e = np.asarray(edges, dtype=np.float64)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(batch.column(col), dtype=np.float64)
+        idx = np.searchsorted(e, vals, side="right") - 1
+        ok = (idx >= 0) & (idx < len(labels)) & (vals < e[-1])
+        batch = batch.filter(pa.array(ok))
+        lab = [labels[i] for i in idx[ok]]
+        return batch.append_column(label_col, pa.array(lab, type=pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
 def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
               key_col: str, ts_col: str = "ts",
               left_cols: list[str] | None = None,

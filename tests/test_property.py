@@ -78,3 +78,90 @@ def test_large_row_flows_through():
     out = scrub_batch(out)
     assert out.column("n_redactions")[0].as_py() == 3000
     assert out.column("perplexity")[0].as_py() < spec.PERPLEXITY_MAX
+
+
+# ---------------------------------------------------------------------------
+# Differential properties vs DuckDB for the SQL-checked string kernels:
+# the round-2 review caught a whitespace-tokenization divergence between
+# Python and RE2 by inspection; these hunt that bug class systematically
+# over adversarial strings (edge whitespace, unicode, punctuation runs).
+# ---------------------------------------------------------------------------
+
+_tricky_chars = st.sampled_from(
+    list("abcXYZ019_-.@#$") + [" ", "\t", "\n", "\r", "\f", "é", "中", "ß", "€"])
+tricky_texts = st.lists(_tricky_chars, max_size=60).map("".join)
+
+
+def _duck():
+    import duckdb
+    return duckdb.connect()
+
+
+@settings(max_examples=120, deadline=None)
+@given(tricky_texts)
+def test_ws_tokens_differential(text):
+    from incident_pii_redactor_ray.stages.dedup import ws_tokens
+    con = _duck()
+    sql = con.execute("SELECT regexp_extract_all(lower(?), '\\S+')", [text]).fetchone()[0]
+    assert ws_tokens(text) == list(sql)
+
+
+@settings(max_examples=100, deadline=None)
+@given(tricky_texts)
+def test_bpe_token_count_differential(text):
+    from incident_pii_redactor_ray.stages.textstats import bpe_token_count_batch
+    b = pa.table({"text": pa.array([text], type=pa.string())})
+    n_engine = bpe_token_count_batch(b).column("n_bpe_tokens")[0].as_py()
+    con = _duck()
+    n_sql = con.execute(
+        "SELECT (coalesce(list_sum([(len(w) + 3) // 4 "
+        "for w in regexp_extract_all(?, '[A-Za-z0-9_]+')]), 0) "
+        "+ len(regexp_extract_all(?, '[^A-Za-z0-9_\\s]')))::BIGINT",
+        [text, text]).fetchone()[0]
+    assert n_engine == n_sql
+
+
+@settings(max_examples=80, deadline=None)
+@given(tricky_texts)
+def test_winnow_differential(text):
+    from incident_pii_redactor_ray.stages.textstats import winnow_fingerprints
+    fps = winnow_fingerprints(text)
+    con = _duck()
+    row = con.execute(
+        "WITH n AS (SELECT array_to_string(regexp_extract_all(lower(?), '\\S+'), ' ') AS t), "
+        "g AS (SELECT CASE WHEN len(t) >= 5 THEN "
+        "  [md5(t[i:i+4])[1:16] for i in generate_series(1, len(t) - 4)] "
+        "  ELSE []::VARCHAR[] END AS grams FROM n), "
+        "p AS (SELECT CASE WHEN len(grams) = 0 THEN []::VARCHAR[] "
+        "  WHEN len(grams) <= 4 THEN [list_min(grams)] "
+        "  ELSE list_distinct([list_min(grams[i:i+3]) "
+        "    for i in generate_series(1, len(grams) - 3)]) END AS fps FROM p2) "
+        .replace("FROM p2", "FROM g") +
+        "SELECT list_sort(fps) FROM p", [text]).fetchone()[0]
+    assert fps == list(row)
+
+
+@settings(max_examples=60, deadline=None)
+@given(tricky_texts)
+def test_minhash_signature_differential(text):
+    """Per-doc minhash band hashes vs a direct SQL recomputation."""
+    from incident_pii_redactor_ray.stages.dedup import (
+        MINHASH_NUM_BANDS, MINHASH_ROWS_PER_BAND, minhash_doc_signature)
+    r = minhash_doc_signature(text)
+    con = _duck()
+    bh_exprs = []
+    for b in range(MINHASH_NUM_BANDS):
+        mins = " || ".join(
+            f"list_min([md5('{b}:'||x)[{8 * j + 1}:{8 * j + 8}] for x in sh])"
+            for j in range(MINHASH_ROWS_PER_BAND))
+        bh_exprs.append(f"md5('{b}:' || {mins})")
+    row = con.execute(
+        "WITH t AS (SELECT regexp_extract_all(lower(?), '\\S+') AS toks), "
+        "s AS (SELECT list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2] "
+        "  for i in generate_series(1, len(toks)-2)]) AS sh FROM t WHERE len(toks) >= 3) "
+        "SELECT " + ", ".join(bh_exprs) + " FROM s WHERE len(sh) > 0", [text]).fetchone()
+    if r is None:
+        assert row is None
+    else:
+        _ids, bands = r
+        assert [h[:16] for h in row] == bands

@@ -264,7 +264,8 @@ def oracle_row(text: str) -> dict:
         reasons.append(spec.DROP_HIGH_PERPLEXITY)
     if conf[0] < spec.LANGID_MIN_CONFIDENCE:
         reasons.append(spec.DROP_NO_LANG_SIGNAL)
-    toks = text.split()
+    # explicit ASCII whitespace (RE2 '\S+' semantics) like the engine
+    toks = [x for x in re.split(r"[ \t\n\f\r]+", text) if x]
     tox_ratio = round(len(_TOXIC.findall(text)) / len(toks), 6) if toks else 0.0
     if tox_ratio > spec.TOXICITY_MAX_RATIO:
         reasons.append(spec.DROP_TOXIC)

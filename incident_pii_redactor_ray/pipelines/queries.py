@@ -322,13 +322,15 @@ def q_ngram_jaccard(sf_dir: str):
     # shuffle by pair_id shard (not one Ray group per pair); each shard
     # computes all of its complete pairs in one pandas pass
     def shard_jaccard(g: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.dedup import ws_tokens
+
         out = {"pair_id": [], "id_a": [], "id_b": [], "jaccard": []}
         for pid, rows in g.groupby("pair_id"):
             if len(rows) != 2:
                 continue
             rows = rows.sort_values("doc_id")
-            sa = set((rows["text"].iloc[0] or "").lower().split())
-            sb = set((rows["text"].iloc[1] or "").lower().split())
+            sa = set(ws_tokens(rows["text"].iloc[0] or ""))
+            sb = set(ws_tokens(rows["text"].iloc[1] or ""))
             j = len(sa & sb) / len(sa | sb) if (sa or sb) else 1.0
             out["pair_id"].append(pid)
             out["id_a"].append(rows["doc_id"].iloc[0])
@@ -976,19 +978,18 @@ ORACLE_SQL = {
 
     "doc_stats": (
         "SELECT doc_id, length(text) AS n_chars_calc, "
-        "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+        "len(regexp_extract_all(text, '\\S+')) AS n_tokens, "
         "round(CASE WHEN length(text) > 0 THEN "
         "  (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE / length(text) "
         "  ELSE 0 END, 6) AS punct_ratio, "
-        "round(CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "round(CASE WHEN len(regexp_extract_all(text, '\\S+')) = 0 THEN 0 ELSE "
         f"  len(regexp_extract_all(text, '{_EN_MARKERS}'))::DOUBLE / "
-        "   len(regexp_split_to_array(trim(text), '\\s+')) END, 6) AS stopword_ratio "
+        "   len(regexp_extract_all(text, '\\S+')) END, 6) AS stopword_ratio "
         "FROM documents"
     ),
 
     "token_totals": (
-        "SELECT lang, sum(CASE WHEN trim(text) = '' THEN 0 ELSE "
-        "len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS total_tokens, "
+        "SELECT lang, sum(len(regexp_extract_all(text, '\\S+')))::BIGINT AS total_tokens, "
         "count(*) AS n_docs FROM documents GROUP BY lang"
     ),
 
@@ -1007,7 +1008,7 @@ ORACLE_SQL = {
     ),
 
     "doc_fingerprint": (
-        "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint "
+        "SELECT doc_id, md5(coalesce(array_to_string(regexp_extract_all(lower(text), '\\S+'), ' '), '')) AS fingerprint "
         "FROM documents"
     ),
 
@@ -1023,7 +1024,7 @@ ORACLE_SQL = {
         # grams of the whitespace-normalized lowercase text, hashed
         # md5[:16]; each window of 4 consecutive gram hashes contributes
         # its minimum; distinct selected hashes are the fingerprint set
-        "WITH n AS (SELECT doc_id, array_to_string(regexp_extract_all(lower(text), '\\S+'), ' ') AS t "
+        "WITH n AS (SELECT doc_id, coalesce(array_to_string(regexp_extract_all(lower(text), '\\S+'), ' '), '') AS t "
         "  FROM documents), "
         "g AS (SELECT doc_id, CASE WHEN len(t) >= 5 THEN "
         "  [md5(t[i:i+4])[1:16] for i in generate_series(1, len(t) - 4)] "
@@ -1071,7 +1072,7 @@ ORACLE_SQL = {
 
     "ngram_jaccard": (
         "WITH t AS (SELECT doc_id, doc_id // 2 AS pair_id, "
-        "  list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks "
+        "  list_distinct(regexp_extract_all(lower(text), '\\S+')) AS toks "
         "  FROM documents), "
         "p AS (SELECT a.pair_id, a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb "
         "  FROM t a JOIN t b ON a.pair_id = b.pair_id AND a.doc_id < b.doc_id) "
@@ -1194,7 +1195,7 @@ ORACLE_SQL = {
         "m AS (SELECT doc_id, t, "
         "  len(regexp_extract_all(lower(t), "
         "  '\\b(damn|hell|crap|idiot|stupid|moron|dumbass|bastard|bullshit|asshole|jerk|screwed)\\b')) AS h, "
-        "  len(regexp_split_to_array(trim(t), '\\s+')) AS n FROM a) "
+        "  len(regexp_extract_all(t, '\\S+')) AS n FROM a) "
         "SELECT doc_id, h::BIGINT AS n_toxic, "
         "round(CASE WHEN h > 0 THEN h::DOUBLE / n ELSE 0 END, 6) AS toxicity_ratio, "
         "(CASE WHEN h > 0 THEN round(h::DOUBLE / n, 6) ELSE 0 END) > 0.05 AS toxic FROM m"

@@ -28,12 +28,20 @@ LANG_MARKERS: dict[str, str] = {
 _MARKER_RX = {lang: re.compile(pat) for lang, pat in LANG_MARKERS.items()}
 
 _WS_RX = re.compile(r"\s+")
+# Explicit RE2 whitespace class for every SQL-checked tokenizer: Python
+# \s / str.strip are Unicode-aware and DuckDB trim strips spaces only,
+# so all three diverge from RE2 '\S+' on edge/unicode whitespace; one
+# explicit class keeps engine and oracle bit-identical on any input.
+_WS_ASCII = re.compile(r"[ \t\n\f\r]+")
+
+
+def ascii_token_count(t: str) -> int:
+    return sum(1 for x in _WS_ASCII.split(t) if x)
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count per row (empty/blank text -> 0)."""
-    counts = [len(_WS_RX.split(t.strip())) if t and t.strip() else 0
-              for t in batch.column(text_col).to_pylist()]
+    counts = [ascii_token_count(t or "") for t in batch.column(text_col).to_pylist()]
     return batch.append_column("n_tokens", pa.array(counts, type=pa.int64()))
 
 
@@ -68,7 +76,8 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Document fingerprint: md5 of the lowercased,
     whitespace-normalized text — a canonical-form content address for
     exact-after-normalization dedup."""
-    fps = [hashlib.md5(_WS_RX.sub(" ", (t or "").strip().lower()).encode()).hexdigest()
+    fps = [hashlib.md5(" ".join(
+               x for x in _WS_ASCII.split((t or "").lower()) if x).encode()).hexdigest()
            for t in batch.column(text_col).to_pylist()]
     return batch.append_column("fingerprint", pa.array(fps, type=pa.string()))
 
@@ -80,8 +89,7 @@ def doc_quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     the DuckDB oracle)."""
     texts = batch.column(text_col).to_pylist()
     n_chars = np.array([len(t or "") for t in texts], dtype=np.int64)
-    n_tokens = np.array([len(_WS_RX.split(t.strip())) if t and t.strip() else 0 for t in texts],
-                        dtype=np.int64)
+    n_tokens = np.array([ascii_token_count(t or "") for t in texts], dtype=np.int64)
     n_punct = np.array([sum((t or "").count(c) for c in ".,;:!?") for t in texts], dtype=np.int64)
     n_stop = np.array([len(_MARKER_RX["en"].findall(t or "")) for t in texts], dtype=np.int64)
     punct_ratio = np.round(np.divide(n_punct, n_chars, out=np.zeros(len(texts)), where=n_chars > 0), 6)

@@ -18,7 +18,7 @@ from .. import spec
 
 TOXICITY_PATTERN = r"(?i)\b(" + "|".join(spec.TOXICITY_WORDS) + r")\b"
 _TOX_RX = re.compile(TOXICITY_PATTERN)
-_WS_RX = re.compile(r"\s+")
+_WS_ASCII = re.compile(r"[ \t\n\f\r]+")
 
 
 def toxicity_arrays(texts: list[str | None]) -> tuple[np.ndarray, np.ndarray]:
@@ -35,16 +35,17 @@ def toxicity_arrays(texts: list[str | None]) -> tuple[np.ndarray, np.ndarray]:
     words = spec.TOXICITY_WORDS
     for i, t in enumerate(texts):
         t = t or ""
-        st = t.strip()
-        if not st:
+        if not t:
             continue
         lo = t.lower()
         if not any(w in lo for w in words):
             continue
         h = len(_TOX_RX.findall(t))
         if h:
+            # a regex hit implies >= 1 token, so the division is safe;
+            # explicit ASCII class = RE2 '\S+' (SQL oracle parity)
             hits[i] = h
-            ratio[i] = h / len(_WS_RX.split(st))
+            ratio[i] = h / sum(1 for x in _WS_ASCII.split(t) if x)
     return hits, ratio
 
 

@@ -128,7 +128,7 @@ def test_winnow_differential(text):
     fps = winnow_fingerprints(text)
     con = _duck()
     row = con.execute(
-        "WITH n AS (SELECT array_to_string(regexp_extract_all(lower(?), '\\S+'), ' ') AS t), "
+        "WITH n AS (SELECT coalesce(array_to_string(regexp_extract_all(lower(?), '\\S+'), ' '), '') AS t), "
         "g AS (SELECT CASE WHEN len(t) >= 5 THEN "
         "  [md5(t[i:i+4])[1:16] for i in generate_series(1, len(t) - 4)] "
         "  ELSE []::VARCHAR[] END AS grams FROM n), "
@@ -165,3 +165,43 @@ def test_minhash_signature_differential(text):
     else:
         _ids, bands = r
         assert [h[:16] for h in row] == bands
+
+
+@settings(max_examples=100, deadline=None)
+@given(tricky_texts)
+def test_token_count_differential(text):
+    from incident_pii_redactor_ray.stages.textstats import ascii_token_count
+    con = _duck()
+    n_sql = con.execute(
+        "SELECT len(regexp_extract_all(?, '\\S+'))", [text]).fetchone()[0]
+    assert ascii_token_count(text) == n_sql
+
+
+@settings(max_examples=100, deadline=None)
+@given(tricky_texts)
+def test_fingerprint_differential(text):
+    from incident_pii_redactor_ray.stages.textstats import fingerprint_batch
+    b = pa.table({"text": pa.array([text], type=pa.string())})
+    fp = fingerprint_batch(b).column("fingerprint")[0].as_py()
+    con = _duck()
+    fp_sql = con.execute(
+        "SELECT md5(coalesce(array_to_string(regexp_extract_all(lower(?), '\\S+'), ' '), ''))",
+        [text]).fetchone()[0]
+    assert fp == fp_sql
+
+
+@settings(max_examples=100, deadline=None)
+@given(tricky_texts)
+def test_toxicity_ratio_differential(text):
+    from incident_pii_redactor_ray.stages.toxicity import toxicity_arrays
+    hits, ratio = toxicity_arrays([text])
+    con = _duck()
+    h_sql, n_sql = con.execute(
+        "SELECT len(regexp_extract_all(lower(?), "
+        "'\\b(damn|hell|crap|idiot|stupid|moron|dumbass|bastard|bullshit|asshole|jerk|screwed)\\b')), "
+        "len(regexp_extract_all(?, '\\S+'))", [text, text]).fetchone()
+    if h_sql:
+        assert hits[0] == h_sql
+        assert abs(ratio[0] - h_sql / n_sql) < 1e-12
+    else:
+        assert hits[0] == 0 and ratio[0] == 0.0

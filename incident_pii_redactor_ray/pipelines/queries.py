@@ -716,6 +716,43 @@ def q_range_join(sf_dir: str):
     return df
 
 
+def q_approx_quantiles(sf_dir: str):
+    """Approximate quantiles of lineitem.l_extendedprice via the same
+    mergeable log-histogram sketch the hygiene manifests use
+    (state/manifests.ppl_hist): per-batch 128-bin partials, one tiny
+    groupby merge (shuffle = 128 rows per batch), quantile = bin lower
+    edge — deterministic, so the SQL oracle reproduces it exactly."""
+    from ray.data.aggregate import Sum
+
+    from ..state import manifests as mf
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+        hist = mf.ppl_hist(vals)
+        nz = np.flatnonzero(hist)
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(hist[nz].astype(np.int64))})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("bin").aggregate(Sum("n", alias_name="n")).to_pandas())
+    hist = np.zeros(mf.PPL_HIST_BINS, dtype=np.int64)
+    hist[merged["bin"].to_numpy()] = merged["n"].to_numpy()
+    total = int(hist.sum())
+    cum = np.cumsum(hist)
+    qs = [0.5, 0.9, 0.99]
+    out_q, out_v = [], []
+    for q in qs:
+        target = min(total, max(1, int(np.ceil(q * total))))
+        b = int(np.searchsorted(cum, target))
+        out_q.append(q)
+        out_v.append(round(10.0 ** (b / 32.0) - 1.0, 4))
+    return pd.DataFrame({"q": pd.Series(out_q, dtype="float64"),
+                         "value": pd.Series(out_v, dtype="float64")})
+
+
 def q_approx_distinct(sf_dir: str):
     """KMV distinct-count sketch over lineitem.l_orderkey — a
     deterministic approximate sketch the driver can still hash-check
@@ -897,6 +934,7 @@ QUERIES = {
     "anti_join": q_anti_join,
     "range_join": q_range_join,
     "approx_distinct": q_approx_distinct,
+    "approx_quantiles": q_approx_quantiles,
     "dedup_components": q_dedup_components,
     "pseudonym_map": q_pseudonym_map,
     "validation_metrics": q_validation_metrics,
@@ -1258,6 +1296,21 @@ ORACLE_SQL = {
         "  WHERE event_type != 'signup') "
         "SELECT l.event_id, l.user_id, l.ts, l.value, r.ts AS ref_ts, r.ref_value "
         "FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+
+    "approx_quantiles": (
+        # state/manifests.ppl_hist sketch: bin = clip(trunc(log10(v+1)*32),
+        # 0, 127); quantile = 10^(bin/32) - 1 at the first bin whose
+        # cumulative count reaches ceil(q * total)
+        "WITH h AS (SELECT least(127, greatest(0, "
+        "  cast(floor(log10(l_extendedprice + 1) * 32) AS BIGINT))) AS bin, "
+        "  count(*) AS n FROM lineitem GROUP BY 1), "
+        "tot AS (SELECT sum(n) AS t FROM h), "
+        "c AS (SELECT bin, sum(n) OVER (ORDER BY bin) AS cum FROM h), "
+        "qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q) "
+        "SELECT q, round(pow(10, (SELECT min(bin) FROM c WHERE cum >= "
+        "  least((SELECT t FROM tot), greatest(1, ceil(q * (SELECT t FROM tot)))))"
+        "  ::DOUBLE / 32) - 1, 4) AS value FROM qs"
     ),
 
     "approx_distinct": (

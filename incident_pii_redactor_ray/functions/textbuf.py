@@ -125,3 +125,27 @@ def line_stats(data: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.nd
     # cannot occur since every row has >=1 line
     avg_len = sums / n_lines
     return n_lines, max_len, avg_len
+
+
+# ---------------------------------------------------------------------------
+# Canonical tokenizer for every SQL-checked operator. ONE definition:
+# the r2 review found four private copies of this class drifting apart —
+# the exact failure mode it exists to prevent. RE2 semantics throughout:
+# whitespace = [ \t\n\f\r] (Python's \s is Unicode-aware, DuckDB trim
+# strips spaces only; both diverge from RE2 '\S+' on edge/unicode
+# whitespace).
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+WS_ASCII_RE = _re.compile(r"[ \t\n\f\r]+")
+
+
+def ws_tokens(text: str) -> list[str]:
+    """Lowercased RE2-'\\S+' tokens (= regexp_extract_all(lower(t), '\\S+'))."""
+    return [t for t in WS_ASCII_RE.split(text.lower()) if t]
+
+
+def ascii_token_count(text: str) -> int:
+    """len(regexp_extract_all(t, '\\S+')) — case-preserving count."""
+    return sum(1 for t in WS_ASCII_RE.split(text) if t)

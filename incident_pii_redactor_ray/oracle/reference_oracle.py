@@ -30,7 +30,7 @@ from ..stages.models import LangIdModel, PerplexityModel
 _BASE = [(n, re.compile(p), c, a) for n, p, c, _cat, a in spec.BASE_DETECTORS]
 _CUSTOM = [(n, re.compile(p), c, a) for n, p, c, _cat, a in spec.CUSTOM_DETECTORS]
 _FINDER = [(n, re.compile(p)) for n, p in spec.FINDER_DETECTORS]
-_TOXIC = re.compile(r"(?i)\b(" + "|".join(spec.TOXICITY_WORDS) + r")\b")
+_TOXIC = re.compile(r"(?i)\b(" + "|".join(spec.TOXICITY_WORDS) + r")\b", re.ASCII)
 
 
 def _md5(text: str, n: int) -> str:
@@ -264,9 +264,9 @@ def oracle_row(text: str) -> dict:
         reasons.append(spec.DROP_HIGH_PERPLEXITY)
     if conf[0] < spec.LANGID_MIN_CONFIDENCE:
         reasons.append(spec.DROP_NO_LANG_SIGNAL)
-    # explicit ASCII whitespace (RE2 '\S+' semantics) like the engine
-    toks = [x for x in re.split(r"[ \t\n\f\r]+", text) if x]
-    tox_ratio = round(len(_TOXIC.findall(text)) / len(toks), 6) if toks else 0.0
+    from ..functions.textbuf import ascii_token_count
+    toks = ascii_token_count(text)
+    tox_ratio = round(len(_TOXIC.findall(text)) / toks, 6) if toks else 0.0
     if tox_ratio > spec.TOXICITY_MAX_RATIO:
         reasons.append(spec.DROP_TOXIC)
 

@@ -740,17 +740,10 @@ def q_approx_quantiles(sf_dir: str):
                 .groupby("bin").aggregate(Sum("n", alias_name="n")).to_pandas())
     hist = np.zeros(mf.PPL_HIST_BINS, dtype=np.int64)
     hist[merged["bin"].to_numpy()] = merged["n"].to_numpy()
-    total = int(hist.sum())
-    cum = np.cumsum(hist)
     qs = [0.5, 0.9, 0.99]
-    out_q, out_v = [], []
-    for q in qs:
-        target = min(total, max(1, int(np.ceil(q * total))))
-        b = int(np.searchsorted(cum, target))
-        out_q.append(q)
-        out_v.append(round(10.0 ** (b / 32.0) - 1.0, 4))
-    return pd.DataFrame({"q": pd.Series(out_q, dtype="float64"),
-                         "value": pd.Series(out_v, dtype="float64")})
+    vals = mf.ppl_quantiles_from_hist(hist, qs=qs)  # one source of sketch math
+    return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                         "value": pd.Series(vals, dtype="float64")})
 
 
 def q_approx_distinct(sf_dir: str):

@@ -2,15 +2,15 @@
 
 The reference has no corpus-level dedup (SURVEY §2.7) — these are the
 large-scale training-data operators the engine adds as first-class
-stages. All are deterministic (seeded splitmix64 permutations, stable
-byte-level hashing) and expressed Ray-Data-first:
+stages. All are deterministic (stable md5-derived hashing) and expressed
+Ray-Data-first:
 
 exact        — content-hash in map_batches, then ONE groupby(hash) with
                first-wins-by-min-id per group.
-minhash_lsh  — shingle -> 64-perm minhash -> banded signature rows
-               (band_id, band_hash, doc_id) exploded in map_batches,
-               groupby(band) emits candidate pairs, exact-Jaccard
-               verification joins texts back by doc id.
+minhash_lsh  — md5-based shingle permutations -> 8x4-row bands; ONE
+               band-shard groupby generates candidate pairs AND
+               verifies exact Jaccard in place (band rows carry their
+               doc's shingle ids); SQL-reproducible end to end.
 simhash      — 64-bit simhash over token hashes; near-dup candidates by
                identical 16-bit band (Hamming <= 3 over 4 bands finds
                all pairs with <= 3 differing bits); verified by true
@@ -47,17 +47,7 @@ _SHINGLE_CACHE: dict[str, tuple[np.uint64, list[str]]] = {}
 _SHINGLE_CACHE_MAX = 2_000_000
 
 
-# Tokenizer shared by every SQL-checked sketch: runs of non-whitespace
-# with the EXPLICIT RE2 whitespace set [\t\n\f\r ] — Python str.split()
-# splits on Unicode whitespace (U+00A0, U+2000…) and the oracle's
-# trim() strips spaces only, so both differ from RE2 '\S+' on edge
-# whitespace; one explicit class keeps engine and DuckDB bit-identical
-# on any input.
-_WS_RE = re.compile(r"[ \t\n\f\r]+")
-
-
-def ws_tokens(text: str) -> list[str]:
-    return [t for t in _WS_RE.split(text.lower()) if t]
+from ..functions.textbuf import ws_tokens  # canonical RE2 tokenizer
 
 
 def _token_hashes(text: str) -> np.ndarray:

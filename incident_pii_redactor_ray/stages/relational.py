@@ -143,7 +143,11 @@ def broadcast_semi_join(big: ray.data.Dataset, keys, *, on: str,
     a worker's heap; above that, bucket both sides instead
     (bucketed_hash_join + drop of the payload columns).
     """
-    karr = np.asarray(sorted(set(keys)), dtype=np.int64)
+    # no dtype coercion: string / mixed keys work through np.isin on
+    # object arrays; null keys are dropped from the set (SQL semantics:
+    # `x = NULL` is never true, so a null never matches EXISTS — and a
+    # null big-side value fails the semi filter / passes the anti one)
+    karr = np.asarray(sorted(k for k in set(keys) if k is not None))
     ref = ray.put(karr)
 
     class Filter:
@@ -151,7 +155,11 @@ def broadcast_semi_join(big: ray.data.Dataset, keys, *, on: str,
             self.keys = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vals = np.asarray(batch.column(on), dtype=np.int64)
+            col = batch.column(on)
+            if col.null_count == 0 and self.keys.dtype != object:
+                vals = np.asarray(col)          # zero-copy numeric fast path
+            else:
+                vals = np.asarray(col.to_pylist(), dtype=object)
             mask = np.isin(vals, self.keys)
             if anti:
                 mask = ~mask

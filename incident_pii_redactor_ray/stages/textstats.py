@@ -25,18 +25,13 @@ LANG_MARKERS: dict[str, str] = {
     "fr": r"\b(le|la|les|et|est|que|des|une)\b",
     "zh": r"(的|是|在|了|和|有)",
 }
-_MARKER_RX = {lang: re.compile(pat) for lang, pat in LANG_MARKERS.items()}
+# re.ASCII so \b is the ASCII word boundary like RE2's — Python's
+# Unicode \b treats accented letters as word chars and misses markers
+# abutting them (r2 review, execution-confirmed divergence on 'éthe')
+_MARKER_RX = {lang: re.compile(pat, re.ASCII) for lang, pat in LANG_MARKERS.items()}
 
-_WS_RX = re.compile(r"\s+")
-# Explicit RE2 whitespace class for every SQL-checked tokenizer: Python
-# \s / str.strip are Unicode-aware and DuckDB trim strips spaces only,
-# so all three diverge from RE2 '\S+' on edge/unicode whitespace; one
-# explicit class keeps engine and oracle bit-identical on any input.
-_WS_ASCII = re.compile(r"[ \t\n\f\r]+")
-
-
-def ascii_token_count(t: str) -> int:
-    return sum(1 for x in _WS_ASCII.split(t) if x)
+from ..functions.textbuf import WS_ASCII_RE as _WS_ASCII
+from ..functions.textbuf import ascii_token_count
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

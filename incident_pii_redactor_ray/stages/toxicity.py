@@ -17,8 +17,12 @@ import pyarrow as pa
 from .. import spec
 
 TOXICITY_PATTERN = r"(?i)\b(" + "|".join(spec.TOXICITY_WORDS) + r")\b"
-_TOX_RX = re.compile(TOXICITY_PATTERN)
-_WS_ASCII = re.compile(r"[ \t\n\f\r]+")
+# re.ASCII: \b must be the ASCII word boundary like RE2's, or a toxic
+# word abutting an accented letter ('damné') counts differently than
+# the SQL oracle (r2 review, execution-confirmed)
+_TOX_RX = re.compile(TOXICITY_PATTERN, re.ASCII)
+
+from ..functions.textbuf import ascii_token_count  # noqa: E402
 
 
 def toxicity_arrays(texts: list[str | None]) -> tuple[np.ndarray, np.ndarray]:
@@ -45,7 +49,7 @@ def toxicity_arrays(texts: list[str | None]) -> tuple[np.ndarray, np.ndarray]:
             # a regex hit implies >= 1 token, so the division is safe;
             # explicit ASCII class = RE2 '\S+' (SQL oracle parity)
             hits[i] = h
-            ratio[i] = h / sum(1 for x in _WS_ASCII.split(t) if x)
+            ratio[i] = h / ascii_token_count(t)
     return hits, ratio
 
 

@@ -47,14 +47,16 @@ def ppl_hist(values: np.ndarray) -> np.ndarray:
     return np.bincount(ppl_bin(values), minlength=PPL_HIST_BINS)
 
 
-def ppl_quantiles_from_hist(hist: np.ndarray) -> list[float]:
-    """Approximate quantiles (bin lower edges) from the merged histogram."""
+def ppl_quantiles_from_hist(hist: np.ndarray, qs=None) -> list[float]:
+    """Approximate quantiles (bin lower edges) from the merged
+    histogram; ``qs`` defaults to the manifests' PPL_QUANTILES."""
+    qs = PPL_QUANTILES if qs is None else qs
     total = int(hist.sum())
     if total == 0:
-        return [0.0] * len(PPL_QUANTILES)
+        return [0.0] * len(qs)
     cum = np.cumsum(hist)
     out = []
-    for q in PPL_QUANTILES:
+    for q in qs:
         target = min(total, max(1, int(np.ceil(q * total)))) if q > 0 else 1
         b = int(np.searchsorted(cum, target))
         out.append(round(10.0 ** (b / _PPL_BINS_PER_DECADE) - 1.0, 4))

@@ -27,6 +27,53 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(merge_run_summary(argv[1]), indent=1, sort_keys=True))
         return 0
 
+    if argv[:1] == ["query"]:
+        # run any queries() registry entry from the command line:
+        #   python -m incident_pii_redactor_ray.cli query <name> \
+        #       [--sf DIR] [--limit N] [--num-cpus N]
+        qp = argparse.ArgumentParser(prog="cli query")
+        qp.add_argument("name", help="registry name, or 'list' to enumerate")
+        qp.add_argument("--sf", default="/root/testdata/sf0.01")
+        qp.add_argument("--limit", type=int, default=20)
+        qp.add_argument("--num-cpus", type=int, default=None)
+        qa = qp.parse_args(argv[1:])
+
+        from .pipelines.queries import ORACLE_SQL, QUERIES
+        if qa.name == "list":
+            for n in sorted(QUERIES):
+                print(f"{n}{'' if n in ORACLE_SQL else '  (no SQL oracle)'}")
+            return 0
+        if qa.name not in QUERIES:
+            print(f"unknown query {qa.name!r}; try 'list'", file=sys.stderr)
+            return 2
+
+        import ray
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(address="local", num_cpus=qa.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        from .shipping import register_package_by_value
+        register_package_by_value()
+        res = QUERIES[qa.name](qa.sf)
+        import ray.data as _rd
+        if isinstance(res, _rd.Dataset):
+            n = res.count()
+            head = res.limit(qa.limit).to_pandas()
+        else:
+            import pandas as _pd
+            import pyarrow as _pa
+            if isinstance(res, _pa.Table):
+                res = res.to_pandas()
+            n = len(res)
+            head = res.head(qa.limit)
+        print(head.to_string(index=False))
+        print(f"[{n} rows total]")
+        if owns:
+            ray.shutdown()
+        return 0
+
     ap = argparse.ArgumentParser(description="Ray Data corpus-hygiene pipeline")
     ap.add_argument("--input", required=True, help="input parquet file/dir/glob")
     ap.add_argument("--out", required=True, help="output directory")

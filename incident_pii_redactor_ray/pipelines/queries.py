@@ -717,7 +717,7 @@ def q_range_join(sf_dir: str):
 
 
 def q_approx_quantiles(sf_dir: str):
-    """Approximate quantiles of lineitem.l_extendedprice via the same
+    """Approximate quantiles of lineitem.l_quantity via the same
     mergeable log-histogram sketch the hygiene manifests use
     (state/manifests.ppl_hist): per-batch 128-bin partials, one tiny
     groupby merge (shuffle = 128 rows per batch), quantile = bin lower
@@ -727,10 +727,10 @@ def q_approx_quantiles(sf_dir: str):
     from ..state import manifests as mf
 
     ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
-                               columns=["l_extendedprice"])
+                               columns=["l_quantity"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        vals = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+        vals = np.asarray(batch.column("l_quantity"), dtype=np.float64)
         hist = mf.ppl_hist(vals)
         nz = np.flatnonzero(hist)
         return pa.table({"bin": pa.array(nz.astype(np.int64)),
@@ -1296,7 +1296,7 @@ ORACLE_SQL = {
         # 0, 127); quantile = 10^(bin/32) - 1 at the first bin whose
         # cumulative count reaches ceil(q * total)
         "WITH h AS (SELECT least(127, greatest(0, "
-        "  cast(floor(log10(l_extendedprice + 1) * 32) AS BIGINT))) AS bin, "
+        "  cast(floor(log10(l_quantity + 1) * 32) AS BIGINT))) AS bin, "
         "  count(*) AS n FROM lineitem GROUP BY 1), "
         "tot AS (SELECT sum(n) AS t FROM h), "
         "c AS (SELECT bin, sum(n) OVER (ORDER BY bin) AS cum FROM h), "

@@ -182,6 +182,48 @@ def q_train_val_split(sf_dir: str):
     return ds.map_batches(split, batch_format="pyarrow")
 
 
+SAMPLE_RATES = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.25}
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling — the standard corpus-mixing
+    op (upweight one language, downsample others): keep a doc iff
+    md5(doc_id) fraction < rate[lang]. Pure hashing, so the sample is
+    stable across runs/partitionings and SQL-checkable (same md5
+    8-hex-prefix fraction as the KMV sketch)."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        mask = []
+        for i, lg in zip(ids, langs):
+            frac = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 16 ** 8
+            mask.append(frac < SAMPLE_RATES.get(lg, 0.0))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_lang_source_pivot(sf_dir: str):
+    """Pivot rollup: documents counted by lang x source, one column per
+    source — groupby partials then a driver-side pivot of the tiny
+    result (cells = lang-cardinality x source-cardinality)."""
+    from ray.data.aggregate import Count
+
+    ds = _docs(sf_dir, ["lang", "source"])
+    long = (ds.groupby(["lang", "source"])
+              .aggregate(Count(alias_name="n")).to_pandas())
+    sources = [f"src{i}" for i in range(20)]  # fixture source universe
+    wide = (long.pivot(index="lang", columns="source", values="n")
+                .reindex(columns=sources, fill_value=0)
+                .fillna(0).astype("int64").reset_index())
+    wide.columns = ["lang"] + [f"n_{c}" for c in wide.columns[1:]]
+    return wide
+
+
 def q_doc_fingerprint(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     ds = ds.map_batches(textstats.fingerprint_batch, batch_format="pyarrow")
@@ -894,6 +936,8 @@ QUERIES = {
     "lang_markers": q_lang_markers,
     "doc_fingerprint": q_doc_fingerprint,
     "train_val_split": q_train_val_split,
+    "stratified_sample": q_stratified_sample,
+    "lang_source_pivot": q_lang_source_pivot,
     "bpe_token_count": q_bpe_token_count,
     "winnow_fingerprint": q_winnow_fingerprint,
     "scrub_redact": q_scrub_redact,
@@ -1041,6 +1085,24 @@ ORACLE_SQL = {
     "doc_fingerprint": (
         "SELECT doc_id, md5(coalesce(array_to_string(regexp_extract_all(lower(text), '\\S+'), ' '), '')) AS fingerprint "
         "FROM documents"
+    ),
+
+    "stratified_sample": (
+        # md5 8-hex-prefix fraction (dyadic -> bit-exact digit sum, same
+        # construction as approx_distinct) under per-language rates
+        "SELECT doc_id, lang FROM documents WHERE "
+        "list_sum([(instr('0123456789abcdef', md5(doc_id::VARCHAR)[i:i]) - 1) "
+        " / pow(16, i) for i in generate_series(1, 8)]) < "
+        "CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.5 "
+        "WHEN 'fr' THEN 0.25 WHEN 'zh' THEN 0.25 ELSE 0.0 END"
+    ),
+
+    "lang_source_pivot": (
+        "SELECT lang, "
+        + ", ".join(
+            f"sum(CASE WHEN source = 'src{i}' THEN 1 ELSE 0 END)::BIGINT AS n_src{i}"
+            for i in range(20))
+        + " FROM documents GROUP BY lang"
     ),
 
     "bpe_token_count": (

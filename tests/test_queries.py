@@ -253,3 +253,21 @@ def test_files_mode_marker_blocks_cross_mode_resume(ray_session, small_corpus, t
     with _pytest.raises(ValueError, match="partition_by"):
         run_hygiene(src, out, partition_by="file", batch_size=64,
                     scorer_concurrency=2, resume=True)  # typo -> explicit error
+
+
+def test_semi_join_string_and_null_keys(ray_session):
+    """Review r2: broadcast_semi_join must handle string keys and nulls
+    with SQL EXISTS semantics (null never matches; anti keeps it)."""
+    import pyarrow as pa
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.relational import broadcast_semi_join
+
+    big = ray.data.from_arrow(pa.table({
+        "name": pa.array(["alice", "bob", None, "carol"]),
+        "v": pa.array([1, 2, 3, 4], type=pa.int64())}))
+    semi = broadcast_semi_join(big, ["alice", "carol", None], on="name").to_pandas()
+    assert sorted(semi["name"]) == ["alice", "carol"]
+    anti = broadcast_semi_join(big, ["alice", "carol", None], on="name",
+                               anti=True).to_pandas()
+    assert anti["v"].tolist() == [2, 3]  # bob + the null-keyed row

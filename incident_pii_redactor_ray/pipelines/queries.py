@@ -1545,8 +1545,18 @@ ORACLE_SQL = {
         f"FROM read_parquet('{_GOLDEN_DIR}/validation_metrics_*.parquet') g "
         "WHERE g.corpus_key = (SELECT sum(n_chars) FROM documents)"
     ),
-    # Only ann_ivf_topk remains without an oracle: its coarse quantizer
-    # is 10 seeded Lloyd iterations — an iterative training loop, not a
-    # SQL expression; tests/test_queries.py::test_ann_ivf_recall checks
-    # it against the exact brute-force result instead.
+    "ann_ivf_topk": (
+        # the coarse quantizer is 10 seeded Lloyd iterations — an
+        # iterative training loop, not SQL — so the oracle reads the
+        # committed golden parquet from the independent single-process
+        # implementation (fixtures/gen_golden.gen_ivf_topk), keyed by a
+        # content-derived exact-integer corpus key (the sf0.001/sf0.01
+        # embeddings share a row count, so count(*) is ambiguous);
+        # test_ann_ivf_recall additionally bounds recall vs the exact
+        # brute-force result
+        "SELECT g.query_id, g.rank, g.neighbor_id, g.cosine "
+        f"FROM read_parquet('{_GOLDEN_DIR}/ann_ivf_topk_*.parquet') g "
+        "WHERE g.corpus_key = (SELECT sum(CAST(floor(embedding[1]::DOUBLE "
+        "* 1000000 + 0.5) AS BIGINT)) FROM embeddings)"
+    ),
 }

@@ -224,7 +224,11 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.ndarray,
                     continue
                 row = self.q[qi] @ m[mask].T
                 sel = ids[mask]
-                kk = min(k, len(sel))
+                # k+1 so a self-match inside this batch's top-k cannot
+                # displace a global top-k candidate (same guard as
+                # brute_force_topk; keeps the result independent of
+                # batch boundaries)
+                kk = min(k + 1, len(sel))
                 part = _topk_tiebreak(row, sel, kk)
                 out_q.extend([int(self.qids[qi])] * len(part))
                 out_n.extend(sel[part].tolist())

@@ -459,16 +459,21 @@ def q_embedding_neardup(sf_dir: str):
 # --------------------------------------------------------------------------
 
 def q_media_bytes(sf_dir: str):
-    ds = media_from_documents(_docs(sf_dir, ["doc_id", "text"]))
+    ds = media_from_documents(_docs(sf_dir, ["doc_id"]))
     ds = ds.map_batches(MediaFeatureStage, batch_format="pyarrow", batch_size=64,
-                        concurrency=2, fn_constructor_kwargs={"fake": True})
+                        concurrency=2)
     return ds.select_columns(["media_id", "n_bytes"])
 
 
 def q_multimodal_features(sf_dir: str):
-    ds = media_from_documents(_docs(sf_dir, ["doc_id", "text"]))
+    """Real BMP pixel statistics: the fixture generates BMP bytes, the
+    actor-pool stage DECODES them (pure-numpy 24-bpp codec), and the
+    SQL oracle recomputes the same statistics from the pixel formula —
+    a wrong padding/row-order/channel-order in either codec half breaks
+    the hash (no more sha256 stand-in)."""
+    ds = media_from_documents(_docs(sf_dir, ["doc_id"]))
     ds = ds.map_batches(MediaFeatureStage, batch_format="pyarrow", batch_size=64,
-                        concurrency=2, fn_constructor_kwargs={"fake": True})
+                        concurrency=2)
     ds = ds.select_columns(["media_id", "media_type", "width", "height", "n_bytes", "features"])
 
     # flatten the list<double> feature vector to f0..f7 scalar columns:
@@ -1275,24 +1280,45 @@ ORACLE_SQL = {
     ),
 
     "media_bytes": (
-        "SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes FROM documents"
+        # exact BMP byte budget: 54-byte header + 4-byte-padded rows
+        "SELECT doc_id AS media_id, "
+        "(54 + ((8 + doc_id % 9) * 3 + 3) // 4 * 4 * (6 + doc_id % 5))::BIGINT "
+        "AS n_bytes FROM documents"
     ),
 
     "multimodal_features": (
-        # reproduces multimodal.decode_image(fake=True): feature i =
-        # round(byte_i(sha256(payload)) / 255, 6), payload = utf-8 text
+        # recomputes multimodal.decode_image's statistics straight from
+        # the gen_image pixel formula px(y,x,c) = (id*7+y*5+x*3+c*11)%256
+        # — the engine must DECODE real BMP bytes (padding, bottom-up
+        # rows, BGR order) to reproduce these, incl. the positional
+        # f6/f7 top-row stats; half-up 6-decimal via floor(x*1e6+0.5)
         "WITH m AS (SELECT doc_id AS media_id, 'image' AS media_type, "
-        "  64::INT AS width, 64::INT AS height, "
-        "  octet_length(encode(text)) AS n_bytes, sha256(text) AS dg "
-        "  FROM documents) "
-        "SELECT media_id, media_type, width, height, n_bytes, "
-        + ", ".join(
-            "round((("
-            f"instr('0123456789abcdef', dg[{2 * i + 1}:{2 * i + 1}]) - 1) * 16 + "
-            f"instr('0123456789abcdef', dg[{2 * i + 2}:{2 * i + 2}]) - 1"
-            f")::DOUBLE / 255, 6) AS f{i}"
-            for i in range(8))
-        + " FROM m"
+        "  (8 + doc_id % 9)::INT AS width, (6 + doc_id % 5)::INT AS height "
+        "  FROM documents), "
+        "px AS (SELECT media_id, media_type, width, height, "
+        "  flatten([[ (media_id*7 + y*5 + x*3) % 256 "
+        "    for x in generate_series(0, width-1)] "
+        "    for y in generate_series(0, height-1)]) AS r, "
+        "  flatten([[ (media_id*7 + y*5 + x*3 + 11) % 256 "
+        "    for x in generate_series(0, width-1)] "
+        "    for y in generate_series(0, height-1)]) AS g, "
+        "  flatten([[ (media_id*7 + y*5 + x*3 + 22) % 256 "
+        "    for x in generate_series(0, width-1)] "
+        "    for y in generate_series(0, height-1)]) AS b "
+        "  FROM m), "
+        "gr AS (SELECT *, [r[i] + g[i] + b[i] "
+        "  for i in generate_series(1, len(r))] AS gray FROM px) "
+        "SELECT media_id, media_type, width, height, "
+        "(54 + (width * 3 + 3) // 4 * 4 * height)::BIGINT AS n_bytes, "
+        "floor(list_avg(r) / 255 * 1000000 + 0.5) / 1000000 AS f0, "
+        "floor(list_avg(g) / 255 * 1000000 + 0.5) / 1000000 AS f1, "
+        "floor(list_avg(b) / 255 * 1000000 + 0.5) / 1000000 AS f2, "
+        "floor(list_min(gray)::DOUBLE / 765 * 1000000 + 0.5) / 1000000 AS f3, "
+        "floor(list_max(gray)::DOUBLE / 765 * 1000000 + 0.5) / 1000000 AS f4, "
+        "floor(list_avg(gray) / 765 * 1000000 + 0.5) / 1000000 AS f5, "
+        "floor(list_avg(r[1:width]) / 255 * 1000000 + 0.5) / 1000000 AS f6, "
+        "floor(r[1]::DOUBLE / 255 * 1000000 + 0.5) / 1000000 AS f7 "
+        "FROM gr"
     ),
 
     "orders_customer_join": (

@@ -1,28 +1,85 @@
-"""Multimodal plumbing: decode/resize stubs, frame sampling, 1->N
-explode through an actor-pool stage."""
+"""Multimodal path: real pure-numpy BMP codec (encode/decode/resize),
+frame sampling, 1->N explode through an actor-pool stage."""
 
 from __future__ import annotations
 
-import pyarrow as pa
+import numpy as np
 import pytest
 
-from incident_pii_redactor_ray.stages.multimodal import (VideoFrameSampleStage,
-                                                        decode_image, resize_image,
-                                                        sample_frames)
+from incident_pii_redactor_ray.stages.multimodal import (
+    VideoFrameSampleStage, bmp_decode, bmp_encode, bmp_row_size,
+    decode_image, gen_image, resize_image, sample_frames)
 
 
-def test_decode_stub_raises_without_fake():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"xx")
-    v = decode_image(b"xx", fake=True)
-    assert len(v) == 8 and (decode_image(b"xx", fake=True) == v).all()
+def test_bmp_roundtrip_all_padding_phases():
+    """Widths 8..16 cover every 4-byte row-padding phase; decode must
+    return the exact original pixels (bottom-up + BGR handled)."""
+    rng = np.random.default_rng(7)
+    for w in range(8, 17):
+        px = rng.integers(0, 256, size=(5, w, 3), dtype=np.uint8)
+        out = bmp_decode(bmp_encode(px))
+        assert out.shape == px.shape
+        assert (out == px).all(), f"roundtrip mismatch at width {w}"
 
 
-def test_resize_stub():
-    with pytest.raises(NotImplementedError):
-        resize_image(b"data", 32, 32)
-    small = resize_image(b"d" * 100, 32, 32, fake=True)
-    assert len(small) == 25  # quarter of the pixels -> quarter of the bytes
+def test_bmp_decode_top_down_variant():
+    """A top-down BMP (negative height) decodes to the same pixels as
+    the bottom-up encoding of the same image."""
+    px = gen_image(3)
+    encoded = bytearray(bmp_encode(px))
+    h = px.shape[0]
+    # flip to top-down: negate height, reverse the row blocks
+    import struct
+    struct.pack_into("<i", encoded, 22, -h)
+    row = bmp_row_size(px.shape[1])
+    body = bytes(encoded[54:])
+    rows = [body[i * row:(i + 1) * row] for i in range(h)]
+    encoded[54:] = b"".join(reversed(rows))
+    assert (bmp_decode(bytes(encoded)) == px).all()
+
+
+def test_bmp_decode_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError):
+        bmp_decode(b"not a bitmap")
+    px = gen_image(1)
+    bad = bytearray(bmp_encode(px))
+    import struct
+    struct.pack_into("<H", bad, 28, 8)  # 8-bpp unsupported
+    with pytest.raises(ValueError):
+        bmp_decode(bytes(bad))
+    with pytest.raises(ValueError):
+        bmp_decode(bmp_encode(px)[:-4])  # truncated body
+
+
+def test_decode_image_features_match_pixel_math():
+    """decode_image statistics equal direct numpy statistics of the
+    generated pixels — the same invariant the SQL oracle checks."""
+    for mid in (0, 5, 123):
+        px = gen_image(mid).astype(np.float64)
+        f = decode_image(bmp_encode(gen_image(mid)))
+        assert len(f) == 8
+        r = px[..., 0]
+        gray = px.sum(axis=2)
+        expect = [r.mean() / 255, px[..., 1].mean() / 255, px[..., 2].mean() / 255,
+                  gray.min() / 765, gray.max() / 765, gray.mean() / 765,
+                  r[0, :].mean() / 255, r[0, 0] / 255]
+        assert np.allclose(f, expect, atol=1e-6)
+        assert ((f >= 0) & (f <= 1)).all()
+
+
+def test_resize_nearest_neighbor():
+    px = gen_image(9)
+    out = bmp_decode(resize_image(bmp_encode(px), 4, 3))
+    h, w = px.shape[:2]
+    yi = (np.arange(3) * h) // 3
+    xi = (np.arange(4) * w) // 4
+    assert (out == px[yi][:, xi]).all()
+    # upscale too
+    up = bmp_decode(resize_image(bmp_encode(px), 2 * px.shape[1], 2 * px.shape[0]))
+    assert up.shape == (2 * px.shape[0], 2 * px.shape[1], 3)
+    assert (up[::2, ::2] == px).all()
+    with pytest.raises(ValueError):
+        resize_image(bmp_encode(px), 0, 3)
 
 
 def test_sample_frames_plan():
@@ -33,8 +90,19 @@ def test_sample_frames_plan():
 
 
 def test_video_frame_stage(ray_session):
+    """Payload = concatenation of equal-size BMP frames; the stage
+    slices the sampled frames and runs the REAL decode on each."""
     import ray.data
-    rows = [{"media_id": i, "payload": bytes([i]) * 10, "fps": 10.0, "n_frames": 25}
+
+    def frame(mid: int, fi: int) -> np.ndarray:
+        y, x = np.mgrid[0:6, 0:8]
+        return ((mid * 31 + fi * 13 + y * 5 + x * 3) % 256).astype(
+            np.uint8)[..., np.newaxis].repeat(3, axis=2)
+
+    n_frames = 25
+    rows = [{"media_id": i,
+             "payload": b"".join(bmp_encode(frame(i, f)) for f in range(n_frames)),
+             "fps": 10.0, "n_frames": n_frames}
             for i in range(4)]
     ds = ray.data.from_items(rows)
     out = ds.map_batches(VideoFrameSampleStage, batch_format="pyarrow", batch_size=2,
@@ -42,4 +110,7 @@ def test_video_frame_stage(ray_session):
     # 25 frames at 10 fps, 1/s -> frames 0, 10, 20 per video
     assert len(out) == 12
     assert sorted(out[out.media_id == 0]["frame_index"]) == [0, 10, 20]
-    assert all(len(f) == 8 for f in out["frame_features"])
+    # frame features equal a direct decode of that frame's pixels
+    for _, row in out.iterrows():
+        direct = decode_image(bmp_encode(frame(int(row.media_id), int(row.frame_index))))
+        assert np.allclose(row.frame_features, direct, atol=1e-9)

@@ -737,6 +737,54 @@ def q_asof_join(sf_dir: str):
     return asof_join(left, right, key_col="user_id", ts_col="ts")
 
 
+def _events_str_key(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    """events with the integer user_id replaced by a string user_key
+    ('u<user_id>') — exercises the md5 key-shard path of the windowing
+    / as-of family (string entity keys are the common real-world case,
+    VERDICT r2 'What's missing' #4)."""
+    ev = _events(sf_dir, columns)
+
+    def to_str_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("user_id").to_pylist()
+        keys = pa.array([f"u{i}" for i in ids], type=pa.string())
+        batch = batch.append_column("user_key", keys)
+        return batch.drop_columns(["user_id"])
+
+    return ev.map_batches(to_str_key, batch_format="pyarrow")
+
+
+def q_asof_join_str(sf_dir: str):
+    """asof_join keyed by a STRING entity key — same semantics as
+    asof_join, md5 key sharding instead of integer modulo."""
+    from ray.data.aggregate import Max
+
+    from ..stages.relational import asof_join
+
+    ev = _events_str_key(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def split_left(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.not_equal(batch.column("event_type"), pa.scalar("signup"))
+        return batch.filter(mask).drop_columns(["event_type"])
+
+    def split_right(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.equal(batch.column("event_type"), pa.scalar("signup"))
+        return batch.filter(mask).select(["user_key", "ts", "value"])
+
+    left = ev.map_batches(split_left, batch_format="pyarrow")
+    right = (ev.map_batches(split_right, batch_format="pyarrow")
+               .groupby(["user_key", "ts"])
+               .aggregate(Max("value", alias_name="ref_value")))
+    return asof_join(left, right, key_col="user_key", ts_col="ts",
+                     left_cols=["event_id", "user_key", "ts", "value"])
+
+
+def q_session_windows_str(sf_dir: str):
+    """Session windows keyed by a STRING entity key (md5 sharding)."""
+    from ..stages.relational import session_windows
+    ev = _events_str_key(sf_dir, ["user_id", "ts"])
+    return session_windows(ev, key_col="user_key", gap="30min")
+
+
 def q_semi_join(sf_dir: str):
     """Customers having at least one high-value order (semi join: the
     order keys are reduced to a set and broadcast; the customer side
@@ -1008,6 +1056,8 @@ QUERIES = {
     "session_windows": q_session_windows,
     "sliding_window": q_sliding_window,
     "asof_join": q_asof_join,
+    "asof_join_str": q_asof_join_str,
+    "session_windows_str": q_session_windows_str,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "range_join": q_range_join,
@@ -1435,6 +1485,29 @@ ORACLE_SQL = {
         "  WHERE event_type != 'signup') "
         "SELECT l.event_id, l.user_id, l.ts, l.value, r.ts AS ref_ts, r.ref_value "
         "FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+
+    "asof_join_str": (
+        "WITH e AS (SELECT event_id, 'u' || user_id::VARCHAR AS user_key, "
+        "  ts, event_type, value FROM events), "
+        "r AS (SELECT user_key, ts, max(value) AS ref_value FROM e "
+        "  WHERE event_type = 'signup' GROUP BY user_key, ts), "
+        "l AS (SELECT event_id, user_key, ts, value FROM e "
+        "  WHERE event_type != 'signup') "
+        "SELECT l.event_id, l.user_key, l.ts, l.value, r.ts AS ref_ts, r.ref_value "
+        "FROM l ASOF JOIN r ON l.user_key = r.user_key AND l.ts >= r.ts"
+    ),
+
+    "session_windows_str": (
+        "WITH e AS (SELECT 'u' || user_id::VARCHAR AS user_key, ts FROM events), "
+        "o AS (SELECT user_key, ts, CASE WHEN "
+        "  lag(ts) OVER (PARTITION BY user_key ORDER BY ts) IS NULL OR "
+        "  ts - lag(ts) OVER (PARTITION BY user_key ORDER BY ts) > INTERVAL 30 MINUTE "
+        "  THEN 1 ELSE 0 END AS new_s FROM e), "
+        "s AS (SELECT user_key, ts, sum(new_s) OVER (PARTITION BY user_key ORDER BY ts "
+        "  ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+        "SELECT user_key, min(ts) AS session_start, max(ts) AS session_end, "
+        "count(*)::BIGINT AS n_events FROM s GROUP BY user_key, sid"
     ),
 
     "approx_quantiles": (

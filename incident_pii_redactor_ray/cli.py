@@ -84,6 +84,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--policy", help="policy JSON file (see policy.HygienePolicy)")
     ap.add_argument("--validate", action="store_true",
                     help="append the M16-M20 validation column")
+    ap.add_argument("--partition-by", choices=("hash", "files", "hive"),
+                    default="hash",
+                    help="partition-id source: row hash (default), input file "
+                         "index, or a partition_id=K hive input tree "
+                         "(pipelines.hygiene.write_hive_input)")
     ap.add_argument("--no-resume", action="store_true",
                     help="reprocess everything, ignoring committed partitions")
     ap.add_argument("--num-cpus", type=int, default=None,
@@ -113,7 +118,8 @@ def main(argv: list[str] | None = None) -> int:
         num_partitions=args.num_partitions, salt=args.salt,
         scorer_concurrency=(2, args.scorer_concurrency),
         batch_size=args.batch_size, policy=policy,
-        validate=args.validate, resume=not args.no_resume)
+        validate=args.validate, resume=not args.no_resume,
+        partition_by=args.partition_by)
     print(json.dumps(summary))
     if owns_session:
         ray.shutdown()

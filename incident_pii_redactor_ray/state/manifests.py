@@ -95,10 +95,11 @@ def completed_partitions(out_dir: str) -> set[int]:
 
 
 def check_partition_mode(out_dir: str, mode: str) -> None:
-    """Persist the partitioning mode ('hash' | 'files') on first use of
-    an out_dir and refuse a resume under a different mode: partition ids
-    are file indexes in one mode and salted hashes in the other, so a
-    cross-mode resume would silently drop the wrong rows."""
+    """Persist the partitioning mode ('hash' | 'files' | 'hive') on
+    first use of an out_dir and refuse a resume under a different mode:
+    partition ids are file indexes in one mode and salted hashes in the
+    others, so a cross-mode resume would silently drop the wrong
+    rows."""
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_partition_mode")
     if os.path.exists(marker):

@@ -159,8 +159,68 @@ def run_scaling() -> dict:
     }
 
 
+def run_dedup_scale() -> dict:
+    """Scale point for the near-dup family (VERDICT r2 next-round #7):
+    minhash_lsh_pairs + dedup_components over the big cached corpus
+    (default 2M files — the same 10x corpus the headline pipeline's
+    scale point uses). Reports wall time, files/s and result sizes;
+    run with DEDUP_SCALE_FILES to change the size."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data import DataContext
+
+    from fixtures.gen_corpus import corpus_path
+    from incident_pii_redactor_ray.functions.hashing import fnv1a64_arrow
+    from incident_pii_redactor_ray.stages.dedup import (dedup_components,
+                                                        minhash_lsh_pairs)
+    from incident_pii_redactor_ray.shipping import register_package_by_value
+
+    register_package_by_value()
+    n_files = int(os.environ.get("DEDUP_SCALE_FILES", "2000000"))
+    corpus = corpus_path(n_files)
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        joined = pc.binary_join_element_wise(
+            batch.column("repo"), batch.column("path"), batch.column("commit"), "\x00")
+        ids = (fnv1a64_arrow(joined) >> np.uint64(1)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids), "text": batch.column("content")})
+
+    docs = ray.data.read_parquet(
+        corpus, columns=["repo", "path", "commit", "content"]
+    ).map_batches(to_docs, batch_format="pyarrow")
+
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(docs, threshold=0.6).materialize()
+    t_pairs = time.time() - t0
+    n_pairs = pairs.count()
+
+    t0 = time.time()
+    comp = dedup_components(pairs.select_columns(["id_a", "id_b"]))
+    n_nodes = comp.count()
+    t_comp = time.time() - t0
+    ray.shutdown()
+    return {
+        "metric": "dedup_scale",
+        "n_files": n_files,
+        "minhash_pairs_sec": round(t_pairs, 1),
+        "minhash_files_per_sec": round(n_files / t_pairs, 1),
+        "n_pairs": n_pairs,
+        "components_sec": round(t_comp, 1),
+        "n_dup_nodes": n_nodes,
+        "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--dedup-scale" in sys.argv:
+        print(json.dumps(run_dedup_scale()))
     else:
         print(json.dumps(run_bench()))

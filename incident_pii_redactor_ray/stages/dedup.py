@@ -504,10 +504,13 @@ def dedup_components(pairs: ray.data.Dataset, *, max_rounds: int | None = None,
     the edges against the label rows (_attach_label) — automatic, so a
     corpus-sized dup graph never materializes on the driver (VERDICT r1
     'What's wrong' #3). Propagation runs UNTIL CONVERGENCE by default
-    (labels decrease monotonically, so rounds <= cluster diameter and
-    the result equals the oracle's exact recursive-CTE closure even on
-    chain-shaped clusters); pass ``max_rounds`` only as a safety valve
-    for adversarial diameters, accepting divergence from the closure.
+    (labels decrease monotonically, so the result equals the oracle's
+    exact recursive-CTE closure even on chain-shaped clusters); the
+    broadcast path additionally pointer-jumps the label table on the
+    driver each round (a label is itself a node id), making total
+    rounds O(log diameter) instead of O(diameter). Pass ``max_rounds``
+    only as a safety valve for adversarial diameters on the join path,
+    accepting divergence from the closure.
     """
     import pandas as pd
 
@@ -549,35 +552,56 @@ def dedup_components(pairs: ray.data.Dataset, *, max_rounds: int | None = None,
     rounds = 0
     while max_rounds is None or rounds < max_rounds:
         rounds += 1
-        # labels only ever decrease, so an unchanged sum == convergence
-        cur_sum = int(labels.sum("label"))
-        if prev_sum is not None and cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
         n_nodes = labels.count()
 
         if n_nodes <= broadcast_max_nodes:
+            # labels only ever decrease, so an unchanged sum ==
+            # convergence; on the broadcast path the sum comes from the
+            # pandas pull we need anyway (no extra Dataset barrier —
+            # each round used to pay ~5 barriers incl. an actor-pool
+            # spin-up, which dominated wall time on small dup graphs)
             ldf = labels.to_pandas().sort_values("node")
+            cur_sum = int(ldf["label"].sum())
+            if prev_sum is not None and cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
             nodes = ldf["node"].to_numpy(dtype=np.int64)
             labs = ldf["label"].to_numpy(dtype=np.int64)
+            # pointer-jumping path compression (driver-side, free on
+            # the broadcast path): a label is itself a node id, so
+            # chase label -> label-of-label chains to their current
+            # root with O(log diameter) vectorized passes. Combined
+            # with the per-round edge min-propagation this converges
+            # in O(log d) rounds instead of O(d) — a chain-shaped dup
+            # cluster of diameter 11 took 11 Ray rounds before.
+            while True:
+                idx = np.clip(np.searchsorted(nodes, labs), 0, len(nodes) - 1)
+                hit = nodes[idx] == labs
+                nl = np.where(hit, labs[idx], labs)
+                if np.array_equal(nl, labs):
+                    break
+                labs = nl
             ref = ray.put((nodes, labs))
 
-            class Relabel:
-                def __init__(self):
-                    self.nodes, self.labs = ray.get(ref)
+            # plain task pool: ray.get of the broadcast ref inside the
+            # task is a zero-copy shared-memory read on the same node,
+            # and tasks skip the per-round actor startup cost
+            def relabel(batch: pa.Table, ref=ref) -> pa.Table:
+                nodes, labs = ray.get(ref)
+                a = np.asarray(batch.column("id_a"), dtype=np.int64)
+                b = np.asarray(batch.column("id_b"), dtype=np.int64)
+                la = labs[np.searchsorted(nodes, a)]
+                lb = labs[np.searchsorted(nodes, b)]
+                m = np.minimum(la, lb)
+                return pa.table({"node": pa.array(np.concatenate([a, b])),
+                                 "label": pa.array(np.concatenate([m, m]))})
 
-                def __call__(self, batch: pa.Table) -> pa.Table:
-                    a = np.asarray(batch.column("id_a"), dtype=np.int64)
-                    b = np.asarray(batch.column("id_b"), dtype=np.int64)
-                    la = self.labs[np.searchsorted(self.nodes, a)]
-                    lb = self.labs[np.searchsorted(self.nodes, b)]
-                    m = np.minimum(la, lb)
-                    return pa.table({"node": pa.array(np.concatenate([a, b])),
-                                     "label": pa.array(np.concatenate([m, m]))})
-
-            relabeled = pairs.map_batches(Relabel, batch_format="pyarrow",
-                                          concurrency=(2, 8))
+            relabeled = pairs.map_batches(relabel, batch_format="pyarrow")
         else:
+            cur_sum = int(labels.sum("label"))
+            if prev_sum is not None and cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
             # join path: label each endpoint by repartition join, then
             # emit min(la, lb) for both endpoints
             la = _attach_label(pairs, labels, "id_a", "la", ["id_a", "id_b"])

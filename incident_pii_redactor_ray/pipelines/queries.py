@@ -252,6 +252,104 @@ def q_winnow_fingerprint(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# B2. training-corpus preparation (round-3 surface: stages/corpus_ops)
+# --------------------------------------------------------------------------
+
+def q_term_frequencies(sf_dir: str):
+    """Corpus vocabulary counts — per-batch Arrow value_counts partials,
+    ONE groupby(token) Sum over the partials (the shuffle carries
+    vocabulary-sized rows, never the token stream)."""
+    from ..stages.corpus_ops import term_frequencies
+
+    return term_frequencies(_docs(sf_dir, ["text"]))
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style per-doc repetition signals (Rae et al. 2021 §A1.1):
+    duplicate 2/3-gram fraction + most-frequent-token fraction — the
+    quality-filter inputs the heuristic keep/drop rules consume."""
+    from ..stages.corpus_ops import repetition_stats_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_tokens", "dup_2gram_frac",
+                              "dup_3gram_frac", "top_token_frac"])
+
+
+#: seed for the deterministic global shuffle key (any 32-bit constant)
+SHUFFLE_SEED = 0xD1CE
+
+
+def q_global_shuffle(sf_dir: str):
+    """Deterministic global training-order shuffle: key =
+    fmix32(doc_id XOR seed), ds.sort on (key, id), first 200 rows —
+    exercises Ray's distributed sort while staying SQL-checkable (the
+    oracle reproduces the murmur3 finalizer and the ORDER BY/LIMIT)."""
+    from ..functions.hashing import fmix32
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        k = fmix32(ids ^ np.int64(SHUFFLE_SEED)).astype(np.int64)
+        return batch.append_column("shuffle_key", pa.array(k, type=pa.int64()))
+
+    return (ds.map_batches(key, batch_format="pyarrow")
+              .sort(["shuffle_key", "doc_id"]).limit(200))
+
+
+#: benchmark membership rule for the decontamination fixture: original
+#: docs with doc_id % BENCH_MOD == 0 stand in for the eval suite.
+BENCH_MOD = 23
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination (GPT-3 appendix C shape) over
+    the near-dup-augmented corpus: benchmark = original docs with
+    doc_id % 23 == 0; training = everything else (originals + all
+    near-dup copies). Returns (doc_id, n_shared) for training docs
+    sharing >= 1 word 8-gram with the benchmark — the near-dup copies
+    of benchmark docs are the planted true positives.
+
+    Scale shape: the benchmark's distinct 8-gram hash set is collected
+    once (eval suites are MBs) and broadcast via ray.put; the training
+    side streams through a vectorized searchsorted — no shuffle."""
+    from ..stages.corpus_ops import benchmark_ngram_hashes, decontaminate
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def bench_mask(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return batch.filter(pa.array(ids % BENCH_MOD == 0))
+
+    def train_mask(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return batch.filter(pa.array(ids % BENCH_MOD != 0))
+
+    bench = docs.map_batches(bench_mask, batch_format="pyarrow")
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        ids = pa.compute.add(batch.column("doc_id"), 1000000)
+        texts = [f"{t} zzz" for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": ids,
+                         "text": pa.array(texts, type=batch.column("text").type)})
+
+    train = (docs.map_batches(train_mask, batch_format="pyarrow")
+                 .union(docs.map_batches(mutate, batch_format="pyarrow")))
+    return decontaminate(train, benchmark_ngram_hashes(bench))
+
+
+def q_sequence_packing(sf_dir: str):
+    """Next-fit sequence packing into 256-token training sequences,
+    deterministic per fmix32 hash-shard; the oracle reproduces the
+    sequential fill with a recursive CTE stepping each shard's id-order
+    row list."""
+    from ..stages.corpus_ops import pack_tokens
+
+    return pack_tokens(_docs(sf_dir, ["doc_id", "text"]))
+
+
+# --------------------------------------------------------------------------
 # C. scrub (the reference's core M3-M15 chain, SQL-checkable slice)
 # --------------------------------------------------------------------------
 
@@ -1030,6 +1128,11 @@ QUERIES = {
     "lang_source_pivot": q_lang_source_pivot,
     "bpe_token_count": q_bpe_token_count,
     "winnow_fingerprint": q_winnow_fingerprint,
+    "term_frequencies": q_term_frequencies,
+    "repetition_stats": q_repetition_stats,
+    "global_shuffle": q_global_shuffle,
+    "decontaminate": q_decontaminate,
+    "sequence_packing": q_sequence_packing,
     "scrub_redact": q_scrub_redact,
     "scrub_findings": q_scrub_findings,
     "exact_dedup": q_exact_dedup,
@@ -1135,8 +1238,95 @@ def _minhash_sql_prefix(corpus_sql: str = _NEARDUP_CORPUS_SQL,
     )
 
 
+def _fmix32_sql_ctes(input_expr: str, carry: str, src: str) -> str:
+    """CTE chain computing fmix32(``input_expr``) as column ``h`` over
+    ``src``, threading the ``carry`` columns through — reproduces
+    functions/hashing.fmix32 exactly (xor/shift = integer division,
+    32-bit wrapping multiply = HUGEINT mod 2^32). Shared by the
+    global_shuffle and sequence_packing oracles."""
+    return (
+        f"h0 AS (SELECT {carry}, ({input_expr}) % 4294967296 AS h FROM {src}), "
+        f"h1 AS (SELECT {carry}, ((xor(h, h // 65536)::HUGEINT * 2246822507)"
+        " % 4294967296)::BIGINT AS h FROM h0), "
+        f"h2 AS (SELECT {carry}, ((xor(h, h // 8192)::HUGEINT * 3266489909)"
+        " % 4294967296)::BIGINT AS h FROM h1), "
+        f"hf AS (SELECT {carry}, xor(h, h // 65536) AS h FROM h2)")
+
+
+#: 8-gram list (distinct) for the decontamination oracle, as a SQL
+#: fragment over a CTE exposing (doc_id, toks)
+_DECON_SH_SQL = (
+    "CASE WHEN len(toks) >= 8 THEN list_distinct("
+    "[array_to_string(toks[i:i+7], ' ') for i in generate_series(1, len(toks)-7)]) "
+    "ELSE []::VARCHAR[] END")
+
+
 ORACLE_SQL = {
     "lang_histogram": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+
+    "term_frequencies": (
+        "SELECT token, count(*)::BIGINT AS n_total FROM "
+        "(SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS token "
+        " FROM documents) GROUP BY token"
+    ),
+
+    "repetition_stats": (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks "
+        "  FROM documents), "
+        "g AS (SELECT doc_id, toks, len(toks) AS n, "
+        "  CASE WHEN len(toks) >= 2 THEN [toks[i]||' '||toks[i+1] "
+        "    for i in generate_series(1, len(toks)-1)] ELSE []::VARCHAR[] END AS g2, "
+        "  CASE WHEN len(toks) >= 3 THEN [toks[i]||' '||toks[i+1]||' '||toks[i+2] "
+        "    for i in generate_series(1, len(toks)-2)] ELSE []::VARCHAR[] END AS g3 "
+        "  FROM t) "
+        "SELECT doc_id, n AS n_tokens, "
+        "floor(CASE WHEN len(g2) > 0 THEN (len(g2) - len(list_distinct(g2)))::DOUBLE "
+        "  / len(g2) ELSE 0 END * 1000000 + 0.5) / 1000000 AS dup_2gram_frac, "
+        "floor(CASE WHEN len(g3) > 0 THEN (len(g3) - len(list_distinct(g3)))::DOUBLE "
+        "  / len(g3) ELSE 0 END * 1000000 + 0.5) / 1000000 AS dup_3gram_frac, "
+        "floor(CASE WHEN n > 0 THEN "
+        "  list_max(map_values(list_aggregate(toks, 'histogram')))::DOUBLE / n "
+        "  ELSE 0 END * 1000000 + 0.5) / 1000000 AS top_token_frac "
+        "FROM g"
+    ),
+
+    "global_shuffle": (
+        "WITH " + _fmix32_sql_ctes(f"xor(doc_id % 4294967296, {SHUFFLE_SEED})",
+                                   "doc_id", "documents")
+        + " SELECT doc_id, h AS shuffle_key FROM hf "
+        "ORDER BY shuffle_key, doc_id LIMIT 200"
+    ),
+
+    "decontaminate": (
+        "WITH corpus AS (SELECT doc_id, text FROM documents "
+        "  UNION ALL SELECT doc_id + 1000000, text || ' zzz' FROM documents), "
+        "tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks "
+        "  FROM corpus), "
+        f"sh AS (SELECT doc_id, {_DECON_SH_SQL} AS g FROM tok), "
+        "bench AS (SELECT list(DISTINCT u) AS bg FROM "
+        f"  (SELECT unnest(g) AS u FROM sh WHERE doc_id < 1000000 AND doc_id % {BENCH_MOD} = 0)), "
+        "res AS (SELECT doc_id, len(list_intersect(g, bg))::BIGINT "
+        "  AS n_shared FROM sh, bench "
+        f"  WHERE NOT (doc_id < 1000000 AND doc_id % {BENCH_MOD} = 0)) "
+        "SELECT doc_id, n_shared FROM res WHERE n_shared > 0"
+    ),
+
+    "sequence_packing": (
+        "WITH RECURSIVE "
+        "base AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens "
+        "  FROM documents), "
+        + _fmix32_sql_ctes("doc_id", "doc_id, n_tokens", "base")
+        + ", r AS (SELECT doc_id, n_tokens, (h % 8)::BIGINT AS shard, "
+        "  row_number() OVER (PARTITION BY h % 8 ORDER BY doc_id) AS rn FROM hf), "
+        "p AS (SELECT shard, rn, doc_id, n_tokens, 0::BIGINT AS seq_id, "
+        "    n_tokens AS acc FROM r WHERE rn = 1 "
+        "  UNION ALL "
+        "  SELECT n.shard, n.rn, n.doc_id, n.n_tokens, "
+        "    CASE WHEN p.acc + n.n_tokens <= 256 THEN p.seq_id ELSE p.seq_id + 1 END, "
+        "    CASE WHEN p.acc + n.n_tokens <= 256 THEN p.acc + n.n_tokens ELSE n.n_tokens END "
+        "  FROM p JOIN r n ON n.shard = p.shard AND n.rn = p.rn + 1) "
+        "SELECT doc_id, shard, n_tokens, seq_id FROM p"
+    ),
 
     "summary_rollup": (
         "SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars, "

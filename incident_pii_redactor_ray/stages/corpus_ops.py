@@ -1,0 +1,263 @@
+"""Training-corpus preparation operators (round-3 additions).
+
+The reference stops at per-record scrubbing (SURVEY §2); these are the
+corpus-level operations a large-scale training-data pipeline runs
+after hygiene, each expressed Ray-Data-first and SQL-checkable:
+
+term_frequencies   — corpus vocabulary counts: per-batch Arrow explode
+                     + value_counts partials, then ONE small groupby
+                     over (token) — the canonical partial-aggregation
+                     shape (shuffle carries per-batch counts, never
+                     tokens).
+repetition_stats   — Gopher-style per-doc repetition signals (Rae et
+                     al. 2021, arXiv:2112.11446 §A1.1): duplicate
+                     2/3-gram fraction + most-frequent-token fraction.
+                     Embarrassingly parallel, no shuffle.
+decontaminate      — benchmark n-gram overlap filter (GPT-3 appendix C
+                     / PaLM-style decontamination): the DISTINCT k-gram
+                     hash set of the (small) benchmark side is
+                     collected once and broadcast via ray.put; the
+                     training side streams through a membership check.
+                     The big side never shuffles.
+pack_tokens        — sequence packing: next-fit bin packing of docs
+                     into fixed token-budget training sequences,
+                     deterministic per hash-shard (the packing order is
+                     doc_id within shard, so any parallelism level
+                     yields identical bins).
+shuffle keys       — fmix32-keyed deterministic global shuffle (see
+                     pipelines/queries.q_global_shuffle).
+
+Scale notes (100 TB): term_frequencies shuffles only per-batch partial
+counts (vocabulary-sized, not corpus-sized). decontaminate broadcasts
+the benchmark set — eval benchmarks are MBs by construction, the
+textbook small-side broadcast. pack_tokens shuffles (id, shard,
+n_tokens) triples only — never content — and each shard packs
+independently; sequences never span shards, which is the documented
+partitioning assumption.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions.hashing import fmix32, mix64
+from ..functions.textbuf import ascii_token_count
+
+# --- term frequencies -------------------------------------------------------
+
+#: explicit RE2/ASCII whitespace class — keeps the Arrow kernel, the
+#: Python tokenizer (functions/textbuf.ws_tokens) and DuckDB's
+#: regexp_extract_all(lower(text), '\S+') identical (r2 review note).
+_WS_PATTERN = r"[ \t\n\f\r]+"
+
+
+def term_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial (token, n) counts — fully vectorized Arrow:
+    lower -> regex split -> flatten -> value_counts. Emitting partials
+    per batch means the downstream groupby shuffles vocabulary-sized
+    rows, not the token stream."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(batch.column(text_col)),
+                                  pattern=_WS_PATTERN)
+    flat = pc.list_flatten(toks)
+    flat = flat.filter(pc.not_equal(flat, ""))
+    vc = pc.value_counts(flat)
+    return pa.table({"token": vc.field("values"),
+                     "n": pc.cast(vc.field("counts"), pa.int64())})
+
+
+def term_frequencies(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Corpus-wide token frequencies: partial counts inside map_batches,
+    one groupby(token) Sum over the partials."""
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(term_count_partial, batch_format="pyarrow")
+    return partial.groupby("token").aggregate(Sum("n", alias_name="n_total"))
+
+
+# --- per-doc repetition stats (Gopher rules) --------------------------------
+
+
+def _round6(x: np.ndarray) -> np.ndarray:
+    """Half-up rounding to 6 decimals — matches the SQL oracle's
+    floor(x*1e6 + 0.5)/1e6 exactly (numpy round is banker's)."""
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def ngram_hashes(th: np.ndarray, k: int) -> np.ndarray:
+    """ORDER-SENSITIVE 64-bit hashes of the word k-grams of a token-hash
+    sequence (one per position, duplicates kept). Unlike
+    dedup.shingle_hashes, the first slice is pre-mixed, so
+    ``mix64(mix64(a) ^ b) != mix64(mix64(b) ^ a)`` — adjacent-transposed
+    n-grams must NOT collide, because the SQL oracles identify n-grams
+    by their exact token strings."""
+    n = len(th)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    acc = mix64(th[: n - k + 1].astype(np.uint64))
+    for j in range(1, k):
+        acc = mix64(acc ^ th[j: n - k + 1 + j])
+    return acc
+
+
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Appends Gopher-style repetition signals per document:
+
+    - ``dup_2gram_frac`` / ``dup_3gram_frac``: fraction of word n-grams
+      that are repeats of an earlier n-gram in the same doc
+      (1 - distinct/total; 0 when the doc has < n tokens).
+    - ``top_token_frac``: count of the most frequent token / n_tokens
+      (0 for empty docs).
+
+    n-grams are identified by order-sensitive splitmix64-mixed md5
+    token hashes (:func:`ngram_hashes`) — collision odds within a
+    single document are ~n²/2⁶⁴, irrelevant; the SQL oracle uses exact
+    strings and must agree."""
+    from .dedup import _token_hashes
+
+    n_rows = batch.num_rows
+    n_tok = np.zeros(n_rows, dtype=np.int64)
+    d2 = np.zeros(n_rows, dtype=np.float64)
+    d3 = np.zeros(n_rows, dtype=np.float64)
+    top = np.zeros(n_rows, dtype=np.float64)
+    for i, t in enumerate(batch.column(text_col).to_pylist()):
+        th = _token_hashes(t or "")
+        n = len(th)
+        n_tok[i] = n
+        if n == 0:
+            continue
+        _, counts = np.unique(th, return_counts=True)
+        top[i] = counts.max() / n
+        for k, out in ((2, d2), (3, d3)):
+            acc = ngram_hashes(th, k)
+            if len(acc):
+                out[i] = (len(acc) - len(np.unique(acc))) / len(acc)
+    return (batch
+            .append_column("n_tokens", pa.array(n_tok, type=pa.int64()))
+            .append_column("dup_2gram_frac", pa.array(_round6(d2)))
+            .append_column("dup_3gram_frac", pa.array(_round6(d3)))
+            .append_column("top_token_frac", pa.array(_round6(top))))
+
+
+# --- decontamination --------------------------------------------------------
+
+#: word-k-gram size for benchmark-overlap decontamination. 8 is small
+#: enough to catch partial quotes yet long enough that coincidental
+#: overlap is negligible (GPT-3 used 13-gram on much longer docs; the
+#: fixture docs are 10-99 tokens).
+DECON_K = 8
+
+
+def benchmark_ngram_hashes(bench_ds: ray.data.Dataset, *,
+                           text_col: str = "text", k: int = DECON_K) -> np.ndarray:
+    """Distinct k-gram hashes of the benchmark side, SORTED uint64.
+
+    The benchmark side of decontamination is eval suites — MBs even
+    when the training side is 100 TB — so collecting its distinct
+    n-gram set to the driver (then ``ray.put`` once) is the intended
+    broadcast design, not a scale hole. Per-batch unique first, so the
+    driver concatenates deduplicated partials."""
+    from .dedup import _token_hashes
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hs = [np.unique(ngram_hashes(_token_hashes(t or ""), k))
+              for t in batch.column(text_col).to_pylist()]
+        merged = (np.unique(np.concatenate(hs)) if hs
+                  else np.empty(0, dtype=np.uint64))
+        return pa.table({"h": pa.array(merged, type=pa.uint64())})
+
+    parts = [np.asarray(b.column("h"), dtype=np.uint64)
+             for b in bench_ds.map_batches(explode, batch_format="pyarrow")
+                              .iter_batches(batch_format="pyarrow")]
+    return (np.unique(np.concatenate(parts)) if parts
+            else np.empty(0, dtype=np.uint64))
+
+
+def decontaminate(train_ds: ray.data.Dataset, bench_hashes: np.ndarray, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  k: int = DECON_K) -> ray.data.Dataset:
+    """Flag training docs sharing any word k-gram with the benchmark
+    set: returns (id_col, n_shared) for contaminated docs only.
+
+    ``bench_hashes`` (sorted, from :func:`benchmark_ngram_hashes`) is
+    shipped once via ``ray.put`` and read zero-copy by every task;
+    membership is a vectorized searchsorted per doc. The training side
+    streams — no shuffle, no materialization."""
+    from .dedup import _token_hashes
+
+    bench_ref = ray.put(np.ascontiguousarray(bench_hashes))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        ids, shared = [], []
+        id_arr = batch.column(id_col).to_pylist()
+        for rid, t in zip(id_arr, batch.column(text_col).to_pylist()):
+            sh = np.unique(ngram_hashes(_token_hashes(t or ""), k))
+            if len(sh) == 0 or len(bench) == 0:
+                continue
+            idx = np.searchsorted(bench, sh)
+            idx[idx == len(bench)] = 0
+            n = int(np.count_nonzero(bench[idx] == sh))
+            if n:
+                ids.append(rid)
+                shared.append(n)
+        return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                         "n_shared": pa.array(shared, type=pa.int64())})
+
+    return train_ds.map_batches(flag, batch_format="pyarrow")
+
+
+# --- sequence packing -------------------------------------------------------
+
+PACK_BUDGET = 256
+PACK_SHARDS = 8
+
+
+def pack_tokens(ds: ray.data.Dataset, *, id_col: str = "doc_id",
+                text_col: str = "text", budget: int = PACK_BUDGET,
+                num_shards: int = PACK_SHARDS) -> ray.data.Dataset:
+    """Next-fit sequence packing of documents into fixed token-budget
+    training sequences, deterministic per hash-shard.
+
+    shard = fmix32(id) % num_shards; within a shard, docs are packed in
+    id order: a doc joins the current sequence iff acc + n_tokens <=
+    budget, else opens a new one (a doc longer than the budget gets its
+    own sequence). Output rows: (id_col, shard, n_tokens, seq_id).
+
+    Partitioning assumption (documented): sequences never span shards,
+    so each shard packs independently and the result is identical at
+    any parallelism level. The shuffle carries (id, shard, n_tokens)
+    triples only — content never moves. The packing loop is O(number of
+    sequences) numpy searchsorted steps, not O(rows) Python."""
+
+    def keys(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        shard = (fmix32(ids) % np.uint32(num_shards)).astype(np.int64)
+        ntok = np.fromiter(
+            (ascii_token_count(t or "") for t in batch.column(text_col).to_pylist()),
+            dtype=np.int64, count=len(ids))
+        return pa.table({id_col: pa.array(ids), "shard": pa.array(shard),
+                         "n_tokens": pa.array(ntok)})
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).reset_index(drop=True)
+        tok = g["n_tokens"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(tok)
+        bins = np.empty(len(g), dtype=np.int64)
+        i0, b = 0, 0
+        while i0 < len(g):
+            base = int(cum[i0 - 1]) if i0 else 0
+            j = int(np.searchsorted(cum, base + budget, side="right"))
+            j = max(j, i0 + 1)  # an over-budget doc still gets a bin
+            bins[i0:j] = b
+            b += 1
+            i0 = j
+        g["seq_id"] = bins
+        return g
+
+    keyed = ds.map_batches(keys, batch_format="pyarrow")
+    return keyed.groupby("shard").map_groups(pack, batch_format="pandas")

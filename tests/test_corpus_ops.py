@@ -1,0 +1,118 @@
+"""Unit tests for the training-corpus preparation operators
+(stages/corpus_ops): edge semantics the sf0.001 SQL-parity rows in
+test_queries can't reach — over-budget packing, shuffle determinism,
+decontamination planted positives, n-gram order sensitivity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from incident_pii_redactor_ray.stages.corpus_ops import (
+    DECON_K, ngram_hashes, repetition_stats_batch, term_count_partial)
+from incident_pii_redactor_ray.stages.dedup import _token_hashes
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ngram_hashes_order_sensitive():
+    # adjacent transposition at positions 0/1 MUST change the hash —
+    # the SQL oracles identify n-grams by exact token strings, and
+    # dedup.shingle_hashes' mix64(a ^ b) first step is symmetric there
+    a = ngram_hashes(_token_hashes("alpha beta gamma"), 2)
+    b = ngram_hashes(_token_hashes("beta alpha gamma"), 2)
+    assert a[0] != b[0]
+    # duplicates kept, one hash per position
+    c = ngram_hashes(_token_hashes("x y x y x"), 2)
+    assert len(c) == 4 and len(np.unique(c)) == 2
+
+
+def test_ngram_hashes_short_input():
+    assert len(ngram_hashes(_token_hashes("one two"), 3)) == 0
+    assert len(ngram_hashes(np.empty(0, dtype=np.uint64), 2)) == 0
+
+
+def test_repetition_stats_known_values():
+    batch = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                      "text": pa.array(["a b a b a", "a a a a", ""])})
+    out = repetition_stats_batch(batch).to_pandas()
+    # "a b a b a": 4 bigrams (ab, ba, ab, ba) -> 2 distinct -> 0.5 dup;
+    # top token 'a' 3/5
+    assert out["n_tokens"].tolist() == [5, 4, 0]
+    assert out["dup_2gram_frac"].tolist() == [0.5, 0.666667, 0.0]  # half-up 6dp
+    assert out["top_token_frac"][0] == 0.6
+    assert out["top_token_frac"][1] == 1.0
+    # "a a a a": 2 trigrams, both "a a a" -> 0.5 dup
+    assert out["dup_3gram_frac"][1] == 0.5
+    assert out["dup_3gram_frac"][2] == 0.0
+
+
+def test_term_count_partial_vectorized_tokenizer():
+    batch = pa.table({"text": pa.array(["Foo  bar\tfoo", "", None, "BAR"])})
+    out = term_count_partial(batch).to_pandas().set_index("token")["n"]
+    assert out["foo"] == 2 and out["bar"] == 2
+    assert "" not in out.index
+
+
+def test_pack_tokens_overflow_and_determinism(ray_session):
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.corpus_ops import pack_tokens
+
+    # one shard (num_shards=1): docs of 100/200/60/300 tokens, budget
+    # 256 -> next-fit bins [0], [1], [1], [2]? no: 100 -> b0; 200
+    # overflows -> b1; 60 joins b1 (260 > 256? 200+60=260 > 256 -> b2);
+    # 300 > budget alone -> own bin b3
+    texts = [" ".join(["w"] * n) for n in (100, 200, 60, 300)]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    out = (pack_tokens(ds, budget=256, num_shards=1).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_tokens"].tolist() == [100, 200, 60, 300]
+    assert out["seq_id"].tolist() == [0, 1, 2, 3]
+    # identical at a different parallelism level
+    out2 = (pack_tokens(ds.repartition(4), budget=256, num_shards=1)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out2["seq_id"].tolist() == out["seq_id"].tolist()
+
+
+def test_pack_tokens_fills_bins(ray_session):
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.corpus_ops import pack_tokens
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": " ".join(["w"] * 64)} for i in range(16)])
+    out = pack_tokens(ds, budget=256, num_shards=1).to_pandas()
+    # 64-token docs, 256 budget -> exactly 4 docs per sequence
+    assert (out.groupby("seq_id").size() == 4).all()
+
+
+def test_decontaminate_planted_positives(ray_session):
+    from incident_pii_redactor_ray.pipelines.queries import BENCH_MOD, q_decontaminate
+    from tests.harness import to_pandas
+
+    out = to_pandas(q_decontaminate(SF))
+    flagged = set(out["doc_id"])
+    # every near-dup copy of a benchmark doc shares its 8-grams
+    planted = {i + 1000000 for i in range(500) if i % BENCH_MOD == 0}
+    assert planted <= flagged
+    # benchmark originals are not in the training side at all
+    assert not any(d < 1000000 and d % BENCH_MOD == 0 for d in flagged)
+    assert (out["n_shared"] > 0).all()
+
+
+def test_global_shuffle_deterministic(ray_session):
+    from incident_pii_redactor_ray.pipelines.queries import q_global_shuffle
+    from tests.harness import to_pandas
+
+    a = to_pandas(q_global_shuffle(SF))
+    b = to_pandas(q_global_shuffle(SF))
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    # it is a real permutation sample: neither ascending ids nor
+    # trivially correlated with id order
+    ids = a["doc_id"].to_numpy()
+    assert not np.all(np.diff(ids) > 0)
+    assert a["shuffle_key"].is_monotonic_increasing

@@ -22,7 +22,9 @@ import ray.data
 from ray.data.aggregate import Count, Mean, Sum
 
 from ..stages import dedup, similarity, textstats
-from ..stages.multimodal import MediaFeatureStage, media_from_documents
+from ..stages.multimodal import (AudioFeatureStage, MediaFeatureStage,
+                                 VideoFrameSampleStage, audio_from_documents,
+                                 media_from_documents, video_from_documents)
 from ..stages.scrub import scrub_batch
 
 
@@ -596,6 +598,44 @@ def q_multimodal_features(sf_dir: str):
     return ds.map_batches(flatten, batch_format="pyarrow")
 
 
+def q_audio_features(sf_dir: str):
+    """Real WAV decode: the fixture emits RIFF/PCM-16 bytes, the
+    actor-pool stage DECODES them (pure-numpy chunk-walking codec) and
+    computes duration/peak/rms/zero-crossings; the SQL oracle
+    recomputes the identical statistics from the closed-form waveform
+    — a wrong header offset, byte order or sign convention in the
+    codec breaks the hash."""
+    ds = audio_from_documents(_docs(sf_dir, ["doc_id"]))
+    return ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                          batch_size=64, concurrency=2)
+
+
+def q_video_frames(sf_dir: str):
+    """1->N multimodal explode: each fixture video (concatenated
+    equal-size BMP frames) is frame-sampled at 1 frame/s and every
+    sampled frame runs the REAL BMP decode; the SQL oracle recomputes
+    the sampled frame indices (generate_series step = fps) and each
+    frame's pixel statistics from the closed-form frame formula."""
+    ds = video_from_documents(_docs(sf_dir, ["doc_id"]))
+    ds = ds.map_batches(VideoFrameSampleStage, batch_format="pyarrow",
+                        batch_size=32, concurrency=2,
+                        fn_constructor_kwargs={"every_s": 1.0})
+
+    from ..stages.multimodal import FEATURE_DIM
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        feats = batch.column("frame_features")
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        mat = np.asarray(feats.flatten(), dtype=np.float64).reshape(len(feats), FEATURE_DIM)
+        cols = {n: batch.column(n) for n in ("media_id", "frame_index", "t_offset_s")}
+        for i in range(FEATURE_DIM):
+            cols[f"f{i}"] = pa.array(mat[:, i])
+        return pa.table(cols)
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # F2. relational primitives (joins / windows, SURVEY §2.4-§2.5 gaps)
 # --------------------------------------------------------------------------
@@ -1147,6 +1187,8 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "media_bytes": q_media_bytes,
     "multimodal_features": q_multimodal_features,
+    "audio_features": q_audio_features,
+    "video_frames": q_video_frames,
     "langid_model": q_langid_model,
     "hygiene_full": q_hygiene_full,
     "orders_customer_join": q_orders_customer_join,
@@ -1566,6 +1608,63 @@ ORACLE_SQL = {
         "  for i in generate_series(1, len(r))] AS gray FROM px) "
         "SELECT media_id, media_type, width, height, "
         "(54 + (width * 3 + 3) // 4 * 4 * height)::BIGINT AS n_bytes, "
+        "floor(list_avg(r) / 255 * 1000000 + 0.5) / 1000000 AS f0, "
+        "floor(list_avg(g) / 255 * 1000000 + 0.5) / 1000000 AS f1, "
+        "floor(list_avg(b) / 255 * 1000000 + 0.5) / 1000000 AS f2, "
+        "floor(list_min(gray)::DOUBLE / 765 * 1000000 + 0.5) / 1000000 AS f3, "
+        "floor(list_max(gray)::DOUBLE / 765 * 1000000 + 0.5) / 1000000 AS f4, "
+        "floor(list_avg(gray) / 765 * 1000000 + 0.5) / 1000000 AS f5, "
+        "floor(list_avg(r[1:width]) / 255 * 1000000 + 0.5) / 1000000 AS f6, "
+        "floor(r[1]::DOUBLE / 255 * 1000000 + 0.5) / 1000000 AS f7 "
+        "FROM gr"
+    ),
+
+    "audio_features": (
+        # recomputes audio_features() from the gen_audio closed form
+        # s[i] = (id*7919 + i*104729) % 65536 - 32768 at 8000 Hz; the
+        # engine must decode real RIFF/WAVE bytes to reproduce these.
+        # All sums are exact integers < 2^53, so numpy mean and SQL
+        # list_avg agree bit-for-bit before the shared half-up round6.
+        "WITH a AS (SELECT doc_id AS media_id, "
+        "  (200 + doc_id % 97)::BIGINT AS n_samples FROM documents), "
+        "s AS (SELECT media_id, n_samples, "
+        "  [ (media_id*7919 + i*104729) % 65536 - 32768 "
+        "    for i in generate_series(0, n_samples-1)] AS smp FROM a) "
+        "SELECT media_id, n_samples, 8000::BIGINT AS sample_rate, "
+        "floor(n_samples::DOUBLE / 8000 * 1000000 + 0.5) / 1000000 AS duration_s, "
+        "list_max([abs(v) for v in smp])::BIGINT AS peak, "
+        "floor(sqrt(list_avg([v*v for v in smp])) * 1000000 + 0.5) / 1000000 AS rms, "
+        "list_sum([CASE WHEN (smp[i+1] < 0) <> (smp[i] < 0) THEN 1 ELSE 0 END "
+        "  for i in generate_series(1, len(smp)-1)])::BIGINT AS zero_crossings "
+        "FROM s"
+    ),
+
+    "video_frames": (
+        # sampled frame indices: step = round(fps * 1s) = fps (integer
+        # fixture fps), frames 0, fps, 2*fps, ... < n_frames; per-frame
+        # statistics from the closed-form pixel formula with the
+        # frame_index*13 offset (same half-up round6 as the image path)
+        "WITH m AS (SELECT doc_id AS media_id, "
+        "  (8 + doc_id % 9)::INT AS width, (6 + doc_id % 5)::INT AS height, "
+        "  (5 + doc_id % 6)::BIGINT AS fps, (10 + doc_id % 11)::BIGINT AS n_frames "
+        "  FROM documents), "
+        "fr AS (SELECT media_id, width, height, fps, "
+        "  unnest(generate_series(0, n_frames - 1, fps)) AS frame_index FROM m), "
+        "px AS (SELECT media_id, fps, frame_index, width, height, "
+        "  flatten([[ (media_id*7 + frame_index*13 + y*5 + x*3) % 256 "
+        "    for x in generate_series(0, width-1)] "
+        "    for y in generate_series(0, height-1)]) AS r, "
+        "  flatten([[ (media_id*7 + frame_index*13 + y*5 + x*3 + 11) % 256 "
+        "    for x in generate_series(0, width-1)] "
+        "    for y in generate_series(0, height-1)]) AS g, "
+        "  flatten([[ (media_id*7 + frame_index*13 + y*5 + x*3 + 22) % 256 "
+        "    for x in generate_series(0, width-1)] "
+        "    for y in generate_series(0, height-1)]) AS b "
+        "  FROM fr), "
+        "gr AS (SELECT *, [r[i] + g[i] + b[i] "
+        "  for i in generate_series(1, len(r))] AS gray FROM px) "
+        "SELECT media_id, frame_index, "
+        "(frame_index::DOUBLE / fps) AS t_offset_s, "
         "floor(list_avg(r) / 255 * 1000000 + 0.5) / 1000000 AS f0, "
         "floor(list_avg(g) / 255 * 1000000 + 0.5) / 1000000 AS f1, "
         "floor(list_avg(b) / 255 * 1000000 + 0.5) / 1000000 AS f2, "

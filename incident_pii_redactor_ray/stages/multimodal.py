@@ -201,6 +201,152 @@ class VideoFrameSampleStage:
         })
 
 
+# --------------------------------------------------------------------------
+# Audio: pure-numpy RIFF/WAVE PCM-16 codec (no codec library needed for
+# uncompressed PCM, same reasoning as the BMP path above)
+# --------------------------------------------------------------------------
+
+def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode a 1-D int16 sample array as a mono 16-bit PCM RIFF/WAVE
+    file (44-byte canonical header + little-endian samples)."""
+    if samples.ndim != 1 or samples.dtype != np.int16:
+        raise ValueError("wav_encode expects a 1-D int16 array")
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * 2          # mono, 16-bit
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                   byte_rate, 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a mono 16-bit PCM RIFF/WAVE payload to (samples, rate).
+
+    Walks the RIFF chunk list (so files with extra chunks, e.g. LIST
+    metadata before ``data``, decode correctly) and rejects non-PCM,
+    non-mono or non-16-bit variants explicitly.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)     # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_fmt, channels, rate, _brate, _align, bits = fmt
+    if audio_fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAVE variant (fmt={audio_fmt}, ch={channels}, "
+            f"bits={bits}); only mono 16-bit PCM is implemented")
+    return np.frombuffer(data, dtype="<i2").astype(np.int16), rate
+
+
+def audio_features(payload: bytes) -> dict[str, float | int]:
+    """Decode a WAV payload and compute SQL-reproducible statistics:
+    n_samples, sample_rate, duration_s, peak (max |s|), rms and the
+    zero-crossing count (sign change with 0 counted as non-negative).
+    Floats are half-up-rounded to 6 decimals like the image features."""
+    s, rate = wav_decode(payload)
+    s64 = s.astype(np.int64)
+    n = len(s64)
+    neg = s64 < 0
+    return {
+        "n_samples": n,
+        "sample_rate": rate,
+        "duration_s": float(_round6_half_up(n / rate)),
+        "peak": int(np.abs(s64).max()) if n else 0,
+        "rms": float(_round6_half_up(np.sqrt((s64 * s64).mean()))) if n else 0.0,
+        "zero_crossings": int((neg[1:] != neg[:-1]).sum()),
+    }
+
+
+class AudioFeatureStage:
+    """Actor-pool map_batches stage: WAV payload -> scalar feature
+    columns. Same sizing rules as MediaFeatureStage (small batches,
+    pyarrow format); a real acoustic model would load in __init__."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [audio_features(p or b"")
+                 for p in batch.column("payload").to_pylist()]
+        out = {"media_id": batch.column("media_id")}
+        for name, typ in (("n_samples", pa.int64()), ("sample_rate", pa.int64()),
+                          ("duration_s", pa.float64()), ("peak", pa.int64()),
+                          ("rms", pa.float64()), ("zero_crossings", pa.int64())):
+            out[name] = pa.array([f[name] for f in feats], type=typ)
+        return pa.table(out)
+
+
+def gen_audio(media_id: int) -> tuple[np.ndarray, int]:
+    """Deterministic fixture waveform: n = 200 + id % 97 samples at
+    8000 Hz, sample[i] = ((id*7919 + i*104729) % 65536) - 32768 — pure
+    integer arithmetic the SQL oracle recomputes directly."""
+    n = 200 + media_id % 97
+    i = np.arange(n, dtype=np.int64)
+    s = (media_id * 7919 + i * 104729) % 65536 - 32768
+    return s.astype(np.int16), 8000
+
+
+def audio_from_documents(ds: ray.data.Dataset, *, id_col: str = "doc_id") -> ray.data.Dataset:
+    """Synthesize an audio table from a document table (fixture path):
+    payload = real RIFF/WAVE bytes of the deterministic waveform."""
+
+    def to_audio(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        payloads = [wav_encode(*gen_audio(i)) for i in ids]
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "media_type": pa.array(["audio"] * len(ids)),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+        })
+
+    return ds.map_batches(to_audio, batch_format="pyarrow")
+
+
+def gen_video(media_id: int) -> tuple[bytes, float, int]:
+    """Deterministic fixture video: n_frames = 10 + id % 11 equal-size
+    BMP frames at fps = 5 + id % 6; frame ``fi`` pixel (y, x, c) =
+    (id*7 + fi*13 + y*5 + x*3 + c*11) % 256 with the gen_image w/h
+    formula — closed form the SQL oracle recomputes per sampled frame.
+    Returns (payload, fps, n_frames); payload = concatenated frames
+    (the stage's no-container convention)."""
+    w = 8 + media_id % 9
+    h = 6 + media_id % 5
+    fps = 5 + media_id % 6
+    n_frames = 10 + media_id % 11
+    y, x = np.mgrid[0:h, 0:w]
+    frames = []
+    for fi in range(n_frames):
+        base = media_id * 7 + fi * 13 + y * 5 + x * 3
+        px = np.stack([(base + c * 11) % 256 for c in (0, 1, 2)], axis=2)
+        frames.append(bmp_encode(px.astype(np.uint8)))
+    return b"".join(frames), float(fps), n_frames
+
+
+def video_from_documents(ds: ray.data.Dataset, *, id_col: str = "doc_id") -> ray.data.Dataset:
+    """Synthesize a video table from a document table (fixture path)."""
+
+    def to_video(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        vids = [gen_video(i) for i in ids]
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "media_type": pa.array(["video"] * len(ids)),
+            "payload": pa.array([v[0] for v in vids], type=pa.large_binary()),
+            "fps": pa.array([v[1] for v in vids], type=pa.float64()),
+            "n_frames": pa.array([v[2] for v in vids], type=pa.int64()),
+        })
+
+    return ds.map_batches(to_video, batch_format="pyarrow")
+
+
 def gen_image(media_id: int) -> np.ndarray:
     """Deterministic fixture image for ``media_id``: width 8-16 and
     height 6-10 vary per id (so the 4-byte BMP row padding takes every

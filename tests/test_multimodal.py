@@ -114,3 +114,49 @@ def test_video_frame_stage(ray_session):
     for _, row in out.iterrows():
         direct = decode_image(bmp_encode(frame(int(row.media_id), int(row.frame_index))))
         assert np.allclose(row.frame_features, direct, atol=1e-9)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    from incident_pii_redactor_ray.stages.multimodal import wav_decode, wav_encode
+
+    s = np.array([0, 100, -32768, 32767, -1], dtype=np.int16)
+    payload = wav_encode(s, 8000)
+    out, rate = wav_decode(payload)
+    assert rate == 8000 and np.array_equal(out, s)
+
+    # extra LIST chunk between fmt and data (with odd-size word padding)
+    # must be skipped by the chunk walk
+    body = payload[12:]
+    fmt_chunk, data_chunk = body[:24], body[24:]
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    padded = payload[:12] + fmt_chunk + extra + data_chunk
+    out2, rate2 = wav_decode(padded)
+    assert rate2 == 8000 and np.array_equal(out2, s)
+
+
+def test_wav_decode_rejects_unsupported():
+    import struct as _struct
+
+    from incident_pii_redactor_ray.stages.multimodal import wav_decode, wav_encode
+
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        wav_decode(b"not a wave file at all")
+
+    # stereo variant: patch channels=2 in the fmt chunk
+    payload = bytearray(wav_encode(np.zeros(4, dtype=np.int16), 8000))
+    _struct.pack_into("<H", payload, 22, 2)
+    with pytest.raises(ValueError, match="unsupported WAVE"):
+        wav_decode(bytes(payload))
+
+
+def test_audio_features_math():
+    from incident_pii_redactor_ray.stages.multimodal import (audio_features,
+                                                             wav_encode)
+
+    s = np.array([1, -1, 2, -2, 0, 3], dtype=np.int16)
+    f = audio_features(wav_encode(s, 8000))
+    assert f["n_samples"] == 6 and f["sample_rate"] == 8000
+    assert f["peak"] == 3
+    assert f["rms"] == round(float(np.sqrt((s.astype(np.int64) ** 2).mean())), 6)
+    # sign changes: 1|-1, -1|2, 2|-2, -2|0 -> 4 (0 counts as non-negative)
+    assert f["zero_crossings"] == 4

@@ -351,6 +351,56 @@ def q_sequence_packing(sf_dir: str):
     return pack_tokens(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_source_mixture(sf_dir: str):
+    """Uniform source-mixture resampling at a 0.5 global fraction
+    (corpus data-mixing): per-source acceptance rates from one tiny
+    count groupby, then a streamed fmix32-threshold filter; returns
+    (source, n_total, n_kept)."""
+    from ..stages.corpus_ops import source_mixture_sample
+
+    return source_mixture_sample(_docs(sf_dir, ["doc_id", "source"]))
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 tf-idf terms with integer-exact scoring
+    (c*N / (df*n_tok), one double division); document frequencies are
+    vocabulary-sized partials broadcast via ray.put."""
+    from ..stages.corpus_ops import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Top-20 corpus tokens via a mergeable Misra-Gries sketch
+    (capacity 4096 >= the fixture vocabulary, so every step is exact
+    and the SQL top-k must match; the truncating regime is
+    pytest-checked against the N/(capacity+1) bound)."""
+    from ..stages.corpus_ops import heavy_hitters
+
+    return heavy_hitters(_docs(sf_dir, ["text"]))
+
+
+def q_segment_dedup(sf_dir: str):
+    """Segment-level exact dedup (RefinedWeb line-dedup analogue):
+    16-token segments, global first-wins by (doc_id, seg_idx); both
+    shuffles carry (md5, doc_id, seg_idx) metadata only. Returns
+    (doc_id, n_segments, n_dup)."""
+    from ..stages.corpus_ops import segment_dedup
+
+    return segment_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_quality_logit(sf_dir: str):
+    """Model-based quality filter: fixed-weight linear scorer over
+    exact lexical features (mean token length, unique fraction, top
+    token fraction) — the FineWeb/CCNet classifier slot with
+    bit-reproducible arithmetic. Returns (doc_id, quality_logit, keep)."""
+    from ..stages.corpus_ops import quality_logit_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(quality_logit_batch, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # C. scrub (the reference's core M3-M15 chain, SQL-checkable slice)
 # --------------------------------------------------------------------------
@@ -1173,6 +1223,11 @@ QUERIES = {
     "global_shuffle": q_global_shuffle,
     "decontaminate": q_decontaminate,
     "sequence_packing": q_sequence_packing,
+    "source_mixture": q_source_mixture,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "heavy_hitters": q_heavy_hitters,
+    "segment_dedup": q_segment_dedup,
+    "quality_logit": q_quality_logit,
     "scrub_redact": q_scrub_redact,
     "scrub_findings": q_scrub_findings,
     "exact_dedup": q_exact_dedup,
@@ -1368,6 +1423,94 @@ ORACLE_SQL = {
         "    CASE WHEN p.acc + n.n_tokens <= 256 THEN p.acc + n.n_tokens ELSE n.n_tokens END "
         "  FROM p JOIN r n ON n.shard = p.shard AND n.rn = p.rn + 1) "
         "SELECT doc_id, shard, n_tokens, seq_id FROM p"
+    ),
+
+    "source_mixture": (
+        # acceptance a_s = least(1, (floor(0.5*N + 0.5)/S)/n_s) with the
+        # SAME division order as the engine; keep iff fmix32(id)/2^32 <
+        # a_s — both sides compare exact doubles, so the counts are
+        # bit-reproducible
+        "WITH cnt AS (SELECT source, count(*)::BIGINT AS n_s FROM documents "
+        "  GROUP BY source), "
+        "tot AS (SELECT sum(n_s)::BIGINT AS n, count(*)::BIGINT AS s FROM cnt), "
+        "par AS (SELECT source, n_s, "
+        "  least(1.0, (floor(0.5 * n + 0.5) / s) / n_s) AS a FROM cnt, tot), "
+        + _fmix32_sql_ctes("doc_id", "doc_id, source", "documents")
+        + ", k AS (SELECT d.source, "
+        "  CASE WHEN d.h / 4294967296.0 < p.a THEN 1 ELSE 0 END AS kept "
+        "  FROM hf d JOIN par p USING(source)) "
+        "SELECT source, count(*)::BIGINT AS n_total, sum(kept)::BIGINT AS n_kept "
+        "FROM k GROUP BY source"
+    ),
+
+    "tfidf_top_terms": (
+        # score = (c*N)::DOUBLE / (df*n_tok): one division of exact
+        # integer products — bit-identical to the engine; rank ties
+        # break (score desc, term asc)
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks "
+        "  FROM documents), "
+        "e AS (SELECT doc_id, len(toks) AS n_tok, unnest(toks) AS token FROM t "
+        "  WHERE len(toks) > 0), "
+        "c AS (SELECT doc_id, n_tok, token, count(*)::BIGINT AS c FROM e "
+        "  GROUP BY doc_id, n_tok, token), "
+        "df AS (SELECT token, count(*)::BIGINT AS df FROM c GROUP BY token), "
+        "n AS (SELECT count(*)::BIGINT AS n_docs FROM documents), "
+        "s AS (SELECT c.doc_id, c.token, "
+        "  (c.c * n.n_docs)::DOUBLE / (df.df * c.n_tok) AS score "
+        "  FROM c JOIN df ON df.token = c.token CROSS JOIN n), "
+        "r AS (SELECT *, row_number() OVER "
+        "  (PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM s) "
+        "SELECT doc_id, token AS term, rank, "
+        "floor(score * 1000000 + 0.5) / 1000000 AS score "
+        "FROM r WHERE rank <= 3"
+    ),
+
+    "heavy_hitters": (
+        # exact regime (capacity >= vocabulary): the sketch result
+        # equals the true top-20 with token-asc tie-break
+        "SELECT token, count(*)::BIGINT AS n_est FROM "
+        "(SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS token "
+        " FROM documents) GROUP BY token ORDER BY n_est DESC, token LIMIT 20"
+    ),
+
+    "segment_dedup": (
+        # 16-token segments (partial tail kept); first occurrence by
+        # (doc_id, seg_idx) global order wins; group on the segment
+        # STRING (the engine groups on its md5 — identical result)
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks "
+        "  FROM documents), "
+        "s0 AS (SELECT doc_id, "
+        "  [array_to_string(toks[s*16+1 : s*16+16], ' ') "
+        "   for s in generate_series(0, (len(toks) + 15) // 16 - 1)] AS segs "
+        "  FROM t WHERE len(toks) > 0), "
+        "seg AS (SELECT doc_id, unnest(segs) AS seg, "
+        "  unnest(generate_series(0, len(segs) - 1)) AS seg_idx FROM s0), "
+        "m AS (SELECT seg, min(doc_id * 1048576 + seg_idx) AS first_ord "
+        "  FROM seg GROUP BY seg), "
+        "d AS (SELECT s.doc_id, CASE WHEN s.doc_id * 1048576 + s.seg_idx "
+        "  > m.first_ord THEN 1 ELSE 0 END AS dup "
+        "  FROM seg s JOIN m ON m.seg = s.seg) "
+        "SELECT doc_id, count(*)::BIGINT AS n_segments, sum(dup)::BIGINT AS n_dup "
+        "FROM d GROUP BY doc_id"
+    ),
+
+    "quality_logit": (
+        # z accumulates left-to-right over exact-double features, same
+        # order as QUALITY_WEIGHTS application in the engine
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks "
+        "  FROM documents), "
+        "f AS (SELECT doc_id, "
+        "  len(array_to_string(toks, ''))::DOUBLE / len(toks) AS mtl, "
+        "  len(list_distinct(toks))::DOUBLE / len(toks) AS fu, "
+        "  list_max(map_values(list_aggregate(toks, 'histogram')))::DOUBLE "
+        "    / len(toks) AS tf "
+        "  FROM t WHERE len(toks) > 0) "
+        "SELECT doc_id, "
+        "floor((-2.0 + 0.5 * mtl + 2.0 * fu + -3.0 * tf) * 1000000 + 0.5) "
+        "  / 1000000 AS quality_logit, "
+        "CASE WHEN (-2.0 + 0.5 * mtl + 2.0 * fu + -3.0 * tf) > 0 "
+        "  THEN 1 ELSE 0 END::BIGINT AS keep "
+        "FROM f"
     ),
 
     "summary_rollup": (

@@ -261,3 +261,281 @@ def pack_tokens(ds: ray.data.Dataset, *, id_col: str = "doc_id",
 
     keyed = ds.map_batches(keys, batch_format="pyarrow")
     return keyed.groupby("shard").map_groups(pack, batch_format="pandas")
+
+
+# --- source mixture resampling ----------------------------------------------
+
+MIXTURE_FRAC = 0.5
+
+
+def source_mixture_sample(ds: ray.data.Dataset, *, frac: float = MIXTURE_FRAC,
+                          id_col: str = "doc_id",
+                          group_col: str = "source") -> ray.data.Dataset:
+    """Deterministic mixture rebalancing (the data-mixing step of
+    corpus assembly, cf. The Pile / DoReMi-style source reweighting):
+    target a UNIFORM mix over sources at a global sample fraction.
+
+    Pass 1 is a tiny groupby (one row per source) collected to the
+    driver; per-source acceptance a_s = min(1, (T/S)/n_s) with
+    T = floor(frac*N + 0.5) the target corpus size and S the source
+    count. Pass 2 streams: keep iff fmix32(id)/2^32 < a_s — the same
+    dyadic-fraction comparison as stratified_sample, bit-exact in SQL.
+    Output: (source, n_total, n_kept) per source.
+
+    Scale: pass 1 shuffles one count row per (batch, source); the
+    acceptance table is source-cardinality (thousands at worst) and
+    ships in the task closure; pass 2 shuffles per-batch partial count
+    rows only. Content never moves.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    counts = (ds.groupby(group_col).aggregate(Count(alias_name="n_s"))
+                .to_pandas())
+    n_total = int(counts["n_s"].sum())
+    n_sources = len(counts)
+    target = float(np.floor(frac * n_total + 0.5))
+    accept = {s: min(1.0, (target / n_sources) / n)
+              for s, n in zip(counts[group_col], counts["n_s"])}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        frac_h = fmix32(np.asarray(batch.column(id_col), dtype=np.int64)
+                        ).astype(np.float64) / 2.0 ** 32
+        src = batch.column(group_col).to_pylist()
+        rates = np.fromiter((accept.get(s, 0.0) for s in src),
+                            dtype=np.float64, count=len(src))
+        kept = (frac_h < rates).astype(np.int64)
+        t = pa.table({group_col: batch.column(group_col), "kept": pa.array(kept)})
+        vc = t.group_by(group_col).aggregate([("kept", "sum"), ("kept", "count")])
+        return pa.table({group_col: vc.column(group_col),
+                         "n_kept": pc.cast(vc.column("kept_sum"), pa.int64()),
+                         "n_total": pc.cast(vc.column("kept_count"), pa.int64())})
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return part.groupby(group_col).aggregate(
+        Sum("n_total", alias_name="n_total"), Sum("n_kept", alias_name="n_kept"))
+
+
+# --- tf-idf top terms --------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(ds: ray.data.Dataset, *, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    top_k: int = TFIDF_TOP_K) -> ray.data.Dataset:
+    """Per-document top-k terms by tf-idf — the lexical scoring pass of
+    corpus indexing / keyword extraction.
+
+    Integer-exact scoring: score = (c * N) / (df * n_tok) — ONE double
+    division of two exact integer products (< 2^53), so the engine and
+    the SQL oracle compute bit-identical doubles and identical
+    (score desc, term asc) rankings. Stage 1 computes document
+    frequencies as vocabulary-sized partials (distinct tokens per doc,
+    value_counts per batch, one small groupby); the df table is
+    collected and broadcast via ``ray.put``. Stage 2 streams documents,
+    scoring each doc against the broadcast df map in-process.
+
+    Scale: the broadcast assumes the vocabulary fits worker memory
+    (true for natural-language vocabularies; ~100 MB per 10M terms).
+    For open vocabularies (code identifiers at 100 TB), switch stage 2
+    to a bucketed hash join on token — same output, one more shuffle —
+    analogous to dedup's broadcast_max_nodes auto-switch.
+    """
+    from ray.data.aggregate import Sum
+    from ..functions.textbuf import ws_tokens
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        # df needs DISTINCT tokens per doc; Arrow has no per-list
+        # distinct kernel, so the de-dup is a per-doc numpy pass
+        parts = []
+        for t in batch.column(text_col).to_pylist():
+            parts.append(np.unique(np.asarray(ws_tokens(t or ""), dtype=object)))
+        flat = (np.concatenate(parts) if parts
+                else np.empty(0, dtype=object))
+        vc = pc.value_counts(pa.array(flat, type=pa.string()))
+        return pa.table({"token": vc.field("values"),
+                         "df_n": pc.cast(vc.field("counts"), pa.int64())})
+
+    df_tbl = (ds.map_batches(df_partial, batch_format="pyarrow")
+                .groupby("token").aggregate(Sum("df_n", alias_name="df")))
+    df_pdf = df_tbl.to_pandas()
+    df_map = dict(zip(df_pdf["token"], df_pdf["df"].astype(np.int64)))
+    n_docs = int(ds.count())
+    df_ref = ray.put(df_map)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        out_id, out_term, out_rank, out_score = [], [], [], []
+        for rid, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            toks = ws_tokens(t or "")
+            if not toks:
+                continue
+            terms, cnts = np.unique(np.asarray(toks, dtype=object),
+                                    return_counts=True)
+            n_tok = len(toks)
+            scores = np.array([float(c * n_docs) / float(dfm[w] * n_tok)
+                               for w, c in zip(terms, cnts)])
+            order = sorted(range(len(terms)), key=lambda i: (-scores[i], terms[i]))
+            for r, i in enumerate(order[:top_k], start=1):
+                out_id.append(rid)
+                out_term.append(terms[i])
+                out_rank.append(r)
+                out_score.append(float(np.floor(scores[i] * 1e6 + 0.5) / 1e6))
+        return pa.table({id_col: pa.array(out_id, type=pa.int64()),
+                         "term": pa.array(out_term, type=pa.string()),
+                         "rank": pa.array(out_rank, type=pa.int64()),
+                         "score": pa.array(out_score, type=pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --- heavy hitters (Misra-Gries) --------------------------------------------
+
+MG_CAPACITY = 4096
+MG_TOP_K = 20
+
+
+def _mg_truncate(tokens: np.ndarray, counts: np.ndarray,
+                 capacity: int) -> tuple[np.ndarray, np.ndarray]:
+    """Misra-Gries truncation: if more than ``capacity`` counters,
+    subtract the (capacity+1)-th largest count from all and keep the
+    positive ones. Error bound: each kept estimate undercounts by at
+    most (total decremented) <= N/(capacity+1)."""
+    if len(tokens) <= capacity:
+        return tokens, counts
+    order = np.argsort(-counts, kind="stable")
+    dec = counts[order[capacity]]
+    counts = counts - dec
+    keep = counts > 0
+    return tokens[keep], counts[keep]
+
+
+def heavy_hitters(ds: ray.data.Dataset, *, text_col: str = "text",
+                  capacity: int = MG_CAPACITY,
+                  k: int = MG_TOP_K) -> pa.Table:
+    """Approximate top-k tokens via a mergeable Misra-Gries sketch:
+    per-batch exact value_counts truncated to ``capacity`` counters,
+    one groupby-sum over the partials, final truncation + top-k on the
+    driver. With capacity >= the corpus vocabulary every step is exact
+    and the result equals the SQL top-k (ties broken token asc) — the
+    regime the oracle checks; the pytest checks the N/(capacity+1)
+    undercount bound in the truncating regime.
+
+    Scale: the shuffle carries at most ``capacity`` counter rows per
+    batch; the merged table is <= sum of partial sizes but the final
+    result is <= capacity rows, so the driver step is O(capacity).
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        t = term_count_partial(batch, text_col)
+        toks = np.asarray(t.column("token"), dtype=object)
+        cnts = np.asarray(t.column("n"), dtype=np.int64)
+        toks, cnts = _mg_truncate(toks, cnts, capacity)
+        return pa.table({"token": pa.array(toks, type=pa.string()),
+                         "n": pa.array(cnts, type=pa.int64())})
+
+    from ray.data.aggregate import Sum
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("token").aggregate(Sum("n", alias_name="n_est"))
+                .to_pandas())
+    toks = merged["token"].to_numpy(dtype=object)
+    cnts = merged["n_est"].to_numpy(dtype=np.int64)
+    toks, cnts = _mg_truncate(toks, cnts, capacity)
+    order = sorted(range(len(toks)), key=lambda i: (-cnts[i], toks[i]))[:k]
+    return pa.table({"token": pa.array([toks[i] for i in order], type=pa.string()),
+                     "n_est": pa.array([int(cnts[i]) for i in order], type=pa.int64())})
+
+
+# --- segment-level exact dedup ----------------------------------------------
+
+SEG_TOKENS = 16
+_SEG_ORD_SHIFT = 1 << 20  # max segments per doc; ord = doc_id * shift + seg_idx
+
+
+def segment_dedup(ds: ray.data.Dataset, *, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  seg_tokens: int = SEG_TOKENS) -> ray.data.Dataset:
+    """Segment-level exact dedup (RefinedWeb/MassiveText line-dedup
+    analogue for unpunctuated corpora): split each doc into consecutive
+    ``seg_tokens``-token segments (partial tail kept), dedup segments
+    globally first-wins by (doc_id, seg_idx), report per-doc totals.
+    Output: (doc_id, n_segments, n_dup).
+
+    Scale shape: the explode emits (md5-hex, doc_id, seg_idx) — a
+    32-byte key per segment, never the segment text; ONE groupby on the
+    hash flags non-first occurrences in-shard; ONE groupby on doc_id
+    sums the flags. Both shuffles carry metadata only.
+    """
+    import hashlib as _hl
+
+    from ..functions.textbuf import ws_tokens
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hs, ids, idxs = [], [], []
+        for rid, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            toks = ws_tokens(t or "")
+            for s in range(0, (len(toks) + seg_tokens - 1) // seg_tokens):
+                seg = " ".join(toks[s * seg_tokens:(s + 1) * seg_tokens])
+                hs.append(_hl.md5(seg.encode()).hexdigest())
+                ids.append(rid)
+                idxs.append(s)
+        return pa.table({"seg_hash": pa.array(hs, type=pa.string()),
+                         id_col: pa.array(ids, type=pa.int64()),
+                         "seg_idx": pa.array(idxs, type=pa.int64())})
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        ordk = g[id_col].to_numpy(np.int64) * _SEG_ORD_SHIFT + g["seg_idx"].to_numpy(np.int64)
+        dup = (ordk > ordk.min()).astype(np.int64)
+        return pd.DataFrame({id_col: g[id_col], "dup": dup, "one": 1})
+
+    from ray.data.aggregate import Sum
+
+    segs = ds.map_batches(explode, batch_format="pyarrow")
+    flags = segs.groupby("seg_hash").map_groups(flag, batch_format="pandas")
+    return flags.groupby(id_col).aggregate(
+        Sum("one", alias_name="n_segments"), Sum("dup", alias_name="n_dup"))
+
+
+# --- linear quality scorer ----------------------------------------------------
+
+#: fixed quality-model weights (a stand-in for a trained fastText/LR
+#: quality classifier, cf. FineWeb/CCNet model-based filtering): exact
+#: dyadic doubles so engine/SQL arithmetic is bit-identical.
+QUALITY_WEIGHTS = {"bias": -2.0, "mean_token_len": 0.5,
+                   "frac_unique": 2.0, "top_token_frac": -3.0}
+
+
+def quality_logit_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                        text_col: str = "text") -> pa.Table:
+    """Model-based quality scoring: a linear scorer over exact
+    per-doc lexical features —
+
+        z = bias + w1*mean_token_len + w2*frac_unique + w3*top_token_frac
+
+    Each feature is one double division of exact integers and the
+    accumulation order is fixed (left-to-right), so the SQL oracle
+    reproduces z bit-for-bit. Emits (doc_id, quality_logit, keep).
+    Embarrassingly parallel — no shuffle, no state."""
+    from ..functions.textbuf import ws_tokens
+
+    w = QUALITY_WEIGHTS
+    ids, logits, keeps = [], [], []
+    for rid, t in zip(batch.column(id_col).to_pylist(),
+                      batch.column(text_col).to_pylist()):
+        toks = ws_tokens(t or "")
+        n = len(toks)
+        if n == 0:
+            continue
+        mtl = float(sum(len(x) for x in toks)) / n
+        terms, cnts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        fu = float(len(terms)) / n
+        tf = float(cnts.max()) / n
+        z = w["bias"] + w["mean_token_len"] * mtl + w["frac_unique"] * fu \
+            + w["top_token_frac"] * tf
+        ids.append(rid)
+        logits.append(float(np.floor(z * 1e6 + 0.5) / 1e6))
+        keeps.append(1 if z > 0 else 0)
+    return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                     "quality_logit": pa.array(logits, type=pa.float64()),
+                     "keep": pa.array(keeps, type=pa.int64())})

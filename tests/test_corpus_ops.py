@@ -116,3 +116,80 @@ def test_global_shuffle_deterministic(ray_session):
     ids = a["doc_id"].to_numpy()
     assert not np.all(np.diff(ids) > 0)
     assert a["shuffle_key"].is_monotonic_increasing
+
+
+def test_mg_truncate_bound():
+    """Misra-Gries truncating regime: estimates undercount by at most
+    the total decrement, and items with true count > N/(capacity+1)
+    survive every truncation."""
+    from incident_pii_redactor_ray.stages.corpus_ops import _mg_truncate
+
+    rng = np.random.default_rng(7)
+    tokens = np.array([f"t{i}" for i in range(100)], dtype=object)
+    counts = np.sort(rng.integers(1, 50, size=100))[::-1].astype(np.int64)
+    counts[0] = 5000  # one dominant heavy hitter
+    n_stream = int(counts.sum())
+    cap = 8
+    kept_t, kept_c = _mg_truncate(tokens, counts, cap)
+    assert len(kept_t) <= cap
+    true = dict(zip(tokens, counts))
+    for t, c in zip(kept_t, kept_c):
+        assert c <= true[t]                      # never overcounts
+        assert true[t] - c <= n_stream / (cap + 1) + max(counts[cap:])
+    assert "t0" in set(kept_t)                   # dominant item survives
+
+
+def test_heavy_hitters_truncating_regime(ray_session):
+    """End-to-end MG with a tiny capacity: the dominant tokens still
+    surface and their estimates never exceed true counts."""
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.corpus_ops import heavy_hitters
+
+    rows = ([{"text": "alpha " * 50}] * 20 + [{"text": "beta " * 30}] * 10
+            + [{"text": f"noise{i} filler{i}"} for i in range(40)])
+    ds = ray.data.from_items(rows)
+    out = heavy_hitters(ds, capacity=4, k=3).to_pandas()
+    est = dict(zip(out["token"], out["n_est"]))
+    assert est.get("alpha", 0) <= 1000 and "alpha" in est and "beta" in est
+    assert est["alpha"] > est["beta"]
+
+
+def test_segment_dedup_planted(ray_session):
+    """A segment copied verbatim into a later doc is flagged dup in the
+    later doc only (first-wins by (doc_id, seg_idx))."""
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.corpus_ops import segment_dedup
+
+    seg = " ".join(f"w{i}" for i in range(16))
+    rows = [
+        {"doc_id": 1, "text": seg + " tail one two"},
+        {"doc_id": 2, "text": seg + " other suffix"},        # dup of doc 1 seg 0
+        {"doc_id": 3, "text": "totally different words here"},
+    ]
+    out = (segment_dedup(ray.data.from_items(rows)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[1, "n_dup"] == 0 and out.loc[1, "n_segments"] == 2
+    assert out.loc[2, "n_dup"] == 1
+    assert out.loc[3, "n_dup"] == 0
+
+
+def test_source_mixture_caps_and_counts(ray_session):
+    """Rates cap at 1.0 for under-quota sources; kept <= total; the
+    sample is deterministic across runs."""
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.corpus_ops import source_mixture_sample
+
+    rows = ([{"doc_id": i, "source": "big"} for i in range(900)]
+            + [{"doc_id": 1000 + i, "source": "tiny"} for i in range(10)])
+    ds = ray.data.from_items(rows)
+    out1 = source_mixture_sample(ds, frac=0.5).to_pandas().set_index("source")
+    out2 = source_mixture_sample(ds, frac=0.5).to_pandas().set_index("source")
+    pd.testing.assert_frame_equal(out1.sort_index(), out2.sort_index())
+    # target = 455, quota/source = 227.5 -> tiny (10 docs) keeps all
+    assert out1.loc["tiny", "n_kept"] == 10
+    assert out1.loc["big", "n_kept"] <= out1.loc["big", "n_total"]
+    # big-side acceptance 227.5/900 = 0.2527..: expect ~227 +- noise
+    assert 150 <= out1.loc["big", "n_kept"] <= 320

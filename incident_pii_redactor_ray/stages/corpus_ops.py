@@ -462,9 +462,12 @@ def segment_dedup(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     Output: (doc_id, n_segments, n_dup).
 
     Scale shape: the explode emits (md5-hex, doc_id, seg_idx) — a
-    32-byte key per segment, never the segment text; ONE groupby on the
-    hash flags non-first occurrences in-shard; ONE groupby on doc_id
-    sums the flags. Both shuffles carry metadata only.
+    32-byte key per segment, never the segment text; the first-wins
+    flagging shuffles by a 256-way shard of the hash (one Ray group per
+    distinct segment would mean corpus-cardinality tiny groups — the
+    exact_dedup pattern) and runs a vectorized pandas groupby-transform
+    per shard; ONE groupby on doc_id sums the flags. Both shuffles
+    carry metadata only.
     """
     import hashlib as _hl
 
@@ -480,19 +483,25 @@ def segment_dedup(ds: ray.data.Dataset, *, id_col: str = "doc_id",
                 hs.append(_hl.md5(seg.encode()).hexdigest())
                 ids.append(rid)
                 idxs.append(s)
+        shard = np.fromiter((int(h[:2], 16) for h in hs), dtype=np.int32,
+                            count=len(hs))
         return pa.table({"seg_hash": pa.array(hs, type=pa.string()),
                          id_col: pa.array(ids, type=pa.int64()),
-                         "seg_idx": pa.array(idxs, type=pa.int64())})
+                         "seg_idx": pa.array(idxs, type=pa.int64()),
+                         "shard": pa.array(shard)})
 
     def flag(g: pd.DataFrame) -> pd.DataFrame:
-        ordk = g[id_col].to_numpy(np.int64) * _SEG_ORD_SHIFT + g["seg_idx"].to_numpy(np.int64)
-        dup = (ordk > ordk.min()).astype(np.int64)
-        return pd.DataFrame({id_col: g[id_col], "dup": dup, "one": 1})
+        ordk = (g[id_col].to_numpy(np.int64) * _SEG_ORD_SHIFT
+                + g["seg_idx"].to_numpy(np.int64))
+        first = pd.Series(ordk).groupby(g["seg_hash"].to_numpy()).transform("min")
+        return pd.DataFrame({id_col: g[id_col],
+                             "dup": (ordk > first.to_numpy()).astype(np.int64),
+                             "one": 1})
 
     from ray.data.aggregate import Sum
 
     segs = ds.map_batches(explode, batch_format="pyarrow")
-    flags = segs.groupby("seg_hash").map_groups(flag, batch_format="pandas")
+    flags = segs.groupby("shard").map_groups(flag, batch_format="pandas")
     return flags.groupby(id_col).aggregate(
         Sum("one", alias_name="n_segments"), Sum("dup", alias_name="n_dup"))
 

@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "lang_histogram", "doc_stats", "scrub_redact", "exact_dedup",
     "ann_topk", "minhash_pairs", "simhash_pairs", "embedding_neardup",
     "asof_join", "hygiene_full", "pricing_summary", "events_window",
-    "toxicity_scores",
+    "toxicity_scores", "segment_dedup", "tfidf_top_terms", "sequence_packing",
 ]
 
 

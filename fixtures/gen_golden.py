@@ -175,12 +175,93 @@ def gen_ivf_topk(sf_dir: str, *, k: int = 10, n_lists: int = 16,
         "corpus_key", pa.array([key] * out.num_rows, type=pa.int64()))
 
 
+def _kmeans(emb: np.ndarray, *, k: int, seed: int, sample_rows: int,
+            iters: int) -> np.ndarray:
+    """The seeded mini k-means definition shared by the IVF/cluster
+    goldens (first-N-rows sample, seeded init, fixed Lloyd iterations,
+    L2-normalized centroids) — plain numpy, no engine imports."""
+    x = _norm_rows(emb[:sample_rows])
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _norm_rows(cent)
+    return cent
+
+
+def _load_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray, int]:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+    arr = t.column("embedding").combine_chunks()
+    emb = np.asarray(arr.flatten(), dtype=np.float64).reshape(len(ids), -1)
+    key = int(np.floor(emb[:, 0] * 1e6 + 0.5).astype(np.int64).sum())
+    return ids, emb, key
+
+
+def gen_kmeans_clusters(sf_dir: str, *, k: int = 16, seed: int = 42,
+                        sample_rows: int = 4096, iters: int = 10) -> pa.Table:
+    """Independent single-process cluster assignment: nearest centroid
+    by cosine (argmax tie -> first index), cosine round-6."""
+    ids, emb, key = _load_embeddings(sf_dir)
+    cent = _kmeans(emb, k=k, seed=seed, sample_rows=sample_rows, iters=iters)
+    mn = _norm_rows(emb)
+    sims = mn @ cent.T
+    cl = np.argmax(sims, axis=1)
+    cos = sims[np.arange(len(cl)), cl]
+    return pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "cluster": pa.array(cl.astype(np.int64)),
+        "cos_to_centroid": pa.array(np.round(cos, 6), type=pa.float64()),
+        "corpus_key": pa.array(np.full(len(ids), key), type=pa.int64()),
+    })
+
+
+def gen_semantic_dedup(sf_dir: str, *, threshold: float = 0.4, k: int = 16,
+                       seed: int = 42, sample_rows: int = 4096,
+                       iters: int = 10) -> pa.Table:
+    """Independent SemDeDup: within each k-means cluster, a vector is
+    dropped iff some LOWER-id member has cosine >= threshold; dup_of =
+    the smallest such id, cosine = that pair's similarity round-6."""
+    ids, emb, key = _load_embeddings(sf_dir)
+    cent = _kmeans(emb, k=k, seed=seed, sample_rows=sample_rows, iters=iters)
+    mn = _norm_rows(emb)
+    cl = np.argmax(mn @ cent.T, axis=1)
+    rows = {"vec_id": [], "cluster": [], "dup_of": [], "cosine": []}
+    for c in np.unique(cl):
+        mask = cl == c
+        cids = ids[mask]
+        order = np.argsort(cids)
+        cids = cids[order]
+        m = mn[mask][order]
+        sims = m @ m.T
+        for i in range(1, len(cids)):
+            js = np.nonzero(sims[:i, i] >= threshold)[0]
+            if len(js):
+                rows["vec_id"].append(int(cids[i]))
+                rows["cluster"].append(int(c))
+                rows["dup_of"].append(int(cids[js[0]]))
+                rows["cosine"].append(float(np.round(sims[js[0], i], 6)))
+    return pa.table({
+        "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
+        "cluster": pa.array(rows["cluster"], type=pa.int64()),
+        "dup_of": pa.array(rows["dup_of"], type=pa.int64()),
+        "cosine": pa.array(rows["cosine"], type=pa.float64()),
+        "corpus_key": pa.array([key] * len(rows["vec_id"]), type=pa.int64()),
+    })
+
+
 def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for sf_dir in SF_DIRS:
         tag = os.path.basename(sf_dir).replace(".", "")
         tables = gen_for_sf(sf_dir)
         tables["ann_ivf_topk"] = gen_ivf_topk(sf_dir)
+        tables["kmeans_clusters"] = gen_kmeans_clusters(sf_dir)
+        tables["semantic_dedup"] = gen_semantic_dedup(sf_dir)
         for name, table in tables.items():
             path = os.path.join(GOLDEN_DIR, f"{name}_{tag}.parquet")
             pq.write_table(table, path)

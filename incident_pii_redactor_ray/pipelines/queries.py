@@ -607,6 +607,20 @@ def q_embedding_neardup(sf_dir: str):
     return similarity.embedding_neardup_pairs(_emb(sf_dir), threshold=0.4)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Embedding-space k-means assignment (centroids broadcast once,
+    one matmul per batch, no shuffle); golden-parquet oracle from the
+    independent single-process implementation."""
+    return similarity.assign_clusters(_emb(sf_dir), k=16)
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): within-k-means-cluster cosine
+    near-dup drop, first-wins by vec_id; ONE groupby(cluster) shuffle
+    carries each vector exactly once. Golden-parquet oracle."""
+    return similarity.semantic_dedup(_emb(sf_dir), threshold=0.4, k=16)
+
+
 # --------------------------------------------------------------------------
 # F. multimodal plumbing
 # --------------------------------------------------------------------------
@@ -1240,6 +1254,8 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
+    "kmeans_clusters": q_kmeans_clusters,
+    "semantic_dedup": q_semantic_dedup,
     "media_bytes": q_media_bytes,
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
@@ -2103,6 +2119,25 @@ ORACLE_SQL = {
         # brute-force result
         "SELECT g.query_id, g.rank, g.neighbor_id, g.cosine "
         f"FROM read_parquet('{_GOLDEN_DIR}/ann_ivf_topk_*.parquet') g "
+        "WHERE g.corpus_key = (SELECT sum(CAST(floor(embedding[1]::DOUBLE "
+        "* 1000000 + 0.5) AS BIGINT)) FROM embeddings)"
+    ),
+
+    "kmeans_clusters": (
+        # seeded Lloyd iterations aren't SQL — golden parquet from the
+        # independent implementation (fixtures/gen_golden
+        # .gen_kmeans_clusters), keyed like ann_ivf_topk
+        "SELECT g.vec_id, g.cluster, g.cos_to_centroid "
+        f"FROM read_parquet('{_GOLDEN_DIR}/kmeans_clusters_*.parquet') g "
+        "WHERE g.corpus_key = (SELECT sum(CAST(floor(embedding[1]::DOUBLE "
+        "* 1000000 + 0.5) AS BIGINT)) FROM embeddings)"
+    ),
+
+    "semantic_dedup": (
+        # SemDeDup drop set from the independent single-process
+        # implementation (fixtures/gen_golden.gen_semantic_dedup)
+        "SELECT g.vec_id, g.cluster, g.dup_of, g.cosine "
+        f"FROM read_parquet('{_GOLDEN_DIR}/semantic_dedup_*.parquet') g "
         "WHERE g.corpus_key = (SELECT sum(CAST(floor(embedding[1]::DOUBLE "
         "* 1000000 + 0.5) AS BIGINT)) FROM embeddings)"
     ),

@@ -313,3 +313,93 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *, threshold: float = 0.95,
     return (ds.map_batches(replicate, batch_format="pyarrow")
               .groupby("gkey")
               .map_groups(score_group, batch_format="pyarrow"))
+
+
+def assign_clusters(ds: ray.data.Dataset, *, k: int = 16, seed: int = 42,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> ray.data.Dataset:
+    """Embedding-space clustering (the corpus-curation building block
+    behind SemDeDup / cluster-balanced sampling): assign every vector
+    to its nearest k-means centroid by cosine. Returns
+    (vec_id, cluster, cos_to_centroid).
+
+    The quantizer is the deterministic seeded mini k-means already used
+    by IVF (:func:`kmeans_centroids` — bounded sample, fixed
+    iterations); centroids are broadcast once via ``ray.put`` and every
+    batch scores with one matmul. No shuffle; the oracle is a committed
+    golden parquet from the independent single-process implementation
+    (fixtures/gen_golden.gen_kmeans_clusters)."""
+    cent_ref = ray.put(kmeans_centroids(ds, k=k, seed=seed, vec_col=vec_col))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        sims = m @ cent.T
+        cl = np.argmax(sims, axis=1)
+        cos = sims[np.arange(len(cl)), cl]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(cl.astype(np.int64)),
+            "cos_to_centroid": pa.array(np.round(cos, 6)),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_dedup(ds: ray.data.Dataset, *, threshold: float = 0.4,
+                   k: int = 16, seed: int = 42, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embeddings, then inside each cluster drop every vector whose
+    cosine to a LOWER-id cluster member reaches the threshold
+    (first-wins). Returns the DROPPED rows as
+    (vec_id, cluster, dup_of, cosine) with dup_of = the smallest such
+    lower id.
+
+    Scale shape: this is the published algorithm's own partitioning —
+    cluster members must co-locate, so ONE groupby(cluster) shuffle
+    carries each vector exactly once; within a group the scoring is a
+    single matmul. For clusters too large for one worker, sub-shard the
+    biggest clusters and run the pass per sub-shard + a cross-shard
+    anchor pass (same fallback lever as dedup.minhash max_bucket,
+    documented rather than silent)."""
+    cent_ref = ray.put(kmeans_centroids(ds, k=k, seed=seed, vec_col=vec_col))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        cl = np.argmax(m @ cent.T, axis=1)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(cl.astype(np.int64)),
+            vec_col: batch.column(vec_col),
+        })
+
+    def dedup_group(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = _normalize(_batch_matrix(group, vec_col))[order]
+        sims = m @ m.T
+        # dup_of[i] = first j < i with sims[j, i] >= threshold: keep
+        # only row < col (strict upper triangle), scan per column
+        hit = sims >= threshold
+        hit[np.tril_indices(len(ids))] = False
+        out_id, out_dup, out_cos = [], [], []
+        cols = np.nonzero(hit.any(axis=0))[0]
+        for i in cols:
+            j = int(np.argmax(hit[:, i]))
+            out_id.append(int(ids[i]))
+            out_dup.append(int(ids[j]))
+            out_cos.append(float(np.round(sims[j, i], 6)))
+        cluster = int(group.column("cluster")[0].as_py())
+        return pa.table({
+            id_col: pa.array(out_id, type=pa.int64()),
+            "cluster": pa.array([cluster] * len(out_id), type=pa.int64()),
+            "dup_of": pa.array(out_dup, type=pa.int64()),
+            "cosine": pa.array(out_cos, type=pa.float64()),
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return assigned.groupby("cluster").map_groups(dedup_group,
+                                                  batch_format="pyarrow")

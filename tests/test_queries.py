@@ -329,3 +329,22 @@ def test_semi_join_string_and_null_keys(ray_session):
     anti = broadcast_semi_join(big, ["alice", "carol", None], on="name",
                                anti=True).to_pandas()
     assert anti["v"].tolist() == [2, 3]  # bob + the null-keyed row
+
+
+def test_semantic_dedup_planted(ray_session):
+    """An exact copy of a vector must be dropped with dup_of = the
+    lower id, whatever cluster it lands in."""
+    import numpy as np
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(64, 8)).astype(np.float32)
+    vecs[40] = vecs[7]  # planted exact duplicate
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(64)]
+    out = semantic_dedup(ray.data.from_items(rows), threshold=0.99,
+                         k=4).to_pandas()
+    hit = out[out.vec_id == 40]
+    assert len(hit) == 1 and hit.iloc[0]["dup_of"] == 7
+    assert hit.iloc[0]["cosine"] >= 0.999999

@@ -37,6 +37,22 @@ BENCH_QUERIES = [
 ]
 
 
+def host_probe() -> float:
+    """Single-thread 1000^2 float64 matmul, best of 3 — a host-speed
+    fingerprint recorded with every bench line. The sandbox host is a
+    shared VM whose effective speed swings >10x (round-3 measurement:
+    the same probe ranged 0.04-0.6 s within minutes); comparing bench
+    numbers across rounds is only meaningful when the probes match."""
+    import numpy as np
+    a = np.random.default_rng(0).random((1000, 1000))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        a @ a
+        best = min(best, time.time() - t0)
+    return round(best, 4)
+
+
 def run_bench() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ray
@@ -101,6 +117,7 @@ def run_bench() -> dict:
         "value": round(headline, 3),
         "unit": "sec",
         "queries": qtimes,
+        "host_probe_sec": host_probe(),
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "bench_files": summary["n_rows"],
@@ -156,6 +173,8 @@ def run_scaling() -> dict:
         "files_per_sec": [r_lo["files_per_sec"], r_hi["files_per_sec"]],
         "scaling_efficiency": round(eff_min, 3),
         "scaling_efficiency_median": round(eff_med, 3),
+        "host_probes": ([r.get("host_probe_sec") for r in runs_lo]
+                        + [r.get("host_probe_sec") for r in runs_hi]),
     }
 
 

@@ -37,6 +37,29 @@ BENCH_QUERIES = [
 ]
 
 
+def _stat_cpu() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
+class StealMeter:
+    """CPU-steal fraction over a measured interval (/proc/stat col 8).
+    The sandbox's shared hypervisor steals 0% at idle but 15-35% under
+    full 32-vCPU load (round-3 measurement), which a single-thread
+    probe cannot see — so every timed section records its own steal."""
+
+    def __enter__(self):
+        self.c0 = _stat_cpu()
+        return self
+
+    def __exit__(self, *exc):
+        c1 = _stat_cpu()
+        d = [b - a for a, b in zip(self.c0, c1)]
+        tot = sum(d) or 1
+        self.steal_pct = round(100.0 * d[7] / tot, 1)
+        self.busy_pct = round(100.0 * (tot - d[3]) / tot, 1)
+
+
 def host_probe() -> float:
     """Single-thread 1000^2 float64 matmul, best of 3 — a host-speed
     fingerprint recorded with every bench line. The sandbox host is a
@@ -94,14 +117,19 @@ def run_bench() -> dict:
     scaling_mode = os.environ.get("BENCH_SCALING_MODE") == "1"
     headline = float("inf")
     summary = None
+    headline_steal = None
     for _ in range(2 if scaling_mode else 3):
         out = "/tmp/bench_hygiene_out"
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
-        summary = run_hygiene(corpus, out, num_partitions=64,
-                              scorer_concurrency=(max(2, NUM_CPUS // 2), NUM_CPUS),
-                              batch_size=512, resume=False)
-        headline = min(headline, time.time() - t0)
+        with StealMeter() as sm:
+            summary = run_hygiene(corpus, out, num_partitions=64,
+                                  scorer_concurrency=(max(2, NUM_CPUS // 2), NUM_CPUS),
+                                  batch_size=512, resume=False)
+        dt = time.time() - t0
+        if dt < headline:
+            headline = dt
+            headline_steal = sm.steal_pct
 
     qtimes = {}
     for name in ([] if scaling_mode else BENCH_QUERIES):
@@ -118,6 +146,7 @@ def run_bench() -> dict:
         "unit": "sec",
         "queries": qtimes,
         "host_probe_sec": host_probe(),
+        "steal_pct_headline": headline_steal,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "bench_files": summary["n_rows"],

@@ -351,6 +351,36 @@ def q_sequence_packing(sf_dir: str):
     return pack_tokens(_docs(sf_dir, ["doc_id", "text"]))
 
 
+#: cross-snapshot fixture split: snapshot A = doc_id < 300, snapshot
+#: B = doc_id >= 200 — the 100 shared docs are the planted true
+#: positives for the bloom membership check.
+BLOOM_OLD_MAX = 300
+BLOOM_NEW_MIN = 200
+
+
+def q_bloom_dedup(sf_dir: str):
+    """Incremental (cross-snapshot) dedup via a bloom bitset: the
+    previous snapshot's content fingerprints reduce to a fixed 128 KiB
+    bitset (broadcast once); the new snapshot streams a membership
+    check — no shuffle on either side, no false negatives. The SQL
+    oracle reproduces the md5 bit positions digit-by-digit, so the
+    bloom DECISION (including any false positives) is hash-checked."""
+    from ..stages.corpus_ops import bloom_build, bloom_dedup
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def old_mask(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return batch.filter(pa.array(ids < BLOOM_OLD_MAX))
+
+    def new_mask(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return batch.filter(pa.array(ids >= BLOOM_NEW_MIN))
+
+    bits = bloom_build(docs.map_batches(old_mask, batch_format="pyarrow"))
+    return bloom_dedup(docs.map_batches(new_mask, batch_format="pyarrow"), bits)
+
+
 def q_source_mixture(sf_dir: str):
     """Uniform source-mixture resampling at a 0.5 global fraction
     (corpus data-mixing): per-source acceptance rates from one tiny
@@ -1237,6 +1267,7 @@ QUERIES = {
     "global_shuffle": q_global_shuffle,
     "decontaminate": q_decontaminate,
     "sequence_packing": q_sequence_packing,
+    "bloom_dedup": q_bloom_dedup,
     "source_mixture": q_source_mixture,
     "tfidf_top_terms": q_tfidf_top_terms,
     "heavy_hitters": q_heavy_hitters,
@@ -1439,6 +1470,27 @@ ORACLE_SQL = {
         "    CASE WHEN p.acc + n.n_tokens <= 256 THEN p.acc + n.n_tokens ELSE n.n_tokens END "
         "  FROM p JOIN r n ON n.shard = p.shard AND n.rn = p.rn + 1) "
         "SELECT doc_id, shard, n_tokens, seq_id FROM p"
+    ),
+
+    "bloom_dedup": (
+        # bloom position j = int(md5(text)[8j:8j+8], 16) % 2^20 as an
+        # exact hex-digit sum; a new doc is maybe_seen iff every one of
+        # its DISTINCT positions appears in the old snapshot's position
+        # set — the exact bloom decision, false positives included
+        "WITH pos AS (SELECT doc_id, md5(text) AS hx FROM documents), "
+        "p4 AS (SELECT doc_id, [ "
+        + ", ".join(
+            "list_sum([(instr('0123456789abcdef', hx[{o}+i:{o}+i]) - 1)::BIGINT "
+            "* (1::BIGINT << (4*(8-i))) for i in generate_series(1, 8)]) "
+            "% 1048576".format(o=8 * j) for j in range(4))
+        + " ] AS ps FROM pos), "
+        f"oldpos AS (SELECT DISTINCT unnest(ps) AS p FROM p4 WHERE doc_id < {BLOOM_OLD_MAX}), "
+        f"newdoc AS (SELECT doc_id, unnest(list_distinct(ps)) AS p FROM p4 "
+        f"  WHERE doc_id >= {BLOOM_NEW_MIN}) "
+        "SELECT n.doc_id, "
+        "CASE WHEN min(CASE WHEN o.p IS NULL THEN 0 ELSE 1 END) = 1 "
+        "  THEN 1 ELSE 0 END::BIGINT AS maybe_seen "
+        "FROM newdoc n LEFT JOIN oldpos o ON o.p = n.p GROUP BY n.doc_id"
     ),
 
     "source_mixture": (

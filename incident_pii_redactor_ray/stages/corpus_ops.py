@@ -548,3 +548,67 @@ def quality_logit_batch(batch: pa.Table, *, id_col: str = "doc_id",
     return pa.table({id_col: pa.array(ids, type=pa.int64()),
                      "quality_logit": pa.array(logits, type=pa.float64()),
                      "keep": pa.array(keeps, type=pa.int64())})
+
+
+# --- cross-snapshot bloom dedup ----------------------------------------------
+
+BLOOM_M = 1 << 20   # bits
+BLOOM_K = 4         # hash functions = md5 8-hex substrings mod m
+
+
+def _bloom_positions(text: str) -> np.ndarray:
+    """The k bloom bit positions of a document: the first k 8-hex
+    substrings of md5(text), each mod m — pure md5 arithmetic the SQL
+    oracle reproduces digit-by-digit (including the false positives,
+    so the bloom DECISION itself is hash-checked, not approximated
+    away)."""
+    import hashlib as _hl
+
+    hx = _hl.md5((text or "").encode()).hexdigest()
+    return np.array([int(hx[8 * j:8 * j + 8], 16) % BLOOM_M
+                     for j in range(BLOOM_K)], dtype=np.int64)
+
+
+def bloom_build(old_ds: ray.data.Dataset, *,
+                text_col: str = "text") -> np.ndarray:
+    """Build the previous-snapshot bloom bitset (m bits as a packed
+    numpy bool array, 128 KiB at m=2^20 — fixed size regardless of
+    corpus size, the property that makes cross-snapshot dedup cheap).
+
+    Per-batch DISTINCT positions stream to the driver (<= 4 ints/doc,
+    <= m distinct total); the bitset is built once and broadcast. At
+    100 TB the same shape holds — the reduced object is the bitset,
+    never the corpus; to avoid the driver union entirely, emit packed
+    per-batch bitsets and OR-reduce them (mergeable-sketch shape)."""
+
+    def positions(batch: pa.Table) -> pa.Table:
+        ps = [_bloom_positions(t) for t in batch.column(text_col).to_pylist()]
+        merged = (np.unique(np.concatenate(ps)) if ps
+                  else np.empty(0, dtype=np.int64))
+        return pa.table({"pos": pa.array(merged, type=pa.int64())})
+
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    for b in (old_ds.map_batches(positions, batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow")):
+        bits[np.asarray(b.column("pos"), dtype=np.int64)] = True
+    return bits
+
+
+def bloom_dedup(new_ds: ray.data.Dataset, bits: np.ndarray, *,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> ray.data.Dataset:
+    """Incremental (cross-snapshot) dedup: flag every new doc whose
+    content *may* have appeared in the previous snapshot — all k bloom
+    positions set. Returns (id_col, maybe_seen) for every new doc; no
+    false negatives, false-positive rate (1-e^{-kn/m})^k. The bitset is
+    shipped once via ``ray.put``; the new side streams — no shuffle."""
+    bits_ref = ray.put(np.ascontiguousarray(bits))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bb = ray.get(bits_ref)
+        seen = [int(bool(bb[_bloom_positions(t)].all()))
+                for t in batch.column(text_col).to_pylist()]
+        return pa.table({id_col: batch.column(id_col),
+                         "maybe_seen": pa.array(seen, type=pa.int64())})
+
+    return new_ds.map_batches(flag, batch_format="pyarrow")

@@ -193,3 +193,15 @@ def test_source_mixture_caps_and_counts(ray_session):
     assert out1.loc["big", "n_kept"] <= out1.loc["big", "n_total"]
     # big-side acceptance 227.5/900 = 0.2527..: expect ~227 +- noise
     assert 150 <= out1.loc["big", "n_kept"] <= 320
+
+
+def test_bloom_dedup_no_false_negatives(ray_session):
+    """Docs present in both snapshots are ALWAYS flagged; disjoint docs
+    are unflagged (FP odds ~(kn/m)^k ~ 1e-12 at this fill)."""
+    from incident_pii_redactor_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["bloom_dedup"](SF).to_pandas().set_index("doc_id")
+    overlap = out.loc[(out.index >= 200) & (out.index < 300), "maybe_seen"]
+    fresh = out.loc[out.index >= 300, "maybe_seen"]
+    assert (overlap == 1).all() and len(overlap) == 100
+    assert (fresh == 0).all()

@@ -204,6 +204,8 @@ def run_scaling() -> dict:
         "scaling_efficiency_median": round(eff_med, 3),
         "host_probes": ([r.get("host_probe_sec") for r in runs_lo]
                         + [r.get("host_probe_sec") for r in runs_hi]),
+        "steal_pct": {"8": [r.get("steal_pct_headline") for r in runs_lo],
+                      "32": [r.get("steal_pct_headline") for r in runs_hi]},
     }
 
 

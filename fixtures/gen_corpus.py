@@ -183,13 +183,38 @@ def generate(n_files: int, seed: int = 42) -> pa.Table:
     })
 
 
+def _recipe_fingerprint() -> str:
+    """Content fingerprint of everything the generated corpus depends
+    on: this module's source + the seed corpora. Validated against the
+    cache's _DONE marker — RECIPE_VERSION alone once let a stale r1
+    cache serve an r2 bench after the seed corpora were expanded
+    without a version bump (keep_fraction 0.771 vs 0.7739), silently
+    shifting cross-round comparisons."""
+    import hashlib
+    import incident_pii_redactor_ray.stages.seed_corpora as sc
+    h = hashlib.sha256()
+    for src in (__file__, sc.__file__):
+        with open(src.replace(".pyc", ".py"), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def corpus_path(n_files: int, seed: int = 42, n_shards: int = 8) -> str:
     """Generate (or reuse a cached) corpus directory of ``n_shards``
-    parquet files under /tmp; returns the directory path."""
+    parquet files under /tmp; returns the directory path. The cache is
+    trusted only if its recorded recipe fingerprint matches the current
+    generator + seed-corpus source."""
     d = f"/tmp/ipr_corpus_v{RECIPE_VERSION}_n{n_files}_s{seed}"
     done = os.path.join(d, "_DONE")
+    fp = _recipe_fingerprint()
     if os.path.exists(done):
-        return d
+        import json as _json
+        with open(done) as f:
+            meta = _json.load(f)
+        if meta.get("recipe_fp") == fp:
+            return d
+        import shutil as _shutil
+        _shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     table = generate(n_files, seed)
     rows = table.num_rows
@@ -203,7 +228,8 @@ def corpus_path(n_files: int, seed: int = 42, n_shards: int = 8) -> str:
     import pyarrow.compute as pc
     meta = {"n_rows": rows,
             "content_bytes": int(pc.sum(pc.binary_length(
-                table.column("content").cast("large_binary"))).as_py())}
+                table.column("content").cast("large_binary"))).as_py()),
+            "recipe_fp": fp}
     with open(done, "w") as f:
         json.dump(meta, f)
     return d

@@ -42,11 +42,12 @@ logger = logging.getLogger(__name__)
 _TOKEN_CACHE: dict[str, int] = {}
 _TOKEN_CACHE_MAX = 1_000_000
 
-# per-worker memo of shingle -> (identity hash, 32 minhash substrings):
-# values are pure md5 derivations (identical on every worker), so this
-# is an optimization only. Natural-language shingles repeat heavily
-# across documents; the cap bounds worker memory (~150 B/entry).
-_SHINGLE_CACHE: dict[str, tuple[np.uint64, list[str]]] = {}
+# per-worker memo of shingle -> (identity hash, uint32[32] permutation
+# values — the numeric form of the 8-hex md5 substrings): values are
+# pure md5 derivations (identical on every worker), so this is an
+# optimization only. Natural-language shingles repeat heavily across
+# documents; the cap bounds worker memory (~250 B/entry).
+_SHINGLE_CACHE: dict[str, tuple[np.uint64, np.ndarray]] = {}
 _SHINGLE_CACHE_MAX = 2_000_000
 
 
@@ -189,28 +190,30 @@ def minhash_doc_signature(text: str) -> tuple[np.ndarray, list[str]] | None:
     sh = {" ".join(toks[i:i + MINHASH_SHINGLE_K])
           for i in range(len(toks) - MINHASH_SHINGLE_K + 1)}
     nb, rpb = MINHASH_NUM_BANDS, MINHASH_ROWS_PER_BAND
-    mins: list[str | None] = [None] * (nb * rpb)
+    # lexicographic min over fixed-width lowercase-hex substrings ==
+    # numeric min over the corresponding big-endian uint32s of the raw
+    # digest, so the 32-permutation min-reduction is one numpy
+    # mat.min(axis=0) instead of a per-shingle Python string loop (the
+    # round-3 profile put 60% of signature time there); the hex form is
+    # reconstructed with %08x only for the 32 per-DOC band-input values
     ids = np.empty(len(sh), dtype=np.uint64)
+    mat = np.empty((len(sh), nb * rpb), dtype=np.uint32)
     cache = _SHINGLE_CACHE
     for si, s in enumerate(sh):
         hit = cache.get(s)
         if hit is None:
-            subs: list[str] = []
+            vec = np.empty(nb * rpb, dtype=np.uint32)
             for g in range(nb):
-                dg = hashlib.md5(b"%d:%s" % (g, s.encode())).hexdigest()
-                for j in range(rpb):
-                    subs.append(dg[8 * j: 8 * j + 8])
-            hit = (np.uint64(int(subs[0] + subs[1], 16)), subs)
+                dgst = hashlib.md5(b"%d:%s" % (g, s.encode())).digest()
+                vec[g * rpb:(g + 1) * rpb] = np.frombuffer(dgst, dtype=">u4")
+            hit = (np.uint64((int(vec[0]) << 32) | int(vec[1])), vec)
             if len(cache) < _SHINGLE_CACHE_MAX:
                 cache[s] = hit
         ids[si] = hit[0]
-        subs = hit[1]
-        for p in range(nb * rpb):
-            v = subs[p]
-            if mins[p] is None or v < mins[p]:
-                mins[p] = v
+        mat[si] = hit[1]
+    mins = mat.min(axis=0)
     bands = [hashlib.md5(
-        (f"{b}:" + "".join(mins[rpb * b: rpb * (b + 1)])).encode()  # type: ignore[arg-type]
+        (f"{b}:" + "".join("%08x" % v for v in mins[rpb * b: rpb * (b + 1)])).encode()
     ).hexdigest()[:16] for b in range(nb)]
     return np.unique(ids), bands
 

@@ -431,6 +431,69 @@ def q_quality_logit(sf_dir: str):
     return ds.map_batches(quality_logit_batch, batch_format="pyarrow")
 
 
+def q_bigram_lm(sf_dir: str):
+    """Reference-LM scoring (the CCNet quality-filter slot): a bigram
+    count model trained on the 'en'-labelled documents, every document
+    scored against it — (doc_id, n_bigrams, oov_bigrams,
+    mean_bigram_freq). The model broadcasts once via ray.put; both
+    sides of the score are exact integers, the mean is one double
+    division (tfidf pattern)."""
+    from ..stages.corpus_ops import LM_REF_LANG, bigram_lm_score, bigram_model
+
+    ref = _docs(sf_dir, ["text", "lang"]).filter(
+        expr=f"lang == '{LM_REF_LANG}'")
+    model = bigram_model(ref)
+    return bigram_lm_score(_docs(sf_dir, ["doc_id", "text"]), model)
+
+
+def q_inverted_index(sf_dir: str):
+    """Truncated inverted index over the corpus: (token, df, postings)
+    with the first 5 doc ids ascending; posting assembly shuffles
+    (token, doc_id) pairs into 256 crc32 shards — never text."""
+    from ..stages.corpus_ops import inverted_index
+
+    return inverted_index(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_running_total(sf_dir: str):
+    """Per-user cumulative event value (SQL window
+    SUM OVER (PARTITION BY user ORDER BY ts, id)) in exact integer
+    cents — order-independent accumulation, bit-identical to the
+    oracle's window sum."""
+    from ..stages.relational import running_totals
+
+    return running_totals(
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"]))
+
+
+def q_dedup_filter(sf_dir: str):
+    """End-to-end near-dup removal (the user-facing dedup pipeline):
+    minhash pairs -> connected components -> every component keeps its
+    minimum doc id; returns (doc_id, keep) for EVERY corpus doc. The
+    drop set is dup-graph-sized (collected + broadcast once via
+    ray.put, the anti-join pattern); the corpus side streams a
+    vectorized searchsorted membership check."""
+    from ..stages.dedup import dedup_components
+
+    docs = _docs_with_neardups(sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.6)
+    comp = dedup_components(pairs.select_columns(["id_a", "id_b"])).to_pandas()
+    drop = np.sort(comp.loc[comp["component"] != comp["doc_id"],
+                            "doc_id"].to_numpy(np.int64))
+    drop_ref = ray.put(drop)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        pos = np.searchsorted(d, ids)
+        hit = (pos < len(d)) & (d[np.clip(pos, 0, max(len(d) - 1, 0))] == ids) \
+            if len(d) else np.zeros(len(ids), dtype=bool)
+        return pa.table({"doc_id": pa.array(ids),
+                         "keep": pa.array(~hit)})
+
+    return docs.map_batches(flag, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # C. scrub (the reference's core M3-M15 chain, SQL-checkable slice)
 # --------------------------------------------------------------------------
@@ -1273,6 +1336,10 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "segment_dedup": q_segment_dedup,
     "quality_logit": q_quality_logit,
+    "bigram_lm": q_bigram_lm,
+    "inverted_index": q_inverted_index,
+    "running_total": q_running_total,
+    "dedup_filter": q_dedup_filter,
     "scrub_redact": q_scrub_redact,
     "scrub_findings": q_scrub_findings,
     "exact_dedup": q_exact_dedup,
@@ -1579,6 +1646,45 @@ ORACLE_SQL = {
         "CASE WHEN (-2.0 + 0.5 * mtl + 2.0 * fu + -3.0 * tf) > 0 "
         "  THEN 1 ELSE 0 END::BIGINT AS keep "
         "FROM f"
+    ),
+
+    "bigram_lm": (
+        # bigrams via list_zip(toks[:-2], toks[2:]) (consecutive pairs);
+        # model = bigram counts over lang='en' docs; mean_bigram_freq =
+        # (sum of exact int counts)::DOUBLE / n_bigrams, one division —
+        # bit-identical to the engine (no float accumulation)
+        "WITH t AS (SELECT doc_id, lang, "
+        "  regexp_extract_all(lower(text), '\\S+') AS toks FROM documents), "
+        "bg AS (SELECT doc_id, lang, z[1] || ' ' || z[2] AS bg FROM "
+        "  (SELECT doc_id, lang, unnest(list_zip(toks[:-2], toks[2:])) AS z "
+        "   FROM t WHERE len(toks) >= 2)), "
+        "m AS (SELECT bg, count(*)::BIGINT AS c FROM bg WHERE lang = 'en' "
+        "  GROUP BY bg) "
+        "SELECT b.doc_id, count(*)::BIGINT AS n_bigrams, "
+        "  sum(CASE WHEN m.c IS NULL THEN 1 ELSE 0 END)::BIGINT AS oov_bigrams, "
+        "  sum(coalesce(m.c, 0))::BIGINT::DOUBLE / count(*) AS mean_bigram_freq "
+        "FROM bg b LEFT JOIN m ON m.bg = b.bg GROUP BY b.doc_id"
+    ),
+
+    "inverted_index": (
+        # distinct (doc, token) pairs; postings = first 5 doc ids
+        # ascending, comma-joined; df exact
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') "
+        "  AS toks FROM documents), "
+        "e AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM t) "
+        "SELECT token, count(*)::BIGINT AS df, "
+        "array_to_string((list(doc_id ORDER BY doc_id))[:5], ',') AS postings "
+        "FROM e GROUP BY token"
+    ),
+
+    "running_total": (
+        # integer-cent window sum: order-independent accumulation, so
+        # the engine's per-shard cumsum is bit-identical
+        "SELECT event_id, user_id, "
+        "(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER "
+        "  (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT "
+        "  AS cum_value_cents "
+        "FROM events"
     ),
 
     "summary_rollup": (
@@ -2130,6 +2236,23 @@ ORACLE_SQL = {
         "r(node, label) AS (SELECT node, node FROM n "
         "  UNION SELECT ed.dst, r.label FROM r JOIN ed ON ed.src = r.node) "
         "SELECT node AS doc_id, min(label) AS component FROM r GROUP BY node"
+    ),
+
+    "dedup_filter": (
+        # same transitive closure; keep = not a non-minimum member of
+        # any component, over EVERY corpus doc
+        "WITH RECURSIVE " + _minhash_sql_prefix()
+        + ", e AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.6), "
+        "ed AS (SELECT id_a AS src, id_b AS dst FROM e "
+        "       UNION SELECT id_b, id_a FROM e), "
+        "n AS (SELECT DISTINCT src AS node FROM ed), "
+        "r(node, label) AS (SELECT node, node FROM n "
+        "  UNION SELECT ed.dst, r.label FROM r JOIN ed ON ed.src = r.node), "
+        "comp AS (SELECT node AS doc_id, min(label) AS component FROM r "
+        "  GROUP BY node), "
+        "dropped AS (SELECT doc_id FROM comp WHERE component <> doc_id) "
+        "SELECT c.doc_id, (d.doc_id IS NULL) AS keep "
+        "FROM corpus c LEFT JOIN dropped d ON d.doc_id = c.doc_id"
     ),
     # --- golden-parquet oracles -------------------------------------
     # langid / perplexity / keep-labels are model inference (hashed

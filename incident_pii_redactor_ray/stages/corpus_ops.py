@@ -612,3 +612,141 @@ def bloom_dedup(new_ds: ray.data.Dataset, bits: np.ndarray, *,
                          "maybe_seen": pa.array(seen, type=pa.int64())})
 
     return new_ds.map_batches(flag, batch_format="pyarrow")
+
+
+# --- reference-LM bigram scoring (CCNet-style quality filter) ---------------
+
+#: language whose documents form the reference corpus the bigram model
+#: is trained on (CCNet trains its KenLM on Wikipedia and scores the
+#: crawl against it; here the 'en'-labelled docs are the clean side).
+LM_REF_LANG = "en"
+
+
+def _doc_bigrams(text: str) -> list[str]:
+    from ..functions.textbuf import ws_tokens
+    toks = ws_tokens(text or "")
+    return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def bigram_model(ref_ds: ray.data.Dataset, *,
+                 text_col: str = "text") -> dict[str, int]:
+    """Train the reference bigram count model: per-batch value_counts
+    partials over bigram strings, ONE vocabulary-sized groupby — the
+    token stream itself never shuffles (same shape as
+    term_frequencies). Returns {bigram: count} collected on the driver
+    (bigram vocabularies of natural-language reference corpora are
+    ~10^7 entries; for open vocabularies switch the scoring join to the
+    bucketed-hash-join fallback documented at tfidf_top_terms)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat: list[str] = []
+        for t in batch.column(text_col).to_pylist():
+            flat.extend(_doc_bigrams(t))
+        vc = pc.value_counts(pa.array(flat, type=pa.string()))
+        return pa.table({"bg": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    tbl = (ref_ds.map_batches(partial, batch_format="pyarrow")
+                 .groupby("bg").aggregate(Sum("n", alias_name="c"))).to_pandas()
+    return dict(zip(tbl["bg"], tbl["c"].astype(np.int64)))
+
+
+def bigram_lm_score(ds: ray.data.Dataset, model: dict[str, int], *,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> ray.data.Dataset:
+    """Score every document against the broadcast reference bigram
+    model (the CCNet reference-LM quality-filter slot, Wenzek et al.
+    2019, arXiv:1911.00359): per doc emits the bigram count, the
+    out-of-vocabulary bigram count, and the mean reference frequency of
+    its bigrams — (sum of model counts)::DOUBLE / n_bigrams, ONE
+    division of exact < 2^53 integers, so the engine and the SQL
+    oracle compute bit-identical doubles (the tfidf_top_terms pattern;
+    no float accumulation order to pin). Rare/garbage/out-of-language
+    text scores low, exactly the CCNet keep/drop signal.
+
+    Scale: the model ships ONCE via ray.put; the corpus side streams —
+    no shuffle. Docs with < 2 tokens emit no row (no bigrams to score).
+    """
+    model_ref = ray.put(model)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = ray.get(model_ref)
+        out_id, out_n, out_oov, out_tot = [], [], [], []
+        for rid, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            bgs = _doc_bigrams(t)
+            if not bgs:
+                continue
+            cs = [m.get(b, 0) for b in bgs]
+            out_id.append(rid)
+            out_n.append(len(bgs))
+            out_oov.append(sum(1 for c in cs if c == 0))
+            out_tot.append(sum(cs))
+        n = np.asarray(out_n, dtype=np.int64)
+        tot = np.asarray(out_tot, dtype=np.int64)
+        mean = tot.astype(np.float64) / n if len(n) else np.empty(0)
+        return pa.table({id_col: pa.array(out_id, type=pa.int64()),
+                         "n_bigrams": pa.array(n),
+                         "oov_bigrams": pa.array(out_oov, type=pa.int64()),
+                         "mean_bigram_freq": pa.array(mean, type=pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --- inverted index ----------------------------------------------------------
+
+IDX_POSTINGS = 5
+IDX_SHARDS = 256
+
+
+def inverted_index(ds: ray.data.Dataset, *, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   postings: int = IDX_POSTINGS,
+                   num_shards: int = IDX_SHARDS) -> ray.data.Dataset:
+    """Build a truncated inverted index: (token, df, postings) where
+    postings is the first ``postings`` doc ids ascending, comma-joined
+    — the retrieval-index construction pass of corpus tooling.
+
+    Scale shape: the explode emits one (token, doc_id) row per DISTINCT
+    token per doc (never positions or text); posting-list assembly
+    shuffles by a 256-way crc32 shard of the token — one Ray group per
+    distinct token would mean vocabulary-cardinality tiny groups (the
+    segment_dedup argument) — and runs a vectorized pandas groupby per
+    shard. Truncation to ``postings`` entries bounds the output row
+    width regardless of how hot a token is (no full posting list for
+    stopwords); df stays exact."""
+    import zlib
+
+    from ..functions.textbuf import ws_tokens
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks_out, ids_out = [], []
+        for rid, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            uniq = np.unique(np.asarray(ws_tokens(t or ""), dtype=object))
+            toks_out.append(uniq)
+            ids_out.append(np.full(len(uniq), rid, dtype=np.int64))
+        toks = (np.concatenate(toks_out) if toks_out
+                else np.empty(0, dtype=object))
+        ids = (np.concatenate(ids_out) if ids_out
+               else np.empty(0, dtype=np.int64))
+        shard = np.fromiter((zlib.crc32(t.encode()) % num_shards for t in toks),
+                            dtype=np.int32, count=len(toks))
+        return pa.table({"token": pa.array(toks, type=pa.string()),
+                         id_col: pa.array(ids),
+                         "shard": pa.array(shard)})
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", id_col], kind="mergesort")
+        grp = g.groupby("token", sort=False)
+        df_n = grp.size().rename("df")
+        posts = grp[id_col].apply(
+            lambda s: ",".join(str(i) for i in s.iloc[:postings]))
+        out = pd.DataFrame({"token": df_n.index.to_numpy(dtype=object),
+                            "df": df_n.to_numpy(np.int64),
+                            "postings": posts.to_numpy(dtype=object)})
+        return out.reset_index(drop=True)
+
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+    return rows.groupby("shard").map_groups(build, batch_format="pandas")

@@ -364,3 +364,43 @@ def session_windows(events: ray.data.Dataset, *, ts_col: str = "ts",
 
     return (events.map_batches(add_shard, batch_format="pandas")
                   .groupby("shard").map_groups(sessionize_shard, batch_format="pandas"))
+
+
+def running_totals(events: ray.data.Dataset, *, key_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   val_col: str = "value",
+                   num_shards: int = 64) -> ray.data.Dataset:
+    """Per-key cumulative aggregate (the SQL window function
+    SUM(...) OVER (PARTITION BY key ORDER BY ts, id)): one groupby on a
+    64-way shard of the key co-locates each key's rows (shard_of_keys —
+    int or string keys), then the running sum is one vectorized pandas
+    sort + groupby-cumsum per shard.
+
+    The summed value is the half-up-rounded integer cent amount
+    (floor(value*100 + 0.5)) — integer accumulation is
+    order-independent and exact, so the result is bit-identical to the
+    SQL window regardless of how either side associates the additions
+    (a float cumsum would pin both sides to one accumulation order).
+    Returns (id_col, key_col, cum_value_cents) — one row per event.
+
+    Scale: the shuffle carries (id, key, ts, cents) only; a hot key
+    still lands in one shard (inherent to an ordered per-key scan) and
+    would need time-bucketed pre-splitting with carried offsets, the
+    session_windows caveat."""
+
+    def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["cents"] = np.floor(
+            batch[val_col].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        batch["shard"] = shard_of_keys(batch[key_col], num_shards)
+        return batch[[id_col, key_col, ts_col, "cents", "shard"]]
+
+    def cumsum_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        cum = g.groupby(key_col, sort=False)["cents"].cumsum()
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             key_col: g[key_col].to_numpy(),
+                             "cum_value_cents": cum.to_numpy(np.int64)})
+
+    return (events.map_batches(add_shard, batch_format="pandas")
+                  .groupby("shard").map_groups(cumsum_shard, batch_format="pandas"))

@@ -205,3 +205,79 @@ def test_bloom_dedup_no_false_negatives(ray_session):
     fresh = out.loc[out.index >= 300, "maybe_seen"]
     assert (overlap == 1).all() and len(overlap) == 100
     assert (fresh == 0).all()
+
+
+def test_bigram_lm_reference_separation(ray_session):
+    """Docs made of reference-corpus bigrams must score high
+    (0 OOV); out-of-language docs must be all-OOV with freq 0."""
+    import ray
+    from incident_pii_redactor_ray.stages.corpus_ops import (
+        bigram_lm_score, bigram_model)
+
+    ref = ray.data.from_arrow(pa.table({
+        "text": pa.array(["the cat sat on the mat",
+                          "the cat ran on the mat"])}))
+    model = bigram_model(ref)
+    assert model["the cat"] == 2 and model["cat sat"] == 1
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["the cat sat", "zorp blig nux", "one"])}))
+    out = bigram_lm_score(ds, model).to_pandas().set_index("doc_id")
+    assert out.loc[1, "oov_bigrams"] == 0
+    assert out.loc[1, "mean_bigram_freq"] == (2 + 1) / 2
+    assert out.loc[2, "oov_bigrams"] == 2
+    assert out.loc[2, "mean_bigram_freq"] == 0.0
+    assert 3 not in out.index  # single-token doc: no bigrams, no row
+
+
+def test_inverted_index_truncation_and_df(ray_session):
+    """df counts DISTINCT docs per token; postings truncate at 5
+    ascending ids while df stays exact."""
+    import ray
+    from incident_pii_redactor_ray.stages.corpus_ops import inverted_index
+
+    rows = [(i, "common tok%d" % (i % 3)) for i in range(10)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows])}))
+    out = inverted_index(ds).to_pandas().set_index("token")
+    assert out.loc["common", "df"] == 10
+    assert out.loc["common", "postings"] == "0,1,2,3,4"
+    assert out.loc["tok0", "df"] == 4
+    assert out.loc["tok0", "postings"] == "0,3,6,9"
+
+
+def test_running_totals_string_keys(ray_session):
+    """String keys shard via shard_of_keys (md5), not int cast; cumsum
+    follows (ts, id) order per key."""
+    import ray
+    from incident_pii_redactor_ray.stages.relational import running_totals
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "ts": pd.to_datetime(["2026-01-01", "2026-01-02",
+                              "2026-01-01", "2026-01-03"]),
+        "user_id": ["alice", "alice", "bob", "alice"],
+        "value": [1.25, 2.50, 10.0, 0.25]}))
+    out = running_totals(ds).to_pandas().set_index("event_id")
+    assert out.loc[1, "cum_value_cents"] == 125
+    assert out.loc[2, "cum_value_cents"] == 375
+    assert out.loc[4, "cum_value_cents"] == 400
+    assert out.loc[3, "cum_value_cents"] == 1000
+
+
+def test_dedup_filter_drops_injected(ray_session):
+    """Every injected near-dup (id+1000000) must be dropped; every
+    component survivor (the min id) kept."""
+    from incident_pii_redactor_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["dedup_filter"]("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 1000  # 500 docs + 500 injected near-dups
+    dropped = set(out.loc[~out["keep"], "doc_id"])
+    # minhash recall on the injected pairs is >= 90% (test_queries);
+    # the survivor is the component MIN, so the injected copy (id +
+    # 1000000) of any doc in a component is always dropped
+    assert sum(1 for d in dropped if d >= 1000000) >= 450
+    # a dropped ORIGINAL is a near-dup of a lower-id original; its
+    # injected twin shares the component and must be dropped too
+    assert all(d + 1000000 in dropped for d in dropped if d < 1000000)

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "ann_topk", "minhash_pairs", "simhash_pairs", "embedding_neardup",
     "asof_join", "hygiene_full", "pricing_summary", "events_window",
     "toxicity_scores", "segment_dedup", "tfidf_top_terms", "sequence_packing",
+    "bigram_lm", "inverted_index", "running_total", "dedup_filter",
 ]
 
 

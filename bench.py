@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "asof_join", "hygiene_full", "pricing_summary", "events_window",
     "toxicity_scores", "segment_dedup", "tfidf_top_terms", "sequence_packing",
     "bigram_lm", "inverted_index", "running_total", "dedup_filter",
+    "top_unshipped", "region_revenue", "window_rank", "segment_scrub",
 ]
 
 

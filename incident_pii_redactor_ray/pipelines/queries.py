@@ -466,6 +466,202 @@ def q_running_total(sf_dir: str):
         _events(sf_dir, ["event_id", "ts", "user_id", "value"]))
 
 
+def q_window_rank(sf_dir: str):
+    """SQL ranking windows (ROW_NUMBER / RANK / DENSE_RANK per
+    customer, ordered by o_totalprice DESC): 64-way key-shard groupby,
+    vectorized change-mask ranks inside the shard."""
+    from ..stages.relational import window_ranks
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return window_ranks(ds, key_col="o_custkey", order_col="o_totalprice",
+                        id_col="o_orderkey", descending=True)
+
+
+def q_lag_delta(sf_dir: str):
+    """Per-user LAG delta in exact integer cents (first row of each
+    partition coalesced to 0 on both sides)."""
+    from ..stages.relational import lag_delta
+
+    return lag_delta(_events(sf_dir, ["event_id", "ts", "user_id", "value"]))
+
+
+def q_moving_avg(sf_dir: str):
+    """Per-user moving sum/avg over ROWS 3 PRECEDING..CURRENT: integer
+    cumsum-difference window sum + ONE double division for the avg —
+    bit-identical to the SQL window."""
+    from ..stages.relational import moving_average
+
+    return moving_average(_events(sf_dir, ["event_id", "ts", "user_id", "value"]))
+
+
+def q_group_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles (p25/p50/p75/p90/p99 of
+    o_totalprice by priority) via a (group, cents) histogram groupby —
+    the shuffle is value-domain-bounded, never row-stream-sized."""
+    from ..stages.relational import grouped_exact_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderpriority", "o_totalprice"])
+    return grouped_exact_quantiles(ds, group_col="o_orderpriority",
+                                   val_col="o_totalprice")
+
+
+def q_top_unshipped(sf_dir: str):
+    """TPC-H-Q3-shaped 3-table pipeline: segment semi-filter (broadcast
+    key set — the resume-filter shape), date filters pushed into the
+    first map over each read, lineitem⨝orders as an explicit bucketed
+    hash join (big-big: neither side broadcastable at 100 TB), exact
+    integer-e4 revenue, ONE grouped aggregate, top-10 on the tiny
+    result."""
+    import pyarrow.compute as pc
+
+    from ..stages.relational import broadcast_semi_join, bucketed_hash_join
+
+    cutoff = pd.Timestamp("1997-06-30")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    keys = cust.map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING"))
+                   .select(["c_custkey"]),
+        batch_format="pyarrow").to_pandas()["c_custkey"]
+
+    def orders_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.less(batch.column("o_orderdate"), pa.scalar(cutoff)))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_filter, batch_format="pyarrow")
+    orders = broadcast_semi_join(orders, keys, on="o_custkey") \
+        .select_columns(["o_orderkey", "o_orderdate"])
+
+    def li_filter(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater(batch.column("l_shipdate"), pa.scalar(cutoff)))
+        e2 = pc.cast(pc.round(pc.multiply(
+            batch.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+        d2 = pc.cast(pc.round(pc.multiply(
+            batch.column("l_discount"), pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(e2, pc.subtract(pa.scalar(100, type=pa.int64()), d2))
+        return pa.table({"o_orderkey": batch.column("l_orderkey"),
+                         "rev_e4": rev})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(li_filter, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(li, orders, on="o_orderkey")
+    agg = (joined.groupby(["o_orderkey", "o_orderdate"])
+                 .aggregate(Sum("rev_e4", alias_name="revenue_e4")).to_pandas())
+    agg["revenue_e4"] = agg["revenue_e4"].astype("int64")
+    agg = agg.sort_values(["revenue_e4", "o_orderkey"],
+                          ascending=[False, True]).head(10)
+    return agg.reset_index(drop=True)
+
+
+def q_region_revenue(sf_dir: str):
+    """TPC-H-Q5-shaped 6-table pipeline: nation/region/supplier are
+    broadcast dimensions (supplier is orders-magnitude smaller than
+    customer — the documented broadcastable side), orders⨝customer and
+    lineitem⨝orders are bucketed hash joins (big-big at 100 TB), the
+    same-nation constraint filters after the joins, and the final
+    rollup groups 25 nations."""
+    import pyarrow.compute as pc
+
+    from ..stages.relational import broadcast_join, bucketed_hash_join
+
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    asia = nation.merge(region[region["r_name"] == "ASIA"],
+                        left_on="n_regionkey", right_on="r_regionkey")
+    nk_to_name = dict(zip(asia["n_nationkey"].astype(int), asia["n_name"]))
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]).to_pandas().rename(
+        columns={"s_suppkey": "l_suppkey"})
+
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+
+    def orders_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch.column("o_orderdate"), pa.scalar(lo)),
+                       pc.less(batch.column("o_orderdate"), pa.scalar(hi)))
+        return batch.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_filter, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda b: b.rename_columns(["o_custkey", "c_nationkey"]),
+                     batch_format="pyarrow")
+    oc = bucketed_hash_join(orders, cust, on="o_custkey") \
+        .select_columns(["o_orderkey", "c_nationkey"])
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        e2 = pc.cast(pc.round(pc.multiply(
+            batch.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+        d2 = pc.cast(pc.round(pc.multiply(
+            batch.column("l_discount"), pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(e2, pc.subtract(pa.scalar(100, type=pa.int64()), d2))
+        return pa.table({"o_orderkey": batch.column("l_orderkey"),
+                         "l_suppkey": batch.column("l_suppkey"),
+                         "rev_e4": rev})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_project, batch_format="pyarrow")
+    li = broadcast_join(li, supplier, on="l_suppkey") \
+        .select_columns(["o_orderkey", "rev_e4", "s_nationkey"])
+
+    joined = bucketed_hash_join(li, oc, on="o_orderkey")
+
+    def to_nation(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[(batch["s_nationkey"] == batch["c_nationkey"])
+                      & batch["c_nationkey"].isin(nk_to_name)]
+        return pd.DataFrame({"n_name": batch["c_nationkey"].map(nk_to_name),
+                             "rev_e4": batch["rev_e4"]})
+
+    out = (joined.map_batches(to_nation, batch_format="pandas")
+                 .groupby("n_name")
+                 .aggregate(Sum("rev_e4", alias_name="revenue_e4")).to_pandas())
+    out["revenue_e4"] = out["revenue_e4"].astype("int64")
+    return out
+
+
+def q_rollup_counts(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source): ONE finest-level groupby over the
+    corpus; the subtotal and grand-total tiers are recomputed from that
+    tiny aggregate on the driver (never a second pass over the data)."""
+    base = (_docs(sf_dir, ["lang", "source", "n_chars"])
+            .groupby(["lang", "source"])
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="total_chars")).to_pandas())
+    base["n_docs"] = base["n_docs"].astype("int64")
+    base["total_chars"] = base["total_chars"].astype("int64")
+    sub = (base.groupby("lang", as_index=False)[["n_docs", "total_chars"]]
+               .sum().assign(source="ALL"))
+    total = pd.DataFrame([{"lang": "ALL", "source": "ALL",
+                           "n_docs": base["n_docs"].sum(),
+                           "total_chars": base["total_chars"].sum()}])
+    out = pd.concat([base, sub, total], ignore_index=True)
+    return out[["lang", "source", "n_docs", "total_chars"]]
+
+
+def q_segment_scrub(sf_dir: str):
+    """RefinedWeb-style duplicated-span REMOVAL (the rewrite step on
+    top of segment_dedup's counts): globally duplicated 16-token
+    segments are cut and each doc's kept segments re-joined. Text never
+    crosses a shuffle — the dropped-ordinal set broadcasts once."""
+    from ..stages.corpus_ops import segment_scrub
+
+    return segment_scrub(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_dedup_filter(sf_dir: str):
     """End-to-end near-dup removal (the user-facing dedup pipeline):
     minhash pairs -> connected components -> every component keeps its
@@ -1339,6 +1535,14 @@ QUERIES = {
     "bigram_lm": q_bigram_lm,
     "inverted_index": q_inverted_index,
     "running_total": q_running_total,
+    "window_rank": q_window_rank,
+    "lag_delta": q_lag_delta,
+    "moving_avg": q_moving_avg,
+    "group_quantiles": q_group_quantiles,
+    "top_unshipped": q_top_unshipped,
+    "region_revenue": q_region_revenue,
+    "rollup_counts": q_rollup_counts,
+    "segment_scrub": q_segment_scrub,
     "dedup_filter": q_dedup_filter,
     "scrub_redact": q_scrub_redact,
     "scrub_findings": q_scrub_findings,
@@ -1685,6 +1889,121 @@ ORACLE_SQL = {
         "  (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT "
         "  AS cum_value_cents "
         "FROM events"
+    ),
+
+    "window_rank": (
+        # rn breaks ties by o_orderkey; rnk/drnk rank on o_totalprice
+        # alone (SQL RANK/DENSE_RANK tie semantics)
+        "SELECT o_orderkey, o_custkey, "
+        "row_number() OVER (PARTITION BY o_custkey "
+        "  ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rn, "
+        "rank() OVER (PARTITION BY o_custkey "
+        "  ORDER BY o_totalprice DESC)::BIGINT AS rnk, "
+        "dense_rank() OVER (PARTITION BY o_custkey "
+        "  ORDER BY o_totalprice DESC)::BIGINT AS drnk "
+        "FROM orders"
+    ),
+
+    "lag_delta": (
+        # first row of each partition coalesced to 0 on both sides (a
+        # null would hash differently between Arrow and DuckDB frames)
+        "WITH c AS (SELECT event_id, user_id, ts, "
+        "  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events) "
+        "SELECT event_id, user_id, "
+        "coalesce(cents - lag(cents) OVER "
+        "  (PARTITION BY user_id ORDER BY ts, event_id), 0)::BIGINT "
+        "  AS delta_cents FROM c"
+    ),
+
+    "moving_avg": (
+        # integer window sum; the avg is that exact sum in ONE double
+        # division, so both sides produce the identical double
+        "WITH c AS (SELECT event_id, user_id, ts, "
+        "  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events) "
+        "SELECT event_id, user_id, "
+        "(SUM(cents) OVER w)::BIGINT AS mov_sum_cents, "
+        "(SUM(cents) OVER w)::DOUBLE / (100.0 * COUNT(*) OVER w) AS mov_avg "
+        "FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+    ),
+
+    "group_quantiles": (
+        # discrete lower quantile: the element at 0-based position
+        # (n-1)*p//100 of the sorted group, in exact integer cents
+        "WITH c AS (SELECT o_orderpriority, "
+        "  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
+        "r AS (SELECT o_orderpriority, cents, "
+        "  row_number() OVER (PARTITION BY o_orderpriority ORDER BY cents) - 1 "
+        "    AS rn, "
+        "  count(*) OVER (PARTITION BY o_orderpriority) AS n FROM c) "
+        "SELECT o_orderpriority, "
+        + ", ".join(
+            f"max(CASE WHEN rn = ((n-1)*{p})//100 THEN cents END)::BIGINT "
+            f"AS p{p}_cents" for p in (25, 50, 75, 90, 99))
+        + " FROM r GROUP BY o_orderpriority"
+    ),
+
+    "top_unshipped": (
+        # TPC-H Q3 shape; revenue in exact integer e4 units
+        "SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, "
+        "sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) "
+        "    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT "
+        "  AS revenue_e4 "
+        "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        "WHERE c.c_mktsegment = 'BUILDING' "
+        "AND o.o_orderdate < TIMESTAMP '1997-06-30' "
+        "AND l.l_shipdate > TIMESTAMP '1997-06-30' "
+        "GROUP BY 1, 2 ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10"
+    ),
+
+    "region_revenue": (
+        # TPC-H Q5 shape: same-nation customer/supplier, one region
+        "SELECT n.n_name, "
+        "sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) "
+        "    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT "
+        "  AS revenue_e4 "
+        "FROM lineitem l "
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+        "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+        "JOIN region r ON r.r_regionkey = n.n_regionkey "
+        "WHERE r.r_name = 'ASIA' AND s.s_nationkey = c.c_nationkey "
+        "AND o.o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY n.n_name"
+    ),
+
+    "rollup_counts": (
+        "SELECT coalesce(lang, 'ALL') AS lang, "
+        "coalesce(source, 'ALL') AS source, "
+        "count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars "
+        "FROM documents GROUP BY ROLLUP(lang, source)"
+    ),
+
+    "segment_scrub": (
+        # same segment CTEs as segment_dedup; keep = first occurrence by
+        # (doc_id, seg_idx); kept segments re-joined with single spaces
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks "
+        "  FROM documents), "
+        "s0 AS (SELECT doc_id, "
+        "  [array_to_string(toks[s*16+1 : s*16+16], ' ') "
+        "   for s in generate_series(0, (len(toks) + 15) // 16 - 1)] AS segs "
+        "  FROM t WHERE len(toks) > 0), "
+        "seg AS (SELECT doc_id, unnest(segs) AS seg, "
+        "  unnest(generate_series(0, len(segs) - 1)) AS seg_idx FROM s0), "
+        "m AS (SELECT seg, min(doc_id * 1048576 + seg_idx) AS first_ord "
+        "  FROM seg GROUP BY seg), "
+        "k AS (SELECT s.doc_id, s.seg_idx, s.seg, "
+        "  (s.doc_id * 1048576 + s.seg_idx = m.first_ord) AS keep "
+        "  FROM seg s JOIN m ON m.seg = s.seg) "
+        "SELECT doc_id, "
+        "coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' "
+        "  ORDER BY seg_idx), '') AS clean_text, "
+        "sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept, "
+        "sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped "
+        "FROM k GROUP BY doc_id"
     ),
 
     "summary_rollup": (

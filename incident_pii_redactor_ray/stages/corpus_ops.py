@@ -452,23 +452,10 @@ SEG_TOKENS = 16
 _SEG_ORD_SHIFT = 1 << 20  # max segments per doc; ord = doc_id * shift + seg_idx
 
 
-def segment_dedup(ds: ray.data.Dataset, *, id_col: str = "doc_id",
-                  text_col: str = "text",
-                  seg_tokens: int = SEG_TOKENS) -> ray.data.Dataset:
-    """Segment-level exact dedup (RefinedWeb/MassiveText line-dedup
-    analogue for unpunctuated corpora): split each doc into consecutive
-    ``seg_tokens``-token segments (partial tail kept), dedup segments
-    globally first-wins by (doc_id, seg_idx), report per-doc totals.
-    Output: (doc_id, n_segments, n_dup).
-
-    Scale shape: the explode emits (md5-hex, doc_id, seg_idx) — a
-    32-byte key per segment, never the segment text; the first-wins
-    flagging shuffles by a 256-way shard of the hash (one Ray group per
-    distinct segment would mean corpus-cardinality tiny groups — the
-    exact_dedup pattern) and runs a vectorized pandas groupby-transform
-    per shard; ONE groupby on doc_id sums the flags. Both shuffles
-    carry metadata only.
-    """
+def _make_segment_explode(id_col: str, text_col: str, seg_tokens: int):
+    """Batch fn: explode docs into (seg_hash md5-hex, id, seg_idx, shard)
+    rows — 32-byte keys per segment, never the segment text (shared by
+    segment_dedup and segment_scrub)."""
     import hashlib as _hl
 
     from ..functions.textbuf import ws_tokens
@@ -490,6 +477,28 @@ def segment_dedup(ds: ray.data.Dataset, *, id_col: str = "doc_id",
                          "seg_idx": pa.array(idxs, type=pa.int64()),
                          "shard": pa.array(shard)})
 
+    return explode
+
+
+def segment_dedup(ds: ray.data.Dataset, *, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  seg_tokens: int = SEG_TOKENS) -> ray.data.Dataset:
+    """Segment-level exact dedup (RefinedWeb/MassiveText line-dedup
+    analogue for unpunctuated corpora): split each doc into consecutive
+    ``seg_tokens``-token segments (partial tail kept), dedup segments
+    globally first-wins by (doc_id, seg_idx), report per-doc totals.
+    Output: (doc_id, n_segments, n_dup).
+
+    Scale shape: the explode emits (md5-hex, doc_id, seg_idx) — a
+    32-byte key per segment, never the segment text; the first-wins
+    flagging shuffles by a 256-way shard of the hash (one Ray group per
+    distinct segment would mean corpus-cardinality tiny groups — the
+    exact_dedup pattern) and runs a vectorized pandas groupby-transform
+    per shard; ONE groupby on doc_id sums the flags. Both shuffles
+    carry metadata only.
+    """
+    explode = _make_segment_explode(id_col, text_col, seg_tokens)
+
     def flag(g: pd.DataFrame) -> pd.DataFrame:
         ordk = (g[id_col].to_numpy(np.int64) * _SEG_ORD_SHIFT
                 + g["seg_idx"].to_numpy(np.int64))
@@ -504,6 +513,77 @@ def segment_dedup(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     flags = segs.groupby("shard").map_groups(flag, batch_format="pandas")
     return flags.groupby(id_col).aggregate(
         Sum("one", alias_name="n_segments"), Sum("dup", alias_name="n_dup"))
+
+
+def segment_scrub(ds: ray.data.Dataset, *, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  seg_tokens: int = SEG_TOKENS) -> ray.data.Dataset:
+    """Segment-level dedup REWRITE (the RefinedWeb remove-duplicated-
+    spans step, not just the per-doc counts of segment_dedup): every
+    segment that is a global duplicate (first-wins by (doc_id, seg_idx))
+    is cut from its document, and the kept segments are re-joined with
+    single spaces over whitespace-normalized tokens.
+
+    Output: (doc_id, clean_text, n_kept, n_dropped) — docs whose every
+    segment is a duplicate emit clean_text = ''; zero-token docs are
+    skipped (they have no segments).
+
+    Scale shape: pass 1 is segment_dedup's metadata-only explode +
+    256-way hash-shard first-wins, emitting ONLY the dropped
+    (doc_id, seg_idx) ordinals; that drop set (sized by the corpus'
+    duplicate-segment count, not its row count) broadcasts once via
+    ray.put, and pass 2 re-splits each doc map-side and drops the
+    flagged ordinals with one searchsorted per doc — document text
+    never crosses a shuffle. A corpus that is mostly duplicates would
+    need the drop set bucketed instead (the bloom_dedup shape).
+    """
+    from ..functions.textbuf import ws_tokens
+
+    explode = _make_segment_explode(id_col, text_col, seg_tokens)
+
+    def dropped(g: pd.DataFrame) -> pd.DataFrame:
+        ordk = (g[id_col].to_numpy(np.int64) * _SEG_ORD_SHIFT
+                + g["seg_idx"].to_numpy(np.int64))
+        first = pd.Series(ordk).groupby(g["seg_hash"].to_numpy()).transform("min")
+        return pd.DataFrame({"ord": ordk[ordk > first.to_numpy()]})
+
+    drop_df = (ds.map_batches(explode, batch_format="pyarrow")
+                 .groupby("shard").map_groups(dropped, batch_format="pandas")
+                 .to_pandas())
+    drop_set = np.sort(drop_df["ord"].to_numpy(np.int64)) if len(drop_df) \
+        else np.empty(0, dtype=np.int64)
+    ref = ray.put(drop_set)
+
+    class Rewrite:
+        def __init__(self):
+            self.drop = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, texts, kept_n, drop_n = [], [], [], []
+            for rid, t in zip(batch.column(id_col).to_pylist(),
+                              batch.column(text_col).to_pylist()):
+                toks = ws_tokens(t or "")
+                n_seg = (len(toks) + seg_tokens - 1) // seg_tokens
+                if n_seg == 0:
+                    continue
+                ords = rid * _SEG_ORD_SHIFT + np.arange(n_seg, dtype=np.int64)
+                is_drop = np.zeros(n_seg, dtype=bool)
+                if len(self.drop):
+                    pos = np.searchsorted(self.drop, ords)
+                    ok = pos < len(self.drop)
+                    is_drop[ok] = self.drop[pos[ok]] == ords[ok]
+                kept = [" ".join(toks[s * seg_tokens:(s + 1) * seg_tokens])
+                        for s in np.flatnonzero(~is_drop)]
+                ids.append(rid)
+                texts.append(" ".join(kept))
+                kept_n.append(int(n_seg - is_drop.sum()))
+                drop_n.append(int(is_drop.sum()))
+            return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                             "clean_text": pa.array(texts, type=pa.string()),
+                             "n_kept": pa.array(kept_n, type=pa.int64()),
+                             "n_dropped": pa.array(drop_n, type=pa.int64())})
+
+    return ds.map_batches(Rewrite, batch_format="pyarrow", concurrency=(2, 16))
 
 
 # --- linear quality scorer ----------------------------------------------------

@@ -366,6 +366,183 @@ def session_windows(events: ray.data.Dataset, *, ts_col: str = "ts",
                   .groupby("shard").map_groups(sessionize_shard, batch_format="pandas"))
 
 
+def window_ranks(ds: ray.data.Dataset, *, key_col: str, order_col: str,
+                 id_col: str, descending: bool = True,
+                 num_shards: int = 64) -> ray.data.Dataset:
+    """SQL ranking window functions — ROW_NUMBER / RANK / DENSE_RANK
+    OVER (PARTITION BY key ORDER BY order_col [DESC], id) — as one
+    key-sharded groupby (the running_totals shape: all rows of a key
+    co-locate in a 64-way shard, never one Ray group per key) plus a
+    fully vectorized in-shard pass: one mergesort, then ranks from
+    boolean change masks (no per-group Python).
+
+    Returns (id_col, key_col, rn, rnk, drnk) — one row per input row.
+    Ties in ``order_col`` share rnk/drnk and are broken by ``id_col``
+    for rn, exactly the SQL tie semantics."""
+
+    def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[id_col, key_col, order_col]].copy()
+        out["shard"] = shard_of_keys(batch[key_col], num_shards)
+        return out
+
+    def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col, id_col],
+                          ascending=[True, not descending, True],
+                          kind="mergesort")
+        keys = g[key_col].to_numpy()
+        vals = g[order_col].to_numpy()
+        n = len(g)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        new_val = np.ones(n, dtype=bool)
+        new_val[1:] = new_key[1:] | (vals[1:] != vals[:-1])
+        idx = np.arange(n, dtype=np.int64)
+        # rn: position within the key partition (1-based)
+        part_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        rn = idx - part_start + 1
+        # rnk: rn at the start of the current tie run (SQL RANK)
+        run_start = np.maximum.accumulate(np.where(new_val, idx, 0))
+        rnk = rn[run_start]
+        # drnk: count of tie runs so far within the partition (DENSE_RANK);
+        # cum(new_val) is monotone, so max-accumulate snapshots it per key
+        val_cum = np.cumsum(new_val)
+        drnk = val_cum - np.maximum.accumulate(
+            np.where(new_key, val_cum, 0)) + 1
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             key_col: keys,
+                             "rn": rn.astype(np.int64),
+                             "rnk": rnk.astype(np.int64),
+                             "drnk": drnk.astype(np.int64)})
+
+    return (ds.map_batches(add_shard, batch_format="pandas")
+              .groupby("shard").map_groups(rank_shard, batch_format="pandas"))
+
+
+def lag_delta(events: ray.data.Dataset, *, key_col: str = "user_id",
+              ts_col: str = "ts", id_col: str = "event_id",
+              val_col: str = "value",
+              num_shards: int = 64) -> ray.data.Dataset:
+    """Per-key LAG: delta_cents = cents - LAG(cents) OVER (PARTITION BY
+    key ORDER BY ts, id), with the partition's first row coalesced to 0
+    (both sides agree on the coalesce, so the output stays an exact
+    non-null int64 — avoiding null-representation skew between Arrow
+    and DuckDB result frames). Same key-shard shape as running_totals;
+    the lag itself is one vectorized shift per shard.
+
+    Returns (id_col, key_col, delta_cents)."""
+
+    def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["cents"] = np.floor(
+            batch[val_col].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        batch["shard"] = shard_of_keys(batch[key_col], num_shards)
+        return batch[[id_col, key_col, ts_col, "cents", "shard"]]
+
+    def lag_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        cents = g["cents"].to_numpy(np.int64)
+        delta = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            same = keys[1:] == keys[:-1]
+            delta[1:] = np.where(same, cents[1:] - cents[:-1], 0)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             key_col: keys, "delta_cents": delta})
+
+    return (events.map_batches(add_shard, batch_format="pandas")
+                  .groupby("shard").map_groups(lag_shard, batch_format="pandas"))
+
+
+def moving_average(events: ray.data.Dataset, *, key_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   val_col: str = "value", preceding: int = 3,
+                   num_shards: int = 64) -> ray.data.Dataset:
+    """Per-key moving aggregate over ROWS BETWEEN ``preceding`` PRECEDING
+    AND CURRENT ROW (ordered by ts, id): the windowed SUM runs in exact
+    integer cents via a cumsum difference (order-independent), and the
+    AVG is that integer sum in ONE double division — bit-identical to
+    the SQL window however either side associates the additions.
+
+    Returns (id_col, key_col, mov_sum_cents, mov_avg)."""
+
+    def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["cents"] = np.floor(
+            batch[val_col].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        batch["shard"] = shard_of_keys(batch[key_col], num_shards)
+        return batch[[id_col, key_col, ts_col, "cents", "shard"]]
+
+    def window_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        part_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        pos = idx - part_start                      # 0-based within key
+        cents = g["cents"].to_numpy(np.int64)
+        # per-key cumsum: global cumsum minus the cumsum just before the
+        # key's first row (snapshot via max-accumulate, cum is not
+        # monotone so snapshot indices, then gather)
+        cum = np.cumsum(cents)
+        before_key = cum[part_start] - cents[part_start]
+        kcum = cum - before_key                     # inclusive per-key cumsum
+        win = np.minimum(pos, preceding)            # rows in window - 1
+        lo = idx - win                              # first row of the window
+        mov = kcum - (kcum[lo] - cents[lo])
+        cnt = win + 1
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(), key_col: keys,
+            "mov_sum_cents": mov.astype(np.int64),
+            "mov_avg": mov.astype(np.float64) / (100.0 * cnt)})
+
+    return (events.map_batches(add_shard, batch_format="pandas")
+                  .groupby("shard").map_groups(window_shard, batch_format="pandas"))
+
+
+def grouped_exact_quantiles(ds: ray.data.Dataset, *, group_col: str,
+                            val_col: str,
+                            pcts: tuple[int, ...] = (25, 50, 75, 90, 99)
+                            ) -> pd.DataFrame:
+    """Exact per-group discrete quantiles (lower rule: the element at
+    0-based position ``(n-1)*p // 100`` of the sorted group) over a
+    2-decimal value column, in exact integer cents.
+
+    Scale shape: per-batch value_counts partials collapse to one
+    (group, cents) histogram groupby — the shuffle carries distinct
+    (group, cents) pairs, bounded by the value domain (a 2-dp price
+    column has at most price-range×100 distinct cents regardless of row
+    count), never the row stream; the final quantile pick runs on the
+    aggregated histogram (driver-side, like the pivot rollup)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            batch[val_col].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        g = (pd.DataFrame({group_col: batch[group_col], "cents": cents})
+             .groupby([group_col, "cents"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return g
+
+    hist = (ds.map_batches(partial, batch_format="pandas")
+              .groupby([group_col, "cents"]).aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    rows = []
+    for key, g in hist.groupby(group_col):
+        g = g.sort_values("cents")
+        cnts = g["n"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        cum = np.cumsum(cnts)
+        total = int(cum[-1])
+        row = {group_col: key}
+        for p in pcts:
+            pos = (total - 1) * p // 100
+            row[f"p{p}_cents"] = int(cents[np.searchsorted(cum, pos, side="right")])
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
 def running_totals(events: ray.data.Dataset, *, key_col: str = "user_id",
                    ts_col: str = "ts", id_col: str = "event_id",
                    val_col: str = "value",

@@ -281,3 +281,85 @@ def test_dedup_filter_drops_injected(ray_session):
     # a dropped ORIGINAL is a near-dup of a lower-id original; its
     # injected twin shares the component and must be dropped too
     assert all(d + 1000000 in dropped for d in dropped if d < 1000000)
+
+
+def test_window_ranks_tie_semantics(ray_session):
+    """RANK/DENSE_RANK share tie values on order_col alone; ROW_NUMBER
+    breaks ties by id — the SQL window semantics, vectorized."""
+    import pandas as pd
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.relational import window_ranks
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5, 6],
+        "k": ["a", "a", "a", "a", "b", "b"],
+        "v": [9.0, 9.0, 5.0, 5.0, 3.0, 7.0]})
+    out = (window_ranks(ray.data.from_pandas(df), key_col="k", order_col="v",
+                        id_col="id", descending=True)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out["rn"].tolist() == [1, 2, 3, 4, 2, 1]
+    assert out["rnk"].tolist() == [1, 1, 3, 3, 2, 1]
+    assert out["drnk"].tolist() == [1, 1, 2, 2, 2, 1]
+
+
+def test_moving_average_window_boundary(ray_session):
+    """The first rows of a partition average over fewer rows; the sum
+    restarts at each key."""
+    import pandas as pd
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.relational import moving_average
+
+    ts = pd.to_datetime(["2024-01-01"] * 5) + pd.to_timedelta(range(5), unit="h")
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [7, 7, 7, 7, 8],
+        "ts": ts,
+        "value": [1.0, 2.0, 3.0, 4.0, 10.0]})
+    out = (moving_average(ray.data.from_pandas(df), preceding=2)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert out["mov_sum_cents"].tolist() == [100, 300, 600, 900, 1000]
+    assert out["mov_avg"].tolist() == [1.0, 1.5, 2.0, 3.0, 10.0]
+
+
+def test_segment_scrub_full_duplicate_doc(ray_session):
+    """A doc whose every segment already appeared earlier rewrites to
+    the empty string; the first occurrence keeps its text."""
+    import pandas as pd
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.corpus_ops import segment_scrub
+
+    base = " ".join(f"w{i}" for i in range(32))  # exactly 2 segments
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [base, base, base + " tail"]})
+    out = (segment_scrub(ray.data.from_pandas(df))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "clean_text"] == base
+    assert out.loc[0, ["n_kept", "n_dropped"]].tolist() == [2, 0]
+    assert out.loc[1, "clean_text"] == ""
+    assert out.loc[1, ["n_kept", "n_dropped"]].tolist() == [0, 2]
+    # doc 2: both full segments are dups, the 1-token tail survives
+    assert out.loc[2, "clean_text"] == "tail"
+    assert out.loc[2, ["n_kept", "n_dropped"]].tolist() == [1, 2]
+
+
+def test_grouped_exact_quantiles_small_groups(ray_session):
+    """Quantile rule: element at 0-based floor((n-1)*p/100) — a
+    single-row group returns its value for every percentile."""
+    import pandas as pd
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.relational import grouped_exact_quantiles
+
+    df = pd.DataFrame({
+        "g": ["x", "y", "y", "y", "y"],
+        "v": [5.00, 1.00, 2.00, 3.00, 4.00]})
+    out = grouped_exact_quantiles(
+        ray.data.from_pandas(df), group_col="g", val_col="v",
+        pcts=(50, 99)).sort_values("g").reset_index(drop=True)
+    assert out.loc[0, ["p50_cents", "p99_cents"]].tolist() == [500, 500]
+    # n=4: p50 -> pos floor(3*50/100)=1 -> 200; p99 -> pos 2 -> 300
+    assert out.loc[1, ["p50_cents", "p99_cents"]].tolist() == [200, 300]

@@ -553,9 +553,17 @@ def q_top_unshipped(sf_dir: str):
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     ).map_batches(li_filter, batch_format="pyarrow")
 
-    joined = bucketed_hash_join(li, orders, on="o_orderkey")
-    agg = (joined.groupby(["o_orderkey", "o_orderdate"])
-                 .aggregate(Sum("rev_e4", alias_name="revenue_e4")).to_pandas())
+    # join+aggregate fusion: o_orderkey determines the bucket, so the
+    # per-bucket grouped sum is already FINAL — the second all-to-all
+    # (each exchange costs seconds of fixed overhead) disappears and
+    # only (orderkey, date, revenue) rows reach the driver's top-10
+    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["o_orderkey", "o_orderdate"], as_index=False)
+                ["rev_e4"].sum())
+        return out.rename(columns={"rev_e4": "revenue_e4"})
+
+    agg = bucketed_hash_join(li, orders, on="o_orderkey",
+                             post=agg_bucket).to_pandas()
     agg["revenue_e4"] = agg["revenue_e4"].astype("int64")
     agg = agg.sort_values(["revenue_e4", "o_orderkey"],
                           ascending=[False, True]).head(10)
@@ -571,7 +579,7 @@ def q_region_revenue(sf_dir: str):
     rollup groups 25 nations."""
     import pyarrow.compute as pc
 
-    from ..stages.relational import broadcast_join, bucketed_hash_join
+    from ..stages.relational import bucketed_hash_join
 
     nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
     region = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
@@ -580,8 +588,13 @@ def q_region_revenue(sf_dir: str):
     nk_to_name = dict(zip(asia["n_nationkey"].astype(int), asia["n_name"]))
     supplier = ray.data.read_parquet(
         f"{sf_dir}/supplier.parquet",
-        columns=["s_suppkey", "s_nationkey"]).to_pandas().rename(
-        columns={"s_suppkey": "l_suppkey"})
+        columns=["s_suppkey", "s_nationkey"]).to_pandas().sort_values("s_suppkey")
+    # broadcast the supplier dim as two aligned arrays: the lineitem map
+    # stage resolves l_suppkey -> s_nationkey with one searchsorted per
+    # batch (a dimension 10-100x smaller than customer — the documented
+    # broadcastable side), so no separate join stage runs at all
+    supp_ref = ray.put((supplier["s_suppkey"].to_numpy(np.int64),
+                        supplier["s_nationkey"].to_numpy(np.int32)))
 
     lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
 
@@ -602,35 +615,101 @@ def q_region_revenue(sf_dir: str):
         .select_columns(["o_orderkey", "c_nationkey"])
 
     def li_project(batch: pa.Table) -> pa.Table:
+        skeys, snat = ray.get(supp_ref)
         e2 = pc.cast(pc.round(pc.multiply(
             batch.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
         d2 = pc.cast(pc.round(pc.multiply(
             batch.column("l_discount"), pa.scalar(100.0))), pa.int64())
         rev = pc.multiply(e2, pc.subtract(pa.scalar(100, type=pa.int64()), d2))
+        pos = np.searchsorted(skeys, np.asarray(batch.column("l_suppkey")))
         return pa.table({"o_orderkey": batch.column("l_orderkey"),
-                         "l_suppkey": batch.column("l_suppkey"),
-                         "rev_e4": rev})
+                         "rev_e4": rev,
+                         "s_nationkey": pa.array(snat[pos], type=pa.int32())})
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
     ).map_batches(li_project, batch_format="pyarrow")
-    li = broadcast_join(li, supplier, on="l_suppkey") \
-        .select_columns(["o_orderkey", "rev_e4", "s_nationkey"])
 
-    joined = bucketed_hash_join(li, oc, on="o_orderkey")
+    # join+aggregate fusion: the same-nation filter and the per-nation
+    # partial sum run inside the join's bucket groups (<= 25 nation
+    # rows per bucket leave the shuffle); the driver finishes the sum
+    # over num_buckets x 25 partials — no second all-to-all
+    def nation_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[(g["s_nationkey"] == g["c_nationkey"])
+              & g["c_nationkey"].isin(nk_to_name)]
+        return (g.groupby("c_nationkey", as_index=False)["rev_e4"].sum())
 
-    def to_nation(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[(batch["s_nationkey"] == batch["c_nationkey"])
-                      & batch["c_nationkey"].isin(nk_to_name)]
-        return pd.DataFrame({"n_name": batch["c_nationkey"].map(nk_to_name),
-                             "rev_e4": batch["rev_e4"]})
+    partials = bucketed_hash_join(li, oc, on="o_orderkey",
+                                  post=nation_partial).to_pandas()
+    out = partials.groupby("c_nationkey", as_index=False)["rev_e4"].sum()
+    return pd.DataFrame({
+        "n_name": out["c_nationkey"].astype(int).map(nk_to_name),
+        "revenue_e4": out["rev_e4"].astype("int64")})
 
-    out = (joined.map_batches(to_nation, batch_format="pandas")
-                 .groupby("n_name")
-                 .aggregate(Sum("rev_e4", alias_name="revenue_e4")).to_pandas())
-    out["revenue_e4"] = out["revenue_e4"].astype("int64")
-    return out
+
+def q_customer_order_counts(sf_dir: str):
+    """LEFT outer bucketed join: every customer keeps a row even with
+    zero orders (count coalesced to 0 inside the join's post hook —
+    no second shuffle). Both sides are big at 100 TB, hence bucketed,
+    with the order side pre-aggregated to one row per customer."""
+    from ..stages.relational import bucketed_hash_join
+
+    counts = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                    columns=["o_custkey"])
+              .groupby("o_custkey").aggregate(Count(alias_name="n"))
+              .map_batches(lambda b: b.rename_columns(["c_custkey", "n"]),
+                           batch_format="pyarrow"))
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+
+    def coalesce(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"c_custkey": g["c_custkey"],
+                             "c_name": g["c_name"],
+                             "n_orders": g["n"].fillna(0).astype("int64")})
+
+    return bucketed_hash_join(cust, counts, on="c_custkey", how="left",
+                              post=coalesce)
+
+
+def q_spend_halves_full_join(sf_dir: str):
+    """FULL outer bucketed join: per-customer spend in 1996 vs 1999 —
+    customers active in only one year surface from the other side with
+    a coalesced 0 (the outer-join completeness case inner joins hide)."""
+    import pyarrow.compute as pc
+
+    from ..stages.relational import bucketed_hash_join
+
+    def year_spend(year: int, out_col: str):
+        lo = pd.Timestamp(f"{year}-01-01")
+        hi = pd.Timestamp(f"{year + 1}-01-01")
+
+        def prep(batch: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.greater_equal(batch.column("o_orderdate"), pa.scalar(lo)),
+                pc.less(batch.column("o_orderdate"), pa.scalar(hi)))
+            batch = batch.filter(keep)
+            cents = pc.cast(pc.round(pc.multiply(
+                batch.column("o_totalprice"), pa.scalar(100.0))), pa.int64())
+            return pa.table({"o_custkey": batch.column("o_custkey"),
+                             "cents": cents})
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"]
+        ).map_batches(prep, batch_format="pyarrow")
+        return (ds.groupby("o_custkey").aggregate(Sum("cents", alias_name=out_col)))
+
+    a = year_spend(1996, "spend96_cents")
+    b = year_spend(1999, "spend99_cents")
+
+    def coalesce(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"],
+            "spend96_cents": g["spend96_cents"].fillna(0).astype("int64"),
+            "spend99_cents": g["spend99_cents"].fillna(0).astype("int64")})
+
+    return bucketed_hash_join(a, b, on="o_custkey", how="full", post=coalesce)
 
 
 def q_rollup_counts(sf_dir: str):
@@ -1541,6 +1620,8 @@ QUERIES = {
     "group_quantiles": q_group_quantiles,
     "top_unshipped": q_top_unshipped,
     "region_revenue": q_region_revenue,
+    "customer_order_counts": q_customer_order_counts,
+    "spend_halves_full_join": q_spend_halves_full_join,
     "rollup_counts": q_rollup_counts,
     "segment_scrub": q_segment_scrub,
     "dedup_filter": q_dedup_filter,
@@ -1973,6 +2054,27 @@ ORACLE_SQL = {
         "AND o.o_orderdate >= TIMESTAMP '1997-01-01' "
         "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
         "GROUP BY n.n_name"
+    ),
+
+    "customer_order_counts": (
+        "SELECT c.c_custkey, c.c_name, coalesce(cnt.n, 0)::BIGINT AS n_orders "
+        "FROM customer c LEFT JOIN (SELECT o_custkey, count(*) AS n "
+        "  FROM orders GROUP BY o_custkey) cnt ON cnt.o_custkey = c.c_custkey"
+    ),
+
+    "spend_halves_full_join": (
+        "WITH a AS (SELECT o_custkey, "
+        "  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS s "
+        "  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+        "  AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY o_custkey), "
+        "b AS (SELECT o_custkey, "
+        "  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS s "
+        "  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01' "
+        "  AND o_orderdate < TIMESTAMP '2000-01-01' GROUP BY o_custkey) "
+        "SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey, "
+        "coalesce(a.s, 0)::BIGINT AS spend96_cents, "
+        "coalesce(b.s, 0)::BIGINT AS spend99_cents "
+        "FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey"
     ),
 
     "rollup_counts": (

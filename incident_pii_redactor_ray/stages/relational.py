@@ -71,12 +71,28 @@ def broadcast_join(big: ray.data.Dataset, small_df: pd.DataFrame, *, on: str,
 
 
 def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *, on: str,
-                       num_buckets: int = 32) -> ray.data.Dataset:
+                       num_buckets: int = 32, post=None,
+                       how: str = "inner") -> ray.data.Dataset:
     """Large-large equi-join: both sides get ``bucket = key % B`` (or a
     stable hash for non-int keys), are tagged with a side marker, and a
     single groupby(bucket).map_groups joins matching buckets pairwise —
     an explicit partitioned hash join (the portable pattern from
     ray_guide). Skewed keys should be salted upstream.
+
+    ``how``: 'inner' (default), 'left' or 'full' — outer variants emit
+    unmatched rows with nulls on the other side (every key's rows land
+    in exactly one bucket, so outer semantics hold globally, not just
+    per bucket). Unmatched int columns surface as nulls (pandas frames
+    show them as NaN/<NA> after the Arrow round-trip).
+
+    ``post`` (optional, pandas->pandas) runs on each joined bucket
+    before emission — the join+aggregate fusion hook: a downstream
+    groupby whose key is determined by ``on`` (or that tolerates
+    per-bucket partials) runs inside the SAME shuffle instead of
+    paying a second all-to-all (each exchange costs seconds of fixed
+    overhead regardless of size). The output schema is derived by
+    applying ``post`` to an empty joined frame, so every bucket emits
+    one stable schema.
     """
 
     # Explicit per-side column sets, captured at graph-build time from
@@ -96,6 +112,25 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *, on: s
                   + [pa.field(n, r_types[n]) for n in r_names if n != on])
     empty_out = pa.table(
         {f.name: pa.array([], type=f.type) for f in out_fields}).to_pandas()
+    if post is not None:
+        empty_out = post(empty_out)
+        inferred = pa.Schema.from_pandas(empty_out, preserve_index=False)
+        # an empty object column infers as Arrow null; recover the real
+        # type from the joined schema when post passed it through
+        by_name = {f.name: f.type for f in out_fields}
+        fixed = []
+        for f in inferred:
+            if pa.types.is_null(f.type):
+                if f.name not in by_name:
+                    raise ValueError(
+                        f"bucketed_hash_join: cannot infer the dtype of "
+                        f"post-created column {f.name!r} from an empty frame; "
+                        "return a typed column (e.g. pd.Series(dtype=...))")
+                f = pa.field(f.name, by_name[f.name])
+            fixed.append(f)
+        out_schema = pa.schema(fixed)
+    else:
+        out_schema = pa.schema(out_fields)
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -111,18 +146,31 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *, on: s
     both = left.map_batches(tag(0), batch_format="pyarrow").union(
         right.map_batches(tag(1), batch_format="pyarrow"))
 
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"bucketed_hash_join: unsupported how={how!r}")
+    pd_how = {"inner": "inner", "left": "left", "full": "outer"}[how]
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lt = g.loc[g["__side"] == 0, [c for c in l_names if c in g.columns]]
-        rt = g.loc[g["__side"] == 1, [c for c in r_names if c in g.columns]]
-        if lt.empty or rt.empty:
+        # one-sided buckets lack the absent side's columns entirely
+        # (union blocks carry per-side schemas); reindex restores them
+        # as all-NaN so outer merges still emit the full schema
+        lt = (g.loc[g["__side"] == 0, [c for c in l_names if c in g.columns]]
+              .reindex(columns=l_names))
+        rt = (g.loc[g["__side"] == 1, [c for c in r_names if c in g.columns]]
+              .reindex(columns=r_names))
+        if (lt.empty and rt.empty) or (how == "inner" and (lt.empty or rt.empty)) \
+                or (how == "left" and lt.empty):
             return empty_out.copy()
-        out = lt.merge(rt, on=on, how="inner")
+        out = lt.merge(rt, on=on, how=pd_how)
+        out = out[[f.name for f in out_fields]]
+        if post is not None:
+            out = post(out)
         # concat across mixed-schema blocks can promote ints to floats
         # (missing columns become NaN); restore the declared dtypes so
         # every group emits one schema. Arrow round-trip (not pandas
         # astype) so genuine nulls survive the int restore.
-        return pa.Table.from_pandas(out[[f.name for f in out_fields]],
-                                    schema=pa.schema(out_fields),
+        return pa.Table.from_pandas(out[list(out_schema.names)],
+                                    schema=out_schema,
                                     preserve_index=False).to_pandas()
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

@@ -363,3 +363,31 @@ def test_grouped_exact_quantiles_small_groups(ray_session):
     assert out.loc[0, ["p50_cents", "p99_cents"]].tolist() == [500, 500]
     # n=4: p50 -> pos floor(3*50/100)=1 -> 200; p99 -> pos 2 -> 300
     assert out.loc[1, ["p50_cents", "p99_cents"]].tolist() == [200, 300]
+
+
+def test_bucketed_join_outer_variants(ray_session):
+    """LEFT keeps unmatched left rows (right cols null); FULL keeps
+    unmatched rows from both sides; one-sided buckets still emit the
+    full schema."""
+    import pyarrow as pa
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.relational import bucketed_hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], type=pa.int64()),
+        "v": pa.array(["a", "b", "c"])}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 3, 4], type=pa.int64()),
+        "w": pa.array([20, 30, 40], type=pa.int64())}))
+
+    lj = (bucketed_hash_join(left, right, on="k", how="left", num_buckets=8)
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    assert lj["k"].tolist() == [1, 2, 3]
+    assert lj["w"].isna().tolist() == [True, False, False]
+
+    fj = (bucketed_hash_join(left, right, on="k", how="full", num_buckets=8)
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    assert fj["k"].tolist() == [1, 2, 3, 4]
+    assert fj["v"].isna().tolist() == [False, False, False, True]
+    assert fj["w"].isna().tolist() == [True, False, False, False]

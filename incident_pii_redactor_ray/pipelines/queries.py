@@ -712,6 +712,42 @@ def q_spend_halves_full_join(sf_dir: str):
     return bucketed_hash_join(a, b, on="o_custkey", how="full", post=coalesce)
 
 
+def q_window_pct(sf_dir: str):
+    """PERCENT_RANK / CUME_DIST per customer over o_totalprice DESC —
+    one double division of exact integers each, bit-identical to the
+    SQL windows."""
+    from ..stages.relational import window_pct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return window_pct(ds, key_col="o_custkey", order_col="o_totalprice",
+                      id_col="o_orderkey", descending=True)
+
+
+def q_outlier_flags(sf_dir: str):
+    """Robust per-type outlier screen: |cents - median| > 3 * MAD with
+    the median/MAD as exact discrete quantiles — integer arithmetic end
+    to end (a z-score's sqrt would not hash-match SQL). Two grouped
+    histogram passes; the event stream itself never shuffles."""
+    from ..stages.relational import grouped_mad_outliers
+
+    return grouped_mad_outliers(
+        _events(sf_dir, ["event_id", "event_type", "value"]),
+        group_col="event_type", id_col="event_id", val_col="value")
+
+
+def q_gopher_filter(sf_dir: str):
+    """Composite Gopher-rule quality filter (the quality_filter tier's
+    flagship gate): token-count bounds, mean-token-length band,
+    top-token dominance, duplicate-2gram repetition — every rule an
+    integer cross-multiplication so keep/reasons hash-match the SQL
+    re-derivation. Embarrassingly parallel."""
+    from ..stages.corpus_ops import gopher_filter_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gopher_filter_batch, batch_format="pyarrow")
+
+
 def q_rollup_counts(sf_dir: str):
     """GROUP BY ROLLUP(lang, source): ONE finest-level groupby over the
     corpus; the subtotal and grand-total tiers are recomputed from that
@@ -1622,6 +1658,9 @@ QUERIES = {
     "region_revenue": q_region_revenue,
     "customer_order_counts": q_customer_order_counts,
     "spend_halves_full_join": q_spend_halves_full_join,
+    "window_pct": q_window_pct,
+    "outlier_flags": q_outlier_flags,
+    "gopher_filter": q_gopher_filter,
     "rollup_counts": q_rollup_counts,
     "segment_scrub": q_segment_scrub,
     "dedup_filter": q_dedup_filter,
@@ -2075,6 +2114,69 @@ ORACLE_SQL = {
         "coalesce(a.s, 0)::BIGINT AS spend96_cents, "
         "coalesce(b.s, 0)::BIGINT AS spend99_cents "
         "FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey"
+    ),
+
+    "window_pct": (
+        "SELECT o_orderkey, o_custkey, "
+        "percent_rank() OVER (PARTITION BY o_custkey "
+        "  ORDER BY o_totalprice DESC) AS pct_rank, "
+        "cume_dist() OVER (PARTITION BY o_custkey "
+        "  ORDER BY o_totalprice DESC) AS cume_dist "
+        "FROM orders"
+    ),
+
+    "outlier_flags": (
+        # median and MAD as discrete lower quantiles (position
+        # (n-1)//2), flag in pure integer arithmetic
+        "WITH c AS (SELECT event_id, event_type, "
+        "  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events), "
+        "r AS (SELECT event_type, cents, "
+        "  row_number() OVER (PARTITION BY event_type ORDER BY cents) - 1 AS rn, "
+        "  count(*) OVER (PARTITION BY event_type) AS n FROM c), "
+        "med AS (SELECT event_type, "
+        "  max(CASE WHEN rn = (n-1)//2 THEN cents END) AS m "
+        "  FROM r GROUP BY event_type), "
+        "d AS (SELECT c.event_id, c.event_type, c.cents, "
+        "  abs(c.cents - med.m) AS dev FROM c JOIN med USING(event_type)), "
+        "r2 AS (SELECT event_type, dev, "
+        "  row_number() OVER (PARTITION BY event_type ORDER BY dev) - 1 AS rn, "
+        "  count(*) OVER (PARTITION BY event_type) AS n FROM d), "
+        "mad AS (SELECT event_type, "
+        "  max(CASE WHEN rn = (n-1)//2 THEN dev END) AS m "
+        "  FROM r2 GROUP BY event_type) "
+        "SELECT d.event_id, d.event_type, d.cents, "
+        "(CASE WHEN d.dev > 3 * mad.m THEN 1 ELSE 0 END)::BIGINT AS is_outlier "
+        "FROM d JOIN mad USING(event_type)"
+    ),
+
+    "gopher_filter": (
+        # every gate an integer cross-multiplication; reasons joined in
+        # the engine's fixed rule order
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks "
+        "  FROM documents), "
+        "u AS (SELECT doc_id, unnest(toks) AS tok FROM t), "
+        "pc AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY doc_id, tok), "
+        "tc AS (SELECT doc_id, max(c) AS topc FROM pc GROUP BY doc_id), "
+        "g AS (SELECT t.doc_id, len(t.toks) AS n, "
+        "  coalesce(list_sum([length(x) for x in t.toks]), 0) AS sum_len, "
+        "  coalesce(tc.topc, 0) AS topc, "
+        "  CASE WHEN len(t.toks) >= 2 THEN [t.toks[i]||' '||t.toks[i+1] "
+        "    for i in generate_series(1, len(t.toks)-1)] "
+        "    ELSE []::VARCHAR[] END AS g2 "
+        "  FROM t LEFT JOIN tc ON tc.doc_id = t.doc_id), "
+        "f AS (SELECT doc_id, n, "
+        "  list_filter(["
+        "    CASE WHEN n < 15 THEN 'too_short' END, "
+        "    CASE WHEN n > 100000 THEN 'too_long' END, "
+        "    CASE WHEN n > 0 AND 2*n > sum_len THEN 'tokens_too_short' END, "
+        "    CASE WHEN n > 0 AND sum_len > 12*n THEN 'tokens_too_long' END, "
+        "    CASE WHEN n > 0 AND 5*topc > n THEN 'top_token_dominant' END, "
+        "    CASE WHEN len(g2) > 0 AND 10*(len(g2) - len(list_distinct(g2))) "
+        "      > 3*len(g2) THEN 'repetitive_2grams' END"
+        "  ], x -> x IS NOT NULL) AS fails FROM g) "
+        "SELECT doc_id, n::BIGINT AS n_tokens, "
+        "(CASE WHEN len(fails) = 0 THEN 1 ELSE 0 END)::BIGINT AS keep, "
+        "coalesce(array_to_string(fails, ','), '') AS reasons FROM f"
     ),
 
     "rollup_counts": (

@@ -586,6 +586,64 @@ def segment_scrub(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     return ds.map_batches(Rewrite, batch_format="pyarrow", concurrency=(2, 16))
 
 
+# --- composite Gopher-rule quality filter ------------------------------------
+
+#: Gopher-style repetition/lexical gates (Rae et al. 2021 §A1.1,
+#: adapted to the short fixture docs). Every rule is an integer
+#: cross-multiplication — no float ratio ever meets a float threshold,
+#: so the keep flag is bit-identical between engine and SQL:
+#:   min_tokens <= n  and  n <= max_tokens
+#:   2*n <= sum(len(tok)) <= 12*n          (mean token length in [2,12])
+#:   5*top_token_count <= n                (top-token fraction <= 0.2)
+#:   10*dup_2gram_repeats <= 3*n_2grams    (dup-2gram fraction <= 0.3)
+GOPHER_MIN_TOKENS = 15
+GOPHER_MAX_TOKENS = 100000
+
+
+def gopher_filter_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                        text_col: str = "text") -> pa.Table:
+    """Composite document quality filter: applies the integer-exact
+    Gopher gates above and emits (doc_id, n_tokens, keep, reasons) —
+    ``reasons`` is the comma-joined list of failed rule names in a
+    fixed order ('' when kept). Embarrassingly parallel (no shuffle,
+    no state); the SQL oracle re-derives every gate from the raw text.
+    """
+    from ..functions.textbuf import ws_tokens
+    from .dedup import _token_hashes
+
+    ids, ntoks, keeps, reasons = [], [], [], []
+    for rid, t in zip(batch.column(id_col).to_pylist(),
+                      batch.column(text_col).to_pylist()):
+        t = t or ""
+        th = _token_hashes(t)
+        n = len(th)
+        sum_len = sum(len(x) for x in ws_tokens(t))
+        fails = []
+        if n < GOPHER_MIN_TOKENS:
+            fails.append("too_short")
+        if n > GOPHER_MAX_TOKENS:
+            fails.append("too_long")
+        if n > 0:
+            if 2 * n > sum_len:
+                fails.append("tokens_too_short")
+            if sum_len > 12 * n:
+                fails.append("tokens_too_long")
+            _, counts = np.unique(th, return_counts=True)
+            if 5 * int(counts.max()) > n:
+                fails.append("top_token_dominant")
+            g2 = ngram_hashes(th, 2)
+            if len(g2) and 10 * (len(g2) - len(np.unique(g2))) > 3 * len(g2):
+                fails.append("repetitive_2grams")
+        ids.append(rid)
+        ntoks.append(n)
+        keeps.append(0 if fails else 1)
+        reasons.append(",".join(fails))
+    return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                     "n_tokens": pa.array(ntoks, type=pa.int64()),
+                     "keep": pa.array(keeps, type=pa.int64()),
+                     "reasons": pa.array(reasons, type=pa.string())})
+
+
 # --- linear quality scorer ----------------------------------------------------
 
 #: fixed quality-model weights (a stand-in for a trained fastText/LR

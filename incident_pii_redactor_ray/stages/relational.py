@@ -466,6 +466,113 @@ def window_ranks(ds: ray.data.Dataset, *, key_col: str, order_col: str,
               .groupby("shard").map_groups(rank_shard, batch_format="pandas"))
 
 
+def window_pct(ds: ray.data.Dataset, *, key_col: str, order_col: str,
+               id_col: str, descending: bool = True,
+               num_shards: int = 64) -> ray.data.Dataset:
+    """PERCENT_RANK / CUME_DIST per partition — the distribution-shaped
+    ranking windows: percent_rank = (rank-1)/(n-1) (0.0 for a 1-row
+    partition) and cume_dist = (#rows ordered <= the current tie run)/n.
+    Both are ONE double division of exact integers, so results are
+    bit-identical to the SQL windows. Same key-shard + change-mask
+    shape as window_ranks.
+
+    Returns (id_col, key_col, pct_rank, cume_dist)."""
+
+    def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[id_col, key_col, order_col]].copy()
+        out["shard"] = shard_of_keys(batch[key_col], num_shards)
+        return out
+
+    def pct_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col, id_col],
+                          ascending=[True, not descending, True],
+                          kind="mergesort")
+        keys = g[key_col].to_numpy()
+        vals = g[order_col].to_numpy()
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        new_val = np.ones(n, dtype=bool)
+        new_val[1:] = new_key[1:] | (vals[1:] != vals[:-1])
+        part_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        rn = idx - part_start + 1
+        run_start = np.maximum.accumulate(np.where(new_val, idx, 0))
+        rnk = rn[run_start]
+        # partition/run END indices: reverse min-accumulate over the
+        # boundary markers shifted left by one
+        last_of_key = np.ones(n, dtype=bool)
+        last_of_key[:-1] = new_key[1:]
+        last_of_run = np.ones(n, dtype=bool)
+        last_of_run[:-1] = new_val[1:]
+        big = np.int64(n)
+        part_end = np.minimum.accumulate(
+            np.where(last_of_key, idx, big)[::-1])[::-1]
+        run_end = np.minimum.accumulate(
+            np.where(last_of_run, idx, big)[::-1])[::-1]
+        n_part = part_end - part_start + 1
+        pct = np.where(n_part > 1,
+                       (rnk - 1).astype(np.float64) /
+                       np.maximum(n_part - 1, 1).astype(np.float64), 0.0)
+        cume = (run_end - part_start + 1).astype(np.float64) \
+            / n_part.astype(np.float64)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(), key_col: keys,
+                             "pct_rank": pct, "cume_dist": cume})
+
+    return (ds.map_batches(add_shard, batch_format="pandas")
+              .groupby("shard").map_groups(pct_shard, batch_format="pandas"))
+
+
+def grouped_mad_outliers(events: ray.data.Dataset, *, group_col: str,
+                         id_col: str, val_col: str,
+                         k: int = 3) -> ray.data.Dataset:
+    """Robust per-group outlier flags in EXACT integer arithmetic:
+    a row is an outlier when |cents - median| > k * MAD, where the
+    median and the MAD (median absolute deviation) are the discrete
+    lower quantiles of the group — no float mean/stddev, so the flag is
+    bit-identical to the SQL reproduction (sqrt-based z-scores would
+    not be).
+
+    Shape: two grouped-histogram passes (grouped_exact_quantiles — the
+    shuffles carry distinct (group, value) pairs, bounded by the value
+    domain), each result broadcast as a tiny per-group dict, and the
+    row stream maps through two vectorized lookups. The row table
+    itself never shuffles.
+
+    Returns (id_col, group_col, cents, is_outlier)."""
+    med_df = grouped_exact_quantiles(events, group_col=group_col,
+                                     val_col=val_col, pcts=(50,))
+    med = dict(zip(med_df[group_col], med_df["p50_cents"].astype(int)))
+    med_ref = ray.put(med)
+
+    def add_dev(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(med_ref)
+        cents = np.floor(
+            batch[val_col].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        meds = batch[group_col].map(m).to_numpy(np.int64)
+        return pd.DataFrame({id_col: batch[id_col],
+                             group_col: batch[group_col],
+                             "cents": cents,
+                             "dev": np.abs(cents - meds)})
+
+    devs = events.map_batches(add_dev, batch_format="pandas")
+    mad_df = grouped_exact_quantiles(devs, group_col=group_col,
+                                     val_col="dev", pcts=(50,), scale=1.0)
+    mad = dict(zip(mad_df[group_col], mad_df["p50_cents"].astype(int)))
+    mad_ref = ray.put(mad)
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        mm = ray.get(mad_ref)
+        mads = batch[group_col].map(mm).to_numpy(np.int64)
+        return pd.DataFrame({id_col: batch[id_col],
+                             group_col: batch[group_col],
+                             "cents": batch["cents"].to_numpy(np.int64),
+                             "is_outlier": (batch["dev"].to_numpy(np.int64)
+                                            > k * mads).astype(np.int64)})
+
+    return devs.map_batches(flag, batch_format="pandas")
+
+
 def lag_delta(events: ray.data.Dataset, *, key_col: str = "user_id",
               ts_col: str = "ts", id_col: str = "event_id",
               val_col: str = "value",
@@ -551,8 +658,8 @@ def moving_average(events: ray.data.Dataset, *, key_col: str = "user_id",
 
 def grouped_exact_quantiles(ds: ray.data.Dataset, *, group_col: str,
                             val_col: str,
-                            pcts: tuple[int, ...] = (25, 50, 75, 90, 99)
-                            ) -> pd.DataFrame:
+                            pcts: tuple[int, ...] = (25, 50, 75, 90, 99),
+                            scale: float = 100.0) -> pd.DataFrame:
     """Exact per-group discrete quantiles (lower rule: the element at
     0-based position ``(n-1)*p // 100`` of the sorted group) over a
     2-decimal value column, in exact integer cents.
@@ -567,7 +674,7 @@ def grouped_exact_quantiles(ds: ray.data.Dataset, *, group_col: str,
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         cents = np.floor(
-            batch[val_col].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+            batch[val_col].to_numpy(np.float64) * scale + 0.5).astype(np.int64)
         g = (pd.DataFrame({group_col: batch[group_col], "cents": cents})
              .groupby([group_col, "cents"], as_index=False).size()
              .rename(columns={"size": "n"}))

@@ -391,3 +391,67 @@ def test_bucketed_join_outer_variants(ray_session):
     assert fj["k"].tolist() == [1, 2, 3, 4]
     assert fj["v"].isna().tolist() == [False, False, False, True]
     assert fj["w"].isna().tolist() == [True, False, False, False]
+
+
+def test_window_pct_semantics(ray_session):
+    """percent_rank = (rank-1)/(n-1), 0.0 for 1-row partitions;
+    cume_dist counts through the end of the tie run."""
+    import pandas as pd
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.relational import window_pct
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5],
+        "k": ["a", "a", "a", "a", "b"],
+        "v": [9.0, 9.0, 5.0, 3.0, 7.0]})
+    out = (window_pct(ray.data.from_pandas(df), key_col="k", order_col="v",
+                      id_col="id", descending=True)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out["pct_rank"].tolist() == [0.0, 0.0, 2 / 3, 1.0, 0.0]
+    assert out["cume_dist"].tolist() == [0.5, 0.5, 0.75, 1.0, 1.0]
+
+
+def test_grouped_mad_outliers_planted(ray_session):
+    """A value far outside its group's spread is flagged; the tight
+    group's members are not."""
+    import pandas as pd
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.relational import grouped_mad_outliers
+
+    df = pd.DataFrame({
+        "event_id": list(range(8)),
+        "g": ["x"] * 7 + ["x"],
+        "value": [10.0, 11.0, 9.0, 10.0, 12.0, 10.0, 11.0, 99.0]})
+    out = (grouped_mad_outliers(ray.data.from_pandas(df), group_col="g",
+                                id_col="event_id", val_col="value")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert out["is_outlier"].tolist() == [0, 0, 0, 0, 0, 0, 0, 1]
+
+
+def test_gopher_filter_rules(ray_session):
+    """Each gate fires on a crafted doc, in the documented reason
+    order."""
+    import pandas as pd
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.corpus_ops import gopher_filter_batch
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            " ".join(f"word{i}" for i in range(20)),      # clean
+            "only three tokens",                           # too_short
+            " ".join(["x"] * 20),                          # 1-char tokens + dominant + repetitive
+            " ".join("tok%d" % (i % 4) for i in range(20)),  # dominant-ish repeats
+        ]})
+    out = (ray.data.from_pandas(docs)
+           .map_batches(gopher_filter_batch, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "keep"] == 1 and out.loc[0, "reasons"] == ""
+    assert out.loc[1, "reasons"].startswith("too_short")
+    assert "tokens_too_short" in out.loc[2, "reasons"]
+    assert "top_token_dominant" in out.loc[2, "reasons"]
+    assert "repetitive_2grams" in out.loc[2, "reasons"]
+    assert "top_token_dominant" in out.loc[3, "reasons"]

@@ -2117,11 +2117,15 @@ ORACLE_SQL = {
     ),
 
     "window_pct": (
+        # NTILE's order includes the unique key (tie assignment is
+        # otherwise arbitrary); pct/cume rank on the order column alone
         "SELECT o_orderkey, o_custkey, "
         "percent_rank() OVER (PARTITION BY o_custkey "
         "  ORDER BY o_totalprice DESC) AS pct_rank, "
         "cume_dist() OVER (PARTITION BY o_custkey "
-        "  ORDER BY o_totalprice DESC) AS cume_dist "
+        "  ORDER BY o_totalprice DESC) AS cume_dist, "
+        "ntile(4) OVER (PARTITION BY o_custkey "
+        "  ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS tile "
         "FROM orders"
     ),
 

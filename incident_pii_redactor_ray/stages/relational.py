@@ -467,16 +467,18 @@ def window_ranks(ds: ray.data.Dataset, *, key_col: str, order_col: str,
 
 
 def window_pct(ds: ray.data.Dataset, *, key_col: str, order_col: str,
-               id_col: str, descending: bool = True,
+               id_col: str, descending: bool = True, ntile: int = 4,
                num_shards: int = 64) -> ray.data.Dataset:
-    """PERCENT_RANK / CUME_DIST per partition — the distribution-shaped
-    ranking windows: percent_rank = (rank-1)/(n-1) (0.0 for a 1-row
-    partition) and cume_dist = (#rows ordered <= the current tie run)/n.
-    Both are ONE double division of exact integers, so results are
-    bit-identical to the SQL windows. Same key-shard + change-mask
-    shape as window_ranks.
+    """PERCENT_RANK / CUME_DIST / NTILE per partition — the
+    distribution-shaped ranking windows: percent_rank = (rank-1)/(n-1)
+    (0.0 for a 1-row partition), cume_dist = (#rows ordered <= the
+    current tie run)/n, and NTILE(k) with SQL's uneven-bucket rule (the
+    first n%k buckets get one extra row, assignment by row number with
+    the id tie-break). The first two are ONE double division of exact
+    integers, NTILE is pure integer math — all bit-identical to the
+    SQL windows. Same key-shard + change-mask shape as window_ranks.
 
-    Returns (id_col, key_col, pct_rank, cume_dist)."""
+    Returns (id_col, key_col, pct_rank, cume_dist, tile)."""
 
     def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[[id_col, key_col, order_col]].copy()
@@ -516,8 +518,18 @@ def window_pct(ds: ray.data.Dataset, *, key_col: str, order_col: str,
                        np.maximum(n_part - 1, 1).astype(np.float64), 0.0)
         cume = (run_end - part_start + 1).astype(np.float64) \
             / n_part.astype(np.float64)
+        # NTILE(k): the first (n % k) buckets hold (n // k + 1) rows
+        size = n_part // ntile
+        n_big = n_part % ntile
+        cut = n_big * (size + 1)              # rows in the bigger buckets
+        r0 = rn - 1
+        tile = np.where(
+            r0 < cut,
+            r0 // np.maximum(size + 1, 1),
+            n_big + (r0 - cut) // np.maximum(size, 1)) + 1
         return pd.DataFrame({id_col: g[id_col].to_numpy(), key_col: keys,
-                             "pct_rank": pct, "cume_dist": cume})
+                             "pct_rank": pct, "cume_dist": cume,
+                             "tile": tile.astype(np.int64)})
 
     return (ds.map_batches(add_shard, batch_format="pandas")
               .groupby("shard").map_groups(pct_shard, batch_format="pandas"))

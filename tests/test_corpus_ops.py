@@ -410,6 +410,8 @@ def test_window_pct_semantics(ray_session):
            .to_pandas().sort_values("id").reset_index(drop=True))
     assert out["pct_rank"].tolist() == [0.0, 0.0, 2 / 3, 1.0, 0.0]
     assert out["cume_dist"].tolist() == [0.5, 0.5, 0.75, 1.0, 1.0]
+    # NTILE(4) over 4 rows -> one per bucket (by rn); 1 row -> bucket 1
+    assert out["tile"].tolist() == [1, 2, 3, 4, 1]
 
 
 def test_grouped_mad_outliers_planted(ray_session):

@@ -748,6 +748,43 @@ def q_gopher_filter(sf_dir: str):
         gopher_filter_batch, batch_format="pyarrow")
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """CSV sink + source roundtrip: events are projected to an
+    integer-exact frame (cents, no timestamps — CSV has no binary
+    float/ts representation worth trusting), written as partitioned
+    CSV under /tmp, read back with ray.data.read_csv, and aggregated.
+    Proves the CSV I/O path end-to-end; the oracle aggregates the
+    original parquet directly."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    def prep(batch: pa.Table) -> pa.Table:
+        # half-up floor(x*100 + 0.5), the events-cents convention
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            batch.column("value"), pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64())
+        return pa.table({"event_id": batch.column("event_id"),
+                         "event_type": batch.column("event_type"),
+                         "cents": cents})
+
+    ds = _events(sf_dir, ["event_id", "event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    out_dir = tempfile.mkdtemp(prefix="csv_rt_", dir="/tmp")
+    try:
+        ds.write_csv(out_dir)
+        back = ray.data.read_csv(out_dir)
+        agg = (back.groupby("event_type")
+                   .aggregate(Count(alias_name="n_events"),
+                              Sum("cents", alias_name="cents_sum")).to_pandas())
+        agg["n_events"] = agg["n_events"].astype("int64")
+        agg["cents_sum"] = agg["cents_sum"].astype("int64")
+        return agg
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_rollup_counts(sf_dir: str):
     """GROUP BY ROLLUP(lang, source): ONE finest-level groupby over the
     corpus; the subtotal and grand-total tiers are recomputed from that
@@ -1661,6 +1698,7 @@ QUERIES = {
     "window_pct": q_window_pct,
     "outlier_flags": q_outlier_flags,
     "gopher_filter": q_gopher_filter,
+    "csv_roundtrip": q_csv_roundtrip,
     "rollup_counts": q_rollup_counts,
     "segment_scrub": q_segment_scrub,
     "dedup_filter": q_dedup_filter,
@@ -2181,6 +2219,13 @@ ORACLE_SQL = {
         "SELECT doc_id, n::BIGINT AS n_tokens, "
         "(CASE WHEN len(fails) = 0 THEN 1 ELSE 0 END)::BIGINT AS keep, "
         "coalesce(array_to_string(fails, ','), '') AS reasons FROM f"
+    ),
+
+    "csv_roundtrip": (
+        # the engine's CSV write/read must preserve these exact integers
+        "SELECT event_type, count(*)::BIGINT AS n_events, "
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents_sum "
+        "FROM events GROUP BY event_type"
     ),
 
     "rollup_counts": (

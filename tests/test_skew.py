@@ -32,3 +32,38 @@ def test_salted_partitioning_spreads_mega_repo(small_corpus):
     # (repo, path) -> same partition regardless of commit
     batch2 = _add_keys(num_partitions=32, salt=8)(table)
     assert np.array_equal(pids, np.asarray(batch2.column("partition_id")))
+
+
+def test_window_ops_hot_key_correct(ray_session):
+    """A single key holding 90% of rows still ranks/accumulates
+    correctly — the ordered-scan ops co-locate each key in ONE shard
+    (documented hot-key cost), so correctness must not depend on key
+    balance."""
+    import pandas as pd
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.relational import (
+        running_totals, window_ranks)
+
+    n = 2000
+    hot = int(n * 0.9)
+    df = pd.DataFrame({
+        "event_id": range(n),
+        "user_id": [7] * hot + list(range(100, 100 + n - hot)),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(range(n), unit="s"),
+        "value": [1.0] * n})
+    ds = ray.data.from_pandas(df)
+
+    rt = (running_totals(ds).to_pandas()
+          .sort_values("event_id").reset_index(drop=True))
+    # the hot key's cumsum ends at exactly 100 * hot cents
+    assert rt.loc[hot - 1, "cum_value_cents"] == 100 * hot
+    assert (rt.loc[hot:, "cum_value_cents"] == 100).all()
+
+    wr = (window_ranks(ds, key_col="user_id", order_col="value",
+                       id_col="event_id", descending=True).to_pandas())
+    hotr = wr[wr["user_id"] == 7]
+    # all-equal values: one tie run -> rnk/drnk all 1, rn is 1..hot
+    assert sorted(hotr["rn"]) == list(range(1, hot + 1))
+    assert (hotr["rnk"] == 1).all() and (hotr["drnk"] == 1).all()

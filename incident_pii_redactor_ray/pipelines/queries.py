@@ -40,6 +40,22 @@ def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
+def _rev_e4(batch: pa.Table) -> pa.Array:
+    """The engine's revenue-cents convention, in one place (review r3):
+    exact integer e4 units = round(price*100) * (100 - round(disc*100))
+    — price (2 dp) x (1 - discount) (2 dp) is an exact 4-dp decimal, so
+    the distributed Sum is order-independent int arithmetic. SQL side:
+    CAST(round(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(round(l_discount*100) AS BIGINT))."""
+    import pyarrow.compute as pc
+
+    e2 = pc.cast(pc.round(pc.multiply(
+        batch.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+    d2 = pc.cast(pc.round(pc.multiply(
+        batch.column("l_discount"), pa.scalar(100.0))), pa.int64())
+    return pc.multiply(e2, pc.subtract(pa.scalar(100, type=pa.int64()), d2))
+
+
 # --------------------------------------------------------------------------
 # A. aggregates / sort / anti-join (reference ops A1-A4, O3, J3)
 # --------------------------------------------------------------------------
@@ -540,13 +556,8 @@ def q_top_unshipped(sf_dir: str):
     def li_filter(batch: pa.Table) -> pa.Table:
         batch = batch.filter(
             pc.greater(batch.column("l_shipdate"), pa.scalar(cutoff)))
-        e2 = pc.cast(pc.round(pc.multiply(
-            batch.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
-        d2 = pc.cast(pc.round(pc.multiply(
-            batch.column("l_discount"), pa.scalar(100.0))), pa.int64())
-        rev = pc.multiply(e2, pc.subtract(pa.scalar(100, type=pa.int64()), d2))
         return pa.table({"o_orderkey": batch.column("l_orderkey"),
-                         "rev_e4": rev})
+                         "rev_e4": _rev_e4(batch)})
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -616,12 +627,15 @@ def q_region_revenue(sf_dir: str):
 
     def li_project(batch: pa.Table) -> pa.Table:
         skeys, snat = ray.get(supp_ref)
-        e2 = pc.cast(pc.round(pc.multiply(
-            batch.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
-        d2 = pc.cast(pc.round(pc.multiply(
-            batch.column("l_discount"), pa.scalar(100.0))), pa.int64())
-        rev = pc.multiply(e2, pc.subtract(pa.scalar(100, type=pa.int64()), d2))
-        pos = np.searchsorted(skeys, np.asarray(batch.column("l_suppkey")))
+        rev = _rev_e4(batch)
+        want = np.asarray(batch.column("l_suppkey"))
+        pos = np.searchsorted(skeys, want)
+        # FK check: a suppkey absent from supplier must fail LOUDLY —
+        # an unchecked gather would misattribute revenue to whichever
+        # nation owns the insertion-point key (review r3)
+        if not (pos < len(skeys)).all() or not np.array_equal(skeys[pos], want):
+            raise ValueError("region_revenue: lineitem references a "
+                             "suppkey missing from supplier")
         return pa.table({"o_orderkey": batch.column("l_orderkey"),
                          "rev_e4": rev,
                          "s_nationkey": pa.array(snat[pos], type=pa.int32())})
@@ -754,7 +768,11 @@ def q_csv_roundtrip(sf_dir: str):
     float/ts representation worth trusting), written as partitioned
     CSV under /tmp, read back with ray.data.read_csv, and aggregated.
     Proves the CSV I/O path end-to-end; the oracle aggregates the
-    original parquet directly."""
+    original parquet directly.
+
+    NOTE: /tmp is node-local — on a multi-node cluster the roundtrip
+    directory must live on shared storage (s3:// or NFS), like any Ray
+    Data sink; the sandbox bench is single-node (review r3)."""
     import shutil
     import tempfile
 
@@ -2194,7 +2212,10 @@ ORACLE_SQL = {
     "gopher_filter": (
         # every gate an integer cross-multiplication; reasons joined in
         # the engine's fixed rule order
-        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks "
+        # coalesce: a NULL text must gate as an empty doc (keep=0,
+        # too_short), matching the engine's `t or ''` (review r3)
+        "WITH t AS (SELECT doc_id, "
+        "  regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS toks "
         "  FROM documents), "
         "u AS (SELECT doc_id, unnest(toks) AS tok FROM t), "
         "pc AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY doc_id, tok), "

@@ -609,15 +609,15 @@ def gopher_filter_batch(batch: pa.Table, *, id_col: str = "doc_id",
     no state); the SQL oracle re-derives every gate from the raw text.
     """
     from ..functions.textbuf import ws_tokens
-    from .dedup import _token_hashes
+    from .dedup import hashes_of_tokens
 
     ids, ntoks, keeps, reasons = [], [], [], []
     for rid, t in zip(batch.column(id_col).to_pylist(),
                       batch.column(text_col).to_pylist()):
-        t = t or ""
-        th = _token_hashes(t)
+        toks = ws_tokens(t or "")          # tokenize ONCE (review r3)
+        th = hashes_of_tokens(toks)
         n = len(th)
-        sum_len = sum(len(x) for x in ws_tokens(t))
+        sum_len = sum(len(x) for x in toks)
         fails = []
         if n < GOPHER_MIN_TOKENS:
             fails.append("too_short")

@@ -56,11 +56,18 @@ from ..functions.textbuf import ws_tokens  # canonical RE2 tokenizer
 
 def _token_hashes(text: str) -> np.ndarray:
     """Stable 64-bit hashes of whitespace tokens (md5-based, not
-    Python's randomized hash). Natural-language vocabularies are small,
-    so a per-worker memo of md5(token) turns the dominant cost into a
-    dict lookup; the cache is an optimization only — values are pure
-    md5, identical on every worker."""
-    toks = ws_tokens(text)
+    Python's randomized hash). See :func:`hashes_of_tokens`."""
+    return hashes_of_tokens(ws_tokens(text))
+
+
+def hashes_of_tokens(toks: list[str]) -> np.ndarray:
+    """Stable 64-bit md5 hashes of pre-tokenized tokens — callers that
+    already hold the token list (e.g. the Gopher filter, which also
+    needs token lengths) avoid a second tokenize pass (review r3).
+    Natural-language vocabularies are small, so a per-worker memo of
+    md5(token) turns the dominant cost into a dict lookup; the cache is
+    an optimization only — values are pure md5, identical on every
+    worker."""
     if not toks:
         return np.empty(0, dtype=np.uint64)
     cache = _TOKEN_CACHE

@@ -414,6 +414,30 @@ def session_windows(events: ray.data.Dataset, *, ts_col: str = "ts",
                   .groupby("shard").map_groups(sessionize_shard, batch_format="pandas"))
 
 
+def _rank_prelude(g: pd.DataFrame, key_col: str, order_col: str,
+                  id_col: str, descending: bool):
+    """Shared vectorized ranking machinery (review r3: keep ONE copy):
+    sort by (key, order[, id]) and derive the change masks and rank
+    arrays every ranking window builds on. Returns
+    (g_sorted, keys, idx, new_key, new_val, part_start, rn, rnk)."""
+    g = g.sort_values([key_col, order_col, id_col],
+                      ascending=[True, not descending, True],
+                      kind="mergesort")
+    keys = g[key_col].to_numpy()
+    vals = g[order_col].to_numpy()
+    n = len(g)
+    idx = np.arange(n, dtype=np.int64)
+    new_key = np.ones(n, dtype=bool)
+    new_key[1:] = keys[1:] != keys[:-1]
+    new_val = np.ones(n, dtype=bool)
+    new_val[1:] = new_key[1:] | (vals[1:] != vals[:-1])
+    part_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+    rn = idx - part_start + 1                    # ROW_NUMBER (id tie-break)
+    run_start = np.maximum.accumulate(np.where(new_val, idx, 0))
+    rnk = rn[run_start]                          # RANK (ties share)
+    return g, keys, idx, new_key, new_val, part_start, rn, rnk
+
+
 def window_ranks(ds: ray.data.Dataset, *, key_col: str, order_col: str,
                  id_col: str, descending: bool = True,
                  num_shards: int = 64) -> ray.data.Dataset:
@@ -434,23 +458,8 @@ def window_ranks(ds: ray.data.Dataset, *, key_col: str, order_col: str,
         return out
 
     def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, order_col, id_col],
-                          ascending=[True, not descending, True],
-                          kind="mergesort")
-        keys = g[key_col].to_numpy()
-        vals = g[order_col].to_numpy()
-        n = len(g)
-        new_key = np.ones(n, dtype=bool)
-        new_key[1:] = keys[1:] != keys[:-1]
-        new_val = np.ones(n, dtype=bool)
-        new_val[1:] = new_key[1:] | (vals[1:] != vals[:-1])
-        idx = np.arange(n, dtype=np.int64)
-        # rn: position within the key partition (1-based)
-        part_start = np.maximum.accumulate(np.where(new_key, idx, 0))
-        rn = idx - part_start + 1
-        # rnk: rn at the start of the current tie run (SQL RANK)
-        run_start = np.maximum.accumulate(np.where(new_val, idx, 0))
-        rnk = rn[run_start]
+        g, keys, idx, new_key, new_val, part_start, rn, rnk = _rank_prelude(
+            g, key_col, order_col, id_col, descending)
         # drnk: count of tie runs so far within the partition (DENSE_RANK);
         # cum(new_val) is monotone, so max-accumulate snapshots it per key
         val_cum = np.cumsum(new_val)
@@ -486,21 +495,9 @@ def window_pct(ds: ray.data.Dataset, *, key_col: str, order_col: str,
         return out
 
     def pct_shard(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, order_col, id_col],
-                          ascending=[True, not descending, True],
-                          kind="mergesort")
-        keys = g[key_col].to_numpy()
-        vals = g[order_col].to_numpy()
+        g, keys, idx, new_key, new_val, part_start, rn, rnk = _rank_prelude(
+            g, key_col, order_col, id_col, descending)
         n = len(g)
-        idx = np.arange(n, dtype=np.int64)
-        new_key = np.ones(n, dtype=bool)
-        new_key[1:] = keys[1:] != keys[:-1]
-        new_val = np.ones(n, dtype=bool)
-        new_val[1:] = new_key[1:] | (vals[1:] != vals[:-1])
-        part_start = np.maximum.accumulate(np.where(new_key, idx, 0))
-        rn = idx - part_start + 1
-        run_start = np.maximum.accumulate(np.where(new_val, idx, 0))
-        rnk = rn[run_start]
         # partition/run END indices: reverse min-accumulate over the
         # boundary markers shifted left by one
         last_of_key = np.ones(n, dtype=bool)
@@ -567,7 +564,11 @@ def grouped_mad_outliers(events: ray.data.Dataset, *, group_col: str,
                              "cents": cents,
                              "dev": np.abs(cents - meds)})
 
-    devs = events.map_batches(add_dev, batch_format="pandas")
+    # materialize: devs is consumed twice (MAD histogram, final flag);
+    # without the pin the read + add_dev lineage re-executes per
+    # consumer (review r3). The pinned frame is (id, group, cents, dev)
+    # only — no text/payload columns.
+    devs = events.map_batches(add_dev, batch_format="pandas").materialize()
     mad_df = grouped_exact_quantiles(devs, group_col=group_col,
                                      val_col="dev", pcts=(50,), scale=1.0)
     mad = dict(zip(mad_df[group_col], mad_df["p50_cents"].astype(int)))

@@ -457,3 +457,34 @@ def test_gopher_filter_rules(ray_session):
     assert "top_token_dominant" in out.loc[2, "reasons"]
     assert "repetitive_2grams" in out.loc[2, "reasons"]
     assert "top_token_dominant" in out.loc[3, "reasons"]
+
+
+def test_gopher_filter_null_text_oracle_parity(ray_session, tmp_path):
+    """Review r3: a NULL text column must gate as an empty doc (keep=0,
+    too_short) on BOTH sides — the oracle coalesces, the engine does
+    `t or ''`."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from incident_pii_redactor_ray.pipelines.queries import ORACLE_SQL
+    from incident_pii_redactor_ray.stages.corpus_ops import gopher_filter_batch
+    from tests.harness import compare
+
+    docs = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                     "text": pa.array([None, "alpha beta " * 10],
+                                      type=pa.string())})
+    p = tmp_path / "documents.parquet"
+    pq.write_table(docs, str(p))
+
+    eng = (ray.data.from_arrow(docs)
+           .map_batches(gopher_filter_batch, batch_format="pyarrow")
+           .to_pandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    sql = con.execute(ORACLE_SQL["gopher_filter"]).fetchdf()
+    r = compare("gopher_filter_nulls", eng, sql)
+    assert r["hash_match"], r
+    assert eng.set_index("doc_id").loc[0, "reasons"] == "too_short"

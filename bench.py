@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "toxicity_scores", "segment_dedup", "tfidf_top_terms", "sequence_packing",
     "bigram_lm", "inverted_index", "running_total", "dedup_filter",
     "top_unshipped", "region_revenue", "window_rank", "segment_scrub",
+    "gopher_filter", "outlier_flags", "group_quantiles", "csv_roundtrip",
 ]
 
 

@@ -726,6 +726,35 @@ def q_spend_halves_full_join(sf_dir: str):
     return bucketed_hash_join(a, b, on="o_custkey", how="full", post=coalesce)
 
 
+def q_composite_key_join(sf_dir: str):
+    """Composite-key bucketed join: per-(user, event_type) activity in
+    even- vs odd-numbered events, joined on the (int, string) key tuple
+    — the mixed-type composite buckets via the md5 of the joined key
+    tuple, all-int composites via a vectorized polynomial mix."""
+    import pyarrow.compute as pc
+
+    from ..stages.relational import bucketed_hash_join
+
+    def half(parity: int, out_col: str):
+        def prep(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                pc.bit_wise_and(batch.column("event_id"),
+                                pa.scalar(1, type=pa.int64())),
+                pa.scalar(parity, type=pa.int64()))
+            return batch.filter(keep).select(["user_id", "event_type"])
+
+        ds = _events(sf_dir, ["event_id", "user_id", "event_type"]) \
+            .map_batches(prep, batch_format="pyarrow")
+        return ds.groupby(["user_id", "event_type"]).aggregate(
+            Count(alias_name=out_col))
+
+    out = bucketed_hash_join(half(0, "n_even"), half(1, "n_odd"),
+                             on=["user_id", "event_type"]).to_pandas()
+    out["n_even"] = out["n_even"].astype("int64")
+    out["n_odd"] = out["n_odd"].astype("int64")
+    return out
+
+
 def q_window_pct(sf_dir: str):
     """PERCENT_RANK / CUME_DIST per customer over o_totalprice DESC —
     one double division of exact integers each, bit-identical to the
@@ -1717,6 +1746,7 @@ QUERIES = {
     "outlier_flags": q_outlier_flags,
     "gopher_filter": q_gopher_filter,
     "csv_roundtrip": q_csv_roundtrip,
+    "composite_key_join": q_composite_key_join,
     "rollup_counts": q_rollup_counts,
     "segment_scrub": q_segment_scrub,
     "dedup_filter": q_dedup_filter,
@@ -2240,6 +2270,15 @@ ORACLE_SQL = {
         "SELECT doc_id, n::BIGINT AS n_tokens, "
         "(CASE WHEN len(fails) = 0 THEN 1 ELSE 0 END)::BIGINT AS keep, "
         "coalesce(array_to_string(fails, ','), '') AS reasons FROM f"
+    ),
+
+    "composite_key_join": (
+        "WITH a AS (SELECT user_id, event_type, count(*) AS n_even "
+        "  FROM events WHERE event_id % 2 = 0 GROUP BY user_id, event_type), "
+        "b AS (SELECT user_id, event_type, count(*) AS n_odd "
+        "  FROM events WHERE event_id % 2 = 1 GROUP BY user_id, event_type) "
+        "SELECT a.user_id, a.event_type, a.n_even::BIGINT AS n_even, "
+        "b.n_odd::BIGINT AS n_odd FROM a JOIN b USING (user_id, event_type)"
     ),
 
     "csv_roundtrip": (

@@ -70,7 +70,8 @@ def broadcast_join(big: ray.data.Dataset, small_df: pd.DataFrame, *, on: str,
     return big.map_batches(JoinBatch, batch_format="pandas", concurrency=concurrency)
 
 
-def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *, on: str,
+def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                       on: str | list[str],
                        num_buckets: int = 32, post=None,
                        how: str = "inner") -> ray.data.Dataset:
     """Large-large equi-join: both sides get ``bucket = key % B`` (or a
@@ -78,6 +79,10 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *, on: s
     single groupby(bucket).map_groups joins matching buckets pairwise —
     an explicit partitioned hash join (the portable pattern from
     ray_guide). Skewed keys should be salted upstream.
+
+    ``on`` may be a single column or a LIST of columns (composite key);
+    composite all-integer keys bucket via a vectorized polynomial mix,
+    anything else via the md5 of the joined key tuple.
 
     ``how``: 'inner' (default), 'left' or 'full' — outer variants emit
     unmatched rows with nulls on the other side (every key's rows land
@@ -103,13 +108,14 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *, on: s
     l_names, r_names = list(l_schema.names), list(r_schema.names)
     l_types = {n: _arrow_type(t) for n, t in zip(l_schema.names, l_schema.types)}
     r_types = {n: _arrow_type(t) for n, t in zip(r_schema.names, r_schema.types)}
-    dup = (set(l_names) & set(r_names)) - {on}
+    on_cols = [on] if isinstance(on, str) else list(on)
+    dup = (set(l_names) & set(r_names)) - set(on_cols)
     if dup:
         raise ValueError(f"bucketed_hash_join: non-key columns {sorted(dup)} "
                          "exist on both sides; rename before joining")
-    out_fields = ([pa.field(on, l_types[on])]
-                  + [pa.field(n, l_types[n]) for n in l_names if n != on]
-                  + [pa.field(n, r_types[n]) for n in r_names if n != on])
+    out_fields = ([pa.field(c, l_types[c]) for c in on_cols]
+                  + [pa.field(n, l_types[n]) for n in l_names if n not in on_cols]
+                  + [pa.field(n, r_types[n]) for n in r_names if n not in on_cols])
     empty_out = pa.table(
         {f.name: pa.array([], type=f.type) for f in out_fields}).to_pandas()
     if post is not None:
@@ -134,11 +140,20 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *, on: s
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
-            keys = batch.column(on)
-            if pa.types.is_integer(keys.type):
-                buckets = np.asarray(keys) % num_buckets
+            cols = [batch.column(c) for c in on_cols]
+            if all(pa.types.is_integer(c.type) for c in cols):
+                # vectorized polynomial mix of the int key tuple (the
+                # single-key case degenerates to key % B as before)
+                h = np.asarray(cols[0]).astype(np.uint64)
+                for c in cols[1:]:
+                    h = h * np.uint64(1000003) ^ np.asarray(c).astype(np.uint64)
+                buckets = (h % np.uint64(num_buckets)).astype(np.int64)
+            elif len(cols) == 1:
+                buckets = shard_of_keys(cols[0].to_pylist(), num_buckets)
             else:
-                buckets = shard_of_keys(keys.to_pylist(), num_buckets)
+                tup = ["\x1f".join(map(str, t))
+                       for t in zip(*(c.to_pylist() for c in cols))]
+                buckets = shard_of_keys(tup, num_buckets)
             return (batch.append_column("__bucket", pa.array(buckets.astype(np.int64)))
                          .append_column("__side", pa.array([side] * len(batch), type=pa.int8())))
         return fn
@@ -161,7 +176,7 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *, on: s
         if (lt.empty and rt.empty) or (how == "inner" and (lt.empty or rt.empty)) \
                 or (how == "left" and lt.empty):
             return empty_out.copy()
-        out = lt.merge(rt, on=on, how=pd_how)
+        out = lt.merge(rt, on=on_cols, how=pd_how)
         out = out[[f.name for f in out_fields]]
         if post is not None:
             out = post(out)

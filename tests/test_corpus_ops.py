@@ -488,3 +488,27 @@ def test_gopher_filter_null_text_oracle_parity(ray_session, tmp_path):
     r = compare("gopher_filter_nulls", eng, sql)
     assert r["hash_match"], r
     assert eng.set_index("doc_id").loc[0, "reasons"] == "too_short"
+
+
+def test_bucketed_join_composite_int_keys(ray_session):
+    """All-int composite keys bucket via the vectorized polynomial mix;
+    matching must respect the FULL tuple, not either column alone."""
+    import pyarrow as pa
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.relational import bucketed_hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "a": pa.array([1, 1, 2], type=pa.int64()),
+        "b": pa.array([10, 20, 10], type=pa.int64()),
+        "v": pa.array(["x", "y", "z"])}))
+    right = ray.data.from_arrow(pa.table({
+        "a": pa.array([1, 2, 2], type=pa.int64()),
+        "b": pa.array([10, 10, 99], type=pa.int64()),
+        "w": pa.array([100, 200, 300], type=pa.int64())}))
+    out = (bucketed_hash_join(left, right, on=["a", "b"], num_buckets=16)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    # only (1,10) and (2,10) match
+    assert list(zip(out["a"], out["b"])) == [(1, 10), (2, 10)]
+    assert out["v"].tolist() == ["x", "z"]
+    assert out["w"].tolist() == [100, 200]

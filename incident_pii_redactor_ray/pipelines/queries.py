@@ -1430,6 +1430,33 @@ def q_asof_join(sf_dir: str):
     return asof_join(left, right, key_col="user_id", ts_col="ts")
 
 
+def q_asof_join_forward(sf_dir: str):
+    """Forward as-of join: every non-signup event picks up the user's
+    NEXT signup value at-or-after its timestamp (inner, forward) —
+    same sharded merge_asof, direction flipped; DuckDB has no native
+    forward ASOF, so the oracle is a LATERAL LIMIT-1 subquery."""
+    from ray.data.aggregate import Max
+
+    from ..stages.relational import asof_join
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def split_left(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.not_equal(batch.column("event_type"), pa.scalar("signup"))
+        return batch.filter(mask).drop_columns(["event_type"])
+
+    def split_right(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.equal(batch.column("event_type"), pa.scalar("signup"))
+        return batch.filter(mask).select(["user_id", "ts", "value"])
+
+    left = ev.map_batches(split_left, batch_format="pyarrow")
+    right = (ev.map_batches(split_right, batch_format="pyarrow")
+               .groupby(["user_id", "ts"])
+               .aggregate(Max("value", alias_name="ref_value")))
+    return asof_join(left, right, key_col="user_id", ts_col="ts",
+                     direction="forward")
+
+
 def _events_str_key(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
     """events with the integer user_id replaced by a string user_key
     ('u<user_id>') — exercises the md5 key-shard path of the windowing
@@ -1783,6 +1810,7 @@ QUERIES = {
     "session_windows": q_session_windows,
     "sliding_window": q_sliding_window,
     "asof_join": q_asof_join,
+    "asof_join_forward": q_asof_join_forward,
     "asof_join_str": q_asof_join_str,
     "session_windows_str": q_session_windows_str,
     "semi_join": q_semi_join,
@@ -2739,6 +2767,19 @@ ORACLE_SQL = {
         "  WHERE event_type != 'signup') "
         "SELECT l.event_id, l.user_id, l.ts, l.value, r.ts AS ref_ts, r.ref_value "
         "FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+
+    "asof_join_forward": (
+        # DuckDB's native ASOF is backward-only; forward = the first
+        # right row at-or-after, via a LATERAL LIMIT-1 subquery
+        "WITH r AS (SELECT user_id, ts, max(value) AS ref_value FROM events "
+        "  WHERE event_type = 'signup' GROUP BY user_id, ts), "
+        "l AS (SELECT event_id, user_id, ts, value FROM events "
+        "  WHERE event_type != 'signup') "
+        "SELECT l.event_id, l.user_id, l.ts, l.value, j.rts AS ref_ts, "
+        "j.ref_value FROM l, LATERAL (SELECT r.ts AS rts, r.ref_value "
+        "  FROM r WHERE r.user_id = l.user_id AND r.ts >= l.ts "
+        "  ORDER BY r.ts LIMIT 1) j"
     ),
 
     "asof_join_str": (

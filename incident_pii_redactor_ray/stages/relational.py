@@ -281,12 +281,14 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
               key_col: str, ts_col: str = "ts",
               left_cols: list[str] | None = None,
               right_value_col: str = "ref_value",
+              direction: str = "backward",
               num_shards: int = 64) -> ray.data.Dataset:
-    """As-of join (inner, backward): each left row gets the right row
-    with the greatest ``ts_col`` <= its own for the same ``key_col``;
-    unmatched left rows are dropped — the temporal-join shape Ray Data
-    has no primitive for (DuckDB: native ``ASOF JOIN``, which the
-    oracle uses).
+    """As-of join (inner): each left row gets the right row with the
+    greatest ``ts_col`` <= its own (``direction='backward'``, the
+    default — DuckDB's native ASOF JOIN) or the smallest ``ts_col`` >=
+    its own (``direction='forward'`` — oracled with a LATERAL LIMIT-1
+    subquery) for the same ``key_col``; unmatched left rows are dropped
+    — the temporal-join shape Ray Data has no primitive for.
 
     Implementation: both sides shard on ``shard_of_keys(key_col)``
     (integer keys by value, string/other keys by md5 — every key's rows
@@ -298,6 +300,8 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     Output: left_cols + [ref_ts, right_value_col] (payload dtype taken
     from the right schema, not hardcoded).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unsupported direction={direction!r}")
     left_cols = left_cols or ["event_id", key_col, ts_col, "value"]
 
     # declared output schema: union NaN-fill promotes left int columns
@@ -344,7 +348,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                              for f in out_schema}).to_pandas()
         merged = pd.merge_asof(lt, rt.rename(columns={ts_col: "__rts"}),
                                left_on=ts_col, right_on="__rts", by=key_col,
-                               direction="backward", allow_exact_matches=True)
+                               direction=direction, allow_exact_matches=True)
         merged = merged[merged["ref_ts"].notna()].drop(columns=["__rts"])
         return pa.Table.from_pandas(merged, schema=out_schema,
                                     preserve_index=False).to_pandas()

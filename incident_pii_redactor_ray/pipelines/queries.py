@@ -667,13 +667,16 @@ def q_customer_order_counts(sf_dir: str):
     zero orders (count coalesced to 0 inside the join's post hook —
     no second shuffle). Both sides are big at 100 TB, hence bucketed,
     with the order side pre-aggregated to one row per customer."""
-    from ..stages.relational import bucketed_hash_join
+    from ..stages.relational import bucketed_hash_join, sharded_group_sum
 
-    counts = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                                    columns=["o_custkey"])
-              .groupby("o_custkey").aggregate(Count(alias_name="n"))
-              .map_batches(lambda b: b.rename_columns(["c_custkey", "n"]),
-                           batch_format="pyarrow"))
+    # per-customer counts are customer-cardinality: sharded pandas sum,
+    # not Ray's per-group-overhead native groupby
+    ones = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]).map_batches(
+        lambda b: pd.DataFrame({"c_custkey": b["o_custkey"],
+                                "n": np.ones(len(b), dtype=np.int64)}),
+        batch_format="pandas")
+    counts = sharded_group_sum(ones, keys=["c_custkey"], sum_cols=["n"])
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_name"])
 
@@ -692,7 +695,7 @@ def q_spend_halves_full_join(sf_dir: str):
     a coalesced 0 (the outer-join completeness case inner joins hide)."""
     import pyarrow.compute as pc
 
-    from ..stages.relational import bucketed_hash_join
+    from ..stages.relational import bucketed_hash_join, sharded_group_sum
 
     def year_spend(year: int, out_col: str):
         lo = pd.Timestamp(f"{year}-01-01")
@@ -711,8 +714,11 @@ def q_spend_halves_full_join(sf_dir: str):
         ds = ray.data.read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_custkey", "o_orderdate", "o_totalprice"]
-        ).map_batches(prep, batch_format="pyarrow")
-        return (ds.groupby("o_custkey").aggregate(Sum("cents", alias_name=out_col)))
+        ).map_batches(prep, batch_format="pyarrow").map_batches(
+            lambda b: b.rename_columns(["o_custkey", out_col]),
+            batch_format="pyarrow")
+        # customer-cardinality sum: sharded pandas, not native groupby
+        return sharded_group_sum(ds, keys=["o_custkey"], sum_cols=[out_col])
 
     a = year_spend(1996, "spend96_cents")
     b = year_spend(1999, "spend99_cents")
@@ -733,20 +739,20 @@ def q_composite_key_join(sf_dir: str):
     tuple, all-int composites via a vectorized polynomial mix."""
     import pyarrow.compute as pc
 
-    from ..stages.relational import bucketed_hash_join
+    from ..stages.relational import bucketed_hash_join, sharded_group_sum
 
     def half(parity: int, out_col: str):
-        def prep(batch: pa.Table) -> pa.Table:
-            keep = pc.equal(
-                pc.bit_wise_and(batch.column("event_id"),
-                                pa.scalar(1, type=pa.int64())),
-                pa.scalar(parity, type=pa.int64()))
-            return batch.filter(keep).select(["user_id", "event_type"])
+        def prep(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch[(batch["event_id"] % 2) == parity]
+            return pd.DataFrame({"user_id": batch["user_id"],
+                                 "event_type": batch["event_type"],
+                                 out_col: np.ones(len(batch), dtype=np.int64)})
 
         ds = _events(sf_dir, ["event_id", "user_id", "event_type"]) \
-            .map_batches(prep, batch_format="pyarrow")
-        return ds.groupby(["user_id", "event_type"]).aggregate(
-            Count(alias_name=out_col))
+            .map_batches(prep, batch_format="pandas")
+        # (user, type)-cardinality counts: sharded pandas sum
+        return sharded_group_sum(ds, keys=["user_id", "event_type"],
+                                 sum_cols=[out_col])
 
     out = bucketed_hash_join(half(0, "n_even"), half(1, "n_odd"),
                              on=["user_id", "event_type"]).to_pandas()
@@ -1403,6 +1409,19 @@ def q_sliding_window(sf_dir: str):
     return sliding_window(ev, window="1h", hop="30min")
 
 
+def _asof_right_max(right: ray.data.Dataset, key: str) -> ray.data.Dataset:
+    """Collapse same-instant duplicates on the as-of right side to a
+    deterministic max — (key, ts) is signup-cardinality, so this uses
+    the sharded pandas aggregate, not Ray's per-group-overhead native
+    groupby."""
+    from ..stages.relational import sharded_group_sum
+
+    r = right.map_batches(lambda b: b.rename_columns([key, "ts", "ref_value"]),
+                          batch_format="pyarrow")
+    return sharded_group_sum(r, keys=[key, "ts"], sum_cols=["ref_value"],
+                             how="max")
+
+
 def q_asof_join(sf_dir: str):
     """As-of join: every non-signup event picks up the user's most
     recent signup value at-or-before its timestamp (inner, backward) —
@@ -1422,11 +1441,9 @@ def q_asof_join(sf_dir: str):
         return batch.filter(mask).select(["user_id", "ts", "value"])
 
     left = ev.map_batches(split_left, batch_format="pyarrow")
-    # right must be unique per (key, ts) for deterministic as-of picks:
-    # global groupby-max collapses same-instant duplicates
-    right = (ev.map_batches(split_right, batch_format="pyarrow")
-               .groupby(["user_id", "ts"])
-               .aggregate(Max("value", alias_name="ref_value")))
+    # right must be unique per (key, ts) for deterministic as-of picks
+    right = _asof_right_max(
+        ev.map_batches(split_right, batch_format="pyarrow"), "user_id")
     return asof_join(left, right, key_col="user_id", ts_col="ts")
 
 
@@ -1450,9 +1467,8 @@ def q_asof_join_forward(sf_dir: str):
         return batch.filter(mask).select(["user_id", "ts", "value"])
 
     left = ev.map_batches(split_left, batch_format="pyarrow")
-    right = (ev.map_batches(split_right, batch_format="pyarrow")
-               .groupby(["user_id", "ts"])
-               .aggregate(Max("value", alias_name="ref_value")))
+    right = _asof_right_max(
+        ev.map_batches(split_right, batch_format="pyarrow"), "user_id")
     return asof_join(left, right, key_col="user_id", ts_col="ts",
                      direction="forward")
 
@@ -1491,9 +1507,8 @@ def q_asof_join_str(sf_dir: str):
         return batch.filter(mask).select(["user_key", "ts", "value"])
 
     left = ev.map_batches(split_left, batch_format="pyarrow")
-    right = (ev.map_batches(split_right, batch_format="pyarrow")
-               .groupby(["user_key", "ts"])
-               .aggregate(Max("value", alias_name="ref_value")))
+    right = _asof_right_max(
+        ev.map_batches(split_right, batch_format="pyarrow"), "user_key")
     return asof_join(left, right, key_col="user_key", ts_col="ts",
                      left_cols=["event_id", "user_key", "ts", "value"])
 

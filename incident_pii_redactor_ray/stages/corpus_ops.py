@@ -72,11 +72,15 @@ def term_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def term_frequencies(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     """Corpus-wide token frequencies: partial counts inside map_batches,
-    one groupby(token) Sum over the partials."""
-    from ray.data.aggregate import Sum
+    then a 256-way sharded pandas sum over the partials (the vocabulary
+    is high-cardinality — Ray's native groupby pays per-group Python
+    overhead)."""
+    from .relational import sharded_group_sum
 
-    partial = ds.map_batches(term_count_partial, batch_format="pyarrow")
-    return partial.groupby("token").aggregate(Sum("n", alias_name="n_total"))
+    partial = ds.map_batches(term_count_partial, batch_format="pyarrow") \
+                .map_batches(lambda b: b.rename_columns(["token", "n_total"]),
+                             batch_format="pyarrow")
+    return sharded_group_sum(partial, keys=["token"], sum_cols=["n_total"])
 
 
 # --- per-doc repetition stats (Gopher rules) --------------------------------
@@ -341,7 +345,6 @@ def tfidf_top_terms(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     to a bucketed hash join on token — same output, one more shuffle —
     analogous to dedup's broadcast_max_nodes auto-switch.
     """
-    from ray.data.aggregate import Sum
     from ..functions.textbuf import ws_tokens
 
     def df_partial(batch: pa.Table) -> pa.Table:
@@ -356,8 +359,13 @@ def tfidf_top_terms(ds: ray.data.Dataset, *, id_col: str = "doc_id",
         return pa.table({"token": vc.field("values"),
                          "df_n": pc.cast(vc.field("counts"), pa.int64())})
 
-    df_tbl = (ds.map_batches(df_partial, batch_format="pyarrow")
-                .groupby("token").aggregate(Sum("df_n", alias_name="df")))
+    from .relational import sharded_group_sum
+
+    df_tbl = sharded_group_sum(
+        ds.map_batches(df_partial, batch_format="pyarrow")
+          .map_batches(lambda b: b.rename_columns(["token", "df"]),
+                       batch_format="pyarrow"),
+        keys=["token"], sum_cols=["df"])
     df_pdf = df_tbl.to_pandas()
     df_map = dict(zip(df_pdf["token"], df_pdf["df"].astype(np.int64)))
     n_docs = int(ds.count())
@@ -507,12 +515,17 @@ def segment_dedup(ds: ray.data.Dataset, *, id_col: str = "doc_id",
                              "dup": (ordk > first.to_numpy()).astype(np.int64),
                              "one": 1})
 
-    from ray.data.aggregate import Sum
+    # the per-doc rollup groups on doc_id — CORPUS-cardinality, where
+    # Ray's native groupby pays per-group Python overhead; the 256-way
+    # sharded pandas sum keeps Ray's group count constant
+    from .relational import sharded_group_sum
 
     segs = ds.map_batches(explode, batch_format="pyarrow")
     flags = segs.groupby("shard").map_groups(flag, batch_format="pandas")
-    return flags.groupby(id_col).aggregate(
-        Sum("one", alias_name="n_segments"), Sum("dup", alias_name="n_dup"))
+    out = sharded_group_sum(flags, keys=[id_col], sum_cols=["one", "dup"])
+    return out.map_batches(
+        lambda b: b.rename_columns([id_col, "n_segments", "n_dup"]),
+        batch_format="pyarrow")
 
 
 def segment_scrub(ds: ray.data.Dataset, *, id_col: str = "doc_id",
@@ -775,7 +788,6 @@ def bigram_model(ref_ds: ray.data.Dataset, *,
     (bigram vocabularies of natural-language reference corpora are
     ~10^7 entries; for open vocabularies switch the scoring join to the
     bucketed-hash-join fallback documented at tfidf_top_terms)."""
-    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         flat: list[str] = []
@@ -785,8 +797,13 @@ def bigram_model(ref_ds: ray.data.Dataset, *,
         return pa.table({"bg": vc.field("values"),
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
-    tbl = (ref_ds.map_batches(partial, batch_format="pyarrow")
-                 .groupby("bg").aggregate(Sum("n", alias_name="c"))).to_pandas()
+    from .relational import sharded_group_sum
+
+    tbl = sharded_group_sum(
+        ref_ds.map_batches(partial, batch_format="pyarrow")
+              .map_batches(lambda b: b.rename_columns(["bg", "c"]),
+                           batch_format="pyarrow"),
+        keys=["bg"], sum_cols=["c"]).to_pandas()
     return dict(zip(tbl["bg"], tbl["c"].astype(np.int64)))
 
 

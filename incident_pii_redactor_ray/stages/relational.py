@@ -47,6 +47,54 @@ def shard_of_keys(keys, num_shards: int) -> np.ndarray:
          for k in arr), dtype=np.int64, count=len(arr))
 
 
+def _frame_shards(df: pd.DataFrame, keys: list[str], num_shards: int) -> np.ndarray:
+    """Stable shard ids for a (possibly composite) key frame: all-int
+    tuples via a vectorized polynomial mix, anything else via the md5
+    of the joined key tuple (same scheme as bucketed_hash_join)."""
+    cols = [df[k].to_numpy() for k in keys]
+    cols = [c.view("int64") if np.issubdtype(c.dtype, np.datetime64) else c
+            for c in cols]
+    if all(np.issubdtype(c.dtype, np.integer) for c in cols):
+        h = cols[0].astype(np.uint64)
+        for c in cols[1:]:
+            h = h * np.uint64(1000003) ^ c.astype(np.uint64)
+        return (h % np.uint64(num_shards)).astype(np.int64)
+    if len(cols) == 1:
+        return shard_of_keys(cols[0], num_shards)
+    tup = ["\x1f".join(map(str, t)) for t in zip(*cols)]
+    return shard_of_keys(tup, num_shards)
+
+
+def sharded_group_sum(ds: ray.data.Dataset, *, keys: list[str],
+                      sum_cols: list[str], how: str = "sum",
+                      num_shards: int = 256) -> ray.data.Dataset:
+    """Exact grouped SUM/MAX/MIN for HIGH-CARDINALITY keys. Ray's
+    native groupby().aggregate() pays per-OUTPUT-GROUP Python overhead
+    (~0.2 ms/group — measured 30.7 s for a 150k-group aggregate that
+    this shape finishes in 4 s), so: pre-aggregate inside each batch
+    (vectorized pandas), shard the key space ``num_shards`` ways, and
+    finish with ONE vectorized pandas aggregate per shard — the shuffle
+    carries per-batch partials and Ray only ever sees 256 groups.
+
+    ``how`` must be distributive (partial-then-final equals global):
+    'sum', 'max', 'min'. Use integer value columns for
+    order-independent exact sums.
+    Output: keys + sum_cols, one row per distinct key."""
+    if how not in ("sum", "max", "min"):
+        raise ValueError(f"sharded_group_sum: non-distributive how={how!r}")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, as_index=False)[sum_cols].agg(how)
+        g["__shard"] = _frame_shards(g, keys, num_shards)
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False)[sum_cols].agg(how)
+
+    return (ds.map_batches(partial, batch_format="pandas")
+              .groupby("__shard").map_groups(final, batch_format="pandas"))
+
+
 def broadcast_join(big: ray.data.Dataset, small_df: pd.DataFrame, *, on: str,
                    how: str = "inner",
                    concurrency: int | tuple[int, int] = (2, 32)) -> ray.data.Dataset:
@@ -696,25 +744,23 @@ def grouped_exact_quantiles(ds: ray.data.Dataset, *, group_col: str,
     0-based position ``(n-1)*p // 100`` of the sorted group) over a
     2-decimal value column, in exact integer cents.
 
-    Scale shape: per-batch value_counts partials collapse to one
-    (group, cents) histogram groupby — the shuffle carries distinct
-    (group, cents) pairs, bounded by the value domain (a 2-dp price
-    column has at most price-range×100 distinct cents regardless of row
-    count), never the row stream; the final quantile pick runs on the
-    aggregated histogram (driver-side, like the pivot rollup)."""
-    from ray.data.aggregate import Sum
+    Scale shape: per-batch value_counts partials collapse through a
+    256-way sharded pandas sum (sharded_group_sum — the (group, cents)
+    histogram is HIGH-cardinality, near the distinct-value count of the
+    column, and Ray's native groupby pays per-group Python overhead);
+    the shuffle carries distinct (group, cents) pairs, bounded by the
+    value domain, never the row stream; the final quantile pick runs on
+    the aggregated histogram (driver-side, like the pivot rollup)."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
         cents = np.floor(
             batch[val_col].to_numpy(np.float64) * scale + 0.5).astype(np.int64)
-        g = (pd.DataFrame({group_col: batch[group_col], "cents": cents})
-             .groupby([group_col, "cents"], as_index=False).size()
-             .rename(columns={"size": "n"}))
-        return g
+        return pd.DataFrame({group_col: batch[group_col], "cents": cents,
+                             "n": np.ones(len(batch), dtype=np.int64)})
 
-    hist = (ds.map_batches(partial, batch_format="pandas")
-              .groupby([group_col, "cents"]).aggregate(Sum("n", alias_name="n"))
-              .to_pandas())
+    hist = sharded_group_sum(
+        ds.map_batches(to_cents, batch_format="pandas"),
+        keys=[group_col, "cents"], sum_cols=["n"]).to_pandas()
     rows = []
     for key, g in hist.groupby(group_col):
         g = g.sort_values("cents")

@@ -253,14 +253,14 @@ def tumbling_window(events: ray.data.Dataset, *, ts_col: str = "ts",
         batch = batch.copy()
         batch["window_start"] = batch[ts_col].dt.floor(window)
         g = (batch.groupby([key_col, "window_start"], as_index=False)
-                  .agg(n=(value_col, "size"), s=(value_col, "sum")))
+                  .agg(n_events=(value_col, "size"), value_sum=(value_col, "sum")))
         return g
 
-    from ray.data.aggregate import Sum
-
+    # (key x window)-cardinality scales with the time span: sharded
+    # pandas sum, not Ray's per-group-overhead native groupby
     partials = events.map_batches(partial, batch_format="pandas")
-    out = partials.groupby([key_col, "window_start"]).aggregate(
-        Sum("n", alias_name="n_events"), Sum("s", alias_name="value_sum"))
+    out = sharded_group_sum(partials, keys=[key_col, "window_start"],
+                            sum_cols=["n_events", "value_sum"])
 
     def final(batch: pd.DataFrame) -> pd.DataFrame:
         batch["value_sum"] = batch["value_sum"].round(4)
@@ -429,13 +429,11 @@ def sliding_window(events: ray.data.Dataset, *, ts_col: str = "ts",
             parts.append(p)
         rep = pd.concat(parts, ignore_index=True)
         return (rep.groupby([key_col, "window_start"], as_index=False)
-                   .agg(n=(value_col, "size"), s=(value_col, "sum")))
-
-    from ray.data.aggregate import Sum
+                   .agg(n_events=(value_col, "size"), value_sum=(value_col, "sum")))
 
     partials = events.map_batches(partial, batch_format="pandas")
-    out = partials.groupby([key_col, "window_start"]).aggregate(
-        Sum("n", alias_name="n_events"), Sum("s", alias_name="value_sum"))
+    out = sharded_group_sum(partials, keys=[key_col, "window_start"],
+                            sum_cols=["n_events", "value_sum"])
 
     def final(batch: pd.DataFrame) -> pd.DataFrame:
         batch["value_sum"] = batch["value_sum"].round(4)

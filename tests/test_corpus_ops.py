@@ -512,3 +512,32 @@ def test_bucketed_join_composite_int_keys(ray_session):
     assert list(zip(out["a"], out["b"])) == [(1, 10), (2, 10)]
     assert out["v"].tolist() == ["x", "z"]
     assert out["w"].tolist() == [100, 200]
+
+
+def test_sharded_group_sum_matches_pandas(ray_session):
+    """sharded_group_sum == a plain pandas groupby for sum and max,
+    across composite int, string and datetime keys."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.relational import sharded_group_sum
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame({
+        "k_int": rng.integers(0, 400, n),
+        "k_str": rng.choice(["a", "b", "c", "d"], n),
+        "k_ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 50, n), unit="h"),
+        "v": rng.integers(-100, 100, n).astype("int64")})
+    ds = ray.data.from_pandas(df).repartition(8)
+
+    for keys in (["k_int"], ["k_int", "k_str"], ["k_str", "k_ts"]):
+        for how in ("sum", "max"):
+            got = (sharded_group_sum(ds, keys=keys, sum_cols=["v"], how=how)
+                   .to_pandas().sort_values(keys).reset_index(drop=True))
+            want = (df.groupby(keys, as_index=False)["v"].agg(how)
+                    .sort_values(keys).reset_index(drop=True))
+            pd.testing.assert_frame_equal(got[keys + ["v"]], want,
+                                          check_dtype=False)

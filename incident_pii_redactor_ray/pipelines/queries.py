@@ -1742,6 +1742,105 @@ def q_hygiene_full(sf_dir: str):
     return ds.map_batches(final, batch_format="pyarrow")
 
 
+def q_c4_filter(sf_dir: str):
+    """C4-style line+page cleaning (Raffel et al. 2020 §2.2): documents
+    are deterministically restructured into punctuated 8-token lines
+    (the scrub `_augment` pattern — the raw corpus has no newlines),
+    then the line rules (terminal punctuation + >= 5 words) and page
+    rules (>= 3 retained lines, no '{', no 'lorem ipsum') run
+    map-side. Embarrassingly parallel; the SQL oracle rebuilds the
+    augmentation AND the filter from the raw table."""
+    from ..stages.corpus_ops import c4_augment_lines, c4_filter_batch
+
+    def aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        txts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([c4_augment_lines(i, t) for i, t in zip(ids, txts)],
+                             type=pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(aug, batch_format="pyarrow") \
+        .map_batches(c4_filter_batch, batch_format="pyarrow")
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style per-language head/middle/tail thirds by reference-LM
+    fluency (Wenzek et al. 2019 §3.3): bigram model trained on the 'en'
+    slice, every doc scored map-side with the lang label carried
+    through, per-lang p33/p67 thresholds from an exact (lang, score)
+    histogram, bucket labels streamed. Integer-exact end to end."""
+    from ..stages.corpus_ops import LM_REF_LANG, bigram_model, ccnet_buckets
+
+    ref = _docs(sf_dir, ["text", "lang"]).filter(
+        expr=f"lang == '{LM_REF_LANG}'")
+    model = bigram_model(ref)
+    return ccnet_buckets(_docs(sf_dir, ["doc_id", "lang", "text"]), model)
+
+
+def q_returned_items(sf_dir: str):
+    """TPC-H-Q10-shaped 4-table pipeline: lineitem is filtered to
+    returned flags map-side, the quarter window is pushed into the
+    orders read, lineitem⨝orders is a bucketed hash join (big-big at
+    100 TB) with the per-customer revenue partial fused into the join's
+    buckets, the customer dim attaches via a second bucketed join on
+    the customer-sized aggregate, nation broadcasts, and the top 20 by
+    (revenue desc, custkey asc) sorts a customer-sized aggregate —
+    never the row stream."""
+    import pyarrow.compute as pc
+
+    from ..stages.relational import bucketed_hash_join, sharded_group_sum
+
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nk_to_name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+
+    lo, hi = pd.Timestamp("1996-07-01"), pd.Timestamp("1996-10-01")
+
+    def orders_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(batch.column("o_orderdate"), pa.scalar(hi)))
+        return batch.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_filter, batch_format="pyarrow")
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.equal(batch.column("l_returnflag"), pa.scalar("R")))
+        return pa.table({"o_orderkey": batch.column("l_orderkey"),
+                         "rev_e4": _rev_e4(batch)})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"]).map_batches(li_project, batch_format="pyarrow")
+
+    # join+aggregate fusion: the per-customer partial sum runs inside
+    # each joined bucket, so only customer-sized partials leave it
+    def cust_partial(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_custkey", as_index=False)["rev_e4"].sum()
+
+    partials = bucketed_hash_join(li, orders, on="o_orderkey",
+                                  post=cust_partial)
+    agg = sharded_group_sum(partials.map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas"), keys=["c_custkey"], sum_cols=["rev_e4"])
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"])
+    joined = bucketed_hash_join(agg, cust, on="c_custkey").to_pandas()
+    joined["n_name"] = joined["c_nationkey"].map(nk_to_name)
+    top = joined.sort_values(["rev_e4", "c_custkey"],
+                             ascending=[False, True]).head(20)
+    return top[["c_custkey", "c_name", "n_name", "rev_e4"]] \
+        .rename(columns={"rev_e4": "revenue_e4"}).reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -1836,6 +1935,9 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "pseudonym_map": q_pseudonym_map,
     "validation_metrics": q_validation_metrics,
+    "c4_filter": q_c4_filter,
+    "ccnet_buckets": q_ccnet_buckets,
+    "returned_items": q_returned_items,
 }
 
 _EN_MARKERS = textstats.LANG_MARKERS["en"]
@@ -3003,5 +3105,89 @@ ORACLE_SQL = {
         f"FROM read_parquet('{_GOLDEN_DIR}/semantic_dedup_*.parquet') g "
         "WHERE g.corpus_key = (SELECT sum(CAST(floor(embedding[1]::DOUBLE "
         "* 1000000 + 0.5) AS BIGINT)) FROM embeddings)"
+    ),
+
+    "c4_filter": (
+        # rebuilds the deterministic line augmentation (8-token lines,
+        # punctuation cycling on (doc_id+i)%4, lorem/brace page-killers
+        # on doc_id%37/%41) AND the C4 line+page rules from raw text
+        r"WITH t AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), "
+        r"'\S+') AS toks FROM documents), "
+        "base AS (SELECT doc_id, "
+        "  [array_to_string(toks[i*8+1 : i*8+8], ' ') || "
+        "     (['.', '!', '?', ''])[((doc_id + i) % 4) + 1] "
+        "   FOR i IN range(0, (len(toks) + 7) // 8)] AS ls FROM t), "
+        "aug AS (SELECT doc_id, ls "
+        "  || (CASE WHEN doc_id % 37 = 0 THEN ['lorem ipsum dolor sit amet.'] "
+        "      ELSE []::VARCHAR[] END) "
+        "  || (CASE WHEN doc_id % 41 = 0 THEN ['config { debug = true }.'] "
+        "      ELSE []::VARCHAR[] END) AS ls FROM base), "
+        "lines AS (SELECT doc_id, unnest(ls) AS line, "
+        "  generate_subscripts(ls, 1) AS i FROM aug), "
+        "flagged AS (SELECT doc_id, line, i, "
+        r"  CASE WHEN regexp_matches(line, '[.!?\x22]$') "
+        r"    AND len(regexp_extract_all(line, '\S+')) >= 5 "
+        "    THEN 1 ELSE 0 END AS lk FROM lines), "
+        "g AS (SELECT doc_id, count(*)::BIGINT AS n_lines, "
+        "  sum(lk)::BIGINT AS n_kept, "
+        "  coalesce(string_agg(CASE WHEN lk = 1 THEN line END, chr(10) "
+        "    ORDER BY i), '') AS joined, "
+        "  max(CASE WHEN contains(line, '{') THEN 1 ELSE 0 END) AS has_brace, "
+        "  max(CASE WHEN contains(lower(line), 'lorem ipsum') THEN 1 ELSE 0 "
+        "    END) AS has_lorem FROM flagged GROUP BY doc_id) "
+        "SELECT doc_id, n_lines, n_kept, "
+        "CASE WHEN has_brace = 0 AND has_lorem = 0 AND n_kept >= 3 "
+        "  THEN 1 ELSE 0 END::BIGINT AS keep, "
+        "CASE WHEN has_brace = 0 AND has_lorem = 0 AND n_kept >= 3 "
+        "  THEN joined ELSE '' END AS clean_text FROM g"
+    ),
+
+    "ccnet_buckets": (
+        # bigram model over lang='en' (the bigram_lm CTE), integer
+        # fluency_ppk = (tot*1000)//n, per-lang discrete lower p33/p67
+        # (the group_quantiles rule), bucket by threshold comparison
+        r"WITH t AS (SELECT doc_id, lang, "
+        r"regexp_extract_all(lower(text), '\S+') AS toks FROM documents), "
+        "bg AS (SELECT doc_id, lang, z[1] || ' ' || z[2] AS bg FROM "
+        "  (SELECT doc_id, lang, unnest(list_zip(toks[:-2], toks[2:])) AS z "
+        "   FROM t WHERE len(toks) >= 2)), "
+        "m AS (SELECT bg, count(*)::BIGINT AS c FROM bg WHERE lang = 'en' "
+        "  GROUP BY bg), "
+        "s AS (SELECT b.doc_id, any_value(b.lang) AS lang, "
+        "  count(*)::BIGINT AS n, sum(coalesce(m.c, 0))::BIGINT AS tot "
+        "  FROM bg b LEFT JOIN m ON m.bg = b.bg GROUP BY b.doc_id), "
+        "sc AS (SELECT doc_id, lang, (tot * 1000) // n AS fluency_ppk FROM s), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY lang "
+        "  ORDER BY fluency_ppk) - 1 AS rn, "
+        "  count(*) OVER (PARTITION BY lang) AS cnt FROM sc), "
+        "th AS (SELECT lang, "
+        "  max(CASE WHEN rn = ((cnt-1)*33)//100 THEN fluency_ppk END) AS p33, "
+        "  max(CASE WHEN rn = ((cnt-1)*67)//100 THEN fluency_ppk END) AS p67 "
+        "  FROM r GROUP BY lang) "
+        "SELECT sc.doc_id, sc.lang, sc.fluency_ppk::BIGINT AS fluency_ppk, "
+        "CASE WHEN sc.fluency_ppk >= th.p67 THEN 'head' "
+        "     WHEN sc.fluency_ppk >= th.p33 THEN 'middle' "
+        "     ELSE 'tail' END AS bucket "
+        "FROM sc JOIN th ON th.lang = sc.lang"
+    ),
+
+    "returned_items": (
+        # TPC-H Q10 shape; revenue in exact integer e4 units; top 20 by
+        # (revenue desc, custkey asc) — the unique custkey tie-break
+        # makes the LIMIT deterministic on both sides
+        "SELECT c.c_custkey, any_value(c.c_name) AS c_name, "
+        "any_value(n.n_name) AS n_name, "
+        "sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) "
+        "    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT "
+        "  AS revenue_e4 "
+        "FROM lineitem l "
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+        "WHERE l.l_returnflag = 'R' "
+        "AND o.o_orderdate >= TIMESTAMP '1996-07-01' "
+        "AND o.o_orderdate < TIMESTAMP '1996-10-01' "
+        "GROUP BY c.c_custkey "
+        "ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20"
     ),
 }

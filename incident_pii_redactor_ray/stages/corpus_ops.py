@@ -809,7 +809,9 @@ def bigram_model(ref_ds: ray.data.Dataset, *,
 
 def bigram_lm_score(ds: ray.data.Dataset, model: dict[str, int], *,
                     id_col: str = "doc_id",
-                    text_col: str = "text") -> ray.data.Dataset:
+                    text_col: str = "text",
+                    keep_cols: tuple[str, ...] = (),
+                    emit_total: bool = False) -> ray.data.Dataset:
     """Score every document against the broadcast reference bigram
     model (the CCNet reference-LM quality-filter slot, Wenzek et al.
     2019, arXiv:1911.00359): per doc emits the bigram count, the
@@ -822,18 +824,25 @@ def bigram_lm_score(ds: ray.data.Dataset, model: dict[str, int], *,
 
     Scale: the model ships ONCE via ray.put; the corpus side streams —
     no shuffle. Docs with < 2 tokens emit no row (no bigrams to score).
+
+    ``keep_cols`` are copied through map-side for emitted rows (e.g.
+    the language label — a passthrough, never a join). ``emit_total``
+    adds the exact integer ``tot_freq`` column so downstream operators
+    (ccnet_buckets) can derive integer scores without refloating.
     """
     model_ref = ray.put(model)
 
     def score(batch: pa.Table) -> pa.Table:
         m = ray.get(model_ref)
         out_id, out_n, out_oov, out_tot = [], [], [], []
-        for rid, t in zip(batch.column(id_col).to_pylist(),
-                          batch.column(text_col).to_pylist()):
+        kept_idx: list[int] = []
+        for i, (rid, t) in enumerate(zip(batch.column(id_col).to_pylist(),
+                                         batch.column(text_col).to_pylist())):
             bgs = _doc_bigrams(t)
             if not bgs:
                 continue
             cs = [m.get(b, 0) for b in bgs]
+            kept_idx.append(i)
             out_id.append(rid)
             out_n.append(len(bgs))
             out_oov.append(sum(1 for c in cs if c == 0))
@@ -841,10 +850,16 @@ def bigram_lm_score(ds: ray.data.Dataset, model: dict[str, int], *,
         n = np.asarray(out_n, dtype=np.int64)
         tot = np.asarray(out_tot, dtype=np.int64)
         mean = tot.astype(np.float64) / n if len(n) else np.empty(0)
-        return pa.table({id_col: pa.array(out_id, type=pa.int64()),
-                         "n_bigrams": pa.array(n),
-                         "oov_bigrams": pa.array(out_oov, type=pa.int64()),
-                         "mean_bigram_freq": pa.array(mean, type=pa.float64())})
+        cols = {id_col: pa.array(out_id, type=pa.int64()),
+                "n_bigrams": pa.array(n),
+                "oov_bigrams": pa.array(out_oov, type=pa.int64()),
+                "mean_bigram_freq": pa.array(mean, type=pa.float64())}
+        if emit_total:
+            cols["tot_freq"] = pa.array(tot)
+        take = pa.array(kept_idx, type=pa.int64())
+        for c in keep_cols:
+            cols[c] = batch.column(c).take(take)
+        return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")
 
@@ -905,3 +920,156 @@ def inverted_index(ds: ray.data.Dataset, *, id_col: str = "doc_id",
 
     rows = ds.map_batches(explode, batch_format="pyarrow")
     return rows.groupby("shard").map_groups(build, batch_format="pandas")
+
+
+# --- C4-style line + page cleaning -------------------------------------------
+
+import re as _re
+
+#: C4 cleaning constants (Raffel et al. 2020, arXiv:1910.10683 §2.2):
+#: keep lines ending in terminal punctuation with >= 5 words; drop
+#: pages with < 3 retained lines, any '{', or 'lorem ipsum'.
+C4_TERMINAL_RE = _re.compile(r'[.!?"]$')
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+C4_LINE_TOKENS = 8  # augmentation: tokens per synthesized line
+
+
+def c4_augment_lines(doc_id: int, text: str) -> str:
+    """Deterministically restructure a word-soup document into
+    line-oriented text so the C4 filter exercises real decisions (the
+    scrub-query `_augment` pattern — the raw corpus has no newlines or
+    punctuation): 8-token lines, terminal punctuation cycling
+    '.'/'!'/'?'/'' on (doc_id + line_idx) % 4, plus a 'lorem ipsum'
+    page-killer every 37th doc and a '{' page-killer every 41st. The
+    identical construction is expressed in the SQL oracle."""
+    toks = (text or "").split()
+    lines = []
+    for idx in range((len(toks) + C4_LINE_TOKENS - 1) // C4_LINE_TOKENS):
+        chunk = toks[idx * C4_LINE_TOKENS:(idx + 1) * C4_LINE_TOKENS]
+        p = ['.', '!', '?', ''][(doc_id + idx) % 4]
+        lines.append(" ".join(chunk) + p)
+    if doc_id % 37 == 0:
+        lines.append("lorem ipsum dolor sit amet.")
+    if doc_id % 41 == 0:
+        lines.append("config { debug = true }.")
+    return "\n".join(lines)
+
+
+def c4_filter_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                    text_col: str = "text") -> pa.Table:
+    """C4-style cleaning over line-structured text: a line is retained
+    iff it ends in terminal punctuation ('.', '!', '?', '"') AND has
+    >= 5 whitespace words; the page is kept iff it has >= 3 retained
+    lines and contains neither '{' nor 'lorem ipsum' (case-insensitive).
+    Emits (id, n_lines, n_kept, keep, clean_text) where clean_text is
+    the retained lines newline-joined ('' when dropped). Documents with
+    zero lines emit no row. Embarrassingly parallel — no shuffle, no
+    state; inherently per-doc string work, like scrub."""
+    ids, n_lines, n_kept, keeps, cleans = [], [], [], [], []
+    for rid, t in zip(batch.column(id_col).to_pylist(),
+                      batch.column(text_col).to_pylist()):
+        lines = (t or "").split("\n") if t else []
+        if not lines:
+            continue
+        lk = [1 if (C4_TERMINAL_RE.search(ln)
+                    and len(ln.split()) >= C4_MIN_LINE_WORDS) else 0
+              for ln in lines]
+        kept = sum(lk)
+        bad_page = any("{" in ln for ln in lines) or \
+            any("lorem ipsum" in ln.lower() for ln in lines)
+        keep = 0 if (bad_page or kept < C4_MIN_KEPT_LINES) else 1
+        ids.append(rid)
+        n_lines.append(len(lines))
+        n_kept.append(kept)
+        keeps.append(keep)
+        cleans.append("\n".join(ln for ln, k in zip(lines, lk) if k)
+                      if keep else "")
+    return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                     "n_lines": pa.array(n_lines, type=pa.int64()),
+                     "n_kept": pa.array(n_kept, type=pa.int64()),
+                     "keep": pa.array(keeps, type=pa.int64()),
+                     "clean_text": pa.array(cleans, type=pa.string())})
+
+
+# --- CCNet-style perplexity bucketing ----------------------------------------
+
+#: CCNet splits each language into head/middle/tail thirds by reference
+#: perplexity (Wenzek et al. 2019, arXiv:1911.00359 §3.3); here the
+#: fluency surrogate is the integer mean reference-bigram frequency in
+#: parts-per-thousand — (tot_freq * 1000) // n_bigrams — so thresholds
+#: and buckets are exact-integer decisions the SQL oracle reproduces.
+CCNET_PCTS = (33, 67)
+
+
+def ccnet_buckets(docs: ray.data.Dataset, model: dict[str, int], *,
+                  id_col: str = "doc_id",
+                  lang_col: str = "lang") -> ray.data.Dataset:
+    """Per-language head/middle/tail bucketing by reference-LM fluency
+    (the CCNet corpus-partitioning step downstream of bigram_lm_score):
+
+    1. score every doc against the broadcast bigram model (map-side,
+       lang label carried through — no join);
+    2. integer fluency_ppk = (tot_freq * 1000) // n_bigrams;
+    3. per-lang p33/p67 thresholds as exact discrete lower quantiles
+       over a (lang, fluency_ppk) histogram — the shuffle carries
+       distinct (lang, score) pairs, bounded by the score domain,
+       never the row stream (the grouped_exact_quantiles shape);
+    4. thresholds (n_langs x 2 ints) broadcast once; the bucket label
+       is one streamed vectorized comparison.
+
+    The scored dataset is materialized once: it is consumed by both the
+    histogram pass and the final bucket map, and re-executing the
+    scoring would double the model work. It is 3 narrow int/str columns
+    (~24 B/row), the one intermediate this operator pins.
+
+    Returns (id, lang, fluency_ppk, bucket in 'head'|'middle'|'tail'):
+    head = most fluent third (score >= p67), tail = least."""
+    from .relational import sharded_group_sum
+
+    scored = bigram_lm_score(docs, model, id_col=id_col,
+                             keep_cols=(lang_col,), emit_total=True)
+
+    def to_ppk(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_bigrams").to_numpy()
+        tot = batch.column("tot_freq").to_numpy()
+        ppk = tot * 1000 // n
+        return pa.table({id_col: batch.column(id_col),
+                         lang_col: batch.column(lang_col),
+                         "fluency_ppk": pa.array(ppk, type=pa.int64())})
+
+    sc = scored.map_batches(to_ppk, batch_format="pyarrow").materialize()
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({lang_col: df[lang_col],
+                             "fluency_ppk": df["fluency_ppk"],
+                             "n": np.ones(len(df), dtype=np.int64)})
+
+    hist = sharded_group_sum(
+        sc.map_batches(hist_partial, batch_format="pandas"),
+        keys=[lang_col, "fluency_ppk"], sum_cols=["n"]).to_pandas()
+
+    th: dict[str, tuple[int, int]] = {}
+    for lang, g in hist.groupby(lang_col):
+        g = g.sort_values("fluency_ppk")
+        cum = np.cumsum(g["n"].to_numpy(np.int64))
+        vals = g["fluency_ppk"].to_numpy(np.int64)
+        total = int(cum[-1])
+        pick = [int(vals[np.searchsorted(cum, (total - 1) * p // 100,
+                                         side="right")])
+                for p in CCNET_PCTS]
+        th[lang] = (pick[0], pick[1])
+    th_ref = ray.put(th)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(th_ref)
+        p33 = df[lang_col].map({k: v[0] for k, v in t.items()}).to_numpy(np.int64)
+        p67 = df[lang_col].map({k: v[1] for k, v in t.items()}).to_numpy(np.int64)
+        ppk = df["fluency_ppk"].to_numpy(np.int64)
+        lab = np.where(ppk >= p67, "head",
+                       np.where(ppk >= p33, "middle", "tail"))
+        out = df[[id_col, lang_col, "fluency_ppk"]].copy()
+        out["bucket"] = lab
+        return out
+
+    return sc.map_batches(bucket, batch_format="pandas")

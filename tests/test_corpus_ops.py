@@ -541,3 +541,51 @@ def test_sharded_group_sum_matches_pandas(ray_session):
                     .sort_values(keys).reset_index(drop=True))
             pd.testing.assert_frame_equal(got[keys + ["v"]], want,
                                           check_dtype=False)
+
+
+def test_c4_filter_rules(ray_session):
+    """C4 line+page rules on hand-built docs: page-killers ('{',
+    'lorem ipsum'), the 3-retained-line floor, and both line rules
+    (terminal punctuation, >= 5 words)."""
+    import pyarrow as pa
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.corpus_ops import c4_filter_batch
+
+    good = "one two three four five.\nsix seven eight nine ten!\n" \
+           "is this a real question?\nshort one."  # 3 kept + 1 too-short
+    brace = good + "\nconfig { nope }."
+    lorem = good + "\nLorem Ipsum filler text here."
+    two_lines = "one two three four five.\nsix seven eight nine ten!"
+    no_punct = "one two three four five\nsix seven eight nine ten\n" \
+               "a b c d e\nf g h i j"
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                    "text": [good, brace, lorem, two_lines, no_punct]})
+    out = c4_filter_batch(tbl).to_pandas().set_index("doc_id")
+    assert out.loc[1, "keep"] == 1 and out.loc[1, "n_kept"] == 3
+    assert out.loc[1, "clean_text"].count("\n") == 2  # short line removed
+    assert out.loc[2, "keep"] == 0          # '{' page-killer
+    assert out.loc[3, "keep"] == 0          # lorem ipsum (case-insensitive)
+    assert out.loc[4, "keep"] == 0          # only 2 retained lines
+    assert out.loc[5, "keep"] == 0 and out.loc[5, "n_kept"] == 0
+    assert (out.loc[[2, 3, 4, 5], "clean_text"] == "").all()
+
+
+def test_ccnet_buckets_ordering(ray_session):
+    """Within every language the bucket label is monotone in the
+    fluency score: min(head) >= max(middle) boundary-consistent with
+    the per-lang thresholds, and all three buckets are populated on
+    the fixture corpus."""
+    from incident_pii_redactor_ray.pipelines.queries import q_ccnet_buckets
+
+    df = q_ccnet_buckets(SF).to_pandas()
+    assert set(df["bucket"]) == {"head", "middle", "tail"}
+    for lang, g in df.groupby("lang"):
+        h = g[g["bucket"] == "head"]["fluency_ppk"]
+        m = g[g["bucket"] == "middle"]["fluency_ppk"]
+        t = g[g["bucket"] == "tail"]["fluency_ppk"]
+        assert len(h) and len(m) and len(t), lang
+        assert h.min() > m.max() or h.min() >= m.max()  # thresholds inclusive
+        assert m.min() > t.max() or m.min() >= t.max()
+        # CCNet thirds: no bucket should swallow the language
+        assert max(len(h), len(m), len(t)) <= 0.5 * len(g)

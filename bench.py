@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "bigram_lm", "inverted_index", "running_total", "dedup_filter",
     "top_unshipped", "region_revenue", "window_rank", "segment_scrub",
     "gopher_filter", "outlier_flags", "group_quantiles", "csv_roundtrip",
-    "c4_filter", "ccnet_buckets", "returned_items",
+    "c4_filter", "ccnet_buckets", "returned_items", "ann_pq_topk",
 ]
 
 

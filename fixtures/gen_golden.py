@@ -254,6 +254,70 @@ def gen_semantic_dedup(sf_dir: str, *, threshold: float = 0.4, k: int = 16,
     })
 
 
+def gen_ann_pq_topk(sf_dir: str, *, k: int = 10, m: int = 16, ks: int = 64,
+                    iters: int = 10, seed: int = 42, sample_rows: int = 4096,
+                    n_queries: int = 8) -> pa.Table:
+    """Independent single-process PQ/ADC top-k (no imports from
+    stages/similarity): per-subspace L2 Lloyd codebooks trained on the
+    first sample_rows L2-normalized rows (rng seed = seed + sub, empty
+    clusters keep their previous centroid), corpus encoded to m uint8
+    codes, queries scored by ADC lookup-table gather-sum, top-k by
+    (approx desc, id asc) excluding self, round-6 after ranking."""
+    ids, emb, key = _load_embeddings(sf_dir)
+
+    qmask = ids < n_queries
+    qids = ids[qmask]
+    order = np.argsort(qids)
+    qn = _norm_rows(emb[qmask][order])
+    qids = qids[order]
+
+    x = _norm_rows(emb[:sample_rows])
+    n, dim = x.shape
+    d = dim // m
+    books = np.empty((m, ks, d), dtype=np.float64)
+    for sub in range(m):
+        xs = x[:, sub * d:(sub + 1) * d]
+        rng = np.random.default_rng(seed + sub)
+        cent = xs[rng.choice(n, size=ks, replace=False)].copy()
+        for _ in range(iters):
+            assign = np.argmin(-2.0 * (xs @ cent.T)
+                               + (cent * cent).sum(axis=1), axis=1)
+            for c in range(ks):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[sub] = cent
+
+    mn = _norm_rows(emb)
+    codes = np.empty((len(mn), m), dtype=np.int64)
+    for sub in range(m):
+        xs = mn[:, sub * d:(sub + 1) * d]
+        cent = books[sub]
+        codes[:, sub] = np.argmin(-2.0 * (xs @ cent.T)
+                                  + (cent * cent).sum(axis=1), axis=1)
+
+    sub_ix = np.arange(m)
+    rows = {"query_id": [], "rank": [], "neighbor_id": [], "approx_cosine": []}
+    for qi in range(len(qids)):
+        # lut[sub] = qn_sub . books[sub].T  -- the ADC lookup table
+        lut = np.einsum("sd,skd->sk", qn[qi].reshape(m, d), books)
+        approx = lut[sub_ix[:, None], codes.T].sum(axis=0)
+        keep = ids != qids[qi]
+        sel, sc = ids[keep], approx[keep]
+        top = np.lexsort((sel, -sc))[:k]
+        rows["query_id"].extend([int(qids[qi])] * len(top))
+        rows["rank"].extend(range(1, len(top) + 1))
+        rows["neighbor_id"].extend(sel[top].tolist())
+        rows["approx_cosine"].extend(np.round(sc[top], 6).tolist())
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], type=pa.int64()),
+        "rank": pa.array(rows["rank"], type=pa.int64()),
+        "neighbor_id": pa.array(rows["neighbor_id"], type=pa.int64()),
+        "approx_cosine": pa.array(rows["approx_cosine"], type=pa.float64()),
+        "corpus_key": pa.array([key] * len(rows["query_id"]), type=pa.int64()),
+    })
+
+
 def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for sf_dir in SF_DIRS:
@@ -262,6 +326,7 @@ def main() -> None:
         tables["ann_ivf_topk"] = gen_ivf_topk(sf_dir)
         tables["kmeans_clusters"] = gen_kmeans_clusters(sf_dir)
         tables["semantic_dedup"] = gen_semantic_dedup(sf_dir)
+        tables["ann_pq_topk"] = gen_ann_pq_topk(sf_dir)
         for name, table in tables.items():
             path = os.path.join(GOLDEN_DIR, f"{name}_{tag}.parquet")
             pq.write_table(table, path)

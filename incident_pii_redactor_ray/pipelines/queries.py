@@ -1097,6 +1097,15 @@ def q_ann_ivf_topk(sf_dir: str):
     return similarity.ivf_topk(_emb(sf_dir), q, qids, k=10)
 
 
+def q_ann_pq_topk(sf_dir: str):
+    """Product-quantization ANN (ADC): codebooks from a bounded
+    deterministic sample broadcast once; corpus streams through encode
+    + lookup-table scoring; golden-parquet oracle from the independent
+    single-process implementation (fixtures/gen_golden.gen_ann_pq_topk)."""
+    q, qids = _query_vectors(sf_dir)
+    return similarity.pq_topk(_emb(sf_dir), q, qids, k=10)
+
+
 def q_embedding_neardup(sf_dir: str):
     return similarity.embedding_neardup_pairs(_emb(sf_dir), threshold=0.4)
 
@@ -1902,6 +1911,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "embedding_neardup": q_embedding_neardup,
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
@@ -3084,6 +3094,17 @@ ORACLE_SQL = {
         # brute-force result
         "SELECT g.query_id, g.rank, g.neighbor_id, g.cosine "
         f"FROM read_parquet('{_GOLDEN_DIR}/ann_ivf_topk_*.parquet') g "
+        "WHERE g.corpus_key = (SELECT sum(CAST(floor(embedding[1]::DOUBLE "
+        "* 1000000 + 0.5) AS BIGINT)) FROM embeddings)"
+    ),
+
+
+    "ann_pq_topk": (
+        # seeded per-subspace Lloyd codebooks aren't SQL — golden
+        # parquet from the independent implementation
+        # (fixtures/gen_golden.gen_ann_pq_topk), keyed like ann_ivf_topk
+        "SELECT g.query_id, g.rank, g.neighbor_id, g.approx_cosine "
+        f"FROM read_parquet('{_GOLDEN_DIR}/ann_pq_topk_*.parquet') g "
         "WHERE g.corpus_key = (SELECT sum(CAST(floor(embedding[1]::DOUBLE "
         "* 1000000 + 0.5) AS BIGINT)) FROM embeddings)"
     ),

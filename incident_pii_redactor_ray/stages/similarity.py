@@ -403,3 +403,122 @@ def semantic_dedup(ds: ray.data.Dataset, *, threshold: float = 0.4,
     assigned = ds.map_batches(assign, batch_format="pyarrow")
     return assigned.groupby("cluster").map_groups(dedup_group,
                                                   batch_format="pyarrow")
+
+
+# --- product-quantization ANN -------------------------------------------------
+
+def _bounded_sample(ds: ray.data.Dataset, *, sample_rows: int,
+                    vec_col: str) -> np.ndarray:
+    """First ``sample_rows`` rows by streaming order of a deterministic
+    read (the kmeans_centroids sample rule), L2-normalized."""
+    mats = []
+    seen = 0
+    for b in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        mats.append(_batch_matrix(b, vec_col))
+        seen += len(mats[-1])
+        if seen >= sample_rows:
+            break
+    return _normalize(np.vstack(mats)[:sample_rows])
+
+
+def pq_codebooks(x: np.ndarray, *, m: int = 16, ks: int = 64,
+                 iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Per-subspace L2 Lloyd codebooks for product quantization
+    (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search"): the dim axis splits into ``m`` contiguous subspaces; each
+    trains ``ks`` centroids with seeded init (rng seed = seed + sub),
+    fixed iteration count, empty clusters keeping their previous
+    centroid. Returns (m, ks, dim//m). The exact same algorithm
+    definition is re-derived independently in fixtures/gen_golden
+    .gen_ann_pq_topk, so the golden is a true second implementation."""
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
+    d = dim // m
+    books = np.empty((m, ks, d), dtype=np.float64)
+    for sub in range(m):
+        xs = x[:, sub * d:(sub + 1) * d]
+        rng = np.random.default_rng(seed + sub)
+        cent = xs[rng.choice(n, size=ks, replace=False)].copy()
+        for _ in range(iters):
+            # argmin ||xs - c||^2 == argmin(-2 xs.c + ||c||^2)
+            assign = np.argmin(-2.0 * (xs @ cent.T)
+                               + (cent * cent).sum(axis=1), axis=1)
+            for c in range(ks):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[sub] = cent
+    return books
+
+
+def pq_encode(m_rows: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """PQ codes (n, m) uint8: per subspace, the L2-nearest codebook
+    entry of each (normalized) vector."""
+    m, ks, d = books.shape
+    codes = np.empty((len(m_rows), m), dtype=np.uint8)
+    for sub in range(m):
+        xs = m_rows[:, sub * d:(sub + 1) * d]
+        cent = books[sub]
+        codes[:, sub] = np.argmin(-2.0 * (xs @ cent.T)
+                                  + (cent * cent).sum(axis=1), axis=1)
+    return codes
+
+
+def pq_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.ndarray,
+            *, k: int = 10, m: int = 16, ks: int = 64, iters: int = 10,
+            seed: int = 42, sample_rows: int = 4096,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> ray.data.Dataset:
+    """Product-quantization approximate top-k by asymmetric distance
+    computation (ADC): codebooks train once on a bounded deterministic
+    sample and broadcast (m*ks*(dim/m) doubles — kilobytes at any
+    corpus size); every corpus batch is encoded to m uint8 codes and
+    scored against per-query lookup tables with one gather-sum — the
+    memory story of PQ at 100 TB is that the shuffled/ranked state is
+    m bytes/vector instead of the raw float payload. Final merge is the
+    partial-topk groupby of the exact path. Emits (query_id, rank,
+    neighbor_id, approx_cosine); approximation error trades against
+    m/ks.
+    """
+    sample = _bounded_sample(ds, sample_rows=sample_rows, vec_col=vec_col)
+    books = pq_codebooks(sample, m=m, ks=ks, iters=iters, seed=seed)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    # per-query ADC tables: LUT[q, sub, code] = q_sub . centroid[code]
+    nq, dim = qn.shape
+    d = dim // m
+    lut = np.einsum("qsd,skd->qsk", qn.reshape(nq, m, d), books)
+    ref = ray.put((lut, np.asarray(query_ids, dtype=np.int64), books))
+
+    class AdcScore:
+        def __init__(self):
+            self.lut, self.qids, self.books = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _normalize(_batch_matrix(batch, vec_col))
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            codes = pq_encode(mat, self.books)
+            out_q, out_n, out_c = [], [], []
+            sub_ix = np.arange(codes.shape[1])
+            for qi in range(len(self.qids)):
+                approx = self.lut[qi][sub_ix, codes].sum(axis=1)
+                kk = min(k + 1, len(ids))
+                part = _topk_tiebreak(approx, ids, kk)
+                out_q.extend([int(self.qids[qi])] * len(part))
+                out_n.extend(ids[part].tolist())
+                out_c.extend(approx[part].tolist())
+            return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                             "neighbor_id": pa.array(out_n, type=pa.int64()),
+                             "approx_cosine": pa.array(out_c, type=pa.float64())})
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["approx_cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["approx_cosine"] = g["approx_cosine"].round(6)
+        return g[["query_id", "rank", "neighbor_id", "approx_cosine"]]
+
+    return (ds.map_batches(AdcScore, batch_format="pyarrow", concurrency=2)
+              .groupby("query_id")
+              .map_groups(merge_topk, batch_format="pandas"))

@@ -348,3 +348,19 @@ def test_semantic_dedup_planted(ray_session):
     hit = out[out.vec_id == 40]
     assert len(hit) == 1 and hit.iloc[0]["dup_of"] == 7
     assert hit.iloc[0]["cosine"] >= 0.999999
+
+
+def test_ann_pq_recall(registry):
+    """PQ/ADC with 16 subspaces x 64 codes must recover a meaningful
+    share of the exact top-10 and never rank a self-match."""
+    qs, _ = registry
+    pq_df = to_pandas(qs["ann_pq_topk"](SF))
+    exact = to_pandas(qs["ann_topk"](SF))
+    hits = 0
+    for q in exact["query_id"].unique():
+        e = set(exact[exact.query_id == q]["neighbor_id"])
+        a = set(pq_df[pq_df.query_id == q]["neighbor_id"])
+        hits += len(e & a) / len(e)
+    recall = hits / exact["query_id"].nunique()
+    assert recall > 0.4, recall
+    assert (pq_df["neighbor_id"] != pq_df["query_id"]).all()

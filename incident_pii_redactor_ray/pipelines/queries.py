@@ -1799,7 +1799,7 @@ def q_returned_items(sf_dir: str):
     never the row stream."""
     import pyarrow.compute as pc
 
-    from ..stages.relational import bucketed_hash_join, sharded_group_sum
+    from ..stages.relational import bucketed_hash_join
 
     nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
     nk_to_name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
@@ -1834,15 +1834,24 @@ def q_returned_items(sf_dir: str):
         return g.groupby("o_custkey", as_index=False)["rev_e4"].sum()
 
     partials = bucketed_hash_join(li, orders, on="o_orderkey",
-                                  post=cust_partial)
-    agg = sharded_group_sum(partials.map_batches(
+                                  post=cust_partial).map_batches(
         lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
-        batch_format="pandas"), keys=["c_custkey"], sum_cols=["rev_e4"])
+        batch_format="pandas")
 
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name", "c_nationkey"])
-    joined = bucketed_hash_join(agg, cust, on="c_custkey").to_pandas()
+
+    # second fusion: the join on c_custkey co-locates every partial of
+    # a customer in one bucket, so the FINAL per-customer sum runs
+    # inside the join too — no separate aggregate exchange at all
+    def cust_final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("c_custkey", as_index=False).agg(
+            rev_e4=("rev_e4", "sum"), c_name=("c_name", "first"),
+            c_nationkey=("c_nationkey", "first"))
+
+    joined = bucketed_hash_join(partials, cust, on="c_custkey",
+                                post=cust_final).to_pandas()
     joined["n_name"] = joined["c_nationkey"].map(nk_to_name)
     top = joined.sort_values(["rev_e4", "c_custkey"],
                              ascending=[False, True]).head(20)

@@ -228,6 +228,41 @@ def q_stratified_sample(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+SAMPLE_K = 20
+
+
+def q_sample_k_per_group(sf_dir: str):
+    """Fixed-SIZE deterministic per-stratum sample: the k docs per
+    language with the smallest fmix32(doc_id), ties by doc_id — the
+    exact-count companion to rate-based stratified sampling (eval-set
+    carving, per-source quotas). Scale shape: each batch emits a
+    partial top-k, so at most (num_blocks x langs x k) rows ever cross
+    the shuffle regardless of corpus size; the finish runs per group
+    over lang-cardinality tiny groups."""
+    from ..functions.hashing import fmix32
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    k = SAMPLE_K
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": batch.column("lang").to_pandas(),
+            "doc_id": np.asarray(batch.column("doc_id"), dtype=np.int64)})
+        df["h"] = fmix32(df["doc_id"].to_numpy()).astype(np.int64)
+        df = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        return pa.Table.from_pandas(df.groupby("lang", sort=False).head(k),
+                                    preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort").head(k)
+        return g.assign(rk=np.arange(1, len(g) + 1, dtype=np.int64))[
+            ["lang", "doc_id", "rk"]]
+
+    return parts.groupby("lang").map_groups(finish, batch_format="pandas")
+
+
 def q_lang_source_pivot(sf_dir: str):
     """Pivot rollup: documents counted by lang x source, one column per
     source — groupby partials then a driver-side pivot of the tiny
@@ -1717,6 +1752,30 @@ def q_langid_model(sf_dir: str):
     return ds.map_batches(roundcols, batch_format="pyarrow")
 
 
+def q_langid_confusion(sf_dir: str):
+    """Confusion-matrix rollup of the langid model against the corpus'
+    nominal labels — the standard model-eval aggregate over a scored
+    corpus. Inference is the same actor-pool ScorerStage as
+    langid_model; the rollup groups on (true, predicted), so the
+    shuffle carries at most lang-cardinality^2 cells of counts. The
+    oracle joins the committed langid golden parquet back to the
+    documents table, so the engine's model scores are still
+    hash-checked, cell by cell."""
+    from ray.data.aggregate import Count as _Count
+    from ..stages.actors import ScorerStage
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "lang_true", "content"])
+
+    ds = ds.map_batches(rename, batch_format="pyarrow")
+    ds = ds.map_batches(ScorerStage, batch_format="pyarrow",
+                        batch_size=256, concurrency=2)
+    return (ds.groupby(["lang_true", "lang_detected"])
+              .aggregate(_Count(alias_name="n")))
+
+
 def q_hygiene_full(sf_dir: str):
     """Flagship hygiene pipeline over the documents table mapped into
     the source-file schema (north_rule shape)."""
@@ -1876,6 +1935,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "train_val_split": q_train_val_split,
     "stratified_sample": q_stratified_sample,
+    "sample_k_per_group": q_sample_k_per_group,
     "lang_source_pivot": q_lang_source_pivot,
     "bpe_token_count": q_bpe_token_count,
     "winnow_fingerprint": q_winnow_fingerprint,
@@ -1929,6 +1989,7 @@ QUERIES = {
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "langid_model": q_langid_model,
+    "langid_confusion": q_langid_confusion,
     "hygiene_full": q_hygiene_full,
     "orders_customer_join": q_orders_customer_join,
     "orders_customer_bucket_join": q_orders_customer_bucket_join,
@@ -2563,6 +2624,21 @@ ORACLE_SQL = {
         "WHEN 'fr' THEN 0.25 WHEN 'zh' THEN 0.25 ELSE 0.0 END"
     ),
 
+    "sample_k_per_group": (
+        # fmix32 CTE chain (the stratified_sample reproduction) + a
+        # per-language ROW_NUMBER window capped at SAMPLE_K
+        "WITH " + "".join([
+            "h0 AS (SELECT doc_id, lang, doc_id % 4294967296 AS h FROM documents), ",
+            "h1 AS (SELECT doc_id, lang, ((xor(h, h // 65536)::HUGEINT * 2246822507)"
+            " % 4294967296)::BIGINT AS h FROM h0), ",
+            "h2 AS (SELECT doc_id, lang, ((xor(h, h // 8192)::HUGEINT * 3266489909)"
+            " % 4294967296)::BIGINT AS h FROM h1), ",
+            "hf AS (SELECT doc_id, lang, xor(h, h // 65536) AS h FROM h2) "])
+        + "SELECT lang, doc_id, rk FROM (SELECT lang, doc_id, "
+        "row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk "
+        f"FROM hf) WHERE rk <= {SAMPLE_K}"
+    ),
+
     "lang_source_pivot": (
         "SELECT lang, "
         + ", ".join(
@@ -3076,6 +3152,17 @@ ORACLE_SQL = {
         "SELECT g.doc_id, g.lang_detected, g.lang_confidence, g.perplexity "
         f"FROM read_parquet('{_GOLDEN_DIR}/langid_model_*.parquet') g "
         "WHERE g.corpus_key = (SELECT sum(n_chars) FROM documents)"
+    ),
+
+    "langid_confusion": (
+        # the committed langid golden joined back to the corpus' nominal
+        # labels: the model's per-doc predictions are still what the
+        # hash checks, cell by cell
+        "SELECT d.lang AS lang_true, g.lang_detected, count(*) AS n "
+        f"FROM read_parquet('{_GOLDEN_DIR}/langid_model_*.parquet') g "
+        "JOIN documents d USING (doc_id) "
+        "WHERE g.corpus_key = (SELECT sum(n_chars) FROM documents) "
+        "GROUP BY 1, 2"
     ),
 
     "hygiene_full": (

@@ -21,6 +21,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Mean, Sum
 
+from ..stages import corpus_ops as _cops
 from ..stages import dedup, similarity, textstats
 from ..stages.multimodal import (AudioFeatureStage, MediaFeatureStage,
                                  VideoFrameSampleStage, audio_from_documents,
@@ -1833,6 +1834,40 @@ def q_c4_filter(sf_dir: str):
         .map_batches(c4_filter_batch, batch_format="pyarrow")
 
 
+def q_starcoder_filter(sf_dir: str):
+    """StarCoder/The-Stack-style code-file gate (long-line cap, alnum
+    floor, auto-generated markers) over documents deterministically
+    restructured into code-shaped lines (the c4 augmentation
+    convention). Embarrassingly parallel; the SQL oracle rebuilds the
+    augmentation AND every gate from the raw table."""
+    from ..stages.corpus_ops import code_augment_lines, starcoder_filter_batch
+
+    def aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        txts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([code_augment_lines(i, t) for i, t in zip(ids, txts)],
+                             type=pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(aug, batch_format="pyarrow") \
+        .map_batches(starcoder_filter_batch, batch_format="pyarrow")
+
+
+def q_secrets_scan(sf_dir: str):
+    """Credential audit over the corpus: deterministic secret-shaped
+    token injection (vectorized, doc_id modulus) followed by one
+    RE2 count kernel per pattern (AWS key ids, GitHub PATs, PEM
+    headers, 40-hex tokens). Map-side only; the oracle reproduces the
+    injection and counts with the same RE2 patterns in DuckDB."""
+    from ..stages.corpus_ops import secrets_augment_batch, secrets_scan_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(secrets_augment_batch, batch_format="pyarrow") \
+        .map_batches(secrets_scan_batch, batch_format="pyarrow")
+
+
 def q_ccnet_buckets(sf_dir: str):
     """CCNet-style per-language head/middle/tail thirds by reference-LM
     fluency (Wenzek et al. 2019 §3.3): bigram model trained on the 'en'
@@ -1916,6 +1951,122 @@ def q_returned_items(sf_dir: str):
                              ascending=[False, True]).head(20)
     return top[["c_custkey", "c_name", "n_name", "rev_e4"]] \
         .rename(columns={"rev_e4": "revenue_e4"}).reset_index(drop=True)
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H-Q6-shaped revenue forecast: pruned 4-column read, all
+    filters and the revenue product vectorized in ONE map pass, one
+    int64 partial per batch — the only thing that ever leaves a worker
+    is a single number. Discount compares in exact integer cents."""
+    import pyarrow.compute as pc
+
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(batch.column("l_shipdate"), pa.scalar(lo)),
+                    pc.less(batch.column("l_shipdate"), pa.scalar(hi))),
+            pc.less(batch.column("l_quantity"), pa.scalar(24.0)))
+        batch = batch.filter(keep)
+        dc = np.round(np.asarray(batch.column("l_discount"),
+                                 dtype=np.float64) * 100).astype(np.int64)
+        m = (dc >= 5) & (dc <= 7)
+        price_c = np.round(np.asarray(batch.column("l_extendedprice"),
+                                      dtype=np.float64)[m] * 100).astype(np.int64)
+        return pa.table({"rev_e4": pa.array([int((price_c * dc[m]).sum())],
+                                            type=pa.int64())})
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_quantity", "l_discount", "l_extendedprice"]
+    ).map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame([{"forecast_revenue_e4": int(parts["rev_e4"].sum())}])
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H-Q14-shaped promo share: the part dim broadcasts ONCE as
+    sorted aligned (partkey, is_promo) arrays and each lineitem batch
+    resolves it with one searchsorted (the region_revenue pattern, FK
+    guard included); two int64 partials per batch; the percentage is
+    ONE double division at the very end."""
+    import pyarrow.compute as pc
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas().sort_values("p_partkey")
+    promo_ref = ray.put((part["p_partkey"].to_numpy(np.int64),
+                         part["p_type"].str.startswith("PROMO").to_numpy()))
+    lo, hi = pd.Timestamp("1997-09-01"), pd.Timestamp("1997-10-01")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch.column("l_shipdate"), pa.scalar(lo)),
+                       pc.less(batch.column("l_shipdate"), pa.scalar(hi)))
+        batch = batch.filter(keep)
+        pk, isp = ray.get(promo_ref)
+        rev = np.asarray(_rev_e4(batch), dtype=np.int64)
+        want = np.asarray(batch.column("l_partkey"))
+        if len(want):
+            pos = np.searchsorted(pk, want)
+            if not (pos < len(pk)).all() or not np.array_equal(pk[pos], want):
+                raise ValueError("promo_revenue: lineitem references a "
+                                 "partkey missing from part")
+            promo = int(rev[isp[pos]].sum())
+        else:
+            promo = 0
+        return pa.table({"promo_e4": pa.array([promo], type=pa.int64()),
+                         "total_e4": pa.array([int(rev.sum())], type=pa.int64())})
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(partial, batch_format="pyarrow").to_pandas()
+    promo, total = int(parts["promo_e4"].sum()), int(parts["total_e4"].sum())
+    return pd.DataFrame([{
+        "promo_revenue_e4": promo, "total_revenue_e4": total,
+        "promo_pct": round(100.0 * promo / total, 6)}])
+
+
+LARGE_ORDER_QTY_CENTS = 25_000  # sum(l_quantity) > 250.00
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H-Q18-shaped large-volume-order report. The per-orderkey
+    quantity rollup has data-scaled group count, so it runs through
+    sharded_group_sum (per-batch partials, 256-way shard, vectorized
+    finish); the >threshold survivors are TINY and broadcast back as
+    semi-filters over the orders and customer streams — neither big
+    table ever crosses an all-to-all, and the final merges join
+    tiny-with-tiny on the driver."""
+    from ..stages.relational import broadcast_semi_join, sharded_group_sum
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_quantity"])
+
+    def qty_cents(batch: pa.Table) -> pa.Table:
+        q = np.asarray(batch.column("l_quantity"), dtype=np.float64)
+        return pa.table({
+            "o_orderkey": batch.column("l_orderkey"),
+            "qty_cents": pa.array(np.round(q * 100).astype(np.int64))})
+
+    sums = sharded_group_sum(li.map_batches(qty_cents, batch_format="pyarrow"),
+                             keys=["o_orderkey"], sum_cols=["qty_cents"]).to_pandas()
+    big = sums[sums["qty_cents"] > LARGE_ORDER_QTY_CENTS]
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    od = broadcast_semi_join(orders, big["o_orderkey"], on="o_orderkey").to_pandas()
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+    cd = broadcast_semi_join(cust, od["o_custkey"], on="c_custkey").to_pandas()
+
+    out = od.merge(big, on="o_orderkey").merge(cd, left_on="o_custkey",
+                                               right_on="c_custkey")
+    out["totalprice_e2"] = np.round(
+        out["o_totalprice"].to_numpy(np.float64) * 100).astype(np.int64)
+    return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "totalprice_e2", "qty_cents"]].rename(
+        columns={"qty_cents": "sum_qty_cents"}).reset_index(drop=True)
 
 
 # --------------------------------------------------------------------------
@@ -2018,6 +2169,11 @@ QUERIES = {
     "c4_filter": q_c4_filter,
     "ccnet_buckets": q_ccnet_buckets,
     "returned_items": q_returned_items,
+    "starcoder_filter": q_starcoder_filter,
+    "secrets_scan": q_secrets_scan,
+    "forecast_revenue": q_forecast_revenue,
+    "promo_revenue": q_promo_revenue,
+    "large_orders": q_large_orders,
 }
 
 _EN_MARKERS = textstats.LANG_MARKERS["en"]
@@ -3139,6 +3295,92 @@ ORACLE_SQL = {
         "SELECT c.doc_id, (d.doc_id IS NULL) AS keep "
         "FROM corpus c LEFT JOIN dropped d ON d.doc_id = c.doc_id"
     ),
+    "starcoder_filter": (
+        # rebuilds the deterministic code-line augmentation (6-token
+        # lines, 4-space indent cycling i%3, 127-char line on doc_id%23,
+        # autogen header on doc_id%29) AND the StarCoder gates from the
+        # raw table
+        r"WITH t AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), "
+        r"'\S+') AS toks FROM documents), "
+        "base AS (SELECT doc_id, "
+        "  [repeat('    ', i % 3) || array_to_string(toks[i*6+1 : i*6+6], ' ') "
+        "   FOR i IN range(0, (len(toks) + 5) // 6)] AS ls FROM t), "
+        "aug AS (SELECT doc_id, "
+        "  (CASE WHEN doc_id % 29 = 0 THEN ['# auto-generated file, do not edit.'] "
+        "   ELSE []::VARCHAR[] END) || ls "
+        "  || (CASE WHEN doc_id % 23 = 0 THEN ['s = \"' || repeat('x', 120) || '\"'] "
+        "      ELSE []::VARCHAR[] END) AS ls FROM base), "
+        "j AS (SELECT doc_id, ls, array_to_string(ls, chr(10)) AS t FROM aug "
+        "  WHERE len(ls) > 0), "
+        "m AS (SELECT doc_id, len(ls)::BIGINT AS n_lines, "
+        "  list_max(list_transform(ls, l -> length(l)))::BIGINT AS max_line_len, "
+        "  length(regexp_replace(t, '[^A-Za-z0-9]', '', 'g'))::BIGINT AS n_alnum, "
+        "  length(t)::BIGINT AS n_chars_aug, "
+        "  CASE WHEN contains(t, 'auto-generated') OR contains(t, 'do not edit') "
+        "    THEN 1 ELSE 0 END::BIGINT AS autogen FROM j) "
+        "SELECT doc_id, n_lines, max_line_len, n_alnum, n_chars_aug, autogen, "
+        "CASE WHEN max_line_len <= 100 AND 4 * n_alnum >= n_chars_aug "
+        "  AND autogen = 0 THEN 1 ELSE 0 END::BIGINT AS keep FROM m"
+    ),
+
+    "secrets_scan": (
+        # injection chain and RE2 patterns are built from the SAME
+        # constants the engine uses (corpus_ops.SECRET_INJECT /
+        # SECRET_PATTERNS), so the two sides cannot drift
+        "WITH aug AS (SELECT doc_id, coalesce(text, '')"
+        + "".join(
+            f" || CASE WHEN doc_id % {mod} = 0 THEN '{s}' ELSE '' END"
+            for mod, s in _cops.SECRET_INJECT)
+        + " AS t FROM documents) SELECT doc_id, "
+        + ", ".join(
+            f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name}"
+            for name, pat in _cops.SECRET_PATTERNS.items())
+        + ", (" + " + ".join(
+            f"len(regexp_extract_all(t, '{pat}'))"
+            for pat in _cops.SECRET_PATTERNS.values())
+        + ")::BIGINT AS n_secrets"
+        + ", CASE WHEN " + " + ".join(
+            f"len(regexp_extract_all(t, '{pat}'))"
+            for pat in _cops.SECRET_PATTERNS.values())
+        + " > 0 THEN 1 ELSE 0 END::BIGINT AS has_secrets FROM aug"
+    ),
+
+    "forecast_revenue": (
+        "SELECT sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) "
+        "  * CAST(round(l_discount * 100, 0) AS BIGINT))::BIGINT "
+        "  AS forecast_revenue_e4 "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "AND CAST(round(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7 "
+        "AND l_quantity < 24"
+    ),
+
+    "promo_revenue": (
+        "WITH l AS (SELECT l_partkey, "
+        "  CAST(round(l_extendedprice * 100, 0) AS BIGINT) "
+        "  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev "
+        "  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-09-01' "
+        "  AND l_shipdate < TIMESTAMP '1997-10-01'), "
+        "s AS (SELECT sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN l.rev "
+        "  ELSE 0 END)::BIGINT AS promo_revenue_e4, "
+        "  sum(l.rev)::BIGINT AS total_revenue_e4 "
+        "  FROM l JOIN part p ON p.p_partkey = l.l_partkey) "
+        "SELECT promo_revenue_e4, total_revenue_e4, "
+        "round(100.0 * promo_revenue_e4 / total_revenue_e4, 6) AS promo_pct "
+        "FROM s"
+    ),
+
+    "large_orders": (
+        "WITH s AS (SELECT l_orderkey, "
+        "  sum(CAST(round(l_quantity * 100, 0) AS BIGINT))::BIGINT AS sum_qty_cents "
+        f"  FROM lineitem GROUP BY l_orderkey HAVING sum_qty_cents > {LARGE_ORDER_QTY_CENTS}) "
+        "SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, "
+        "CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS totalprice_e2, "
+        "s.sum_qty_cents "
+        "FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey"
+    ),
+
     # --- golden-parquet oracles -------------------------------------
     # langid / perplexity / keep-labels are model inference (hashed
     # n-gram NB + trigram LM), not expressible as SQL over the input

@@ -1868,6 +1868,17 @@ def q_secrets_scan(sf_dir: str):
         .map_batches(secrets_scan_batch, batch_format="pyarrow")
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style hashed-token importance scores (Xie et al. 2023):
+    target = the 'en' slice, raw = the whole corpus; per-doc
+    (s_target, s_raw) integer evidence sums over 1024 md5 buckets,
+    keep by integer cross-multiplication. Histograms reduce through a
+    bucket-bounded groupby and broadcast back once."""
+    from ..stages.corpus_ops import dsir_scores
+
+    return dsir_scores(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
 def q_ccnet_buckets(sf_dir: str):
     """CCNet-style per-language head/middle/tail thirds by reference-LM
     fluency (Wenzek et al. 2019 §3.3): bigram model trained on the 'en'
@@ -2170,6 +2181,7 @@ QUERIES = {
     "ccnet_buckets": q_ccnet_buckets,
     "returned_items": q_returned_items,
     "starcoder_filter": q_starcoder_filter,
+    "dsir_weights": q_dsir_weights,
     "secrets_scan": q_secrets_scan,
     "forecast_revenue": q_forecast_revenue,
     "promo_revenue": q_promo_revenue,
@@ -3343,6 +3355,29 @@ ORACLE_SQL = {
             f"len(regexp_extract_all(t, '{pat}'))"
             for pat in _cops.SECRET_PATTERNS.values())
         + " > 0 THEN 1 ELSE 0 END::BIGINT AS has_secrets FROM aug"
+    ),
+
+    "dsir_weights": (
+        # bucket(tok) = int(md5(tok)[:8], 16) % 1024 as an exact
+        # hex-digit sum (the bloom_dedup idiom); target/raw histograms
+        # and per-doc evidence sums are all exact-integer joins
+        r"WITH tok AS (SELECT doc_id, lang, "
+        r"  unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS tok "
+        "  FROM documents), "
+        "b AS (SELECT doc_id, lang, "
+        "  list_sum([(instr('0123456789abcdef', md5(tok)[i:i]) - 1)::BIGINT "
+        "    * (1::BIGINT << (4*(8-i))) for i in generate_series(1, 8)]) "
+        f"  % {_cops.DSIR_BUCKETS} AS bkt FROM tok), "
+        f"tc AS (SELECT bkt, count(*)::BIGINT AS t FROM b "
+        f"  WHERE lang = '{_cops.DSIR_TARGET_LANG}' GROUP BY bkt), "
+        "rc AS (SELECT bkt, count(*)::BIGINT AS r FROM b GROUP BY bkt), "
+        "s AS (SELECT b.doc_id, sum(coalesce(tc.t, 0))::BIGINT AS s_target, "
+        "  sum(rc.r)::BIGINT AS s_raw FROM b "
+        "  LEFT JOIN tc USING (bkt) JOIN rc USING (bkt) GROUP BY b.doc_id) "
+        "SELECT doc_id, s_target, s_raw, "
+        f"CASE WHEN {_cops.DSIR_KEEP_DEN} * s_target >= "
+        f"{_cops.DSIR_KEEP_NUM} * s_raw THEN 1 ELSE 0 END::BIGINT AS keep "
+        "FROM s"
     ),
 
     "forecast_revenue": (

@@ -1196,3 +1196,121 @@ def secrets_scan_batch(batch: pa.Table, *, id_col: str = "doc_id",
     cols["n_secrets"] = total
     cols["has_secrets"] = pc.cast(pc.greater(total, 0), pa.int64())
     return pa.table(cols)
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance scoring (Xie et al. 2023, arXiv:2302.03169)
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+#: keep iff DSIR_KEEP_DEN * s_target >= DSIR_KEEP_NUM * s_raw — an
+#: integer cross-multiplication of exact sums (no float threshold);
+#: 0.37 sits at the fixture corpus' ratio median (the shared word-soup
+#: vocabulary keeps per-language bucket ratios close to the global en
+#: token share, so the gate splits on the small real signal)
+DSIR_KEEP_NUM = 37
+DSIR_KEEP_DEN = 100
+
+
+def _md5_buckets(unique_tokens: np.ndarray) -> np.ndarray:
+    """md5-derived bucket ids — md5 runs only over a batch's UNIQUE
+    vocabulary, never the token stream. The md5-hex construction is
+    what makes the bucket assignment ANSI-SQL-reproducible (the
+    bloom_dedup digit-sum idiom)."""
+    import hashlib
+    return np.fromiter(
+        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % DSIR_BUCKETS
+         for t in unique_tokens), dtype=np.int64, count=len(unique_tokens))
+
+
+def _token_stream(batch: pa.Table, text_col: str):
+    """(doc_index_per_token, token_values) for the '\\S+' token stream
+    of a batch — vectorized Arrow split/flatten, empties filtered with
+    doc alignment preserved."""
+    col = batch.column(text_col)
+    if pa.types.is_null(col.type):  # an all-null block types as null
+        col = pc.cast(col, pa.string())
+    txt = pc.fill_null(col, "")
+    lst = pc.split_pattern_regex(txt, pattern=_WS_PATTERN).combine_chunks()
+    offsets = np.asarray(lst.offsets)
+    lengths = np.diff(offsets)
+    di_all = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    flat = lst.flatten()
+    mask = np.asarray(pc.not_equal(flat, ""))
+    return di_all[mask], flat.filter(pa.array(mask))
+
+
+def dsir_hist_partial(batch: pa.Table, *, text_col: str = "text",
+                      lang_col: str = "lang") -> pa.Table:
+    """Per-batch (bucket, n_target, n_raw) histogram partial: the
+    downstream reduce sees at most DSIR_BUCKETS rows per batch, never
+    the token stream."""
+    di, toks = _token_stream(batch, text_col)
+    uniq, inv = np.unique(np.asarray(toks, dtype=object), return_inverse=True)
+    bkt = _md5_buckets(uniq)[inv] if len(uniq) else np.empty(0, np.int64)
+    raw = np.bincount(bkt, minlength=DSIR_BUCKETS).astype(np.int64)
+    lcol = batch.column(lang_col)
+    if pa.types.is_null(lcol.type):
+        lcol = pc.cast(lcol, pa.string())
+    is_t = np.asarray(pc.equal(pc.fill_null(lcol, ""), DSIR_TARGET_LANG))
+    tgt = np.bincount(bkt[is_t[di]], minlength=DSIR_BUCKETS).astype(np.int64)
+    nz = (raw > 0) | (tgt > 0)
+    return pa.table({"bucket": pa.array(np.nonzero(nz)[0], type=pa.int64()),
+                     "n_target": pa.array(tgt[nz], type=pa.int64()),
+                     "n_raw": pa.array(raw[nz], type=pa.int64())})
+
+
+def dsir_scores(ds: ray.data.Dataset, *, id_col: str = "doc_id",
+                text_col: str = "text", lang_col: str = "lang"
+                ) -> ray.data.Dataset:
+    """DSIR-style hashed-token importance scores: target = the
+    'en'-labelled slice, raw = the whole corpus; every token maps to
+    one of 1024 md5 buckets, and a document's importance evidence is
+    (s_target, s_raw) = the sums of the GLOBAL target/raw bucket
+    counts over its token instances (the hashed-multinomial
+    importance-ratio numerator/denominator of DSIR, kept as exact
+    integers instead of a log-ratio so the SQL oracle reproduces every
+    value). keep is an integer cross-multiplication.
+
+    Scale shape: the two global histograms reduce through a
+    bucket-bounded groupby (<= 1024 groups) and broadcast back ONCE
+    via ray.put; scoring is one streamed map pass with np.add.at
+    segment sums; md5 only ever touches per-batch unique vocabulary.
+    Zero-token documents emit no row (the c4 convention)."""
+    from .relational import sharded_group_sum
+
+    hist = sharded_group_sum(
+        ds.map_batches(lambda b: dsir_hist_partial(
+            b, text_col=text_col, lang_col=lang_col),
+            batch_format="pyarrow"),
+        keys=["bucket"], sum_cols=["n_target", "n_raw"],
+        num_shards=32).to_pandas()
+    T = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    R = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    T[hist["bucket"].to_numpy(np.int64)] = hist["n_target"].to_numpy(np.int64)
+    R[hist["bucket"].to_numpy(np.int64)] = hist["n_raw"].to_numpy(np.int64)
+    hist_ref = ray.put((T, R))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tt, rr = ray.get(hist_ref)
+        di, toks = _token_stream(batch, text_col)
+        uniq, inv = np.unique(np.asarray(toks, dtype=object),
+                              return_inverse=True)
+        n = batch.num_rows
+        s_t = np.zeros(n, dtype=np.int64)
+        s_r = np.zeros(n, dtype=np.int64)
+        if len(uniq):
+            bkt = _md5_buckets(uniq)[inv]
+            np.add.at(s_t, di, tt[bkt])
+            np.add.at(s_r, di, rr[bkt])
+        has = np.zeros(n, dtype=bool)
+        has[np.unique(di)] = True
+        keep = (DSIR_KEEP_DEN * s_t >= DSIR_KEEP_NUM * s_r).astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col).filter(pa.array(has)),
+            "s_target": pa.array(s_t[has], type=pa.int64()),
+            "s_raw": pa.array(s_r[has], type=pa.int64()),
+            "keep": pa.array(keep[has], type=pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -589,3 +589,104 @@ def test_ccnet_buckets_ordering(ray_session):
         assert m.min() > t.max() or m.min() >= t.max()
         # CCNet thirds: no bucket should swallow the language
         assert max(len(h), len(m), len(t)) <= 0.5 * len(g)
+
+
+def test_starcoder_filter_rules():
+    from incident_pii_redactor_ray.stages.corpus_ops import (
+        code_augment_lines, starcoder_filter_batch)
+
+    words = " ".join(["word"] * 30)
+    # 23*29 = 667: doc 0 gets BOTH injections; 23 gets the long line;
+    # 29 the autogen header; 1 neither
+    texts = {i: code_augment_lines(i, words) for i in (0, 1, 23, 29)}
+    assert texts[23].split("\n")[-1].startswith('s = "x')
+    assert len(texts[23].split("\n")[-1]) == 126
+    assert texts[29].split("\n")[0] == "# auto-generated file, do not edit."
+
+    batch = pa.table({
+        "doc_id": pa.array(list(texts), type=pa.int64()),
+        "text": pa.array([texts[i] for i in texts], type=pa.string())})
+    out = starcoder_filter_batch(batch).to_pandas().set_index("doc_id")
+    assert out.loc[1, "keep"] == 1
+    assert out.loc[23, "keep"] == 0 and out.loc[23, "max_line_len"] == 126
+    assert out.loc[29, "keep"] == 0 and out.loc[29, "autogen"] == 1
+    assert out.loc[0, "keep"] == 0
+    # empty doc emits no row (c4 convention); autogen-only doc keeps its line
+    empty = starcoder_filter_batch(pa.table({
+        "doc_id": pa.array([5], type=pa.int64()),
+        "text": pa.array([""], type=pa.string())})).to_pandas()
+    assert len(empty) == 0
+
+
+def test_secrets_scan_each_pattern():
+    from incident_pii_redactor_ray.stages.corpus_ops import (
+        SECRET_INJECT, secrets_augment_batch, secrets_scan_batch)
+
+    # 11*13*17*19 = 46189: doc 0 collects every injection exactly once
+    ids = [0, 1, 11, 13, 17, 19]
+    batch = pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(["plain text"] * len(ids), type=pa.string())})
+    out = secrets_scan_batch(secrets_augment_batch(batch)) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_secrets"] == 0 and out.loc[1, "has_secrets"] == 0
+    assert out.loc[11, "n_hex40"] == 1
+    assert out.loc[13, "n_aws"] == 1
+    assert out.loc[17, "n_github"] == 1
+    assert out.loc[19, "n_pem"] == 1
+    assert out.loc[0, "n_secrets"] == len(SECRET_INJECT)
+    assert out.loc[0, "has_secrets"] == 1
+    # hex40 must NOT fire inside the 46-char github token or the AWS id
+    assert out.loc[13, "n_hex40"] == 0 and out.loc[17, "n_hex40"] == 0
+
+
+def test_secrets_scan_null_text():
+    from incident_pii_redactor_ray.stages.corpus_ops import (
+        secrets_augment_batch, secrets_scan_batch)
+
+    batch = pa.table({"doc_id": pa.array([2, 11], type=pa.int64()),
+                      "text": pa.array([None, None], type=pa.string())})
+    out = secrets_scan_batch(secrets_augment_batch(batch)) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc[2, "n_secrets"] == 0
+    assert out.loc[11, "n_hex40"] == 1  # injection applies to coalesced ''
+
+
+def test_dsir_separation_disjoint_vocab(ray_session):
+    # disjoint vocabularies: target-language docs must out-score the
+    # rest decisively (the fixture corpus shares one vocabulary, so the
+    # sf parity rows can't show separation — this corpus can)
+    import ray.data
+    from incident_pii_redactor_ray.stages.corpus_ops import dsir_scores
+
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append({"doc_id": i, "lang": "en",
+                         "text": "alpha beta gamma delta " * 5})
+        else:
+            rows.append({"doc_id": i, "lang": "zh",
+                         "text": "omega psi chi phi " * 5})
+    ds = ray.data.from_items(rows)
+    out = dsir_scores(ds).to_pandas().set_index("doc_id").sort_index()
+    en = out.loc[[i for i in range(40) if i % 2 == 0]]
+    zh = out.loc[[i for i in range(40) if i % 2 == 1]]
+    # en docs: every token lives in en-only buckets -> s_target == s_raw
+    assert (en["s_target"] == en["s_raw"]).all()
+    assert (en["keep"] == 1).all()
+    # zh docs: zero target evidence (no bucket collision in this vocab)
+    assert (zh["s_target"] < zh["s_raw"]).all()
+    assert (zh["keep"] == 0).all()
+
+
+def test_dsir_zero_token_docs_emit_no_row(ray_session):
+    import ray.data
+    from incident_pii_redactor_ray.stages.corpus_ops import dsir_scores
+
+    ds = ray.data.from_items([
+        {"doc_id": 0, "lang": "en", "text": "one two three"},
+        {"doc_id": 1, "lang": "en", "text": ""},
+        {"doc_id": 2, "lang": "en", "text": None},
+        {"doc_id": 3, "lang": "en", "text": "   "}])
+    out = dsir_scores(ds).to_pandas()
+    assert out["doc_id"].tolist() == [0]

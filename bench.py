@@ -39,7 +39,8 @@ BENCH_QUERIES = [
     "gopher_filter", "outlier_flags", "group_quantiles", "csv_roundtrip",
     "c4_filter", "ccnet_buckets", "returned_items", "ann_pq_topk",
     "starcoder_filter", "secrets_scan", "forecast_revenue", "promo_revenue",
-    "large_orders", "sample_k_per_group", "dsir_weights",
+    "large_orders", "sample_k_per_group", "dsir_weights", "grouped_variance",
+    "embedding_outliers",
 ]
 
 

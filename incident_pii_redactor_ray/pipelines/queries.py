@@ -1964,6 +1964,71 @@ def q_returned_items(sf_dir: str):
         .rename(columns={"rev_e4": "revenue_e4"}).reset_index(drop=True)
 
 
+def q_grouped_variance(sf_dir: str):
+    """Exact-moment grouped population variance: per-batch partials
+    carry the integer moments (n, sum_cents, sum_sq_cents); the final
+    variance is assembled from Python-int exact moments with ONE
+    double division ((n*ssq - s^2) / n^2), so the SQL re-derivation
+    (HUGEINT arithmetic) hash-matches. Group count is bounded
+    (event types), so the reduce is a tiny native groupby."""
+    ev = _events(sf_dir, ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+        g = pd.DataFrame({"event_type": df["event_type"], "n": 1,
+                          "s_cents": cents, "ssq_cents": cents * cents})
+        return g.groupby("event_type", as_index=False).sum()
+
+    agg = (ev.map_batches(partial, batch_format="pandas")
+             .groupby("event_type")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("s_cents", alias_name="s_cents"),
+                        Sum("ssq_cents", alias_name="ssq_cents"))).to_pandas()
+    # Python-int moments: n*ssq and s^2 overflow int64 well inside the
+    # test scale (s ~ 2e9 -> s^2 ~ 4e18); the oracle uses HUGEINT
+    agg["var_cents2"] = [
+        round(float(int(n) * int(q) - int(s) ** 2) / float(int(n) ** 2), 6)
+        for n, s, q in zip(agg["n"], agg["s_cents"], agg["ssq_cents"])]
+    return agg
+
+
+def q_embedding_outliers(sf_dir: str):
+    """Prototypicality screen in embedding space (the cluster-quality
+    gate next to SemDeDup): k-means assignment (centroids broadcast,
+    one matmul per batch), then a per-cluster exact discrete p10
+    threshold on the cosine in integer micro-units — a vector in the
+    bottom decile of its cluster is flagged. The histogram shuffle
+    carries distinct (cluster, c6) pairs, never the vectors."""
+    from ..stages.relational import grouped_exact_quantiles
+
+    assigned = similarity.assign_clusters(_emb(sf_dir), k=16)
+
+    def to_c6(batch: pa.Table) -> pa.Table:
+        c6 = np.floor(np.asarray(batch.column("cos_to_centroid"),
+                                 dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "cluster": batch.column("cluster"),
+                         "c6": pa.array(c6, type=pa.int64())})
+
+    withc6 = assigned.map_batches(to_c6, batch_format="pyarrow").materialize()
+    # c6 is ALREADY integer micro-units: scale=1.0 makes the helper's
+    # cents transform (floor(v*scale + 0.5)) the identity
+    th = grouped_exact_quantiles(withc6, group_col="cluster", val_col="c6",
+                                 pcts=(10,), scale=1.0)
+    th_map = dict(zip(th["cluster"].astype(int), th["p10_cents"].astype(int)))
+    th_ref = ray.put(th_map)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(th_ref)
+        p10 = df["cluster"].map(t).to_numpy(np.int64)
+        df = df.copy()
+        df["outlier"] = (df["c6"].to_numpy(np.int64) <= p10).astype(np.int64)
+        return df
+
+    return withc6.map_batches(flag, batch_format="pandas")
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H-Q6-shaped revenue forecast: pruned 4-column read, all
     filters and the revenue product vectorized in ONE map pass, one
@@ -2183,6 +2248,8 @@ QUERIES = {
     "starcoder_filter": q_starcoder_filter,
     "dsir_weights": q_dsir_weights,
     "secrets_scan": q_secrets_scan,
+    "grouped_variance": q_grouped_variance,
+    "embedding_outliers": q_embedding_outliers,
     "forecast_revenue": q_forecast_revenue,
     "promo_revenue": q_promo_revenue,
     "large_orders": q_large_orders,
@@ -3378,6 +3445,39 @@ ORACLE_SQL = {
         f"CASE WHEN {_cops.DSIR_KEEP_DEN} * s_target >= "
         f"{_cops.DSIR_KEEP_NUM} * s_raw THEN 1 ELSE 0 END::BIGINT AS keep "
         "FROM s"
+    ),
+
+    "grouped_variance": (
+        # population variance from exact integer moments; HUGEINT keeps
+        # n*ssq and s^2 exact (they overflow BIGINT at bench scale), the
+        # ::DOUBLE cast and single division mirror the engine's
+        # float(num)/float(den)
+        "WITH m AS (SELECT event_type, count(*)::BIGINT AS n, "
+        "  sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS s_cents, "
+        "  sum(CAST(round(value * 100, 0) AS BIGINT) "
+        "      * CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS ssq_cents "
+        "  FROM events GROUP BY event_type) "
+        "SELECT event_type, n, s_cents, ssq_cents, "
+        "round((n::HUGEINT * ssq_cents - s_cents::HUGEINT * s_cents)::DOUBLE "
+        "  / (n::HUGEINT * n)::DOUBLE, 6) AS var_cents2 FROM m"
+    ),
+
+    "embedding_outliers": (
+        # per-cluster discrete lower p10 on the golden cosine in exact
+        # integer micro-units (the group_quantiles rule)
+        "WITH g AS (SELECT vec_id, cluster, "
+        "  CAST(floor(cos_to_centroid * 1000000 + 0.5) AS BIGINT) AS c6 "
+        f"  FROM read_parquet('{_GOLDEN_DIR}/kmeans_clusters_*.parquet') "
+        "  WHERE corpus_key = (SELECT sum(CAST(floor(embedding[1]::DOUBLE "
+        "    * 1000000 + 0.5) AS BIGINT)) FROM embeddings)), "
+        "r AS (SELECT vec_id, cluster, c6, "
+        "  row_number() OVER (PARTITION BY cluster ORDER BY c6) - 1 AS rn, "
+        "  count(*) OVER (PARTITION BY cluster) AS n FROM g), "
+        "t AS (SELECT cluster, max(CASE WHEN rn = ((n-1)*10)//100 THEN c6 "
+        "  END)::BIGINT AS p10 FROM r GROUP BY cluster) "
+        "SELECT g.vec_id, g.cluster, g.c6, "
+        "CASE WHEN g.c6 <= t.p10 THEN 1 ELSE 0 END::BIGINT AS outlier "
+        "FROM g JOIN t USING (cluster)"
     ),
 
     "forecast_revenue": (

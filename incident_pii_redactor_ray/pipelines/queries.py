@@ -1868,6 +1868,18 @@ def q_secrets_scan(sf_dir: str):
         .map_batches(secrets_scan_batch, batch_format="pyarrow")
 
 
+def q_cms_counts(sf_dir: str):
+    """Count-min sketch token counts (Cormode & Muthukrishnan 2005):
+    a fixed 4x1024 mergeable counter table built from per-batch cell
+    partials (<= 4096 rows leave any batch), broadcast once; every
+    distinct token's estimate is the min over the salted rows, emitted
+    next to its exact count. Collisions (overcounts) are part of the
+    hash-checked contract — the oracle rebuilds the identical table."""
+    from ..stages.corpus_ops import cms_estimates
+
+    return cms_estimates(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR-style hashed-token importance scores (Xie et al. 2023):
     target = the 'en' slice, raw = the whole corpus; per-doc
@@ -2247,6 +2259,7 @@ QUERIES = {
     "returned_items": q_returned_items,
     "starcoder_filter": q_starcoder_filter,
     "dsir_weights": q_dsir_weights,
+    "cms_counts": q_cms_counts,
     "secrets_scan": q_secrets_scan,
     "grouped_variance": q_grouped_variance,
     "embedding_outliers": q_embedding_outliers,
@@ -3422,6 +3435,27 @@ ORACLE_SQL = {
             f"len(regexp_extract_all(t, '{pat}'))"
             for pat in _cops.SECRET_PATTERNS.values())
         + " > 0 THEN 1 ELSE 0 END::BIGINT AS has_secrets FROM aug"
+    ),
+
+    "cms_counts": (
+        # rebuilds the exact 4x1024 CMS table: cell(r, tok) from the
+        # row-salted md5 digit-sum bucket, estimate = min over rows —
+        # bucket collisions and all
+        r"WITH tok AS (SELECT unnest(regexp_extract_all(coalesce(text, ''), "
+        r"'\S+')) AS tok FROM documents), "
+        "cnt AS (SELECT tok, count(*)::BIGINT AS n FROM tok GROUP BY tok), "
+        f"rws AS (SELECT unnest(range({_cops.CMS_D})) AS r), "
+        "pairs AS (SELECT cnt.tok, cnt.n, rws.r, "
+        "  list_sum([(instr('0123456789abcdef', "
+        "    md5(rws.r::VARCHAR || ':' || cnt.tok)[i:i]) - 1)::BIGINT "
+        "    * (1::BIGINT << (4*(8-i))) for i in generate_series(1, 8)]) "
+        f"  % {_cops.CMS_W} AS col FROM cnt, rws), "
+        "cells AS (SELECT r, col, sum(n)::BIGINT AS cell_n FROM pairs "
+        "  GROUP BY r, col) "
+        "SELECT p.tok AS token, p.n AS n_exact, "
+        "min(c.cell_n)::BIGINT AS n_est FROM pairs p "
+        "JOIN cells c ON c.r = p.r AND c.col = p.col "
+        "GROUP BY p.tok, p.n"
     ),
 
     "dsir_weights": (

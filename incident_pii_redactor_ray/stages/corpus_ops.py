@@ -1314,3 +1314,88 @@ def dsir_scores(ds: ray.data.Dataset, *, id_col: str = "doc_id",
             "keep": pa.array(keep[has], type=pa.int64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan 2005) — mergeable counters
+# --------------------------------------------------------------------------
+
+CMS_W = 1024
+CMS_D = 4
+
+
+def _cms_buckets(unique_tokens: np.ndarray, row: int) -> np.ndarray:
+    """Row-salted md5 bucket ids (the dsir _md5_buckets idiom with a
+    '<row>:' salt) — SQL-reproducible via the hex-digit sum."""
+    import hashlib
+    pre = f"{row}:".encode("utf-8")
+    return np.fromiter(
+        (int(hashlib.md5(pre + t.encode("utf-8")).hexdigest()[:8], 16) % CMS_W
+         for t in unique_tokens), dtype=np.int64, count=len(unique_tokens))
+
+
+def cms_partial(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Per-batch CMS cell partial: at most CMS_D * CMS_W rows leave a
+    batch regardless of its token count — the fixed-memory mergeable
+    counter table (vs the vocabulary-sized exact term_frequencies)."""
+    _, toks = _token_stream(batch, text_col)
+    uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                             return_counts=True)
+    rows_out, cols_out, n_out = [], [], []
+    for r in range(CMS_D):
+        cell = np.zeros(CMS_W, dtype=np.int64)
+        if len(uniq):
+            np.add.at(cell, _cms_buckets(uniq, r), counts.astype(np.int64))
+        nz = np.nonzero(cell)[0]
+        rows_out.append(np.full(len(nz), r, dtype=np.int64))
+        cols_out.append(nz.astype(np.int64))
+        n_out.append(cell[nz])
+    return pa.table({
+        "row": pa.array(np.concatenate(rows_out), type=pa.int64()),
+        "col": pa.array(np.concatenate(cols_out), type=pa.int64()),
+        "n": pa.array(np.concatenate(n_out), type=pa.int64())})
+
+
+def cms_estimates(ds: ray.data.Dataset, *, text_col: str = "text"
+                  ) -> ray.data.Dataset:
+    """Count-min estimate for every distinct corpus token: the CMS
+    table reduces through a (row, col)-bounded groupby (<= 4096 cells)
+    and broadcasts ONCE; the vocabulary (exact distinct tokens from
+    term-count partials) streams through a lookup that takes the min
+    over the CMS_D salted rows. Estimates overcount only on bucket
+    collisions — the SQL oracle rebuilds the identical table, so the
+    collision behavior itself is hash-checked."""
+    from .relational import sharded_group_sum
+
+    cells = sharded_group_sum(
+        ds.map_batches(lambda b: cms_partial(b, text_col=text_col),
+                       batch_format="pyarrow"),
+        keys=["row", "col"], sum_cols=["n"], num_shards=32).to_pandas()
+    table = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    table[cells["row"].to_numpy(np.int64),
+          cells["col"].to_numpy(np.int64)] = cells["n"].to_numpy(np.int64)
+    cms_ref = ray.put(table)
+
+    def raw_term_partial(batch: pa.Table) -> pa.Table:
+        # raw-case '\S+' tokens — the SAME stream the CMS counted
+        # (term_count_partial lowercases; that would skew the exact side)
+        _, toks = _token_stream(batch, text_col)
+        uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                 return_counts=True)
+        return pa.table({"token": pa.array(uniq, type=pa.string()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    vocab = sharded_group_sum(
+        ds.map_batches(raw_term_partial, batch_format="pyarrow"),
+        keys=["token"], sum_cols=["n"], num_shards=32)
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        cms = ray.get(cms_ref)
+        toks = df["token"].to_numpy(object)
+        est = np.full(len(toks), np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(CMS_D):
+            est = np.minimum(est, cms[r, _cms_buckets(toks, r)])
+        return pd.DataFrame({"token": toks, "n_exact": df["n"].to_numpy(np.int64),
+                             "n_est": est})
+
+    return vocab.map_batches(estimate, batch_format="pandas")

@@ -690,3 +690,20 @@ def test_dsir_zero_token_docs_emit_no_row(ray_session):
         {"doc_id": 3, "lang": "en", "text": "   "}])
     out = dsir_scores(ds).to_pandas()
     assert out["doc_id"].tolist() == [0]
+
+
+def test_cms_invariants(ray_session):
+    # CMS never undercounts; estimates are parallelism-invariant (the
+    # cell partials are mergeable sums)
+    import ray.data
+    from incident_pii_redactor_ray.stages.corpus_ops import cms_estimates
+
+    rows = [{"doc_id": i, "text": f"tok{i % 50} common filler{i % 7}"}
+            for i in range(200)]
+    ds = ray.data.from_items(rows)
+    a = cms_estimates(ds).to_pandas().sort_values("token").reset_index(drop=True)
+    assert (a["n_est"] >= a["n_exact"]).all()
+    assert a.set_index("token").loc["common", "n_exact"] == 200
+    b = (cms_estimates(ds.repartition(16)).to_pandas()
+         .sort_values("token").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)

@@ -2114,6 +2114,87 @@ def q_promo_revenue(sf_dir: str):
         "promo_pct": round(100.0 * promo / total, 6)}])
 
 
+#: integer fixed-point PageRank: pr0 = PR_SCALE per node;
+#: pr_{t+1} = PR_BASE + (85 * sum_{u->v} (pr_t[u] // outdeg[u])) // 100.
+#: Every operation is integer floor arithmetic on positive values, so
+#: 10 unrolled iterations are bit-identical between the engine and the
+#: SQL oracle — an ITERATIVE distributed algorithm with an exact oracle
+#: instead of the usual golden-parquet fallback.
+PAGERANK_ITERS = 10
+PR_SCALE = 10 ** 9
+PR_BASE = 15 * PR_SCALE // 100
+
+
+def q_pagerank(sf_dir: str):
+    """PageRank over the customer<->supplier trade graph (edges =
+    distinct (custkey, suppkey) pairs from orders⨝lineitem, both
+    directions, so no dangling nodes; node ids namespaced
+    cust*2 / supp*2+1).
+
+    Scale shape: the edge list is built with ONE bucketed big-big join
+    (per-bucket dedup in the fused post hook) plus a global distinct
+    through sharded_group_sum, and stays a materialized Dataset; each
+    iteration streams the edges map-side against the broadcast
+    (node -> pr, outdeg) arrays and reduces per-batch partials through
+    sharded_group_sum — per-round shuffle is destination-aggregated
+    partials, never the edge stream. The node vector is
+    dimension-table-scale (customers + suppliers); above the broadcast
+    comfort zone the relabel would switch to a repartition join, the
+    dedup_components fallback (stages/dedup.py:478)."""
+    from ..stages.relational import bucketed_hash_join, sharded_group_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]) \
+        .map_batches(lambda b: b.rename_columns(["o_orderkey", "l_suppkey"]),
+                     batch_format="pyarrow")
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[["o_custkey", "l_suppkey"]].drop_duplicates()
+        return out.assign(one=np.int64(1))
+
+    pairs = sharded_group_sum(
+        bucketed_hash_join(li, orders, on="o_orderkey", post=pair_dedup),
+        keys=["o_custkey", "l_suppkey"], sum_cols=["one"])
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["o_custkey"].to_numpy(np.int64) * 2
+        s = df["l_suppkey"].to_numpy(np.int64) * 2 + 1
+        return pd.DataFrame({"src": np.concatenate([c, s]),
+                             "dst": np.concatenate([s, c])})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
+
+    deg = sharded_group_sum(
+        edges.map_batches(lambda df: df.assign(one=np.int64(1)),
+                          batch_format="pandas"),
+        keys=["src"], sum_cols=["one"]).to_pandas().sort_values("src")
+    node_ids = deg["src"].to_numpy(np.int64)
+    outdeg = deg["one"].to_numpy(np.int64)
+    pr = np.full(len(node_ids), PR_SCALE, dtype=np.int64)
+
+    for _ in range(PAGERANK_ITERS):
+        state = ray.put((node_ids, pr // outdeg))
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            ids, share = ray.get(state)
+            src = df["src"].to_numpy(np.int64)
+            c = share[np.searchsorted(ids, src)]
+            g = pd.DataFrame({"dst": df["dst"], "c": c})
+            return g.groupby("dst", as_index=False)["c"].sum()
+
+        sums = sharded_group_sum(
+            edges.map_batches(contrib, batch_format="pandas"),
+            keys=["dst"], sum_cols=["c"]).to_pandas()
+        c = np.zeros(len(node_ids), dtype=np.int64)
+        pos = np.searchsorted(node_ids, sums["dst"].to_numpy(np.int64))
+        c[pos] = sums["c"].to_numpy(np.int64)
+        pr = PR_BASE + (85 * c) // 100
+
+    return pd.DataFrame({"node": node_ids, "pr": pr})
+
+
 LARGE_ORDER_QTY_CENTS = 25_000  # sum(l_quantity) > 250.00
 
 
@@ -2261,6 +2342,7 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "cms_counts": q_cms_counts,
     "secrets_scan": q_secrets_scan,
+    "pagerank": q_pagerank,
     "grouped_variance": q_grouped_variance,
     "embedding_outliers": q_embedding_outliers,
     "forecast_revenue": q_forecast_revenue,
@@ -2355,7 +2437,35 @@ _DECON_SH_SQL = (
     "ELSE []::VARCHAR[] END")
 
 
+def _pagerank_sql() -> str:
+    """Unrolled exact-integer PageRank: one CTE per iteration, bit-
+    identical to the engine's fixed-point arithmetic (all positive
+    integer floor ops, order-independent sums)."""
+    ctes = [
+        "e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, "
+        "  l.l_suppkey * 2 + 1 AS dst "
+        "  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)",
+        "edges AS (SELECT src, dst FROM e0 "
+        "  UNION ALL SELECT dst AS src, src AS dst FROM e0)",
+        "deg AS (SELECT src AS node, count(*)::BIGINT AS outdeg "
+        "  FROM edges GROUP BY src)",
+        f"pr0 AS (SELECT node, {PR_SCALE}::BIGINT AS pr FROM deg)",
+    ]
+    for t in range(PAGERANK_ITERS):
+        ctes.append(
+            f"pr{t + 1} AS (SELECT d.node, "
+            f"{PR_BASE} + (85 * coalesce(s.c, 0)) // 100 AS pr "
+            "FROM deg d LEFT JOIN ("
+            "SELECT e.dst AS node, sum(p.pr // g.outdeg)::BIGINT AS c "
+            f"FROM edges e JOIN pr{t} p ON p.node = e.src "
+            "JOIN deg g ON g.node = e.src GROUP BY e.dst) s "
+            "ON s.node = d.node)")
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT node, pr::BIGINT AS pr FROM pr{PAGERANK_ITERS}")
+
+
 ORACLE_SQL = {
+    "pagerank": _pagerank_sql(),
     "lang_histogram": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
 
     "term_frequencies": (

@@ -707,3 +707,24 @@ def test_cms_invariants(ray_session):
     b = (cms_estimates(ds.repartition(16)).to_pandas()
          .sort_values("token").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pagerank_star_graph(ray_session):
+    # a hub customer trading with every supplier must out-rank spokes
+    import pyarrow.parquet as pq
+    import tempfile, os
+    import ray.data
+    from incident_pii_redactor_ray.pipelines.queries import q_pagerank
+
+    d = tempfile.mkdtemp()
+    orders = pa.table({"o_orderkey": pa.array(range(10), type=pa.int64()),
+                       "o_custkey": pa.array([1] * 10, type=pa.int64())})
+    li = pa.table({"l_orderkey": pa.array(range(10), type=pa.int64()),
+                   "l_suppkey": pa.array(range(10), type=pa.int64())})
+    pq.write_table(orders, os.path.join(d, "orders.parquet"))
+    pq.write_table(li, os.path.join(d, "lineitem.parquet"))
+    out = q_pagerank(d).sort_values("pr")
+    assert out["node"].iloc[-1] == 2  # cust 1 -> node 2, the hub
+    # spokes are symmetric: identical pr
+    spokes = out[out["node"] != 2]["pr"]
+    assert spokes.nunique() == 1

@@ -2164,7 +2164,10 @@ def q_pagerank(sf_dir: str):
         return pd.DataFrame({"src": np.concatenate([c, s]),
                              "dst": np.concatenate([s, c])})
 
-    edges = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
+    # coalesce the 256 shard-stage blocks: 10 iterations re-scan the
+    # materialized edges, so per-round task count tracks block count
+    edges = pairs.map_batches(both_dirs, batch_format="pandas") \
+        .repartition(32).materialize()
 
     deg = sharded_group_sum(
         edges.map_batches(lambda df: df.assign(one=np.int64(1)),
@@ -2174,22 +2177,31 @@ def q_pagerank(sf_dir: str):
     outdeg = deg["one"].to_numpy(np.int64)
     pr = np.full(len(node_ids), PR_SCALE, dtype=np.int64)
 
+    # each iteration is ONE map-only pass: a batch emits its
+    # dst-aggregated partial (bounded by the node count, not the edge
+    # count) and the node-indexed partials combine on the driver with
+    # np.add.at — no all-to-all per round (a sharded groupby here cost
+    # ~3 s/round of fixed exchange overhead for the same result). The
+    # combine is dimension-scale; past the broadcast comfort zone the
+    # round would switch to a repartition join (dedup_components
+    # fallback, stages/dedup.py:478).
     for _ in range(PAGERANK_ITERS):
         state = ray.put((node_ids, pr // outdeg))
 
         def contrib(df: pd.DataFrame) -> pd.DataFrame:
             ids, share = ray.get(state)
             src = df["src"].to_numpy(np.int64)
-            c = share[np.searchsorted(ids, src)]
-            g = pd.DataFrame({"dst": df["dst"], "c": c})
-            return g.groupby("dst", as_index=False)["c"].sum()
+            dst = df["dst"].to_numpy(np.int64)
+            pos = np.searchsorted(ids, dst)
+            c = np.zeros(len(ids), dtype=np.int64)
+            np.add.at(c, pos, share[np.searchsorted(ids, src)])
+            nz = np.nonzero(c)[0]
+            return pd.DataFrame({"pos": nz.astype(np.int64), "c": c[nz]})
 
-        sums = sharded_group_sum(
-            edges.map_batches(contrib, batch_format="pandas"),
-            keys=["dst"], sum_cols=["c"]).to_pandas()
+        parts = edges.map_batches(contrib, batch_format="pandas").to_pandas()
         c = np.zeros(len(node_ids), dtype=np.int64)
-        pos = np.searchsorted(node_ids, sums["dst"].to_numpy(np.int64))
-        c[pos] = sums["c"].to_numpy(np.int64)
+        np.add.at(c, parts["pos"].to_numpy(np.int64),
+                  parts["c"].to_numpy(np.int64))
         pr = PR_BASE + (85 * c) // 100
 
     return pd.DataFrame({"node": node_ids, "pr": pr})

@@ -1811,6 +1811,22 @@ def q_hygiene_full(sf_dir: str):
     return ds.map_batches(final, batch_format="pyarrow")
 
 
+def _augment_docs(ds: ray.data.Dataset, line_fn) -> ray.data.Dataset:
+    """Shared line-augmentation wrapper for the C4/StarCoder filter
+    queries: rewrite text as line_fn(doc_id, text) map-side (review
+    session 5 — one copy of the plumbing instead of one per filter)."""
+
+    def aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        txts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([line_fn(i, t) for i, t in zip(ids, txts)],
+                             type=pa.string())})
+
+    return ds.map_batches(aug, batch_format="pyarrow")
+
+
 def q_c4_filter(sf_dir: str):
     """C4-style line+page cleaning (Raffel et al. 2020 §2.2): documents
     are deterministically restructured into punctuated 8-token lines
@@ -1821,16 +1837,7 @@ def q_c4_filter(sf_dir: str):
     augmentation AND the filter from the raw table."""
     from ..stages.corpus_ops import c4_augment_lines, c4_filter_batch
 
-    def aug(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        txts = batch.column("text").to_pylist()
-        return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "text": pa.array([c4_augment_lines(i, t) for i, t in zip(ids, txts)],
-                             type=pa.string())})
-
-    return _docs(sf_dir, ["doc_id", "text"]) \
-        .map_batches(aug, batch_format="pyarrow") \
+    return _augment_docs(_docs(sf_dir, ["doc_id", "text"]), c4_augment_lines) \
         .map_batches(c4_filter_batch, batch_format="pyarrow")
 
 
@@ -1842,16 +1849,7 @@ def q_starcoder_filter(sf_dir: str):
     augmentation AND every gate from the raw table."""
     from ..stages.corpus_ops import code_augment_lines, starcoder_filter_batch
 
-    def aug(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        txts = batch.column("text").to_pylist()
-        return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "text": pa.array([code_augment_lines(i, t) for i, t in zip(ids, txts)],
-                             type=pa.string())})
-
-    return _docs(sf_dir, ["doc_id", "text"]) \
-        .map_batches(aug, batch_format="pyarrow") \
+    return _augment_docs(_docs(sf_dir, ["doc_id", "text"]), code_augment_lines) \
         .map_batches(starcoder_filter_batch, batch_format="pyarrow")
 
 
@@ -2109,6 +2107,10 @@ def q_promo_revenue(sf_dir: str):
         columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
     ).map_batches(partial, batch_format="pyarrow").to_pandas()
     promo, total = int(parts["promo_e4"].sum()), int(parts["total_e4"].sum())
+    if total == 0:  # empty window: the oracle's empty-sum row is all NULL
+        return pd.DataFrame([{"promo_revenue_e4": np.nan,
+                              "total_revenue_e4": np.nan,
+                              "promo_pct": np.nan}])
     return pd.DataFrame([{
         "promo_revenue_e4": promo, "total_revenue_e4": total,
         "promo_pct": round(100.0 * promo / total, 6)}])
@@ -3609,9 +3611,9 @@ ORACLE_SQL = {
         # ::DOUBLE cast and single division mirror the engine's
         # float(num)/float(den)
         "WITH m AS (SELECT event_type, count(*)::BIGINT AS n, "
-        "  sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS s_cents, "
-        "  sum(CAST(round(value * 100, 0) AS BIGINT) "
-        "      * CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS ssq_cents "
+        "  sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS s_cents, "
+        "  sum(CAST(floor(value * 100 + 0.5) AS BIGINT) "
+        "      * CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS ssq_cents "
         "  FROM events GROUP BY event_type) "
         "SELECT event_type, n, s_cents, ssq_cents, "
         "round((n::HUGEINT * ssq_cents - s_cents::HUGEINT * s_cents)::DOUBLE "

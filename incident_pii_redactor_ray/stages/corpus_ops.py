@@ -46,7 +46,7 @@ import ray
 import ray.data
 
 from ..functions.hashing import fmix32, mix64
-from ..functions.textbuf import ascii_token_count
+from ..functions.textbuf import WS_ASCII_RE, ascii_token_count
 
 # --- term frequencies -------------------------------------------------------
 
@@ -935,6 +935,14 @@ C4_MIN_KEPT_LINES = 3
 C4_LINE_TOKENS = 8  # augmentation: tokens per synthesized line
 
 
+def _ascii_ws_split(text: str) -> list[str]:
+    """Case-preserving RE2-'\\S+' tokens (ASCII whitespace only) — the
+    oracle-faithful tokenizer for the line augmenters: Python
+    str.split() also breaks on Unicode whitespace (NBSP, \x0b), which
+    regexp_extract_all(text, '\\S+') does not (review session 5)."""
+    return [t for t in WS_ASCII_RE.split(text) if t]
+
+
 def c4_augment_lines(doc_id: int, text: str) -> str:
     """Deterministically restructure a word-soup document into
     line-oriented text so the C4 filter exercises real decisions (the
@@ -943,7 +951,7 @@ def c4_augment_lines(doc_id: int, text: str) -> str:
     '.'/'!'/'?'/'' on (doc_id + line_idx) % 4, plus a 'lorem ipsum'
     page-killer every 37th doc and a '{' page-killer every 41st. The
     identical construction is expressed in the SQL oracle."""
-    toks = (text or "").split()
+    toks = _ascii_ws_split(text or "")
     lines = []
     for idx in range((len(toks) + C4_LINE_TOKENS - 1) // C4_LINE_TOKENS):
         chunk = toks[idx * C4_LINE_TOKENS:(idx + 1) * C4_LINE_TOKENS]
@@ -1096,7 +1104,7 @@ def code_augment_lines(doc_id: int, text: str) -> str:
     on line index, a >100-char minified-style line appended every 23rd
     doc, and an auto-generated header prepended every 29th. The
     identical construction is expressed in the SQL oracle."""
-    toks = (text or "").split()
+    toks = _ascii_ws_split(text or "")
     lines = []
     for idx in range((len(toks) + CODE_LINE_TOKENS - 1) // CODE_LINE_TOKENS):
         chunk = toks[idx * CODE_LINE_TOKENS:(idx + 1) * CODE_LINE_TOKENS]

@@ -728,3 +728,33 @@ def test_pagerank_star_graph(ray_session):
     # spokes are symmetric: identical pr
     spokes = out[out["node"] != 2]["pr"]
     assert spokes.nunique() == 1
+
+
+def test_augmenter_unicode_whitespace_oracle_parity(ray_session, tmp_path):
+    """Review session 5: NBSP / vertical-tab are whitespace for Python
+    str.split() but NOT for RE2 '\\S+' — the augmenters must tokenize
+    the RE2 way or line counts diverge from the SQL oracle."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        ORACLE_SQL, q_c4_filter, q_starcoder_filter)
+    from tests.harness import compare, to_pandas
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["foo\xa0bar\x0bbaz qux " * 8,
+                          "plain words only here " * 8], type=pa.string())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d / 'documents.parquet'}')")
+    for name, fn in (("c4_filter", q_c4_filter),
+                     ("starcoder_filter", q_starcoder_filter)):
+        eng = to_pandas(fn(str(d)))
+        sql = con.execute(ORACLE_SQL[name]).fetchdf()
+        r = compare(name + "_unicode_ws", eng, sql)
+        assert r["hash_match"], r

@@ -279,10 +279,85 @@ def run_dedup_scale() -> dict:
     }
 
 
+def run_corpus_ops_scale() -> dict:
+    """Scale point for the session-5 corpus operators (DSIR, count-min,
+    StarCoder gate, secrets scan) over the big cached source-file
+    corpus (default 2M files — the hygiene/dedup 10x corpus). Unlike
+    the word-soup documents tables, source code has a REAL vocabulary
+    (identifiers), so this also stresses the per-batch unique-token md5
+    paths. Run with CORPUS_OPS_SCALE_FILES to change the size."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data import DataContext
+
+    from fixtures.gen_corpus import corpus_path
+    from incident_pii_redactor_ray.functions.hashing import fnv1a64_arrow
+    from incident_pii_redactor_ray.shipping import register_package_by_value
+    from incident_pii_redactor_ray.stages.corpus_ops import (
+        DSIR_TARGET_LANG, cms_estimates, code_augment_lines, dsir_scores,
+        secrets_augment_batch, secrets_scan_batch, starcoder_filter_batch)
+    from incident_pii_redactor_ray.pipelines.queries import _augment_docs
+
+    register_package_by_value()
+    n_files = int(os.environ.get("CORPUS_OPS_SCALE_FILES", "2000000"))
+    corpus = corpus_path(n_files)
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        joined = pc.binary_join_element_wise(
+            batch.column("repo"), batch.column("path"), batch.column("commit"), "\x00")
+        ids = (fnv1a64_arrow(joined) >> np.uint64(1)).astype(np.int64)
+        # map the dominant source lang onto the DSIR target label
+        lang = pc.if_else(pc.equal(batch.column("lang"), "py"),
+                          DSIR_TARGET_LANG, batch.column("lang"))
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": pc.cast(batch.column("content"), pa.string()),
+                         "lang": lang})
+
+    def docs():
+        return ray.data.read_parquet(
+            corpus, columns=["repo", "path", "commit", "lang", "content"]
+        ).map_batches(to_docs, batch_format="pyarrow")
+
+    out = {"metric": "corpus_ops_scale", "n_files": n_files,
+           "num_cpus": NUM_CPUS}
+    t0 = time.time()
+    out["n_dsir_keep"] = dsir_scores(docs()).map_batches(
+        lambda df: df[df["keep"] == 1], batch_format="pandas").count()
+    out["dsir_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    out["cms_vocab"] = cms_estimates(docs()).count()
+    out["cms_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    out["starcoder_rows"] = _augment_docs(docs(), code_augment_lines) \
+        .map_batches(starcoder_filter_batch, batch_format="pyarrow").count()
+    out["starcoder_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    out["secrets_rows"] = docs().map_batches(
+        secrets_augment_batch, batch_format="pyarrow").map_batches(
+        secrets_scan_batch, batch_format="pyarrow").count()
+    out["secrets_sec"] = round(time.time() - t0, 1)
+
+    for k in ("dsir", "cms", "starcoder", "secrets"):
+        out[f"{k}_files_per_sec"] = round(n_files / out[f"{k}_sec"], 1)
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--dedup-scale" in sys.argv:
         print(json.dumps(run_dedup_scale()))
+    elif "--corpus-ops-scale" in sys.argv:
+        print(json.dumps(run_corpus_ops_scale()))
     else:
         print(json.dumps(run_bench()))

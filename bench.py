@@ -40,7 +40,7 @@ BENCH_QUERIES = [
     "c4_filter", "ccnet_buckets", "returned_items", "ann_pq_topk",
     "starcoder_filter", "secrets_scan", "forecast_revenue", "promo_revenue",
     "large_orders", "sample_k_per_group", "dsir_weights", "grouped_variance",
-    "embedding_outliers", "cms_counts", "pagerank",
+    "embedding_outliers", "cms_counts", "pagerank", "image_ahash_dedup",
 ]
 
 

@@ -1732,6 +1732,40 @@ def q_validation_metrics(sf_dir: str):
 # G. model-based (rows-only checks: no SQL equivalent)
 # --------------------------------------------------------------------------
 
+def q_image_ahash_dedup(sf_dir: str):
+    """Perceptual image near-dup screen: REAL BMP decode -> 8x8
+    integer average-hash (all integer arithmetic) -> first-wins keep
+    per hash. The shuffle carries (media_id, 64-char hash) only —
+    pixels never cross an exchange; the per-hash first-wins runs
+    vectorized inside 256 md5 shards (the exact_dedup shape, sharded
+    by hash-of-hash because the gradient fixtures cluster on hash
+    prefixes). The SQL oracle recomputes resample + grayscale + bits
+    from the fixture's closed-form pixel formula, so the engine must
+    decode the actual bytes to match."""
+    import hashlib
+
+    from ..stages.multimodal import ImageAHashStage, media_from_documents
+
+    hashed = media_from_documents(_docs(sf_dir, ["doc_id", "text"])) \
+        .map_batches(ImageAHashStage, batch_format="pyarrow", batch_size=64,
+                     concurrency=(2, 8))
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        sh = [int(hashlib.md5(h.encode()).hexdigest()[:2], 16)
+              for h in batch.column("ahash").to_pylist()]
+        return batch.append_column("shard", pa.array(sh, type=pa.int32()))
+
+    def first_flag(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("ahash")["media_id"].transform("min")
+        return pd.DataFrame({
+            "media_id": g["media_id"], "ahash": g["ahash"],
+            "keep": (g["media_id"] == first).to_numpy().astype(np.int64)})
+
+    return (hashed.map_batches(add_shard, batch_format="pyarrow")
+                  .groupby("shard")
+                  .map_groups(first_flag, batch_format="pandas"))
+
+
 def q_langid_model(sf_dir: str):
     from ..stages.actors import ScorerStage
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -2322,6 +2356,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
+    "image_ahash_dedup": q_image_ahash_dedup,
     "langid_model": q_langid_model,
     "langid_confusion": q_langid_confusion,
     "hygiene_full": q_hygiene_full,
@@ -3559,6 +3594,28 @@ ORACLE_SQL = {
             f"len(regexp_extract_all(t, '{pat}'))"
             for pat in _cops.SECRET_PATTERNS.values())
         + " > 0 THEN 1 ELSE 0 END::BIGINT AS has_secrets FROM aug"
+    ),
+
+    "image_ahash_dedup": (
+        # recomputes the 8x8 average-hash straight from the gen_image
+        # pixel formula px(y,x,c) = (id*7 + y*5 + x*3 + c*11) % 256:
+        # integer nearest-neighbor index map (i*h//8, j*w//8), grayscale
+        # = channel sum, bit = 64*cell > total — the engine must decode
+        # the real BMP bytes to reproduce the same 64 bits
+        "WITH m AS (SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, "
+        "  6 + doc_id % 5 AS h FROM documents), "
+        "g AS (SELECT media_id, flatten([["
+        "    ((media_id*7 + ((i*h)//8)*5 + ((j*w)//8)*3) % 256) "
+        "  + ((media_id*7 + ((i*h)//8)*5 + ((j*w)//8)*3 + 11) % 256) "
+        "  + ((media_id*7 + ((i*h)//8)*5 + ((j*w)//8)*3 + 22) % 256) "
+        "  for j in range(0, 8)] for i in range(0, 8)]) AS cells FROM m), "
+        "t AS (SELECT media_id, cells, list_sum(cells)::BIGINT AS total FROM g), "
+        "a AS (SELECT media_id, array_to_string("
+        "  [CASE WHEN 64 * c > total THEN '1' ELSE '0' END for c in cells], "
+        "  '') AS ahash FROM t) "
+        "SELECT media_id, ahash, "
+        "CASE WHEN media_id = min(media_id) OVER (PARTITION BY ahash) "
+        "  THEN 1 ELSE 0 END::BIGINT AS keep FROM a"
     ),
 
     "cms_counts": (

@@ -380,3 +380,35 @@ def media_from_documents(ds: ray.data.Dataset, *, text_col: str = "text",
         })
 
     return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+def ahash_bits(px: np.ndarray) -> str:
+    """64-char '0'/'1' average-hash (aHash) of an RGB pixel array — the
+    classic perceptual image fingerprint for near-dup screening:
+    integer nearest-neighbor resample to 8x8 (src = dst*dim//8, the
+    resize_image index map), grayscale as the per-pixel CHANNEL SUM
+    (0..765 — no division), bit = 64*g > total (the mean compare as an
+    integer cross-multiplication). Every step is integer arithmetic on
+    decoded pixels, so the SQL oracle recomputes the hash from the
+    fixture's closed-form pixel formula."""
+    h, w = px.shape[:2]
+    yi = (np.arange(8, dtype=np.int64) * h) // 8
+    xi = (np.arange(8, dtype=np.int64) * w) // 8
+    g = px[yi][:, xi].astype(np.int64).sum(axis=2)
+    total = int(g.sum())
+    bits = (64 * g.ravel() > total)
+    return "".join("1" if b else "0" for b in bits)
+
+
+class ImageAHashStage:
+    """map_batches stage: BMP payload -> 64-bit average-hash string.
+    Real decode per row (the MediaFeatureStage convention — codec work
+    is inherently per-payload); output carries (media_id, ahash) only,
+    so the downstream dedup shuffle never moves pixels."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = [ahash_bits(bmp_decode(p or b""))
+              for p in batch.column("payload").to_pylist()]
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "ahash": pa.array(hs, type=pa.string())})

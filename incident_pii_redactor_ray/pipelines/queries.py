@@ -1875,6 +1875,80 @@ def q_c4_filter(sf_dir: str):
         .map_batches(c4_filter_batch, batch_format="pyarrow")
 
 
+def q_corpus_prep_pipeline(sf_dir: str):
+    """END-TO-END training-corpus preparation composed from the
+    library's own gates: exact-dedup first-wins + Gopher quality +
+    StarCoder code gate + DSIR importance + leakage-safe split, with
+    keep = AND of the four gates. Scale shape: TWO tiny
+    precomputations broadcast once (the DSIR bucket histograms; the
+    dedup DROP set from a metadata-only md5 shuffle — the dedup_filter
+    convention), then every gate evaluates in ONE streaming map pass
+    over the corpus. The oracle composes the component oracle SQL
+    verbatim as named subqueries, so the pipeline cannot drift from
+    its parts."""
+    import hashlib
+
+    from ..functions.hashing import fmix32
+    from ..stages.corpus_ops import (DSIR_KEEP_DEN, DSIR_KEEP_NUM,
+                                     code_augment_lines, dsir_batch_sums,
+                                     dsir_histograms, gopher_filter_batch,
+                                     starcoder_filter_batch)
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    hist_ref = ray.put(dsir_histograms(docs))
+
+    def md5_key(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or "").encode()).hexdigest()
+              for t in batch.column("text").to_pylist()]
+        sh = [int(h[:2], 16) for h in hs]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "h": pa.array(hs, type=pa.string()),
+                         "shard": pa.array(sh, type=pa.int32())})
+
+    def drops(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("h")["doc_id"].transform("min")
+        return g.loc[g["doc_id"] != first, ["doc_id"]]
+
+    dropped = docs.map_batches(md5_key, batch_format="pyarrow") \
+        .groupby("shard").map_groups(drops, batch_format="pandas").to_pandas()
+    # a dup-free corpus yields an empty, column-less frame
+    drop_ids = (np.sort(dropped["doc_id"].to_numpy(np.int64))
+                if len(dropped) else np.empty(0, np.int64))
+    drop_ref = ray.put(drop_ids)
+
+    def flags(batch: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        base = pd.DataFrame({"doc_id": ids})
+        gop = (gopher_filter_batch(batch).to_pandas()[["doc_id", "keep"]]
+               .rename(columns={"keep": "keep_gopher"}))
+        txts = batch.column("text").to_pylist()
+        aug = pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": pa.array([code_augment_lines(i, t)
+                              for i, t in zip(ids.tolist(), txts)],
+                             type=pa.string())})
+        code = (starcoder_filter_batch(aug).to_pandas()[["doc_id", "keep"]]
+                .rename(columns={"keep": "keep_code"}))
+        tt, rr = ray.get(hist_ref)
+        s_t, s_r, has = dsir_batch_sums(batch, tt, rr)
+        dsir_keep = (DSIR_KEEP_DEN * s_t >= DSIR_KEEP_NUM * s_r) & has
+        dup = np.isin(ids, ray.get(drop_ref))
+        b = (fmix32(ids) % np.uint32(16)).astype(np.int64)
+        out = (base.merge(gop, on="doc_id", how="left")
+                   .merge(code, on="doc_id", how="left"))
+        out["keep_gopher"] = out["keep_gopher"].fillna(0).astype(np.int64)
+        out["keep_code"] = out["keep_code"].fillna(0).astype(np.int64)
+        out["keep_dedup"] = (~dup).astype(np.int64)
+        out["keep_dsir"] = dsir_keep.astype(np.int64)
+        out["split"] = np.where(b < 13, "train",
+                                np.where(b < 14, "val", "test"))
+        out["keep"] = (out["keep_dedup"] & out["keep_gopher"]
+                       & out["keep_code"] & out["keep_dsir"]).astype(np.int64)
+        return out
+
+    return docs.map_batches(flags, batch_format="pyarrow")
+
+
 def q_starcoder_filter(sf_dir: str):
     """StarCoder/The-Stack-style code-file gate (long-line cap, alnum
     floor, auto-generated markers) over documents deterministically
@@ -2387,6 +2461,7 @@ QUERIES = {
     "c4_filter": q_c4_filter,
     "ccnet_buckets": q_ccnet_buckets,
     "returned_items": q_returned_items,
+    "corpus_prep_pipeline": q_corpus_prep_pipeline,
     "starcoder_filter": q_starcoder_filter,
     "dsir_weights": q_dsir_weights,
     "cms_counts": q_cms_counts,
@@ -3900,3 +3975,24 @@ ORACLE_SQL = {
         "ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20"
     ),
 }
+
+# the composed pipeline's oracle is assembled AFTER the dict so it can
+# reuse the component oracle SQL verbatim as named subqueries — the
+# composition cannot drift from its parts
+ORACLE_SQL["corpus_prep_pipeline"] = (
+    "WITH gop AS (" + ORACLE_SQL["gopher_filter"] + "), "
+    "code AS (" + ORACLE_SQL["starcoder_filter"] + "), "
+    "dsir AS (" + ORACLE_SQL["dsir_weights"] + "), "
+    "spl AS (" + ORACLE_SQL["train_val_split"] + "), "
+    "ded AS (SELECT doc_id, CASE WHEN doc_id = min(doc_id) OVER "
+    "  (PARTITION BY md5(coalesce(text, ''))) THEN 1 ELSE 0 END::BIGINT "
+    "  AS keep_dedup FROM documents) "
+    "SELECT d.doc_id, ded.keep_dedup, "
+    "coalesce(gop.keep, 0)::BIGINT AS keep_gopher, "
+    "coalesce(code.keep, 0)::BIGINT AS keep_code, "
+    "coalesce(dsir.keep, 0)::BIGINT AS keep_dsir, spl.split, "
+    "(ded.keep_dedup * coalesce(gop.keep, 0) * coalesce(code.keep, 0) "
+    " * coalesce(dsir.keep, 0))::BIGINT AS keep "
+    "FROM documents d JOIN ded USING (doc_id) "
+    "LEFT JOIN gop USING (doc_id) LEFT JOIN code USING (doc_id) "
+    "LEFT JOIN dsir USING (doc_id) JOIN spl USING (doc_id)")

@@ -1288,6 +1288,27 @@ def dsir_scores(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     via ray.put; scoring is one streamed map pass with np.add.at
     segment sums; md5 only ever touches per-batch unique vocabulary.
     Zero-token documents emit no row (the c4 convention)."""
+    hist_ref = ray.put(dsir_histograms(ds, text_col=text_col,
+                                       lang_col=lang_col))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tt, rr = ray.get(hist_ref)
+        s_t, s_r, has = dsir_batch_sums(batch, tt, rr, text_col=text_col)
+        keep = (DSIR_KEEP_DEN * s_t >= DSIR_KEEP_NUM * s_r).astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col).filter(pa.array(has)),
+            "s_target": pa.array(s_t[has], type=pa.int64()),
+            "s_raw": pa.array(s_r[has], type=pa.int64()),
+            "keep": pa.array(keep[has], type=pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_histograms(ds: ray.data.Dataset, *, text_col: str = "text",
+                    lang_col: str = "lang") -> tuple[np.ndarray, np.ndarray]:
+    """The (target, raw) global bucket histograms behind dsir_scores —
+    bucket-bounded groupby reduce, returned as two dense int64 arrays
+    for a single ray.put broadcast."""
     from .relational import sharded_group_sum
 
     hist = sharded_group_sum(
@@ -1300,29 +1321,26 @@ def dsir_scores(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     R = np.zeros(DSIR_BUCKETS, dtype=np.int64)
     T[hist["bucket"].to_numpy(np.int64)] = hist["n_target"].to_numpy(np.int64)
     R[hist["bucket"].to_numpy(np.int64)] = hist["n_raw"].to_numpy(np.int64)
-    hist_ref = ray.put((T, R))
+    return T, R
 
-    def score(batch: pa.Table) -> pa.Table:
-        tt, rr = ray.get(hist_ref)
-        di, toks = _token_stream(batch, text_col)
-        inv, uniq = pd.factorize(np.asarray(toks, dtype=object))
-        n = batch.num_rows
-        s_t = np.zeros(n, dtype=np.int64)
-        s_r = np.zeros(n, dtype=np.int64)
-        if len(uniq):
-            bkt = _md5_buckets(uniq)[inv]
-            np.add.at(s_t, di, tt[bkt])
-            np.add.at(s_r, di, rr[bkt])
-        has = np.zeros(n, dtype=bool)
-        has[np.unique(di)] = True
-        keep = (DSIR_KEEP_DEN * s_t >= DSIR_KEEP_NUM * s_r).astype(np.int64)
-        return pa.table({
-            id_col: batch.column(id_col).filter(pa.array(has)),
-            "s_target": pa.array(s_t[has], type=pa.int64()),
-            "s_raw": pa.array(s_r[has], type=pa.int64()),
-            "keep": pa.array(keep[has], type=pa.int64())})
 
-    return ds.map_batches(score, batch_format="pyarrow")
+def dsir_batch_sums(batch: pa.Table, tt: np.ndarray, rr: np.ndarray, *,
+                    text_col: str = "text"):
+    """(s_target, s_raw, has_tokens) evidence arrays for one batch given
+    the broadcast histograms — shared by dsir_scores and the composed
+    corpus_prep_pipeline."""
+    di, toks = _token_stream(batch, text_col)
+    inv, uniq = pd.factorize(np.asarray(toks, dtype=object))
+    n = batch.num_rows
+    s_t = np.zeros(n, dtype=np.int64)
+    s_r = np.zeros(n, dtype=np.int64)
+    if len(uniq):
+        bkt = _md5_buckets(uniq)[inv]
+        np.add.at(s_t, di, tt[bkt])
+        np.add.at(s_r, di, rr[bkt])
+    has = np.zeros(n, dtype=bool)
+    has[np.unique(di)] = True
+    return s_t, s_r, has
 
 
 # --------------------------------------------------------------------------

@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "starcoder_filter", "secrets_scan", "forecast_revenue", "promo_revenue",
     "large_orders", "sample_k_per_group", "dsir_weights", "grouped_variance",
     "embedding_outliers", "cms_counts", "pagerank", "image_ahash_dedup",
-    "corpus_prep_pipeline",
+    "corpus_prep_pipeline", "audio_fp_dedup", "video_fp_dedup",
 ]
 
 

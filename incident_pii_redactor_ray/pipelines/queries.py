@@ -1732,6 +1732,55 @@ def q_validation_metrics(sf_dir: str):
 # G. model-based (rows-only checks: no SQL equivalent)
 # --------------------------------------------------------------------------
 
+def _first_wins_by_key(hashed: ray.data.Dataset, key_col: str,
+                       id_col: str = "media_id") -> ray.data.Dataset:
+    """First-wins dedup flag per string key: 256 md5-of-key shards (the
+    exact_dedup shape; md5 because fingerprint PREFIXES cluster on the
+    gradient fixtures), vectorized min per key inside each shard."""
+    import hashlib
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        sh = [int(hashlib.md5(h.encode()).hexdigest()[:2], 16)
+              for h in batch.column(key_col).to_pylist()]
+        return batch.append_column("shard", pa.array(sh, type=pa.int32()))
+
+    def first_flag(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby(key_col)[id_col].transform("min")
+        return pd.DataFrame({
+            id_col: g[id_col], key_col: g[key_col],
+            "keep": (g[id_col] == first).to_numpy().astype(np.int64)})
+
+    return (hashed.map_batches(add_shard, batch_format="pyarrow")
+                  .groupby("shard")
+                  .map_groups(first_flag, batch_format="pandas"))
+
+
+def q_audio_fp_dedup(sf_dir: str):
+    """Audio near-dup screen: REAL RIFF/PCM decode -> 16-window
+    integer energy-delta fingerprint -> first-wins keep per
+    fingerprint. The oracle recomputes every window energy from the
+    fixture's closed-form waveform."""
+    from ..stages.multimodal import AudioFingerprintStage, audio_from_documents
+
+    hashed = audio_from_documents(_docs(sf_dir, ["doc_id"])) \
+        .map_batches(AudioFingerprintStage, batch_format="pyarrow",
+                     batch_size=64, concurrency=(2, 8))
+    return _first_wins_by_key(hashed, "fingerprint")
+
+
+def q_video_fp_dedup(sf_dir: str):
+    """Video near-dup screen: real BMP decode of each SAMPLED frame
+    (1 frame/s plan) -> '-'-joined aHash sequence -> first-wins keep.
+    The oracle rebuilds the sampling plan and every frame hash from
+    the closed-form pixels."""
+    from ..stages.multimodal import VideoFingerprintStage, video_from_documents
+
+    hashed = video_from_documents(_docs(sf_dir, ["doc_id"])) \
+        .map_batches(VideoFingerprintStage, batch_format="pyarrow",
+                     batch_size=32, concurrency=(2, 8))
+    return _first_wins_by_key(hashed, "fingerprint")
+
+
 def q_image_ahash_dedup(sf_dir: str):
     """Perceptual image near-dup screen: REAL BMP decode -> 8x8
     integer average-hash (all integer arithmetic) -> first-wins keep
@@ -1742,28 +1791,12 @@ def q_image_ahash_dedup(sf_dir: str):
     prefixes). The SQL oracle recomputes resample + grayscale + bits
     from the fixture's closed-form pixel formula, so the engine must
     decode the actual bytes to match."""
-    import hashlib
-
     from ..stages.multimodal import ImageAHashStage, media_from_documents
 
     hashed = media_from_documents(_docs(sf_dir, ["doc_id", "text"])) \
         .map_batches(ImageAHashStage, batch_format="pyarrow", batch_size=64,
                      concurrency=(2, 8))
-
-    def add_shard(batch: pa.Table) -> pa.Table:
-        sh = [int(hashlib.md5(h.encode()).hexdigest()[:2], 16)
-              for h in batch.column("ahash").to_pylist()]
-        return batch.append_column("shard", pa.array(sh, type=pa.int32()))
-
-    def first_flag(g: pd.DataFrame) -> pd.DataFrame:
-        first = g.groupby("ahash")["media_id"].transform("min")
-        return pd.DataFrame({
-            "media_id": g["media_id"], "ahash": g["ahash"],
-            "keep": (g["media_id"] == first).to_numpy().astype(np.int64)})
-
-    return (hashed.map_batches(add_shard, batch_format="pyarrow")
-                  .groupby("shard")
-                  .map_groups(first_flag, batch_format="pandas"))
+    return _first_wins_by_key(hashed, "ahash")
 
 
 def q_langid_model(sf_dir: str):
@@ -2431,6 +2464,8 @@ QUERIES = {
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "image_ahash_dedup": q_image_ahash_dedup,
+    "audio_fp_dedup": q_audio_fp_dedup,
+    "video_fp_dedup": q_video_fp_dedup,
     "langid_model": q_langid_model,
     "langid_confusion": q_langid_confusion,
     "hygiene_full": q_hygiene_full,
@@ -3691,6 +3726,52 @@ ORACLE_SQL = {
         "SELECT media_id, ahash, "
         "CASE WHEN media_id = min(media_id) OVER (PARTITION BY ahash) "
         "  THEN 1 ELSE 0 END::BIGINT AS keep FROM a"
+    ),
+
+    "audio_fp_dedup": (
+        # recomputes the 16-window energy-delta fingerprint from the
+        # gen_audio closed form s[i] = (id*7919 + i*104729) % 65536
+        # - 32768; window k covers i in [k*n//16, (k+1)*n//16 - 1]
+        "WITH m AS (SELECT doc_id AS media_id, 200 + doc_id % 97 AS n "
+        "  FROM documents), "
+        "e AS (SELECT media_id, [coalesce(list_sum("
+        "  [abs((media_id*7919 + i*104729) % 65536 - 32768) "
+        "   for i in generate_series(k*n//16, (k+1)*n//16 - 1)]), 0)::BIGINT "
+        "  for k in range(0, 16)] AS es FROM m), "
+        "a AS (SELECT media_id, array_to_string("
+        "  [CASE WHEN es[k+1] > es[k] THEN '1' ELSE '0' END "
+        "   for k in generate_series(1, 15)], '') AS fingerprint FROM e) "
+        "SELECT media_id, fingerprint, "
+        "CASE WHEN media_id = min(media_id) OVER (PARTITION BY fingerprint) "
+        "  THEN 1 ELSE 0 END::BIGINT AS keep FROM a"
+    ),
+
+    "video_fp_dedup": (
+        # sampling plan step = fps (1 frame/s, integer fps 5..10);
+        # per-frame pixels px(fi,y,x,c) = (id*7 + fi*13 + y*5 + x*3
+        # + c*11) % 256 with the gen_image w/h; frame hash = the
+        # image_ahash_dedup 8x8 rule; fingerprint = '-'-join in frame
+        # order
+        "WITH m AS (SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, "
+        "  6 + doc_id % 5 AS h, 5 + doc_id % 6 AS fps, "
+        "  10 + doc_id % 11 AS nf FROM documents), "
+        "f AS (SELECT media_id, w, h, unnest([i for i in range(0, nf) "
+        "  if i % fps = 0]) AS fi FROM m), "
+        "g AS (SELECT media_id, fi, flatten([["
+        "    ((media_id*7 + fi*13 + ((i*h)//8)*5 + ((j*w)//8)*3) % 256) "
+        "  + ((media_id*7 + fi*13 + ((i*h)//8)*5 + ((j*w)//8)*3 + 11) % 256) "
+        "  + ((media_id*7 + fi*13 + ((i*h)//8)*5 + ((j*w)//8)*3 + 22) % 256) "
+        "  for j in range(0, 8)] for i in range(0, 8)]) AS cells FROM f), "
+        "t AS (SELECT media_id, fi, cells, list_sum(cells)::BIGINT AS total "
+        "  FROM g), "
+        "a AS (SELECT media_id, fi, array_to_string("
+        "  [CASE WHEN 64 * c > total THEN '1' ELSE '0' END for c in cells], "
+        "  '') AS fh FROM t), "
+        "v AS (SELECT media_id, string_agg(fh, '-' ORDER BY fi) "
+        "  AS fingerprint FROM a GROUP BY media_id) "
+        "SELECT media_id, fingerprint, "
+        "CASE WHEN media_id = min(media_id) OVER (PARTITION BY fingerprint) "
+        "  THEN 1 ELSE 0 END::BIGINT AS keep FROM v"
     ),
 
     "cms_counts": (

@@ -412,3 +412,66 @@ class ImageAHashStage:
         return pa.table({
             "media_id": batch.column("media_id"),
             "ahash": pa.array(hs, type=pa.string())})
+
+
+AUDIO_FP_WINDOWS = 16
+
+
+def audio_fingerprint_bits(samples: np.ndarray) -> str:
+    """15-char energy-delta fingerprint of a PCM waveform
+    (chromaprint-flavored, all integer arithmetic): 16 equal windows
+    (boundaries b_k = k*n//16), window energy E_k = sum |s_i| as int64,
+    bit_k = E_{k+1} > E_k. The SQL oracle recomputes the energies from
+    the fixture's closed-form waveform, so a wrong decode offset, byte
+    order or window boundary breaks the hash."""
+    n = len(samples)
+    b = (np.arange(AUDIO_FP_WINDOWS + 1, dtype=np.int64) * n) \
+        // AUDIO_FP_WINDOWS
+    cum = np.concatenate([[0], np.cumsum(np.abs(samples.astype(np.int64)))])
+    e = cum[b[1:]] - cum[b[:-1]]
+    return "".join("1" if x else "0" for x in (e[1:] > e[:-1]))
+
+
+class AudioFingerprintStage:
+    """map_batches stage: WAV payload -> energy-delta fingerprint.
+    Real RIFF/PCM decode per row; output carries (media_id,
+    fingerprint) only."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [audio_fingerprint_bits(wav_decode(p)[0])
+               for p in batch.column("payload").to_pylist()]
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "fingerprint": pa.array(fps, type=pa.string())})
+
+
+class VideoFingerprintStage:
+    """map_batches stage: video payload (concatenated equal-size BMP
+    frames) -> '-'-joined aHash sequence over the 1-frame/s sampling
+    plan. Real BMP decode of every SAMPLED frame only — the dedup
+    shuffle never moves pixels."""
+
+    def __init__(self, every_s: float = 1.0) -> None:
+        self.every_s = every_s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fps_out = [], []
+        for mid, payload, fps, nf in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("payload").to_pylist(),
+                batch.column("fps").to_pylist(),
+                batch.column("n_frames").to_pylist()):
+            payload = payload or b""
+            nf = int(nf)
+            if nf <= 0 or len(payload) % nf:
+                raise ValueError(
+                    f"media {mid}: payload of {len(payload)} bytes is not "
+                    f"{nf} equal-size frames")
+            stride = len(payload) // nf
+            hs = [ahash_bits(bmp_decode(payload[fi * stride:(fi + 1) * stride]))
+                  for fi in sample_frames(nf, float(fps), every_s=self.every_s)]
+            ids.append(mid)
+            fps_out.append("-".join(hs))
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "fingerprint": pa.array(fps_out, type=pa.string())})

@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "large_orders", "sample_k_per_group", "dsir_weights", "grouped_variance",
     "embedding_outliers", "cms_counts", "pagerank", "image_ahash_dedup",
     "corpus_prep_pipeline", "audio_fp_dedup", "video_fp_dedup",
+    "license_filter", "comment_ratio", "repo_neardup", "small_qty_revenue",
+    "idle_customers", "snapshot_diff",
 ]
 
 

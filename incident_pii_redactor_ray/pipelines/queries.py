@@ -18,6 +18,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Mean, Sum
 
@@ -2007,6 +2008,250 @@ def q_secrets_scan(sf_dir: str):
         .map_batches(secrets_scan_batch, batch_format="pyarrow")
 
 
+def q_license_filter(sf_dir: str):
+    """The-Stack-style license gate: deterministic license-header
+    injection (first matching doc_id modulus prepends one of four
+    headers — two SPDX-tagged, two prose-only), then first-match-wins
+    detection over the shared RE2 bank and a permissive-allowlist keep.
+    Map-side only; the SQL oracle is BUILT from the same
+    LICENSE_INJECT / LICENSE_PATTERNS / PERMISSIVE_LICENSES constants,
+    so the two sides cannot drift."""
+    from ..stages.corpus_ops import license_augment_batch, license_filter_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(license_augment_batch, batch_format="pyarrow") \
+        .map_batches(license_filter_batch, batch_format="pyarrow")
+
+
+def q_comment_ratio(sf_dir: str):
+    """Comment-density gate (StarCoder-style comment-to-code screen):
+    documents restructured into comment-bearing code lines (blank every
+    9th, '# ' comment every 4th, TODO tail every 5th doc), then keep
+    iff >= 4 lines and comment fraction in [10%, 30%] — both bounds
+    integer cross-multiplications. Embarrassingly parallel; the SQL
+    oracle rebuilds the augmentation AND the gate from the raw table."""
+    from ..stages.corpus_ops import comment_augment_lines, comment_ratio_batch
+
+    return _augment_docs(_docs(sf_dir, ["doc_id", "text"]),
+                         comment_augment_lines) \
+        .map_batches(comment_ratio_batch, batch_format="pyarrow")
+
+
+def q_repo_neardup(sf_dir: str):
+    """Repo-level near-dup over a forked corpus: every third file of
+    each source repo is copied into a '<source>_fork' repo, and
+    repo_neardup must flag each (src, src_fork) pair at Jaccard 1/3
+    (file-hash set similarity — The Stack v2's repo-granularity dedup).
+    Content never crosses an exchange; see stages/dedup.repo_neardup
+    for the partitioning story."""
+    from ..stages.dedup import repo_neardup
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def fork(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        m = ids % 3 == 0
+        t = batch.filter(pa.array(m))
+        src = pc.binary_join_element_wise(t.column("source"), "_fork", "")
+        return pa.table({"doc_id": pc.add(t.column("doc_id"), 10_000_000),
+                         "text": t.column("text"),
+                         "source": src})
+
+    corpus = docs.union(docs.map_batches(fork, batch_format="pyarrow"))
+    return repo_neardup(corpus, repo_col="source", text_col="text")
+
+
+SMALL_QTY_BRAND = "Brand#1"  # Q17's brand predicate
+IDLE_CUTOFF = "2000-06-01"   # Q22 variant: "no order since" cutoff
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H-Q17-shaped small-quantity-order revenue: parts of one
+    brand broadcast as a sorted key array; pass 1 streams lineitem and
+    reduces per-part (sum_qty_cents, cnt) through sharded_group_sum
+    (brand-part-scale result, broadcast back); pass 2 streams lineitem
+    again keeping rows with quantity below 20% of their part's average
+    — the float avg compare is the exact integer cross-multiplication
+    5*qty*cnt < sum — and emits one int64 revenue partial per batch.
+    The final avg_yearly is ONE double division. Two passes over the
+    fact table are inherent to Q17's agg-then-self-join shape; neither
+    pass shuffles lineitem."""
+    from ..stages.relational import sharded_group_sum
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]).to_pandas()
+    brand_keys = np.sort(part.loc[part["p_brand"] == SMALL_QTY_BRAND,
+                                  "p_partkey"].to_numpy(np.int64))
+    brand_ref = ray.put(brand_keys)
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(brand_ref)
+        pk = np.asarray(batch.column("l_partkey"), dtype=np.int64)
+        pos = np.searchsorted(keys, pk)
+        m = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == pk)
+        q = np.round(np.asarray(batch.column("l_quantity"),
+                                dtype=np.float64)[m] * 100).astype(np.int64)
+        return pa.table({"l_partkey": pa.array(pk[m]),
+                         "qty_cents": pa.array(q),
+                         "cnt": pa.array(np.ones(int(m.sum()), np.int64))})
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=li_cols)
+    agg = sharded_group_sum(
+        li.map_batches(qty_partial, batch_format="pyarrow"),
+        keys=["l_partkey"], sum_cols=["qty_cents", "cnt"]).to_pandas() \
+        .sort_values("l_partkey")
+    stats_ref = ray.put((agg["l_partkey"].to_numpy(np.int64),
+                         agg["qty_cents"].to_numpy(np.int64),
+                         agg["cnt"].to_numpy(np.int64)))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        keys, sums, cnts = ray.get(stats_ref)
+        pk = np.asarray(batch.column("l_partkey"), dtype=np.int64)
+        pos = np.searchsorted(keys, pk)
+        m = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == pk)
+        q = np.round(np.asarray(batch.column("l_quantity"),
+                                dtype=np.float64) * 100).astype(np.int64)
+        p = np.minimum(pos, len(keys) - 1)
+        small = m & (5 * q * cnts[p] < sums[p])
+        price = np.round(np.asarray(batch.column("l_extendedprice"),
+                                    dtype=np.float64)[small] * 100).astype(np.int64)
+        return pa.table({"rev_e2": pa.array([int(price.sum())], pa.int64()),
+                         "n": pa.array([int(small.sum())], pa.int64())})
+
+    parts = li.map_batches(rev_partial, batch_format="pyarrow").to_pandas()
+    total, n = int(parts["rev_e2"].sum()), int(parts["n"].sum())
+    if n == 0:  # SQL: count(*) of the empty join is 0, its sum is NULL
+        return pd.DataFrame([{"n_small": 0, "avg_yearly_e2": np.nan}])
+    return pd.DataFrame([{"n_small": n,
+                          "avg_yearly_e2": round(total / 7.0, 6)}])
+
+
+def q_idle_customers(sf_dir: str):
+    """TPC-H-Q22-shaped idle-customer report: customers with
+    above-average positive account balance and NO order since the
+    cutoff, rolled up per nation. The global (n_pos, sum_pos) threshold
+    is two int64 partials; the recently-active custkey set reduces
+    through sharded_group_sum to customer-dimension scale and
+    broadcasts back as an anti-filter (the large_orders semi-filter
+    convention, inverted); the avg compare is the integer
+    cross-multiplication cents*n_pos > sum_pos. The per-nation rollup
+    is nation-cardinality partials combined on the driver."""
+    from ..stages.relational import sharded_group_sum
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey",
+                                               "c_acctbal"])
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(np.asarray(batch.column("c_acctbal"),
+                                    dtype=np.float64) * 100).astype(np.int64)
+        pos = cents[cents > 0]
+        return pa.table({"n_pos": pa.array([len(pos)], pa.int64()),
+                         "sum_pos": pa.array([int(pos.sum())], pa.int64())})
+
+    pp = cust.map_batches(pos_partial, batch_format="pyarrow").to_pandas()
+    n_pos, sum_pos = int(pp["n_pos"].sum()), int(pp["sum_pos"].sum())
+
+    cutoff = pd.Timestamp(IDLE_CUTOFF)
+
+    def active_partial(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch.column("o_orderdate"), pa.scalar(cutoff))
+        ck = np.unique(np.asarray(batch.filter(m).column("o_custkey"),
+                                  dtype=np.int64))
+        return pa.table({"c_custkey": pa.array(ck),
+                         "one": pa.array(np.ones(len(ck), np.int64))})
+
+    active = sharded_group_sum(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderdate"])
+        .map_batches(active_partial, batch_format="pyarrow"),
+        keys=["c_custkey"], sum_cols=["one"]).to_pandas()
+    active_ref = ray.put(np.sort(active["c_custkey"].to_numpy(np.int64)))
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        act = ray.get(active_ref)
+        ck = np.asarray(batch.column("c_custkey"), dtype=np.int64)
+        cents = np.round(np.asarray(batch.column("c_acctbal"),
+                                    dtype=np.float64) * 100).astype(np.int64)
+        pos = np.searchsorted(act, ck)
+        has_order = (pos < len(act)) & (act[np.minimum(pos, len(act) - 1)] == ck)
+        keep = (~has_order) & (cents * n_pos > sum_pos)
+        df = pd.DataFrame({
+            "c_nationkey": np.asarray(batch.column("c_nationkey"),
+                                      dtype=np.int64)[keep],
+            "cents": cents[keep]})
+        g = df.groupby("c_nationkey", as_index=False).agg(
+            n_cust=("cents", "size"), total_acctbal_cents=("cents", "sum"))
+        return pa.table({
+            "c_nationkey": pa.array(g["c_nationkey"].to_numpy(np.int64)),
+            "n_cust": pa.array(g["n_cust"].to_numpy(np.int64)),
+            "total_acctbal_cents": pa.array(
+                g["total_acctbal_cents"].to_numpy(np.int64))})
+
+    parts = cust.map_batches(nation_partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"c_nationkey": pd.Series([], dtype="int64"),
+                             "n_cust": pd.Series([], dtype="int64"),
+                             "total_acctbal_cents": pd.Series([], dtype="int64")})
+    return parts.groupby("c_nationkey", as_index=False)[
+        ["n_cust", "total_acctbal_cents"]].sum()
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Incremental corpus maintenance: diff two crawl snapshots by
+    content hash — snapshot B deletes every 11th file, rewrites every
+    remaining 7th, and adds a new file for every 13th. Each side
+    reduces map-side to (doc_id, md5) — content never crosses the
+    exchange — and ONE full-outer bucketed join classifies every file
+    as added / deleted / modified / unchanged, with the status
+    computation fused into the join bucket (the post hook), so the
+    whole diff costs a single all-to-all of hash-sized rows. This is
+    the recurring-crawl shape: only 'added' + 'modified' files need
+    to re-enter the hygiene pipeline."""
+    import hashlib
+
+    from ..stages.relational import bucketed_hash_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def hash_a(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or "").encode()).hexdigest()
+              for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "h_a": pa.array(hs, type=pa.string())})
+
+    def make_b(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        txts = [(t or "") for t in batch.column("text").to_pylist()]
+        out_id, out_h = [], []
+        for i, t in zip(ids.tolist(), txts):
+            if i % 11 != 0:  # survives into snapshot B
+                body = t + " v2" if i % 7 == 0 else t
+                out_id.append(i)
+                out_h.append(hashlib.md5(body.encode()).hexdigest())
+            if i % 13 == 0:  # B gains a brand-new file
+                out_id.append(i + 2_000_000)
+                out_h.append(hashlib.md5((t + " new").encode()).hexdigest())
+        return pa.table({"doc_id": pa.array(out_id, type=pa.int64()),
+                         "h_b": pa.array(out_h, type=pa.string())})
+
+    a = docs.map_batches(hash_a, batch_format="pyarrow")
+    b = docs.map_batches(make_b, batch_format="pyarrow")
+
+    def status(df: pd.DataFrame) -> pd.DataFrame:
+        st = np.where(df["h_a"].isna(), "added",
+                      np.where(df["h_b"].isna(), "deleted",
+                               np.where(df["h_a"] != df["h_b"],
+                                        "modified", "unchanged")))
+        # pandas "string" dtype so the empty-frame schema probe infers
+        # Arrow string (an empty object column would infer null)
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "status": pd.Series(st, dtype="string")})
+
+    return bucketed_hash_join(a, b, on="doc_id", how="full", post=status)
+
+
 def q_cms_counts(sf_dir: str):
     """Count-min sketch token counts (Cormode & Muthukrishnan 2005):
     a fixed 4x1024 mergeable counter table built from per-batch cell
@@ -2507,6 +2752,12 @@ QUERIES = {
     "forecast_revenue": q_forecast_revenue,
     "promo_revenue": q_promo_revenue,
     "large_orders": q_large_orders,
+    "license_filter": q_license_filter,
+    "comment_ratio": q_comment_ratio,
+    "repo_neardup": q_repo_neardup,
+    "small_qty_revenue": q_small_qty_revenue,
+    "idle_customers": q_idle_customers,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 _EN_MARKERS = textstats.LANG_MARKERS["en"]
@@ -3885,6 +4136,121 @@ ORACLE_SQL = {
         "s.sum_qty_cents "
         "FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey "
         "JOIN customer c ON c.c_custkey = o.o_custkey"
+    ),
+
+    "license_filter": (
+        # injection precedence chain, detection bank and permissive
+        # allowlist are BUILT from the same constants the engine uses
+        # (corpus_ops.LICENSE_INJECT / LICENSE_PATTERNS /
+        # PERMISSIVE_LICENSES), so the two sides cannot drift
+        "WITH aug AS (SELECT doc_id, CASE "
+        + " ".join(f"WHEN doc_id % {mod} = 0 THEN '{h}'"
+                   for mod, h in _cops.LICENSE_INJECT)
+        + " ELSE '' END || coalesce(text, '') AS t FROM documents), "
+        "d AS (SELECT doc_id, CASE "
+        + " ".join(f"WHEN regexp_matches(t, '{pat}') THEN '{name}'"
+                   for name, pat in _cops.LICENSE_PATTERNS)
+        + " ELSE 'none' END AS license FROM aug) "
+        "SELECT doc_id, license, CASE WHEN license IN ("
+        + ", ".join(f"'{n}'" for n in sorted(_cops.PERMISSIVE_LICENSES))
+        + ") THEN 1 ELSE 0 END::BIGINT AS keep FROM d"
+    ),
+
+    "comment_ratio": (
+        # rebuilds the comment-line augmentation (6-token lines, blank
+        # on i%9, '# ' comment on i%4, TODO tail on doc_id%5) AND the
+        # density gate; the join-then-split edge (a single blank line
+        # collapses to '' => no row) is mirrored by the final filter
+        r"WITH t AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), "
+        r"'\S+') AS toks FROM documents), "
+        "base AS (SELECT doc_id, "
+        "  [CASE WHEN i % 9 = 0 THEN '' WHEN i % 4 = 0 "
+        "   THEN '# ' || array_to_string(toks[i*6+1 : i*6+6], ' ') "
+        "   ELSE array_to_string(toks[i*6+1 : i*6+6], ' ') END "
+        "   FOR i IN range(0, (len(toks) + 5) // 6)] AS ls "
+        "  FROM t WHERE len(toks) > 0), "
+        "aug AS (SELECT doc_id, ls "
+        "  || (CASE WHEN doc_id % 5 = 0 THEN "
+        "      ['# TODO cleanup', '# TODO docs', '# TODO tests'] "
+        "      ELSE []::VARCHAR[] END) AS ls FROM base), "
+        "j AS (SELECT doc_id, ls FROM aug "
+        "  WHERE array_to_string(ls, chr(10)) <> ''), "
+        "m AS (SELECT doc_id, len(ls)::BIGINT AS n_lines, "
+        "  len(list_filter(ls, l -> l LIKE '#%'))::BIGINT AS n_comment, "
+        "  len(list_filter(ls, l -> l = ''))::BIGINT AS n_blank FROM j) "
+        "SELECT doc_id, n_lines, n_comment, n_blank, "
+        "CASE WHEN n_lines >= 4 AND 100 * n_comment >= 10 * n_lines "
+        "  AND 100 * n_comment <= 30 * n_lines THEN 1 ELSE 0 END::BIGINT "
+        "  AS keep FROM m"
+    ),
+
+    "repo_neardup": (
+        # repo = set of md5 file hashes; fork corpus copies every third
+        # file into '<source>_fork'; Jaccard threshold as the integer
+        # cross-multiplication 10*|A∩B| >= 3*|A∪B|
+        "WITH corpus AS (SELECT source AS repo, md5(coalesce(text, '')) AS h "
+        "  FROM documents "
+        "  UNION ALL SELECT source || '_fork', md5(coalesce(text, '')) "
+        "  FROM documents WHERE doc_id % 3 = 0), "
+        "d AS (SELECT DISTINCT repo, h FROM corpus), "
+        "sz AS (SELECT repo, count(*)::BIGINT AS n FROM d GROUP BY repo), "
+        "inter AS (SELECT x.repo AS repo_a, y.repo AS repo_b, "
+        "  count(*)::BIGINT AS n_shared FROM d x "
+        "  JOIN d y ON x.h = y.h AND x.repo < y.repo GROUP BY 1, 2) "
+        "SELECT i.repo_a, i.repo_b, i.n_shared, a.n AS n_a, b.n AS n_b, "
+        "floor(i.n_shared::DOUBLE / (a.n + b.n - i.n_shared) * 1000000 + 0.5) "
+        "  / 1000000 AS jaccard "
+        "FROM inter i JOIN sz a ON a.repo = i.repo_a "
+        "JOIN sz b ON b.repo = i.repo_b "
+        "WHERE 10 * i.n_shared >= 3 * (a.n + b.n - i.n_shared)"
+    ),
+
+    "small_qty_revenue": (
+        "WITH pl AS (SELECT p_partkey FROM part "
+        f"  WHERE p_brand = '{SMALL_QTY_BRAND}'), "
+        "ag AS (SELECT l_partkey, "
+        "  sum(CAST(round(l_quantity * 100, 0) AS BIGINT))::BIGINT AS s, "
+        "  count(*)::BIGINT AS c FROM lineitem "
+        "  JOIN pl ON p_partkey = l_partkey GROUP BY 1) "
+        "SELECT count(*)::BIGINT AS n_small, "
+        "round(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) / 7.0, 6) "
+        "  AS avg_yearly_e2 "
+        "FROM lineitem l JOIN ag ON ag.l_partkey = l.l_partkey "
+        "WHERE 5 * CAST(round(l.l_quantity * 100, 0) AS BIGINT) * ag.c < ag.s"
+    ),
+
+    "snapshot_diff": (
+        # snapshot B: every 11th file deleted, every remaining 7th
+        # rewritten (' v2'), a new file added for every 13th; the diff
+        # is a FULL OUTER join of the two (doc_id, md5) sides
+        "WITH a AS (SELECT doc_id, md5(coalesce(text, '')) AS h "
+        "  FROM documents), "
+        "b AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 "
+        "    THEN coalesce(text, '') || ' v2' ELSE coalesce(text, '') END) AS h "
+        "  FROM documents WHERE doc_id % 11 <> 0 "
+        "  UNION ALL SELECT doc_id + 2000000, "
+        "    md5(coalesce(text, '') || ' new') "
+        "  FROM documents WHERE doc_id % 13 = 0) "
+        "SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, "
+        "CASE WHEN a.doc_id IS NULL THEN 'added' "
+        "  WHEN b.doc_id IS NULL THEN 'deleted' "
+        "  WHEN a.h <> b.h THEN 'modified' ELSE 'unchanged' END AS status "
+        "FROM a FULL JOIN b ON a.doc_id = b.doc_id"
+    ),
+
+    "idle_customers": (
+        "WITH pos AS (SELECT count(*)::BIGINT AS n, "
+        "  sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))::BIGINT AS s "
+        "  FROM customer WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) > 0), "
+        "k AS (SELECT c_nationkey::BIGINT AS c_nationkey, "
+        "  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents FROM customer c "
+        "  WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "    WHERE o.o_custkey = c.c_custkey "
+        f"    AND o.o_orderdate >= TIMESTAMP '{IDLE_CUTOFF}') "
+        "  AND CAST(round(c_acctbal * 100, 0) AS BIGINT) * (SELECT n FROM pos) "
+        "    > (SELECT s FROM pos)) "
+        "SELECT c_nationkey, count(*)::BIGINT AS n_cust, "
+        "sum(cents)::BIGINT AS total_acctbal_cents FROM k GROUP BY 1"
     ),
 
     # --- golden-parquet oracles -------------------------------------

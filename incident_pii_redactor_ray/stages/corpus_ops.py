@@ -1206,6 +1206,135 @@ def secrets_scan_batch(batch: pa.Table, *, id_col: str = "doc_id",
     return pa.table(cols)
 
 
+#: deterministic license-header injection (modulus, header) — first
+#: matching modulus wins, exactly ONE header is prepended; the same
+#: precedence chain is expressed in the SQL oracle. Two of the four
+#: headers carry the SPDX tag and two only the prose phrase, so the
+#: detector must handle both forms.
+LICENSE_INJECT = (
+    (7, "// SPDX-License-Identifier: MIT "),
+    (11, "# Licensed under the Apache License, Version 2.0 "),
+    (13, "/* This file is part of Foo, under the GNU General Public License. */ "),
+    (19, "// Permission is hereby granted, free of charge, to any person "),
+)
+
+#: license detection bank (RE2 syntax, shared verbatim with the SQL
+#: oracle) — FIRST match in this order wins, like real detectors that
+#: prefer SPDX tags over prose matches
+LICENSE_PATTERNS = (
+    ("mit", r"SPDX-License-Identifier: MIT|Permission is hereby granted"),
+    ("apache-2.0", r"Apache License"),
+    ("gpl-3.0", r"GNU General Public License"),
+)
+
+#: The-Stack-style permissive allowlist (Kocetkov et al. 2022 §2.1):
+#: keep only files with a DETECTED permissive license — copyleft and
+#: license-less files drop
+PERMISSIVE_LICENSES = frozenset({"mit", "apache-2.0"})
+
+
+def license_augment_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                          text_col: str = "text") -> pa.Table:
+    """Vectorized deterministic license-header injection (the
+    secrets_augment convention — the raw corpus carries no license
+    text): the FIRST matching doc_id modulus in LICENSE_INJECT prepends
+    its header; non-matching docs stay license-less."""
+    ids = np.asarray(batch.column(id_col), dtype=np.int64)
+    t = batch.column(text_col).to_pandas().fillna("")
+    conds = [ids % mod == 0 for mod, _ in LICENSE_INJECT]
+    prefix = np.select(conds, [h for _, h in LICENSE_INJECT], default="")
+    return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                     text_col: pa.array(prefix + t, type=pa.string())})
+
+
+def license_filter_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                         text_col: str = "text") -> pa.Table:
+    """The-Stack-style license gate: detect the file's license with one
+    vectorized RE2 kernel per pattern (first match in LICENSE_PATTERNS
+    order wins), keep iff the detected license is permissive. Map-side
+    only — one pyarrow match_substring_regex pass per pattern, no
+    per-row Python, no shuffle."""
+    arr = pc.fill_null(batch.column(text_col), "")
+    conds = [pc.match_substring_regex(arr, pat).to_numpy(zero_copy_only=False)
+             for _, pat in LICENSE_PATTERNS]
+    lic = np.select(conds, [name for name, _ in LICENSE_PATTERNS],
+                    default="none")
+    keep = np.isin(lic, sorted(PERMISSIVE_LICENSES)).astype(np.int64)
+    return pa.table({id_col: batch.column(id_col),
+                     "license": pa.array(lic, type=pa.string()),
+                     "keep": pa.array(keep, type=pa.int64())})
+
+
+#: comment-density gate (StarCoder-style comment-to-code screens):
+#: 6-token lines; line i is blank when i%9==0, a '# ' comment when
+#: i%4==0; every 5th doc gains 3 trailing TODO comment lines. Keep iff
+#: >= 4 lines and the comment fraction sits in [10%, 30%] — both bounds
+#: integer cross-multiplications.
+COMMENT_LINE_TOKENS = 6
+COMMENT_MIN_LINES = 4
+COMMENT_MIN_PCT = 10
+COMMENT_MAX_PCT = 30
+COMMENT_TODO_LINES = ("# TODO cleanup", "# TODO docs", "# TODO tests")
+
+
+def comment_augment_lines(doc_id: int, text: str) -> str:
+    """Deterministically restructure a word-soup document into
+    comment-bearing code lines (the code_augment_lines convention):
+    6-token lines, i%9==0 replaced by a blank line, else i%4==0
+    prefixed '# '; docs with doc_id%5==0 append three TODO comment
+    lines. Empty docs stay empty (no TODO tail), matching the
+    zero-lines-emit-no-row convention. The identical construction is
+    expressed in the SQL oracle."""
+    toks = _ascii_ws_split(text or "")
+    if not toks:
+        return ""
+    lines = []
+    for idx in range((len(toks) + COMMENT_LINE_TOKENS - 1)
+                     // COMMENT_LINE_TOKENS):
+        chunk = " ".join(
+            toks[idx * COMMENT_LINE_TOKENS:(idx + 1) * COMMENT_LINE_TOKENS])
+        if idx % 9 == 0:
+            lines.append("")
+        elif idx % 4 == 0:
+            lines.append("# " + chunk)
+        else:
+            lines.append(chunk)
+    if doc_id % 5 == 0:
+        lines.extend(COMMENT_TODO_LINES)
+    return "\n".join(lines)
+
+
+def comment_ratio_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                        text_col: str = "text") -> pa.Table:
+    """Comment-density gate over line-structured code: count comment
+    ('#'-prefixed) and blank lines, keep iff n_lines >= 4 and the
+    comment fraction is within [10%, 30%] (integer
+    cross-multiplications — the gopher_filter convention). Documents
+    with zero lines emit no row. Embarrassingly parallel."""
+    ids, n_lines, n_comment, n_blank, keeps = [], [], [], [], []
+    for rid, t in zip(batch.column(id_col).to_pylist(),
+                      batch.column(text_col).to_pylist()):
+        lines = (t or "").split("\n") if t else []
+        if not lines:
+            continue
+        nc = sum(1 for ln in lines if ln.startswith("#"))
+        nb = sum(1 for ln in lines if ln == "")
+        nl = len(lines)
+        ids.append(rid)
+        n_lines.append(nl)
+        n_comment.append(nc)
+        n_blank.append(nb)
+        keeps.append(1 if (nl >= COMMENT_MIN_LINES
+                           and 100 * nc >= COMMENT_MIN_PCT * nl
+                           and 100 * nc <= COMMENT_MAX_PCT * nl) else 0)
+    return pa.table({
+        id_col: pa.array(ids, type=pa.int64()),
+        "n_lines": pa.array(n_lines, type=pa.int64()),
+        "n_comment": pa.array(n_comment, type=pa.int64()),
+        "n_blank": pa.array(n_blank, type=pa.int64()),
+        "keep": pa.array(keeps, type=pa.int64())})
+
+
 # --------------------------------------------------------------------------
 # DSIR-style importance scoring (Xie et al. 2023, arXiv:2302.03169)
 # --------------------------------------------------------------------------

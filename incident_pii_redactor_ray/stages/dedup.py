@@ -738,3 +738,110 @@ def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     return (pairs.map_batches(add_pair_shard, batch_format="pyarrow")
                  .groupby("pair_shard")
                  .map_groups(dedup_shard, batch_format="pandas"))
+
+
+# --- repo-level near-dup (file-hash set Jaccard) ----------------------------
+
+#: keep a repo pair iff den * |A∩B| >= num * |A∪B| — an integer
+#: cross-multiplication of exact set sizes (threshold 0.3)
+REPO_JACCARD_NUM = 3
+REPO_JACCARD_DEN = 10
+
+
+def repo_neardup(ds: ray.data.Dataset, *, repo_col: str = "repo",
+                 text_col: str = "text",
+                 num: int = REPO_JACCARD_NUM,
+                 den: int = REPO_JACCARD_DEN) -> ray.data.Dataset:
+    """Repo-level near-duplicate detection (The Stack v2's repo dedup,
+    Lozhkov et al. 2024 §3): a repository is its SET of file content
+    hashes; two repos are near-dups when the Jaccard similarity of
+    those sets clears num/den. Forked/mirrored repos share most file
+    hashes, so this catches wholesale copies that file-level dedup
+    only sees one file at a time.
+
+    Scale shape: content never crosses an exchange — the map pass
+    reduces each file to (repo, md5). Distinct (repo, md5) and
+    per-repo set sizes come from 256-way sharded groupbys; candidate
+    pairs are generated per md5-shard by a vectorized self-merge (a
+    hash's multiplicity is the number of repos holding that file —
+    small by construction), and intersection counts reduce through one
+    more sharded groupby. Per-repo sizes broadcast once (repo count
+    << file count, the dimension-table assumption). Output:
+    (repo_a, repo_b, n_shared, n_a, n_b, jaccard) for pairs clearing
+    the threshold."""
+    import pandas as pd
+
+    def file_hashes(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or "").encode()).hexdigest()
+              for t in batch.column(text_col).to_pylist()]
+        return pa.table({
+            "repo": batch.column(repo_col),
+            "h": pa.array(hs, type=pa.string()),
+            "shard": pa.array([int(h[:2], 16) for h in hs], type=pa.int32())})
+
+    hashed = ds.map_batches(file_hashes, batch_format="pyarrow")
+
+    # distinct (repo, h) per md5 shard — set semantics for repeated
+    # identical files within one repo
+    def distinct_in_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["repo", "h"])[["repo", "h"]]
+
+    distinct = hashed.groupby("shard") \
+        .map_groups(distinct_in_shard, batch_format="pandas").materialize()
+
+    # per-repo set sizes: per-batch partials (blocks x repos rows, never
+    # the (repo, h) stream) combined on the driver, broadcast once
+    def size_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("repo").size()
+        return pd.DataFrame({"repo": s.index, "n": s.to_numpy(np.int64)})
+
+    sizes = (distinct.map_batches(size_partial, batch_format="pandas")
+             .to_pandas().groupby("repo", as_index=False)["n"].sum())
+    size_ref = ray.put(dict(zip(sizes["repo"], sizes["n"])))
+
+    # candidate pairs: within each md5 shard, self-merge on the exact
+    # content hash; ordered repo_a < repo_b (string compare matches the
+    # SQL oracle's binary collation)
+    def re_shard(batch: pa.Table) -> pa.Table:
+        sh = [int(h[:2], 16) for h in batch.column("h").to_pylist()]
+        return batch.append_column("shard", pa.array(sh, type=pa.int32()))
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="h", suffixes=("_a", "_b"))
+        m = m[m["repo_a"] < m["repo_b"]]
+        c = m.groupby(["repo_a", "repo_b"]).size()
+        return pd.DataFrame({"repo_a": c.index.get_level_values(0),
+                             "repo_b": c.index.get_level_values(1),
+                             "n_shared": c.to_numpy(np.int64)})
+
+    def pair_shard(batch: pa.Table) -> pa.Table:
+        import pandas.util as pu
+        sh = (pu.hash_array(np.asarray(batch.column("repo_a"), dtype=object))
+              % np.uint64(64)).astype(np.int64)
+        return batch.append_column("pshard", pa.array(sh))
+
+    def pair_sum(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["repo_a", "repo_b"], as_index=False)["n_shared"].sum()
+        return c
+
+    inter = (distinct.map_batches(re_shard, batch_format="pyarrow")
+             .groupby("shard").map_groups(shard_pairs, batch_format="pandas")
+             .map_batches(pair_shard, batch_format="pyarrow")
+             .groupby("pshard").map_groups(pair_sum, batch_format="pandas"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        szs = ray.get(size_ref)
+        na = df["repo_a"].map(szs).to_numpy(np.int64)
+        nb = df["repo_b"].map(szs).to_numpy(np.int64)
+        shared = df["n_shared"].to_numpy(np.int64)
+        union = na + nb - shared
+        keep = den * shared >= num * union
+        out = df.loc[keep, ["repo_a", "repo_b", "n_shared"]].copy()
+        out["n_a"] = na[keep]
+        out["n_b"] = nb[keep]
+        # one double division at the end (the tfidf arithmetic pattern)
+        jac = shared[keep].astype(np.float64) / union[keep]
+        out["jaccard"] = np.floor(jac * 1e6 + 0.5) / 1e6
+        return out
+
+    return inter.map_batches(finish, batch_format="pandas")

@@ -758,3 +758,77 @@ def test_augmenter_unicode_whitespace_oracle_parity(ray_session, tmp_path):
         sql = con.execute(ORACLE_SQL[name]).fetchdf()
         r = compare(name + "_unicode_ws", eng, sql)
         assert r["hash_match"], r
+
+
+def test_license_gate_precedence_and_allowlist():
+    from incident_pii_redactor_ray.stages.corpus_ops import (
+        license_augment_batch, license_filter_batch)
+
+    # 7: MIT SPDX; 11: Apache prose; 13: GPL; 19: MIT phrase form;
+    # 77 = 7*11 matches BOTH moduli -> the FIRST injection (MIT) wins;
+    # 1 matches none -> license-less
+    ids = [1, 7, 11, 13, 19, 77]
+    batch = pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(["plain body"] * len(ids), type=pa.string())})
+    out = license_filter_batch(license_augment_batch(batch)) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc[1, "license"] == "none" and out.loc[1, "keep"] == 0
+    assert out.loc[7, "license"] == "mit" and out.loc[7, "keep"] == 1
+    assert out.loc[11, "license"] == "apache-2.0" and out.loc[11, "keep"] == 1
+    assert out.loc[13, "license"] == "gpl-3.0" and out.loc[13, "keep"] == 0
+    # the prose form must be detected as MIT (first pattern's alternation)
+    assert out.loc[19, "license"] == "mit"
+    assert out.loc[77, "license"] == "mit"  # injection precedence
+
+
+def test_comment_ratio_gate_edges():
+    from incident_pii_redactor_ray.stages.corpus_ops import (
+        comment_augment_lines, comment_ratio_batch)
+
+    words = " ".join(["w"] * 60)  # 10 lines: blanks at 0/9, comments at 4/8
+    t = comment_augment_lines(1, words)
+    lines = t.split("\n")
+    assert lines[0] == "" and lines[9] == ""
+    assert lines[4].startswith("# ") and lines[8].startswith("# ")
+    # doc_id 5k gets the TODO tail
+    t5 = comment_augment_lines(5, words)
+    assert t5.split("\n")[-3:] == ["# TODO cleanup", "# TODO docs",
+                                   "# TODO tests"]
+
+    out = comment_ratio_batch(pa.table({
+        "doc_id": pa.array([1, 5], type=pa.int64()),
+        "text": pa.array([comment_augment_lines(1, words),
+                          comment_augment_lines(5, words)])})) \
+        .to_pandas().set_index("doc_id")
+    # doc 1: 10 lines, 2 comments (20%), 2 blanks -> keep
+    assert out.loc[1].tolist() == [10, 2, 2, 1]
+    # doc 5: 13 lines, 5 comments (38%) -> over the 30% cap -> drop
+    assert out.loc[5].tolist() == [13, 5, 2, 0]
+
+    # single-line doc collapses to '' (blank at idx 0) -> no row
+    one = comment_augment_lines(2, "a b c")
+    assert one == ""
+    empty = comment_ratio_batch(pa.table({
+        "doc_id": pa.array([2], type=pa.int64()),
+        "text": pa.array([one])})).to_pandas()
+    assert len(empty) == 0
+    # empty doc gets no TODO tail even on the %5 modulus
+    assert comment_augment_lines(10, "") == ""
+
+
+def test_repo_neardup_fork_pairs(ray_session):
+    """Each src repo's fork shares exactly its doc_id%3 files: Jaccard
+    = n_shared / n_src >= 0.3 must flag all 20 (src, src_fork) pairs,
+    and intra-corpus repo pairs (disjoint word-soup files) must not
+    appear."""
+    import ray.data
+
+    from incident_pii_redactor_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["repo_neardup"](SF).to_pandas()
+    forks = out[out["repo_b"] == out["repo_a"] + "_fork"]
+    assert len(forks) == 20
+    assert (forks["n_shared"] == forks["n_b"]).all()  # fork ⊂ original
+    assert (forks["jaccard"] >= 0.3).all()
+    assert len(out) == len(forks)  # no false positives across repos

@@ -2048,16 +2048,19 @@ def q_repo_neardup(sf_dir: str):
 
     docs = _docs(sf_dir, ["doc_id", "text", "source"])
 
-    def fork(batch: pa.Table) -> pa.Table:
+    # base + forked rows from the SAME batch — one read, one map (a
+    # union of two reads paid the parquet scan twice)
+    def with_forks(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
-        m = ids % 3 == 0
-        t = batch.filter(pa.array(m))
+        t = batch.filter(pa.array(ids % 3 == 0))
         src = pc.binary_join_element_wise(t.column("source"), "_fork", "")
-        return pa.table({"doc_id": pc.add(t.column("doc_id"), 10_000_000),
-                         "text": t.column("text"),
-                         "source": src})
+        forked = pa.table({"doc_id": pc.add(t.column("doc_id"), 10_000_000),
+                           "text": t.column("text"),
+                           "source": src})
+        return pa.concat_tables([batch.select(["doc_id", "text", "source"]),
+                                 forked])
 
-    corpus = docs.union(docs.map_batches(fork, batch_format="pyarrow"))
+    corpus = docs.map_batches(with_forks, batch_format="pyarrow")
     return repo_neardup(corpus, repo_col="source", text_col="text")
 
 

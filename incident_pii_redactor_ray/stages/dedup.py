@@ -760,15 +760,20 @@ def repo_neardup(ds: ray.data.Dataset, *, repo_col: str = "repo",
     only sees one file at a time.
 
     Scale shape: content never crosses an exchange — the map pass
-    reduces each file to (repo, md5). Distinct (repo, md5) and
-    per-repo set sizes come from 256-way sharded groupbys; candidate
-    pairs are generated per md5-shard by a vectorized self-merge (a
-    hash's multiplicity is the number of repos holding that file —
-    small by construction), and intersection counts reduce through one
-    more sharded groupby. Per-repo sizes broadcast once (repo count
-    << file count, the dimension-table assumption). Output:
-    (repo_a, repo_b, n_shared, n_a, n_b, jaccard) for pairs clearing
-    the threshold."""
+    reduces each file to (repo, md5), and EVERYTHING downstream runs
+    inside ONE 256-way md5-shard groupby: distinct (repo, h) per shard
+    (each hash lives in exactly one shard, so per-shard distinct is
+    global distinct), the vectorized self-merge that turns each shared
+    hash into ordered repo pairs (a hash's multiplicity is the number
+    of repos holding that file — small by construction), and per-repo
+    size partials. The shard emits only DIMENSION-SCALE rows (repo
+    sizes + repo-pair intersection partials, tagged by kind), which
+    combine on the driver — the same repo-count << file-count
+    assumption every repo-level rollup makes. One all-to-all total;
+    each exchange on this host costs ~3 s of fixed overhead, so the
+    three-exchange first version of this operator paid 2x for nothing.
+    Output: (repo_a, repo_b, n_shared, n_a, n_b, jaccard) for pairs
+    clearing the threshold."""
     import pandas as pd
 
     def file_hashes(batch: pa.Table) -> pa.Table:
@@ -781,67 +786,41 @@ def repo_neardup(ds: ray.data.Dataset, *, repo_col: str = "repo",
 
     hashed = ds.map_batches(file_hashes, batch_format="pyarrow")
 
-    # distinct (repo, h) per md5 shard — set semantics for repeated
-    # identical files within one repo
-    def distinct_in_shard(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["repo", "h"])[["repo", "h"]]
-
-    distinct = hashed.groupby("shard") \
-        .map_groups(distinct_in_shard, batch_format="pandas").materialize()
-
-    # per-repo set sizes: per-batch partials (blocks x repos rows, never
-    # the (repo, h) stream) combined on the driver, broadcast once
-    def size_partial(df: pd.DataFrame) -> pd.DataFrame:
-        s = df.groupby("repo").size()
-        return pd.DataFrame({"repo": s.index, "n": s.to_numpy(np.int64)})
-
-    sizes = (distinct.map_batches(size_partial, batch_format="pandas")
-             .to_pandas().groupby("repo", as_index=False)["n"].sum())
-    size_ref = ray.put(dict(zip(sizes["repo"], sizes["n"])))
-
-    # candidate pairs: within each md5 shard, self-merge on the exact
-    # content hash; ordered repo_a < repo_b (string compare matches the
-    # SQL oracle's binary collation)
-    def re_shard(batch: pa.Table) -> pa.Table:
-        sh = [int(h[:2], 16) for h in batch.column("h").to_pylist()]
-        return batch.append_column("shard", pa.array(sh, type=pa.int32()))
-
-    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.merge(g, on="h", suffixes=("_a", "_b"))
+    # one shard pass: distinct -> size partials + ordered-pair partials,
+    # emitted as one union-shaped frame (kind 0 = size, 1 = pair);
+    # repo_a < repo_b by string compare matches the SQL oracle's binary
+    # collation
+    def shard_stats(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=["repo", "h"])
+        s = d.groupby("repo").size()
+        sizes = pd.DataFrame({"kind": np.int8(0), "repo_a": s.index,
+                              "repo_b": "", "n": s.to_numpy(np.int64)})
+        m = d.merge(d, on="h", suffixes=("_a", "_b"))
         m = m[m["repo_a"] < m["repo_b"]]
         c = m.groupby(["repo_a", "repo_b"]).size()
-        return pd.DataFrame({"repo_a": c.index.get_level_values(0),
-                             "repo_b": c.index.get_level_values(1),
-                             "n_shared": c.to_numpy(np.int64)})
+        pairs = pd.DataFrame({"kind": np.int8(1),
+                              "repo_a": c.index.get_level_values(0),
+                              "repo_b": c.index.get_level_values(1),
+                              "n": c.to_numpy(np.int64)})
+        return pd.concat([sizes, pairs], ignore_index=True)
 
-    def pair_shard(batch: pa.Table) -> pa.Table:
-        import pandas.util as pu
-        sh = (pu.hash_array(np.asarray(batch.column("repo_a"), dtype=object))
-              % np.uint64(64)).astype(np.int64)
-        return batch.append_column("pshard", pa.array(sh))
+    parts = hashed.groupby("shard") \
+        .map_groups(shard_stats, batch_format="pandas").to_pandas()
 
-    def pair_sum(g: pd.DataFrame) -> pd.DataFrame:
-        c = g.groupby(["repo_a", "repo_b"], as_index=False)["n_shared"].sum()
-        return c
+    sizes = parts[parts["kind"] == 0].groupby("repo_a")["n"].sum()
+    inter = parts[parts["kind"] == 1] \
+        .groupby(["repo_a", "repo_b"], as_index=False)["n"].sum()
 
-    inter = (distinct.map_batches(re_shard, batch_format="pyarrow")
-             .groupby("shard").map_groups(shard_pairs, batch_format="pandas")
-             .map_batches(pair_shard, batch_format="pyarrow")
-             .groupby("pshard").map_groups(pair_sum, batch_format="pandas"))
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        szs = ray.get(size_ref)
-        na = df["repo_a"].map(szs).to_numpy(np.int64)
-        nb = df["repo_b"].map(szs).to_numpy(np.int64)
-        shared = df["n_shared"].to_numpy(np.int64)
-        union = na + nb - shared
-        keep = den * shared >= num * union
-        out = df.loc[keep, ["repo_a", "repo_b", "n_shared"]].copy()
-        out["n_a"] = na[keep]
-        out["n_b"] = nb[keep]
-        # one double division at the end (the tfidf arithmetic pattern)
-        jac = shared[keep].astype(np.float64) / union[keep]
-        out["jaccard"] = np.floor(jac * 1e6 + 0.5) / 1e6
-        return out
-
-    return inter.map_batches(finish, batch_format="pandas")
+    na = inter["repo_a"].map(sizes).to_numpy(np.int64)
+    nb = inter["repo_b"].map(sizes).to_numpy(np.int64)
+    shared = inter["n"].to_numpy(np.int64)
+    union = na + nb - shared
+    keep = den * shared >= num * union
+    out = inter.loc[keep, ["repo_a", "repo_b"]].copy()
+    out["n_shared"] = shared[keep]
+    out["n_a"] = na[keep]
+    out["n_b"] = nb[keep]
+    # one double division at the end (the tfidf arithmetic pattern)
+    jac = shared[keep].astype(np.float64) / union[keep]
+    out["jaccard"] = np.floor(jac * 1e6 + 0.5) / 1e6
+    return out.reset_index(drop=True)

@@ -826,7 +826,9 @@ def test_repo_neardup_fork_pairs(ray_session):
 
     from incident_pii_redactor_ray.pipelines.queries import QUERIES
 
-    out = QUERIES["repo_neardup"](SF).to_pandas()
+    from tests.harness import to_pandas
+
+    out = to_pandas(QUERIES["repo_neardup"](SF))
     forks = out[out["repo_b"] == out["repo_a"] + "_fork"]
     assert len(forks) == 20
     assert (forks["n_shared"] == forks["n_b"]).all()  # fork ⊂ original

@@ -349,7 +349,38 @@ def run_corpus_ops_scale() -> dict:
         secrets_scan_batch, batch_format="pyarrow").count()
     out["secrets_sec"] = round(time.time() - t0, 1)
 
-    for k in ("dsir", "cms", "starcoder", "secrets"):
+    from incident_pii_redactor_ray.stages.corpus_ops import (
+        comment_augment_lines, comment_ratio_batch, license_augment_batch,
+        license_filter_batch)
+    from incident_pii_redactor_ray.stages.dedup import repo_neardup
+
+    t0 = time.time()
+    out["license_keep"] = docs().map_batches(
+        license_augment_batch, batch_format="pyarrow").map_batches(
+        license_filter_batch, batch_format="pyarrow").map_batches(
+        lambda df: df[df["keep"] == 1], batch_format="pandas").count()
+    out["license_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    out["comment_rows"] = _augment_docs(docs(), comment_augment_lines) \
+        .map_batches(comment_ratio_batch, batch_format="pyarrow").count()
+    out["comment_sec"] = round(time.time() - t0, 1)
+
+    # repo-level near-dup over the REAL repo column (repo cardinality
+    # << file count; pairs require cross-repo identical content)
+    def repo_files(batch: pa.Table) -> pa.Table:
+        return pa.table({"repo": batch.column("repo"),
+                         "text": pc.cast(batch.column("content"), pa.string())})
+
+    t0 = time.time()
+    pairs = repo_neardup(ray.data.read_parquet(
+        corpus, columns=["repo", "content"]).map_batches(
+        repo_files, batch_format="pyarrow"))
+    out["repo_neardup_pairs"] = int(len(pairs))
+    out["repo_neardup_sec"] = round(time.time() - t0, 1)
+
+    for k in ("dsir", "cms", "starcoder", "secrets", "license", "comment",
+              "repo_neardup"):
         out[f"{k}_files_per_sec"] = round(n_files / out[f"{k}_sec"], 1)
     ray.shutdown()
     return out

@@ -2201,6 +2201,279 @@ def q_idle_customers(sf_dir: str):
         ["n_cust", "total_acctbal_cents"]].sum()
 
 
+LATE_SHIP_DAYS = 60       # Q4 variant: "late" = shipped > 60 days after order
+LATE_SHIP_US = np.int64(LATE_SHIP_DAYS) * 86_400 * 1_000_000
+WAIT_DAYS = 90            # Q21 variant: "kept waiting" = shipped > 90 days after
+WAIT_US = np.int64(WAIT_DAYS) * 86_400 * 1_000_000
+
+
+def q_late_order_priority(sf_dir: str):
+    """TPC-H-Q4-shaped order-priority report: count Q1-1997 orders with
+    at least one lineitem shipped > 60 days after the order date (the
+    testdata lineitem has no commit/receipt dates, so lateness is
+    shipdate-vs-orderdate). EXISTS against the fact table is a big-big
+    semi join at 100 TB: lineitem pre-reduces map-side to ONE
+    (orderkey, max_shipdate) partial per batch, the bucketed join on
+    orderkey co-locates each order's rows, and the exists test + the
+    per-priority count fuse into the join bucket — only
+    buckets x 5 priority partial rows reach the driver."""
+    from ..stages.relational import bucketed_hash_join
+
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1997-04-01")
+
+    def orders_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch.column("o_orderdate"), pa.scalar(lo)),
+                       pc.less(batch.column("o_orderdate"), pa.scalar(hi)))
+        batch = batch.filter(keep)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "odate_us": batch.column("o_orderdate").cast(pa.int64())})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
+        orders_filter, batch_format="pyarrow")
+
+    # a lineitem can only witness lateness if it shipped after
+    # window_lo + 60d; everything earlier is pruned before the shuffle,
+    # and each batch keeps one max-shipdate partial per order
+    ship_floor = np.int64(pd.Timestamp(lo).value // 1000) + LATE_SHIP_US
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ship = np.asarray(batch.column("l_shipdate").cast(pa.int64()))
+        ok = np.asarray(batch.column("l_orderkey"), dtype=np.int64)
+        m = ship > ship_floor
+        g = (pd.DataFrame({"o_orderkey": ok[m], "ship_us": ship[m]})
+             .groupby("o_orderkey", as_index=False)["ship_us"].max())
+        return pa.table({"o_orderkey": pa.array(g["o_orderkey"].to_numpy(np.int64)),
+                         "ship_us": pa.array(g["ship_us"].to_numpy(np.int64))})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    def exists_count(g: pd.DataFrame) -> pd.DataFrame:
+        late = g[g["ship_us"].to_numpy(np.int64)
+                 > g["odate_us"].to_numpy(np.int64) + LATE_SHIP_US]
+        ok = late.drop_duplicates("o_orderkey")
+        cnt = ok.groupby("o_orderpriority", as_index=False).size()
+        return pd.DataFrame({
+            "o_orderpriority": cnt["o_orderpriority"].astype("string"),
+            "n_orders": cnt["size"].astype(np.int64)})
+
+    parts = bucketed_hash_join(orders, li, on="o_orderkey",
+                               post=exists_count).to_pandas()
+    if not len(parts):  # a fully-empty window: typed empty frame
+        return pd.DataFrame({"o_orderpriority": pd.Series([], dtype=str),
+                             "n_orders": pd.Series([], dtype="int64")})
+    out = parts.groupby("o_orderpriority", as_index=False)["n_orders"].sum()
+    out["o_orderpriority"] = out["o_orderpriority"].astype(str)
+    return out
+
+
+#: Q7's two-nation predicate — nations that own suppliers at EVERY test
+#: scale (sf0.001 has only 10 suppliers spread over 10 nations)
+TRADE_NATIONS = ("NATION_3", "NATION_8")
+TRADE_WINDOW = ("1996-01-01", "2000-01-01")
+
+
+def q_trade_volume(sf_dir: str):
+    """TPC-H-Q7-shaped two-nation trade volume by year: supplier is the
+    broadcast dimension (region_revenue's searchsorted convention, FK
+    loud-fail), lineitem prunes to the ship window AND the two supplier
+    nations before any exchange, customer pre-filters to the two
+    nations, and the two big-big joins (orders⨝customer,
+    lineitem⨝orders) are bucketed with the nation-pair filter + the
+    (supp_nation, cust_nation, year) partial sum fused into the second
+    join's buckets."""
+    from ..stages.relational import bucketed_hash_join
+
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    name_of = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    nk = {v: k for k, v in name_of.items()}
+    n1, n2 = nk[TRADE_NATIONS[0]], nk[TRADE_NATIONS[1]]
+
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]).to_pandas().sort_values("s_suppkey")
+    supp_ref = ray.put((supplier["s_suppkey"].to_numpy(np.int64),
+                        supplier["s_nationkey"].to_numpy(np.int64)))
+
+    lo, hi = pd.Timestamp(TRADE_WINDOW[0]), pd.Timestamp(TRADE_WINDOW[1])
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch.column("l_shipdate"), pa.scalar(lo)),
+                       pc.less(batch.column("l_shipdate"), pa.scalar(hi)))
+        batch = batch.filter(keep)
+        skeys, snat = ray.get(supp_ref)
+        want = np.asarray(batch.column("l_suppkey"), dtype=np.int64)
+        pos = np.searchsorted(skeys, want)
+        if not (pos < len(skeys)).all() or not np.array_equal(skeys[pos], want):
+            raise ValueError("trade_volume: lineitem references a suppkey "
+                             "missing from supplier")
+        snk = snat[pos]
+        m = (snk == n1) | (snk == n2)
+        batch = batch.filter(pa.array(m))
+        yr = pc.year(batch.column("l_shipdate")).cast(pa.int64())
+        return pa.table({"o_orderkey": batch.column("l_orderkey"),
+                         "supp_nat": pa.array(snk[m], type=pa.int64()),
+                         "l_year": yr,
+                         "rev_e4": _rev_e4(batch)})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"]).map_batches(
+        li_project, batch_format="pyarrow")
+
+    def cust_project(b: pa.Table) -> pa.Table:
+        cn = b.column("c_nationkey").cast(pa.int64())
+        t = pa.table({"o_custkey": b.column("c_custkey"), "cust_nat": cn})
+        return t.filter(pc.or_(pc.equal(cn, n1), pc.equal(cn, n2)))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"]).map_batches(
+        cust_project, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    oc = bucketed_hash_join(orders, cust, on="o_custkey") \
+        .select_columns(["o_orderkey", "cust_nat"])
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        sn = g["supp_nat"].to_numpy(np.int64)
+        cn = g["cust_nat"].to_numpy(np.int64)
+        m = ((sn == n1) & (cn == n2)) | ((sn == n2) & (cn == n1))
+        p = (g[m].groupby(["supp_nat", "cust_nat", "l_year"], as_index=False)
+             ["rev_e4"].sum())
+        return pd.DataFrame({"supp_nat": p["supp_nat"].astype(np.int64),
+                             "cust_nat": p["cust_nat"].astype(np.int64),
+                             "l_year": p["l_year"].astype(np.int64),
+                             "rev_e4": p["rev_e4"].astype(np.int64)})
+
+    parts = bucketed_hash_join(li, oc, on="o_orderkey",
+                               post=pair_partial).to_pandas()
+    if not len(parts):  # no qualifying trade: typed empty frame
+        return pd.DataFrame({"supp_nation": pd.Series([], dtype=str),
+                             "cust_nation": pd.Series([], dtype=str),
+                             "l_year": pd.Series([], dtype="int64"),
+                             "revenue_e4": pd.Series([], dtype="int64")})
+    out = parts.groupby(["supp_nat", "cust_nat", "l_year"],
+                        as_index=False)["rev_e4"].sum()
+    return pd.DataFrame({
+        "supp_nation": out["supp_nat"].astype(int).map(name_of),
+        "cust_nation": out["cust_nat"].astype(int).map(name_of),
+        "l_year": out["l_year"].astype(np.int64),
+        "revenue_e4": out["rev_e4"].astype(np.int64)})
+
+
+#: Q19's three disjunctive (brand, size range, quantity range) arms
+DISJUNCTIVE_ARMS = (("Brand#1", 1, 5, 1, 11),
+                    ("Brand#2", 1, 10, 10, 20),
+                    ("Brand#3", 1, 15, 20, 30))
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """TPC-H-Q19-shaped disjunctive-predicate revenue: three (brand,
+    size-range, quantity-range) arms OR-ed across the lineitem⨝part
+    join. The part dimension broadcasts once as sorted aligned arrays
+    (partkey, brand code, size); each lineitem batch resolves its
+    part attributes with one searchsorted (FK loud-fail) and evaluates
+    the whole disjunction vectorized in numpy — one int64 (revenue,
+    count) partial per batch is all that leaves the map stage. No
+    shuffle at all."""
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"]).to_pandas() \
+        .sort_values("p_partkey")
+    brand_code = {b: i + 1 for i, (b, *_) in enumerate(DISJUNCTIVE_ARMS)}
+    codes = part["p_brand"].map(brand_code).fillna(0).to_numpy(np.int64)
+    part_ref = ray.put((part["p_partkey"].to_numpy(np.int64), codes,
+                        part["p_size"].to_numpy(np.int64)))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        pkeys, pcode, psize = ray.get(part_ref)
+        pk = np.asarray(batch.column("l_partkey"), dtype=np.int64)
+        pos = np.searchsorted(pkeys, pk)
+        if not (pos < len(pkeys)).all() or not np.array_equal(pkeys[pos], pk):
+            raise ValueError("disjunctive_revenue: lineitem references a "
+                             "partkey missing from part")
+        code, size = pcode[pos], psize[pos]
+        qc = np.round(np.asarray(batch.column("l_quantity"),
+                                 dtype=np.float64) * 100).astype(np.int64)
+        m = np.zeros(len(pk), dtype=bool)
+        for i, (_, s_lo, s_hi, q_lo, q_hi) in enumerate(DISJUNCTIVE_ARMS):
+            m |= ((code == i + 1) & (size >= s_lo) & (size <= s_hi)
+                  & (qc >= q_lo * 100) & (qc <= q_hi * 100))
+        rev = np.asarray(_rev_e4(batch))[m]
+        return pa.table({"revenue_e4": pa.array([int(rev.sum())], pa.int64()),
+                         "n_items": pa.array([int(m.sum())], pa.int64())})
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    ).map_batches(rev_partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame([{"revenue_e4": int(parts["revenue_e4"].sum()),
+                          "n_items": int(parts["n_items"].sum())}])
+
+
+def q_waiting_suppliers(sf_dir: str):
+    """TPC-H-Q21-shaped waiting-supplier report: suppliers who were the
+    SOLE late shipper (shipdate > orderdate + 90 days) on a finished
+    multi-supplier order. The per-order verdict (>= 2 distinct
+    suppliers, exactly 1 distinct late supplier) needs every lineitem
+    of an order in one place: ONE bucketed join on orderkey co-locates
+    them, and the verdict + the per-supplier partial count fuse into
+    the join bucket. Supplier-cardinality partials then reduce through
+    sharded_group_sum; only the top-20 names leave the driver."""
+    from ..stages.relational import bucketed_hash_join, sharded_group_sum
+
+    def orders_filter(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("o_orderstatus"), "F"))
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "odate_us": batch.column("o_orderdate").cast(pa.int64())})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderdate"]).map_batches(
+        orders_filter, batch_format="pyarrow")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
+        lambda b: pa.table({"o_orderkey": b.column("l_orderkey"),
+                            "l_suppkey": b.column("l_suppkey"),
+                            "ship_us": b.column("l_shipdate").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    def verdict(g: pd.DataFrame) -> pd.DataFrame:
+        late = (g["ship_us"].to_numpy(np.int64)
+                > g["odate_us"].to_numpy(np.int64) + WAIT_US)
+        n_supp = g.groupby("o_orderkey")["l_suppkey"].nunique()
+        lt = g[late].groupby("o_orderkey")["l_suppkey"].agg(["nunique", "min"])
+        ok = lt[(lt["nunique"] == 1)
+                & (n_supp.reindex(lt.index) >= 2)]["min"]
+        cnt = ok.value_counts()
+        return pd.DataFrame({"s_suppkey": cnt.index.to_numpy(np.int64),
+                             "numwait": cnt.to_numpy(np.int64)})
+
+    parts = bucketed_hash_join(li, orders, on="o_orderkey", post=verdict)
+    agg = sharded_group_sum(parts, keys=["s_suppkey"],
+                            sum_cols=["numwait"]).to_pandas()
+    if not len(agg):  # no sole-late supplier anywhere: typed empty frame
+        return pd.DataFrame({"s_name": pd.Series([], dtype=str),
+                             "numwait": pd.Series([], dtype="int64")})
+    names = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"]).to_pandas()
+    out = agg.merge(names, on="s_suppkey")
+    out = out.sort_values(["numwait", "s_name"],
+                          ascending=[False, True]).head(20)
+    return out[["s_name", "numwait"]].reset_index(drop=True)
+
+
 def q_snapshot_diff(sf_dir: str):
     """Incremental corpus maintenance: diff two crawl snapshots by
     content hash — snapshot B deletes every 11th file, rewrites every
@@ -2761,6 +3034,10 @@ QUERIES = {
     "small_qty_revenue": q_small_qty_revenue,
     "idle_customers": q_idle_customers,
     "snapshot_diff": q_snapshot_diff,
+    "late_order_priority": q_late_order_priority,
+    "trade_volume": q_trade_volume,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "waiting_suppliers": q_waiting_suppliers,
 }
 
 _EN_MARKERS = textstats.LANG_MARKERS["en"]
@@ -4446,3 +4723,66 @@ ORACLE_SQL["corpus_prep_pipeline"] = (
     "FROM documents d JOIN ded USING (doc_id) "
     "LEFT JOIN gop USING (doc_id) LEFT JOIN code USING (doc_id) "
     "LEFT JOIN dsir USING (doc_id) JOIN spl USING (doc_id)")
+
+# TPC-H Q4 shape (lateness = shipdate vs orderdate; the testdata
+# lineitem carries no commit/receipt dates)
+ORACLE_SQL["late_order_priority"] = (
+    "SELECT o.o_orderpriority, count(*)::BIGINT AS n_orders "
+    "FROM orders o "
+    "WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '1997-04-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem l "
+    "  WHERE l.l_orderkey = o.o_orderkey "
+    f"  AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY) "
+    "GROUP BY o.o_orderpriority")
+
+# TPC-H Q7 shape
+ORACLE_SQL["trade_volume"] = (
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "year(l.l_shipdate)::BIGINT AS l_year, "
+    "sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) "
+    "    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT "
+    "  AS revenue_e4 "
+    "FROM lineitem l "
+    "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "JOIN customer c ON c.c_custkey = o.o_custkey "
+    "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "JOIN nation n1 ON n1.n_nationkey = s.s_nationkey "
+    "JOIN nation n2 ON n2.n_nationkey = c.c_nationkey "
+    f"WHERE ((n1.n_name = '{TRADE_NATIONS[0]}' AND n2.n_name = '{TRADE_NATIONS[1]}') "
+    f"  OR (n1.n_name = '{TRADE_NATIONS[1]}' AND n2.n_name = '{TRADE_NATIONS[0]}')) "
+    f"AND l.l_shipdate >= TIMESTAMP '{TRADE_WINDOW[0]}' "
+    f"AND l.l_shipdate < TIMESTAMP '{TRADE_WINDOW[1]}' "
+    "GROUP BY 1, 2, 3")
+
+# TPC-H Q19 shape — the quantity bounds compare in exact cents on both
+# sides (round(q*100)), so a fractional quantity cannot round-diverge
+ORACLE_SQL["disjunctive_revenue"] = (
+    "SELECT coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) "
+    "    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))), 0)::BIGINT "
+    "  AS revenue_e4, count(*)::BIGINT AS n_items "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    "WHERE " + " OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi} "
+        f" AND CAST(round(l.l_quantity * 100) AS BIGINT) "
+        f" BETWEEN {qlo * 100} AND {qhi * 100})"
+        for b, slo, shi, qlo, qhi in DISJUNCTIVE_ARMS))
+
+# TPC-H Q21 shape: per-order supplier sets via one grouped pass (the
+# EXISTS / NOT EXISTS pair is equivalent to n_supp >= 2 AND n_late = 1)
+ORACLE_SQL["waiting_suppliers"] = (
+    "WITH o AS (SELECT o_orderkey, o_orderdate FROM orders "
+    "  WHERE o_orderstatus = 'F'), "
+    "j AS (SELECT l.l_orderkey, l.l_suppkey, "
+    f"  CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {WAIT_DAYS} DAY "
+    "   THEN 1 ELSE 0 END AS late "
+    "  FROM lineitem l JOIN o ON o.o_orderkey = l.l_orderkey), "
+    "per AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp, "
+    "  count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late, "
+    "  min(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp "
+    "  FROM j GROUP BY l_orderkey), "
+    "w AS (SELECT late_supp AS s_suppkey, count(*)::BIGINT AS numwait "
+    "  FROM per WHERE n_supp >= 2 AND n_late = 1 GROUP BY late_supp) "
+    "SELECT s.s_name, w.numwait FROM w "
+    "JOIN supplier s ON s.s_suppkey = w.s_suppkey "
+    "ORDER BY w.numwait DESC, s.s_name LIMIT 20")

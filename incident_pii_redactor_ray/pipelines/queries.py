@@ -2474,6 +2474,64 @@ def q_waiting_suppliers(sf_dir: str):
     return out[["s_name", "numwait"]].reset_index(drop=True)
 
 
+def q_line_dedup(sf_dir: str):
+    """CCNet/Dolma-style popular-line (boilerplate) removal: documents
+    restructured into '.'-terminated 8-token lines with deterministic
+    boilerplate injections (corpus_ops.line_augment_lines), then every
+    line whose corpus-wide count >= LINE_DEDUP_MIN is dropped from
+    every document. Scale shape: pass 1 reduces per-batch line counts
+    keyed by md5 through sharded_group_sum (shuffle bounded by the
+    DISTINCT-line vocabulary, never the line stream) and the popular
+    subset — bounded by total_lines / LINE_DEDUP_MIN — broadcasts once;
+    pass 2 streams the corpus through a searchsorted membership rewrite
+    map-side. Two passes over the corpus are inherent to the
+    count-then-filter shape (CCNet does the same)."""
+    from ..stages.corpus_ops import (LINE_DEDUP_MIN, line_augment_lines,
+                                     line_count_partial, line_dedup_rewrite)
+    from ..stages.relational import sharded_group_sum
+
+    aug = _augment_docs(_docs(sf_dir, ["doc_id", "text"]), line_augment_lines)
+    popular = sharded_group_sum(
+        aug.map_batches(line_count_partial, batch_format="pyarrow"),
+        keys=["line_md5"], sum_cols=["cnt"], num_shards=64) \
+        .map_batches(lambda df: df[df["cnt"] >= LINE_DEDUP_MIN][["line_md5"]],
+                     batch_format="pandas").to_pandas()
+    pop_ref = ray.put(np.sort(popular["line_md5"].to_numpy("S32"))
+                      if len(popular) else np.empty(0, dtype="S32"))
+    return aug.map_batches(lambda b: line_dedup_rewrite(b, pop_ref),
+                           batch_format="pyarrow")
+
+
+def q_code_pii_scrub(sf_dir: str):
+    """Vectorized PII redaction over the corpus (the code-corpus
+    email/IP scrub every open-source-code pipeline runs): deterministic
+    PII injection by doc_id modulus, then ONE RE2 count kernel + ONE
+    RE2 global-replace kernel per pattern — no per-row Python except
+    the md5 fingerprint of the scrubbed text. Map-side only; the SQL
+    oracle is BUILT from the same PII_INJECT / PII_PATTERNS constants
+    (nested regexp_replace in the same order), so the two sides cannot
+    drift."""
+    from ..stages.corpus_ops import pii_augment_batch, pii_scrub_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(pii_augment_batch, batch_format="pyarrow") \
+        .map_batches(pii_scrub_batch, batch_format="pyarrow")
+
+
+def q_chunk_documents(sf_dir: str):
+    """Fixed-token-window chunking with overlap (long document →
+    training samples): chunk i covers tokens [i*24, i*24+32); the last
+    chunk is short; zero-token docs emit nothing. A pure map-side flat
+    explode — the one-to-many shape every context-window pipeline
+    needs — with the chunk fingerprinted by md5 so the SQL oracle
+    (list-comprehension slices over the same '\\S+' tokens) checks the
+    exact chunk content, not just counts."""
+    from ..stages.corpus_ops import chunk_documents_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(chunk_documents_batch, batch_format="pyarrow")
+
+
 def q_snapshot_diff(sf_dir: str):
     """Incremental corpus maintenance: diff two crawl snapshots by
     content hash — snapshot B deletes every 11th file, rewrites every
@@ -3038,6 +3096,9 @@ QUERIES = {
     "trade_volume": q_trade_volume,
     "disjunctive_revenue": q_disjunctive_revenue,
     "waiting_suppliers": q_waiting_suppliers,
+    "line_dedup": q_line_dedup,
+    "code_pii_scrub": q_code_pii_scrub,
+    "chunk_documents": q_chunk_documents,
 }
 
 _EN_MARKERS = textstats.LANG_MARKERS["en"]
@@ -4786,3 +4847,69 @@ ORACLE_SQL["waiting_suppliers"] = (
     "SELECT s.s_name, w.numwait FROM w "
     "JOIN supplier s ON s.s_suppkey = w.s_suppkey "
     "ORDER BY w.numwait DESC, s.s_name LIMIT 20")
+
+
+def _line_dedup_sql() -> str:
+    """Rebuilds corpus_ops.line_augment_lines (8-token '.'-terminated
+    lines + modulus boilerplate, in injection order) AND the popular-
+    line removal from the raw table — built from the SAME constants."""
+    pre_mod, pre_ln = _cops.LINE_BOILER_PRE
+    post = "".join(
+        f" || (CASE WHEN doc_id % {mod} = 0 THEN ['{ln}'] "
+        "ELSE []::VARCHAR[] END)"
+        for mod, ln in _cops.LINE_BOILER_POST)
+    k = _cops.LINE_TOKENS
+    return (
+        r"WITH t AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), "
+        r"'\S+') AS toks FROM documents), "
+        f"base AS (SELECT doc_id, [array_to_string(toks[i*{k}+1 : i*{k}+{k}], ' ') "
+        f"  || '.' FOR i IN range(0, (len(toks) + {k - 1}) // {k})] AS ls FROM t), "
+        f"aug AS (SELECT doc_id, (CASE WHEN doc_id % {pre_mod} = 0 "
+        f"  THEN ['{pre_ln}'] ELSE []::VARCHAR[] END) || ls{post} AS ls FROM base), "
+        "j AS (SELECT doc_id, ls FROM aug WHERE len(ls) > 0), "
+        "lines AS (SELECT doc_id, unnest([{'ord': i, 'ln': ls[i]} "
+        "  FOR i IN range(1, len(ls) + 1)], recursive := true) FROM j), "
+        "cnt AS (SELECT ln, count(*) AS c FROM lines GROUP BY ln), "
+        "kept AS (SELECT l.doc_id, l.ord, l.ln FROM lines l "
+        f"  JOIN cnt ON cnt.ln = l.ln WHERE cnt.c < {_cops.LINE_DEDUP_MIN}), "
+        "agg AS (SELECT doc_id, count(*) AS n_kept, "
+        "  string_agg(ln, chr(10) ORDER BY ord) AS body FROM kept GROUP BY doc_id) "
+        "SELECT j.doc_id, len(j.ls)::BIGINT AS n_lines, "
+        "(len(j.ls) - coalesce(a.n_kept, 0))::BIGINT AS n_removed, "
+        "md5(coalesce(a.body, '')) AS clean_md5 "
+        "FROM j LEFT JOIN agg a ON a.doc_id = j.doc_id")
+
+
+ORACLE_SQL["line_dedup"] = _line_dedup_sql()
+
+
+def _code_pii_scrub_sql() -> str:
+    """Injection chain and redaction bank are BUILT from the engine's
+    PII_INJECT / PII_PATTERNS constants; counts and replaces nest in
+    the same declaration order (each pattern counts over the PREVIOUS
+    pattern's replaced text, exactly as pii_scrub_batch does)."""
+    aug = ("SELECT doc_id, coalesce(text, '')" + "".join(
+        f" || CASE WHEN doc_id % {mod} = 0 THEN '{s}' ELSE '' END"
+        for mod, s in _cops.PII_INJECT) + " AS t FROM documents")
+    expr, cols = "t", []
+    for name, pat, rep in _cops.PII_PATTERNS:
+        cols.append(f"len(regexp_extract_all({expr}, '{pat}'))::BIGINT "
+                    f"AS n_{name}")
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return (f"WITH aug AS ({aug}) SELECT doc_id, " + ", ".join(cols)
+            + f", md5({expr}) AS scrubbed_md5 FROM aug")
+
+
+ORACLE_SQL["code_pii_scrub"] = _code_pii_scrub_sql()
+
+_CHT, _CHS = _cops.CHUNK_TOKENS, _cops.CHUNK_STRIDE
+ORACLE_SQL["chunk_documents"] = (
+    r"WITH t AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), "
+    r"'\S+') AS toks FROM documents), "
+    "c AS (SELECT doc_id, unnest([{"
+    f"'chunk_idx': i, 'n_tokens': least({_CHT}, len(toks) - i*{_CHS}), "
+    f"'chunk': array_to_string(toks[i*{_CHS}+1 : i*{_CHS}+{_CHT}], ' ')}} "
+    f"FOR i IN range(0, 1 + greatest(0, (len(toks) - {_CHT} + {_CHS - 1}) "
+    f"// {_CHS}))], recursive := true) FROM t WHERE len(toks) > 0) "
+    "SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, "
+    "n_tokens::BIGINT AS n_tokens, md5(chunk) AS chunk_md5 FROM c")

@@ -1555,3 +1555,170 @@ def cms_estimates(ds: ray.data.Dataset, *, text_col: str = "text"
                              "n_est": est})
 
     return vocab.map_batches(estimate, batch_format="pandas")
+
+
+# --- popular-line (boilerplate) removal, PII scrub, chunking ----------------
+
+#: line_dedup augmentation boilerplate (modulus, line) — prepends /
+#: appends recurring lines so popular-line removal makes real
+#: decisions on the newline-free word-soup corpus. Applied in this
+#: exact order on both the engine and SQL sides.
+LINE_BOILER_PRE = (7, "copyright 2024 example corp all rights reserved.")
+LINE_BOILER_POST = ((5, "subscribe to our newsletter for the latest updates."),
+                    (3, "click here to accept cookies."))
+LINE_TOKENS = 8           # tokens per synthesized body line
+LINE_DEDUP_MIN = 5        # a line occurring >= this often corpus-wide is boilerplate
+
+
+def line_augment_lines(doc_id: int, text: str) -> str:
+    """Deterministic line restructuring for the popular-line-removal
+    operator: 8-token '.'-terminated body lines (uniform punctuation so
+    duplicate detection is not confounded by the c4 augmenter's cycling
+    terminals) plus boilerplate injections by doc_id modulus."""
+    toks = _ascii_ws_split(text or "")
+    lines = [" ".join(toks[i * LINE_TOKENS:(i + 1) * LINE_TOKENS]) + "."
+             for i in range((len(toks) + LINE_TOKENS - 1) // LINE_TOKENS)]
+    if doc_id % LINE_BOILER_PRE[0] == 0:
+        lines.insert(0, LINE_BOILER_PRE[1])
+    for mod, ln in LINE_BOILER_POST:
+        if doc_id % mod == 0:
+            lines.append(ln)
+    return "\n".join(lines)
+
+
+def line_count_partial(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Per-batch partial line counts keyed by md5(line): the shuffle
+    carries (md5, count) — never line text — and is bounded by the
+    DISTINCT-line vocabulary, not the line stream (the term_frequencies
+    shape). Feed through sharded_group_sum(keys=['line_md5'])."""
+    import hashlib
+
+    lines: list[str] = []
+    for t in batch.column(text_col).to_pylist():
+        if t:
+            lines.extend(t.split("\n"))
+    inv, uniq = pd.factorize(np.asarray(lines, dtype=object))
+    counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+    md5s = [hashlib.md5(ln.encode()).hexdigest() for ln in uniq]
+    return pa.table({"line_md5": pa.array(md5s, type=pa.string()),
+                     "cnt": pa.array(counts)})
+
+
+def line_dedup_rewrite(batch: pa.Table, popular_ref, *,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> pa.Table:
+    """Pass 2 of popular-line removal: drop every line whose md5 is in
+    the broadcast popular set (size bounded by total_lines /
+    LINE_DEDUP_MIN — boilerplate-scale, not corpus-scale) and emit
+    (id, n_lines, n_removed, clean_md5) where clean_md5 fingerprints
+    the surviving newline-joined text. Documents with zero lines emit
+    no row (the c4_filter convention)."""
+    import hashlib
+
+    popular = ray.get(popular_ref)  # sorted np.array of 'S32' md5s
+    ids, n_lines, n_removed, clean_md5 = [], [], [], []
+    for rid, t in zip(batch.column(id_col).to_pylist(),
+                      batch.column(text_col).to_pylist()):
+        lines = t.split("\n") if t else []
+        if not lines:
+            continue
+        hs = np.array([hashlib.md5(ln.encode()).hexdigest()
+                       for ln in lines], dtype="S32")
+        pos = np.searchsorted(popular, hs)
+        hit = (pos < len(popular)) & (popular[np.minimum(
+            pos, max(len(popular) - 1, 0))] == hs) if len(popular) else \
+            np.zeros(len(hs), dtype=bool)
+        kept = [ln for ln, h in zip(lines, hit) if not h]
+        ids.append(rid)
+        n_lines.append(len(lines))
+        n_removed.append(int(hit.sum()))
+        clean_md5.append(hashlib.md5("\n".join(kept).encode()).hexdigest())
+    return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                     "n_lines": pa.array(n_lines, type=pa.int64()),
+                     "n_removed": pa.array(n_removed, type=pa.int64()),
+                     "clean_md5": pa.array(clean_md5, type=pa.string())})
+
+
+#: deterministic PII injection (modulus, suffix) for the code-corpus
+#: scrubber — applied in this exact order on both sides
+PII_INJECT = (
+    (6, " contact dev.alice@example.com for access"),
+    (9, " node at 192.168.14.203 responded"),
+    (15, " fallback relay mail.ops@corp.example.net port 25"),
+)
+
+#: RE2 redaction bank, applied in declaration order (email first — an
+#: IP can never appear inside the '<EMAIL>' replacement)
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_augment_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                      text_col: str = "text") -> pa.Table:
+    """Vectorized deterministic PII injection (the secrets_augment
+    convention)."""
+    ids = np.asarray(batch.column(id_col), dtype=np.int64)
+    t = batch.column(text_col).to_pandas().fillna("")
+    for mod, s in PII_INJECT:
+        t = t + np.where(ids % mod == 0, s, "")
+    return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                     text_col: pa.array(t, type=pa.string())})
+
+
+def pii_scrub_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                    text_col: str = "text") -> pa.Table:
+    """Vectorized PII redaction over a text column: one RE2 count
+    kernel + one RE2 global-replace kernel per pattern
+    (pyarrow.compute.count_substring_regex / replace_substring_regex),
+    applied in PII_PATTERNS order. The only per-row Python is the md5
+    fingerprint of the scrubbed text. Map-side only — no shuffle."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    arr = batch.column(text_col)
+    cols: dict = {id_col: batch.column(id_col)}
+    for name, pat, rep in PII_PATTERNS:
+        cols[f"n_{name}"] = pc.count_substring_regex(arr, pat).cast(pa.int64())
+        arr = pc.replace_substring_regex(arr, pat, rep)
+    cols["scrubbed_md5"] = pa.array(
+        [hashlib.md5((t or "").encode()).hexdigest() for t in arr.to_pylist()],
+        type=pa.string())
+    return pa.table(cols)
+
+
+CHUNK_TOKENS = 32   # tokens per training chunk
+CHUNK_STRIDE = 24   # chunk start stride (CHUNK_TOKENS - stride = overlap)
+
+
+def chunk_documents_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                          text_col: str = "text") -> pa.Table:
+    """Fixed-token-window chunking with overlap (the long-document →
+    training-sample explode): chunk i covers tokens
+    [i*STRIDE, i*STRIDE + TOKENS); the last chunk is short. Flat
+    explode, embarrassingly parallel — at 100 TB this runs map-side and
+    the output is immediately repartition-free (each input block yields
+    its own chunk rows). Zero-token documents emit no row."""
+    import hashlib
+
+    ids, idxs, ntoks, md5s = [], [], [], []
+    for rid, t in zip(batch.column(id_col).to_pylist(),
+                      batch.column(text_col).to_pylist()):
+        toks = _ascii_ws_split(t or "")
+        n = len(toks)
+        if n == 0:
+            continue
+        n_chunks = 1 + max(0, (n - CHUNK_TOKENS + CHUNK_STRIDE - 1)
+                           // CHUNK_STRIDE)
+        for i in range(n_chunks):
+            chunk = toks[i * CHUNK_STRIDE:i * CHUNK_STRIDE + CHUNK_TOKENS]
+            ids.append(rid)
+            idxs.append(i)
+            ntoks.append(len(chunk))
+            md5s.append(hashlib.md5(" ".join(chunk).encode()).hexdigest())
+    return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                     "chunk_idx": pa.array(idxs, type=pa.int64()),
+                     "n_tokens": pa.array(ntoks, type=pa.int64()),
+                     "chunk_md5": pa.array(md5s, type=pa.string())})

@@ -834,3 +834,54 @@ def test_repo_neardup_fork_pairs(ray_session):
     assert (forks["n_shared"] == forks["n_b"]).all()  # fork ⊂ original
     assert (forks["jaccard"] >= 0.3).all()
     assert len(out) == len(forks)  # no false positives across repos
+
+
+def test_line_dedup_removes_boilerplate(ray_session):
+    from incident_pii_redactor_ray.pipelines.queries import q_line_dedup
+    from incident_pii_redactor_ray.stages.corpus_ops import (
+        LINE_BOILER_POST, LINE_BOILER_PRE, line_augment_lines)
+    out = q_line_dedup(SF).to_pandas().set_index("doc_id")
+    # a doc divisible by every boilerplate modulus loses all injected
+    # lines (each occurs ~n_docs/mod >= LINE_DEDUP_MIN times)
+    lcm = int(np.lcm.reduce([LINE_BOILER_PRE[0]]
+                            + [m for m, _ in LINE_BOILER_POST]))
+    assert out.loc[lcm, "n_removed"] >= 3
+    # removal count never exceeds the injected-boilerplate count for a
+    # doc whose body lines are unique word-soup
+    row = out.loc[lcm]
+    n_boiler = 1 + len(LINE_BOILER_POST)
+    body_lines = line_augment_lines(lcm, "").count("\n")
+    assert row["n_removed"] <= n_boiler + body_lines
+
+
+def test_code_pii_scrub_redacts_injections(ray_session):
+    import hashlib
+
+    from incident_pii_redactor_ray.stages.corpus_ops import (
+        PII_INJECT, pii_augment_batch, pii_scrub_batch)
+    batch = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                      "text": pa.array(["plain words here", "no pii at all"])})
+    out = pii_scrub_batch(pii_augment_batch(batch)).to_pandas()
+    r0 = out[out["doc_id"] == 0].iloc[0]
+    # doc 0 hits every modulus: 2 emails + 1 ip injected
+    assert r0["n_email"] == 2 and r0["n_ipv4"] == 1
+    expected = ("plain words here contact <EMAIL> for access"
+                " node at <IP> responded"
+                " fallback relay <EMAIL> port 25")
+    assert r0["scrubbed_md5"] == hashlib.md5(expected.encode()).hexdigest()
+    r1 = out[out["doc_id"] == 1].iloc[0]
+    assert r1["n_email"] == 0 and r1["n_ipv4"] == 0
+
+
+def test_chunk_documents_overlap_and_tail(ray_session):
+    from incident_pii_redactor_ray.stages.corpus_ops import (
+        CHUNK_STRIDE, CHUNK_TOKENS, chunk_documents_batch)
+    toks = [f"w{i}" for i in range(57)]
+    batch = pa.table({"doc_id": pa.array([7, 8], type=pa.int64()),
+                      "text": pa.array([" ".join(toks), ""])})
+    out = chunk_documents_batch(batch).to_pandas()
+    # 57 tokens -> chunks at 0/24/48: sizes 32, 32, 9; empty doc emits none
+    got = out[out["doc_id"] == 7].sort_values("chunk_idx")
+    assert got["n_tokens"].tolist() == [CHUNK_TOKENS, CHUNK_TOKENS,
+                                        57 - 2 * CHUNK_STRIDE]
+    assert (out["doc_id"] == 8).sum() == 0

@@ -2474,6 +2474,297 @@ def q_waiting_suppliers(sf_dir: str):
     return out[["s_name", "numwait"]].reset_index(drop=True)
 
 
+MARKET_NATION = "NATION_3"   # Q8: whose market share
+MARKET_REGION = "ASIA"       # Q8: in which customer region
+MARKET_PTYPE = "ECONOMY"     # Q8: for which part type
+PROFIT_PART_TOKEN = "widget"  # Q9: p_name substring
+TOP_SUPPLIER_WINDOW = ("1997-01-01", "1997-04-01")  # Q15's quarter
+EXCLUDED_BRAND = "Brand#5"   # Q16: excluded brand
+COMPLAINT_SUPP_MOD = 7       # Q16: suppkey % 10 == 7 ~ "customer complaints"
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H-Q8-shaped national market share: NATION_3's fraction of
+    ASIA-customer ECONOMY-part revenue per order year. Part membership
+    and supplier nation broadcast as sorted arrays (searchsorted, FK
+    loud-fail); orders⨝customer and lineitem⨝orders are bucketed
+    big-big joins with the (year, rev_all, rev_nation) partial fused
+    into the second join's buckets; the share is ONE double division
+    of exact int64 sums per year (bit-identical to the SQL division,
+    no float accumulation anywhere)."""
+    from ..stages.relational import bucketed_hash_join
+
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    asia = nation.merge(region[region["r_name"] == MARKET_REGION],
+                        left_on="n_regionkey", right_on="r_regionkey")
+    asia_keys = set(asia["n_nationkey"].astype(int))
+    n_target = int(nation.loc[nation["n_name"] == MARKET_NATION,
+                              "n_nationkey"].iloc[0])
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]).to_pandas()
+    pk_ref = ray.put(np.sort(part.loc[part["p_type"] == MARKET_PTYPE,
+                                      "p_partkey"].to_numpy(np.int64)))
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]).to_pandas().sort_values("s_suppkey")
+    supp_ref = ray.put((supplier["s_suppkey"].to_numpy(np.int64),
+                        supplier["s_nationkey"].to_numpy(np.int64)))
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        pkeys = ray.get(pk_ref)
+        pk = np.asarray(batch.column("l_partkey"), dtype=np.int64)
+        pos = np.searchsorted(pkeys, pk)
+        m = (pos < len(pkeys)) & (pkeys[np.minimum(
+            pos, max(len(pkeys) - 1, 0))] == pk) if len(pkeys) else \
+            np.zeros(len(pk), dtype=bool)
+        batch = batch.filter(pa.array(m))
+        skeys, snat = ray.get(supp_ref)
+        want = np.asarray(batch.column("l_suppkey"), dtype=np.int64)
+        pos = np.searchsorted(skeys, want)
+        if not (pos < len(skeys)).all() or not np.array_equal(skeys[pos], want):
+            raise ValueError("market_share: lineitem references a suppkey "
+                             "missing from supplier")
+        return pa.table({"o_orderkey": batch.column("l_orderkey"),
+                         "rev_e4": _rev_e4(batch),
+                         "is_n": pa.array((snat[pos] == n_target)
+                                          .astype(np.int64))})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"]).map_batches(
+        li_project, batch_format="pyarrow")
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("2000-01-01")
+
+    def orders_project(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch.column("o_orderdate"), pa.scalar(lo)),
+                       pc.less(batch.column("o_orderdate"), pa.scalar(hi)))
+        batch = batch.filter(keep)
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "o_custkey": batch.column("o_custkey"),
+                         "o_year": pc.year(batch.column("o_orderdate"))
+                        .cast(pa.int64())})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_project, batch_format="pyarrow")
+    asia_arr = np.array(sorted(asia_keys), dtype=np.int64)
+
+    def cust_project(b: pa.Table) -> pa.Table:
+        cn = np.asarray(b.column("c_nationkey"), dtype=np.int64)
+        m = np.isin(cn, asia_arr)
+        return pa.table({"o_custkey": b.column("c_custkey").filter(pa.array(m))})
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"]).map_batches(
+        cust_project, batch_format="pyarrow")
+    oc = bucketed_hash_join(orders, cust, on="o_custkey") \
+        .select_columns(["o_orderkey", "o_year"])
+
+    def year_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(rev_n=g["rev_e4"].to_numpy(np.int64)
+                     * g["is_n"].to_numpy(np.int64))
+        p = g.groupby("o_year", as_index=False).agg(
+            rev_all_e4=("rev_e4", "sum"), rev_nation_e4=("rev_n", "sum"))
+        return pd.DataFrame({"o_year": p["o_year"].astype(np.int64),
+                             "rev_all_e4": p["rev_all_e4"].astype(np.int64),
+                             "rev_nation_e4": p["rev_nation_e4"].astype(np.int64)})
+
+    parts = bucketed_hash_join(li, oc, on="o_orderkey",
+                               post=year_partial).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"o_year": pd.Series([], dtype="int64"),
+                             "rev_all_e4": pd.Series([], dtype="int64"),
+                             "rev_nation_e4": pd.Series([], dtype="int64"),
+                             "mkt_share": pd.Series([], dtype="float64")})
+    out = parts.groupby("o_year", as_index=False)[
+        ["rev_all_e4", "rev_nation_e4"]].sum()
+    out["mkt_share"] = (out["rev_nation_e4"].to_numpy(np.int64)
+                        / out["rev_all_e4"].to_numpy(np.int64))
+    return out
+
+
+def q_product_profit(sf_dir: str):
+    """TPC-H-Q9-shaped product revenue by (supplier nation, order
+    year) for parts whose name contains PROFIT_PART_TOKEN (the
+    testdata part has no partsupp, so profit = revenue). Part
+    membership + supplier nation broadcast; ONE bucketed join
+    lineitem⨝orders with the (nation, year) partial fused into the
+    buckets."""
+    from ..stages.relational import bucketed_hash_join
+
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    name_of = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]).to_pandas()
+    m = part["p_name"].str.contains(PROFIT_PART_TOKEN, regex=False)
+    pk_ref = ray.put(np.sort(part.loc[m, "p_partkey"].to_numpy(np.int64)))
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]).to_pandas().sort_values("s_suppkey")
+    supp_ref = ray.put((supplier["s_suppkey"].to_numpy(np.int64),
+                        supplier["s_nationkey"].to_numpy(np.int64)))
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        pkeys = ray.get(pk_ref)
+        pk = np.asarray(batch.column("l_partkey"), dtype=np.int64)
+        pos = np.searchsorted(pkeys, pk)
+        m = (pos < len(pkeys)) & (pkeys[np.minimum(
+            pos, max(len(pkeys) - 1, 0))] == pk) if len(pkeys) else \
+            np.zeros(len(pk), dtype=bool)
+        batch = batch.filter(pa.array(m))
+        skeys, snat = ray.get(supp_ref)
+        want = np.asarray(batch.column("l_suppkey"), dtype=np.int64)
+        pos = np.searchsorted(skeys, want)
+        if not (pos < len(skeys)).all() or not np.array_equal(skeys[pos], want):
+            raise ValueError("product_profit: lineitem references a suppkey "
+                             "missing from supplier")
+        return pa.table({"o_orderkey": batch.column("l_orderkey"),
+                         "s_nat": pa.array(snat[pos], type=pa.int64()),
+                         "rev_e4": _rev_e4(batch)})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"]).map_batches(
+        li_project, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: pa.table({"o_orderkey": b.column("o_orderkey"),
+                            "o_year": pc.year(b.column("o_orderdate"))
+                           .cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    def nation_year_partial(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.groupby(["s_nat", "o_year"], as_index=False)["rev_e4"].sum()
+        return pd.DataFrame({"s_nat": p["s_nat"].astype(np.int64),
+                             "o_year": p["o_year"].astype(np.int64),
+                             "rev_e4": p["rev_e4"].astype(np.int64)})
+
+    parts = bucketed_hash_join(li, orders, on="o_orderkey",
+                               post=nation_year_partial).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"n_name": pd.Series([], dtype=str),
+                             "o_year": pd.Series([], dtype="int64"),
+                             "revenue_e4": pd.Series([], dtype="int64")})
+    out = parts.groupby(["s_nat", "o_year"], as_index=False)["rev_e4"].sum()
+    return pd.DataFrame({"n_name": out["s_nat"].astype(int).map(name_of),
+                         "o_year": out["o_year"].astype(np.int64),
+                         "revenue_e4": out["rev_e4"].astype(np.int64)})
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H-Q15-shaped top supplier: per-supplier revenue in one
+    quarter via sharded_group_sum (supplier-cardinality result from
+    per-batch partials — lineitem never shuffles raw rows), then the
+    max + tie filter on the driver and a name lookup. Ties are kept,
+    as in Q15's revenue = max(revenue) semantics."""
+    from ..stages.relational import sharded_group_sum
+
+    lo = pd.Timestamp(TOP_SUPPLIER_WINDOW[0])
+    hi = pd.Timestamp(TOP_SUPPLIER_WINDOW[1])
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch.column("l_shipdate"), pa.scalar(lo)),
+                       pc.less(batch.column("l_shipdate"), pa.scalar(hi)))
+        batch = batch.filter(keep)
+        g = (pd.DataFrame({"s_suppkey": np.asarray(batch.column("l_suppkey"),
+                                                   dtype=np.int64),
+                           "rev": np.asarray(_rev_e4(batch))})
+             .groupby("s_suppkey", as_index=False)["rev"].sum())
+        return pa.table({"s_suppkey": pa.array(g["s_suppkey"].to_numpy(np.int64)),
+                         "total_revenue_e4": pa.array(g["rev"].to_numpy(np.int64))})
+
+    rev = sharded_group_sum(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+        ).map_batches(rev_partial, batch_format="pyarrow"),
+        keys=["s_suppkey"], sum_cols=["total_revenue_e4"]).to_pandas()
+    if not len(rev):
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype=str),
+                             "total_revenue_e4": pd.Series([], dtype="int64")})
+    best = rev[rev["total_revenue_e4"] == rev["total_revenue_e4"].max()]
+    names = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"]).to_pandas()
+    out = best.merge(names, on="s_suppkey")
+    return out[["s_suppkey", "s_name", "total_revenue_e4"]] \
+        .reset_index(drop=True)
+
+
+def q_supplier_part_counts(sf_dir: str):
+    """TPC-H-Q16-shaped supplier diversity report: distinct suppliers
+    per (brand, size) over lineitem⨝part, excluding EXCLUDED_BRAND and
+    'complaint' suppliers (suppkey % 10 == COMPLAINT_SUPP_MOD — the
+    deterministic stand-in for Q16's LIKE '%Complaints%' subquery; the
+    testdata has no partsupp or s_comment). Scale shape: part
+    attributes broadcast; each batch emits its DISTINCT (brand, size,
+    suppkey) triples; sharded_group_sum dedups the triples globally
+    (shuffle bounded by distinct-triple cardinality, not the fact
+    stream); the final per-(brand, size) count is a bounded rollup of
+    the deduped rows."""
+    from ..stages.relational import sharded_group_sum
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"]).to_pandas() \
+        .sort_values("p_partkey")
+    brands, bcodes = np.unique(part["p_brand"].to_numpy(object),
+                               return_inverse=True)
+    keep_part = (part["p_brand"] != EXCLUDED_BRAND).to_numpy()
+    part_ref = ray.put((part["p_partkey"].to_numpy(np.int64)[keep_part],
+                        bcodes.astype(np.int64)[keep_part],
+                        part["p_size"].to_numpy(np.int64)[keep_part]))
+
+    def triple_partial(batch: pa.Table) -> pa.Table:
+        pkeys, pb, psz = ray.get(part_ref)
+        pk = np.asarray(batch.column("l_partkey"), dtype=np.int64)
+        sk = np.asarray(batch.column("l_suppkey"), dtype=np.int64)
+        pos = np.searchsorted(pkeys, pk)
+        m = (pos < len(pkeys)) & (pkeys[np.minimum(
+            pos, max(len(pkeys) - 1, 0))] == pk) if len(pkeys) else \
+            np.zeros(len(pk), dtype=bool)
+        m &= (sk % 10) != COMPLAINT_SUPP_MOD
+        p = np.minimum(pos, max(len(pkeys) - 1, 0))
+        g = (pd.DataFrame({"bcode": pb[p][m], "p_size": psz[p][m],
+                           "s_suppkey": sk[m]})
+             .drop_duplicates())
+        g["one"] = np.int64(1)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    triples = sharded_group_sum(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_suppkey"])
+        .map_batches(triple_partial, batch_format="pyarrow"),
+        keys=["bcode", "p_size", "s_suppkey"], sum_cols=["one"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.groupby(["bcode", "p_size"], as_index=False).size()
+        return pd.DataFrame({"bcode": p["bcode"].astype(np.int64),
+                             "p_size": p["p_size"].astype(np.int64),
+                             "supplier_cnt": p["size"].astype(np.int64)})
+
+    parts = triples.map_batches(count_partial, batch_format="pandas") \
+        .to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"p_brand": pd.Series([], dtype=str),
+                             "p_size": pd.Series([], dtype="int64"),
+                             "supplier_cnt": pd.Series([], dtype="int64")})
+    out = parts.groupby(["bcode", "p_size"], as_index=False)[
+        "supplier_cnt"].sum()
+    return pd.DataFrame({"p_brand": brands[out["bcode"].to_numpy(np.int64)],
+                         "p_size": out["p_size"].astype(np.int64),
+                         "supplier_cnt": out["supplier_cnt"].astype(np.int64)})
+
+
 def q_line_dedup(sf_dir: str):
     """CCNet/Dolma-style popular-line (boilerplate) removal: documents
     restructured into '.'-terminated 8-token lines with deterministic
@@ -3099,6 +3390,10 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "code_pii_scrub": q_code_pii_scrub,
     "chunk_documents": q_chunk_documents,
+    "market_share": q_market_share,
+    "product_profit": q_product_profit,
+    "top_supplier": q_top_supplier,
+    "supplier_part_counts": q_supplier_part_counts,
 }
 
 _EN_MARKERS = textstats.LANG_MARKERS["en"]
@@ -4847,6 +5142,68 @@ ORACLE_SQL["waiting_suppliers"] = (
     "SELECT s.s_name, w.numwait FROM w "
     "JOIN supplier s ON s.s_suppkey = w.s_suppkey "
     "ORDER BY w.numwait DESC, s.s_name LIMIT 20")
+
+
+# TPC-H Q8 shape — the share is sum(rev*isn)::DOUBLE / sum(rev): one
+# IEEE division of exact int64 sums on both sides (no rounding needed;
+# the harness rounds floats to 9 dp and identical divisions are
+# bit-identical)
+ORACLE_SQL["market_share"] = (
+    "WITH base AS (SELECT year(o.o_orderdate) AS o_year, "
+    "CAST(round(l.l_extendedprice * 100) AS BIGINT) "
+    "  * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev, "
+    f"CASE WHEN n1.n_name = '{MARKET_NATION}' THEN 1 ELSE 0 END AS isn "
+    "FROM lineitem l "
+    "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "JOIN customer c ON c.c_custkey = o.o_custkey "
+    "JOIN part p ON p.p_partkey = l.l_partkey "
+    "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "JOIN nation n1 ON n1.n_nationkey = s.s_nationkey "
+    "JOIN nation n2 ON n2.n_nationkey = c.c_nationkey "
+    "JOIN region r ON r.r_regionkey = n2.n_regionkey "
+    f"WHERE r.r_name = '{MARKET_REGION}' AND p.p_type = '{MARKET_PTYPE}' "
+    "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '2000-01-01') "
+    "SELECT o_year::BIGINT AS o_year, sum(rev)::BIGINT AS rev_all_e4, "
+    "sum(rev * isn)::BIGINT AS rev_nation_e4, "
+    "sum(rev * isn)::DOUBLE / sum(rev) AS mkt_share "
+    "FROM base GROUP BY o_year")
+
+# TPC-H Q9 shape (no partsupp in the testdata: profit = revenue)
+ORACLE_SQL["product_profit"] = (
+    "SELECT n.n_name, year(o.o_orderdate)::BIGINT AS o_year, "
+    "sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) "
+    "    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT "
+    "  AS revenue_e4 "
+    "FROM lineitem l "
+    "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "JOIN part p ON p.p_partkey = l.l_partkey "
+    "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+    f"WHERE p.p_name LIKE '%{PROFIT_PART_TOKEN}%' "
+    "GROUP BY 1, 2")
+
+# TPC-H Q15 shape: revenue = max(revenue), ties kept
+ORACLE_SQL["top_supplier"] = (
+    "WITH rev AS (SELECT l_suppkey AS s_suppkey, "
+    "sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+    "    * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT "
+    "  AS total_revenue_e4 "
+    f"FROM lineitem WHERE l_shipdate >= TIMESTAMP '{TOP_SUPPLIER_WINDOW[0]}' "
+    f"AND l_shipdate < TIMESTAMP '{TOP_SUPPLIER_WINDOW[1]}' GROUP BY 1) "
+    "SELECT r.s_suppkey, s.s_name, r.total_revenue_e4 FROM rev r "
+    "JOIN supplier s ON s.s_suppkey = r.s_suppkey "
+    "WHERE r.total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)")
+
+# TPC-H Q16 shape (complaint suppliers = suppkey % 10 == mod; the
+# testdata has no s_comment)
+ORACLE_SQL["supplier_part_counts"] = (
+    "SELECT p.p_brand, p.p_size::BIGINT AS p_size, "
+    "count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    f"WHERE p.p_brand <> '{EXCLUDED_BRAND}' "
+    f"AND l.l_suppkey % 10 <> {COMPLAINT_SUPP_MOD} "
+    "GROUP BY 1, 2")
 
 
 def _line_dedup_sql() -> str:

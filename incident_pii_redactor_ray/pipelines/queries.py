@@ -2765,6 +2765,46 @@ def q_supplier_part_counts(sf_dir: str):
                          "supplier_cnt": out["supplier_cnt"].astype(np.int64)})
 
 
+KNN_K = 5              # knn_graph neighbors per node
+RESERVOIR_K = 100      # reservoir_sample size
+RESERVOIR_SEED = 77    # fmix32 xor seed for the sample keys
+
+
+def q_knn_graph(sf_dir: str):
+    """Exact cosine k-NN graph over every embedding (the semantic-
+    curation building block behind graph-based dedup / diversity
+    sampling): triangle block join + per-group vectorized partial
+    top-k + a 256-shard merge — see stages/similarity.knn_graph for
+    the partitioning story. The SQL oracle ranks the full cross
+    product with the same (cosine desc, neighbor asc) tie-break."""
+    from ..stages.similarity import knn_graph
+
+    return knn_graph(_emb(sf_dir), k=KNN_K)
+
+
+def q_reservoir_sample(sf_dir: str):
+    """Global exact-size uniform sample (order-independent
+    'reservoir'): keep the RESERVOIR_K docs with the smallest
+    fmix32(doc_id xor seed) key. Each batch emits only its local
+    k-smallest (doc_id, sample_key) rows — the partial-topk-then-merge
+    shape — so the driver merge sees batches x k rows, never the
+    corpus. Deterministic at any parallelism; the oracle reproduces
+    the murmur3 finalizer and the ORDER BY/LIMIT."""
+    from ..functions.hashing import fmix32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        key = fmix32(ids ^ np.int64(RESERVOIR_SEED)).astype(np.int64)
+        order = np.lexsort((ids, key))[:RESERVOIR_K]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "sample_key": pa.array(key[order])})
+
+    parts = _docs(sf_dir, ["doc_id"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["sample_key", "doc_id"]).head(RESERVOIR_K)
+    return out.reset_index(drop=True)
+
+
 def q_line_dedup(sf_dir: str):
     """CCNet/Dolma-style popular-line (boilerplate) removal: documents
     restructured into '.'-terminated 8-token lines with deterministic
@@ -3394,6 +3434,8 @@ QUERIES = {
     "product_profit": q_product_profit,
     "top_supplier": q_top_supplier,
     "supplier_part_counts": q_supplier_part_counts,
+    "knn_graph": q_knn_graph,
+    "reservoir_sample": q_reservoir_sample,
 }
 
 _EN_MARKERS = textstats.LANG_MARKERS["en"]
@@ -5143,6 +5185,21 @@ ORACLE_SQL["waiting_suppliers"] = (
     "JOIN supplier s ON s.s_suppkey = w.s_suppkey "
     "ORDER BY w.numwait DESC, s.s_name LIMIT 20")
 
+
+ORACLE_SQL["knn_graph"] = (
+    "WITH s AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+    "  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos "
+    "  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), "
+    "r AS (SELECT vec_id, neighbor_id, cos, row_number() OVER "
+    "  (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s) "
+    "SELECT vec_id, rank::BIGINT AS rank, neighbor_id, "
+    f"round(cos, 6) AS cosine FROM r WHERE rank <= {KNN_K}")
+
+ORACLE_SQL["reservoir_sample"] = (
+    "WITH " + _fmix32_sql_ctes(
+        f"xor(doc_id % 4294967296, {RESERVOIR_SEED})", "doc_id", "documents")
+    + " SELECT doc_id, h AS sample_key FROM hf "
+    f"ORDER BY h, doc_id LIMIT {RESERVOIR_K}")
 
 # TPC-H Q8 shape — the share is sum(rev*isn)::DOUBLE / sum(rev): one
 # IEEE division of exact int64 sums on both sides (no rounding needed;

@@ -522,3 +522,98 @@ def pq_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.ndarray,
     return (ds.map_batches(AdcScore, batch_format="pyarrow", concurrency=2)
               .groupby("query_id")
               .map_groups(merge_topk, batch_format="pandas"))
+
+
+def knn_graph(ds: ray.data.Dataset, *, k: int = 5, num_blocks: int = 8,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> ray.data.Dataset:
+    """Exact cosine k-nearest-neighbor graph over EVERY vector (the
+    all-nodes generalization of brute_force_topk, whose broadcast query
+    matrix cannot hold the whole corpus): the triangle block join from
+    embedding_neardup_pairs co-locates every block pair once, each
+    group emits a per-node PARTIAL top-k toward the other block (both
+    orientations), and a shard-keyed vectorized merge keeps each node's
+    global top-k. Shuffle volume: num_blocks x corpus for the
+    replicate plus num_blocks x nodes x k candidate rows — the
+    inherent exact-kNN cost; the merge groupby is 256 shards, never
+    per-node Python (the sharded_group_sum lesson).
+
+    Returns (vec_id, rank, neighbor_id, cosine) with rank 1..k, ties
+    broken by neighbor_id ascending, cosine rounded to 6 decimals
+    AFTER ranking."""
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        blocks = ids % num_blocks
+        parts = []
+        for p in range(num_blocks):
+            lo = np.minimum(blocks, p)
+            hi = np.maximum(blocks, p)
+            parts.append(pa.table({
+                "gkey": pa.array(lo * num_blocks + hi),
+                "block": pa.array(blocks),
+                id_col: batch.column(id_col),
+                vec_col: batch.column(vec_col)}))
+        return pa.concat_tables(parts)
+
+    def partial_knn(group: pa.Table) -> pa.Table:
+        gk = int(group.column("gkey")[0].as_py())
+        i, j = gk // num_blocks, gk % num_blocks
+        blocks = np.asarray(group.column("block"))
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        m = _normalize(_batch_matrix(group, vec_col))
+        out_q, out_n, out_c = [], [], []
+
+        def emit(q_ids, q_m, c_ids, c_m, exclude_self):
+            # candidates sorted by id, then a STABLE rowwise argsort on
+            # -cos breaks ties by id ascending — the whole per-node
+            # top-k is one vectorized sort, no Python loop over rows
+            order = np.argsort(c_ids, kind="mergesort")
+            c_ids, c_m = c_ids[order], c_m[order]
+            cos = q_m @ c_m.T
+            if exclude_self:
+                pos = np.searchsorted(c_ids, q_ids)
+                hit = (pos < len(c_ids)) & (c_ids[np.minimum(
+                    pos, len(c_ids) - 1)] == q_ids)
+                cos[np.flatnonzero(hit), pos[hit]] = -np.inf
+            kk = min(k, cos.shape[1])
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            take = np.take_along_axis(cos, top, axis=1)
+            valid = np.isfinite(take)
+            qi, _ = np.nonzero(valid)
+            out_q.extend(q_ids[qi].tolist())
+            out_n.extend(c_ids[top[valid]].tolist())
+            out_c.extend(take[valid].tolist())
+
+        if i == j:
+            emit(ids, m, ids, m, True)
+        else:
+            a, b = blocks == i, blocks == j
+            if a.any() and b.any():
+                emit(ids[a], m[a], ids[b], m[b], False)
+                emit(ids[b], m[b], ids[a], m[a], False)
+        t = pa.table({id_col: pa.array(out_q, type=pa.int64()),
+                      "neighbor_id": pa.array(out_n, type=pa.int64()),
+                      "cosine": pa.array(out_c, type=pa.float64())})
+        shard = pa.compute.bit_wise_and(
+            pa.compute.multiply(t.column(id_col),
+                                pa.scalar(0x9E3779B9, type=pa.int64())),
+            pa.scalar(255, type=pa.int64()))
+        return t.append_column("shard", shard.cast(pa.int64()))
+
+    def merge_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "cosine", "neighbor_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.drop_duplicates([id_col, "neighbor_id"])  # candidates are
+        # disjoint across groups, but keep the merge idempotent
+        g["rank"] = g.groupby(id_col).cumcount() + 1
+        g = g[g["rank"] <= k].reset_index(drop=True)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(np.int64),
+                             "rank": g["rank"].to_numpy(np.int64),
+                             "neighbor_id": g["neighbor_id"].to_numpy(np.int64),
+                             "cosine": np.round(g["cosine"].to_numpy(np.float64),
+                                                6)})
+
+    return (ds.map_batches(replicate, batch_format="pyarrow")
+              .groupby("gkey").map_groups(partial_knn, batch_format="pyarrow")
+              .groupby("shard").map_groups(merge_shard, batch_format="pandas"))

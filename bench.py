@@ -43,7 +43,11 @@ BENCH_QUERIES = [
     "embedding_outliers", "cms_counts", "pagerank", "image_ahash_dedup",
     "corpus_prep_pipeline", "audio_fp_dedup", "video_fp_dedup",
     "license_filter", "comment_ratio", "repo_neardup", "small_qty_revenue",
-    "idle_customers", "snapshot_diff",
+    "idle_customers", "snapshot_diff", "late_order_priority", "trade_volume",
+    "disjunctive_revenue", "waiting_suppliers", "market_share",
+    "product_profit", "top_supplier", "supplier_part_counts", "line_dedup",
+    "code_pii_scrub", "chunk_documents", "knn_graph", "reservoir_sample",
+    "cdc_upsert", "value_deciles",
 ]
 
 

@@ -2805,6 +2805,80 @@ def q_reservoir_sample(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+CDC_DELETE_TYPE = "error"  # the event type that acts as a CDC delete
+
+
+def q_cdc_upsert(sf_dir: str):
+    """Change-data-capture apply (the iceberg/hudi merge shape): the
+    events stream is a changelog keyed by user_id — last write wins by
+    (ts, event_id), and a final CDC_DELETE_TYPE event removes the key
+    from the state. Scale shape: each batch pre-reduces to one
+    latest-row partial per key (vectorized sort + keep-last), a
+    256-way key-shard groupby finishes the argmax — the shuffle
+    carries per-batch per-key partials, never the raw changelog — and
+    the delete filter runs on the key-cardinality result."""
+    from ..stages.relational import shard_of_keys
+
+    def latest_partial(batch: pa.Table) -> pa.Table:
+        df = pa.table({
+            "user_id": batch.column("user_id"),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+            "value_cents": pc.cast(pc.round(pc.multiply(
+                batch.column("value"), pa.scalar(100.0))), pa.int64()),
+        }).to_pandas()
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort").drop_duplicates(
+            "user_id", keep="last")
+        df["shard"] = shard_of_keys(df["user_id"].to_numpy(np.int64), 256)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort").drop_duplicates(
+            "user_id", keep="last")
+        g = g[g["event_type"] != CDC_DELETE_TYPE]
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "ts_us": g["ts_us"].to_numpy(np.int64),
+            "event_type": g["event_type"].astype("string"),
+            "value_cents": g["value_cents"].to_numpy(np.int64)})
+
+    return (_events(sf_dir)
+            .map_batches(latest_partial, batch_format="pyarrow")
+            .groupby("shard").map_groups(finish, batch_format="pandas"))
+
+
+def q_value_deciles(sf_dir: str):
+    """NTILE(10) per event type ordered by (value, event_id) — the
+    quality-score decile assignment every curation pipeline uses for
+    threshold sweeps. The partition key has bounded cardinality (one
+    group per event type), so one groupby co-locates each type and the
+    tile assignment is a single vectorized sort + integer formula per
+    group (NTILE's first n%10 tiles take the extra row). Hot-key
+    caveat: a single type's rows must fit one worker — the inherent
+    ordered-scan shape, same as session_windows."""
+
+    def ntile_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        q, m = divmod(n, 10)
+        r0 = np.arange(n, dtype=np.int64)
+        cut = m * (q + 1)
+        tile = np.where(r0 < cut, r0 // (q + 1),
+                        m + (r0 - cut) // max(q, 1)) + 1
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(np.int64),
+                             "event_type": g["event_type"].astype("string"),
+                             "value": g["value"].to_numpy(np.float64),
+                             "decile": tile})
+
+    return (_events(sf_dir, ["event_id", "event_type", "value"])
+            .groupby("event_type")
+            .map_groups(ntile_group, batch_format="pandas"))
+
+
 def q_line_dedup(sf_dir: str):
     """CCNet/Dolma-style popular-line (boilerplate) removal: documents
     restructured into '.'-terminated 8-token lines with deterministic
@@ -3436,6 +3510,8 @@ QUERIES = {
     "supplier_part_counts": q_supplier_part_counts,
     "knn_graph": q_knn_graph,
     "reservoir_sample": q_reservoir_sample,
+    "cdc_upsert": q_cdc_upsert,
+    "value_deciles": q_value_deciles,
 }
 
 _EN_MARKERS = textstats.LANG_MARKERS["en"]
@@ -5185,6 +5261,19 @@ ORACLE_SQL["waiting_suppliers"] = (
     "JOIN supplier s ON s.s_suppkey = w.s_suppkey "
     "ORDER BY w.numwait DESC, s.s_name LIMIT 20")
 
+
+ORACLE_SQL["cdc_upsert"] = (
+    "WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type, "
+    "CAST(round(value * 100) AS BIGINT) AS value_cents, "
+    "row_number() OVER (PARTITION BY user_id "
+    "  ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+    "SELECT user_id, ts_us, event_type, value_cents FROM r "
+    f"WHERE rn = 1 AND event_type <> '{CDC_DELETE_TYPE}'")
+
+ORACLE_SQL["value_deciles"] = (
+    "SELECT event_id, event_type, value, "
+    "ntile(10) OVER (PARTITION BY event_type "
+    "  ORDER BY value, event_id)::BIGINT AS decile FROM events")
 
 ORACLE_SQL["knn_graph"] = (
     "WITH s AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "

@@ -47,7 +47,9 @@ BENCH_QUERIES = [
     "disjunctive_revenue", "waiting_suppliers", "market_share",
     "product_profit", "top_supplier", "supplier_part_counts", "line_dedup",
     "code_pii_scrub", "chunk_documents", "knn_graph", "reservoir_sample",
-    "cdc_upsert", "value_deciles",
+    "cdc_upsert", "value_deciles", "min_cost_supplier", "important_parts",
+    "part_promotion", "grouped_mode", "numeric_corr", "cube_revenue",
+    "quantile_filter",
 ]
 
 

@@ -3377,6 +3377,313 @@ def q_large_orders(sf_dir: str):
         columns={"qty_cents": "sum_qty_cents"}).reset_index(drop=True)
 
 
+Q2_PART_SIZE = 15                # Q2's size class
+IMPORTANT_PART_DENOM = 2000      # Q11: keep parts with value*DENOM > total
+PROMO_SHIP_WINDOW = ("1998-01-01", "1999-01-01")  # Q20's ship year
+
+
+def q_min_cost_supplier(sf_dir: str):
+    """TPC-H-Q2-shaped min-cost supplier: for every part in the
+    Q2_PART_SIZE size class, the supplier(s) achieving the minimum
+    observed unit sale price (the testdata has no partsupp, so supply
+    cost := min lineitem extendedprice in exact cents; ties kept, as
+    in Q2's cost = min(cost) subquery). Scale shape: the part-class
+    membership broadcasts once and prunes the fact stream inside each
+    batch (1/|sizes| survives); per-batch (part, supp) min partials
+    shard BY PART so one groupby finishes both the global min per
+    (part, supp) and the per-part argmin in place; supplier names join
+    on the driver against the part-class-sized result."""
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"]).to_pandas()
+    pkeys = np.sort(part.loc[part["p_size"] == Q2_PART_SIZE,
+                             "p_partkey"].to_numpy(np.int64))
+    pk_ref = ray.put(pkeys)
+
+    def cost_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        pk = np.asarray(batch.column("l_partkey"), dtype=np.int64)
+        pos = np.searchsorted(keys, pk)
+        m = (pos < len(keys)) & (keys[np.minimum(
+            pos, max(len(keys) - 1, 0))] == pk) if len(keys) else \
+            np.zeros(len(pk), dtype=bool)
+        cents = np.asarray(pc.cast(pc.round(pc.multiply(
+            batch.column("l_extendedprice"), pa.scalar(100.0))), pa.int64()))
+        g = (pd.DataFrame({"p_partkey": pk[m],
+                           "s_suppkey": np.asarray(
+                               batch.column("l_suppkey"), dtype=np.int64)[m],
+                           "cost_cents": cents[m]})
+             .groupby(["p_partkey", "s_suppkey"], as_index=False)["cost_cents"]
+             .min())
+        g["shard"] = g["p_partkey"].to_numpy(np.int64) % 256
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_part_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["p_partkey", "s_suppkey"],
+                      as_index=False)["cost_cents"].min()
+        mn = g.groupby("p_partkey")["cost_cents"].transform("min")
+        return g[g["cost_cents"] == mn][
+            ["p_partkey", "s_suppkey", "cost_cents"]]
+
+    cand = (ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(cost_partial, batch_format="pyarrow")
+        .groupby("shard").map_groups(per_part_min, batch_format="pandas")
+        .to_pandas())
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_acctbal"]).to_pandas()
+    supp["acctbal_cents"] = np.round(
+        supp["s_acctbal"].to_numpy(np.float64) * 100).astype(np.int64)
+    out = cand.merge(supp[["s_suppkey", "s_name", "acctbal_cents"]],
+                     on="s_suppkey")
+    return out[["p_partkey", "s_suppkey", "s_name", "acctbal_cents",
+                "cost_cents"]].reset_index(drop=True)
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H-Q11-shaped important stock: parts whose total revenue
+    exceeds 1/IMPORTANT_PART_DENOM of ALL revenue — the HAVING-over-a
+    -global-scalar shape. Exact integer comparison (value*DENOM >
+    total) instead of a float fraction, so the threshold is
+    order-independent. Scale shape: sharded_group_sum reduces the fact
+    stream to a part-cardinality table of e4 partials; that small
+    result materializes ONCE, the global total is a Ray aggregate over
+    it, and the filter streams — the raw lineitem never shuffles."""
+    from ..stages.relational import sharded_group_sum
+
+    def value_partial(batch: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"p_partkey": np.asarray(
+                batch.column("l_partkey"), dtype=np.int64),
+                "value_e4": np.asarray(_rev_e4(batch))})
+             .groupby("p_partkey", as_index=False)["value_e4"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    vals = sharded_group_sum(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(value_partial, batch_format="pyarrow"),
+        keys=["p_partkey"], sum_cols=["value_e4"]).materialize()
+    total = int(vals.sum("value_e4") or 0)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value_e4"), dtype=np.int64)
+        return batch.filter(pa.array(v * IMPORTANT_PART_DENOM > total))
+
+    return vals.map_batches(keep, batch_format="pyarrow")
+
+
+def q_part_promotion(sf_dir: str):
+    """TPC-H-Q20-shaped promotion candidates: suppliers holding a
+    MAJORITY (>50%) of a PROFIT_PART_TOKEN part's shipped quantity in
+    the PROMO_SHIP_WINDOW year (the testdata has no partsupp availqty,
+    so Q20's availqty > 0.5*sum(qty) becomes share-of-part > 1/2 —
+    same nested two-level-aggregate shape, exact in e2 integer units:
+    2*supp_qty > part_qty). Scale shape: part membership broadcasts
+    and prunes in-batch; (part, supp) quantity partials shard BY PART;
+    one groupby finishes sums + the majority test; the distinct
+    qualifying-supplier set is tiny and joins names on the driver."""
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]).to_pandas()
+    pkeys = np.sort(part.loc[part["p_name"].str.contains(
+        PROFIT_PART_TOKEN, regex=False), "p_partkey"].to_numpy(np.int64))
+    pk_ref = ray.put(pkeys)
+    lo = pd.Timestamp(PROMO_SHIP_WINDOW[0])
+    hi = pd.Timestamp(PROMO_SHIP_WINDOW[1])
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("l_shipdate"), pa.scalar(lo)),
+            pc.less(batch.column("l_shipdate"), pa.scalar(hi)))
+        batch = batch.filter(keep)
+        keys = ray.get(pk_ref)
+        pk = np.asarray(batch.column("l_partkey"), dtype=np.int64)
+        pos = np.searchsorted(keys, pk)
+        m = (pos < len(keys)) & (keys[np.minimum(
+            pos, max(len(keys) - 1, 0))] == pk) if len(keys) else \
+            np.zeros(len(pk), dtype=bool)
+        qty = np.asarray(pc.cast(pc.round(pc.multiply(
+            batch.column("l_quantity"), pa.scalar(100.0))), pa.int64()))
+        g = (pd.DataFrame({"p_partkey": pk[m],
+                           "s_suppkey": np.asarray(
+                               batch.column("l_suppkey"), dtype=np.int64)[m],
+                           "qty_e2": qty[m]})
+             .groupby(["p_partkey", "s_suppkey"], as_index=False)["qty_e2"]
+             .sum())
+        g["shard"] = g["p_partkey"].to_numpy(np.int64) % 256
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def majority(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["p_partkey", "s_suppkey"],
+                      as_index=False)["qty_e2"].sum()
+        tot = g.groupby("p_partkey")["qty_e2"].transform("sum")
+        win = g[2 * g["qty_e2"].to_numpy(np.int64) > tot.to_numpy(np.int64)]
+        return win[["s_suppkey"]].drop_duplicates()
+
+    sk = (ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("shard").map_groups(majority, batch_format="pandas")
+        .to_pandas())
+    sk = sk.drop_duplicates("s_suppkey")
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"]).to_pandas()
+    out = sk.merge(supp, on="s_suppkey")
+    return out[["s_suppkey", "s_name"]].reset_index(drop=True)
+
+
+def q_grouped_mode(sf_dir: str):
+    """Per-key mode (most frequent event_type per user, ties to the
+    lexicographically smallest type) — the label-consensus shape used
+    when collapsing multi-annotator / multi-crawl rows to one value.
+    Scale shape: per-batch (user, type) count partials shard BY USER
+    (the shuffle carries partial counts, never events); one groupby
+    finishes counts + the argmax."""
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"user_id": np.asarray(
+                batch.column("user_id"), dtype=np.int64),
+                "event_type": batch.column("event_type").to_pandas()})
+             .groupby(["user_id", "event_type"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["shard"] = g["user_id"].to_numpy(np.int64) % 256
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def mode_of(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame({"user_id": g["user_id"].to_numpy(np.int64),
+                             "mode_type": g["event_type"].astype("string"),
+                             "n": g["n"].to_numpy(np.int64)})
+
+    return (_events(sf_dir, ["user_id", "event_type"])
+            .map_batches(count_partial, batch_format="pyarrow")
+            .groupby("shard").map_groups(mode_of, batch_format="pandas"))
+
+
+_CORR_COLS = ["l_quantity", "l_discount", "l_tax"]
+
+
+def q_numeric_corr(sf_dir: str):
+    """Pairwise Pearson correlation matrix over lineitem's bounded
+    numeric columns in ONE streaming pass: each batch emits a single
+    row of integer e2 moment partials (n, Sx, Sxx, Sxy for every
+    pair), the driver folds them with arbitrary-precision Python ints
+    (n*Sxx exceeds int64 at sf>=1), and the final corr is one double
+    expression per pair — the SQL oracle computes the identical
+    HUGEINT sums and the identical double formula, so the hash match
+    pins the whole moment pipeline, not a rounded approximation."""
+    cols = _CORR_COLS
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        xs = [np.asarray(pc.cast(pc.round(pc.multiply(
+            batch.column(c), pa.scalar(100.0))), pa.int64())) for c in cols]
+        row: dict = {"n": [np.int64(len(batch))]}
+        for i, c in enumerate(cols):
+            row[f"s{i}"] = [xs[i].sum()]
+            for j in range(i, len(cols)):
+                row[f"s{i}{j}"] = [np.dot(xs[i], xs[j])]
+        return pa.table(row)
+
+    parts = (ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+             .map_batches(moment_partial, batch_format="pyarrow").to_pandas())
+    tot = {c: int(parts[c].sum()) for c in parts.columns}
+    import math
+    out = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            n = tot["n"]
+            num = n * tot[f"s{i}{j}"] - tot[f"s{i}"] * tot[f"s{j}"]
+            den = (math.sqrt(float(n * tot[f"s{i}{i}"]
+                                   - tot[f"s{i}"] ** 2))
+                   * math.sqrt(float(n * tot[f"s{j}{j}"]
+                                     - tot[f"s{j}"] ** 2)))
+            out.append({"col_x": cols[i], "col_y": cols[j],
+                        "corr": float(num) / den})
+    return pd.DataFrame(out)
+
+
+def q_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus) revenue rollup — all
+    four grouping levels ('ALL' marks the rolled-up axis). Scale
+    shape: only the FINEST grain's partials cross the exchange (the
+    coarser levels are exact re-sums of it, computed once on the
+    bounded-cardinality result) — the classic cube-from-finest-grain
+    rewrite that avoids 4x the shuffle."""
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"rf": batch.column("l_returnflag").to_pandas(),
+                           "ls": batch.column("l_linestatus").to_pandas(),
+                           "revenue_e4": np.asarray(_rev_e4(batch))})
+             .groupby(["rf", "ls"], as_index=False)["revenue_e4"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus",
+                 "l_extendedprice", "l_discount"])
+        .map_batches(rev_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["rf", "ls"], as_index=False)["revenue_e4"].sum())
+    levels = [fine]
+    by_rf = fine.groupby("rf", as_index=False)["revenue_e4"].sum()
+    by_rf["ls"] = "ALL"
+    by_ls = fine.groupby("ls", as_index=False)["revenue_e4"].sum()
+    by_ls["rf"] = "ALL"
+    grand = pd.DataFrame({"rf": ["ALL"], "ls": ["ALL"],
+                          "revenue_e4": [fine["revenue_e4"].sum()]})
+    out = pd.concat([fine, by_rf, by_ls, grand], ignore_index=True)
+    out["revenue_e4"] = out["revenue_e4"].astype(np.int64)
+    return out[["rf", "ls", "revenue_e4"]]
+
+
+QUANTILE_FILTER_PCT = 90  # keep docs at or above this per-lang percentile
+
+
+def q_quantile_filter(sf_dir: str):
+    """Per-group exact-quantile threshold filter: keep each language's
+    top decile by n_chars — the 'train on the longest/highest-quality
+    tail' curation step. The per-lang p90 is EXACT via the
+    histogram-of-counts trick: the shuffle carries (lang, n_chars)
+    counts (bounded by langs x distinct lengths, kilobytes at any
+    corpus size), the threshold is the smallest value whose cumulative
+    count reaches ceil(0.9*n) (pure integer test: 10*cum >= 9*n), and
+    the corpus streams a broadcast-threshold filter — no sort, no
+    per-doc shuffle, unlike a naive global ntile."""
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"lang": batch.column("lang").to_pandas(),
+                           "n_chars": np.asarray(
+                               batch.column("n_chars"), dtype=np.int64)})
+             .groupby(["lang", "n_chars"], as_index=False)
+             .size().rename(columns={"size": "cnt"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (_docs(sf_dir, ["lang", "n_chars"])
+              .map_batches(count_partial, batch_format="pyarrow")
+              .to_pandas()
+              .groupby(["lang", "n_chars"], as_index=False)["cnt"].sum()
+              .sort_values(["lang", "n_chars"], kind="mergesort"))
+    counts["cum"] = counts.groupby("lang")["cnt"].cumsum()
+    counts["tot"] = counts.groupby("lang")["cnt"].transform("sum")
+    pct = QUANTILE_FILTER_PCT
+    hit = counts[100 * counts["cum"] >= pct * counts["tot"]]
+    thr = hit.groupby("lang")["n_chars"].min().to_dict()
+    thr_ref = ray.put(thr)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        lang = batch.column("lang").to_pandas()
+        lim = lang.map(t).fillna(np.iinfo(np.int64).max).to_numpy(np.int64)
+        n = np.asarray(batch.column("n_chars"), dtype=np.int64)
+        return batch.filter(pa.array(n >= lim))
+
+    return (_docs(sf_dir, ["doc_id", "lang", "n_chars"])
+            .map_batches(keep, batch_format="pyarrow"))
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -3512,6 +3819,13 @@ QUERIES = {
     "reservoir_sample": q_reservoir_sample,
     "cdc_upsert": q_cdc_upsert,
     "value_deciles": q_value_deciles,
+    "min_cost_supplier": q_min_cost_supplier,
+    "important_parts": q_important_parts,
+    "part_promotion": q_part_promotion,
+    "grouped_mode": q_grouped_mode,
+    "numeric_corr": q_numeric_corr,
+    "cube_revenue": q_cube_revenue,
+    "quantile_filter": q_quantile_filter,
 }
 
 _EN_MARKERS = textstats.LANG_MARKERS["en"]
@@ -5269,6 +5583,83 @@ ORACLE_SQL["cdc_upsert"] = (
     "  ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
     "SELECT user_id, ts_us, event_type, value_cents FROM r "
     f"WHERE rn = 1 AND event_type <> '{CDC_DELETE_TYPE}'")
+
+ORACLE_SQL["min_cost_supplier"] = (
+    "WITH cost AS (SELECT l_partkey, l_suppkey, "
+    "  MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents "
+    "  FROM lineitem JOIN part ON p_partkey = l_partkey "
+    f"  WHERE p_size = {Q2_PART_SIZE} GROUP BY 1, 2), "
+    "w AS (SELECT *, MIN(cost_cents) OVER (PARTITION BY l_partkey) AS mn "
+    "  FROM cost) "
+    "SELECT w.l_partkey AS p_partkey, s.s_suppkey, s.s_name, "
+    "CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents, "
+    "w.cost_cents FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey "
+    "WHERE w.cost_cents = w.mn")
+
+ORACLE_SQL["important_parts"] = (
+    "WITH v AS (SELECT l_partkey AS p_partkey, "
+    "  SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
+    "    * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT "
+    "  AS value_e4 FROM lineitem GROUP BY 1), "
+    "t AS (SELECT SUM(value_e4)::BIGINT AS tot FROM v) "
+    "SELECT p_partkey, value_e4 FROM v, t "
+    f"WHERE value_e4 * {IMPORTANT_PART_DENOM} > tot")
+
+ORACLE_SQL["part_promotion"] = (
+    "WITH q AS (SELECT l_partkey, l_suppkey, "
+    "  SUM(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS qty_e2 "
+    "  FROM lineitem JOIN part ON p_partkey = l_partkey "
+    f"  WHERE p_name LIKE '%{PROFIT_PART_TOKEN}%' "
+    f"  AND l_shipdate >= TIMESTAMP '{PROMO_SHIP_WINDOW[0]}' "
+    f"  AND l_shipdate < TIMESTAMP '{PROMO_SHIP_WINDOW[1]}' GROUP BY 1, 2), "
+    "w AS (SELECT *, SUM(qty_e2) OVER (PARTITION BY l_partkey) AS tot "
+    "  FROM q) "
+    "SELECT DISTINCT s.s_suppkey, s.s_name FROM w "
+    "JOIN supplier s ON s.s_suppkey = w.l_suppkey WHERE 2 * w.qty_e2 > w.tot")
+
+ORACLE_SQL["grouped_mode"] = (
+    "WITH c AS (SELECT user_id, event_type, COUNT(*)::BIGINT AS n "
+    "  FROM events GROUP BY 1, 2), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+    "  ORDER BY n DESC, event_type) AS rn FROM c) "
+    "SELECT user_id, event_type AS mode_type, n FROM r WHERE rn = 1")
+
+ORACLE_SQL["numeric_corr"] = (
+    "WITH b AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x, "
+    "  CAST(round(l_discount * 100) AS BIGINT) AS y, "
+    "  CAST(round(l_tax * 100) AS BIGINT) AS z FROM lineitem), "
+    "s AS (SELECT COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS sx, "
+    "  SUM(y)::HUGEINT AS sy, SUM(z)::HUGEINT AS sz, "
+    "  SUM(x*x)::HUGEINT AS sxx, SUM(y*y)::HUGEINT AS syy, "
+    "  SUM(z*z)::HUGEINT AS szz, SUM(x*y)::HUGEINT AS sxy, "
+    "  SUM(x*z)::HUGEINT AS sxz, SUM(y*z)::HUGEINT AS syz FROM b) "
+    "SELECT 'l_quantity' AS col_x, 'l_discount' AS col_y, "
+    "  ((n*sxy - sx*sy)::DOUBLE) / (sqrt((n*sxx - sx*sx)::DOUBLE) "
+    "    * sqrt((n*syy - sy*sy)::DOUBLE)) AS corr FROM s "
+    "UNION ALL SELECT 'l_quantity', 'l_tax', "
+    "  ((n*sxz - sx*sz)::DOUBLE) / (sqrt((n*sxx - sx*sx)::DOUBLE) "
+    "    * sqrt((n*szz - sz*sz)::DOUBLE)) FROM s "
+    "UNION ALL SELECT 'l_discount', 'l_tax', "
+    "  ((n*syz - sy*sz)::DOUBLE) / (sqrt((n*syy - sy*sy)::DOUBLE) "
+    "    * sqrt((n*szz - sz*sz)::DOUBLE)) FROM s")
+
+ORACLE_SQL["cube_revenue"] = (
+    "SELECT COALESCE(l_returnflag, 'ALL') AS rf, "
+    "COALESCE(l_linestatus, 'ALL') AS ls, "
+    "SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
+    "  * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT "
+    "AS revenue_e4 FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)")
+
+ORACLE_SQL["quantile_filter"] = (
+    "WITH c AS (SELECT lang, n_chars, COUNT(*)::BIGINT AS cnt "
+    "  FROM documents GROUP BY 1, 2), "
+    "w AS (SELECT lang, n_chars, "
+    "  SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cum, "
+    "  SUM(cnt) OVER (PARTITION BY lang) AS tot FROM c), "
+    "t AS (SELECT lang, MIN(n_chars) AS thr FROM w "
+    f"  WHERE 100 * cum >= {QUANTILE_FILTER_PCT} * tot GROUP BY 1) "
+    "SELECT d.doc_id, d.lang, d.n_chars FROM documents d "
+    "JOIN t ON d.lang = t.lang WHERE d.n_chars >= t.thr")
 
 ORACLE_SQL["value_deciles"] = (
     "SELECT event_id, event_type, value, "

@@ -24,6 +24,7 @@ from ray.data.aggregate import Count, Mean, Sum
 
 from ..stages import corpus_ops as _cops
 from ..stages import dedup, similarity, textstats
+from ..stages.relational import declare_schema
 from ..stages.multimodal import (AudioFeatureStage, MediaFeatureStage,
                                  VideoFrameSampleStage, audio_from_documents,
                                  media_from_documents, video_from_documents)
@@ -587,8 +588,11 @@ def q_top_unshipped(sf_dir: str):
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
         orders_filter, batch_format="pyarrow")
-    orders = broadcast_semi_join(orders, keys, on="o_custkey") \
-        .select_columns(["o_orderkey", "o_orderdate"])
+    orders = declare_schema(
+        broadcast_semi_join(orders, keys, on="o_custkey")
+        .select_columns(["o_orderkey", "o_orderdate"]),
+        pa.schema([("o_orderkey", pa.int64()),
+                   ("o_orderdate", pa.timestamp("us"))]))
 
     def li_filter(batch: pa.Table) -> pa.Table:
         batch = batch.filter(
@@ -596,10 +600,11 @@ def q_top_unshipped(sf_dir: str):
         return pa.table({"o_orderkey": batch.column("l_orderkey"),
                          "rev_e4": _rev_e4(batch)})
 
-    li = ray.data.read_parquet(
+    li = declare_schema(ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
-    ).map_batches(li_filter, batch_format="pyarrow")
+    ).map_batches(li_filter, batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()), ("rev_e4", pa.int64())]))
 
     # join+aggregate fusion: o_orderkey determines the bucket, so the
     # per-bucket grouped sum is already FINAL — the second all-to-all
@@ -651,16 +656,24 @@ def q_region_revenue(sf_dir: str):
                        pc.less(batch.column("o_orderdate"), pa.scalar(hi)))
         return batch.filter(keep).select(["o_orderkey", "o_custkey"])
 
-    orders = ray.data.read_parquet(
+    # static schema declarations: graph build must never execute the
+    # graph (schema probes on exchange outputs run the whole upstream
+    # and the pipeline then re-executes at consumption — declare_schema)
+    orders = declare_schema(ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        orders_filter, batch_format="pyarrow")
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]) \
+        orders_filter, batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]))
+    cust = declare_schema(ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
         .map_batches(lambda b: b.rename_columns(["o_custkey", "c_nationkey"]),
-                     batch_format="pyarrow")
-    oc = bucketed_hash_join(orders, cust, on="o_custkey") \
-        .select_columns(["o_orderkey", "c_nationkey"])
+                     batch_format="pyarrow"),
+        pa.schema([("o_custkey", pa.int64()), ("c_nationkey", pa.int32())]))
+    # the projection runs inside the join's bucket groups (post), so the
+    # join output needs no select_columns pass and keeps its declared
+    # schema for the second join's build
+    oc = bucketed_hash_join(orders, cust, on="o_custkey",
+                            post=lambda df: df[["o_orderkey", "c_nationkey"]])
 
     def li_project(batch: pa.Table) -> pa.Table:
         skeys, snat = ray.get(supp_ref)
@@ -681,6 +694,9 @@ def q_region_revenue(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
     ).map_batches(li_project, batch_format="pyarrow")
+    li = declare_schema(li, pa.schema([
+        ("o_orderkey", pa.int64()), ("rev_e4", pa.int64()),
+        ("s_nationkey", pa.int32())]))
 
     # join+aggregate fusion: the same-nation filter and the per-nation
     # partial sum run inside the join's bucket groups (<= 25 nation
@@ -2230,10 +2246,13 @@ def q_late_order_priority(sf_dir: str):
             "o_orderpriority": batch.column("o_orderpriority"),
             "odate_us": batch.column("o_orderdate").cast(pa.int64())})
 
-    orders = ray.data.read_parquet(
+    orders = declare_schema(ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
-        orders_filter, batch_format="pyarrow")
+        orders_filter, batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()),
+                   ("o_orderpriority", pa.string()),
+                   ("odate_us", pa.int64())]))
 
     # a lineitem can only witness lateness if it shipped after
     # window_lo + 60d; everything earlier is pruned before the shuffle,
@@ -2249,9 +2268,10 @@ def q_late_order_priority(sf_dir: str):
         return pa.table({"o_orderkey": pa.array(g["o_orderkey"].to_numpy(np.int64)),
                          "ship_us": pa.array(g["ship_us"].to_numpy(np.int64))})
 
-    li = ray.data.read_parquet(
+    li = declare_schema(ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
-    ).map_batches(li_partial, batch_format="pyarrow")
+    ).map_batches(li_partial, batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()), ("ship_us", pa.int64())]))
 
     def exists_count(g: pd.DataFrame) -> pd.DataFrame:
         late = g[g["ship_us"].to_numpy(np.int64)
@@ -2321,25 +2341,30 @@ def q_trade_volume(sf_dir: str):
                          "l_year": yr,
                          "rev_e4": _rev_e4(batch)})
 
-    li = ray.data.read_parquet(
+    li = declare_schema(ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_shipdate",
                  "l_extendedprice", "l_discount"]).map_batches(
-        li_project, batch_format="pyarrow")
+        li_project, batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()), ("supp_nat", pa.int64()),
+                   ("l_year", pa.int64()), ("rev_e4", pa.int64())]))
 
     def cust_project(b: pa.Table) -> pa.Table:
         cn = b.column("c_nationkey").cast(pa.int64())
         t = pa.table({"o_custkey": b.column("c_custkey"), "cust_nat": cn})
         return t.filter(pc.or_(pc.equal(cn, n1), pc.equal(cn, n2)))
 
-    cust = ray.data.read_parquet(
+    cust = declare_schema(ray.data.read_parquet(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_nationkey"]).map_batches(
-        cust_project, batch_format="pyarrow")
+        cust_project, batch_format="pyarrow"),
+        pa.schema([("o_custkey", pa.int64()), ("cust_nat", pa.int64())]))
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-    oc = bucketed_hash_join(orders, cust, on="o_custkey") \
-        .select_columns(["o_orderkey", "cust_nat"])
+    # project inside the join (post) so the output keeps its declared
+    # schema for the second join's graph build (no schema probe)
+    oc = bucketed_hash_join(orders, cust, on="o_custkey",
+                            post=lambda df: df[["o_orderkey", "cust_nat"]])
 
     def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
         sn = g["supp_nat"].to_numpy(np.int64)
@@ -2435,18 +2460,21 @@ def q_waiting_suppliers(sf_dir: str):
             "o_orderkey": batch.column("o_orderkey"),
             "odate_us": batch.column("o_orderdate").cast(pa.int64())})
 
-    orders = ray.data.read_parquet(
+    orders = declare_schema(ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderstatus", "o_orderdate"]).map_batches(
-        orders_filter, batch_format="pyarrow")
+        orders_filter, batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()), ("odate_us", pa.int64())]))
 
-    li = ray.data.read_parquet(
+    li = declare_schema(ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
         lambda b: pa.table({"o_orderkey": b.column("l_orderkey"),
                             "l_suppkey": b.column("l_suppkey"),
                             "ship_us": b.column("l_shipdate").cast(pa.int64())}),
-        batch_format="pyarrow")
+        batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+                   ("ship_us", pa.int64())]))
 
     def verdict(g: pd.DataFrame) -> pd.DataFrame:
         late = (g["ship_us"].to_numpy(np.int64)
@@ -2531,11 +2559,13 @@ def q_market_share(sf_dir: str):
                          "is_n": pa.array((snat[pos] == n_target)
                                           .astype(np.int64))})
 
-    li = ray.data.read_parquet(
+    li = declare_schema(ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_partkey", "l_suppkey",
                  "l_extendedprice", "l_discount"]).map_batches(
-        li_project, batch_format="pyarrow")
+        li_project, batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()), ("rev_e4", pa.int64()),
+                   ("is_n", pa.int64())]))
 
     lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("2000-01-01")
 
@@ -2548,10 +2578,12 @@ def q_market_share(sf_dir: str):
                          "o_year": pc.year(batch.column("o_orderdate"))
                         .cast(pa.int64())})
 
-    orders = ray.data.read_parquet(
+    orders = declare_schema(ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        orders_project, batch_format="pyarrow")
+        orders_project, batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                   ("o_year", pa.int64())]))
     asia_arr = np.array(sorted(asia_keys), dtype=np.int64)
 
     def cust_project(b: pa.Table) -> pa.Table:
@@ -2559,12 +2591,15 @@ def q_market_share(sf_dir: str):
         m = np.isin(cn, asia_arr)
         return pa.table({"o_custkey": b.column("c_custkey").filter(pa.array(m))})
 
-    cust = ray.data.read_parquet(
+    cust = declare_schema(ray.data.read_parquet(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_nationkey"]).map_batches(
-        cust_project, batch_format="pyarrow")
-    oc = bucketed_hash_join(orders, cust, on="o_custkey") \
-        .select_columns(["o_orderkey", "o_year"])
+        cust_project, batch_format="pyarrow"),
+        pa.schema([("o_custkey", pa.int64())]))
+    # projection fused into the join (post) keeps the declared schema
+    # alive for the second join's graph build (no schema probe)
+    oc = bucketed_hash_join(orders, cust, on="o_custkey",
+                            post=lambda df: df[["o_orderkey", "o_year"]])
 
     def year_partial(g: pd.DataFrame) -> pd.DataFrame:
         g = g.assign(rev_n=g["rev_e4"].to_numpy(np.int64)
@@ -3052,10 +3087,11 @@ def q_returned_items(sf_dir: str):
             pc.less(batch.column("o_orderdate"), pa.scalar(hi)))
         return batch.filter(keep).select(["o_orderkey", "o_custkey"])
 
-    orders = ray.data.read_parquet(
+    orders = declare_schema(ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        orders_filter, batch_format="pyarrow")
+        orders_filter, batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]))
 
     def li_project(batch: pa.Table) -> pa.Table:
         batch = batch.filter(
@@ -3063,20 +3099,23 @@ def q_returned_items(sf_dir: str):
         return pa.table({"o_orderkey": batch.column("l_orderkey"),
                          "rev_e4": _rev_e4(batch)})
 
-    li = ray.data.read_parquet(
+    li = declare_schema(ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_extendedprice",
-                 "l_discount"]).map_batches(li_project, batch_format="pyarrow")
+                 "l_discount"]).map_batches(li_project,
+                                            batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()), ("rev_e4", pa.int64())]))
 
     # join+aggregate fusion: the per-customer partial sum runs inside
-    # each joined bucket, so only customer-sized partials leave it
+    # each joined bucket, so only customer-sized partials leave it —
+    # and the rename to the second join's key happens there too, so the
+    # join output keeps its declared schema (no probe, no extra pass)
     def cust_partial(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("o_custkey", as_index=False)["rev_e4"].sum()
+        out = g.groupby("o_custkey", as_index=False)["rev_e4"].sum()
+        return out.rename(columns={"o_custkey": "c_custkey"})
 
     partials = bucketed_hash_join(li, orders, on="o_orderkey",
-                                  post=cust_partial).map_batches(
-        lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
-        batch_format="pandas")
+                                  post=cust_partial)
 
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet",

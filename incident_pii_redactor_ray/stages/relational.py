@@ -30,6 +30,31 @@ def _arrow_type(t) -> pa.DataType:
     return pa.from_numpy_dtype(dt)
 
 
+KNOWN_SCHEMA_ATTR = "_ipr_known_schema"
+
+
+def declare_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
+    """Attach a statically-known Arrow schema to a Dataset.
+
+    ``Dataset.schema()`` on a lazy pipeline EXECUTES upstream operators
+    to discover the schema — cheap for a narrow read+map (one block),
+    but an exchange output (groupby/map_groups, i.e. every
+    bucketed_hash_join result) runs its ENTIRE upstream, which then
+    re-executes at consumption. Chained joins paid that double
+    execution (~40% of wall time on the TPC-H Q3/Q5/Q7/Q8/Q10/Q18
+    shapes). Operators here consult the declared schema first
+    (schema_of) so graph BUILD never runs the graph."""
+    setattr(ds, KNOWN_SCHEMA_ATTR, schema)
+    return ds
+
+
+def schema_of(ds: ray.data.Dataset):
+    """The dataset's schema without executing it when statically known:
+    the ``declare_schema`` annotation if present, else ``.schema()``."""
+    known = getattr(ds, KNOWN_SCHEMA_ATTR, None)
+    return known if known is not None else ds.schema()
+
+
 def _hash64_column(arr) -> np.ndarray:
     """Vectorized per-element 64-bit hash of one key column: ints (and
     datetimes, via their int64 view) pass through; every other dtype
@@ -156,7 +181,7 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     # the dataset schemas — side membership must never be inferred from
     # nullness (a legitimately all-null column would be mis-attributed,
     # and a one-sided bucket used to crash on dropna of a 0-row frame).
-    l_schema, r_schema = left.schema(), right.schema()
+    l_schema, r_schema = schema_of(left), schema_of(right)
     l_names, r_names = list(l_schema.names), list(r_schema.names)
     l_types = {n: _arrow_type(t) for n, t in zip(l_schema.names, l_schema.types)}
     r_types = {n: _arrow_type(t) for n, t in zip(r_schema.names, r_schema.types)}
@@ -233,7 +258,10 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                                     schema=out_schema,
                                     preserve_index=False).to_pandas()
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return declare_schema(
+        both.groupby("__bucket").map_groups(join_bucket,
+                                            batch_format="pandas"),
+        out_schema)
 
 
 def tumbling_window(events: ray.data.Dataset, *, ts_col: str = "ts",
@@ -354,7 +382,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     # build-time dtypes (same hazard as bucketed_hash_join). The right
     # payload dtype comes from the right schema (VERDICT r2 'What's
     # wrong' #4: it was hardcoded float64).
-    l_schema, r_schema = left.schema(), right.schema()
+    l_schema, r_schema = schema_of(left), schema_of(right)
     l_types = {n: _arrow_type(t) for n, t in zip(l_schema.names, l_schema.types)}
     r_types = {n: _arrow_type(t) for n, t in zip(r_schema.names, r_schema.types)}
     out_schema = pa.schema(
@@ -398,7 +426,10 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         return pa.Table.from_pandas(merged, schema=out_schema,
                                     preserve_index=False).to_pandas()
 
-    return both.groupby("__shard").map_groups(join_shard, batch_format="pandas")
+    return declare_schema(
+        both.groupby("__shard").map_groups(join_shard,
+                                           batch_format="pandas"),
+        out_schema)
 
 
 def sliding_window(events: ray.data.Dataset, *, ts_col: str = "ts",

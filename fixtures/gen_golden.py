@@ -318,6 +318,27 @@ def gen_ann_pq_topk(sf_dir: str, *, k: int = 10, m: int = 16, ks: int = 64,
     })
 
 
+def gen_compression(sf_dir: str) -> pa.Table:
+    """Per-doc zlib(level) compressed size — the one non-SQL kernel of
+    queries.q_compression_ratio. ONLY comp_len is golden; raw_len and
+    the keep decision derive in SQL from the registry constants, so the
+    gate logic itself stays independently checked."""
+    import zlib
+
+    from incident_pii_redactor_ray.pipelines.queries import COMPRESSION_LEVEL
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+    key = int(np.asarray(docs.column("n_chars")).sum())
+    comp = [len(zlib.compress((t or "").encode(), COMPRESSION_LEVEL))
+            for t in docs.column("text").to_pylist()]
+    return pa.table({
+        "doc_id": docs.column("doc_id").cast(pa.int64()),
+        "comp_len": pa.array(comp, type=pa.int64()),
+        "corpus_key": pa.array([key] * docs.num_rows, type=pa.int64()),
+    })
+
+
 def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for sf_dir in SF_DIRS:
@@ -327,6 +348,7 @@ def main() -> None:
         tables["kmeans_clusters"] = gen_kmeans_clusters(sf_dir)
         tables["semantic_dedup"] = gen_semantic_dedup(sf_dir)
         tables["ann_pq_topk"] = gen_ann_pq_topk(sf_dir)
+        tables["compression_ratio"] = gen_compression(sf_dir)
         for name, table in tables.items():
             path = os.path.join(GOLDEN_DIR, f"{name}_{tag}.parquet")
             pq.write_table(table, path)

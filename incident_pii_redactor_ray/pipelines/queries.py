@@ -3723,11 +3723,141 @@ def q_quantile_filter(sf_dir: str):
             .map_batches(keep, batch_format="pyarrow"))
 
 
+#: two-sample KS drift split: group A = sources lexicographically below
+#: this bound (src0, src1, src10..src19 on the test tables), B = rest.
+DRIFT_SPLIT = "src2"
+
+
+def q_length_drift(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov drift statistic between the
+    doc-length distributions of two corpus slices (the
+    snapshot-vs-snapshot distribution-shift check a training-data
+    pipeline runs before mixing a new crawl in). Exact integers end to
+    end: the statistic is reported as max |n_b*cum_a(v) - n_a*cum_b(v)|
+    over distinct lengths v (the KS numerator on the common denominator
+    n_a*n_b), so the oracle comparison never touches float summation;
+    the float ``ks`` column is one double division at the end.
+
+    Shape: ONE streaming pass builds per-batch (length, count_a,
+    count_b) partials, sharded_group_sum reduces them to one row per
+    DISTINCT length (the shuffle carries value-histogram partials, never
+    rows), and the driver computes the cumulative max over that
+    histogram. Driver-side state is bounded by the length DOMAIN (a
+    pipeline that caps document size caps it too), not the corpus row
+    count — at 10^12 files the histogram is still <= max-doc-length
+    rows."""
+    from ..stages.relational import sharded_group_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pandas()
+        a = (src < DRIFT_SPLIT).to_numpy()
+        g = (pd.DataFrame({"v": np.asarray(batch.column("n_chars"),
+                                           dtype=np.int64),
+                           "ca": a.astype(np.int64),
+                           "cb": (~a).astype(np.int64)})
+             .groupby("v", as_index=False)[["ca", "cb"]].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = sharded_group_sum(
+        _docs(sf_dir, ["source", "n_chars"]).map_batches(
+            partial, batch_format="pyarrow"),
+        keys=["v"], sum_cols=["ca", "cb"]).to_pandas()
+    hist = hist.sort_values("v", kind="mergesort")
+    na = int(hist["ca"].sum())
+    nb = int(hist["cb"].sum())
+    cuma = hist["ca"].cumsum().to_numpy(np.int64)
+    cumb = hist["cb"].cumsum().to_numpy(np.int64)
+    ks_num = int(np.abs(nb * cuma - na * cumb).max()) if len(hist) else 0
+    denom = na * nb
+    return pd.DataFrame({
+        "n_a": pd.Series([na], dtype="int64"),
+        "n_b": pd.Series([nb], dtype="int64"),
+        "ks_num": pd.Series([ks_num], dtype="int64"),
+        "ks": pd.Series([ks_num / denom if denom else 0.0],
+                        dtype="float64")})
+
+
+#: zlib-ratio quality gate (percent bounds, integer cross-multiplied):
+#: ratio below the floor = degenerate repetition (the signal CCNet-style
+#: pipelines use to drop templated boilerplate), above the ceiling =
+#: near-incompressible noise/minified blobs.
+COMPRESSION_MIN_PCT = 20
+COMPRESSION_MAX_PCT = 85
+COMPRESSION_LEVEL = 6
+
+
+def q_compression_ratio(sf_dir: str):
+    """Compression-ratio quality gate: per-doc zlib(level=6) compressed
+    size vs raw UTF-8 size; keep iff the ratio lies in
+    [COMPRESSION_MIN_PCT, COMPRESSION_MAX_PCT] percent, tested by
+    integer cross-multiplication (no float ratio can diverge between
+    engine and oracle). The zlib kernel isn't SQL, so the oracle reads
+    per-doc comp_len from a committed golden parquet
+    (fixtures/gen_golden.gen_compression — the independent
+    single-process pass, keyed by corpus_key) and derives raw_len and
+    the keep decision in SQL from the same constants.
+
+    Shape: stateless map_batches (zlib is a per-call C kernel — the
+    Python loop only dispatches), nothing shuffles; at scale this is
+    embarrassingly parallel like every other gate."""
+    import zlib
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        raw = np.fromiter(
+            (len((t or "").encode()) for t in texts), dtype=np.int64,
+            count=len(texts))
+        comp = np.fromiter(
+            (len(zlib.compress((t or "").encode(), COMPRESSION_LEVEL))
+             for t in texts), dtype=np.int64, count=len(texts))
+        keep = ((comp * 100 >= raw * COMPRESSION_MIN_PCT)
+                & (comp * 100 <= raw * COMPRESSION_MAX_PCT))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "raw_len": pa.array(raw),
+                         "comp_len": pa.array(comp),
+                         "keep": pa.array(keep)})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink + source roundtrip: documents are projected to an
+    integer-exact frame, written as partitioned JSONL under /tmp with
+    ``write_json``, read back with ``ray.data.read_json``, and
+    aggregated — proves the JSON I/O path end-to-end (the interchange
+    format most external corpus dumps arrive in); the oracle aggregates
+    the original parquet directly.
+
+    NOTE: /tmp is node-local — on a multi-node cluster the roundtrip
+    directory must live on shared storage, like any Ray Data sink."""
+    import shutil
+    import tempfile
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    out_dir = tempfile.mkdtemp(prefix="jsonl_rt_", dir="/tmp")
+    try:
+        ds.write_json(out_dir)
+        back = ray.data.read_json(out_dir)
+        agg = (back.groupby("lang")
+                   .aggregate(Count(alias_name="n_docs"),
+                              Sum("n_chars", alias_name="chars_sum"))
+                   .to_pandas())
+        agg["n_docs"] = agg["n_docs"].astype("int64")
+        agg["chars_sum"] = agg["chars_sum"].astype("int64")
+        return agg
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "length_drift": q_length_drift,
+    "compression_ratio": q_compression_ratio,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     "lang_histogram": q_lang_histogram,
     "summary_rollup": q_summary_rollup,
     "events_by_type": q_events_by_type,
@@ -5846,3 +5976,38 @@ ORACLE_SQL["chunk_documents"] = (
     f"// {_CHS}))], recursive := true) FROM t WHERE len(toks) > 0) "
     "SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, "
     "n_tokens::BIGINT AS n_tokens, md5(chunk) AS chunk_md5 FROM c")
+
+
+ORACLE_SQL["length_drift"] = (
+    # exact-integer two-sample KS: numerator on the common n_a*n_b
+    # denominator, cumulative counts over distinct lengths
+    f"WITH c AS (SELECT n_chars AS v, "
+    f"sum(CASE WHEN source < '{DRIFT_SPLIT}' THEN 1 ELSE 0 END)::BIGINT AS ca, "
+    f"sum(CASE WHEN source >= '{DRIFT_SPLIT}' THEN 1 ELSE 0 END)::BIGINT AS cb "
+    "FROM documents GROUP BY n_chars), "
+    "cum AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma, "
+    "sum(cb) OVER (ORDER BY v) AS cumb FROM c), "
+    "tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM c) "
+    "SELECT na AS n_a, nb AS n_b, "
+    "max(abs(nb * cuma - na * cumb))::BIGINT AS ks_num, "
+    "max(abs(nb * cuma - na * cumb))::DOUBLE / (na * nb) AS ks "
+    "FROM cum, tot GROUP BY na, nb")
+
+ORACLE_SQL["compression_ratio"] = (
+    # the zlib kernel (comp_len) comes from the committed golden
+    # parquet (fixtures/gen_golden.gen_compression); raw_len and the
+    # keep decision are SQL, cross-multiplied from the same registry
+    # constants the engine uses
+    "WITH raw AS (SELECT doc_id, "
+    "octet_length(encode(coalesce(text, '')))::BIGINT AS raw_len "
+    "FROM documents) "
+    "SELECT r.doc_id, r.raw_len, g.comp_len, "
+    f"(g.comp_len * 100 >= r.raw_len * {COMPRESSION_MIN_PCT} AND "
+    f"g.comp_len * 100 <= r.raw_len * {COMPRESSION_MAX_PCT}) AS keep "
+    f"FROM raw r JOIN read_parquet('{_GOLDEN_DIR}/compression_ratio_*.parquet') g "
+    "ON g.doc_id = r.doc_id "
+    "WHERE g.corpus_key = (SELECT sum(n_chars) FROM documents)")
+
+ORACLE_SQL["jsonl_roundtrip"] = (
+    "SELECT lang, count(*)::BIGINT AS n_docs, "
+    "sum(n_chars)::BIGINT AS chars_sum FROM documents GROUP BY lang")

@@ -885,3 +885,65 @@ def test_chunk_documents_overlap_and_tail(ray_session):
     assert got["n_tokens"].tolist() == [CHUNK_TOKENS, CHUNK_TOKENS,
                                         57 - 2 * CHUNK_STRIDE]
     assert (out["doc_id"] == 8).sum() == 0
+
+
+def test_compression_gate_boundaries(ray_session, tmp_path):
+    # the zlib gate must DROP degenerate repetition (ratio under the
+    # floor) and near-incompressible noise (over the ceiling) while
+    # keeping natural prose — the three regimes the percent bounds exist
+    # to separate; exercised through the real queries() entry so the
+    # map_batches plumbing is what's tested
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_compression_ratio)
+
+    rng = np.random.default_rng(7)
+    # 94-symbol uniform noise is ~6.55 bits/char; at 400 chars the
+    # stream overhead keeps zlib above the 0.85 ceiling (0.9175)
+    noise = "".join(chr(0x21 + int(x)) for x in rng.integers(0, 94, 400))
+    # natural prose from the shared test corpus (94% of it passes the
+    # gate; templated/repeated strings don't — they land under the
+    # floor like doc 1)
+    prose = pq.read_table(SF + "/documents.parquet",
+                          columns=["text"]).column("text")[0].as_py()
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["spam " * 2000,            # repetitive -> drop
+                          noise,                      # incompressible -> drop
+                          prose]),
+    })
+    sf = tmp_path / "sfcomp"
+    sf.mkdir()
+    pq.write_table(docs, str(sf / "documents.parquet"))
+    out = q_compression_ratio(str(sf)).to_pandas().set_index("doc_id")
+    assert not out.loc[1, "keep"]          # under the 20% floor
+    assert not out.loc[2, "keep"]          # over the 85% ceiling
+    assert out.loc[3, "keep"]
+    # integer cross-multiplication, no float ratio anywhere
+    assert out["comp_len"].dtype == np.int64
+    assert out["raw_len"].dtype == np.int64
+
+
+def test_length_drift_detects_planted_shift(ray_session, tmp_path):
+    # two slices drawn from DISJOINT length ranges must yield KS = 1
+    # (ks_num = n_a*n_b); identical slices must yield KS = 0
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_length_drift
+
+    def mk(sf, lens_a, lens_b):
+        n = len(lens_a) + len(lens_b)
+        docs = pa.table({
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "source": pa.array(["src0"] * len(lens_a) + ["src9"] * len(lens_b)),
+            "n_chars": pa.array(list(lens_a) + list(lens_b), type=pa.int64()),
+        })
+        sf.mkdir()
+        pq.write_table(docs, str(sf / "documents.parquet"))
+        return q_length_drift(str(sf)).iloc[0]
+
+    r = mk(tmp_path / "disjoint", [10, 11, 12, 13], [900, 901, 902])
+    assert r["ks_num"] == r["n_a"] * r["n_b"] and r["ks"] == 1.0
+    r = mk(tmp_path / "same", [50, 60, 70], [50, 60, 70])
+    assert r["ks_num"] == 0 and r["ks"] == 0.0

@@ -49,7 +49,8 @@ BENCH_QUERIES = [
     "code_pii_scrub", "chunk_documents", "knn_graph", "reservoir_sample",
     "cdc_upsert", "value_deciles", "min_cost_supplier", "important_parts",
     "part_promotion", "grouped_mode", "numeric_corr", "cube_revenue",
-    "quantile_filter",
+    "quantile_filter", "length_drift", "compression_ratio",
+    "jsonl_roundtrip", "skew_report", "bpe_merges",
 ]
 
 

@@ -339,6 +339,59 @@ def gen_compression(sf_dir: str) -> pa.Table:
     })
 
 
+def gen_bpe_merges(sf_dir: str) -> pa.Table:
+    """Independent single-process BPE merge learner (Counter-based,
+    incremental re-segmentation), same tokenizer spec (the engine's
+    _WS_PATTERN + lower) and lexicographic tie-break as
+    queries.q_bpe_merges."""
+    import collections
+    import re
+
+    from incident_pii_redactor_ray.pipelines.queries import BPE_MERGE_ROUNDS
+
+    ws = re.compile(r"[ \t\n\f\r]+")
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["text", "n_chars"])
+    key = int(np.asarray(docs.column("n_chars")).sum())
+    freq: collections.Counter = collections.Counter()
+    for t in docs.column("text").to_pylist():
+        for w in ws.split((t or "").lower()):
+            if w:
+                freq[w] += 1
+    segs = {w: list(w) for w in freq}
+    rows = {"round": [], "left": [], "right": [], "pair_count": []}
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        ctr: collections.Counter = collections.Counter()
+        for w, f in freq.items():
+            sym = segs[w]
+            for a, b in zip(sym, sym[1:]):
+                ctr[(a, b)] += f
+        if not ctr:
+            break
+        (bl, br), bc = min(ctr.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows["round"].append(rnd)
+        rows["left"].append(bl)
+        rows["right"].append(br)
+        rows["pair_count"].append(int(bc))
+        for w, sym in segs.items():
+            out, i, n = [], 0, len(sym)
+            while i < n:
+                if i + 1 < n and sym[i] == bl and sym[i + 1] == br:
+                    out.append(bl + br)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            segs[w] = out
+    t = pa.table({
+        "round": pa.array(rows["round"], type=pa.int64()),
+        "left": pa.array(rows["left"], type=pa.string()),
+        "right": pa.array(rows["right"], type=pa.string()),
+        "pair_count": pa.array(rows["pair_count"], type=pa.int64())})
+    return t.append_column(
+        "corpus_key", pa.array([key] * t.num_rows, type=pa.int64()))
+
+
 def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for sf_dir in SF_DIRS:
@@ -349,6 +402,7 @@ def main() -> None:
         tables["semantic_dedup"] = gen_semantic_dedup(sf_dir)
         tables["ann_pq_topk"] = gen_ann_pq_topk(sf_dir)
         tables["compression_ratio"] = gen_compression(sf_dir)
+        tables["bpe_merges"] = gen_bpe_merges(sf_dir)
         for name, table in tables.items():
             path = os.path.join(GOLDEN_DIR, f"{name}_{tag}.parquet")
             pq.write_table(table, path)

@@ -3821,6 +3821,153 @@ def q_compression_ratio(sf_dir: str):
         score, batch_format="pyarrow")
 
 
+def q_skew_report(sf_dir: str):
+    """Pre-shuffle skew diagnostic over a keyed table (the "is this
+    groupby safe to run" pre-flight a 100-TB pipeline runs before
+    committing to an all-to-all): key cardinality, row count, hottest
+    key, and the exact-integer Gini coefficient of the per-key count
+    distribution, reported as (gini_num, gini_den) on the common
+    denominator so no float summation is compared.
+
+    Shape: per-key counts via sharded_group_sum (the shuffle carries
+    per-batch count partials), then the counts dataset reduces to a
+    COUNT-OF-COUNTS histogram (count value -> how many keys have it,
+    plus the min key per count for the argmax report) — cardinality =
+    distinct count VALUES, tiny at any corpus size. The exact Gini
+    Sum i*x_(i) comes from that histogram in closed form per
+    equal-value block (keys with equal counts are contiguous in the
+    sorted order, and the i*x block sum is tie-order invariant), so the
+    driver never holds per-key state."""
+    from ..stages.relational import sharded_group_sum
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch.column("user_id"),
+                         "n": pa.array(np.ones(batch.num_rows,
+                                               dtype=np.int64))})
+
+    counts = sharded_group_sum(
+        _events(sf_dir, ["user_id"]).map_batches(ones,
+                                                 batch_format="pyarrow"),
+        keys=["user_id"], sum_cols=["n"])
+
+    def coc_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"uid": np.asarray(batch.column("user_id"),
+                                             dtype=np.int64),
+                           "cnt": np.asarray(batch.column("n"),
+                                             dtype=np.int64)})
+        g = df.groupby("cnt", as_index=False).agg(
+            n_keys=("uid", "size"), min_uid=("uid", "min"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    raw = counts.map_batches(coc_partial, batch_format="pyarrow").to_pandas()
+    hist = (raw.groupby("cnt", as_index=False)
+               .agg(n_keys=("n_keys", "sum"), min_uid=("min_uid", "min"))
+               .sort_values("cnt", kind="mergesort"))
+    n = int(hist["n_keys"].sum())
+    tot = int((hist["cnt"] * hist["n_keys"]).sum())
+    mx = int(hist["cnt"].max()) if n else 0
+    top_key = int(hist.loc[hist["cnt"] == mx, "min_uid"].iloc[0]) if n else 0
+    w = 0
+    i0 = 1
+    for v, m in zip(hist["cnt"].to_numpy(np.int64),
+                    hist["n_keys"].to_numpy(np.int64)):
+        w += int(v) * (int(m) * i0 + int(m) * (int(m) - 1) // 2)
+        i0 += int(m)
+    gini_num = 2 * w - (n + 1) * tot
+    gini_den = n * tot
+    return pd.DataFrame({
+        "n_keys": pd.Series([n], dtype="int64"),
+        "n_rows": pd.Series([tot], dtype="int64"),
+        "max_count": pd.Series([mx], dtype="int64"),
+        "top_key": pd.Series([top_key], dtype="int64"),
+        "gini_num": pd.Series([gini_num], dtype="int64"),
+        "gini_den": pd.Series([gini_den], dtype="int64"),
+        "gini": pd.Series([gini_num / gini_den if gini_den else 0.0],
+                          dtype="float64")})
+
+
+#: number of BPE merge rounds learned by q_bpe_merges
+BPE_MERGE_ROUNDS = 4
+
+
+def _bpe_apply(sym: list, left: str, right: str) -> list:
+    """Apply one merge greedily left-to-right, non-overlapping (the
+    standard BPE application rule: 'aaa' under (a,a) -> ['aa', 'a'])."""
+    out, i, n = [], 0, len(sym)
+    while i < n:
+        if i + 1 < n and sym[i] == left and sym[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def q_bpe_merges(sf_dir: str):
+    """Learn the first BPE_MERGE_ROUNDS byte-pair-encoding merges over
+    the corpus vocabulary (Sennrich et al. 2016, the tokenizer-training
+    step of an LLM data pipeline): per round, count adjacent symbol
+    pairs across the vocabulary weighted by term frequency, merge the
+    most frequent pair (ties broken lexicographically on the pair),
+    re-segment, repeat. Character-level symbols, no end-of-word marker.
+
+    Shape: the (term, freq) vocabulary dataset is built ONCE by
+    term_frequencies (vocabulary-sized shuffle, never the token stream)
+    and materialized — each round is one map_batches pair-count pass
+    over the cached vocab blocks plus a pair-cardinality-bounded
+    reduce; the learned merge list (<= rounds entries) is the only
+    driver state and is re-broadcast per round in the closure.
+    Iterative argmax selection isn't SQL — golden-parquet oracle from
+    the independent single-process implementation
+    (fixtures/gen_golden.gen_bpe_merges; re-applying the merge list
+    from scratch, as the engine does per round, is provably identical
+    to the golden's incremental re-segmentation by induction over
+    rounds)."""
+    from ..stages.corpus_ops import term_frequencies
+
+    vocab = term_frequencies(_docs(sf_dir, ["text"])).materialize()
+    merges: list[tuple[str, str]] = []
+    rows: list[dict] = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        cur = list(merges)
+
+        def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+            ctr: dict = {}
+            for term, f in zip(df["token"].tolist(),
+                               df["n_total"].to_numpy(np.int64)):
+                sym = list(term)
+                for ml, mr in cur:
+                    sym = _bpe_apply(sym, ml, mr)
+                for a, b in zip(sym, sym[1:]):
+                    k = (a, b)
+                    ctr[k] = ctr.get(k, 0) + int(f)
+            ks = sorted(ctr)
+            return pd.DataFrame({
+                "left": pd.Series([k[0] for k in ks], dtype="object"),
+                "right": pd.Series([k[1] for k in ks], dtype="object"),
+                "cnt": pd.Series([ctr[k] for k in ks], dtype="int64")})
+
+        agg = vocab.map_batches(pair_partial,
+                                batch_format="pandas").to_pandas()
+        if not len(agg):
+            break
+        agg = agg.groupby(["left", "right"], as_index=False)["cnt"].sum()
+        best = agg.sort_values(["cnt", "left", "right"],
+                               ascending=[False, True, True],
+                               kind="mergesort").iloc[0]
+        merges.append((str(best["left"]), str(best["right"])))
+        rows.append({"round": rnd, "left": str(best["left"]),
+                     "right": str(best["right"]),
+                     "pair_count": int(best["cnt"])})
+    return pd.DataFrame({
+        "round": pd.Series([r["round"] for r in rows], dtype="int64"),
+        "left": pd.Series([r["left"] for r in rows], dtype="object"),
+        "right": pd.Series([r["right"] for r in rows], dtype="object"),
+        "pair_count": pd.Series([r["pair_count"] for r in rows],
+                                dtype="int64")})
+
+
 def q_jsonl_roundtrip(sf_dir: str):
     """JSONL sink + source roundtrip: documents are projected to an
     integer-exact frame, written as partitioned JSONL under /tmp with
@@ -3858,6 +4005,8 @@ QUERIES = {
     "length_drift": q_length_drift,
     "compression_ratio": q_compression_ratio,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "skew_report": q_skew_report,
+    "bpe_merges": q_bpe_merges,
     "lang_histogram": q_lang_histogram,
     "summary_rollup": q_summary_rollup,
     "events_by_type": q_events_by_type,
@@ -6011,3 +6160,30 @@ ORACLE_SQL["compression_ratio"] = (
 ORACLE_SQL["jsonl_roundtrip"] = (
     "SELECT lang, count(*)::BIGINT AS n_docs, "
     "sum(n_chars)::BIGINT AS chars_sum FROM documents GROUP BY lang")
+
+
+ORACLE_SQL["skew_report"] = (
+    # exact-integer Gini over per-key counts: Sum i*x_(i) via
+    # ROW_NUMBER over (cnt, key) — tie order doesn't change the sum
+    "WITH c AS (SELECT user_id, count(*)::BIGINT AS cnt "
+    "FROM events GROUP BY user_id), "
+    "r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS i "
+    "FROM c), "
+    "s AS (SELECT count(*)::BIGINT AS n, sum(cnt)::BIGINT AS tot, "
+    "max(cnt)::BIGINT AS mx FROM c), "
+    "g AS (SELECT sum(i * cnt)::BIGINT AS w FROM r), "
+    "t AS (SELECT min(user_id)::BIGINT AS top_key FROM c "
+    "WHERE cnt = (SELECT mx FROM s)) "
+    "SELECT s.n AS n_keys, s.tot AS n_rows, s.mx AS max_count, "
+    "t.top_key, (2*g.w - (s.n+1)*s.tot)::BIGINT AS gini_num, "
+    "(s.n*s.tot)::BIGINT AS gini_den, "
+    "(2*g.w - (s.n+1)*s.tot)::DOUBLE / (s.n*s.tot) AS gini "
+    "FROM s, g, t")
+
+ORACLE_SQL["bpe_merges"] = (
+    # iterative argmax merge learning isn't SQL — golden parquet from
+    # the independent single-process implementation
+    # (fixtures/gen_golden.gen_bpe_merges), keyed by corpus_key
+    "SELECT g.round, g.left, g.right, g.pair_count "
+    f"FROM read_parquet('{_GOLDEN_DIR}/bpe_merges_*.parquet') g "
+    "WHERE g.corpus_key = (SELECT sum(n_chars) FROM documents)")

@@ -947,3 +947,57 @@ def test_length_drift_detects_planted_shift(ray_session, tmp_path):
     assert r["ks_num"] == r["n_a"] * r["n_b"] and r["ks"] == 1.0
     r = mk(tmp_path / "same", [50, 60, 70], [50, 60, 70])
     assert r["ks_num"] == 0 and r["ks"] == 0.0
+
+
+def test_bpe_merges_hand_computed(ray_session, tmp_path):
+    # corpus "aa aa ab": freq(aa)=2, freq(ab)=1 -> round 1 merges (a,a)
+    # with count 2 (ties under it broken lexicographically); round 2
+    # merges (a,b) count 1; round 3 has no pairs left -> early stop
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_bpe_merges
+
+    sf = tmp_path / "sfbpe"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "text": pa.array(["aa aa ab"])}), str(sf / "documents.parquet"))
+    out = q_bpe_merges(str(sf))
+    assert out["left"].tolist() == ["a", "a"]
+    assert out["right"].tolist() == ["a", "b"]
+    assert out["pair_count"].tolist() == [2, 1]
+    assert out["round"].tolist() == [1, 2]
+
+
+def test_bpe_apply_greedy_nonoverlap():
+    from incident_pii_redactor_ray.pipelines.queries import _bpe_apply
+
+    # standard BPE application: 'aaa' under (a,a) -> ['aa', 'a']
+    assert _bpe_apply(list("aaa"), "a", "a") == ["aa", "a"]
+    assert _bpe_apply(list("aaaa"), "a", "a") == ["aa", "aa"]
+    # merged symbols participate in later merges
+    assert _bpe_apply(["aa", "b", "aa"], "b", "aa") == ["aa", "baa"]
+
+
+def test_skew_report_planted_hot_key(ray_session, tmp_path):
+    # one key owning half the rows must dominate max_count and push the
+    # Gini well above the uniform case's zero
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_skew_report
+
+    def mk(name, uids):
+        sf = tmp_path / name
+        sf.mkdir()
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(len(uids)), type=pa.int64()),
+            "user_id": pa.array(uids, type=pa.int64())}),
+            str(sf / "events.parquet"))
+        return q_skew_report(str(sf)).iloc[0]
+
+    r = mk("hot", [7] * 50 + list(range(100, 150)))
+    assert r["n_keys"] == 51 and r["n_rows"] == 100
+    assert r["max_count"] == 50 and r["top_key"] == 7
+    assert r["gini"] > 0.4
+    u = mk("uniform", list(range(64)))
+    assert u["gini_num"] == 0 and u["gini"] == 0.0

@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     "cdc_upsert", "value_deciles", "min_cost_supplier", "important_parts",
     "part_promotion", "grouped_mode", "numeric_corr", "cube_revenue",
     "quantile_filter", "length_drift", "compression_ratio",
-    "jsonl_roundtrip", "skew_report", "bpe_merges",
+    "jsonl_roundtrip", "skew_report", "bpe_merges", "partitioned_roundtrip",
 ]
 
 

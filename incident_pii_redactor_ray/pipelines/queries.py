@@ -3821,6 +3821,39 @@ def q_compression_ratio(sf_dir: str):
         score, batch_format="pyarrow")
 
 
+def q_partitioned_roundtrip(sf_dir: str):
+    """Hive-partitioned sink + partition-PRUNED read: documents are
+    written under /tmp as ``lang=<v>/`` directories
+    (``write_parquet(partition_cols=...)`` — the resumable-output
+    layout every large sink here uses), then ONLY the
+    lexicographically-first partition directory is read back and
+    aggregated. The read never lists or scans the other partitions'
+    files — path-level pruning, the pattern that lets a 100-TB consumer
+    touch one key range instead of the whole output. Oracle aggregates
+    the source parquet under the same predicate.
+
+    NOTE: /tmp is node-local — multi-node sinks need shared storage."""
+    import shutil
+    import tempfile
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    out_dir = tempfile.mkdtemp(prefix="hive_rt_", dir="/tmp")
+    try:
+        ds.write_parquet(out_dir, partition_cols=["lang"])
+        langs = sorted(d.split("=", 1)[1] for d in os.listdir(out_dir)
+                       if d.startswith("lang="))
+        target = langs[0]
+        back = ray.data.read_parquet(os.path.join(out_dir, f"lang={target}"))
+        agg = back.aggregate(Count(alias_name="n_docs"),
+                             Sum("n_chars", alias_name="chars_sum"))
+        return pd.DataFrame({
+            "lang": pd.Series([target], dtype="object"),
+            "n_docs": pd.Series([int(agg["n_docs"])], dtype="int64"),
+            "chars_sum": pd.Series([int(agg["chars_sum"])], dtype="int64")})
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_skew_report(sf_dir: str):
     """Pre-shuffle skew diagnostic over a keyed table (the "is this
     groupby safe to run" pre-flight a 100-TB pipeline runs before
@@ -4007,6 +4040,7 @@ QUERIES = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "skew_report": q_skew_report,
     "bpe_merges": q_bpe_merges,
+    "partitioned_roundtrip": q_partitioned_roundtrip,
     "lang_histogram": q_lang_histogram,
     "summary_rollup": q_summary_rollup,
     "events_by_type": q_events_by_type,
@@ -6187,3 +6221,9 @@ ORACLE_SQL["bpe_merges"] = (
     "SELECT g.round, g.left, g.right, g.pair_count "
     f"FROM read_parquet('{_GOLDEN_DIR}/bpe_merges_*.parquet') g "
     "WHERE g.corpus_key = (SELECT sum(n_chars) FROM documents)")
+
+
+ORACLE_SQL["partitioned_roundtrip"] = (
+    "SELECT lang, count(*)::BIGINT AS n_docs, "
+    "sum(n_chars)::BIGINT AS chars_sum FROM documents "
+    "WHERE lang = (SELECT min(lang) FROM documents) GROUP BY lang")

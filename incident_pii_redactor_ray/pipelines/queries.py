@@ -3821,6 +3821,53 @@ def q_compression_ratio(sf_dir: str):
         score, batch_format="pyarrow")
 
 
+def q_token_entropy(sf_dir: str):
+    """Per-doc unigram Shannon entropy (bits/token) — the
+    lexical-diversity quality signal (low entropy = templated/repetitive
+    text, the same family as the Gopher repetition rules but in one
+    scalar). H = log2(n) - (sum c_i*log2(c_i))/n over the doc's token
+    counts; rounded half-up at 6 decimals on BOTH sides (floor(x*1e6 +
+    0.5), the repo's established idiom — round() half-even vs DuckDB
+    half-up diverges on dyadic-rational entropies like 7 - 1/128).
+
+    Shape: stateless vectorized map_batches (Arrow lower/split/flatten
+    + one pandas groupby per batch); nothing shuffles. Docs with zero
+    tokens are omitted (no entropy is defined), matching the oracle's
+    unnest semantics."""
+    from ..stages.corpus_ops import _WS_PATTERN
+
+    def ent(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern=_WS_PATTERN)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        df = pd.DataFrame({
+            "i": np.asarray(parent.filter(keep), dtype=np.int64),
+            "tok": flat.filter(keep).to_pandas()})
+        if not len(df):
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_tokens": pa.array([], type=pa.int64()),
+                             "entropy": pa.array([], type=pa.float64())})
+        c = df.groupby(["i", "tok"], sort=False).size().reset_index(
+            name="cnt")
+        cv = c["cnt"].to_numpy(np.int64)
+        c["clc"] = cv * np.log2(cv)
+        agg = c.groupby("i", as_index=False).agg(
+            n=("cnt", "sum"), s=("clc", "sum"))
+        n = agg["n"].to_numpy(np.int64)
+        h = np.log2(n) - agg["s"].to_numpy(np.float64) / n
+        h = np.floor(h * 1e6 + 0.5) / 1e6
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[agg["i"].to_numpy(np.int64)]),
+            "n_tokens": pa.array(n),
+            "entropy": pa.array(h)})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ent, batch_format="pyarrow")
+
+
 def q_partitioned_roundtrip(sf_dir: str):
     """Hive-partitioned sink + partition-PRUNED read: documents are
     written under /tmp as ``lang=<v>/`` directories
@@ -4041,6 +4088,7 @@ QUERIES = {
     "skew_report": q_skew_report,
     "bpe_merges": q_bpe_merges,
     "partitioned_roundtrip": q_partitioned_roundtrip,
+    "token_entropy": q_token_entropy,
     "lang_histogram": q_lang_histogram,
     "summary_rollup": q_summary_rollup,
     "events_by_type": q_events_by_type,
@@ -6227,3 +6275,17 @@ ORACLE_SQL["partitioned_roundtrip"] = (
     "SELECT lang, count(*)::BIGINT AS n_docs, "
     "sum(n_chars)::BIGINT AS chars_sum FROM documents "
     "WHERE lang = (SELECT min(lang) FROM documents) GROUP BY lang")
+
+
+ORACLE_SQL["token_entropy"] = (
+    # unigram entropy, half-up at 6dp via floor(x*1e6 + 0.5) — round()
+    # half-even vs half-up diverges on dyadic-rational entropies
+    r"WITH t AS (SELECT doc_id, unnest(regexp_extract_all("
+    r"lower(coalesce(text, '')), '[^ \t\n\f\r]+')) AS tok "
+    "FROM documents), "
+    "c AS (SELECT doc_id, tok, count(*)::BIGINT AS cnt "
+    "FROM t GROUP BY doc_id, tok), "
+    "a AS (SELECT doc_id, sum(cnt)::BIGINT AS n, "
+    "sum(cnt * log2(cnt::DOUBLE)) AS s FROM c GROUP BY doc_id) "
+    "SELECT doc_id, n AS n_tokens, "
+    "floor((log2(n::DOUBLE) - s/n) * 1e6 + 0.5) / 1e6 AS entropy FROM a")

@@ -3821,6 +3821,89 @@ def q_compression_ratio(sf_dir: str):
         score, batch_format="pyarrow")
 
 
+#: PMI collocation extraction parameters
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 100
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Top-K collocations by pointwise mutual information over adjacent
+    token bigrams (the classic corpus-analysis op; Church & Hanks 1990):
+    pmi = log2(c_ab * n_uni^2 / (n_bi * c_a * c_b)), bigrams with
+    c_ab >= PMI_MIN_COUNT, ordered by (pmi half-up-rounded to 6dp DESC,
+    w1, w2) — sorting on the ROUNDED value keeps the boundary of the
+    top-K identical between engine and oracle.
+
+    Shape: bigram counts via sharded_group_sum (vocabulary^2-bounded
+    aggregate, materialized once — metadata scale next to the corpus);
+    unigram counts via the same term-frequency shuffle, broadcast once
+    with ray.put (the documented small-side broadcast); per-batch
+    partial top-K over the bigram aggregate, driver merges
+    blocks x K rows. The token stream itself never crosses an
+    all-to-all."""
+    from ..stages.corpus_ops import _WS_PATTERN, term_frequencies
+    from ..stages.relational import sharded_group_sum
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern=_WS_PATTERN)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        w = flat.filter(keep).to_pandas().to_numpy(dtype=object)
+        i = np.asarray(parent.filter(keep), dtype=np.int64)
+        if len(w) < 2:
+            return pa.table({"w1": pa.array([], type=pa.string()),
+                             "w2": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        same = i[:-1] == i[1:]
+        g = (pd.DataFrame({"w1": w[:-1][same], "w2": w[1:][same]})
+             .groupby(["w1", "w2"], sort=False).size().reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    bigrams = sharded_group_sum(
+        _docs(sf_dir, ["text"]).map_batches(bigram_partial,
+                                            batch_format="pyarrow"),
+        keys=["w1", "w2"], sum_cols=["n"]).materialize()
+    uni = term_frequencies(_docs(sf_dir, ["text"])).to_pandas()
+    n_uni = int(uni["n_total"].sum())
+    uni_ref = ray.put(dict(zip(uni["token"], uni["n_total"].astype(int))))
+    n_bi = int(bigrams.aggregate(Sum("n", alias_name="s"))["s"])
+
+    def topk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n"].to_numpy(np.int64) >= PMI_MIN_COUNT]
+        if not len(df):
+            return pd.DataFrame({
+                "w1": pd.Series(dtype="object"),
+                "w2": pd.Series(dtype="object"),
+                "c_ab": pd.Series(dtype="int64"),
+                "c_a": pd.Series(dtype="int64"),
+                "c_b": pd.Series(dtype="int64"),
+                "pmi": pd.Series(dtype="float64")})
+        u = ray.get(uni_ref)
+        c_ab = df["n"].to_numpy(np.int64)
+        c_a = df["w1"].map(u).to_numpy(np.int64)
+        c_b = df["w2"].map(u).to_numpy(np.int64)
+        pmi = np.log2((c_ab.astype(np.float64) * n_uni * n_uni)
+                      / (float(n_bi) * c_a * c_b))
+        pmi = np.floor(pmi * 1e6 + 0.5) / 1e6
+        out = pd.DataFrame({"w1": df["w1"].to_numpy(object),
+                            "w2": df["w2"].to_numpy(object),
+                            "c_ab": c_ab, "c_a": c_a, "c_b": c_b,
+                            "pmi": pmi})
+        return (out.sort_values(["pmi", "w1", "w2"],
+                                ascending=[False, True, True],
+                                kind="mergesort").head(PMI_TOP_K))
+
+    parts = bigrams.map_batches(topk_partial,
+                                batch_format="pandas").to_pandas()
+    return (parts.sort_values(["pmi", "w1", "w2"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(PMI_TOP_K)
+            .reset_index(drop=True))
+
+
+
 def q_token_entropy(sf_dir: str):
     """Per-doc unigram Shannon entropy (bits/token) — the
     lexical-diversity quality signal (low entropy = templated/repetitive
@@ -4089,6 +4172,7 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "partitioned_roundtrip": q_partitioned_roundtrip,
     "token_entropy": q_token_entropy,
+    "bigram_pmi": q_bigram_pmi,
     "lang_histogram": q_lang_histogram,
     "summary_rollup": q_summary_rollup,
     "events_by_type": q_events_by_type,
@@ -6289,3 +6373,27 @@ ORACLE_SQL["token_entropy"] = (
     "sum(cnt * log2(cnt::DOUBLE)) AS s FROM c GROUP BY doc_id) "
     "SELECT doc_id, n AS n_tokens, "
     "floor((log2(n::DOUBLE) - s/n) * 1e6 + 0.5) / 1e6 AS entropy FROM a")
+
+
+ORACLE_SQL["bigram_pmi"] = rf"""
+WITH t AS (SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                     '[^ \t\n\f\r]+') AS toks
+           FROM documents),
+pr AS (SELECT unnest(list_zip(list_slice(toks, 1, len(toks)-1),
+                              list_slice(toks, 2, len(toks)))) AS p
+       FROM t WHERE len(toks) >= 2),
+bc AS (SELECT p[1] AS w1, p[2] AS w2, count(*)::BIGINT AS c_ab
+       FROM pr GROUP BY 1, 2),
+un AS (SELECT unnest(toks) AS w FROM t),
+uc AS (SELECT w, count(*)::BIGINT AS c FROM un GROUP BY w),
+tot AS (SELECT (SELECT sum(c) FROM uc)::BIGINT AS n_uni,
+               (SELECT sum(c_ab) FROM bc)::BIGINT AS n_bi)
+SELECT bc.w1, bc.w2, bc.c_ab, ua.c AS c_a, ub.c AS c_b,
+  floor(log2((bc.c_ab::DOUBLE * tot.n_uni * tot.n_uni)
+             / (tot.n_bi::DOUBLE * ua.c * ub.c)) * 1e6 + 0.5) / 1e6 AS pmi
+FROM bc
+JOIN uc ua ON ua.w = bc.w1
+JOIN uc ub ON ub.w = bc.w2, tot
+WHERE bc.c_ab >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT {PMI_TOP_K}
+"""

@@ -930,7 +930,10 @@ def q_dedup_filter(sf_dir: str):
     from ..stages.dedup import dedup_components
 
     docs = _docs_with_neardups(sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.6)
+    # dedup_pairs=False: min-label propagation is idempotent to
+    # duplicate edges, so the pair-dedup all-to-all is pure overhead in
+    # this composition
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.6, dedup_pairs=False)
     comp = dedup_components(pairs.select_columns(["id_a", "id_b"])).to_pandas()
     drop = np.sort(comp.loc[comp["component"] != comp["doc_id"],
                             "doc_id"].to_numpy(np.int64))

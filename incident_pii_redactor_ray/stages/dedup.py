@@ -256,7 +256,8 @@ def _minhash_sig_dataset(ds: ray.data.Dataset, text_col: str,
 
 def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.6,
-                      max_bucket: int = 256) -> ray.data.Dataset:
+                      max_bucket: int = 256,
+                      dedup_pairs: bool = True) -> ray.data.Dataset:
     """Near-duplicate pairs (id_a < id_b, round(jaccard, 6) >= threshold)
     among pairs colliding in at least one of 8 4-row minhash bands.
 
@@ -372,6 +373,14 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     pairs = (sigs.map_batches(explode, batch_format="pyarrow")
                  .groupby("shard")
                  .map_groups(shard_verify, batch_format="pandas"))
+
+    # ``dedup_pairs=False`` skips the final pair-dedup exchange for
+    # consumers that are idempotent to duplicate edges —
+    # dedup_components' min-label propagation is (a pair colliding in
+    # k bands appears <= k times, identical jaccard each time), so the
+    # end-to-end dedup pipeline saves a full all-to-all
+    if not dedup_pairs:
+        return pairs
 
     # same pair found via several bands lands in different shards:
     # dedup by a 64-way shard of the pair key

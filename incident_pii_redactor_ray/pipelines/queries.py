@@ -3824,6 +3824,100 @@ def q_compression_ratio(sf_dir: str):
         score, batch_format="pyarrow")
 
 
+#: weighted priority sample: size and hash seed
+WEIGHTED_SAMPLE_K = 200
+WEIGHTED_SAMPLE_SEED = 0xBEEF
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample (the priority/sequential-Poisson
+    sampling family — Ohlsson 1998, Duffield et al. 2007 — the
+    corpus-mixing primitive that favours long documents): keep the K
+    docs with the smallest quantized priority key
+    ``(fmix32(doc_id xor seed) << 30) // n_chars`` — inclusion odds grow
+    with the weight, and the key is EXACT integer arithmetic on both
+    sides (the textbook u^(1/w) key is a float pow whose 1-ulp
+    differences could reorder the top-K boundary between engine and
+    SQL; the quantized integer key cannot).
+
+    Shape: partial-top-K per batch, driver merges batches x K rows —
+    identical to reservoir_sample, one extra integer division."""
+    from ..functions.hashing import fmix32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        w = np.asarray(batch.column("n_chars"), dtype=np.int64)
+        h = fmix32(ids ^ np.int64(WEIGHTED_SAMPLE_SEED)).astype(np.int64)
+        key = (h << 30) // w
+        order = np.lexsort((ids, key))[:WEIGHTED_SAMPLE_K]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "n_chars": pa.array(w[order]),
+                         "sample_key": pa.array(key[order])})
+
+    parts = _docs(sf_dir, ["doc_id", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (parts.sort_values(["sample_key", "doc_id"])
+            .head(WEIGHTED_SAMPLE_K).reset_index(drop=True))
+
+
+#: deterministic identifier suffix injected per doc (code-corpus
+#: augmentation, same pattern as the scrub/starcoder augmenters)
+IDENT_INJECT = (" getUserName{a} parse_http_response{b} XMLHttpRequest2"
+                " my_varName{c} HTMLParser")
+
+
+def q_identifier_split(sf_dir: str):
+    """Code-identifier subtoken splitting (the camelCase/snake_case
+    normalization every code-search index and code-LM tokenizer runs):
+    extract identifier tokens, mark camel boundaries
+    (aB -> 'a B', ABCd -> 'AB Cd'), lower, split on non-alphanumerics.
+    Per doc: identifier count, subtoken count, md5 of the joined
+    subtoken stream. Documents get a deterministic identifier suffix
+    (doc_id-derived, reproduced by the oracle) so the prose corpus
+    exercises real splits.
+
+    Shape: stateless vectorized map_batches — every step is one Arrow
+    RE2 kernel over the batch (extract_regex is the only list-typed
+    hop); no shuffle. The oracle rebuilds the identical regex chain in
+    DuckDB (also RE2)."""
+    def split(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        suffix = [IDENT_INJECT.format(a=i % 7, b=i % 5, c=i % 3)
+                  for i in ids]
+        aug = pc.binary_join_element_wise(
+            pc.coalesce(batch.column("text").cast(pa.string()),
+                        pa.scalar("", type=pa.string())),
+            pa.array(suffix, type=pa.string()), "")
+        # extract identifier tokens: replace non-identifier runs with a
+        # single space, then trim — equivalent to regexp_extract_all +
+        # array_to_string(' ') because identifier chars never overlap
+        # the delimiter
+        joined = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            aug, pattern=r"[^A-Za-z0-9_]+", replacement=" "))
+        n_idents = pc.count_substring_regex(
+            joined, pattern=r"[A-Za-z_][A-Za-z0-9_]*")
+        # camel boundaries -> spaces, then lower, then alnum runs
+        marked = pc.replace_substring_regex(
+            joined, pattern=r"([a-z0-9])([A-Z])", replacement=r"\1 \2")
+        marked = pc.replace_substring_regex(
+            marked, pattern=r"([A-Z]+)([A-Z][a-z])", replacement=r"\1 \2")
+        low = pc.utf8_lower(marked)
+        n_sub = pc.count_substring_regex(low, pattern=r"[a-z0-9]+")
+        subjoin = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            low, pattern=r"[^a-z0-9]+", replacement=" "))
+        import hashlib as _hl
+        md5s = [_hl.md5(s.encode()).hexdigest()
+                for s in subjoin.to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_idents": pc.cast(n_idents, pa.int64()),
+            "n_subtokens": pc.cast(n_sub, pa.int64()),
+            "split_md5": pa.array(md5s, type=pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        split, batch_format="pyarrow")
+
+
 #: PMI collocation extraction parameters
 PMI_MIN_COUNT = 5
 PMI_TOP_K = 100
@@ -4176,6 +4270,8 @@ QUERIES = {
     "partitioned_roundtrip": q_partitioned_roundtrip,
     "token_entropy": q_token_entropy,
     "bigram_pmi": q_bigram_pmi,
+    "weighted_sample": q_weighted_sample,
+    "identifier_split": q_identifier_split,
     "lang_histogram": q_lang_histogram,
     "summary_rollup": q_summary_rollup,
     "events_by_type": q_events_by_type,
@@ -6400,3 +6496,33 @@ JOIN uc ub ON ub.w = bc.w2, tot
 WHERE bc.c_ab >= {PMI_MIN_COUNT}
 ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT {PMI_TOP_K}
 """
+
+
+ORACLE_SQL["weighted_sample"] = (
+    # quantized priority key: (fmix32(id ^ seed) << 30) // weight —
+    # exact BIGINT (h < 2^32, so h*2^30 < 2^62), no float u^(1/w)
+    "WITH " + _fmix32_sql_ctes(
+        f"xor(doc_id % 4294967296, {WEIGHTED_SAMPLE_SEED})",
+        "doc_id, n_chars", "documents")
+    + " SELECT doc_id, n_chars, (h * 1073741824) // n_chars AS sample_key "
+    f"FROM hf ORDER BY sample_key, doc_id LIMIT {WEIGHTED_SAMPLE_K}")
+
+ORACLE_SQL["identifier_split"] = (
+    # mirrors the engine's exact kernel chain (both are RE2):
+    # delimiter-collapse -> camel marks -> lower -> alnum runs
+    r"WITH aug AS (SELECT doc_id, coalesce(text, '')"
+    r" || ' getUserName' || (doc_id % 7)"
+    r" || ' parse_http_response' || (doc_id % 5)"
+    r" || ' XMLHttpRequest2 my_varName' || (doc_id % 3)"
+    r" || ' HTMLParser' AS t FROM documents), "
+    r"j AS (SELECT doc_id, trim(regexp_replace(t, '[^A-Za-z0-9_]+', ' ', "
+    r"'g')) AS joined FROM aug), "
+    r"m AS (SELECT doc_id, joined, lower(regexp_replace(regexp_replace("
+    r"joined, '([a-z0-9])([A-Z])', '\1 \2', 'g'), "
+    r"'([A-Z]+)([A-Z][a-z])', '\1 \2', 'g')) AS low FROM j) "
+    r"SELECT doc_id, "
+    r"len(regexp_extract_all(joined, '[A-Za-z_][A-Za-z0-9_]*'))::BIGINT "
+    r"AS n_idents, "
+    r"len(regexp_extract_all(low, '[a-z0-9]+'))::BIGINT AS n_subtokens, "
+    r"md5(trim(regexp_replace(low, '[^a-z0-9]+', ' ', 'g'))) AS split_md5 "
+    r"FROM m")

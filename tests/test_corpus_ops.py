@@ -1001,3 +1001,47 @@ def test_skew_report_planted_hot_key(ray_session, tmp_path):
     assert r["gini"] > 0.4
     u = mk("uniform", list(range(64)))
     assert u["gini_num"] == 0 and u["gini"] == 0.0
+
+
+def test_identifier_split_camel_cases(ray_session, tmp_path):
+    # XMLHttpRequest2 -> xml http request2; my_varName -> my var name;
+    # counted through the real queries() entry
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_identifier_split)
+
+    sf = tmp_path / "sfid"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": pa.array([""])}), str(sf / "documents.parquet"))
+    out = q_identifier_split(str(sf)).to_pandas().iloc[0]
+    # suffix only: getUserName0 parse_http_response0 XMLHttpRequest2
+    # my_varName0 HTMLParser = 5 identifiers
+    assert out["n_idents"] == 5
+    # get user name0 | parse http response0 | xml http request2 |
+    # my var name0 | html parser = 3+3+3+3+2 = 14 subtokens
+    assert out["n_subtokens"] == 14
+
+
+def test_weighted_sample_favours_long_docs(ray_session, tmp_path):
+    # 50/50 split of weight-1 and weight-100 docs: the weighted sample
+    # must contain far more heavy docs than light ones
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        WEIGHTED_SAMPLE_K, q_weighted_sample)
+
+    n = 2000
+    sf = tmp_path / "sfw"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "n_chars": pa.array([1 if i % 2 else 100 for i in range(n)],
+                            type=pa.int64())}),
+        str(sf / "documents.parquet"))
+    out = q_weighted_sample(str(sf))
+    assert len(out) == WEIGHTED_SAMPLE_K
+    heavy = int((out["n_chars"] == 100).sum())
+    assert heavy > 0.9 * WEIGHTED_SAMPLE_K

@@ -51,7 +51,7 @@ BENCH_QUERIES = [
     "part_promotion", "grouped_mode", "numeric_corr", "cube_revenue",
     "quantile_filter", "length_drift", "compression_ratio",
     "jsonl_roundtrip", "skew_report", "bpe_merges", "partitioned_roundtrip",
-    "token_entropy", "bigram_pmi", "weighted_sample", "identifier_split",
+    "token_entropy", "bigram_pmi", "weighted_sample", "identifier_split", "funnel_counts",
 ]
 
 

@@ -3824,6 +3824,63 @@ def q_compression_ratio(sf_dir: str):
         score, batch_format="pyarrow")
 
 
+#: ordered funnel stages over the events stream
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel_counts(sf_dir: str):
+    """Ordered-event funnel (view -> click -> purchase, the product
+    analytics staple): per user, stage k is reached when a stage-k
+    event exists STRICTLY after that user's earliest qualified
+    stage-(k-1) event (t1 = min ts of 'view'; t2 = min ts of 'click'
+    with ts > t1; ...). Returns one row per stage with the number of
+    users reaching at least it.
+
+    Shape: events pre-filtered to the funnel types at the read, ONE
+    user-sharded exchange (users are the co-location key; 256 uniform
+    shards), conditional mins fully vectorized inside each shard
+    (groupby-min + merge per stage, never a per-user Python loop); each
+    shard emits one 3-int partial row and the driver sums. Strictly-
+    increasing-ts semantics are the documented tie rule (same-timestamp
+    stage pairs do not count)."""
+    types = list(FUNNEL_STAGES)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(types))
+        batch = batch.filter(keep)
+        uid = np.asarray(batch.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "ts": batch.column("ts"),
+            "shard": pa.array((uid % 256).astype(np.int64))})
+
+    def funnel_shard(g: pd.DataFrame) -> pd.DataFrame:
+        cur = (g[g["event_type"] == types[0]]
+               .groupby("user_id")["ts"].min())
+        counts = [len(cur)]
+        for t in types[1:]:
+            prev = cur.rename("prev").reset_index()  # (user_id, prev)
+            nxt = g[g["event_type"] == t].merge(prev, on="user_id")
+            cur = (nxt[nxt["ts"] > nxt["prev"]]
+                   .groupby("user_id")["ts"].min())
+            counts.append(len(cur))
+        return pd.DataFrame({f"s{i + 1}": pd.Series([c], dtype="int64")
+                             for i, c in enumerate(counts)})
+
+    parts = (_events(sf_dir, ["user_id", "event_type", "ts"])
+             .map_batches(prefilter, batch_format="pyarrow")
+             .groupby("shard")
+             .map_groups(funnel_shard, batch_format="pandas")
+             .to_pandas())
+    return pd.DataFrame({
+        "stage": pd.Series(range(1, len(types) + 1), dtype="int64"),
+        "stage_name": pd.Series(types, dtype="object"),
+        "n_users": pd.Series([int(parts[f"s{i + 1}"].sum())
+                              for i in range(len(types))], dtype="int64")})
+
+
 #: weighted priority sample: size and hash seed
 WEIGHTED_SAMPLE_K = 200
 WEIGHTED_SAMPLE_SEED = 0xBEEF
@@ -4271,6 +4328,7 @@ QUERIES = {
     "token_entropy": q_token_entropy,
     "bigram_pmi": q_bigram_pmi,
     "weighted_sample": q_weighted_sample,
+    "funnel_counts": q_funnel_counts,
     "identifier_split": q_identifier_split,
     "lang_histogram": q_lang_histogram,
     "summary_rollup": q_summary_rollup,
@@ -6526,3 +6584,21 @@ ORACLE_SQL["identifier_split"] = (
     r"len(regexp_extract_all(low, '[a-z0-9]+'))::BIGINT AS n_subtokens, "
     r"md5(trim(regexp_replace(low, '[^a-z0-9]+', ' ', 'g'))) AS split_md5 "
     r"FROM m")
+
+
+ORACLE_SQL["funnel_counts"] = (
+    # conditional mins per user, strictly increasing ts
+    "WITH a AS (SELECT user_id, min(ts) AS t1 FROM events "
+    f"WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id), "
+    "b AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+    "JOIN a ON a.user_id = e.user_id "
+    f"WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts > a.t1 "
+    "GROUP BY e.user_id), "
+    "c AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+    "JOIN b ON b.user_id = e.user_id "
+    f"WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts > b.t2 "
+    "GROUP BY e.user_id) "
+    f"SELECT 1::BIGINT AS stage, '{FUNNEL_STAGES[0]}' AS stage_name, "
+    "(SELECT count(*) FROM a)::BIGINT AS n_users "
+    f"UNION ALL SELECT 2, '{FUNNEL_STAGES[1]}', (SELECT count(*) FROM b) "
+    f"UNION ALL SELECT 3, '{FUNNEL_STAGES[2]}', (SELECT count(*) FROM c)")

@@ -1045,3 +1045,32 @@ def test_weighted_sample_favours_long_docs(ray_session, tmp_path):
     assert len(out) == WEIGHTED_SAMPLE_K
     heavy = int((out["n_chars"] == 100).sum())
     assert heavy > 0.9 * WEIGHTED_SAMPLE_K
+
+
+def test_funnel_strict_order_semantics(ray_session, tmp_path):
+    # user 1 completes the funnel in order; user 2 clicks BEFORE its
+    # view (stage 2 not reached); user 3's click shares the view's
+    # timestamp (strictly-after rule -> not reached)
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_funnel_counts
+
+    rows = [
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+        (2, "click", 100), (2, "view", 200), (2, "purchase", 300),
+        (3, "view", 100), (3, "click", 100),
+    ]
+    sf = tmp_path / "sffun"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+    }), str(sf / "events.parquet"))
+    out = q_funnel_counts(str(sf)).set_index("stage")["n_users"]
+    assert out[1] == 3    # all three users have a view
+    assert out[2] == 1    # only user 1 clicks strictly after viewing
+    assert out[3] == 1
+    # user 2 still purchases after its (late) view but without a
+    # qualified click, so stage 3 counts only user 1 — checked above

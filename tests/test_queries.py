@@ -364,3 +364,53 @@ def test_ann_pq_recall(registry):
     recall = hits / exact["query_id"].nunique()
     assert recall > 0.4, recall
     assert (pq_df["neighbor_id"] != pq_df["query_id"]).all()
+
+
+def test_bucketed_join_randomized_vs_pandas(ray_session):
+    """Seeded randomized differential: inner/left/full bucketed joins
+    over skewed int keys, string keys and composite keys must equal the
+    pandas merge of the same frames (row multiset, NaN-safe)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.relational import (
+        bucketed_hash_join)
+
+    rng = np.random.default_rng(42)
+
+    def canon(df):
+        df = df.copy()
+        for c in df.columns:
+            df[c] = df[c].astype("float64") if df[c].dtype.kind in "if" \
+                else df[c].astype(str)
+        return (df.sort_values(list(df.columns), kind="mergesort")
+                .reset_index(drop=True))
+
+    for trial in range(4):
+        nl, nr = int(rng.integers(0, 60)), int(rng.integers(1, 60))
+        if trial % 2:
+            kl = rng.integers(0, 8, nl)          # skewed int keys
+            kr = rng.integers(0, 8, nr)
+            left = pd.DataFrame({"k": kl, "lv": rng.integers(0, 100, nl)})
+            right = pd.DataFrame({"k": kr, "rv": rng.integers(0, 100, nr)})
+            on = "k"
+        else:
+            kl = [f"k{v}" for v in rng.integers(0, 6, nl)]
+            kr = [f"k{v}" for v in rng.integers(0, 6, nr)]
+            left = pd.DataFrame({"k": kl, "k2": rng.integers(0, 3, nl),
+                                 "lv": rng.integers(0, 100, nl)})
+            right = pd.DataFrame({"k": kr, "k2": rng.integers(0, 3, nr),
+                                  "rv": rng.integers(0, 100, nr)})
+            on = ["k", "k2"]
+        for how, pd_how in (("inner", "inner"), ("left", "left"),
+                            ("full", "outer")):
+            if not nl and how != "full":
+                continue
+            got = bucketed_hash_join(
+                ray.data.from_pandas(left).repartition(3),
+                ray.data.from_pandas(right).repartition(2),
+                on=on, num_buckets=4, how=how).to_pandas()
+            want = left.merge(right, on=on, how=pd_how)[list(got.columns)]
+            pd.testing.assert_frame_equal(canon(got), canon(want),
+                                          check_dtype=False)

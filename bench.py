@@ -374,6 +374,20 @@ def run_corpus_ops_scale() -> dict:
         .map_batches(comment_ratio_batch, batch_format="pyarrow").count()
     out["comment_sec"] = round(time.time() - t0, 1)
 
+    from incident_pii_redactor_ray.pipelines.queries import (
+        bigram_pmi_over, token_entropy_batch)
+
+    t0 = time.time()
+    out["entropy_rows"] = docs().map_batches(
+        token_entropy_batch, batch_format="pyarrow").count()
+    out["entropy_sec"] = round(time.time() - t0, 1)
+
+    # PMI over the real identifier vocabulary (bigram space of source
+    # code is the stress case for the vocabulary^2-bounded aggregate)
+    t0 = time.time()
+    out["pmi_rows"] = int(len(bigram_pmi_over(docs)))
+    out["pmi_sec"] = round(time.time() - t0, 1)
+
     # repo-level near-dup over the REAL repo column (repo cardinality
     # << file count; pairs require cross-repo identical content)
     def repo_files(batch: pa.Table) -> pa.Table:

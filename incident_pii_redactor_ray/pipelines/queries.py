@@ -3881,6 +3881,11 @@ def q_funnel_counts(sf_dir: str):
                               for i in range(len(types))], dtype="int64")})
 
 
+def q_bigram_pmi(sf_dir: str):
+    """sf_dir entry for bigram_pmi_over (docstring there)."""
+    return bigram_pmi_over(lambda: _docs(sf_dir, ["text"]))
+
+
 #: weighted priority sample: size and hash seed
 WEIGHTED_SAMPLE_K = 200
 WEIGHTED_SAMPLE_SEED = 0xBEEF
@@ -3980,7 +3985,7 @@ PMI_MIN_COUNT = 5
 PMI_TOP_K = 100
 
 
-def q_bigram_pmi(sf_dir: str):
+def bigram_pmi_over(docs_ds_fn):
     """Top-K collocations by pointwise mutual information over adjacent
     token bigrams (the classic corpus-analysis op; Church & Hanks 1990):
     pmi = log2(c_ab * n_uni^2 / (n_bi * c_a * c_b)), bigrams with
@@ -4016,10 +4021,10 @@ def q_bigram_pmi(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     bigrams = sharded_group_sum(
-        _docs(sf_dir, ["text"]).map_batches(bigram_partial,
-                                            batch_format="pyarrow"),
+        docs_ds_fn().map_batches(bigram_partial,
+                                 batch_format="pyarrow"),
         keys=["w1", "w2"], sum_cols=["n"]).materialize()
-    uni = term_frequencies(_docs(sf_dir, ["text"])).to_pandas()
+    uni = term_frequencies(docs_ds_fn()).to_pandas()
     n_uni = int(uni["n_total"].sum())
     uni_ref = ray.put(dict(zip(uni["token"], uni["n_total"].astype(int))))
     n_bi = int(bigrams.aggregate(Sum("n", alias_name="s"))["s"])
@@ -4071,38 +4076,39 @@ def q_token_entropy(sf_dir: str):
     + one pandas groupby per batch); nothing shuffles. Docs with zero
     tokens are omitted (no entropy is defined), matching the oracle's
     unnest semantics."""
-    from ..stages.corpus_ops import _WS_PATTERN
-
-    def ent(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(batch.column("text")), pattern=_WS_PATTERN)
-        flat = pc.list_flatten(toks)
-        parent = pc.list_parent_indices(toks)
-        keep = pc.not_equal(flat, "")
-        df = pd.DataFrame({
-            "i": np.asarray(parent.filter(keep), dtype=np.int64),
-            "tok": flat.filter(keep).to_pandas()})
-        if not len(df):
-            return pa.table({"doc_id": pa.array([], type=pa.int64()),
-                             "n_tokens": pa.array([], type=pa.int64()),
-                             "entropy": pa.array([], type=pa.float64())})
-        c = df.groupby(["i", "tok"], sort=False).size().reset_index(
-            name="cnt")
-        cv = c["cnt"].to_numpy(np.int64)
-        c["clc"] = cv * np.log2(cv)
-        agg = c.groupby("i", as_index=False).agg(
-            n=("cnt", "sum"), s=("clc", "sum"))
-        n = agg["n"].to_numpy(np.int64)
-        h = np.log2(n) - agg["s"].to_numpy(np.float64) / n
-        h = np.floor(h * 1e6 + 0.5) / 1e6
-        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
-        return pa.table({
-            "doc_id": pa.array(ids[agg["i"].to_numpy(np.int64)]),
-            "n_tokens": pa.array(n),
-            "entropy": pa.array(h)})
-
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        ent, batch_format="pyarrow")
+        token_entropy_batch, batch_format="pyarrow")
+
+
+def token_entropy_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc unigram-entropy kernel (see q_token_entropy)."""
+    from ..stages.corpus_ops import _WS_PATTERN
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column("text")), pattern=_WS_PATTERN)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    df = pd.DataFrame({
+        "i": np.asarray(parent.filter(keep), dtype=np.int64),
+        "tok": flat.filter(keep).to_pandas()})
+    if not len(df):
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "n_tokens": pa.array([], type=pa.int64()),
+                         "entropy": pa.array([], type=pa.float64())})
+    c = df.groupby(["i", "tok"], sort=False).size().reset_index(
+        name="cnt")
+    cv = c["cnt"].to_numpy(np.int64)
+    c["clc"] = cv * np.log2(cv)
+    agg = c.groupby("i", as_index=False).agg(
+        n=("cnt", "sum"), s=("clc", "sum"))
+    n = agg["n"].to_numpy(np.int64)
+    h = np.log2(n) - agg["s"].to_numpy(np.float64) / n
+    h = np.floor(h * 1e6 + 0.5) / 1e6
+    ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array(ids[agg["i"].to_numpy(np.int64)]),
+        "n_tokens": pa.array(n),
+        "entropy": pa.array(h)})
 
 
 def q_partitioned_roundtrip(sf_dir: str):

@@ -3824,6 +3824,114 @@ def q_compression_ratio(sf_dir: str):
         score, batch_format="pyarrow")
 
 
+#: delta doc ids = original id + this base (matches the neardup fixture)
+INCR_DELTA_BASE = 1000000
+
+
+def q_incremental_dedup(sf_dir: str):
+    """Incremental crawl merge — the daily production dedup shape: a
+    NEW delta is deduped against the EXISTING corpus without
+    reprocessing it. A delta doc is dropped when content-hash-identical
+    to an existing doc ('exact') or an LSH near-duplicate of one
+    ('near', jaccard >= 0.6 through the same minhash bands as
+    minhash_pairs); survivors are 'new'. The test delta is
+    deterministic per original doc: id%3==0 -> one-token-appended
+    near-copy, ==1 -> byte-identical copy, ==2 -> token-reversed
+    (genuinely new) text.
+
+    Shape: ONE hash-shard exchange for the exact check (32-byte hashes
+    only, content never shuffles), the minhash band exchange for
+    cross-side candidates (dedup_pairs=False — the consumer is
+    set-membership, duplicate pairs are free), and the two drop sets
+    are dup-graph-sized, collected + broadcast back (the anti-join
+    pattern, same scale caveat as dedup_filter). Production note: the
+    candidate pass verifies within-side pairs too (keeps the oracle a
+    strict reuse of the minhash CTE chain); a two-sided variant would
+    tag band rows with a side bit and skip same-side pairs in-bucket."""
+    import hashlib
+
+    from ..functions.textbuf import ws_tokens
+
+    existing = _docs(sf_dir, ["doc_id", "text"])
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        texts = batch.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            t = t or ""
+            m = i % 3
+            if m == 0:
+                out.append(f"{t} zzz")
+            elif m == 1:
+                out.append(t)
+            else:
+                out.append(" ".join(reversed(ws_tokens(t))))
+        return pa.table({"doc_id": pa.array(ids + INCR_DELTA_BASE),
+                         "text": pa.array(out, type=pa.string())})
+
+    delta = existing.map_batches(mutate, batch_format="pyarrow")
+    corpus = existing.union(delta)
+
+    # near: cross-side LSH pairs (id_a existing, id_b delta)
+    pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.6,
+                                    dedup_pairs=False)
+
+    def cross(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("id_a"), dtype=np.int64)
+        b = np.asarray(batch.column("id_b"), dtype=np.int64)
+        m = (a < INCR_DELTA_BASE) & (b >= INCR_DELTA_BASE)
+        return pa.table({"doc_id": pa.array(b[m])})
+
+    near_ids = np.unique(np.asarray(
+        pairs.map_batches(cross, batch_format="pyarrow")
+        .to_pandas()["doc_id"], dtype=np.int64))
+
+    # exact: both sides reduce to (hash, side, id) and collide in one
+    # 256-way hash-shard groupby; only delta ids with an existing-side
+    # hash leave the shard
+    def hash_side(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            hs = [hashlib.md5((t or "").encode()).hexdigest()
+                  for t in batch.column("text").to_pylist()]
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "h": pa.array(hs, type=pa.string()),
+                "side": pa.array(np.full(batch.num_rows, side,
+                                         dtype=np.int8)),
+                "shard": pa.array([int(x[:2], 16) for x in hs],
+                                  type=pa.int32())})
+        return fn
+
+    both = existing.map_batches(hash_side(0), batch_format="pyarrow") \
+        .union(delta.map_batches(hash_side(1), batch_format="pyarrow"))
+
+    def exact_shard(g: pd.DataFrame) -> pd.DataFrame:
+        eh = set(g.loc[g["side"] == 0, "h"])
+        d = g[(g["side"] == 1) & g["h"].isin(eh)]
+        return pd.DataFrame({"doc_id": d["doc_id"].astype("int64")})
+
+    exact_ids = np.unique(np.asarray(
+        both.groupby("shard").map_groups(exact_shard,
+                                         batch_format="pandas")
+        .to_pandas()["doc_id"], dtype=np.int64))
+
+    exact_ref, near_ref = ray.put(exact_ids), ray.put(near_ids)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        ex, nr = ray.get(exact_ref), ray.get(near_ref)
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        is_ex = np.isin(ids, ex)
+        is_nr = np.isin(ids, nr) & ~is_ex
+        reason = np.where(is_ex, "exact", np.where(is_nr, "near", "new"))
+        return pa.table({"doc_id": pa.array(ids),
+                         "reason": pa.array(reason.tolist(),
+                                            type=pa.string()),
+                         "keep": pa.array(~(is_ex | is_nr))})
+
+    return delta.map_batches(classify, batch_format="pyarrow")
+
+
 #: ordered funnel stages over the events stream
 FUNNEL_STAGES = ("view", "click", "purchase")
 
@@ -4335,6 +4443,7 @@ QUERIES = {
     "bigram_pmi": q_bigram_pmi,
     "weighted_sample": q_weighted_sample,
     "funnel_counts": q_funnel_counts,
+    "incremental_dedup": q_incremental_dedup,
     "identifier_split": q_identifier_split,
     "lang_histogram": q_lang_histogram,
     "summary_rollup": q_summary_rollup,
@@ -6608,3 +6717,26 @@ ORACLE_SQL["funnel_counts"] = (
     "(SELECT count(*) FROM a)::BIGINT AS n_users "
     f"UNION ALL SELECT 2, '{FUNNEL_STAGES[1]}', (SELECT count(*) FROM b) "
     f"UNION ALL SELECT 3, '{FUNNEL_STAGES[2]}', (SELECT count(*) FROM c)")
+
+
+_INCR_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000, "
+    "CASE doc_id % 3 WHEN 0 THEN text || ' zzz' WHEN 1 THEN text "
+    r"ELSE array_to_string(list_reverse(regexp_extract_all("
+    r"lower(coalesce(text, '')), '\S+')), ' ') END "
+    "FROM documents")
+
+ORACLE_SQL["incremental_dedup"] = (
+    # strict reuse of the minhash CTE chain over the existing+delta
+    # corpus; 'exact' outranks 'near', survivors are 'new'
+    "WITH " + _minhash_sql_prefix(_INCR_CORPUS_SQL) + ", "
+    "near AS (SELECT DISTINCT id_b AS doc_id FROM v "
+    "WHERE jaccard >= 0.6 AND id_a < 1000000 AND id_b >= 1000000), "
+    "eh AS (SELECT DISTINCT md5(coalesce(text, '')) AS h FROM documents), "
+    "delta AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 1000000), "
+    "cls AS (SELECT d.doc_id, CASE WHEN md5(coalesce(d.text, '')) IN "
+    "(SELECT h FROM eh) THEN 'exact' WHEN d.doc_id IN "
+    "(SELECT doc_id FROM near) THEN 'near' ELSE 'new' END AS reason "
+    "FROM delta d) "
+    "SELECT doc_id, reason, (reason = 'new') AS keep FROM cls")

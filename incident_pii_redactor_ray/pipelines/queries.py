@@ -3870,7 +3870,12 @@ def q_incremental_dedup(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids + INCR_DELTA_BASE),
                          "text": pa.array(out, type=pa.string())})
 
-    delta = existing.map_batches(mutate, batch_format="pyarrow")
+    # pin the delta: three consumers (minhash corpus, exact hash pass,
+    # final classify) would otherwise each re-run the mutation pipeline
+    # (review r3 session 6). In production the delta is the NEW crawl —
+    # much smaller than the existing corpus, which stays lazy (its two
+    # consumers are plain pruned parquet re-scans).
+    delta = existing.map_batches(mutate, batch_format="pyarrow").materialize()
     corpus = existing.union(delta)
 
     # near: cross-side LSH pairs (id_a existing, id_b delta)
@@ -3982,6 +3987,9 @@ def q_funnel_counts(sf_dir: str):
              .groupby("shard")
              .map_groups(funnel_shard, batch_format="pandas")
              .to_pandas())
+    if parts.empty:  # no funnel-type events at all -> all-zero stages
+        parts = pd.DataFrame({f"s{i + 1}": pd.Series([0], dtype="int64")
+                              for i in range(len(types))})
     return pd.DataFrame({
         "stage": pd.Series(range(1, len(types) + 1), dtype="int64"),
         "stage_name": pd.Series(types, dtype="object"),
@@ -4017,6 +4025,12 @@ def q_weighted_sample(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
         w = np.asarray(batch.column("n_chars"), dtype=np.int64)
+        # zero/negative weights are excluded on BOTH sides (review r3
+        # session 6: numpy floor-div by 0 yields 0 = the GLOBAL MINIMUM
+        # key, guaranteeing the weightless doc into the sample, while
+        # the SQL side yields NULL and excludes it)
+        pos = w > 0
+        ids, w = ids[pos], w[pos]
         h = fmix32(ids ^ np.int64(WEIGHTED_SAMPLE_SEED)).astype(np.int64)
         key = (h << 30) // w
         order = np.lexsort((ids, key))[:WEIGHTED_SAMPLE_K]
@@ -4108,7 +4122,7 @@ def bigram_pmi_over(docs_ds_fn):
     partial top-K over the bigram aggregate, driver merges
     blocks x K rows. The token stream itself never crosses an
     all-to-all."""
-    from ..stages.corpus_ops import _WS_PATTERN, term_frequencies
+    from ..stages.corpus_ops import _WS_PATTERN
     from ..stages.relational import sharded_group_sum
 
     def bigram_partial(batch: pa.Table) -> pa.Table:
@@ -4119,26 +4133,45 @@ def bigram_pmi_over(docs_ds_fn):
         keep = pc.not_equal(flat, "")
         w = flat.filter(keep).to_pandas().to_numpy(dtype=object)
         i = np.asarray(parent.filter(keep), dtype=np.int64)
-        if len(w) < 2:
+        if len(w) < 1:
             return pa.table({"w1": pa.array([], type=pa.string()),
                              "w2": pa.array([], type=pa.string()),
                              "n": pa.array([], type=pa.int64())})
         same = i[:-1] == i[1:]
         g = (pd.DataFrame({"w1": w[:-1][same], "w2": w[1:][same]})
              .groupby(["w1", "w2"], sort=False).size().reset_index(name="n"))
+        # unigram marginals ride the SAME scan/shuffle as w2='' rows
+        # (review r3 session 6: a second term_frequencies pass re-read
+        # and re-tokenized the whole corpus); '' can never be a real
+        # token (empties are filtered above)
+        u = (pd.DataFrame({"w1": w}).groupby("w1", sort=False).size()
+             .reset_index(name="n"))
+        u["w2"] = ""
+        g = pd.concat([g, u[["w1", "w2", "n"]]], ignore_index=True)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     bigrams = sharded_group_sum(
         docs_ds_fn().map_batches(bigram_partial,
                                  batch_format="pyarrow"),
         keys=["w1", "w2"], sum_cols=["n"]).materialize()
-    uni = term_frequencies(docs_ds_fn()).to_pandas()
-    n_uni = int(uni["n_total"].sum())
-    uni_ref = ray.put(dict(zip(uni["token"], uni["n_total"].astype(int))))
-    n_bi = int(bigrams.aggregate(Sum("n", alias_name="s"))["s"])
+
+    def pick_uni(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["w2"] == "", ["w1", "n"]]
+
+    uni = bigrams.map_batches(pick_uni, batch_format="pandas").to_pandas()
+    n_uni = int(uni["n"].sum())
+    uni_ref = ray.put(dict(zip(uni["w1"], uni["n"].astype(int))))
+
+    def bi_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s": pd.Series(
+            [int(df.loc[df["w2"] != "", "n"].sum())], dtype="int64")})
+
+    n_bi = int(bigrams.map_batches(bi_sum, batch_format="pandas")
+               .to_pandas()["s"].sum())
 
     def topk_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["n"].to_numpy(np.int64) >= PMI_MIN_COUNT]
+        df = df[(df["w2"] != "").to_numpy()
+                & (df["n"].to_numpy(np.int64) >= PMI_MIN_COUNT)]
         if not len(df):
             return pd.DataFrame({
                 "w1": pd.Series(dtype="object"),
@@ -4151,9 +4184,9 @@ def bigram_pmi_over(docs_ds_fn):
         c_ab = df["n"].to_numpy(np.int64)
         c_a = df["w1"].map(u).to_numpy(np.int64)
         c_b = df["w2"].map(u).to_numpy(np.int64)
-        pmi = np.log2((c_ab.astype(np.float64) * n_uni * n_uni)
-                      / (float(n_bi) * c_a * c_b))
-        pmi = np.floor(pmi * 1e6 + 0.5) / 1e6
+        pmi = _cops._round6(
+            np.log2((c_ab.astype(np.float64) * n_uni * n_uni)
+                    / (float(n_bi) * c_a * c_b)))
         out = pd.DataFrame({"w1": df["w1"].to_numpy(object),
                             "w2": df["w2"].to_numpy(object),
                             "c_ab": c_ab, "c_a": c_a, "c_b": c_b,
@@ -4210,8 +4243,7 @@ def token_entropy_batch(batch: pa.Table) -> pa.Table:
     agg = c.groupby("i", as_index=False).agg(
         n=("cnt", "sum"), s=("clc", "sum"))
     n = agg["n"].to_numpy(np.int64)
-    h = np.log2(n) - agg["s"].to_numpy(np.float64) / n
-    h = np.floor(h * 1e6 + 0.5) / 1e6
+    h = _cops._round6(np.log2(n) - agg["s"].to_numpy(np.float64) / n)
     ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
     return pa.table({
         "doc_id": pa.array(ids[agg["i"].to_numpy(np.int64)]),
@@ -4238,10 +4270,19 @@ def q_partitioned_roundtrip(sf_dir: str):
     out_dir = tempfile.mkdtemp(prefix="hive_rt_", dir="/tmp")
     try:
         ds.write_parquet(out_dir, partition_cols=["lang"])
-        langs = sorted(d.split("=", 1)[1] for d in os.listdir(out_dir)
+        from urllib.parse import unquote
+
+        # hive dirnames are URL-encoded; decode before picking min so
+        # exotic lang values sort like the oracle's min(lang) (review)
+        langs = sorted((unquote(d.split("=", 1)[1]), d)
+                       for d in os.listdir(out_dir)
                        if d.startswith("lang="))
-        target = langs[0]
-        back = ray.data.read_parquet(os.path.join(out_dir, f"lang={target}"))
+        if not langs:  # empty table: match the oracle's empty result
+            return pd.DataFrame({"lang": pd.Series(dtype="object"),
+                                 "n_docs": pd.Series(dtype="int64"),
+                                 "chars_sum": pd.Series(dtype="int64")})
+        target, target_dir = langs[0]
+        back = ray.data.read_parquet(os.path.join(out_dir, target_dir))
         agg = back.aggregate(Count(alias_name="n_docs"),
                              Sum("n_chars", alias_name="chars_sum"))
         return pd.DataFrame({
@@ -4291,6 +4332,10 @@ def q_skew_report(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     raw = counts.map_batches(coc_partial, batch_format="pyarrow").to_pandas()
+    if raw.empty:  # 0-row events table: emit the all-zero summary row
+        raw = pd.DataFrame({"cnt": pd.Series(dtype="int64"),
+                            "n_keys": pd.Series(dtype="int64"),
+                            "min_uid": pd.Series(dtype="int64")})
     hist = (raw.groupby("cnt", as_index=False)
                .agg(n_keys=("n_keys", "sum"), min_uid=("min_uid", "min"))
                .sort_values("cnt", kind="mergesort"))
@@ -6678,7 +6723,8 @@ ORACLE_SQL["weighted_sample"] = (
         f"xor(doc_id % 4294967296, {WEIGHTED_SAMPLE_SEED})",
         "doc_id, n_chars", "documents")
     + " SELECT doc_id, n_chars, (h * 1073741824) // n_chars AS sample_key "
-    f"FROM hf ORDER BY sample_key, doc_id LIMIT {WEIGHTED_SAMPLE_K}")
+    "FROM hf WHERE n_chars > 0 "
+    f"ORDER BY sample_key, doc_id LIMIT {WEIGHTED_SAMPLE_K}")
 
 ORACLE_SQL["identifier_split"] = (
     # mirrors the engine's exact kernel chain (both are RE2):

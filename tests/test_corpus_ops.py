@@ -1074,3 +1074,58 @@ def test_funnel_strict_order_semantics(ray_session, tmp_path):
     assert out[3] == 1
     # user 2 still purchases after its (late) view but without a
     # qualified click, so stage 3 counts only user 1 — checked above
+
+
+def test_review_r3s6_edge_regressions(ray_session, tmp_path):
+    """Review findings (round-3 session 6): zero-weight docs must be
+    EXCLUDED from the weighted sample (not guaranteed into it), and the
+    funnel / skew / partitioned-roundtrip ops must survive empty or
+    funnel-free inputs with the oracle's zero/empty shapes."""
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_funnel_counts, q_partitioned_roundtrip, q_skew_report,
+        q_weighted_sample)
+
+    # 1. zero-weight docs never sampled
+    sfw = tmp_path / "w0"
+    sfw.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(300), type=pa.int64()),
+        "n_chars": pa.array([0 if i < 50 else 10 + i for i in range(300)],
+                            type=pa.int64())}),
+        str(sfw / "documents.parquet"))
+    out = q_weighted_sample(str(sfw))
+    assert (out["n_chars"] > 0).all()
+
+    # 2. funnel with no funnel-type events -> three zero rows
+    sff = tmp_path / "f0"
+    sff.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "user_id": pa.array([1, 2], type=pa.int64()),
+        "event_type": pa.array(["signup", "error"]),
+        "ts": pa.array([1, 2], type=pa.timestamp("us"))}),
+        str(sff / "events.parquet"))
+    f = q_funnel_counts(str(sff))
+    assert f["n_users"].tolist() == [0, 0, 0]
+
+    # 3. skew report over an empty events table -> zero summary row
+    sfe = tmp_path / "e0"
+    sfe.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array([], type=pa.int64()),
+        "user_id": pa.array([], type=pa.int64())}),
+        str(sfe / "events.parquet"))
+    s = q_skew_report(str(sfe)).iloc[0]
+    assert s["n_keys"] == 0 and s["n_rows"] == 0 and s["gini"] == 0.0
+
+    # 4. partitioned roundtrip over an empty documents table -> empty
+    sfd = tmp_path / "d0"
+    sfd.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "lang": pa.array([], type=pa.string()),
+        "n_chars": pa.array([], type=pa.int64())}),
+        str(sfd / "documents.parquet"))
+    assert len(q_partitioned_roundtrip(str(sfd))) == 0

@@ -3879,8 +3879,12 @@ def q_incremental_dedup(sf_dir: str):
     corpus = existing.union(delta)
 
     # near: cross-side LSH pairs (id_a existing, id_b delta)
+    # two-sided candidates: same-side pairs are skipped inside the
+    # band buckets (cross_side_base), so verification work is only the
+    # delta-vs-existing collisions
     pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.6,
-                                    dedup_pairs=False)
+                                    dedup_pairs=False,
+                                    cross_side_base=INCR_DELTA_BASE)
 
     def cross(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch.column("id_a"), dtype=np.int64)

@@ -257,7 +257,8 @@ def _minhash_sig_dataset(ds: ray.data.Dataset, text_col: str,
 def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.6,
                       max_bucket: int = 256,
-                      dedup_pairs: bool = True) -> ray.data.Dataset:
+                      dedup_pairs: bool = True,
+                      cross_side_base: int | None = None) -> ray.data.Dataset:
     """Near-duplicate pairs (id_a < id_b, round(jaccard, 6) >= threshold)
     among pairs colliding in at least one of 8 4-row minhash bands.
 
@@ -346,6 +347,13 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                 pair_idx = list(zip(ai.tolist(), bi.tolist()))
             for i, j in pair_idx:
                 key = (int(u[i]), int(u[j]))
+                # two-sided mode: only pairs straddling the id base are
+                # candidates (incremental dedup: delta vs existing) —
+                # skipping same-side pairs BEFORE the set-intersection
+                # verify removes the O(s^2) within-side work entirely
+                if cross_side_base is not None and not (
+                        key[0] < cross_side_base <= key[1]):
+                    continue
                 if key in seen:
                     continue
                 seen.add(key)

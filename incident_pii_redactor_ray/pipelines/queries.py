@@ -3941,6 +3941,119 @@ def q_incremental_dedup(sf_dir: str):
     return delta.map_batches(classify, batch_format="pyarrow")
 
 
+#: profiling spec: column -> canonical string form shared by engine and
+#: oracle ('int' = str(int64), 'str' = identity, 'ts' = str(epoch us),
+#: 'cents' = str(floor(x*100 + 0.5)))
+PROFILE_COLUMNS = {
+    "o_orderkey": "int",
+    "o_custkey": "int",
+    "o_orderstatus": "str",
+    "o_totalprice": "cents",
+    "o_orderdate": "ts",
+    "o_orderpriority": "str",
+}
+
+
+def q_profile_table(sf_dir: str):
+    """Table profiling (the pre-ingest data-quality report every
+    pipeline runs on a new source): per column — row count, null count,
+    EXACT distinct count, lexicographic min/max of a canonical string
+    form. The canonical form per dtype is fixed by PROFILE_COLUMNS and
+    shared with the oracle (ints as str(int), floats as half-up cents,
+    timestamps as epoch-microsecond strings), so min/max compare
+    identically on both sides with no float-formatting hazard.
+
+    Shape: ONE streaming pass emits per-batch partials of
+    (column, n_rows, n_nulls, min_s, max_s) — column-cardinality rows —
+    plus (column, value_md5) rows for the exact distinct count, which
+    reduce through a 256-way md5-shard groupby (the shuffle carries
+    16-byte digests; the KMV sketch in approx_distinct is the cheap
+    alternative when exactness isn't required). Driver merges
+    column-cardinality aggregates only."""
+    import hashlib
+
+    from ..stages.relational import sharded_group_sum  # noqa: F401
+
+    cols = list(PROFILE_COLUMNS)
+
+    def canon_strings(batch: pa.Table, c: str) -> tuple[list, int]:
+        kind = PROFILE_COLUMNS[c]
+        col = batch.column(c)
+        n_null = int(pc.sum(pc.cast(pc.is_null(col), pa.int64())).as_py()
+                     or 0)
+        vals = col.drop_null()
+        if kind == "int":
+            s = [str(int(v)) for v in vals.to_pylist()]
+        elif kind == "str":
+            s = [str(v) for v in vals.to_pylist()]
+        elif kind == "ts":
+            s = [str(int(v)) for v in
+                 pc.cast(vals, pa.int64()).to_pylist()]
+        else:  # cents
+            arr = np.asarray(pc.cast(vals, pa.float64()))
+            s = [str(int(v)) for v in
+                 np.floor(arr * 100.0 + 0.5).astype(np.int64)]
+        return s, n_null
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        rows = {"col_name": [], "n_rows": [], "n_nulls": [],
+                "min_s": [], "max_s": []}
+        for c in cols:
+            s, n_null = canon_strings(batch, c)
+            rows["col_name"].append(c)
+            rows["n_rows"].append(batch.num_rows)
+            rows["n_nulls"].append(n_null)
+            rows["min_s"].append(min(s) if s else None)
+            rows["max_s"].append(max(s) if s else None)
+        return pa.table({
+            "col_name": pa.array(rows["col_name"], type=pa.string()),
+            "n_rows": pa.array(rows["n_rows"], type=pa.int64()),
+            "n_nulls": pa.array(rows["n_nulls"], type=pa.int64()),
+            "min_s": pa.array(rows["min_s"], type=pa.string()),
+            "max_s": pa.array(rows["max_s"], type=pa.string())})
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        out_c, out_h, out_sh = [], [], []
+        for c in cols:
+            s, _ = canon_strings(batch, c)
+            for h in {hashlib.md5(x.encode()).hexdigest() for x in s}:
+                out_c.append(c)
+                out_h.append(h)
+                out_sh.append(int(h[:2], 16))
+        return pa.table({"col_name": pa.array(out_c, type=pa.string()),
+                         "h": pa.array(out_h, type=pa.string()),
+                         "shard": pa.array(out_sh, type=pa.int32())})
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=cols)
+
+    stats = (orders.map_batches(stats_partial, batch_format="pyarrow")
+             .to_pandas())
+    agg = stats.groupby("col_name", as_index=False).agg(
+        n_rows=("n_rows", "sum"), n_nulls=("n_nulls", "sum"),
+        min_s=("min_s", "min"), max_s=("max_s", "max"))
+
+    def count_shard(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["col_name", "h"]).groupby(
+            "col_name", as_index=False).size().rename(
+            columns={"size": "n_distinct"})
+        return d
+
+    dist = (orders.map_batches(distinct_partial, batch_format="pyarrow")
+            .groupby("shard").map_groups(count_shard,
+                                         batch_format="pandas")
+            .to_pandas()
+            .groupby("col_name", as_index=False)["n_distinct"].sum())
+
+    out = agg.merge(dist, on="col_name", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_nulls"] = out["n_nulls"].astype("int64")
+    return (out[["col_name", "n_rows", "n_nulls", "n_distinct",
+                 "min_s", "max_s"]]
+            .sort_values("col_name").reset_index(drop=True))
+
+
 #: ordered funnel stages over the events stream
 FUNNEL_STAGES = ("view", "click", "purchase")
 
@@ -4493,6 +4606,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "funnel_counts": q_funnel_counts,
     "incremental_dedup": q_incremental_dedup,
+    "profile_table": q_profile_table,
     "identifier_split": q_identifier_split,
     "lang_histogram": q_lang_histogram,
     "summary_rollup": q_summary_rollup,
@@ -6790,3 +6904,27 @@ ORACLE_SQL["incremental_dedup"] = (
     "(SELECT doc_id FROM near) THEN 'near' ELSE 'new' END AS reason "
     "FROM delta d) "
     "SELECT doc_id, reason, (reason = 'new') AS keep FROM cls")
+
+
+def _profile_sql() -> str:
+    arms = []
+    for c, kind in PROFILE_COLUMNS.items():
+        if kind == "int":
+            expr = f"CAST({c} AS VARCHAR)"
+        elif kind == "str":
+            expr = c
+        elif kind == "ts":
+            expr = f"CAST(epoch_us({c}) AS VARCHAR)"
+        else:
+            expr = (f"CAST(CAST(floor({c} * 100 + 0.5) AS BIGINT) "
+                    "AS VARCHAR)")
+        arms.append(
+            f"SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows, "
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_nulls, "
+            f"count(DISTINCT {expr})::BIGINT AS n_distinct, "
+            f"min({expr}) AS min_s, max({expr}) AS max_s FROM orders")
+    return " UNION ALL ".join(arms)
+
+
+ORACLE_SQL["profile_table"] = _profile_sql()

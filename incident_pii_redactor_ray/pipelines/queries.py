@@ -3982,17 +3982,20 @@ def q_profile_table(sf_dir: str):
         n_null = int(pc.sum(pc.cast(pc.is_null(col), pa.int64())).as_py()
                      or 0)
         vals = col.drop_null()
+        # vectorized canonical strings (pandas astype(str) over int64
+        # matches str(int) exactly; no per-row Python loop)
         if kind == "int":
-            s = [str(int(v)) for v in vals.to_pylist()]
+            s = pd.Series(np.asarray(vals, dtype=np.int64)) \
+                .astype(str).tolist()
         elif kind == "str":
-            s = [str(v) for v in vals.to_pylist()]
+            s = vals.to_pylist()
         elif kind == "ts":
-            s = [str(int(v)) for v in
-                 pc.cast(vals, pa.int64()).to_pylist()]
+            s = pd.Series(np.asarray(pc.cast(vals, pa.int64()),
+                                     dtype=np.int64)).astype(str).tolist()
         else:  # cents
             arr = np.asarray(pc.cast(vals, pa.float64()))
-            s = [str(int(v)) for v in
-                 np.floor(arr * 100.0 + 0.5).astype(np.int64)]
+            s = pd.Series(np.floor(arr * 100.0 + 0.5)
+                          .astype(np.int64)).astype(str).tolist()
         return s, n_null
 
     def stats_partial(batch: pa.Table) -> pa.Table:

@@ -4057,6 +4057,69 @@ def q_profile_table(sf_dir: str):
             .sort_values("col_name").reset_index(drop=True))
 
 
+#: allowed out-of-orderness for the late-event watermark (microseconds)
+LATENESS_US = 3_600_000_000  # 1 hour
+#: seed of the deterministic arrival permutation (the events table is
+#: written in event-time order, so arrival jitter is simulated as
+#: arrival_key = fmix32(event_id ^ seed) — reproducible in SQL)
+ARRIVAL_SEED = 0x1A7E
+
+
+def q_late_events(sf_dir: str):
+    """Streaming late-data accounting (the watermark bookkeeping every
+    event-time system runs): an event is LATE when its event time plus
+    the allowed lateness still precedes its user's watermark — the max
+    event time among that user's EARLIER events in arrival order. The
+    test events table is written in event-time order, so arrival is the
+    deterministic jitter permutation fmix32(event_id ^ ARRIVAL_SEED)
+    (ties broken by event_id) — without it the late branch would be
+    dead on this corpus. Returns per-type (n_events, n_late).
+
+    Shape: ONE user-sharded exchange (arrival order is per-user state,
+    so users are the co-location key); inside each shard the watermark
+    is a vectorized shifted groupby-cummax over (user_id, event_id)
+    order; per-shard (type, count, late) partials merge on the driver.
+    Exact integer microseconds end to end."""
+    from ..functions.hashing import fmix32
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"), dtype=np.int64)
+        eid = np.asarray(batch.column("event_id"), dtype=np.int64)
+        arrival = fmix32(eid ^ np.int64(ARRIVAL_SEED)).astype(np.int64)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "arrival": pa.array(arrival),
+            "event_type": batch.column("event_type"),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+            "shard": pa.array((uid % 256).astype(np.int64))})
+
+    def late_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "arrival", "event_id"],
+                          kind="mergesort")
+        wm = (g.groupby("user_id")["ts_us"].cummax()
+              .groupby(g["user_id"]).shift(1))
+        ts = g["ts_us"].to_numpy(np.int64)
+        late = wm.notna().to_numpy() & (ts + LATENESS_US
+                                        < wm.fillna(0).to_numpy(np.int64))
+        return (pd.DataFrame({"event_type": g["event_type"].to_numpy(object),
+                              "n_events": 1,
+                              "n_late": late.astype(np.int64)})
+                .groupby("event_type", as_index=False)[["n_events",
+                                                        "n_late"]].sum())
+
+    parts = (_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+             .map_batches(prep, batch_format="pyarrow")
+             .groupby("shard")
+             .map_groups(late_shard, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("event_type", as_index=False)[["n_events",
+                                                       "n_late"]].sum()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_late"] = out["n_late"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 #: ordered funnel stages over the events stream
 FUNNEL_STAGES = ("view", "click", "purchase")
 
@@ -4610,6 +4673,7 @@ QUERIES = {
     "funnel_counts": q_funnel_counts,
     "incremental_dedup": q_incremental_dedup,
     "profile_table": q_profile_table,
+    "late_events": q_late_events,
     "identifier_split": q_identifier_split,
     "lang_histogram": q_lang_histogram,
     "summary_rollup": q_summary_rollup,
@@ -6931,3 +6995,20 @@ def _profile_sql() -> str:
 
 
 ORACLE_SQL["profile_table"] = _profile_sql()
+
+
+ORACLE_SQL["late_events"] = (
+    # per-user watermark = max earlier-ARRIVAL event time (arrival =
+    # the fmix32 jitter permutation); exact integer microseconds
+    "WITH " + _fmix32_sql_ctes(
+        f"xor(event_id % 4294967296, {ARRIVAL_SEED})",
+        "user_id, event_id, event_type, ts_us",
+        "(SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us "
+        "FROM events) ev")
+    + ", w AS (SELECT event_type, ts_us, "
+    "max(ts_us) OVER (PARTITION BY user_id ORDER BY h, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm "
+    "FROM hf) "
+    "SELECT event_type, count(*)::BIGINT AS n_events, "
+    f"sum(CASE WHEN wm IS NOT NULL AND ts_us + {LATENESS_US} < wm "
+    "THEN 1 ELSE 0 END)::BIGINT AS n_late FROM w GROUP BY event_type")

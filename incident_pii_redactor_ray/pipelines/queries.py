@@ -3509,11 +3509,17 @@ def q_important_parts(sf_dir: str):
         keys=["p_partkey"], sum_cols=["value_e4"]).materialize()
     total = int(vals.sum("value_e4") or 0)
 
-    def keep(batch: pa.Table) -> pa.Table:
-        v = np.asarray(batch.column("value_e4"), dtype=np.int64)
-        return batch.filter(pa.array(v * IMPORTANT_PART_DENOM > total))
-
-    return vals.map_batches(keep, batch_format="pyarrow")
+    # the part-cardinality aggregate is already driver-small; finishing
+    # the HAVING filter in pandas keeps the output schema stable even
+    # when NO part passes (at sf0.1 the 1/DENOM threshold filters
+    # everything, and an empty Dataset loses its column names)
+    df = vals.to_pandas()
+    v = df["value_e4"].to_numpy(np.int64)
+    out = df.loc[v * IMPORTANT_PART_DENOM > total,
+                 ["p_partkey", "value_e4"]]
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["value_e4"] = out["value_e4"].astype("int64")
+    return out.reset_index(drop=True)
 
 
 def q_part_promotion(sf_dir: str):

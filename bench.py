@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     "cdc_upsert", "value_deciles", "min_cost_supplier", "important_parts",
     "part_promotion", "grouped_mode", "numeric_corr", "cube_revenue",
     "quantile_filter", "length_drift", "compression_ratio",
-    "jsonl_roundtrip", "skew_report", "bpe_merges", "partitioned_roundtrip",
+    "jsonl_roundtrip", "orc_roundtrip", "skew_report", "bpe_merges", "partitioned_roundtrip",
     "token_entropy", "bigram_pmi", "weighted_sample", "identifier_split", "funnel_counts",
     "incremental_dedup", "profile_table", "late_events",
 ]

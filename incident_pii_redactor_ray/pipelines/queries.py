@@ -4633,6 +4633,56 @@ def q_bpe_merges(sf_dir: str):
                                 dtype="int64")})
 
 
+def q_orc_roundtrip(sf_dir: str):
+    """ORC sink + source roundtrip over a THIRD columnar format (the
+    warehouse-interchange case): each batch writes one content-addressed
+    ORC file from inside map_batches (the same map-side
+    content-addressed piece pattern as the hygiene sink — no driver
+    funnel), the files are read back with ray.data.read_binary_files +
+    a pyarrow.orc decode batch stage, and aggregated. The oracle
+    aggregates the source parquet directly.
+
+    NOTE: /tmp is node-local — multi-node sinks need shared storage."""
+    import hashlib
+    import io
+    import shutil
+    import tempfile
+
+    import pyarrow.orc as paorc
+
+    out_dir = tempfile.mkdtemp(prefix="orc_rt_", dir="/tmp")
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        name = hashlib.md5(ids.tobytes()).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{name}.orc")
+        paorc.write_table(batch, path)
+        return pa.table({"path": pa.array([path], type=pa.string()),
+                         "n": pa.array([batch.num_rows], type=pa.int64())})
+
+    def decode(batch: pd.DataFrame) -> pa.Table:
+        tables = [paorc.ORCFile(io.BytesIO(b)).read()
+                  for b in batch["bytes"]]
+        return pa.concat_tables(tables)
+
+    try:
+        n_written = int(_docs(sf_dir, ["doc_id", "lang", "n_chars"])
+                        .map_batches(write_block, batch_format="pyarrow")
+                        .sum("n") or 0)
+        back = ray.data.read_binary_files(out_dir).map_batches(
+            decode, batch_format="pandas")
+        agg = (back.groupby("lang")
+                   .aggregate(Count(alias_name="n_docs"),
+                              Sum("n_chars", alias_name="chars_sum"))
+                   .to_pandas())
+        agg["n_docs"] = agg["n_docs"].astype("int64")
+        agg["chars_sum"] = agg["chars_sum"].astype("int64")
+        assert int(agg["n_docs"].sum()) == n_written
+        return agg
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_jsonl_roundtrip(sf_dir: str):
     """JSONL sink + source roundtrip: documents are projected to an
     integer-exact frame, written as partitioned JSONL under /tmp with
@@ -4670,6 +4720,7 @@ QUERIES = {
     "length_drift": q_length_drift,
     "compression_ratio": q_compression_ratio,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
     "skew_report": q_skew_report,
     "bpe_merges": q_bpe_merges,
     "partitioned_roundtrip": q_partitioned_roundtrip,
@@ -7018,3 +7069,8 @@ ORACLE_SQL["late_events"] = (
     "SELECT event_type, count(*)::BIGINT AS n_events, "
     f"sum(CASE WHEN wm IS NOT NULL AND ts_us + {LATENESS_US} < wm "
     "THEN 1 ELSE 0 END)::BIGINT AS n_late FROM w GROUP BY event_type")
+
+
+ORACLE_SQL["orc_roundtrip"] = (
+    "SELECT lang, count(*)::BIGINT AS n_docs, "
+    "sum(n_chars)::BIGINT AS chars_sum FROM documents GROUP BY lang")

@@ -52,7 +52,7 @@ BENCH_QUERIES = [
     "quantile_filter", "length_drift", "compression_ratio",
     "jsonl_roundtrip", "orc_roundtrip", "skew_report", "bpe_merges", "partitioned_roundtrip",
     "token_entropy", "bigram_pmi", "weighted_sample", "identifier_split", "funnel_counts",
-    "incremental_dedup", "profile_table", "late_events",
+    "incremental_dedup", "profile_table", "late_events", "fk_integrity",
 ]
 
 

@@ -4683,6 +4683,90 @@ def q_orc_roundtrip(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+#: FK-integrity check: child keys divisible by this inject one orphan
+FK_BAD_MOD = 997
+
+
+def _fk_orphans(child: ray.data.Dataset, parent: ray.data.Dataset,
+                child_key: str, parent_key: str) -> tuple[int, int]:
+    """(n_child_rows, n_orphan_rows) for one FK relation — the big-big
+    anti-join COUNT shape: both sides shard by key hash in ONE
+    exchange; the child side pre-reduces to (key, cnt) partials per
+    batch, the parent side to distinct keys per batch, so the shuffle
+    carries key-cardinality rows, never the child row stream; each
+    shard emits two integers."""
+    def child_partial(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column(child_key), dtype=np.int64)
+        g = (pd.DataFrame({"k": k}).groupby("k", as_index=False)
+             .size().rename(columns={"size": "cnt"}))
+        kk = g["k"].to_numpy(np.int64)
+        return pa.table({
+            "k": pa.array(kk), "cnt": pa.array(g["cnt"].to_numpy(np.int64)),
+            "side": pa.array(np.zeros(len(g), dtype=np.int8)),
+            "shard": pa.array(((kk * 2654435761) % 256).astype(np.int64))})
+
+    def parent_partial(batch: pa.Table) -> pa.Table:
+        kk = np.unique(np.asarray(batch.column(parent_key),
+                                  dtype=np.int64))
+        return pa.table({
+            "k": pa.array(kk),
+            "cnt": pa.array(np.zeros(len(kk), dtype=np.int64)),
+            "side": pa.array(np.ones(len(kk), dtype=np.int8)),
+            "shard": pa.array(((kk * 2654435761) % 256).astype(np.int64))})
+
+    def orphan_shard(g: pd.DataFrame) -> pd.DataFrame:
+        pk = set(g.loc[g["side"] == 1, "k"])
+        ch = g[g["side"] == 0]
+        orphans = int(ch.loc[~ch["k"].isin(pk), "cnt"].sum())
+        return pd.DataFrame({"rows": pd.Series([int(ch["cnt"].sum())],
+                                               dtype="int64"),
+                             "orphans": pd.Series([orphans],
+                                                  dtype="int64")})
+
+    parts = (child.map_batches(child_partial, batch_format="pyarrow")
+             .union(parent.map_batches(parent_partial,
+                                       batch_format="pyarrow"))
+             .groupby("shard")
+             .map_groups(orphan_shard, batch_format="pandas")
+             .to_pandas())
+    return int(parts["rows"].sum()), int(parts["orphans"].sum())
+
+
+def q_fk_integrity(sf_dir: str):
+    """Referential-integrity validation at scale (the ingest-time check
+    every warehouse load runs): orphan-row counts for
+    lineitem.l_orderkey -> orders.o_orderkey and
+    orders.o_custkey -> customer.c_custkey. The clean testdata has zero
+    orphans, so each child stream additionally injects one
+    deterministic orphan per key divisible by FK_BAD_MOD (key mapped to
+    its unreachable negative), making the count a real decision that
+    the oracle reproduces with the same injection."""
+    def with_bad(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
+        def inject(batch: pa.Table) -> pa.Table:
+            k = np.asarray(batch.column(key), dtype=np.int64)
+            bad = -k[k % FK_BAD_MOD == 0] - 1
+            return pa.table({key: pa.array(np.concatenate([k, bad]))})
+        return ds.map_batches(inject, batch_format="pyarrow")
+
+    li = with_bad(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]),
+        "l_orderkey")
+    orders_child = with_bad(ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]), "o_custkey")
+    orders_parent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    r1 = _fk_orphans(li, orders_parent, "l_orderkey", "o_orderkey")
+    r2 = _fk_orphans(orders_child, cust, "o_custkey", "c_custkey")
+    return pd.DataFrame({
+        "relation": pd.Series(["lineitem->orders", "orders->customer"],
+                              dtype="object"),
+        "n_child_rows": pd.Series([r1[0], r2[0]], dtype="int64"),
+        "n_orphan_rows": pd.Series([r1[1], r2[1]], dtype="int64")})
+
+
 def q_jsonl_roundtrip(sf_dir: str):
     """JSONL sink + source roundtrip: documents are projected to an
     integer-exact frame, written as partitioned JSONL under /tmp with
@@ -4721,6 +4805,7 @@ QUERIES = {
     "compression_ratio": q_compression_ratio,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
+    "fk_integrity": q_fk_integrity,
     "skew_report": q_skew_report,
     "bpe_merges": q_bpe_merges,
     "partitioned_roundtrip": q_partitioned_roundtrip,
@@ -7074,3 +7159,22 @@ ORACLE_SQL["late_events"] = (
 ORACLE_SQL["orc_roundtrip"] = (
     "SELECT lang, count(*)::BIGINT AS n_docs, "
     "sum(n_chars)::BIGINT AS chars_sum FROM documents GROUP BY lang")
+
+
+ORACLE_SQL["fk_integrity"] = (
+    # same deterministic orphan injection; orphans counted via LEFT
+    # JOIN parent IS NULL
+    "WITH li AS (SELECT l_orderkey AS k FROM lineitem "
+    f"UNION ALL SELECT -l_orderkey - 1 FROM lineitem "
+    f"WHERE l_orderkey % {FK_BAD_MOD} = 0), "
+    "oc AS (SELECT o_custkey AS k FROM orders "
+    f"UNION ALL SELECT -o_custkey - 1 FROM orders "
+    f"WHERE o_custkey % {FK_BAD_MOD} = 0) "
+    "SELECT 'lineitem->orders' AS relation, "
+    "count(*)::BIGINT AS n_child_rows, "
+    "sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT "
+    "AS n_orphan_rows "
+    "FROM li LEFT JOIN orders o ON o.o_orderkey = li.k "
+    "UNION ALL SELECT 'orders->customer', count(*)::BIGINT, "
+    "sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT "
+    "FROM oc LEFT JOIN customer c ON c.c_custkey = oc.k")

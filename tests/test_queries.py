@@ -414,3 +414,48 @@ def test_bucketed_join_randomized_vs_pandas(ray_session):
             want = left.merge(right, on=on, how=pd_how)[list(got.columns)]
             pd.testing.assert_frame_equal(canon(got), canon(want),
                                           check_dtype=False)
+
+
+def test_asof_join_randomized_vs_pandas(ray_session):
+    """Seeded randomized differential: the sharded as-of join must
+    equal pandas.merge_asof on the same frames for backward and forward
+    directions, int keys, including keys with no right-side rows."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.relational import asof_join
+
+    rng = np.random.default_rng(7)
+    for direction in ("backward", "forward"):
+        nl, nr = 80, 60
+        left = pd.DataFrame({
+            "key": rng.integers(0, 6, nl),
+            "ts": rng.integers(0, 1000, nl).astype("int64"),
+            "lv": rng.integers(0, 100, nl)}).sort_values("ts")
+        right = (pd.DataFrame({
+            "key": rng.integers(0, 4, nr),   # keys 4,5 never match
+            "ts": rng.integers(0, 1000, nr).astype("int64"),
+            "rv": rng.integers(0, 100, nr)})
+            .drop_duplicates(["key", "ts"])  # asof contract: unique
+            .sort_values("ts"))
+        got = asof_join(
+            ray.data.from_pandas(left).repartition(3),
+            ray.data.from_pandas(right).repartition(2),
+            key_col="key", ts_col="ts", left_cols=["key", "ts", "lv"],
+            right_value_col="rv",
+            direction=direction).to_pandas()[["key", "ts", "lv", "rv"]]
+        # asof_join is INNER (unmatched left rows dropped); merge_asof
+        # keeps them with NaN — drop those before comparing
+        want = pd.merge_asof(left.sort_values(["ts", "key"]),
+                             right.sort_values(["ts", "key"]),
+                             on="ts", by="key",
+                             direction=direction).dropna(subset=["rv"])
+        def canon(df):
+            df = df[sorted(df.columns)].copy()
+            for c in df.columns:
+                df[c] = df[c].astype("float64")
+            return (df.sort_values(list(df.columns), kind="mergesort")
+                    .reset_index(drop=True))
+        pd.testing.assert_frame_equal(canon(got), canon(want[got.columns]),
+                                      check_dtype=False)

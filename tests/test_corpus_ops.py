@@ -1129,3 +1129,24 @@ def test_review_r3s6_edge_regressions(ray_session, tmp_path):
         "n_chars": pa.array([], type=pa.int64())}),
         str(sfd / "documents.parquet"))
     assert len(q_partitioned_roundtrip(str(sfd))) == 0
+
+
+def test_funnel_string_user_keys(ray_session, tmp_path):
+    # string user ids must shard through the md5 fallback (the r2
+    # verdict's int-only-shard class) and produce the same funnel
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_funnel_counts
+
+    rows = [("alice", "view", 100), ("alice", "click", 200),
+            ("alice", "purchase", 300), ("bob", "view", 100)]
+    sf = tmp_path / "sffunstr"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "user_id": pa.array([r[0] for r in rows]),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+    }), str(sf / "events.parquet"))
+    out = q_funnel_counts(str(sf)).set_index("stage")["n_users"]
+    assert out.tolist() == [2, 1, 1]

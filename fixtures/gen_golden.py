@@ -322,7 +322,16 @@ def gen_compression(sf_dir: str) -> pa.Table:
     """Per-doc zlib(level) compressed size — the one non-SQL kernel of
     queries.q_compression_ratio. ONLY comp_len is golden; raw_len and
     the keep decision derive in SQL from the registry constants, so the
-    gate logic itself stays independently checked."""
+    gate logic itself stays independently checked.
+
+    ZLIB-BUILD DEPENDENCY (ADVICE r3): compressed output is NOT
+    standardized across zlib implementations/versions (zlib vs zlib-ng
+    can emit different byte counts for the same input+level). The
+    committed goldens pin the build that generated them; on a platform
+    with a different zlib, regenerate the goldens
+    (``python fixtures/gen_golden.py``) rather than treating a comp_len
+    delta as an engine bug — the golden exists to gate the SQL-side
+    keep logic, not the codec's byte count."""
     import zlib
 
     from incident_pii_redactor_ray.pipelines.queries import COMPRESSION_LEVEL

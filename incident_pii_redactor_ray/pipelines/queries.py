@@ -43,6 +43,16 @@ def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
+def _pq_types(sf_dir: str, table: str, cols: list[str]) -> dict:
+    """Column -> Arrow type from the parquet FILE FOOTER — the
+    zero-execution way to know a read's schema (a ``Dataset.schema()``
+    on a lazy pipeline executes upstream operators as a probe; on an
+    exchange output that runs the whole shuffle twice)."""
+    import pyarrow.parquet as pq
+    sch = pq.read_schema(f"{sf_dir}/{table}.parquet")
+    return {c: sch.field(c).type for c in cols}
+
+
 def _rev_e4(batch: pa.Table) -> pa.Array:
     """The engine's revenue-cents convention, in one place (review r3):
     exact integer e4 units = round(price*100) * (100 - round(disc*100))
@@ -1100,9 +1110,9 @@ def q_ngram_jaccard(sf_dir: str):
 
     # shuffle by pair_id shard (not one Ray group per pair); each shard
     # computes all of its complete pairs in one pandas pass
-    def shard_jaccard(g: pd.DataFrame) -> pd.DataFrame:
-        from ..stages.dedup import ws_tokens
+    from ..stages.dedup import ws_tokens
 
+    def shard_jaccard(g: pd.DataFrame) -> pd.DataFrame:
         out = {"pair_id": [], "id_a": [], "id_b": [], "jaccard": []}
         for pid, rows in g.groupby("pair_id"):
             if len(rows) != 2:
@@ -1474,17 +1484,20 @@ def q_sliding_window(sf_dir: str):
     return sliding_window(ev, window="1h", hop="30min")
 
 
-def _asof_right_max(right: ray.data.Dataset, key: str) -> ray.data.Dataset:
+def _asof_right_max(right: ray.data.Dataset, key: str,
+                    out_schema: pa.Schema | None = None) -> ray.data.Dataset:
     """Collapse same-instant duplicates on the as-of right side to a
     deterministic max — (key, ts) is signup-cardinality, so this uses
     the sharded pandas aggregate, not Ray's per-group-overhead native
-    groupby."""
+    groupby. Pass ``out_schema`` (key, ts, ref_value — from the parquet
+    footer via _pq_types) so asof_join's schema_of never executes this
+    exchange as a probe."""
     from ..stages.relational import sharded_group_sum
 
     r = right.map_batches(lambda b: b.rename_columns([key, "ts", "ref_value"]),
                           batch_format="pyarrow")
     return sharded_group_sum(r, keys=[key, "ts"], sum_cols=["ref_value"],
-                             how="max")
+                             how="max", out_schema=out_schema)
 
 
 def q_asof_join(sf_dir: str):
@@ -1505,10 +1518,15 @@ def q_asof_join(sf_dir: str):
         mask = pa.compute.equal(batch.column("event_type"), pa.scalar("signup"))
         return batch.filter(mask).select(["user_id", "ts", "value"])
 
-    left = ev.map_batches(split_left, batch_format="pyarrow")
+    t = _pq_types(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    left = declare_schema(
+        ev.map_batches(split_left, batch_format="pyarrow"),
+        pa.schema([(c, t[c]) for c in ("event_id", "user_id", "ts", "value")]))
     # right must be unique per (key, ts) for deterministic as-of picks
     right = _asof_right_max(
-        ev.map_batches(split_right, batch_format="pyarrow"), "user_id")
+        ev.map_batches(split_right, batch_format="pyarrow"), "user_id",
+        out_schema=pa.schema([("user_id", t["user_id"]), ("ts", t["ts"]),
+                              ("ref_value", t["value"])]))
     return asof_join(left, right, key_col="user_id", ts_col="ts")
 
 
@@ -1531,9 +1549,14 @@ def q_asof_join_forward(sf_dir: str):
         mask = pa.compute.equal(batch.column("event_type"), pa.scalar("signup"))
         return batch.filter(mask).select(["user_id", "ts", "value"])
 
-    left = ev.map_batches(split_left, batch_format="pyarrow")
+    t = _pq_types(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    left = declare_schema(
+        ev.map_batches(split_left, batch_format="pyarrow"),
+        pa.schema([(c, t[c]) for c in ("event_id", "user_id", "ts", "value")]))
     right = _asof_right_max(
-        ev.map_batches(split_right, batch_format="pyarrow"), "user_id")
+        ev.map_batches(split_right, batch_format="pyarrow"), "user_id",
+        out_schema=pa.schema([("user_id", t["user_id"]), ("ts", t["ts"]),
+                              ("ref_value", t["value"])]))
     return asof_join(left, right, key_col="user_id", ts_col="ts",
                      direction="forward")
 
@@ -1571,9 +1594,15 @@ def q_asof_join_str(sf_dir: str):
         mask = pa.compute.equal(batch.column("event_type"), pa.scalar("signup"))
         return batch.filter(mask).select(["user_key", "ts", "value"])
 
-    left = ev.map_batches(split_left, batch_format="pyarrow")
+    t = _pq_types(sf_dir, "events", ["event_id", "ts", "value"])
+    left = declare_schema(
+        ev.map_batches(split_left, batch_format="pyarrow"),
+        pa.schema([("event_id", t["event_id"]), ("ts", t["ts"]),
+                   ("value", t["value"]), ("user_key", pa.string())]))
     right = _asof_right_max(
-        ev.map_batches(split_right, batch_format="pyarrow"), "user_key")
+        ev.map_batches(split_right, batch_format="pyarrow"), "user_key",
+        out_schema=pa.schema([("user_key", pa.string()), ("ts", t["ts"]),
+                              ("ref_value", t["value"])]))
     return asof_join(left, right, key_col="user_key", ts_col="ts",
                      left_cols=["event_id", "user_key", "ts", "value"])
 
@@ -3758,12 +3787,17 @@ def q_length_drift(sf_dir: str):
     from ..stages.relational import sharded_group_sum
 
     def partial(batch: pa.Table) -> pa.Table:
+        # ADVICE r3: exclude NULL sources from BOTH groups (the
+        # oracle's two CASE sums count a NULL in neither; the old
+        # object-dtype `src < split` raised on None)
         src = batch.column("source").to_pandas()
-        a = (src < DRIFT_SPLIT).to_numpy()
+        nn = src.notna().to_numpy()
+        a = nn & (src.fillna("").to_numpy() < DRIFT_SPLIT)
+        b = nn & ~a
         g = (pd.DataFrame({"v": np.asarray(batch.column("n_chars"),
                                            dtype=np.int64),
                            "ca": a.astype(np.int64),
-                           "cb": (~a).astype(np.int64)})
+                           "cb": b.astype(np.int64)})
              .groupby("v", as_index=False)[["ca", "cb"]].sum())
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -3774,9 +3808,13 @@ def q_length_drift(sf_dir: str):
     hist = hist.sort_values("v", kind="mergesort")
     na = int(hist["ca"].sum())
     nb = int(hist["cb"].sum())
-    cuma = hist["ca"].cumsum().to_numpy(np.int64)
-    cumb = hist["cb"].cumsum().to_numpy(np.int64)
-    ks_num = int(np.abs(nb * cuma - na * cumb).max()) if len(hist) else 0
+    # ADVICE r3: the products nb*cuma / na*cumb overflow int64 around
+    # ~3e9 rows per side; the histogram is driver-side and domain-sized,
+    # so compute them in arbitrary-precision Python ints
+    cuma = hist["ca"].cumsum().tolist()
+    cumb = hist["cb"].cumsum().tolist()
+    ks_num = (max(abs(nb * x - na * y) for x, y in zip(cuma, cumb))
+              if len(hist) else 0)
     denom = na * nb
     return pd.DataFrame({
         "n_a": pd.Series([na], dtype="int64"),
@@ -4506,7 +4544,11 @@ def q_skew_report(sf_dir: str):
     Sum i*x_(i) comes from that histogram in closed form per
     equal-value block (keys with equal counts are contiguous in the
     sorted order, and the i*x block sum is tie-order invariant), so the
-    driver never holds per-key state."""
+    driver never holds per-key state. The Gini products are computed in
+    arbitrary-precision Python ints; the REPORTED gini_num/gini_den
+    columns are int64 (matching the SQL oracle's domain), so the exact
+    integer report is valid up to ~3e9 rows per side — beyond that the
+    float `gini` column is the consumable (ADVICE r3)."""
     from ..stages.relational import sharded_group_sum
 
     def ones(batch: pa.Table) -> pa.Table:
@@ -7100,9 +7142,11 @@ ORACLE_SQL["funnel_counts"] = (
     f"UNION ALL SELECT 3, '{FUNNEL_STAGES[2]}', (SELECT count(*) FROM c)")
 
 
+# ADVICE r3: interpolate INCR_DELTA_BASE (like FK_BAD_MOD etc.) so a
+# constant change can't silently desync engine and oracle.
 _INCR_CORPUS_SQL = (
     "SELECT doc_id, text FROM documents "
-    "UNION ALL SELECT doc_id + 1000000, "
+    f"UNION ALL SELECT doc_id + {INCR_DELTA_BASE}, "
     "CASE doc_id % 3 WHEN 0 THEN text || ' zzz' WHEN 1 THEN text "
     r"ELSE array_to_string(list_reverse(regexp_extract_all("
     r"lower(coalesce(text, '')), '\S+')), ' ') END "
@@ -7113,9 +7157,9 @@ ORACLE_SQL["incremental_dedup"] = (
     # corpus; 'exact' outranks 'near', survivors are 'new'
     "WITH " + _minhash_sql_prefix(_INCR_CORPUS_SQL) + ", "
     "near AS (SELECT DISTINCT id_b AS doc_id FROM v "
-    "WHERE jaccard >= 0.6 AND id_a < 1000000 AND id_b >= 1000000), "
+    f"WHERE jaccard >= 0.6 AND id_a < {INCR_DELTA_BASE} AND id_b >= {INCR_DELTA_BASE}), "
     "eh AS (SELECT DISTINCT md5(coalesce(text, '')) AS h FROM documents), "
-    "delta AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 1000000), "
+    f"delta AS (SELECT doc_id, text FROM corpus WHERE doc_id >= {INCR_DELTA_BASE}), "
     "cls AS (SELECT d.doc_id, CASE WHEN md5(coalesce(d.text, '')) IN "
     "(SELECT h FROM eh) THEN 'exact' WHEN d.doc_id IN "
     "(SELECT doc_id FROM near) THEN 'near' ELSE 'new' END AS reason "

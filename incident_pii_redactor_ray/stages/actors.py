@@ -1,5 +1,6 @@
 """Actor-pool stage wrappers and the keep/drop labeler.
 
+
 ``ScorerStage`` is the callable-class form required for stateful
 ``map_batches`` stages (ray_guide: "Stateful stages = actor pools"):
 model construction happens once per actor in ``__init__``; ``__call__``
@@ -15,6 +16,7 @@ import pyarrow as pa
 from .. import spec
 from ..functions.textbuf import utf8_view
 from .models import LangIdModel, PerplexityModel
+from .quality import quality_drop_reasons
 
 
 class ScorerStage:
@@ -53,7 +55,6 @@ def label_batch(batch: pa.Table, thresholds: dict | None = None) -> pa.Table:
     if thresholds is None:
         qd = batch.column("quality_drop").to_pylist()
     else:
-        from .quality import quality_drop_reasons
         qs = batch.column("quality").combine_chunks()
         q = {name: np.asarray(qs.field(name))
              for name in ("n_bytes", "max_line_len", "alnum_ratio", "rep_ratio")}

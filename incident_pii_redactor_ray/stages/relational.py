@@ -11,6 +11,8 @@ via explicit bucket co-partitioning, windows as key-grouped pandas.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -43,7 +45,39 @@ def declare_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
     re-executes at consumption. Chained joins paid that double
     execution (~40% of wall time on the TPC-H Q3/Q5/Q7/Q8/Q10/Q18
     shapes). Operators here consult the declared schema first
-    (schema_of) so graph BUILD never runs the graph."""
+    (schema_of) so graph BUILD never runs the graph.
+
+    The declaration is trusted, not validated (validating would execute
+    the graph — the very cost this avoids). A drifted declaration
+    miscasts deep in a join's from_pandas(schema=...) instead of at the
+    declaration site, so set IPR_CHECK_DECLARED_SCHEMA=1 (tests do) to
+    compare every declaration against the materialized schema and fail
+    loudly at the source (ADVICE r3)."""
+    if os.environ.get("IPR_CHECK_DECLARED_SCHEMA"):
+        actual = ds.schema()
+        declared = {f.name: f.type for f in schema}
+        # pandas-backed blocks report numpy dtypes / object for strings;
+        # normalize through the same mapping the join builders use
+        real = {}
+        for n, t in zip(actual.names, actual.types):
+            try:
+                real[n] = _arrow_type(t)
+            except Exception:
+                real[n] = t
+        if set(declared) != set(real):
+            raise AssertionError(
+                f"declare_schema drift: columns {sorted(declared)} != "
+                f"{sorted(real)}")
+        for n, dt in declared.items():
+            rt = real[n]
+            # tolerated artifacts of the pandas shard path the declared
+            # schema exists to REVERSE: NaN-fill promotes any dtype to
+            # float64 (outer joins, empty groups), and pa.null() blocks
+            # carry no dtype at all
+            if rt == dt or rt == pa.float64() or rt == pa.null():
+                continue
+            raise AssertionError(
+                f"declare_schema drift on {n!r}: declared {dt} != actual {rt}")
     setattr(ds, KNOWN_SCHEMA_ATTR, schema)
     return ds
 
@@ -96,7 +130,8 @@ def _frame_shards(df: pd.DataFrame, keys: list[str], num_shards: int) -> np.ndar
 
 def sharded_group_sum(ds: ray.data.Dataset, *, keys: list[str],
                       sum_cols: list[str], how: str = "sum",
-                      num_shards: int = 256) -> ray.data.Dataset:
+                      num_shards: int = 256,
+                      out_schema: pa.Schema | None = None) -> ray.data.Dataset:
     """Exact grouped SUM/MAX/MIN for HIGH-CARDINALITY keys. Ray's
     native groupby().aggregate() pays per-OUTPUT-GROUP Python overhead
     (~0.2 ms/group — measured 30.7 s for a 150k-group aggregate that
@@ -108,7 +143,13 @@ def sharded_group_sum(ds: ray.data.Dataset, *, keys: list[str],
     ``how`` must be distributive (partial-then-final equals global):
     'sum', 'max', 'min'. Use integer value columns for
     order-independent exact sums.
-    Output: keys + sum_cols, one row per distinct key."""
+    Output: keys + sum_cols, one row per distinct key.
+
+    ``out_schema``: statically-known output schema (keys + sum_cols) —
+    declared on the result so a downstream ``schema_of`` never executes
+    this exchange as a probe (the r3→r4 asof_join regression: the
+    schema probe ran the WHOLE sharded groupby, which then re-ran at
+    consumption — 2.5x on the asof path)."""
     if how not in ("sum", "max", "min"):
         raise ValueError(f"sharded_group_sum: non-distributive how={how!r}")
 
@@ -120,8 +161,9 @@ def sharded_group_sum(ds: ray.data.Dataset, *, keys: list[str],
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(keys, as_index=False)[sum_cols].agg(how)
 
-    return (ds.map_batches(partial, batch_format="pandas")
-              .groupby("__shard").map_groups(final, batch_format="pandas"))
+    out = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("__shard").map_groups(final, batch_format="pandas"))
+    return declare_schema(out, out_schema) if out_schema is not None else out
 
 
 def broadcast_join(big: ray.data.Dataset, small_df: pd.DataFrame, *, on: str,

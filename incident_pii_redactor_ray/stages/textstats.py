@@ -32,6 +32,7 @@ _MARKER_RX = {lang: re.compile(pat, re.ASCII) for lang, pat in LANG_MARKERS.item
 
 from ..functions.textbuf import WS_ASCII_RE as _WS_ASCII
 from ..functions.textbuf import ascii_token_count
+from .dedup import ws_tokens
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -127,7 +128,6 @@ def winnow_fingerprints(text: str, *, k: int = 5, window: int = 4) -> list[str]:
     of ``window`` consecutive k-gram hashes contributes its minimum
     VALUE (tie positions are irrelevant to a value set); the distinct
     selected hashes are the fingerprint set. md5-hex comparison makes it SQL-reproducible."""
-    from .dedup import ws_tokens
     norm = " ".join(ws_tokens(text))
     if len(norm) < k:
         return []

@@ -9,6 +9,11 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# validate every declare_schema() against the materialized schema under
+# test (ADVICE r3: a drifted declaration should fail at the declaration
+# site, not deep inside a join's from_pandas cast)
+os.environ.setdefault("IPR_CHECK_DECLARED_SCHEMA", "1")
+
 
 @pytest.fixture(scope="session")
 def ray_session():

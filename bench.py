@@ -409,6 +409,83 @@ def run_corpus_ops_scale() -> dict:
     return out
 
 
+def run_pipeline_scale() -> dict:
+    """Scale point for the round-3 pipeline family the 2M corpus hadn't
+    measured yet (VERDICT r3 next-round #7): segment_dedup,
+    incremental_dedup and profile_table over the big cached source-file
+    corpus, through the exact engine code paths (the *_over cores the
+    sf queries call). Run with PIPELINE_SCALE_FILES to change the
+    size."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data import DataContext
+
+    from fixtures.gen_corpus import corpus_path
+    from incident_pii_redactor_ray.functions.hashing import fnv1a64_arrow
+    from incident_pii_redactor_ray.shipping import register_package_by_value
+    from incident_pii_redactor_ray.stages.corpus_ops import segment_dedup
+    from incident_pii_redactor_ray.pipelines.queries import (
+        incremental_dedup_over, profile_over)
+
+    register_package_by_value()
+    n_files = int(os.environ.get("PIPELINE_SCALE_FILES", "2000000"))
+    corpus = corpus_path(n_files)
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+
+    # ids masked below the delta base so incremental_dedup_over's
+    # side arithmetic holds on fnv-derived ids
+    delta_base = np.int64(1) << np.int64(62)
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        joined = pc.binary_join_element_wise(
+            batch.column("repo"), batch.column("path"),
+            batch.column("commit"), "\x00")
+        ids = (fnv1a64_arrow(joined) >> np.uint64(2)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": pc.cast(batch.column("content"),
+                                         pa.string())})
+
+    def docs():
+        return ray.data.read_parquet(
+            corpus, columns=["repo", "path", "commit", "content"]
+        ).map_batches(to_docs, batch_format="pyarrow")
+
+    out = {"metric": "pipeline_scale", "n_files": n_files,
+           "num_cpus": NUM_CPUS}
+
+    t0 = time.time()
+    out["segment_dedup_rows"] = segment_dedup(docs()).count()
+    out["segment_dedup_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    prof = profile_over(
+        lambda: ray.data.read_parquet(
+            corpus, columns=["repo", "path", "lang", "content"]),
+        {"repo": "str", "path": "str", "lang": "str", "content": "str"})
+    out["profile_rows"] = int(len(prof))
+    out["profile_distinct_content"] = int(
+        prof.loc[prof["col_name"] == "content", "n_distinct"].iloc[0])
+    out["profile_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    incr = incremental_dedup_over(docs, delta_base=int(delta_base))
+    counts = incr.groupby("reason").count().to_pandas()
+    out["incremental_counts"] = {
+        str(r): int(c) for r, c in
+        zip(counts["reason"], counts["count()"])}
+    out["incremental_sec"] = round(time.time() - t0, 1)
+
+    for k in ("segment_dedup", "profile", "incremental"):
+        out[f"{k}_files_per_sec"] = round(n_files / out[f"{k}_sec"], 1)
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -416,5 +493,7 @@ if __name__ == "__main__":
         print(json.dumps(run_dedup_scale()))
     elif "--corpus-ops-scale" in sys.argv:
         print(json.dumps(run_corpus_ops_scale()))
+    elif "--pipeline-scale" in sys.argv:
+        print(json.dumps(run_pipeline_scale()))
     else:
         print(json.dumps(run_bench()))

@@ -3892,11 +3892,19 @@ def q_incremental_dedup(sf_dir: str):
     candidate pass verifies within-side pairs too (keeps the oracle a
     strict reuse of the minhash CTE chain); a two-sided variant would
     tag band rows with a side bit and skip same-side pairs in-bucket."""
+    return incremental_dedup_over(lambda: _docs(sf_dir, ["doc_id", "text"]))
+
+
+def incremental_dedup_over(existing_fn, delta_base: int = INCR_DELTA_BASE):
+    """Core of q_incremental_dedup, parameterized over the existing
+    corpus (a zero-arg callable returning a fresh lazy Dataset of
+    (doc_id:int64, text:string) with all ids < delta_base) so the 2M
+    scale bench can drive the identical exchange shapes."""
     import hashlib
 
     from ..functions.textbuf import ws_tokens
 
-    existing = _docs(sf_dir, ["doc_id", "text"])
+    existing = existing_fn()
 
     def mutate(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
@@ -3911,7 +3919,7 @@ def q_incremental_dedup(sf_dir: str):
                 out.append(t)
             else:
                 out.append(" ".join(reversed(ws_tokens(t))))
-        return pa.table({"doc_id": pa.array(ids + INCR_DELTA_BASE),
+        return pa.table({"doc_id": pa.array(ids + delta_base),
                          "text": pa.array(out, type=pa.string())})
 
     # pin the delta: three consumers (minhash corpus, exact hash pass,
@@ -3928,12 +3936,12 @@ def q_incremental_dedup(sf_dir: str):
     # delta-vs-existing collisions
     pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.6,
                                     dedup_pairs=False,
-                                    cross_side_base=INCR_DELTA_BASE)
+                                    cross_side_base=delta_base)
 
     def cross(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch.column("id_a"), dtype=np.int64)
         b = np.asarray(batch.column("id_b"), dtype=np.int64)
-        m = (a < INCR_DELTA_BASE) & (b >= INCR_DELTA_BASE)
+        m = (a < delta_base) & (b >= delta_base)
         return pa.table({"doc_id": pa.array(b[m])})
 
     near_ids = np.unique(np.asarray(
@@ -4014,14 +4022,23 @@ def q_profile_table(sf_dir: str):
     16-byte digests; the KMV sketch in approx_distinct is the cheap
     alternative when exactness isn't required). Driver merges
     column-cardinality aggregates only."""
+    return profile_over(
+        lambda: ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                      columns=list(PROFILE_COLUMNS)),
+        PROFILE_COLUMNS)
+
+
+def profile_over(read_fn, col_spec: dict):
+    """Core of q_profile_table, parameterized over the source (a
+    zero-arg callable returning a fresh lazy Dataset carrying exactly
+    ``col_spec``'s columns) so the 2M scale bench can profile the big
+    source-code corpus through the identical two-pass shape."""
     import hashlib
 
-    from ..stages.relational import sharded_group_sum  # noqa: F401
-
-    cols = list(PROFILE_COLUMNS)
+    cols = list(col_spec)
 
     def canon_strings(batch: pa.Table, c: str) -> tuple[list, int]:
-        kind = PROFILE_COLUMNS[c]
+        kind = col_spec[c]
         col = batch.column(c)
         n_null = int(pc.sum(pc.cast(pc.is_null(col), pa.int64())).as_py()
                      or 0)
@@ -4071,10 +4088,7 @@ def q_profile_table(sf_dir: str):
                          "h": pa.array(out_h, type=pa.string()),
                          "shard": pa.array(out_sh, type=pa.int32())})
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                                   columns=cols)
-
-    stats = (orders.map_batches(stats_partial, batch_format="pyarrow")
+    stats = (read_fn().map_batches(stats_partial, batch_format="pyarrow")
              .to_pandas())
     agg = stats.groupby("col_name", as_index=False).agg(
         n_rows=("n_rows", "sum"), n_nulls=("n_nulls", "sum"),
@@ -4086,7 +4100,7 @@ def q_profile_table(sf_dir: str):
             columns={"size": "n_distinct"})
         return d
 
-    dist = (orders.map_batches(distinct_partial, batch_format="pyarrow")
+    dist = (read_fn().map_batches(distinct_partial, batch_format="pyarrow")
             .groupby("shard").map_groups(count_shard,
                                          batch_format="pandas")
             .to_pandas()

@@ -484,6 +484,21 @@ def q_segment_dedup(sf_dir: str):
     return segment_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_substring_dedup(sf_dir: str):
+    """Exact-substring dedup accounting (Lee et al. ExactSubstr
+    analogue, arXiv:2107.06499): every 32-token sliding window (stride
+    1) occurring >= 2 times anywhere in the corpus is duplicated;
+    per doc reports window totals and the token positions covered by
+    the union of its duplicated windows. Window keys are 128-bit
+    rolling hashes computed in 32 vectorized Horner steps per batch —
+    the one corpus-sized exchange carries (16-byte key, doc_id, start)
+    only. Returns (doc_id, n_tokens, n_windows, n_dup_windows,
+    n_covered)."""
+    from ..stages.corpus_ops import substring_dedup
+
+    return substring_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_quality_logit(sf_dir: str):
     """Model-based quality filter: fixed-weight linear scorer over
     exact lexical features (mean token length, unique fraction, top
@@ -4907,6 +4922,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "heavy_hitters": q_heavy_hitters,
     "segment_dedup": q_segment_dedup,
+    "substring_dedup": q_substring_dedup,
     "quality_logit": q_quality_logit,
     "bigram_lm": q_bigram_lm,
     "inverted_index": q_inverted_index,
@@ -5290,6 +5306,37 @@ ORACLE_SQL = {
         "  FROM seg s JOIN m ON m.seg = s.seg) "
         "SELECT doc_id, count(*)::BIGINT AS n_segments, sum(dup)::BIGINT AS n_dup "
         "FROM d GROUP BY doc_id"
+    ),
+
+    "substring_dedup": (
+        # 32-token sliding windows, stride 1; a window string occurring
+        # >= 2 times anywhere (any doc/position) is duplicated; coverage
+        # = distinct token positions under the union of a doc's
+        # duplicated windows. The engine keys windows by a 128-bit
+        # rolling hash — the oracle groups the window STRING itself
+        # (the segment_dedup stance)
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks "
+        "  FROM documents), "
+        "b AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, "
+        "  greatest(len(toks) - 31, 0)::BIGINT AS n_windows, toks "
+        "  FROM t WHERE len(toks) > 0), "
+        "w0 AS (SELECT doc_id, "
+        "  [array_to_string(toks[s+1 : s+32], ' ') "
+        "   for s in generate_series(0, n_windows - 1)] AS wins "
+        "  FROM b WHERE n_windows > 0), "
+        "w AS (SELECT doc_id, unnest(wins) AS win, "
+        "  unnest(generate_series(0, len(wins) - 1)) AS start FROM w0), "
+        "m AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2), "
+        "d AS (SELECT w.doc_id, w.start FROM w JOIN m USING (win)), "
+        "cov AS (SELECT doc_id, count(DISTINCT p)::BIGINT AS n_covered FROM "
+        "  (SELECT doc_id, unnest(generate_series(start, start + 31)) AS p "
+        "   FROM d) GROUP BY doc_id), "
+        "nd AS (SELECT doc_id, count(*)::BIGINT AS n_dup_windows "
+        "  FROM d GROUP BY doc_id) "
+        "SELECT b.doc_id, b.n_tokens, b.n_windows, "
+        "  coalesce(nd.n_dup_windows, 0)::BIGINT AS n_dup_windows, "
+        "  coalesce(cov.n_covered, 0)::BIGINT AS n_covered "
+        "FROM b LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)"
     ),
 
     "quality_logit": (

@@ -1781,3 +1781,171 @@ def chunk_documents_batch(batch: pa.Table, *, id_col: str = "doc_id",
                      "chunk_idx": pa.array(idxs, type=pa.int64()),
                      "n_tokens": pa.array(ntoks, type=pa.int64()),
                      "chunk_md5": pa.array(md5s, type=pa.string())})
+
+
+# --- exact-substring dedup (suffix-array analogue) ---------------------------
+
+#: duplicated-window length in tokens (Lee et al. 2022,
+#: arXiv:2107.06499 use 50 BPE tokens; 32 whitespace tokens here keeps
+#: the SQL oracle's window join tractable at test scale)
+SUBSTR_W = 32
+#: rolling-hash bases (odd 64-bit constants; two independent hashes ->
+#: 128-bit effective window key, collision-free at any realistic scale)
+_SUBSTR_B1 = np.uint64(0x9E3779B97F4A7C15)
+_SUBSTR_B2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _window_explode(id_col: str, text_col: str, W: int):
+    """Per-batch kernel: emit one row per W-token sliding window
+    (stride 1) with a 128-bit rolling hash key — no window STRING is
+    ever materialized, and no per-row Python runs: tokens come from the
+    Arrow lower+split+flatten path (token_entropy's shape), per-token
+    64-bit hashes from fnv1a64_arrow (tokens are short, so its
+    byte-position loop is bounded), and the W-token window hash is W
+    vectorized Horner steps over the whole batch's token stream at
+    once. Windows never cross doc boundaries (masked via parent
+    indices). Equality of (h1, h2) stands in for equality of the
+    window string exactly the way segment_dedup's md5 does — the SQL
+    oracle groups the STRING itself."""
+    from ..functions.hashing import fnv1a64_arrow
+
+    def explode(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "h1": pa.array([], type=pa.uint64()),
+            "h2": pa.array([], type=pa.uint64()),
+            id_col: pa.array([], type=pa.int64()),
+            "start": pa.array([], type=pa.int64()),
+            "shard": pa.array([], type=pa.int32())})
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_col)), pattern=_WS_PATTERN)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        par = np.asarray(parent.filter(keep), dtype=np.int64)
+        n = len(par)
+        if n < W:
+            return empty
+        th = fnv1a64_arrow(flat.combine_chunks()
+                           if isinstance(flat, pa.ChunkedArray) else flat)
+        nw = n - W + 1
+        h1 = np.zeros(nw, dtype=np.uint64)
+        h2 = np.zeros(nw, dtype=np.uint64)
+        for k in range(W):  # W vector ops, not per-window Python
+            seg = th[k:k + nw]
+            h1 = h1 * _SUBSTR_B1 + seg
+            h2 = h2 * _SUBSTR_B2 + seg
+        valid = par[:nw] == par[W - 1:]
+        if not valid.any():
+            return empty
+        vi = np.flatnonzero(valid)
+        docs = par[vi]
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        # start = global token position - first global position of doc
+        doc_first = np.zeros(len(batch), dtype=np.int64)
+        first_idx = np.unique(par, return_index=True)
+        doc_first[first_idx[0]] = first_idx[1]
+        return pa.table({
+            "h1": pa.array(h1[vi]),
+            "h2": pa.array(h2[vi]),
+            id_col: pa.array(ids[docs]),
+            "start": pa.array(vi - doc_first[docs]),
+            "shard": pa.array((h1[vi] & np.uint64(255)).astype(np.int32))})
+
+    return explode
+
+
+def substring_dedup(ds: ray.data.Dataset, *, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    window: int = SUBSTR_W) -> ray.data.Dataset:
+    """Exact-substring dedup accounting — the suffix-array ExactSubstr
+    analogue (Lee et al. 2022, arXiv:2107.06499) with fixed-length
+    anchors: every ``window``-token sliding window (stride 1) whose
+    token sequence occurs >= 2 times ANYWHERE in the corpus (any doc,
+    any position, including within one doc) is a duplicated window;
+    any maximal duplicated substring of >= window tokens is exactly
+    the union of its duplicated windows, so per-doc coverage of those
+    windows equals the Lee-et-al duplicated-span fraction for spans of
+    at least the window length. Output per doc (n_tokens > 0):
+    (doc_id, n_tokens, n_windows, n_dup_windows, n_covered) where
+    n_covered = token positions covered by the union of that doc's
+    duplicated windows.
+
+    Scale shape (100 TB): the only corpus-sized exchange carries
+    (16-byte window key, doc_id, start) — never text; duplicate
+    flagging is a 256-way key-shard groupby with a vectorized pandas
+    size-transform per shard; duplicated windows (a small fraction of
+    all windows on real corpora) re-shard by doc for the interval-union
+    coverage (vectorized cummax sweep, no per-row Python); the final
+    outer-join-with-zeros is the union + sharded_group_sum idiom, so
+    Ray only ever sees 256 groups end to end. A true suffix array finds
+    spans >= window with sub-window granularity; at cluster scale the
+    windowed form is the standard approximation (same reason MinHash
+    stands in for exact Jaccard)."""
+    from .relational import _hash64_column
+
+    explode = _window_explode(id_col, text_col, window)
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby(["h1", "h2"], sort=False)["start"].transform("size")
+        d = g[cnt >= 2]
+        return pd.DataFrame({id_col: d[id_col].to_numpy(np.int64),
+                             "start": d["start"].to_numpy(np.int64)})
+
+    def dshard(batch: pa.Table) -> pa.Table:
+        sh = (_hash64_column(np.asarray(batch.column(id_col)))
+              % np.uint64(256)).astype(np.int64)
+        return batch.append_column("dshard", pa.array(sh))
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "start"], kind="mergesort")
+        start = g["start"].to_numpy(np.int64)
+        end = start + np.int64(window)
+        doc = g[id_col].to_numpy(np.int64)
+        cm = pd.Series(end).groupby(doc).cummax()
+        prev = cm.groupby(doc).shift(1).fillna(-1).to_numpy(np.int64)
+        contrib = np.clip(end - np.maximum(start, prev), 0, window)
+        out = pd.DataFrame({id_col: doc, "c": contrib, "d": 1}) \
+            .groupby(id_col, as_index=False).sum()
+        return pd.DataFrame({id_col: out[id_col].astype(np.int64),
+                             "n_tokens": np.int64(0),
+                             "n_windows": np.int64(0),
+                             "n_dup_windows": out["d"].astype(np.int64),
+                             "n_covered": out["c"].astype(np.int64)})
+
+    def stats(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_col)), pattern=_WS_PATTERN)
+        nt = np.asarray(
+            pc.list_value_length(toks), dtype=np.int64).copy()
+        # subtract empty tokens produced by leading/trailing whitespace
+        flat = pc.list_flatten(toks)
+        par = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        emp = np.asarray(pc.equal(flat, ""), dtype=bool)
+        if emp.any():
+            nt -= np.bincount(par[emp], minlength=len(batch)).astype(np.int64)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        m = nt > 0
+        nw = np.maximum(nt - np.int64(window) + 1, 0)
+        return pa.table({
+            id_col: pa.array(ids[m]),
+            "n_tokens": pa.array(nt[m]),
+            "n_windows": pa.array(nw[m]),
+            "n_dup_windows": pa.array(np.zeros(int(m.sum()), np.int64)),
+            "n_covered": pa.array(np.zeros(int(m.sum()), np.int64))})
+
+    dup = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("shard").map_groups(flag, batch_format="pandas"))
+    per_doc = (ray.data.from_pandas(pd.DataFrame({
+        id_col: pd.Series([], dtype="int64"),
+        "start": pd.Series([], dtype="int64")})).union(dup)
+        .map_batches(dshard, batch_format="pyarrow")
+        .groupby("dshard").map_groups(cover, batch_format="pandas"))
+    base = ds.map_batches(stats, batch_format="pyarrow")
+    cols = ["n_tokens", "n_windows", "n_dup_windows", "n_covered"]
+    out = sharded_group_sum(
+        base.union(per_doc.select_columns([id_col] + cols)),
+        keys=[id_col], sum_cols=cols,
+        out_schema=pa.schema([(id_col, pa.int64())]
+                             + [(c, pa.int64()) for c in cols]))
+    return out

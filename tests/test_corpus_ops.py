@@ -1150,3 +1150,54 @@ def test_funnel_string_user_keys(ray_session, tmp_path):
     }), str(sf / "events.parquet"))
     out = q_funnel_counts(str(sf)).set_index("stage")["n_users"]
     assert out.tolist() == [2, 1, 1]
+
+
+def test_substring_dedup_planted(ray_session):
+    """A 40-token run copied verbatim between two docs yields 9
+    duplicated 32-token windows per doc (starts 0..8) covering all 40
+    positions of the run; an overlapping WITHIN-doc repeat also counts
+    (>= 2 occurrences anywhere); short docs report zero windows."""
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.corpus_ops import substring_dedup
+
+    run = " ".join(f"w{i}" for i in range(40))
+    uniq = " ".join(f"u{i}" for i in range(20))
+    rows = [
+        {"doc_id": 1, "text": run + " " + uniq},       # 60 tokens
+        {"doc_id": 2, "text": "zz " + run},            # 41 tokens, run at 1
+        {"doc_id": 3, "text": "tiny doc"},             # < W: no windows
+    ]
+    out = (substring_dedup(ray.data.from_items(rows)).to_pandas()
+           .set_index("doc_id").sort_index())
+    # doc 1: 60 tokens -> 29 windows; dup windows are the 9 fully
+    # inside the 40-token run (starts 0..8); coverage = positions 0..39
+    assert out.loc[1, "n_tokens"] == 60 and out.loc[1, "n_windows"] == 29
+    assert out.loc[1, "n_dup_windows"] == 9
+    assert out.loc[1, "n_covered"] == 40
+    # doc 2: 41 tokens -> 10 windows; the 9 run-windows start at 1..9,
+    # covering positions 1..40
+    assert out.loc[2, "n_tokens"] == 41 and out.loc[2, "n_windows"] == 10
+    assert out.loc[2, "n_dup_windows"] == 9
+    assert out.loc[2, "n_covered"] == 40
+    # doc 3: shorter than the window -> zero windows, zero coverage
+    assert out.loc[3, "n_tokens"] == 2 and out.loc[3, "n_windows"] == 0
+    assert out.loc[3, "n_dup_windows"] == 0 and out.loc[3, "n_covered"] == 0
+
+
+def test_substring_dedup_within_doc_repeat(ray_session):
+    """The >= 2-occurrences rule is global INCLUDING within one doc: a
+    doc that repeats its own 32-token block twice flags both copies."""
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.corpus_ops import substring_dedup
+
+    block = " ".join(f"b{i}" for i in range(32))
+    sep = " ".join(f"s{i}" for i in range(32))
+    rows = [{"doc_id": 7, "text": block + " " + sep + " " + block}]
+    out = substring_dedup(ray.data.from_items(rows)).to_pandas()
+    r = out.iloc[0]
+    assert r["n_tokens"] == 96 and r["n_windows"] == 65
+    # exactly the two aligned copies of `block` collide
+    assert r["n_dup_windows"] == 2
+    assert r["n_covered"] == 64

@@ -976,6 +976,63 @@ def q_dedup_filter(sf_dir: str):
     return docs.map_batches(flag, batch_format="pyarrow")
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware near-dup removal (keep-BEST, not keep-first):
+    minhash pairs -> connected components -> each component keeps the
+    member with the MOST tokens (tie: lowest doc_id) — the policy for
+    duplicates that differ in completeness (truncated mirrors, shorter
+    crawl snapshots). Scale shape identical to dedup_filter: the
+    component table is dup-graph-sized (collected once); token counts
+    are computed in a streaming membership-filtered pass so only
+    (doc_id, n_tokens) for GRAPH MEMBERS leave the map side; the final
+    keep flag streams a broadcast drop set. Returns (doc_id, keep) for
+    EVERY corpus doc."""
+    from ..stages.corpus_ops import _WS_PATTERN
+    from ..stages.dedup import dedup_components
+
+    docs = _docs_with_neardups(sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.6, dedup_pairs=False)
+    comp = dedup_components(pairs.select_columns(["id_a", "id_b"])).to_pandas()
+    members = np.sort(comp["doc_id"].to_numpy(np.int64))
+    mem_ref = ray.put(members)
+
+    def _member_mask(ids: np.ndarray, m: np.ndarray) -> np.ndarray:
+        if not len(m):
+            return np.zeros(len(ids), dtype=bool)
+        pos = np.searchsorted(m, ids)
+        return (pos < len(m)) & (m[np.clip(pos, 0, len(m) - 1)] == ids)
+
+    def member_tokens(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        sub = batch.filter(pa.array(_member_mask(ids, ray.get(mem_ref))))
+        toks = pc.split_pattern_regex(
+            pc.coalesce(sub.column("text"), pa.scalar("")),
+            pattern=_WS_PATTERN)
+        nt = np.asarray(pc.list_value_length(toks), dtype=np.int64).copy()
+        flat = pc.list_flatten(toks)
+        par = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        emp = np.asarray(pc.equal(flat, ""), dtype=bool)
+        if emp.any():
+            nt -= np.bincount(par[emp], minlength=len(sub)).astype(np.int64)
+        return pa.table({"doc_id": sub.column("doc_id"),
+                         "n_tokens": pa.array(nt)})
+
+    sc = docs.map_batches(member_tokens, batch_format="pyarrow").to_pandas()
+    df = comp.merge(sc, on="doc_id")
+    df = df.sort_values(["component", "n_tokens", "doc_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    drop = np.sort(df.loc[df.duplicated("component"), "doc_id"]
+                   .to_numpy(np.int64))
+    drop_ref = ray.put(drop)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        hit = _member_mask(ids, ray.get(drop_ref))
+        return pa.table({"doc_id": pa.array(ids), "keep": pa.array(~hit)})
+
+    return docs.map_batches(flag, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # C. scrub (the reference's core M3-M15 chain, SQL-checkable slice)
 # --------------------------------------------------------------------------
@@ -4943,6 +5000,7 @@ QUERIES = {
     "rollup_counts": q_rollup_counts,
     "segment_scrub": q_segment_scrub,
     "dedup_filter": q_dedup_filter,
+    "dedup_keep_best": q_dedup_keep_best,
     "scrub_redact": q_scrub_redact,
     "scrub_findings": q_scrub_findings,
     "exact_dedup": q_exact_dedup,
@@ -6211,6 +6269,29 @@ ORACLE_SQL = {
         "comp AS (SELECT node AS doc_id, min(label) AS component FROM r "
         "  GROUP BY node), "
         "dropped AS (SELECT doc_id FROM comp WHERE component <> doc_id) "
+        "SELECT c.doc_id, (d.doc_id IS NULL) AS keep "
+        "FROM corpus c LEFT JOIN dropped d ON d.doc_id = c.doc_id"
+    ),
+
+    "dedup_keep_best": (
+        # same transitive closure; each component keeps its member with
+        # the most '\S+' tokens (tie: lowest doc_id) instead of the
+        # minimum id
+        "WITH RECURSIVE " + _minhash_sql_prefix()
+        + ", e AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.6), "
+        "ed AS (SELECT id_a AS src, id_b AS dst FROM e "
+        "       UNION SELECT id_b, id_a FROM e), "
+        "n AS (SELECT DISTINCT src AS node FROM ed), "
+        "r(node, label) AS (SELECT node, node FROM n "
+        "  UNION SELECT ed.dst, r.label FROM r JOIN ed ON ed.src = r.node), "
+        "comp AS (SELECT node AS doc_id, min(label) AS component FROM r "
+        "  GROUP BY node), "
+        "sc AS (SELECT comp.doc_id, comp.component, "
+        r"  len(regexp_extract_all(coalesce(c.text, ''), '\S+'))::BIGINT "
+        "  AS n_tokens FROM comp JOIN corpus c ON c.doc_id = comp.doc_id), "
+        "rk AS (SELECT doc_id, row_number() OVER (PARTITION BY component "
+        "  ORDER BY n_tokens DESC, doc_id ASC) AS rn FROM sc), "
+        "dropped AS (SELECT doc_id FROM rk WHERE rn > 1) "
         "SELECT c.doc_id, (d.doc_id IS NULL) AS keep "
         "FROM corpus c LEFT JOIN dropped d ON d.doc_id = c.doc_id"
     ),

@@ -1201,3 +1201,28 @@ def test_substring_dedup_within_doc_repeat(ray_session):
     # exactly the two aligned copies of `block` collide
     assert r["n_dup_windows"] == 2
     assert r["n_covered"] == 64
+
+
+def test_dedup_keep_best_keeps_longest(ray_session):
+    """keep-BEST flips dedup_filter's policy: the injected near-dup
+    (id+1000000) has ONE MORE token than its original (' zzz'
+    appended), so wherever both sides of an injected pair land in one
+    component, the kept member is the LONGER (injected) copy and the
+    original is dropped."""
+    from incident_pii_redactor_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["dedup_keep_best"]("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 1000  # 500 docs + 500 injected near-dups
+    keep = out.set_index("doc_id")["keep"]
+    dropped = set(out.loc[~out["keep"], "doc_id"])
+    # minhash recall on the injected pairs is >= 90%: most components
+    # are exactly {id, id+1000000} and the longer injected copy wins
+    n_orig_dropped_twin_kept = sum(
+        1 for d in dropped
+        if d < 1000000 and keep.get(d + 1000000, False))
+    assert n_orig_dropped_twin_kept >= 400
+    # both sides of an injected pair kept = that pair was an LSH miss;
+    # recall >= 90% bounds misses at <= 50 of the 500 pairs
+    both_kept = sum(1 for d in range(500)
+                    if keep.get(d, False) and keep.get(d + 1000000, False))
+    assert both_kept <= 50

@@ -499,6 +499,18 @@ def q_substring_dedup(sf_dir: str):
     return substring_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_substring_scrub(sf_dir: str):
+    """Exact-substring dedup REWRITE (Lee et al. ExactSubstr removal):
+    token positions covered by any globally-duplicated 32-token window
+    are cut; returns (doc_id, n_tokens, n_removed, clean_md5) with
+    clean_md5 = md5 of the space-joined surviving lowercased tokens.
+    Pass 1 is substring_dedup's metadata-only window exchange; merged
+    per-doc intervals broadcast once; the rewrite streams map-side."""
+    from ..stages.corpus_ops import substring_scrub
+
+    return substring_scrub(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_quality_logit(sf_dir: str):
     """Model-based quality filter: fixed-weight linear scorer over
     exact lexical features (mean token length, unique fraction, top
@@ -4980,6 +4992,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "segment_dedup": q_segment_dedup,
     "substring_dedup": q_substring_dedup,
+    "substring_scrub": q_substring_scrub,
     "quality_logit": q_quality_logit,
     "bigram_lm": q_bigram_lm,
     "inverted_index": q_inverted_index,
@@ -5395,6 +5408,40 @@ ORACLE_SQL = {
         "  coalesce(nd.n_dup_windows, 0)::BIGINT AS n_dup_windows, "
         "  coalesce(cov.n_covered, 0)::BIGINT AS n_covered "
         "FROM b LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)"
+    ),
+
+    "substring_scrub": (
+        # same window CTEs as substring_dedup; kept tokens = positions
+        # NOT covered by any duplicated window, re-joined with spaces
+        # and md5'd (engine side hashes the identical string)
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks "
+        "  FROM documents), "
+        "b AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, "
+        "  greatest(len(toks) - 31, 0)::BIGINT AS n_windows, toks "
+        "  FROM t WHERE len(toks) > 0), "
+        "w0 AS (SELECT doc_id, "
+        "  [array_to_string(toks[s+1 : s+32], ' ') "
+        "   for s in generate_series(0, n_windows - 1)] AS wins "
+        "  FROM b WHERE n_windows > 0), "
+        "w AS (SELECT doc_id, unnest(wins) AS win, "
+        "  unnest(generate_series(0, len(wins) - 1)) AS start FROM w0), "
+        "m AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2), "
+        "d AS (SELECT w.doc_id, w.start FROM w JOIN m USING (win)), "
+        "cov AS (SELECT doc_id, p FROM "
+        "  (SELECT doc_id, unnest(generate_series(start, start + 31)) AS p "
+        "   FROM d) GROUP BY doc_id, p), "
+        "pos AS (SELECT doc_id, unnest(generate_series(1, n_tokens)) AS p1 "
+        "  FROM b), "
+        "k AS (SELECT pos.doc_id, pos.p1, b.toks[pos.p1] AS tok "
+        "  FROM pos JOIN b USING (doc_id) "
+        "  LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p1 - 1 "
+        "  WHERE cov.p IS NULL), "
+        "j AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p1) AS s "
+        "  FROM k GROUP BY doc_id), "
+        "cv AS (SELECT doc_id, count(*)::BIGINT AS c FROM cov GROUP BY doc_id) "
+        "SELECT b.doc_id, b.n_tokens, coalesce(cv.c, 0)::BIGINT AS n_removed, "
+        "  md5(coalesce(j.s, '')) AS clean_md5 "
+        "FROM b LEFT JOIN cv USING (doc_id) LEFT JOIN j USING (doc_id)"
     ),
 
     "quality_logit": (

@@ -1882,21 +1882,6 @@ def substring_dedup(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     spans >= window with sub-window granularity; at cluster scale the
     windowed form is the standard approximation (same reason MinHash
     stands in for exact Jaccard)."""
-    from .relational import _hash64_column
-
-    explode = _window_explode(id_col, text_col, window)
-
-    def flag(g: pd.DataFrame) -> pd.DataFrame:
-        cnt = g.groupby(["h1", "h2"], sort=False)["start"].transform("size")
-        d = g[cnt >= 2]
-        return pd.DataFrame({id_col: d[id_col].to_numpy(np.int64),
-                             "start": d["start"].to_numpy(np.int64)})
-
-    def dshard(batch: pa.Table) -> pa.Table:
-        sh = (_hash64_column(np.asarray(batch.column(id_col)))
-              % np.uint64(256)).astype(np.int64)
-        return batch.append_column("dshard", pa.array(sh))
-
     def cover(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([id_col, "start"], kind="mergesort")
         start = g["start"].to_numpy(np.int64)
@@ -1934,13 +1919,8 @@ def substring_dedup(ds: ray.data.Dataset, *, id_col: str = "doc_id",
             "n_dup_windows": pa.array(np.zeros(int(m.sum()), np.int64)),
             "n_covered": pa.array(np.zeros(int(m.sum()), np.int64))})
 
-    dup = (ds.map_batches(explode, batch_format="pyarrow")
-           .groupby("shard").map_groups(flag, batch_format="pandas"))
-    per_doc = (ray.data.from_pandas(pd.DataFrame({
-        id_col: pd.Series([], dtype="int64"),
-        "start": pd.Series([], dtype="int64")})).union(dup)
-        .map_batches(dshard, batch_format="pyarrow")
-        .groupby("dshard").map_groups(cover, batch_format="pandas"))
+    per_doc = (_dup_windows_by_doc(ds, id_col, text_col, window)
+               .groupby("dshard").map_groups(cover, batch_format="pandas"))
     base = ds.map_batches(stats, batch_format="pyarrow")
     cols = ["n_tokens", "n_windows", "n_dup_windows", "n_covered"]
     out = sharded_group_sum(
@@ -1949,3 +1929,111 @@ def substring_dedup(ds: ray.data.Dataset, *, id_col: str = "doc_id",
         out_schema=pa.schema([(id_col, pa.int64())]
                              + [(c, pa.int64()) for c in cols]))
     return out
+
+def _dup_windows_by_doc(ds: ray.data.Dataset, id_col: str, text_col: str,
+                        window: int) -> ray.data.Dataset:
+    """Shared ExactSubstr pass: explode sliding windows (rolling-hash
+    keys, no text), flag globally-duplicated windows in a 256-way
+    key-shard groupby, and return the duplicated (doc_id, start) rows
+    re-sharded by doc (column ``dshard``) ready for per-doc interval
+    work. The union-with-empty keeps the schema stable when the corpus
+    has no duplicates at all."""
+    from .relational import _hash64_column
+
+    explode = _window_explode(id_col, text_col, window)
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby(["h1", "h2"], sort=False)["start"].transform("size")
+        d = g[cnt >= 2]
+        return pd.DataFrame({id_col: d[id_col].to_numpy(np.int64),
+                             "start": d["start"].to_numpy(np.int64)})
+
+    def dshard(batch: pa.Table) -> pa.Table:
+        sh = (_hash64_column(np.asarray(batch.column(id_col)))
+              % np.uint64(256)).astype(np.int64)
+        return batch.append_column("dshard", pa.array(sh))
+
+    dup = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("shard").map_groups(flag, batch_format="pandas"))
+    return (ray.data.from_pandas(pd.DataFrame({
+        id_col: pd.Series([], dtype="int64"),
+        "start": pd.Series([], dtype="int64")})).union(dup)
+        .map_batches(dshard, batch_format="pyarrow"))
+
+
+def substring_scrub(ds: ray.data.Dataset, *, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    window: int = SUBSTR_W) -> ray.data.Dataset:
+    """Exact-substring dedup REWRITE (the Lee et al. 2022 ExactSubstr
+    *removal* step, arXiv:2107.06499 §4.1 — substring_dedup is the
+    accounting half): every token position covered by the union of a
+    doc's globally-duplicated ``window``-token windows is CUT, and the
+    surviving tokens are re-joined with single spaces (lowercased
+    '\\S+' tokens, segment_scrub's convention). Output per doc
+    (n_tokens > 0): (doc_id, n_tokens, n_removed, clean_md5) where
+    clean_md5 = md5 of the space-joined kept tokens ('' hashes the
+    empty string — a fully-duplicated doc).
+
+    Scale shape: pass 1 is substring_dedup's metadata-only window
+    exchange; duplicated windows re-shard by doc and collapse to
+    MERGED per-doc intervals (vectorized cummax sweep) — sized by the
+    corpus' duplicated-span count, not its row count — which broadcast
+    once via ray.put; pass 2 re-tokenizes map-side and drops covered
+    positions, so document text never crosses a shuffle. A corpus that
+    is mostly duplicates would need the interval set bucketed instead
+    (the bloom_dedup shape)."""
+    from ..functions.textbuf import ws_tokens
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "start"], kind="mergesort")
+        start = g["start"].to_numpy(np.int64)
+        end = start + np.int64(window)
+        doc = g[id_col].to_numpy(np.int64)
+        cm = pd.Series(end).groupby(doc).cummax()
+        prev = cm.groupby(doc).shift(1).fillna(-1).to_numpy(np.int64)
+        brk = start > prev  # first row of each doc: prev = -1
+        idx = np.flatnonzero(brk)
+        return pd.DataFrame({
+            id_col: doc[idx],
+            "start": start[idx],
+            "end": np.maximum.reduceat(end, idx) if len(idx) else
+                   np.empty(0, dtype=np.int64)})
+
+    iv = (_dup_windows_by_doc(ds, id_col, text_col, window)
+          .groupby("dshard").map_groups(intervals, batch_format="pandas")
+          .to_pandas())
+    order = np.lexsort((iv["start"].to_numpy(np.int64),
+                        iv[id_col].to_numpy(np.int64)))
+    ref = ray.put((iv[id_col].to_numpy(np.int64)[order],
+                   iv["start"].to_numpy(np.int64)[order],
+                   iv["end"].to_numpy(np.int64)[order]))
+
+    class Rewrite:
+        def __init__(self):
+            self.doc, self.start, self.end = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, ntok, nrem, md5s = [], [], [], []
+            for rid, t in zip(batch.column(id_col).to_pylist(),
+                              batch.column(text_col).to_pylist()):
+                toks = ws_tokens(t or "")
+                n = len(toks)
+                if n == 0:
+                    continue
+                keep = np.ones(n, dtype=bool)
+                lo = np.searchsorted(self.doc, rid, "left")
+                hi = np.searchsorted(self.doc, rid, "right")
+                for s, e in zip(self.start[lo:hi], self.end[lo:hi]):
+                    keep[s:e] = False
+                kept = " ".join(toks[i] for i in np.flatnonzero(keep))
+                ids.append(rid)
+                ntok.append(n)
+                nrem.append(int(n - keep.sum()))
+                md5s.append(hashlib.md5(kept.encode()).hexdigest())
+            return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                             "n_tokens": pa.array(ntok, type=pa.int64()),
+                             "n_removed": pa.array(nrem, type=pa.int64()),
+                             "clean_md5": pa.array(md5s, type=pa.string())})
+
+    return ds.map_batches(Rewrite, batch_format="pyarrow",
+                          concurrency=(2, 16))

@@ -1226,3 +1226,32 @@ def test_dedup_keep_best_keeps_longest(ray_session):
     both_kept = sum(1 for d in range(500)
                     if keep.get(d, False) and keep.get(d + 1000000, False))
     assert both_kept <= 50
+
+
+def test_substring_scrub_removes_planted_run(ray_session):
+    """The 40-token run shared by two docs is cut from BOTH (>=2
+    occurrences anywhere — removal, unlike first-wins segment dedup);
+    unique tokens survive verbatim and the md5 matches a hand-built
+    expectation."""
+    import hashlib
+
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.corpus_ops import substring_scrub
+
+    run = " ".join(f"w{i}" for i in range(40))
+    uniq = " ".join(f"u{i}" for i in range(20))
+    rows = [
+        {"doc_id": 1, "text": run + " " + uniq},   # run at 0..39
+        {"doc_id": 2, "text": "zz " + run},        # run at 1..40
+        {"doc_id": 3, "text": "tiny doc"},         # < W: untouched
+    ]
+    out = (substring_scrub(ray.data.from_items(rows)).to_pandas()
+           .set_index("doc_id").sort_index())
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out.loc[1, "n_removed"] == 40
+    assert out.loc[1, "clean_md5"] == md5(uniq)
+    assert out.loc[2, "n_removed"] == 40
+    assert out.loc[2, "clean_md5"] == md5("zz")
+    assert out.loc[3, "n_removed"] == 0
+    assert out.loc[3, "clean_md5"] == md5("tiny doc")

@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "jsonl_roundtrip", "orc_roundtrip", "skew_report", "bpe_merges", "partitioned_roundtrip",
     "token_entropy", "bigram_pmi", "weighted_sample", "identifier_split", "funnel_counts",
     "incremental_dedup", "profile_table", "late_events", "fk_integrity",
+    "substring_dedup", "substring_scrub", "dedup_keep_best",
+    "normalize_text", "length_buckets", "quality_threshold_sweep",
+    "embedding_covariance", "cluster_centroids",
 ]
 
 

@@ -522,6 +522,191 @@ def q_quality_logit(sf_dir: str):
     return ds.map_batches(quality_logit_batch, batch_format="pyarrow")
 
 
+#: decomposed-unicode suffix injected on doc_id % 7 == 0 (combining
+#: acute + combining ring): composes under NFC, so the normalization
+#: pass has real positives on the ASCII fixtures
+NFC_SUFFIX = " cafe\u0301 A\u030a"  # decomposed; composes under NFC
+
+#: keep-fraction calibration grid for the quality scorer (exact .5
+#: steps — every value has an exact binary representation, so the
+#: z >= T comparisons are bit-identical between engine and SQL)
+QUALITY_SWEEP_THRESHOLDS = [-2.0, -1.5, -1.0, -0.5, 0.0, 0.5, 1.0]
+
+#: leading embedding dimensions covered by the exact covariance op
+COV_DIMS = 8
+
+
+def q_normalize_text(sf_dir: str):
+    """Unicode NFC normalization pass (the standard corpus-prep
+    canonicalization step): returns (doc_id, changed, norm_md5,
+    n_chars_nfc). Docs with doc_id % 7 == 0 get a decomposed suffix
+    appended first so the op has real positives on ASCII fixtures.
+    pyarrow 16's utf8_normalize only decomposes in this build
+    (verified: 'e'+U+0301 survives form='NFC'), so the kernel is
+    unicodedata.normalize — a per-string C call, map-only, no
+    shuffle."""
+    import hashlib
+    import unicodedata
+
+    def norm(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        texts = batch.column("text").to_pylist()
+        changed, md5s, nch = [], [], []
+        for rid, t in zip(ids, texts):
+            t = (t or "") + (NFC_SUFFIX if rid % 7 == 0 else "")
+            nt = unicodedata.normalize("NFC", t)
+            changed.append(nt != t)
+            md5s.append(hashlib.md5(nt.encode()).hexdigest())
+            nch.append(len(nt))
+        return pa.table({"doc_id": pa.array(ids),
+                         "changed": pa.array(changed, type=pa.bool_()),
+                         "norm_md5": pa.array(md5s, type=pa.string()),
+                         "n_chars_nfc": pa.array(nch, type=pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow")
+
+
+def q_length_buckets(sf_dir: str):
+    """Inference-batching report: docs binned into power-of-two
+    token-length buckets; per bucket (n_docs, sum_tokens, padding)
+    where padding = bucket_cap - n summed — the padding-waste number
+    that sizes dynamic batching. Bucket caps are exact integers
+    (searchsorted over the power table, no float log2), partials
+    collapse to <= 40 rows per batch map-side, the driver folds."""
+    powers = (np.int64(1) << np.arange(40, dtype=np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern=_cops._WS_PATTERN)
+        nt = np.asarray(pc.list_value_length(toks), dtype=np.int64).copy()
+        flat = pc.list_flatten(toks)
+        par = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        emp = np.asarray(pc.equal(flat, ""), dtype=bool)
+        if emp.any():
+            nt -= np.bincount(par[emp], minlength=len(batch)).astype(np.int64)
+        nt = nt[nt > 0]
+        caps = powers[np.searchsorted(powers, nt)]
+        u, inv = np.unique(caps, return_inverse=True)
+        return pa.table({
+            "bucket_cap": pa.array(u),
+            "n_docs": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_tokens": pa.array(np.bincount(inv, weights=nt)
+                                   .astype(np.int64)),
+            "padding": pa.array(np.bincount(inv, weights=caps - nt)
+                                .astype(np.int64))})
+
+    parts = (_docs(sf_dir, ["doc_id", "text"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    out = (parts.groupby("bucket_cap", as_index=False).sum()
+           .sort_values("bucket_cap").reset_index(drop=True))
+    return out
+
+
+def q_quality_threshold_sweep(sf_dir: str):
+    """Keep-fraction calibration for the quality scorer: for each
+    threshold in QUALITY_SWEEP_THRESHOLDS, how many docs have
+    quality_logit >= T. One streaming scorer pass emits a 7-row
+    partial per batch; the driver folds — no shuffle, and the
+    comparisons reuse the 6-dp-rounded logit the quality_logit oracle
+    already pins bit-exactly."""
+    from ..stages.corpus_ops import quality_logit_batch
+
+    th = np.asarray(QUALITY_SWEEP_THRESHOLDS, dtype=np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        z = np.asarray(batch.column("quality_logit"), dtype=np.float64)
+        return pa.table({
+            "threshold": pa.array(th),
+            "n_keep": pa.array([(z >= t).sum() for t in th],
+                               type=pa.int64()),
+            "n_docs": pa.array([len(z)] * len(th), type=pa.int64())})
+
+    parts = (_docs(sf_dir, ["doc_id", "text"])
+             .map_batches(quality_logit_batch, batch_format="pyarrow")
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    return (parts.groupby("threshold", as_index=False).sum()
+            .sort_values("threshold").reset_index(drop=True))
+
+
+def _embedding_matrix_e6(batch: pa.Table, n_dims: int | None = None):
+    """(ids-free) quantized embedding matrix for exact-integer moment
+    ops: list<float> column -> int64 (rows, dims) of
+    floor(x * 1e6 + 0.5), optionally truncated to the first n_dims."""
+    col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dim = len(col[0])
+    v = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+    if n_dims is not None:
+        v = v[:, :n_dims]
+    return np.floor(v * 1e6 + 0.5).astype(np.int64)
+
+
+def q_embedding_covariance(sf_dir: str):
+    """Exact covariance matrix over the first COV_DIMS embedding
+    dimensions — the moment accumulation that backs PCA/whitening at
+    corpus scale (the eigen-solve itself is a driver-side O(d^3)
+    epilogue; see tests). numeric_corr's recipe: quantize to e6 ints
+    map-side, emit one moment-partial row per batch, fold with Python
+    ints on the driver, ONE double expression per entry — bit-identical
+    to the SQL's HUGEINT sums. Returns (dim_i, dim_j, cov) upper
+    triangle."""
+    d = COV_DIMS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _embedding_matrix_e6(batch, d)
+        row: dict = {"n": [np.int64(len(q))]}
+        for i in range(d):
+            row[f"s{i}"] = [q[:, i].sum()]
+            for j in range(i, d):
+                row[f"p{i}_{j}"] = [np.dot(q[:, i], q[:, j])]
+        return pa.table(row)
+
+    parts = (_emb(sf_dir).map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    tot = {c: int(parts[c].sum()) for c in parts.columns}
+    n = tot["n"]
+    out = []
+    for i in range(d):
+        for j in range(i, d):
+            num = n * tot[f"p{i}_{j}"] - tot[f"s{i}"] * tot[f"s{j}"]
+            out.append({"dim_i": i, "dim_j": j,
+                        "cov": float(num) / float(n) / float(n) / 1e12})
+    return pd.DataFrame(out)
+
+
+def q_cluster_centroids(sf_dir: str):
+    """Per-label embedding centroids over ALL dimensions — the
+    aggregation kernel behind k-means / SemDeDup at scale. Map-side
+    per-batch partial sums per label (np.add.at over quantized e6
+    ints), driver fold, one double division per (label, dim).
+    Returns (label, dim, centroid)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _embedding_matrix_e6(batch)
+        labels = np.asarray(batch.column("label"), dtype=np.int64)
+        u, inv = np.unique(labels, return_inverse=True)
+        acc = np.zeros((len(u), q.shape[1]), dtype=np.int64)
+        np.add.at(acc, inv, q)
+        cnt = np.bincount(inv).astype(np.int64)
+        row: dict = {"label": pa.array(u), "n": pa.array(cnt)}
+        for k in range(q.shape[1]):
+            row[f"s{k}"] = pa.array(acc[:, k])
+        return pa.table(row)
+
+    parts = (_emb(sf_dir).map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    agg = parts.groupby("label", as_index=False).sum()
+    dims = [c for c in agg.columns if c.startswith("s")]
+    out = []
+    for _, r in agg.iterrows():
+        n = int(r["n"])
+        for k, c in enumerate(dims):
+            out.append({"label": int(r["label"]), "dim": k,
+                        "centroid": float(int(r[c])) / n / 1e6})
+    return pd.DataFrame(out)
+
+
 def q_bigram_lm(sf_dir: str):
     """Reference-LM scoring (the CCNet quality-filter slot): a bigram
     count model trained on the 'en'-labelled documents, every document
@@ -4994,6 +5179,11 @@ QUERIES = {
     "substring_dedup": q_substring_dedup,
     "substring_scrub": q_substring_scrub,
     "quality_logit": q_quality_logit,
+    "normalize_text": q_normalize_text,
+    "length_buckets": q_length_buckets,
+    "quality_threshold_sweep": q_quality_threshold_sweep,
+    "embedding_covariance": q_embedding_covariance,
+    "cluster_centroids": q_cluster_centroids,
     "bigram_lm": q_bigram_lm,
     "inverted_index": q_inverted_index,
     "running_total": q_running_total,
@@ -5461,6 +5651,88 @@ ORACLE_SQL = {
         "CASE WHEN (-2.0 + 0.5 * mtl + 2.0 * fu + -3.0 * tf) > 0 "
         "  THEN 1 ELSE 0 END::BIGINT AS keep "
         "FROM f"
+    ),
+
+    "normalize_text": (
+        # same decomposed suffix injection (chr(769)=U+0301 combining
+        # acute, chr(778)=U+030A combining ring) and DuckDB's utf8proc
+        # NFC — engine uses unicodedata.normalize on the identical
+        # string, md5 over identical UTF-8 bytes
+        "WITH a AS (SELECT doc_id, coalesce(text, '') || CASE "
+        "  WHEN doc_id % 7 = 0 THEN ' cafe' || chr(769) || ' A' || chr(778) "
+        "  ELSE '' END AS t FROM documents), "
+        "n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM a) "
+        "SELECT doc_id, (nt <> t) AS changed, md5(nt) AS norm_md5, "
+        "length(nt)::BIGINT AS n_chars_nfc FROM n"
+    ),
+
+    "length_buckets": (
+        # power-of-two caps via exact integer list_min over a literal
+        # power table (no float log2)
+        "WITH t AS (SELECT len(regexp_extract_all(lower(text), '\\S+'))::BIGINT "
+        "  AS n FROM documents), "
+        "b AS (SELECT n, list_min([p for p in ["
+        + ",".join(str(1 << k) for k in range(40))
+        + "] if p >= n]) AS cap FROM t WHERE n > 0) "
+        "SELECT cap AS bucket_cap, count(*)::BIGINT AS n_docs, "
+        "sum(n)::BIGINT AS sum_tokens, sum(cap - n)::BIGINT AS padding "
+        "FROM b GROUP BY cap"
+    ),
+
+    "quality_threshold_sweep": (
+        # reuses quality_logit's bit-exact z (6-dp half-up), counts
+        # z >= T for the exact .5-step threshold grid
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks "
+        "  FROM documents), "
+        "f AS (SELECT doc_id, "
+        "  len(array_to_string(toks, ''))::DOUBLE / len(toks) AS mtl, "
+        "  len(list_distinct(toks))::DOUBLE / len(toks) AS fu, "
+        "  list_max(map_values(list_aggregate(toks, 'histogram')))::DOUBLE "
+        "    / len(toks) AS tf "
+        "  FROM t WHERE len(toks) > 0), "
+        "q AS (SELECT floor((-2.0 + 0.5 * mtl + 2.0 * fu + -3.0 * tf) "
+        "  * 1000000 + 0.5) / 1000000 AS z FROM f), "
+        "th AS (SELECT unnest(["
+        + ",".join(str(t) for t in QUALITY_SWEEP_THRESHOLDS)
+        + "]) AS threshold) "
+        "SELECT th.threshold, "
+        "sum(CASE WHEN q.z >= th.threshold THEN 1 ELSE 0 END)::BIGINT AS n_keep, "
+        "count(*)::BIGINT AS n_docs "
+        "FROM th CROSS JOIN q GROUP BY th.threshold"
+    ),
+
+    "embedding_covariance": (
+        # HUGEINT moments over e6-quantized values (floor half-up), ONE
+        # double expression per entry in the same division order as the
+        # engine — bit-identical doubles
+        "WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x, "
+        "  unnest(generate_series(1, len(embedding))) AS i FROM embeddings), "
+        f"q AS (SELECT vec_id, i - 1 AS i, "
+        "  CAST(floor(x * 1000000 + 0.5) AS HUGEINT) AS v FROM e "
+        f"  WHERE i <= {COV_DIMS}), "
+        "nn AS (SELECT count(*)::HUGEINT AS n FROM embeddings), "
+        "s AS (SELECT i, sum(v)::HUGEINT AS s FROM q GROUP BY i), "
+        "p AS (SELECT a.i AS di, b.i AS dj, sum(a.v * b.v)::HUGEINT AS pij "
+        "  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i "
+        "  GROUP BY a.i, b.i) "
+        "SELECT p.di AS dim_i, p.dj AS dim_j, "
+        "CAST(nn.n * p.pij - sa.s * sb.s AS DOUBLE) "
+        "  / CAST(nn.n AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1000000000000.0 "
+        "  AS cov "
+        "FROM p CROSS JOIN nn "
+        "JOIN s sa ON sa.i = p.di JOIN s sb ON sb.i = p.dj"
+    ),
+
+    "cluster_centroids": (
+        # exact e6-int sums per (label, dim); one double division chain
+        # matching the engine (CAST(sum) / n / 1e6)
+        "WITH e AS (SELECT label, unnest(embedding)::DOUBLE AS x, "
+        "  unnest(generate_series(1, len(embedding))) AS i FROM embeddings), "
+        "q AS (SELECT label::BIGINT AS label, i - 1 AS dim, "
+        "  CAST(floor(x * 1000000 + 0.5) AS HUGEINT) AS v FROM e) "
+        "SELECT label, dim, "
+        "CAST(sum(v) AS DOUBLE) / count(*) / 1000000.0 AS centroid "
+        "FROM q GROUP BY label, dim"
     ),
 
     "bigram_lm": (

@@ -1255,3 +1255,50 @@ def test_substring_scrub_removes_planted_run(ray_session):
     assert out.loc[2, "clean_md5"] == md5("zz")
     assert out.loc[3, "n_removed"] == 0
     assert out.loc[3, "clean_md5"] == md5("tiny doc")
+
+
+def test_embedding_covariance_pca_epilogue(ray_session):
+    """The covariance op feeds a driver-side eigen-solve: the 8x8
+    matrix reassembled from the upper triangle must be symmetric PSD
+    (within fp tolerance), its trace must equal the sum of per-dim
+    variances, and the eigenvalues must sum to the trace."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        COV_DIMS, q_embedding_covariance)
+
+    out = q_embedding_covariance(SF)
+    d = COV_DIMS
+    m = np.zeros((d, d))
+    for _, r in out.iterrows():
+        m[int(r["dim_i"]), int(r["dim_j"])] = r["cov"]
+        m[int(r["dim_j"]), int(r["dim_i"])] = r["cov"]
+    ev = np.linalg.eigvalsh(m)
+    assert ev.min() > -1e-9                      # PSD
+    assert abs(ev.sum() - np.trace(m)) < 1e-9
+    diag = out[out["dim_i"] == out["dim_j"]]["cov"]
+    assert (diag > 0).all()                      # non-degenerate dims
+
+
+def test_normalize_text_composes_planted(ray_session):
+    """Docs with the injected decomposed suffix report changed=True and
+    a shorter NFC string; untouched ASCII docs report changed=False."""
+    from incident_pii_redactor_ray.pipelines.queries import q_normalize_text
+    from tests.harness import to_pandas
+
+    out = to_pandas(q_normalize_text(SF)).set_index("doc_id")
+    planted = out.loc[[i for i in out.index if i % 7 == 0]]
+    rest = out.loc[[i for i in out.index if i % 7 != 0]]
+    assert planted["changed"].all()
+    assert not rest["changed"].any()
+
+
+def test_length_buckets_powers_exact(ray_session):
+    """Bucket caps are exact powers of two and every doc's tokens fit
+    its cap with cap/2 < n <= cap."""
+    from incident_pii_redactor_ray.pipelines.queries import q_length_buckets
+
+    out = q_length_buckets(SF)
+    caps = out["bucket_cap"].to_numpy()
+    assert all((c & (c - 1)) == 0 for c in caps)
+    assert (out["padding"] >= 0).all()
+    # padding < n_docs * cap/2 (each doc is > cap/2 tokens)
+    assert (out["padding"] < out["n_docs"] * caps // 2 + out["n_docs"]).all()

@@ -55,7 +55,8 @@ BENCH_QUERIES = [
     "incremental_dedup", "profile_table", "late_events", "fk_integrity",
     "substring_dedup", "substring_scrub", "dedup_keep_best",
     "normalize_text", "length_buckets", "quality_threshold_sweep",
-    "embedding_covariance", "cluster_centroids",
+    "embedding_covariance", "cluster_centroids", "source_quality",
+    "dedup_cluster_sizes", "minhash_threshold_curve", "retention_cohorts",
 ]
 
 

@@ -707,6 +707,128 @@ def q_cluster_centroids(sf_dir: str):
     return pd.DataFrame(out)
 
 
+def q_source_quality(sf_dir: str):
+    """Per-source quality rollup — the mixture-weighting input (which
+    crawl/source is worth upsampling): n_docs, n_keep (z > 0) and
+    mean quality logit per source. Map-side dict partials keyed by the
+    handful of sources, exact e6-int z sums, one double division on
+    the driver — no shuffle."""
+    from ..stages.corpus_ops import quality_z
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict = {}
+        for s, t in zip(batch.column("source").to_pylist(),
+                        batch.column("text").to_pylist()):
+            z = quality_z(t)
+            if z is None:
+                continue
+            a = agg.setdefault(s, [0, 0, 0])
+            a[0] += 1
+            a[1] += 1 if z > 0 else 0
+            a[2] += int(np.floor(z * 1e6 + 0.5))
+        return pa.table({
+            "source": pa.array(list(agg), type=pa.string()),
+            "n_docs": pa.array([v[0] for v in agg.values()], pa.int64()),
+            "n_keep": pa.array([v[1] for v in agg.values()], pa.int64()),
+            "sum_z_e6": pa.array([v[2] for v in agg.values()], pa.int64())})
+
+    parts = (_docs(sf_dir, ["doc_id", "text", "source"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    agg = parts.groupby("source", as_index=False).sum()
+    agg["mean_z"] = [float(int(s)) / int(n) / 1e6
+                     for s, n in zip(agg["sum_z_e6"], agg["n_docs"])]
+    return agg[["source", "n_docs", "n_keep", "mean_z"]]
+
+
+def q_dedup_cluster_sizes(sf_dir: str):
+    """Duplicate-cluster size histogram — the dedup diagnostics view
+    (how much of the corpus sits in 2-clusters vs mega-clusters).
+    Components are dup-graph-sized (dedup_filter's trade); the
+    histogram is a driver-side value_counts over them. Returns
+    (cluster_size, n_clusters)."""
+    from ..stages.dedup import dedup_components
+
+    docs = _docs_with_neardups(sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.6, dedup_pairs=False)
+    comp = dedup_components(pairs.select_columns(["id_a", "id_b"])).to_pandas()
+    sizes = comp.groupby("component").size()
+    hist = sizes.value_counts().sort_index()
+    return pd.DataFrame({
+        "cluster_size": hist.index.to_numpy(np.int64),
+        "n_clusters": hist.to_numpy(np.int64)})
+
+
+#: verified-jaccard calibration grid (parsed identically by Python and
+#: DuckDB — both compare against the same double)
+MINHASH_CURVE_THRESHOLDS = [0.5, 0.6, 0.7, 0.8, 0.9]
+
+WEEK_US = 7 * 86400 * 1000000
+
+
+def q_minhash_threshold_curve(sf_dir: str):
+    """LSH calibration curve: number of verified candidate pairs with
+    jaccard >= T for each threshold — the knob-setting view before a
+    dedup run. One pass over the pair stream (already 6-dp-rounded),
+    5-row partials per batch, driver fold."""
+    th = np.asarray(MINHASH_CURVE_THRESHOLDS, dtype=np.float64)
+    pairs = dedup.minhash_lsh_pairs(_docs_with_neardups(sf_dir),
+                                    threshold=0.5, dedup_pairs=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        j = np.asarray(batch.column("jaccard"), dtype=np.float64)
+        return pa.table({
+            "threshold": pa.array(th),
+            "n_pairs": pa.array([(j >= t).sum() for t in th], pa.int64())})
+
+    parts = pairs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"threshold": th,
+                             "n_pairs": np.zeros(len(th), np.int64)})
+    return (parts.groupby("threshold", as_index=False).sum()
+            .sort_values("threshold").reset_index(drop=True))
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Weekly cohort retention matrix (the product-analytics staple):
+    cohort = a user's first-event week; for every later week the user
+    is active, count them under (cohort_week, week_offset). Week index
+    is exact integer epoch_us // WEEK_US computed map-side, so the ONE
+    user-sharded exchange carries (user_id, week) only; per-shard the
+    matrix is a vectorized groupby-min + drop_duplicates; shards emit
+    bounded (weeks^2) partials the driver sums."""
+    from ..stages.relational import _hash64_column
+
+    def pre(batch: pa.Table) -> pa.Table:
+        wk = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                       pa.scalar(WEEK_US, type=pa.int64()))
+        shard = (_hash64_column(np.asarray(batch.column("user_id")))
+                 % np.uint64(256)).astype(np.int64)
+        return pa.table({"user_id": batch.column("user_id"),
+                         "wk": wk, "shard": pa.array(shard)})
+
+    def shard_fn(g: pd.DataFrame) -> pd.DataFrame:
+        first = (g.groupby("user_id")["wk"].min()
+                 .rename("cohort").reset_index())
+        uw = (g[["user_id", "wk"]].drop_duplicates()
+              .merge(first, on="user_id"))
+        out = (uw.assign(week_offset=uw["wk"] - uw["cohort"])
+               .groupby(["cohort", "week_offset"]).size()
+               .rename("n_users").reset_index())
+        return pd.DataFrame({
+            "cohort_week": out["cohort"].to_numpy(np.int64),
+            "week_offset": out["week_offset"].to_numpy(np.int64),
+            "n_users": out["n_users"].to_numpy(np.int64)})
+
+    parts = (_events(sf_dir, ["user_id", "ts"])
+             .map_batches(pre, batch_format="pyarrow")
+             .groupby("shard").map_groups(shard_fn, batch_format="pandas")
+             .to_pandas())
+    return (parts.groupby(["cohort_week", "week_offset"], as_index=False)
+            ["n_users"].sum()
+            .sort_values(["cohort_week", "week_offset"])
+            .reset_index(drop=True))
+
+
 def q_bigram_lm(sf_dir: str):
     """Reference-LM scoring (the CCNet quality-filter slot): a bigram
     count model trained on the 'en'-labelled documents, every document
@@ -5180,6 +5302,10 @@ QUERIES = {
     "substring_scrub": q_substring_scrub,
     "quality_logit": q_quality_logit,
     "normalize_text": q_normalize_text,
+    "source_quality": q_source_quality,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "minhash_threshold_curve": q_minhash_threshold_curve,
+    "retention_cohorts": q_retention_cohorts,
     "length_buckets": q_length_buckets,
     "quality_threshold_sweep": q_quality_threshold_sweep,
     "embedding_covariance": q_embedding_covariance,
@@ -5651,6 +5777,71 @@ ORACLE_SQL = {
         "CASE WHEN (-2.0 + 0.5 * mtl + 2.0 * fu + -3.0 * tf) > 0 "
         "  THEN 1 ELSE 0 END::BIGINT AS keep "
         "FROM f"
+    ),
+
+    "source_quality": (
+        # quality_logit's exact z per doc, e6-int sums per source, one
+        # double division chain matching the engine
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks "
+        "  FROM documents), "
+        "f AS (SELECT doc_id, "
+        "  len(array_to_string(toks, ''))::DOUBLE / len(toks) AS mtl, "
+        "  len(list_distinct(toks))::DOUBLE / len(toks) AS fu, "
+        "  list_max(map_values(list_aggregate(toks, 'histogram')))::DOUBLE "
+        "    / len(toks) AS tf "
+        "  FROM t WHERE len(toks) > 0), "
+        "q AS (SELECT doc_id, (-2.0 + 0.5 * mtl + 2.0 * fu + -3.0 * tf) AS z "
+        "  FROM f), "
+        "z6 AS (SELECT d.source, "
+        "  CAST(floor(q.z * 1000000 + 0.5) AS BIGINT) AS ze6, "
+        "  CASE WHEN q.z > 0 THEN 1 ELSE 0 END AS k "
+        "  FROM q JOIN documents d USING (doc_id)) "
+        "SELECT source, count(*)::BIGINT AS n_docs, sum(k)::BIGINT AS n_keep, "
+        "CAST(sum(ze6) AS DOUBLE) / count(*) / 1000000.0 AS mean_z "
+        "FROM z6 GROUP BY source"
+    ),
+
+    "dedup_cluster_sizes": (
+        # transitive closure -> component sizes -> histogram
+        "WITH RECURSIVE " + _minhash_sql_prefix()
+        + ", e AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.6), "
+        "ed AS (SELECT id_a AS src, id_b AS dst FROM e "
+        "       UNION SELECT id_b, id_a FROM e), "
+        "n AS (SELECT DISTINCT src AS node FROM ed), "
+        "r(node, label) AS (SELECT node, node FROM n "
+        "  UNION SELECT ed.dst, r.label FROM r JOIN ed ON ed.src = r.node), "
+        "comp AS (SELECT node AS doc_id, min(label) AS component FROM r "
+        "  GROUP BY node), "
+        "cs AS (SELECT component, count(*)::BIGINT AS cluster_size FROM comp "
+        "  GROUP BY component) "
+        "SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM cs "
+        "GROUP BY cluster_size"
+    ),
+
+    "minhash_threshold_curve": (
+        # verified-jaccard counts at each threshold over the SAME
+        # candidate set (v includes sub-0.5 candidates; every counted
+        # threshold is >= 0.5, so the engine's 0.5-filtered pair stream
+        # sees identical counts)
+        "WITH " + _minhash_sql_prefix()
+        + ", th AS (SELECT unnest(["
+        + ",".join(str(t) for t in MINHASH_CURVE_THRESHOLDS)
+        + "]) AS threshold) "
+        "SELECT th.threshold, "
+        "sum(CASE WHEN v.jaccard >= th.threshold THEN 1 ELSE 0 END)::BIGINT "
+        "  AS n_pairs "
+        "FROM th CROSS JOIN v GROUP BY th.threshold"
+    ),
+
+    "retention_cohorts": (
+        # exact integer week indices; DISTINCT active (user, week)
+        "WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk "
+        "  FROM events), "
+        "f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id), "
+        "uw AS (SELECT DISTINCT e.user_id, e.wk, f.cohort "
+        "  FROM e JOIN f USING (user_id)) "
+        "SELECT cohort AS cohort_week, wk - cohort AS week_offset, "
+        "count(*)::BIGINT AS n_users FROM uw GROUP BY 1, 2"
     ),
 
     "normalize_text": (

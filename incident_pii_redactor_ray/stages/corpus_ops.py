@@ -732,6 +732,25 @@ QUALITY_WEIGHTS = {"bias": -2.0, "mean_token_len": 0.5,
                    "frac_unique": 2.0, "top_token_frac": -3.0}
 
 
+def quality_z(text: str | None) -> float | None:
+    """Row-level quality score: z = bias + w1*mean_token_len +
+    w2*frac_unique + w3*top_token_frac, exact-double features in fixed
+    left-to-right order (the quality_logit oracle pins the arithmetic
+    bit-for-bit). None for zero-token docs."""
+    w = QUALITY_WEIGHTS
+    toks = ws_tokens(text or "")
+    n = len(toks)
+    if n == 0:
+        return None
+    mtl = float(sum(len(x) for x in toks)) / n
+    terms, cnts = np.unique(np.asarray(toks, dtype=object),
+                            return_counts=True)
+    fu = float(len(terms)) / n
+    tf = float(cnts.max()) / n
+    return (w["bias"] + w["mean_token_len"] * mtl + w["frac_unique"] * fu
+            + w["top_token_frac"] * tf)
+
+
 def quality_logit_batch(batch: pa.Table, *, id_col: str = "doc_id",
                         text_col: str = "text") -> pa.Table:
     """Model-based quality scoring: a linear scorer over exact
@@ -744,20 +763,12 @@ def quality_logit_batch(batch: pa.Table, *, id_col: str = "doc_id",
     reproduces z bit-for-bit. Emits (doc_id, quality_logit, keep).
     Embarrassingly parallel — no shuffle, no state."""
 
-    w = QUALITY_WEIGHTS
     ids, logits, keeps = [], [], []
     for rid, t in zip(batch.column(id_col).to_pylist(),
                       batch.column(text_col).to_pylist()):
-        toks = ws_tokens(t or "")
-        n = len(toks)
-        if n == 0:
+        z = quality_z(t)
+        if z is None:
             continue
-        mtl = float(sum(len(x) for x in toks)) / n
-        terms, cnts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        fu = float(len(terms)) / n
-        tf = float(cnts.max()) / n
-        z = w["bias"] + w["mean_token_len"] * mtl + w["frac_unique"] * fu \
-            + w["top_token_frac"] * tf
         ids.append(rid)
         logits.append(float(np.floor(z * 1e6 + 0.5) / 1e6))
         keeps.append(1 if z > 0 else 0)

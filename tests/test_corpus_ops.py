@@ -1302,3 +1302,33 @@ def test_length_buckets_powers_exact(ray_session):
     assert (out["padding"] >= 0).all()
     # padding < n_docs * cap/2 (each doc is > cap/2 tokens)
     assert (out["padding"] < out["n_docs"] * caps // 2 + out["n_docs"]).all()
+
+
+def test_retention_cohorts_handbuilt(ray_session, tmp_path):
+    """Three users, hand-computed weeks: u1 active wk0+wk1, u2 active
+    wk0 only, u3 first appears wk1 and returns wk3."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        WEEK_US, q_retention_cohorts)
+
+    W = WEEK_US
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    ts = [1, W + 5, 2, W + 1, 3 * W + 9, W + 7]
+    users = [1, 1, 2, 3, 3, 1]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(6), type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "user_id": pa.array(users, type=pa.int64()),
+        "event_type": pa.array(["view"] * 6),
+        "value": pa.array([0.0] * 6),
+        "props": pa.array(["{}"] * 6)}), str(sf / "events.parquet"))
+    out = q_retention_cohorts(str(sf)).set_index(
+        ["cohort_week", "week_offset"])["n_users"]
+    assert out.loc[(0, 0)] == 2      # u1, u2 first-seen wk0
+    assert out.loc[(0, 1)] == 1      # u1 returns wk1
+    assert out.loc[(1, 0)] == 1      # u3 cohort wk1
+    assert out.loc[(1, 2)] == 1      # u3 returns wk3
+    assert len(out) == 4

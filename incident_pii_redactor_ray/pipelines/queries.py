@@ -829,6 +829,67 @@ def q_retention_cohorts(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog register table for corpus-distinct tokens — the
+    classic fixed-size mergeable sketch (Flajolet et al. 2007):
+    register = top byte of the md5-u64 token hash (hashes_of_tokens
+    spec, already oracle-pinned), rank = leading-zero bits of the
+    remaining 56 + 1 (57 for an all-zero suffix). Duplicate tokens
+    cannot change a max, so NO distinct pass and NO shuffle is needed:
+    each batch emits a 256-row (register, max_rank) partial and the
+    driver max-merges — 2 KiB of state per batch regardless of corpus
+    size. A pytest checks the resulting estimate against the exact
+    distinct count. Returns all 256 registers (0 = never hit)."""
+    powers = (np.int64(1) << np.arange(57, dtype=np.int64))
+    mask56 = np.int64((1 << 56) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, codes, _, dh = _cops._batch_tokens_arrow(batch.column("text"))
+        regs = np.zeros(256, dtype=np.int64)
+        if len(dh):
+            reg = (dh >> np.uint64(56)).astype(np.int64)
+            suf = (dh.astype(np.int64)) & mask56
+            bl = np.searchsorted(powers, suf, side="right")  # bit_length
+            rank = np.where(suf > 0, 56 - bl + 1, 57).astype(np.int64)
+            np.maximum.at(regs, reg, rank)
+        return pa.table({"register": pa.array(np.arange(256, dtype=np.int64)),
+                         "max_rank": pa.array(regs)})
+
+    parts = (_docs(sf_dir, ["doc_id", "text"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    return (parts.groupby("register", as_index=False)["max_rank"].max()
+            .sort_values("register").reset_index(drop=True))
+
+
+def q_hashed_features(sf_dir: str):
+    """Hashing-trick featurizer (Weinberger et al. 2009): 8-dim signed
+    bag-of-words per doc — dim = low nibble of the md5-u64 token hash
+    mod 8, sign from nibble 15's top bit, summed over token
+    OCCURRENCES. Exact integers, embarrassingly parallel (one bincount
+    per batch, no shuffle). Returns (doc_id, f0..f7) for docs with
+    tokens — the cheap dense featurization feeding the similarity /
+    clustering family when no trained embedder is available."""
+    def featurize(batch: pa.Table) -> pa.Table:
+        doc_idx, codes, _, dh = _cops._batch_tokens_arrow(
+            batch.column("text"))
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        dim = (dh & np.uint64(0xF)).astype(np.int64) % 8
+        sign = np.where(((dh >> np.uint64(4)) & np.uint64(0xF)) < 8, 1, -1)
+        tok_dim = dim[codes]
+        tok_sign = sign[codes]
+        acc = np.bincount(doc_idx * 8 + tok_dim, weights=tok_sign,
+                          minlength=len(batch) * 8).astype(np.int64)
+        acc = acc.reshape(len(batch), 8)
+        has = np.bincount(doc_idx, minlength=len(batch)) > 0
+        cols = {"doc_id": pa.array(ids[has])}
+        for k in range(8):
+            cols[f"f{k}"] = pa.array(acc[has, k])
+        return pa.table(cols)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        featurize, batch_format="pyarrow")
+
+
 def q_bigram_lm(sf_dir: str):
     """Reference-LM scoring (the CCNet quality-filter slot): a bigram
     count model trained on the 'en'-labelled documents, every document
@@ -5303,6 +5364,8 @@ QUERIES = {
     "quality_logit": q_quality_logit,
     "normalize_text": q_normalize_text,
     "source_quality": q_source_quality,
+    "hll_registers": q_hll_registers,
+    "hashed_features": q_hashed_features,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "minhash_threshold_curve": q_minhash_threshold_curve,
     "retention_cohorts": q_retention_cohorts,
@@ -5831,6 +5894,49 @@ ORACLE_SQL = {
         "sum(CASE WHEN v.jaccard >= th.threshold THEN 1 ELSE 0 END)::BIGINT "
         "  AS n_pairs "
         "FROM th CROSS JOIN v GROUP BY th.threshold"
+    ),
+
+    "hll_registers": (
+        # md5-u64 = first 16 hex chars big-endian; register = top byte
+        # (chars 1-2), rank = leading zero BITS of chars 3-16 + 1
+        # (zero-nibble count via regexp, partial nibble via CASE)
+        "WITH t AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), "
+        "  '\\S+')) AS tok FROM documents), "
+        "h AS (SELECT md5(tok) AS x FROM t), "
+        "r AS (SELECT 16 * (strpos('0123456789abcdef', substr(x, 1, 1)) - 1) "
+        "  + (strpos('0123456789abcdef', substr(x, 2, 1)) - 1) AS register, "
+        "  substr(x, 3, 14) AS rest FROM h), "
+        "z AS (SELECT register, length(regexp_extract(rest, '^0*')) AS nz, "
+        "  rest FROM r), "
+        "k AS (SELECT register, CASE WHEN nz >= 14 THEN 57 "
+        "  ELSE 4 * nz + CASE WHEN substr(rest, nz + 1, 1) = '1' THEN 3 "
+        "    WHEN substr(rest, nz + 1, 1) IN ('2', '3') THEN 2 "
+        "    WHEN substr(rest, nz + 1, 1) IN ('4', '5', '6', '7') THEN 1 "
+        "    ELSE 0 END + 1 END AS rank FROM z), "
+        "m AS (SELECT register, max(rank)::BIGINT AS max_rank FROM k "
+        "  GROUP BY register), "
+        "regs AS (SELECT unnest(generate_series(0, 255)) AS register) "
+        "SELECT regs.register::BIGINT AS register, "
+        "coalesce(m.max_rank, 0)::BIGINT AS max_rank "
+        "FROM regs LEFT JOIN m USING (register)"
+    ),
+
+    "hashed_features": (
+        # dim = low nibble (hex char 16) mod 8; sign = +1 iff hex char
+        # 15 < '8'; summed over token occurrences
+        "WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+        "  '\\S+')) AS tok FROM documents), "
+        "h AS (SELECT doc_id, md5(tok) AS x FROM t), "
+        "f AS (SELECT doc_id, "
+        "  (strpos('0123456789abcdef', substr(x, 16, 1)) - 1) % 8 AS dim, "
+        "  CASE WHEN substr(x, 15, 1) IN "
+        "    ('0', '1', '2', '3', '4', '5', '6', '7') THEN 1 ELSE -1 END "
+        "  AS sgn FROM h) "
+        "SELECT doc_id, "
+        + ", ".join(
+            f"sum(CASE WHEN dim = {k} THEN sgn ELSE 0 END)::BIGINT AS f{k}"
+            for k in range(8))
+        + " FROM f GROUP BY doc_id"
     ),
 
     "retention_cohorts": (

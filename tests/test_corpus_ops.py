@@ -1332,3 +1332,25 @@ def test_retention_cohorts_handbuilt(ray_session, tmp_path):
     assert out.loc[(1, 0)] == 1      # u3 cohort wk1
     assert out.loc[(1, 2)] == 1      # u3 returns wk3
     assert len(out) == 4
+
+
+def test_hll_estimate_vs_exact(ray_session):
+    """The standard HLL estimator over the register table lands within
+    3 standard errors (1.04/sqrt(256) ~ 6.5% each) of the exact
+    corpus-distinct token count."""
+    import duckdb
+
+    from incident_pii_redactor_ray.pipelines.queries import q_hll_registers
+
+    regs = q_hll_registers(SF)["max_rank"].to_numpy()
+    m = 256
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(float)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # small-range correction
+    exact = duckdb.sql(
+        "SELECT count(DISTINCT tok) FROM (SELECT unnest("
+        "regexp_extract_all(lower(text), '\\S+')) AS tok FROM "
+        f"read_parquet('{SF}/documents.parquet'))").fetchone()[0]
+    assert abs(est - exact) / exact < 0.20

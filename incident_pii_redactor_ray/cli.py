@@ -91,6 +91,9 @@ def main(argv: list[str] | None = None) -> int:
                          "(pipelines.hygiene.write_hive_input)")
     ap.add_argument("--no-resume", action="store_true",
                     help="reprocess everything, ignoring committed partitions")
+    ap.add_argument("--dedup", choices=("exact",), default=None,
+                    help="drop exact-content duplicates (keep the "
+                         "lexicographically-smallest file_id) before scoring")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="only for standalone runs: ray.init(num_cpus=...)")
     args = ap.parse_args(argv)
@@ -119,7 +122,7 @@ def main(argv: list[str] | None = None) -> int:
         scorer_concurrency=(2, args.scorer_concurrency),
         batch_size=args.batch_size, policy=policy,
         validate=args.validate, resume=not args.no_resume,
-        partition_by=args.partition_by)
+        partition_by=args.partition_by, dedup=args.dedup)
     print(json.dumps(summary))
     if owns_session:
         ray.shutdown()

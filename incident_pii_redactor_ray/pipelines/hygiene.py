@@ -288,12 +288,66 @@ def _manifest_committer(out_dir):
     return commit
 
 
+def _exact_dup_losers(input_paths: str | list[str],
+                      num_partitions: int, salt: int) -> np.ndarray:
+    """Corpus-wide exact-content dedup pass for run_hygiene: returns
+    the sorted fixed-width (S64) array of LOSER file_ids — every row
+    whose content md5 is shared keeps only the lexicographically-
+    smallest file_id (deterministic at any parallelism; file_ids are
+    distinct by construction). The exchange carries (md5-u64 pair,
+    file_id) only — 72 bytes/row, never content; flagging is a 256-way
+    hash-shard groupby. The loser set is duplicate-count-sized and
+    broadcasts once (a mostly-duplicate corpus would want the bucketed
+    bloom_dedup shape instead — same trade as segment_scrub).
+
+    Deliberately scans the FULL input even under resume: winners must
+    not depend on which partitions a previous run committed, so a
+    killed+resumed run keeps exactly the rows a clean run keeps."""
+    from ..stages.relational import _hash64_column
+
+    add_keys = _add_keys(num_partitions, salt)
+
+    def content_keys(batch: pa.Table) -> pa.Table:
+        batch = add_keys(batch)
+        content = batch.column("content").cast(pa.large_binary())
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        bufs = content.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int64)[
+            content.offset: content.offset + len(content) + 1]
+        mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        h1 = np.empty(len(content), dtype=np.uint64)
+        h2 = np.empty(len(content), dtype=np.uint64)
+        for i, (s, e) in enumerate(zip(off[:-1], off[1:])):
+            d = hashlib.md5(mv[s:e]).digest()
+            h1[i] = int.from_bytes(d[:8], "big")
+            h2[i] = int.from_bytes(d[8:], "big")
+        shard = (h1 % np.uint64(256)).astype(np.int64)
+        return pa.table({"h1": pa.array(h1), "h2": pa.array(h2),
+                         "file_id": batch.column("file_id"),
+                         "shard": pa.array(shard)})
+
+    def losers(g):
+        first = g.groupby(["h1", "h2"], sort=False)["file_id"].transform("min")
+        out = g.loc[g["file_id"] != first, ["file_id"]]
+        return out
+
+    drop = (read_source_files(input_paths, columns=["repo", "path",
+                                                    "commit", "content"])
+            .map_batches(content_keys, batch_format="pyarrow")
+            .groupby("shard").map_groups(losers, batch_format="pandas")
+            .to_pandas())
+    return np.sort(drop["file_id"].to_numpy(dtype="S64")) if len(drop) \
+        else np.empty(0, dtype="S64")
+
+
 def run_hygiene(input_paths: str | list[str], out_dir: "mf.FsSpec", *,
                 num_partitions: int = 32, salt: int = 8,
                 scorer_concurrency: int | tuple[int, int] = (2, 8),
                 batch_size: int = 512, write_batch_rows: int = 4096,
                 policy=None, validate: bool = False,
-                resume: bool = True, partition_by: str = "hash") -> dict:
+                resume: bool = True, partition_by: str = "hash",
+                dedup: str | None = None) -> dict:
     """End-to-end run with checkpoint-resume; returns the merged run
     summary. Ray must already be initialised by the caller.
 
@@ -326,6 +380,10 @@ def run_hygiene(input_paths: str | list[str], out_dir: "mf.FsSpec", *,
     if partition_by not in ("hash", "files", "hive"):
         raise ValueError(
             f"partition_by must be 'hash', 'files' or 'hive', got {partition_by!r}")
+    if dedup not in (None, "exact"):
+        raise ValueError(f"dedup must be None or 'exact', got {dedup!r}")
+    dup_losers = (_exact_dup_losers(input_paths, num_partitions, salt)
+                  if dedup == "exact" else None)
     # partition ids mean different things in the two modes; resuming an
     # out_dir written by the other mode would silently drop the wrong
     # rows — a persisted mode marker makes the mixup a hard error
@@ -391,6 +449,17 @@ def run_hygiene(input_paths: str | list[str], out_dir: "mf.FsSpec", *,
                 return batch.filter(pa.array(mask))
 
             ds = ds.map_batches(drop_done, batch_format="pyarrow")
+    if dup_losers is not None and len(dup_losers):
+        losers_ref = ray.put(dup_losers)
+
+        def drop_dups(batch: pa.Table) -> pa.Table:
+            d = ray.get(losers_ref)
+            fids = np.asarray(batch.column("file_id").to_pylist(), dtype="S64")
+            pos = np.searchsorted(d, fids)
+            hit = (pos < len(d)) & (d[np.clip(pos, 0, len(d) - 1)] == fids)
+            return batch.filter(pa.array(~hit))
+
+        ds = ds.map_batches(drop_dups, batch_format="pyarrow")
     ds = hygiene_transform(ds, scorer_concurrency=scorer_concurrency,
                            batch_size=batch_size, policy=policy, validate=validate)
     ds = ds.map_batches(_strip_for_output, batch_format="pyarrow")
@@ -406,4 +475,6 @@ def run_hygiene(input_paths: str | list[str], out_dir: "mf.FsSpec", *,
     elif partition_by == "hive":
         out["n_input_partitions"] = len(hive)
         out["n_skipped_partitions"] = n_skipped
+    if dup_losers is not None:
+        out["n_dedup_dropped"] = int(len(dup_losers))
     return out

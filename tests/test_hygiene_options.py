@@ -51,3 +51,41 @@ def test_validate_option_adds_metrics(ray_session, small_corpus, tmp_path_factor
     assert "validation" in t.schema.names
     v0 = t.column("validation")[0].as_py()
     assert set(v0) >= {"residual_pii", "precision", "recall", "f1", "quality_score"}
+
+
+def test_dedup_exact_drops_duplicate_content(ray_session, tmp_path_factory):
+    """dedup='exact': rows sharing content keep only the
+    lexicographically-smallest file_id; the survivor set is identical
+    to a no-dedup run filtered by hand, and the summary reports the
+    drop count."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    d = tmp_path_factory.mktemp("dedup_src")
+    same = "def f(x):\n    return x + 1\n" * 4
+    rows = {
+        "repo": ["r1", "r1", "r2", "r3", "r4"],
+        "path": ["a.py", "b.py", "c.py", "d.py", "e.py"],
+        "commit": ["c1", "c2", "c3", "c4", "c5"],
+        "lang": ["python"] * 5,
+        "content": pa.array([same, same, same, "unique one\n", "unique two\n"],
+                            type=pa.large_string()),
+    }
+    pq2.write_table(pa.table(rows), str(d / "corpus.parquet"))
+    out = str(tmp_path_factory.mktemp("dedup_out"))
+    s = run_hygiene(str(d / "corpus.parquet"), out, num_partitions=2,
+                    scorer_concurrency=1, batch_size=256, resume=False,
+                    dedup="exact")
+    assert s["n_dedup_dropped"] == 2
+    got = _read(out)
+    assert got.num_rows == 3
+    # the survivor of the triplicate is the smallest sha256(natural key)
+    fids = {(r, p): hashlib.sha256(f"{r}\x00{p}\x00{c}".encode()).hexdigest()
+            for r, p, c in zip(rows["repo"], rows["path"], rows["commit"])}
+    dup_keys = [("r1", "a.py"), ("r1", "b.py"), ("r2", "c.py")]
+    winner = min(dup_keys, key=lambda k: fids[k])
+    kept_ids = set(got.column("file_id").to_pylist())
+    assert fids[winner] in kept_ids
+    assert all(fids[k] not in kept_ids for k in dup_keys if k != winner)

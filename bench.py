@@ -478,6 +478,20 @@ def run_pipeline_scale() -> dict:
     out["profile_sec"] = round(time.time() - t0, 1)
 
     t0 = time.time()
+    from incident_pii_redactor_ray.stages.corpus_ops import substring_dedup
+    ss = substring_dedup(docs())
+    agg = ss.map_batches(
+        lambda b: pa.table({
+            "n_docs": pa.array([len(b)], type=pa.int64()),
+            "n_dup_windows": pa.array(
+                [pc.sum(b.column("n_dup_windows")).as_py() or 0],
+                type=pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    out["substring_docs"] = int(agg["n_docs"].sum())
+    out["substring_dup_windows"] = int(agg["n_dup_windows"].sum())
+    out["substring_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
     incr = incremental_dedup_over(docs, delta_base=int(delta_base))
     counts = incr.groupby("reason").count().to_pandas()
     out["incremental_counts"] = {
@@ -485,7 +499,7 @@ def run_pipeline_scale() -> dict:
         zip(counts["reason"], counts["count()"])}
     out["incremental_sec"] = round(time.time() - t0, 1)
 
-    for k in ("segment_dedup", "profile", "incremental"):
+    for k in ("segment_dedup", "profile", "substring", "incremental"):
         out[f"{k}_files_per_sec"] = round(n_files / out[f"{k}_sec"], 1)
     ray.shutdown()
     return out

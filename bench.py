@@ -57,7 +57,7 @@ BENCH_QUERIES = [
     "normalize_text", "length_buckets", "quality_threshold_sweep",
     "embedding_covariance", "cluster_centroids", "source_quality",
     "dedup_cluster_sizes", "minhash_threshold_curve", "retention_cohorts",
-    "hll_registers", "hashed_features",
+    "hll_registers", "hashed_features", "window_dedup",
 ]
 
 

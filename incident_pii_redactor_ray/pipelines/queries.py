@@ -1494,6 +1494,65 @@ def q_exact_dedup(sf_dir: str):
     return dedup.exact_dedup(_docs_doubled(sf_dir))
 
 
+#: trailing dedup window (weeks) and the deterministic crawl-week
+#: derivation modulus for window_dedup
+WINDOW_DEDUP_WEEKS = 4
+WINDOW_DEDUP_MOD = 13
+
+
+def q_window_dedup(sf_dir: str):
+    """Trailing-window exact dedup — the continuous-crawl policy
+    (CommonCrawl-style): a doc is dropped iff an identical-content doc
+    exists EARLIER in (week, doc_id) order AND within the last
+    WINDOW_DEDUP_WEEKS weeks; content older than the window is crawled
+    fresh. Crawl week is the deterministic doc_id % WINDOW_DEDUP_MOD
+    (the +1000000 exact copies land one week later mod 13, so some
+    pairs fall inside the window and wrap-around pairs outside it).
+
+    Shape: the one exchange carries (16-byte md5, week, id) — never
+    text; per content-hash group the docs sort by (week, id) and the
+    drop test is one vectorized shift comparison (the nearest earlier
+    copy has the max earlier week, so prev.week >= week - K decides
+    existence). Returns (doc_id, keep) for every doc."""
+    import hashlib as _hl
+
+    from ..stages.relational import _hash64_column  # noqa: F401
+
+    K = WINDOW_DEDUP_WEEKS
+    mod = WINDOW_DEDUP_MOD
+
+    def keys(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        h1 = np.empty(len(ids), dtype=np.uint64)
+        h2 = np.empty(len(ids), dtype=np.uint64)
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            d = _hl.md5((t or "").encode()).digest()
+            h1[i] = int.from_bytes(d[:8], "big")
+            h2[i] = int.from_bytes(d[8:], "big")
+        return pa.table({
+            "h1": pa.array(h1), "h2": pa.array(h2),
+            "doc_id": pa.array(ids),
+            "wk": pa.array(ids % mod),
+            "shard": pa.array((h1 % np.uint64(256)).astype(np.int64))})
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h1", "h2", "wk", "doc_id"], kind="mergesort")
+        h1v = g["h1"].to_numpy()
+        h2v = g["h2"].to_numpy()
+        wk = g["wk"].to_numpy(np.int64)
+        n = len(g)
+        drop = np.zeros(n, dtype=bool)
+        if n > 1:
+            same = (h1v[1:] == h1v[:-1]) & (h2v[1:] == h2v[:-1])
+            drop[1:] = same & (wk[:-1] >= wk[1:] - K)
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "keep": ~drop})
+
+    return (_docs_doubled(sf_dir)
+            .map_batches(keys, batch_format="pyarrow")
+            .groupby("shard").map_groups(flag, batch_format="pandas"))
+
+
 def _docs_with_neardups(sf_dir: str) -> ray.data.Dataset:
     """documents UNION ALL a near-duplicate copy (one token appended,
     id + 1000000) — gives minhash/simhash true positives to find."""
@@ -5393,6 +5452,7 @@ QUERIES = {
     "segment_scrub": q_segment_scrub,
     "dedup_filter": q_dedup_filter,
     "dedup_keep_best": q_dedup_keep_best,
+    "window_dedup": q_window_dedup,
     "scrub_redact": q_scrub_redact,
     "scrub_findings": q_scrub_findings,
     "exact_dedup": q_exact_dedup,
@@ -6460,6 +6520,20 @@ ORACLE_SQL = {
         "(SELECT doc_id, text FROM documents "
         " UNION ALL SELECT doc_id + 1000000, text FROM documents) "
         "GROUP BY md5(text)"
+    ),
+
+    "window_dedup": (
+        # drop iff ANY identical-content doc is earlier in (week, id)
+        # order and within the trailing window
+        "WITH corpus AS (SELECT doc_id, text FROM documents "
+        "  UNION ALL SELECT doc_id + 1000000, text FROM documents), "
+        f"h AS (SELECT doc_id, md5(text) AS th, "
+        f"  doc_id % {WINDOW_DEDUP_MOD} AS wk FROM corpus), "
+        "d AS (SELECT DISTINCT a.doc_id FROM h a JOIN h b ON a.th = b.th "
+        "  AND (b.wk < a.wk OR (b.wk = a.wk AND b.doc_id < a.doc_id)) "
+        f"  AND b.wk >= a.wk - {WINDOW_DEDUP_WEEKS}) "
+        "SELECT h.doc_id, (d.doc_id IS NULL) AS keep "
+        "FROM h LEFT JOIN d ON d.doc_id = h.doc_id"
     ),
 
     "ngram_jaccard": (

@@ -1354,3 +1354,33 @@ def test_hll_estimate_vs_exact(ray_session):
         "regexp_extract_all(lower(text), '\\S+')) AS tok FROM "
         f"read_parquet('{SF}/documents.parquet'))").fetchone()[0]
     assert abs(est - exact) / exact < 0.20
+
+
+def test_window_dedup_wraparound(ray_session, tmp_path):
+    """A duplicate pair 1 week apart is dropped; 12-weeks-apart
+    (wrap-around distance) is OUTSIDE the 4-week trailing window so
+    both copies are kept. Weeks derive from doc_id % 13; the +1000000
+    copy lands one week later."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_window_dedup
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # doc 1 -> wk 1, copy 1000001 -> wk 1000001%13 = 2 (inside window)
+    # doc 12 -> wk 12, copy 1000012 -> wk 0 (copy is EARLIER in week
+    #   order; original at wk 12 is 12 > 0+4 outside its window, and
+    #   the wk-0 copy has no earlier twin -> both kept)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 12], type=pa.int64()),
+        "text": pa.array(["alpha beta gamma", "delta epsilon zeta"]),
+        "lang": pa.array(["en", "en"]),
+        "source": pa.array(["s", "s"]),
+        "n_chars": pa.array([16, 18], type=pa.int64())}),
+        str(sf / "documents.parquet"))
+    out = q_window_dedup(str(sf)).to_pandas().set_index("doc_id")["keep"]
+    assert bool(out.loc[1]) is True          # first occurrence
+    assert bool(out.loc[1000001]) is False   # 1 week later, identical
+    assert bool(out.loc[1000012]) is True    # wk 0, nothing earlier
+    assert bool(out.loc[12]) is True         # wk 12 vs wk 0: outside K=4

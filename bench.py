@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "embedding_covariance", "cluster_centroids", "source_quality",
     "dedup_cluster_sizes", "minhash_threshold_curve", "retention_cohorts",
     "hll_registers", "hashed_features", "window_dedup",
+    "decontaminate_scrub",
 ]
 
 

@@ -382,6 +382,15 @@ def q_decontaminate(sf_dir: str):
     side streams through a vectorized searchsorted — no shuffle."""
     from ..stages.corpus_ops import benchmark_ngram_hashes, decontaminate
 
+    bench, train = _decon_split(sf_dir)
+    return decontaminate(train, benchmark_ngram_hashes(bench))
+
+
+def _decon_split(sf_dir: str):
+    """(benchmark, training) datasets for the decontamination fixtures:
+    benchmark = original docs with doc_id % BENCH_MOD == 0; training =
+    other originals + near-dup (+1000000, ' zzz') copies of ALL docs —
+    the copies of benchmark docs are the planted true positives."""
     docs = _docs(sf_dir, ["doc_id", "text"])
 
     def bench_mask(batch: pa.Table) -> pa.Table:
@@ -392,17 +401,70 @@ def q_decontaminate(sf_dir: str):
         ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
         return batch.filter(pa.array(ids % BENCH_MOD != 0))
 
-    bench = docs.map_batches(bench_mask, batch_format="pyarrow")
-
     def mutate(batch: pa.Table) -> pa.Table:
         ids = pa.compute.add(batch.column("doc_id"), 1000000)
         texts = [f"{t} zzz" for t in batch.column("text").to_pylist()]
         return pa.table({"doc_id": ids,
                          "text": pa.array(texts, type=batch.column("text").type)})
 
+    bench = docs.map_batches(bench_mask, batch_format="pyarrow")
     train = (docs.map_batches(train_mask, batch_format="pyarrow")
                  .union(docs.map_batches(mutate, batch_format="pyarrow")))
-    return decontaminate(train, benchmark_ngram_hashes(bench))
+    return bench, train
+
+
+def q_decontaminate_scrub(sf_dir: str):
+    """Decontamination REWRITE (the removal step: cut benchmark
+    contamination instead of dropping the doc): every token position
+    covered by a word 8-gram that appears in the benchmark set is cut
+    from the training doc; survivors re-join with single spaces.
+    Returns (doc_id, n_tokens, n_removed, clean_md5) for training docs
+    with tokens.
+
+    Scale shape: the benchmark 8-gram hash set broadcasts once via
+    ray.put (eval suites are MBs); the training side streams map-only —
+    membership is one searchsorted per doc and coverage one
+    diff-array cumsum. NO shuffle at all."""
+    import hashlib as _hl
+
+    from ..functions.textbuf import ws_tokens
+    from ..stages.corpus_ops import (DECON_K, benchmark_ngram_hashes,
+                                     ngram_hashes)
+    from ..stages.dedup import hashes_of_tokens
+
+    bench, train = _decon_split(sf_dir)
+    bench_ref = ray.put(np.ascontiguousarray(benchmark_ngram_hashes(bench)))
+    k = DECON_K
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        b = ray.get(bench_ref)
+        ids_out, ntoks, nrem, md5s = [], [], [], []
+        for rid, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            toks = ws_tokens(t or "")
+            n = len(toks)
+            if n == 0:
+                continue
+            cover = np.zeros(n + 1, dtype=np.int64)
+            gh = ngram_hashes(hashes_of_tokens(toks), k)
+            if len(gh) and len(b):
+                idx = np.searchsorted(b, gh)
+                idx[idx == len(b)] = 0
+                hit = np.flatnonzero(b[idx] == gh)
+                np.add.at(cover, hit, 1)
+                np.add.at(cover, hit + k, -1)
+            mask = np.cumsum(cover[:-1]) > 0
+            kept = " ".join(toks[i] for i in np.flatnonzero(~mask))
+            ids_out.append(rid)
+            ntoks.append(n)
+            nrem.append(int(mask.sum()))
+            md5s.append(_hl.md5(kept.encode()).hexdigest())
+        return pa.table({"doc_id": pa.array(ids_out, type=pa.int64()),
+                         "n_tokens": pa.array(ntoks, type=pa.int64()),
+                         "n_removed": pa.array(nrem, type=pa.int64()),
+                         "clean_md5": pa.array(md5s, type=pa.string())})
+
+    return train.map_batches(scrub, batch_format="pyarrow")
 
 
 def q_sequence_packing(sf_dir: str):
@@ -5453,6 +5515,7 @@ QUERIES = {
     "dedup_filter": q_dedup_filter,
     "dedup_keep_best": q_dedup_keep_best,
     "window_dedup": q_window_dedup,
+    "decontaminate_scrub": q_decontaminate_scrub,
     "scrub_redact": q_scrub_redact,
     "scrub_findings": q_scrub_findings,
     "exact_dedup": q_exact_dedup,
@@ -5709,6 +5772,45 @@ ORACLE_SQL = {
         "  AS n_shared FROM sh, bench "
         f"  WHERE NOT (doc_id < 1000000 AND doc_id % {BENCH_MOD} = 0)) "
         "SELECT doc_id, n_shared FROM res WHERE n_shared > 0"
+    ),
+
+    "decontaminate_scrub": (
+        # positional 8-gram windows (non-distinct, with start index);
+        # benchmark membership by window STRING; covered positions ->
+        # anti-join -> string_agg -> md5 (the substring_scrub recipe)
+        "WITH corpus AS (SELECT doc_id, text FROM documents "
+        "  UNION ALL SELECT doc_id + 1000000, text || ' zzz' FROM documents), "
+        "tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks "
+        "  FROM corpus), "
+        "b AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, toks FROM tok "
+        "  WHERE len(toks) > 0), "
+        "w0 AS (SELECT doc_id, "
+        "  [array_to_string(toks[s+1 : s+8], ' ') "
+        "   for s in generate_series(0, len(toks) - 8)] AS wins "
+        "  FROM b WHERE n_tokens >= 8), "
+        "w AS (SELECT doc_id, unnest(wins) AS win, "
+        "  unnest(generate_series(0, len(wins) - 1)) AS start FROM w0), "
+        f"bench AS (SELECT DISTINCT win FROM w "
+        f"  WHERE doc_id < 1000000 AND doc_id % {BENCH_MOD} = 0), "
+        f"hit AS (SELECT w.doc_id, w.start FROM w JOIN bench USING (win) "
+        f"  WHERE NOT (w.doc_id < 1000000 AND w.doc_id % {BENCH_MOD} = 0)), "
+        "cov AS (SELECT doc_id, p FROM "
+        "  (SELECT doc_id, unnest(generate_series(start, start + 7)) AS p "
+        "   FROM hit) GROUP BY doc_id, p), "
+        f"tr AS (SELECT * FROM b "
+        f"  WHERE NOT (doc_id < 1000000 AND doc_id % {BENCH_MOD} = 0)), "
+        "pos AS (SELECT doc_id, unnest(generate_series(1, n_tokens)) AS p1 "
+        "  FROM tr), "
+        "kk AS (SELECT pos.doc_id, pos.p1, tr.toks[pos.p1] AS tok "
+        "  FROM pos JOIN tr USING (doc_id) "
+        "  LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p1 - 1 "
+        "  WHERE cov.p IS NULL), "
+        "j AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p1) AS s "
+        "  FROM kk GROUP BY doc_id), "
+        "cv AS (SELECT doc_id, count(*)::BIGINT AS c FROM cov GROUP BY doc_id) "
+        "SELECT tr.doc_id, tr.n_tokens, coalesce(cv.c, 0)::BIGINT AS n_removed, "
+        "  md5(coalesce(j.s, '')) AS clean_md5 "
+        "FROM tr LEFT JOIN cv USING (doc_id) LEFT JOIN j USING (doc_id)"
     ),
 
     "sequence_packing": (

@@ -1384,3 +1384,25 @@ def test_window_dedup_wraparound(ray_session, tmp_path):
     assert bool(out.loc[1000001]) is False   # 1 week later, identical
     assert bool(out.loc[1000012]) is True    # wk 0, nothing earlier
     assert bool(out.loc[12]) is True         # wk 12 vs wk 0: outside K=4
+
+
+def test_decontaminate_scrub_cuts_planted(ray_session):
+    """The near-dup copy of a benchmark doc shares all its 8-grams:
+    nearly every token is cut (only the trailing ' zzz' tail and any
+    tokens outside shared windows survive); training docs unrelated to
+    the benchmark lose nothing."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        BENCH_MOD, q_decontaminate_scrub)
+    from tests.harness import to_pandas
+
+    out = to_pandas(q_decontaminate_scrub(SF)).set_index("doc_id")
+    planted = [i + 1000000 for i in range(500)
+               if i % BENCH_MOD == 0 and i + 1000000 in out.index]
+    assert planted
+    frac = (out.loc[planted, "n_removed"]
+            / out.loc[planted, "n_tokens"]).to_numpy()
+    assert (frac > 0.8).all()
+    clean = [i for i in out.index
+             if i < 1000000 and i % BENCH_MOD != 0]
+    # originals share no 8-gram with the benchmark docs (distinct texts)
+    assert (out.loc[clean, "n_removed"] == 0).mean() > 0.95

@@ -410,7 +410,7 @@ def run_corpus_ops_scale() -> dict:
 
     for k in ("dsir", "cms", "starcoder", "secrets", "license", "comment",
               "repo_neardup"):
-        out[f"{k}_files_per_sec"] = round(n_files / out[f"{k}_sec"], 1)
+        out[f"{k}_files_per_sec"] = round(n_files / max(out[f"{k}_sec"], 0.1), 1)
     ray.shutdown()
     return out
 
@@ -501,7 +501,9 @@ def run_pipeline_scale() -> dict:
     out["incremental_sec"] = round(time.time() - t0, 1)
 
     for k in ("segment_dedup", "profile", "substring", "incremental"):
-        out[f"{k}_files_per_sec"] = round(n_files / out[f"{k}_sec"], 1)
+        # rate from the rounded-but-floored duration: a sub-0.05s stage
+        # must not ZeroDivisionError the whole run (code review r4)
+        out[f"{k}_files_per_sec"] = round(n_files / max(out[f"{k}_sec"], 0.1), 1)
     ray.shutdown()
     return out
 

@@ -467,6 +467,76 @@ def q_decontaminate_scrub(sf_dir: str):
     return train.map_batches(scrub, batch_format="pyarrow")
 
 
+def q_minhash_band_stats(sf_dir: str):
+    """LSH observability: bucket-size distribution per band — the view
+    that tells you whether banding parameters shatter (all size-1
+    buckets) or collapse (mega-buckets) BEFORE paying for a dedup run.
+    Returns (band, bucket_size, n_buckets). Reuses the signature
+    explode; the one exchange carries (band, band_hash) pairs and the
+    histogram is two nested vectorized groupbys per shard."""
+    from ..stages.dedup import minhash_doc_signature
+
+    def explode(batch: pa.Table) -> pa.Table:
+        bands, hashes = [], []
+        for t in batch.column("text").to_pylist():
+            sig = minhash_doc_signature(t or "")
+            if sig is None:
+                continue
+            bh = sig[1]
+            bands.extend(range(len(bh)))
+            hashes.extend(bh)
+        sh = np.asarray([int(h[:2], 16) for h in hashes], dtype=np.int64) \
+            if hashes else np.empty(0, dtype=np.int64)
+        return pa.table({"band": pa.array(bands, type=pa.int64()),
+                         "bh": pa.array(hashes, type=pa.string()),
+                         "shard": pa.array(sh)})
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        sz = (g.groupby(["band", "bh"], sort=False).size()
+              .rename("bucket_size").reset_index())
+        out = (sz.groupby(["band", "bucket_size"]).size()
+               .rename("n_buckets").reset_index())
+        return pd.DataFrame({
+            "band": out["band"].to_numpy(np.int64),
+            "bucket_size": out["bucket_size"].to_numpy(np.int64),
+            "n_buckets": out["n_buckets"].to_numpy(np.int64)})
+
+    parts = (_docs_with_neardups(sf_dir)
+             .map_batches(explode, batch_format="pyarrow")
+             .groupby("shard").map_groups(hist, batch_format="pandas")
+             .to_pandas())
+    # a (band, bh) bucket lives entirely in one md5-prefix shard, so
+    # shard partials are disjoint in bh and the histogram is additive
+    return (parts.groupby(["band", "bucket_size"], as_index=False)
+            ["n_buckets"].sum()
+            .sort_values(["band", "bucket_size"]).reset_index(drop=True))
+
+
+def q_source_concat_digest(sf_dir: str):
+    """Repo/source-level context assembly (the code-LLM 'concatenate a
+    repo into one training context' step): per source, docs sort by
+    doc_id and join with newlines; returns (source, n_docs, n_chars,
+    concat_md5). This op NECESSARILY co-locates each group's text —
+    the one exchange moves content, documented as the inherent cost of
+    exact concatenation (a mega-source still costs one task one group;
+    for 100-TB corpora assemble per (source, chunk) with a manifest
+    instead). Skew note: groups are whole units, the standard
+    map_groups contract."""
+    import hashlib as _hl
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        joined = "\n".join(t or "" for t in g["text"])
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "n_docs": np.int64(len(g)),
+            "n_chars": np.int64(len(joined)),
+            "concat_md5": [_hl.md5(joined.encode()).hexdigest()]})
+
+    return (_docs(sf_dir, ["doc_id", "text", "source"])
+            .groupby("source").map_groups(concat, batch_format="pandas"))
+
+
 def q_sequence_packing(sf_dir: str):
     """Next-fit sequence packing into 256-token training sequences,
     deterministic per fmix32 hash-shard; the oracle reproduces the
@@ -727,7 +797,10 @@ def q_embedding_covariance(sf_dir: str):
 
     parts = (_emb(sf_dir).map_batches(partial, batch_format="pyarrow")
              .to_pandas())
-    tot = {c: int(parts[c].sum()) for c in parts.columns}
+    # fold with Python ints: per-batch moments fit int64 (<= ~1e16 at
+    # 10k-row batches) but the cross-batch products exceed it at ~1e7
+    # rows — int64 .sum() would wrap silently (code review r4)
+    tot = {c: sum(int(x) for x in parts[c]) for c in parts.columns}
     n = tot["n"]
     out = []
     for i in range(d):
@@ -796,7 +869,9 @@ def q_source_quality(sf_dir: str):
 
     parts = (_docs(sf_dir, ["doc_id", "text", "source"])
              .map_batches(partial, batch_format="pyarrow").to_pandas())
-    agg = parts.groupby("source", as_index=False).sum()
+    # dropna=False: a NULL source is a real rollup group (the SQL
+    # GROUP BY emits it; pandas' default would silently drop it)
+    agg = parts.groupby("source", as_index=False, dropna=False).sum()
     agg["mean_z"] = [float(int(s)) / int(n) / 1e6
                      for s, n in zip(agg["sum_z_e6"], agg["n_docs"])]
     return agg[["source", "n_docs", "n_keep", "mean_z"]]
@@ -1577,8 +1652,6 @@ def q_window_dedup(sf_dir: str):
     copy has the max earlier week, so prev.week >= week - K decides
     existence). Returns (doc_id, keep) for every doc."""
     import hashlib as _hl
-
-    from ..stages.relational import _hash64_column  # noqa: F401
 
     K = WINDOW_DEDUP_WEEKS
     mod = WINDOW_DEDUP_MOD
@@ -5516,6 +5589,8 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "window_dedup": q_window_dedup,
     "decontaminate_scrub": q_decontaminate_scrub,
+    "minhash_band_stats": q_minhash_band_stats,
+    "source_concat_digest": q_source_concat_digest,
     "scrub_redact": q_scrub_redact,
     "scrub_findings": q_scrub_findings,
     "exact_dedup": q_exact_dedup,
@@ -5772,6 +5847,21 @@ ORACLE_SQL = {
         "  AS n_shared FROM sh, bench "
         f"  WHERE NOT (doc_id < 1000000 AND doc_id % {BENCH_MOD} = 0)) "
         "SELECT doc_id, n_shared FROM res WHERE n_shared > 0"
+    ),
+
+    "minhash_band_stats": (
+        # bucket sizes straight from the prefix's bkt CTE
+        "WITH " + _minhash_sql_prefix()
+        + " SELECT band::BIGINT AS band, sz::BIGINT AS bucket_size, "
+        "count(*)::BIGINT AS n_buckets FROM bkt GROUP BY band, sz"
+    ),
+
+    "source_concat_digest": (
+        "SELECT source, count(*)::BIGINT AS n_docs, "
+        "length(string_agg(coalesce(text, ''), chr(10) ORDER BY doc_id))"
+        "::BIGINT AS n_chars, "
+        "md5(string_agg(coalesce(text, ''), chr(10) ORDER BY doc_id)) "
+        "AS concat_md5 FROM documents GROUP BY source"
     ),
 
     "decontaminate_scrub": (
@@ -6618,10 +6708,10 @@ ORACLE_SQL = {
     ),
 
     "exact_dedup": (
-        "SELECT min(doc_id) AS doc_id, md5(text) AS text_hash FROM "
+        "SELECT min(doc_id) AS doc_id, md5(coalesce(text, '')) AS text_hash FROM "
         "(SELECT doc_id, text FROM documents "
         " UNION ALL SELECT doc_id + 1000000, text FROM documents) "
-        "GROUP BY md5(text)"
+        "GROUP BY md5(coalesce(text, ''))"
     ),
 
     "window_dedup": (
@@ -6629,7 +6719,7 @@ ORACLE_SQL = {
         # order and within the trailing window
         "WITH corpus AS (SELECT doc_id, text FROM documents "
         "  UNION ALL SELECT doc_id + 1000000, text FROM documents), "
-        f"h AS (SELECT doc_id, md5(text) AS th, "
+        f"h AS (SELECT doc_id, md5(coalesce(text, '')) AS th, "
         f"  doc_id % {WINDOW_DEDUP_MOD} AS wk FROM corpus), "
         "d AS (SELECT DISTINCT a.doc_id FROM h a JOIN h b ON a.th = b.th "
         "  AND (b.wk < a.wk OR (b.wk = a.wk AND b.doc_id < a.doc_id)) "

@@ -50,8 +50,7 @@ import ray.data
 from ..functions.hashing import fmix32, mix64
 from ..functions.textbuf import WS_ASCII_RE, ascii_token_count
 from ..functions.textbuf import ws_tokens
-from .dedup import (_TOKEN_CACHE, _TOKEN_CACHE_MAX, _token_hashes,
-                    hashes_of_tokens)
+from .dedup import _token_hashes, hashes_of_tokens
 from .relational import sharded_group_sum
 
 # --- term frequencies -------------------------------------------------------
@@ -639,16 +638,9 @@ def _batch_tokens_arrow(texts):
         de = de.combine_chunks()
     codes = np.asarray(de.indices, dtype=np.int64)
     tok_len = np.asarray(pc.utf8_length(flat), dtype=np.int64)
-    cache = _TOKEN_CACHE
-    dict_toks = de.dictionary.to_pylist()
-    dh = np.empty(len(dict_toks), dtype=np.uint64)
-    for i, t in enumerate(dict_toks):
-        h = cache.get(t)
-        if h is None:
-            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-            if len(cache) < _TOKEN_CACHE_MAX:
-                cache[t] = h
-        dh[i] = h
+    # hashes_of_tokens IS the md5-u64 spec + worker memo — one home for
+    # the convention (code review r4)
+    dh = hashes_of_tokens(de.dictionary.to_pylist())
     return doc_idx, codes, tok_len, dh
 
 

@@ -103,16 +103,26 @@ def resolve_fs(out: FsSpec) -> "tuple[pafs.FileSystem, str]":
 
 
 def _rename_is_atomic(fs: pafs.FileSystem) -> bool:
-    """Commit protocol switch: POSIX filesystems get temp+rename (an
-    in-progress writer is never visible under the final name); object
-    stores don't have atomic rename, but a single-object PUT *is*
-    atomically visible, so there we write the final object directly —
-    the PUT completing is the commit point. A reader that trusts only
-    manifest-listed pieces (output_files) is correct under both."""
+    """Commit protocol switch: filesystems where a writer's bytes can
+    become visible under the final name before the write completes
+    (local POSIX, HDFS, NFS-style mounts, unknown wrappers) get
+    temp+move — an in-progress writer is never visible under the final
+    name. Object stores (S3/GCS) have no atomic rename, but a
+    single-object PUT *is* atomically visible, so there we write the
+    final object directly — the PUT completing is the commit point.
+    Unknown filesystems default to temp+move: on an object store that
+    path degrades to copy+delete (slower, still never
+    partial-visible), whereas direct write on a stream-visible store
+    would corrupt the commit point (code review r4). A reader that
+    trusts only manifest-listed pieces (output_files) is correct under
+    both."""
     base = fs
     while isinstance(base, pafs.SubTreeFileSystem):
         base = base.base_fs
-    return isinstance(base, pafs.LocalFileSystem)
+    direct_put = tuple(
+        t for t in (getattr(pafs, "S3FileSystem", None),
+                    getattr(pafs, "GcsFileSystem", None)) if t is not None)
+    return not isinstance(base, direct_put)
 
 
 def _write_bytes(fs: pafs.FileSystem, path: str, data: bytes) -> None:

@@ -76,3 +76,19 @@ def test_merge_run_summary_accumulates(tmp_path):
     assert s["lang_histogram"] == {"de": 3, "en": 3}
     assert s["redaction_counts"] == {"email:REDACT": 3}
     assert os.path.exists(os.path.join(out, "run_summary.json"))
+
+
+def test_rename_protocol_switch():
+    """Commit-protocol selection: stream-visible filesystems (local,
+    subtree-of-local, unknown) use temp+move; only object stores with
+    atomic single-PUT visibility write final names directly."""
+    import pyarrow.fs as pafs
+
+    from incident_pii_redactor_ray.state.manifests import _rename_is_atomic
+
+    assert _rename_is_atomic(pafs.LocalFileSystem()) is True
+    assert _rename_is_atomic(
+        pafs.SubTreeFileSystem("/tmp", pafs.LocalFileSystem())) is True
+    s3 = pafs.S3FileSystem(anonymous=True)  # constructible offline
+    assert _rename_is_atomic(s3) is False
+    assert _rename_is_atomic(pafs.SubTreeFileSystem("b/k", s3)) is False

@@ -5506,11 +5506,229 @@ def q_jsonl_roundtrip(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_luhn_scan(sf_dir: str):
+    """Payment-card PII scan (round 4): deterministic card injection
+    (Luhn-valid on doc_id%7, Luhn-broken on doc_id%5 — the
+    secrets_scan augmentation convention) followed by a vectorized
+    16-digit-run scan with numpy Luhn validation over the fixed-width
+    candidate matrix. Extends the reference's regex PII tiers
+    (deterministic_extractor.py) with the checksum-validated detector
+    class (Presidio credit_card shape). Map-only, no shuffle; the SQL
+    oracle reproduces injection arithmetic AND checksum digit by
+    digit. Returns (doc_id, n_digit_runs, n_luhn_valid)."""
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(_cops.luhn_augment_batch, batch_format="pyarrow")
+            .map_batches(_cops.luhn_scan_batch, batch_format="pyarrow"))
+
+
+#: winsorize clip percentiles (lower-rule discrete quantiles, exact
+#: integer cents — the group_quantiles machinery)
+WINSOR_PCTS = (1, 99)
+
+
+def q_winsorize(sf_dir: str):
+    """Per-group winsorization: clip event values to the exact
+    per-event_type [p1, p99] interval — outlier taming before any
+    value-weighted training statistic. Two passes: grouped exact
+    quantiles via the value-domain-bounded (group, cents) histogram
+    (one sharded sum, never a row-stream shuffle), then the tiny
+    (5-row) clip table rides into a map-only pass as a closure
+    broadcast. Integer cents end to end. Returns (event_id,
+    event_type, clipped_cents)."""
+    from ..stages.relational import grouped_exact_quantiles
+
+    ev = _events(sf_dir, ["event_id", "event_type", "value"])
+    q = grouped_exact_quantiles(ev.select_columns(["event_type", "value"]),
+                                group_col="event_type", val_col="value",
+                                pcts=WINSOR_PCTS)
+    lo = dict(zip(q["event_type"], q[f"p{WINSOR_PCTS[0]}_cents"]))
+    hi = dict(zip(q["event_type"], q[f"p{WINSOR_PCTS[1]}_cents"]))
+
+    def clip(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(batch["value"].to_numpy(np.float64) * 100.0
+                         + 0.5).astype(np.int64)
+        lo_v = batch["event_type"].map(lo).to_numpy(np.int64)
+        hi_v = batch["event_type"].map(hi).to_numpy(np.int64)
+        return pd.DataFrame({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "clipped_cents": np.clip(cents, lo_v, hi_v)})
+
+    return ev.map_batches(clip, batch_format="pandas")
+
+
+#: temperature-mixture sample budget (rows drawn across all sources)
+MIXTURE_BUDGET = 10000
+
+
+def q_temperature_mixture(sf_dir: str):
+    """Temperature-scaled source mixture (T=0.5, the multilingual
+    upsampling rule p_i ∝ n_i^T): per-source doc counts fold to the
+    driver (source cardinality is tiny), the T-scaled weight is
+    quantized to e6 ints BEFORE normalizing — the denominator is an
+    integer sum, so the result is order-independent and bit-equal to
+    the SQL regardless of float summation order. n_sample is pure
+    integer floor division of the budget. Returns (source, n_docs,
+    w6, weight, n_sample)."""
+    parts = (_docs(sf_dir, ["doc_id", "source"])
+             .map_batches(
+                 lambda b: b.groupby("source", dropna=False)
+                            .size().rename("n_docs").reset_index(),
+                 batch_format="pandas").to_pandas())
+    agg = parts.groupby("source", as_index=False, dropna=False).sum()
+    n = agg["n_docs"].to_numpy(np.int64)
+    n_max = int(n.max())
+    # sqrt(n_i / n_max) is one IEEE-exact expression (division then
+    # correctly-rounded sqrt) — identical in numpy and DuckDB
+    w6 = np.floor(np.sqrt(n.astype(np.float64) / n_max) * 1e6
+                  + 0.5).astype(np.int64)
+    denom = int(w6.sum())
+    weight = np.floor(w6.astype(np.float64) / denom * 1e6 + 0.5) / 1e6
+    n_sample = (w6 * MIXTURE_BUDGET) // denom
+    return pd.DataFrame({"source": agg["source"], "n_docs": n,
+                         "w6": w6, "weight": weight,
+                         "n_sample": n_sample})
+
+
+def q_embedding_quantize(sf_dir: str):
+    """Symmetric int8 scalar quantization of the embedding column —
+    the vector-compression step before shipping an ANN corpus (4x
+    smaller than float32; PQ's 16-byte codes are the aggressive
+    sibling). Map-only numpy: per-vector max-abs scale, one
+    floor(x/m*127+0.5) matrix op (every operation IEEE
+    exactly-rounded, so DuckDB's identical expression matches
+    bit-for-bit). Emits integrity stats per vector: (vec_id, q_sum,
+    q_l1, n_sat)."""
+    def quant(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dim = len(col[0])
+        v = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+        m = np.abs(v).max(axis=1, keepdims=True)
+        q = np.floor(v / m * 127.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "q_sum": pa.array(q.sum(axis=1), type=pa.int64()),
+            "q_l1": pa.array(np.abs(q).sum(axis=1), type=pa.int64()),
+            "n_sat": pa.array((np.abs(q) == 127).sum(axis=1),
+                              type=pa.int64())})
+
+    return _emb(sf_dir).map_batches(quant, batch_format="pyarrow")
+
+
+#: vocabulary size for coverage (small because the synthetic corpus
+#: vocabulary is itself small; at 100 TB this is the 32k-256k
+#: tokenizer vocab — still driver-trivial)
+VOCAB_K = 16
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Tokenizer-vocabulary coverage: fraction of each doc's tokens
+    inside the corpus top-K vocabulary — the go/no-go check before
+    committing a tokenizer to a training run. Pass 1 is the
+    term_frequencies partial-agg (shuffle is vocabulary-bounded);
+    the top-K set (count desc, token asc) broadcasts into a map-only
+    pass 2 where membership is ONE isin over each batch's DISTINCT
+    tokens (dictionary-encoded), never per token occurrence. Exact
+    integer counts; coverage is a single IEEE division rounded to
+    6dp on both sides. Returns (doc_id, n_tokens, n_in_vocab,
+    coverage)."""
+    tf = _cops.term_frequencies(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    tf = tf.sort_values(["n_total", "token"], ascending=[False, True])
+    vocab = frozenset(tf.head(VOCAB_K)["token"])
+
+    def cover(batch: pa.Table) -> pa.Table:
+        arr = batch.column("text")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(arr, "")),
+                                      pattern=_cops._WS_PATTERN)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        flat = pc.list_flatten(toks)
+        doc_idx = np.repeat(np.arange(len(arr), dtype=np.int64), lens)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        doc_idx = doc_idx[np.asarray(nonempty)]
+        de = flat.dictionary_encode()
+        if isinstance(de, pa.ChunkedArray):
+            de = de.combine_chunks()
+        member = pd.Index(de.dictionary.to_pylist()).isin(vocab)
+        in_vocab = member[np.asarray(de.indices, dtype=np.int64)]
+        n_tok = np.bincount(doc_idx, minlength=len(arr)).astype(np.int64)
+        n_in = np.bincount(doc_idx, weights=in_vocab,
+                           minlength=len(arr)).astype(np.int64)
+        keep = n_tok > 0
+        cov = np.floor(n_in[keep] / n_tok[keep] * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "doc_id": pc.take(batch.column("doc_id"),
+                              pa.array(np.flatnonzero(keep))),
+            "n_tokens": pa.array(n_tok[keep], type=pa.int64()),
+            "n_in_vocab": pa.array(n_in[keep], type=pa.int64()),
+            "coverage": pa.array(cov, type=pa.float64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        cover, batch_format="pyarrow")
+
+
+def q_length_percentile(sf_dir: str):
+    """Per-lang percent_rank of document length — the curriculum /
+    length-filter calibration view. The per-lang n_chars histogram is
+    value-domain-bounded (one sharded sum shuffle, never row-sized);
+    the cumulative-count lookup broadcasts into a map-only pass. SQL
+    percent_rank semantics exactly: (count of strictly smaller rows)
+    / (n_lang - 1), one IEEE division rounded to 6dp. Returns
+    (doc_id, lang, n_chars, pct_rank)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    hist = sharded_group_sum(
+        ds.map_batches(
+            lambda b: pd.DataFrame({"lang": b["lang"], "v": b["n_chars"],
+                                    "n": np.ones(len(b), dtype=np.int64)}),
+            batch_format="pandas"),
+        keys=["lang", "v"], sum_cols=["n"]).to_pandas()
+    # per lang: sorted values -> cumulative count strictly below v
+    below: dict = {}
+    totals: dict = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("v")
+        v = g["v"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        cum = np.concatenate([[0], np.cumsum(c)[:-1]])
+        below[lang] = (v, cum)
+        totals[lang] = int(c.sum())
+
+    def rank(batch: pd.DataFrame) -> pd.DataFrame:
+        out = np.empty(len(batch), dtype=np.float64)
+        v_all = batch["n_chars"].to_numpy(np.int64)
+        langs = batch["lang"].to_numpy()
+        for lang in pd.unique(langs):
+            m = langs == lang
+            v, cum = below[lang]
+            n = totals[lang]
+            r = cum[np.searchsorted(v, v_all[m])]
+            out[m] = (np.floor(r / (n - 1) * 1e6 + 0.5) / 1e6
+                      if n > 1 else 0.0)
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "lang": batch["lang"],
+                             "n_chars": batch["n_chars"],
+                             "pct_rank": out})
+
+    return ds.map_batches(rank, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "vocab_coverage": q_vocab_coverage,
+    "length_percentile": q_length_percentile,
+    "luhn_scan": q_luhn_scan,
+    "winsorize": q_winsorize,
+    "temperature_mixture": q_temperature_mixture,
+    "embedding_quantize": q_embedding_quantize,
     "length_drift": q_length_drift,
     "compression_ratio": q_compression_ratio,
     "jsonl_roundtrip": q_jsonl_roundtrip,
@@ -5798,7 +6016,147 @@ def _pagerank_sql() -> str:
             + f" SELECT node, pr::BIGINT AS pr FROM pr{PAGERANK_ITERS}")
 
 
+def _luhn_sql() -> str:
+    """luhn_scan oracle: reproduce injection arithmetic (15-digit body
+    from doc_id, Luhn check digit) and the per-candidate checksum —
+    every constant comes from corpus_ops so the two sides cannot
+    drift. Char i (1-based) of a 16-char candidate sits at card
+    position 17-i from the right: doubled when i is odd."""
+    body_terms = " + ".join(
+        (f"CASE WHEN ((b // {10 ** k}) % 10) > 4 "
+         f"THEN 2 * ((b // {10 ** k}) % 10) - 9 "
+         f"ELSE 2 * ((b // {10 ** k}) % 10) END")
+        if k % 2 == 0 else f"((b // {10 ** k}) % 10)"
+        for k in range(15))
+    return (
+        "WITH bb AS (SELECT doc_id, coalesce(text, '') AS text, "
+        f"  (doc_id * {_cops.LUHN_MULT}) % {_cops.LUHN_BODY_MOD} AS b "
+        "  FROM documents), "
+        f"cc AS (SELECT *, ({body_terms}) AS s FROM bb), "
+        "dd AS (SELECT *, (10 - (s % 10)) % 10 AS chk FROM cc), "
+        "aug AS (SELECT doc_id, text "
+        f"  || CASE WHEN doc_id % {_cops.LUHN_VALID_MOD} = 0 "
+        "       THEN ' card ' || lpad(CAST(b AS VARCHAR), 15, '0') "
+        "            || CAST(chk AS VARCHAR) ELSE '' END "
+        f"  || CASE WHEN doc_id % {_cops.LUHN_INVALID_MOD} = 0 "
+        "       THEN ' ref ' || lpad(CAST(b AS VARCHAR), 15, '0') "
+        "            || CAST((chk + 5) % 10 AS VARCHAR) ELSE '' END "
+        "  AS t FROM dd), "
+        "cand AS (SELECT doc_id, "
+        f"  unnest(regexp_extract_all(t, '{_cops.LUHN_RUN_RE}')) AS run "
+        "  FROM aug), "
+        "v AS (SELECT doc_id, "
+        "  list_sum(list_transform(range(1, 17), i -> "
+        "    CASE WHEN i % 2 = 1 THEN "
+        "      CASE WHEN 2 * CAST(substring(run, i, 1) AS BIGINT) > 9 "
+        "        THEN 2 * CAST(substring(run, i, 1) AS BIGINT) - 9 "
+        "        ELSE 2 * CAST(substring(run, i, 1) AS BIGINT) END "
+        "    ELSE CAST(substring(run, i, 1) AS BIGINT) END)) % 10 AS m "
+        "  FROM cand), "
+        "agg AS (SELECT doc_id, count(*)::BIGINT AS n_digit_runs, "
+        "  sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS n_luhn_valid "
+        "  FROM v GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(a.n_digit_runs, 0)::BIGINT AS n_digit_runs, "
+        "  coalesce(a.n_luhn_valid, 0)::BIGINT AS n_luhn_valid "
+        "FROM documents d LEFT JOIN agg a USING (doc_id)")
+
+
+def _winsorize_sql() -> str:
+    """winsorize oracle: the group_quantiles lower-rule discrete
+    quantile (element at 0-based position (n-1)*p//100) at p1/p99 per
+    event_type, then an integer-cents clip of every event."""
+    p_lo, p_hi = WINSOR_PCTS
+    return (
+        "WITH c AS (SELECT event_id, event_type, "
+        "  CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+        "r AS (SELECT event_type, cents, "
+        "  row_number() OVER (PARTITION BY event_type ORDER BY cents) - 1 "
+        "    AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM c), "
+        "q AS (SELECT event_type, "
+        f"  max(CASE WHEN rn = ((n - 1) * {p_lo}) // 100 THEN cents END) "
+        "    AS lo, "
+        f"  max(CASE WHEN rn = ((n - 1) * {p_hi}) // 100 THEN cents END) "
+        "    AS hi "
+        "  FROM r GROUP BY event_type) "
+        "SELECT c.event_id, c.event_type, "
+        "  greatest(q.lo, least(q.hi, c.cents)) AS clipped_cents "
+        "FROM c JOIN q USING (event_type)")
+
+
 ORACLE_SQL = {
+    "vocab_coverage": (
+        # top-K vocab by (count desc, token asc), LEFT JOIN membership
+        "WITH f AS (SELECT doc_id, "
+        "  unnest(regexp_extract_all(lower(text), '\\S+')) AS token "
+        "  FROM documents), "
+        "tf AS (SELECT token, count(*)::BIGINT AS n FROM f GROUP BY token), "
+        f"vocab AS (SELECT token FROM tf ORDER BY n DESC, token ASC "
+        f"  LIMIT {VOCAB_K}), "
+        "per AS (SELECT f.doc_id, count(*)::BIGINT AS n_tokens, "
+        "  sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)::BIGINT "
+        "    AS n_in_vocab "
+        "  FROM f LEFT JOIN vocab v USING (token) GROUP BY f.doc_id) "
+        "SELECT doc_id, n_tokens, n_in_vocab, "
+        "  floor(CAST(n_in_vocab AS DOUBLE) / n_tokens * 1000000 + 0.5) "
+        "    / 1000000 AS coverage "
+        "FROM per"
+    ),
+
+    "length_percentile": (
+        # SQL percent_rank: (strictly-smaller count) / (n - 1);
+        # single-row groups emit 0.0 like the window function
+        "WITH r AS (SELECT doc_id, lang, n_chars, "
+        "  CAST(rank() OVER (PARTITION BY lang ORDER BY n_chars) - 1 "
+        "    AS BIGINT) AS below, "
+        "  count(*) OVER (PARTITION BY lang) AS n FROM documents) "
+        "SELECT doc_id, lang, n_chars, "
+        "  CASE WHEN n > 1 THEN "
+        "    floor(CAST(below AS DOUBLE) / (n - 1) * 1000000 + 0.5) "
+        "      / 1000000 ELSE 0.0 END AS pct_rank "
+        "FROM r"
+    ),
+
+    "luhn_scan": _luhn_sql(),
+    "winsorize": _winsorize_sql(),
+
+    "temperature_mixture": (
+        # e6-quantized sqrt(n/n_max) weights; INTEGER denominator so
+        # normalization is order-independent on both sides
+        "WITH s AS (SELECT source, count(*)::BIGINT AS n_docs "
+        "  FROM documents GROUP BY source), "
+        "m AS (SELECT max(n_docs) AS n_max FROM s), "
+        "w AS (SELECT source, n_docs, "
+        "  CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / n_max) * 1000000 + 0.5) "
+        "    AS BIGINT) AS w6 FROM s, m), "
+        # sum(BIGINT) is HUGEINT in DuckDB (falls out of pandas as
+        # float) — cast the integer outputs back to BIGINT
+        "d AS (SELECT CAST(sum(w6) AS BIGINT) AS denom FROM w) "
+        "SELECT source, n_docs, w6, "
+        "  floor(CAST(w6 AS DOUBLE) / denom * 1000000 + 0.5) / 1000000 "
+        "    AS weight, "
+        f"  CAST((w6 * {MIXTURE_BUDGET}) // denom AS BIGINT) AS n_sample "
+        "FROM w, d"
+    ),
+
+    "embedding_quantize": (
+        # int8 symmetric quantization: every op (cast, /, *, floor) is
+        # IEEE exactly-rounded, so the expression matches numpy bitwise
+        "WITH v AS (SELECT vec_id, "
+        "  list_transform(embedding, y -> CAST(y AS DOUBLE)) AS e "
+        "  FROM embeddings), "
+        "mm AS (SELECT vec_id, e, "
+        "  list_max(list_transform(e, y -> abs(y))) AS m FROM v), "
+        "q AS (SELECT vec_id, "
+        "  list_transform(e, y -> CAST(floor(y / m * 127.0 + 0.5) "
+        "    AS BIGINT)) AS qs FROM mm) "
+        "SELECT vec_id, "
+        "  list_sum(qs)::BIGINT AS q_sum, "
+        "  list_sum(list_transform(qs, y -> abs(y)))::BIGINT AS q_l1, "
+        "  list_sum(list_transform(qs, y -> CASE WHEN abs(y) = 127 "
+        "    THEN 1 ELSE 0 END))::BIGINT AS n_sat "
+        "FROM q"
+    ),
+
     "pagerank": _pagerank_sql(),
     "lang_histogram": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
 

@@ -2040,3 +2040,94 @@ def substring_scrub(ds: ray.data.Dataset, *, id_col: str = "doc_id",
 
     return ds.map_batches(Rewrite, batch_format="pyarrow",
                           concurrency=(2, 16))
+
+
+# ---------------------------------------------------------------------------
+# Credit-card (Luhn) scan — round-4 addition to the PII/secret-scan
+# family. The reference's regex tiers cover emails/IPs/keys/phones
+# (deterministic_extractor.py); a payment-card detector needs checksum
+# VALIDATION on top of the digit-run regex (Presidio's credit_card
+# recognizer shape), which is the part worth testing distributed: the
+# scan stays one vectorized pass, the Luhn check is a numpy matrix op
+# over fixed-width candidates, and the SQL oracle reproduces both the
+# injection arithmetic and the checksum digit-by-digit.
+
+#: multiplier for the deterministic 15-digit card body derived from
+#: doc_id (Knuth's 2^32 golden-ratio constant — shared verbatim with
+#: the SQL oracle); doc_id * LUHN_MULT stays far below int64.
+LUHN_MULT = 2654435761
+LUHN_BODY_MOD = 10 ** 15
+
+#: injection moduli: docs with doc_id % 7 == 0 get a Luhn-VALID card,
+#: docs with doc_id % 5 == 0 a Luhn-INVALID one (check digit shifted
+#: by +5); both fire on doc_id % 35 == 0. The scanner must count the
+#: runs and validate each independently.
+LUHN_VALID_MOD = 7
+LUHN_INVALID_MOD = 5
+
+#: RE2-safe 16-digit-run pattern (word-boundary delimited; RE2 has \b
+#: but no lookarounds) — shared verbatim with the DuckDB oracle.
+LUHN_RUN_RE = r"\b[0-9]{16}\b"
+
+
+def _luhn_body_and_check(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized 15-digit card body + Luhn check digit per doc_id.
+
+    Body digit at 10**k sits at card position k+2 from the right (the
+    check digit is position 1), so it is doubled when k is even."""
+    b = (ids * np.int64(LUHN_MULT)) % np.int64(LUHN_BODY_MOD)
+    s = np.zeros_like(b)
+    for k in range(15):
+        d = (b // np.int64(10 ** k)) % 10
+        if k % 2 == 0:
+            s += np.where(d > 4, 2 * d - 9, 2 * d)
+        else:
+            s += d
+    return b, (10 - s % 10) % 10
+
+
+def luhn_augment_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                       text_col: str = "text") -> pa.Table:
+    """Deterministic card-number injection (the secrets_augment
+    convention): Luhn-valid cards on doc_id % 7 == 0, Luhn-broken ones
+    on doc_id % 5 == 0. Vectorized string build (numpy digit math +
+    pandas zfill), no per-row Python."""
+    ids = np.asarray(batch.column(id_col), dtype=np.int64)
+    body, chk = _luhn_body_and_check(ids)
+    digits = pd.Series(body).astype(str).str.zfill(15)
+    valid = digits + pd.Series(chk).astype(str)
+    broken = digits + pd.Series((chk + 5) % 10).astype(str)
+    t = batch.column(text_col).to_pandas().fillna("")
+    t = t + np.where(ids % LUHN_VALID_MOD == 0, " card " + valid, "")
+    t = t + np.where(ids % LUHN_INVALID_MOD == 0, " ref " + broken, "")
+    return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                     text_col: pa.array(t, type=pa.string())})
+
+
+def luhn_scan_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                    text_col: str = "text") -> pa.Table:
+    """Payment-card scan: find 16-digit runs, validate each with the
+    Luhn checksum. Candidates are fixed-width, so validation is one
+    numpy pass over a (n_candidates, 16) digit matrix — no per-digit
+    Python. Emits one row per doc: (doc_id, n_digit_runs,
+    n_luhn_valid)."""
+    ids = np.asarray(batch.column(id_col), dtype=np.int64)
+    t = batch.column(text_col).to_pandas().fillna("")
+    found = t.str.findall(LUHN_RUN_RE)
+    counts = found.str.len().to_numpy(np.int64)
+    cands = [c for lst in found for c in lst]
+    valid_per_doc = np.zeros(len(ids), dtype=np.int64)
+    if cands:
+        m = (np.frombuffer("".join(cands).encode(), dtype=np.uint8)
+             .reshape(-1, 16).astype(np.int64) - 48)
+        # card position from the right for column j (0-based from the
+        # left) is 16 - j: doubled when even <=> j even
+        dbl = 2 * m[:, 0::2]
+        contrib = np.where(dbl > 9, dbl - 9, dbl).sum(axis=1) \
+            + m[:, 1::2].sum(axis=1)
+        ok = (contrib % 10 == 0).astype(np.int64)
+        np.add.at(valid_per_doc, np.repeat(np.arange(len(ids)), counts), ok)
+    return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                     "n_digit_runs": pa.array(counts, type=pa.int64()),
+                     "n_luhn_valid": pa.array(valid_per_doc,
+                                              type=pa.int64())})

@@ -1406,3 +1406,46 @@ def test_decontaminate_scrub_cuts_planted(ray_session):
              if i < 1000000 and i % BENCH_MOD != 0]
     # originals share no 8-gram with the benchmark docs (distinct texts)
     assert (out.loc[clean, "n_removed"] == 0).mean() > 0.95
+
+
+def test_luhn_body_check_reference():
+    # reference (per-digit string) Luhn vs the vectorized kernel
+    from incident_pii_redactor_ray.stages.corpus_ops import _luhn_body_and_check
+
+    def ref_check(body15: str) -> int:
+        s = 0
+        # card = body15 + check; body digit i (0-based from left) sits
+        # at position 16-i from the right -> doubled when i is odd from
+        # the right count, i.e. position even
+        for i, ch in enumerate(body15):
+            d = int(ch)
+            pos = 16 - i  # position from the right, check digit = 1
+            if pos % 2 == 0:
+                d = 2 * d
+                if d > 9:
+                    d -= 9
+            s += d
+        return (10 - s % 10) % 10
+
+    ids = np.arange(0, 1000, dtype=np.int64)
+    body, chk = _luhn_body_and_check(ids)
+    for i in [0, 1, 7, 35, 123, 999]:
+        b15 = str(body[i]).zfill(15)
+        assert ref_check(b15) == chk[i], i
+
+
+def test_luhn_scan_batch_known_cards():
+    from incident_pii_redactor_ray.stages.corpus_ops import luhn_scan_batch
+
+    texts = [
+        "pay with 4111111111111111 now",      # classic valid test PAN
+        "typo 4111111111111112 here",          # broken check digit
+        "x4111111111111111 glued",             # no word boundary -> not a run
+        "two 4111111111111111 and 5500005555555559",  # both valid
+        "none here",
+    ]
+    b = pa.table({"doc_id": pa.array(range(5), type=pa.int64()),
+                  "text": pa.array(texts)})
+    df = luhn_scan_batch(b).to_pandas()
+    assert list(df["n_digit_runs"]) == [1, 1, 0, 2, 0]
+    assert list(df["n_luhn_valid"]) == [1, 0, 0, 2, 0]

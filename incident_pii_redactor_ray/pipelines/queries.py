@@ -5718,11 +5718,431 @@ def q_length_percentile(sf_dir: str):
     return ds.map_batches(rank, batch_format="pandas")
 
 
+def q_html_strip(sf_dir: str):
+    """HTML-to-text extraction (round 4): deterministic tag/entity
+    injection (corpus_ops.html_augment_batch — the luhn_augment
+    convention) followed by the strip stage: remove tags, decode the
+    pinned entity chain, emit per-doc tag count, cleaned length and
+    cleaned-text md5. The trafilatura/justext slot of a web-crawl
+    pipeline, reduced to its deterministic core. Map-only, no
+    shuffle. Returns (doc_id, n_tags, clean_len, clean_md5)."""
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(_cops.html_augment_batch, batch_format="pyarrow")
+            .map_batches(_cops.html_strip_batch, batch_format="pyarrow"))
+
+
+def q_url_blocklist(sf_dir: str):
+    """URL extraction + domain blocklist (round 4): deterministic URL
+    injection, then the UT1-style gate — extract URLs, test domains
+    against the (broadcast-sized) blocklist, keep docs with zero
+    blocked hits. Map-only; the blocklist is a frozen constant shared
+    with the SQL oracle. Returns (doc_id, n_urls, n_blocked, keep)."""
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(_cops.url_augment_batch, batch_format="pyarrow")
+            .map_batches(_cops.url_blocklist_batch, batch_format="pyarrow"))
+
+
+def q_scd2_history(sf_dir: str):
+    """SCD-2 history build (round 4): collapse each user's event
+    stream (ordered by ts, event_id) into runs of identical
+    event_type and emit one validity interval per run —
+    (valid_from, valid_to) with valid_to = next run's start, NULL on
+    the open run. The slowly-changing-dimension shape every
+    warehouse pipeline needs. ONE 64-way user-sharded exchange; the
+    run split is boolean-mask vectorized inside the shard (the
+    session_windows pattern). Returns (user_id, event_type,
+    valid_from, valid_to, n_rows)."""
+    from ..stages.relational import shard_of_keys
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["event_id", "user_id", "ts", "event_type"]].copy()
+        b["shard"] = shard_of_keys(b["user_id"], 64)
+        return b
+
+    def scd2_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        n = len(g)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        first = np.flatnonzero(brk)
+        n_rows = np.diff(np.append(first, n)).astype(np.int64)
+        vf = g["ts"].to_numpy()[first]
+        ru, ret = u[first], et[first]
+        vt = pd.Series(np.roll(vf, -1))
+        same_user = np.zeros(len(first), dtype=bool)
+        same_user[:-1] = ru[1:] == ru[:-1]
+        return pd.DataFrame({"user_id": ru, "event_type": ret,
+                             "valid_from": vf,
+                             "valid_to": vt.where(same_user, pd.NaT),
+                             "n_rows": n_rows})
+
+    return (ev.map_batches(add_shard, batch_format="pandas")
+              .groupby("shard").map_groups(scd2_shard, batch_format="pandas"))
+
+
+def q_grouped_regression(sf_dir: str):
+    """Per-group OLS trend (round 4): slope and intercept of event
+    value (integer cents) against integer epoch-days, per event_type
+    — the drift/trend detector behind data-freshness monitors. The
+    five regression moments (n, Sx, Sy, Sxy, Sxx) are EXACT int64
+    partial sums inside map_batches; only the group-count-sized
+    partials reach the driver, where the final fold runs in Python
+    ints (overflow-safe — the int64 domain ends around 3e9 rows,
+    ADVICE r3 #5). slope/intercept are each ONE double division of
+    the exactly-rounded integer moments, so both sides are
+    bit-identical. Returns (event_type, n, slope, intercept)."""
+    ev = _events(sf_dir, ["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["ts"].to_numpy("datetime64[us]").view("int64") \
+            // 86_400_000_000
+        y = np.floor(b["value"].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"],
+                           "n": np.int64(1), "sx": x, "sy": y,
+                           "sxy": x * y, "sxx": x * x})
+        return df.groupby("event_type", as_index=False, dropna=False).sum()
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    rows = []
+    for etype, g in parts.groupby("event_type", dropna=False):
+        n = sum(int(v) for v in g["n"])
+        sx = sum(int(v) for v in g["sx"])
+        sy = sum(int(v) for v in g["sy"])
+        sxy = sum(int(v) for v in g["sxy"])
+        sxx = sum(int(v) for v in g["sxx"])
+        den = n * sxx - sx * sx
+        slope = np.floor(float(n * sxy - sx * sy) / float(den) * 1e6
+                         + 0.5) / 1e6
+        icept = np.floor(float(sy * sxx - sx * sxy) / float(den) * 1e6
+                         + 0.5) / 1e6
+        rows.append({"event_type": etype, "n": np.int64(n),
+                     "slope": slope, "intercept": icept})
+    return pd.DataFrame(rows)
+
+
+#: per-lang top-K terms (grouped top-k over a wide aggregate)
+LANG_TOP_K = 5
+
+
+def q_lang_top_terms(sf_dir: str):
+    """Grouped top-k terms (round 4): the K most frequent tokens per
+    language — the per-slice vocabulary inspection view. Pass 1 emits
+    per-batch (lang, token) partial counts (the term_frequencies
+    shape — the shuffle carries vocabulary-sized partials, never the
+    token stream); pass 2 groups by lang (language cardinality is
+    tiny) and takes the top K with the SQL tie order (count desc,
+    token asc). Returns (lang, token, n_total, rn)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        batch = batch.combine_chunks()
+        arr = batch.column("text")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(arr, "")),
+                                      pattern=_cops._WS_PATTERN)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        flat = pc.list_flatten(toks)
+        doc_idx = np.repeat(np.arange(len(arr), dtype=np.int64), lens)
+        ne = pc.not_equal(flat, "")
+        flat = flat.filter(ne)
+        doc_idx = doc_idx[np.asarray(ne)]
+        langs = batch.column("lang").to_pandas().to_numpy()
+        df = pd.DataFrame({
+            "lang": langs[doc_idx],
+            "token": flat.to_pandas(),
+            "n_total": np.int64(1)})
+        return df.groupby(["lang", "token"], as_index=False).sum()
+
+    counts = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["lang", "token"], sum_cols=["n_total"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_total", "token"],
+                          ascending=[False, True]).head(LANG_TOP_K)
+        g = g.reset_index(drop=True)
+        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "token", "n_total", "rn"]]
+
+    return counts.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
+def _copurchase_edges(sf_dir: str) -> pd.DataFrame:
+    """Co-purchase graph edge list: nodes = parts, edges = distinct
+    (a<b) part pairs appearing in the same order. One order-sharded
+    self-merge (vectorized pandas within the shard) plus a global
+    (a, b) distinct — both exchanges are metadata-sized. The edge
+    frame returns to the driver (part-pair-scale, the pagerank
+    broadcast trade); shared by triangle_count and
+    degree_histogram."""
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    lp = sharded_group_sum(
+        li.map_batches(lambda b: b.assign(one=np.int64(1)),
+                       batch_format="pandas"),
+        keys=["l_orderkey", "l_partkey"], sum_cols=["one"])
+
+    def add_oshard(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["l_orderkey", "l_partkey"]].copy()
+        b["shard"] = shard_of_keys(b["l_orderkey"], 64)
+        return b
+
+    def pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        out = m[["l_partkey_x", "l_partkey_y"]].drop_duplicates()
+        return pd.DataFrame({"a": out["l_partkey_x"].to_numpy(np.int64),
+                             "b": out["l_partkey_y"].to_numpy(np.int64),
+                             "one": np.int64(1)})
+
+    return sharded_group_sum(
+        lp.map_batches(add_oshard, batch_format="pandas")
+          .groupby("shard").map_groups(pairs_shard, batch_format="pandas"),
+        keys=["a", "b"], sum_cols=["one"]).to_pandas()
+
+
+def q_triangle_count(sf_dir: str):
+    """Distributed triangle count (round 4) over the co-purchase
+    graph (_copurchase_edges). The count is the broadcast-edge-set
+    algorithm — edges land at BOTH endpoints (center, nbr, side),
+    one 64-way center-sharded exchange, and each center's
+    lower×upper wedge pairs probe the sorted packed edge array
+    (ray.put once) with searchsorted. Edge state is
+    part-pair-scale, the pagerank broadcast trade; past that, the
+    closing probe becomes a bucketed join on (a,c) — documented,
+    not needed at dimension scale. Node ids must fit 32 bits for
+    the packing (parts do at any TPC-H SF). Returns ONE row
+    (n_edges, n_wedges, n_triangles)."""
+    from ..stages.relational import shard_of_keys
+
+    edges = _copurchase_edges(sf_dir)
+    ea = edges["a"].to_numpy(np.int64)
+    eb = edges["b"].to_numpy(np.int64)
+    ekey = np.sort(ea.astype(np.uint64) << np.uint64(32)
+                   | eb.astype(np.uint64))
+    ekey_ref = ray.put(ekey)
+    edge_ds = ray.data.from_pandas(pd.DataFrame({"a": ea, "b": eb}))
+
+    # every edge lands at both endpoints: (center=b, nbr=a, side=0)
+    # and (center=a, nbr=b, side=1)
+    def both_ends(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "center": np.concatenate([b, a]),
+            "nbr": np.concatenate([a, b]),
+            "side": np.concatenate([np.zeros(len(a), np.int64),
+                                    np.ones(len(a), np.int64)])})
+        out["shard"] = shard_of_keys(out["center"], 64)
+        return out
+
+    def tri_shard(g: pd.DataFrame) -> pd.DataFrame:
+        ek = ray.get(ekey_ref)
+        g = g.sort_values(["center", "side"], kind="mergesort")
+        c = g["center"].to_numpy(np.int64)
+        nb = g["nbr"].to_numpy(np.uint64)
+        sd = g["side"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.concatenate(
+            [[True], c[1:] != c[:-1]]))
+        bounds = np.append(starts, len(c))
+        n_w = 0
+        n_t = 0
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            split = lo + int(np.searchsorted(sd[lo:hi], 1))
+            below, above = nb[lo:split], nb[split:hi]
+            if len(below) == 0 or len(above) == 0:
+                continue
+            n_w += len(below) * len(above)
+            keys = (np.repeat(below, len(above)) << np.uint64(32)) \
+                | np.tile(above, len(below))
+            pos = np.searchsorted(ek, keys)
+            pos[pos == len(ek)] = 0
+            n_t += int((ek[pos] == keys).sum())
+        return pd.DataFrame({"n_wedges": [np.int64(n_w)],
+                             "n_triangles": [np.int64(n_t)]})
+
+    parts = (edge_ds.map_batches(both_ends, batch_format="pandas")
+             .groupby("shard").map_groups(tri_shard, batch_format="pandas")
+             .to_pandas())
+    return pd.DataFrame({
+        "n_edges": [np.int64(len(edges))],
+        "n_wedges": [np.int64(parts["n_wedges"].sum())],
+        "n_triangles": [np.int64(parts["n_triangles"].sum())]})
+
+
+def q_degree_histogram(sf_dir: str):
+    """Degree distribution of the co-purchase graph (round 4): the
+    first structural profile of any graph workload (power-law check,
+    hub detection). Each edge contributes to both endpoints; node
+    degrees via one sharded sum, then the histogram (degree domain
+    is bounded) via a second tiny aggregate. Returns (degree,
+    n_nodes)."""
+    edges = _copurchase_edges(sf_dir)
+    nodes = np.concatenate([edges["a"].to_numpy(np.int64),
+                            edges["b"].to_numpy(np.int64)])
+    # edges already sit on the driver (part-pair-scale); the degree
+    # fold is one bincount-style pass, no second cluster round-trip
+    _, deg = np.unique(nodes, return_counts=True)
+    dv, dn = np.unique(deg, return_counts=True)
+    return pd.DataFrame({"degree": dv.astype(np.int64),
+                         "n_nodes": dn.astype(np.int64)})
+
+
+def q_source_token_jaccard(sf_dir: str):
+    """Pairwise source-vocabulary Jaccard (round 4): the corpus-mix
+    diagnostic — how much the token vocabularies of two sources
+    overlap. Distinct (source, token) pairs via batch-local dedup +
+    one sharded distinct; per-token source pairs emitted inside a
+    64-way token-sharded exchange (the source cardinality is tiny,
+    so pairs-per-token is bounded); intersections and sizes meet on
+    the driver where jaccard = inter/union is ONE IEEE division of
+    exact ints. Pairs with empty intersection are omitted (they
+    never meet a shared token). Returns (source_a, source_b, n_a,
+    n_b, n_inter, jaccard)."""
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def st_partial(batch: pa.Table) -> pd.DataFrame:
+        batch = batch.combine_chunks()
+        arr = batch.column("text")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(arr, "")),
+                                      pattern=_cops._WS_PATTERN)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        flat = pc.list_flatten(toks)
+        doc_idx = np.repeat(np.arange(len(arr), dtype=np.int64), lens)
+        ne = pc.not_equal(flat, "")
+        flat = flat.filter(ne)
+        doc_idx = doc_idx[np.asarray(ne)]
+        srcs = batch.column("source").to_pandas().to_numpy()
+        df = pd.DataFrame({"source": srcs[doc_idx],
+                           "token": flat.to_pandas(),
+                           "one": np.int64(1)})
+        return df.drop_duplicates(["source", "token"])
+
+    st = sharded_group_sum(ds.map_batches(st_partial, batch_format="pyarrow"),
+                           keys=["source", "token"], sum_cols=["one"],
+                           how="max")
+
+    sizes = sharded_group_sum(
+        st.map_batches(lambda b: b[["source", "one"]], batch_format="pandas"),
+        keys=["source"], sum_cols=["one"]).to_pandas()
+    n_of = dict(zip(sizes["source"], sizes["one"].astype(np.int64)))
+
+    def add_tshard(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["source", "token"]].copy()
+        b["shard"] = shard_of_keys(b["token"], 64)
+        return b
+
+    def pair_shard(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="token")
+        m = m[m["source_x"] < m["source_y"]]
+        out = m.groupby(["source_x", "source_y"]).size().rename(
+            "n_inter").reset_index()
+        out["n_inter"] = out["n_inter"].astype("int64")
+        return out
+
+    pairs = (st.map_batches(add_tshard, batch_format="pandas")
+               .groupby("shard").map_groups(pair_shard, batch_format="pandas")
+               .to_pandas()
+               .groupby(["source_x", "source_y"], as_index=False)["n_inter"]
+               .sum())
+    na = pairs["source_x"].map(n_of).to_numpy(np.int64)
+    nb = pairs["source_y"].map(n_of).to_numpy(np.int64)
+    inter = pairs["n_inter"].to_numpy(np.int64)
+    jac = np.floor(inter / (na + nb - inter) * 1e6 + 0.5) / 1e6
+    return pd.DataFrame({"source_a": pairs["source_x"],
+                         "source_b": pairs["source_y"],
+                         "n_a": na, "n_b": nb, "n_inter": inter,
+                         "jaccard": jac})
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts (round 4): how often event_type X is
+    followed by Y within a user's stream (ordered by ts, event_id) —
+    the behavioral-sequence profile behind session models. ONE
+    64-way user-sharded exchange; adjacency is a shift-mask inside
+    the shard; the (prev, next) count matrix is type²-bounded.
+    Returns (prev_type, next_type, n)."""
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["event_id", "user_id", "ts", "event_type"]].copy()
+        b["shard"] = shard_of_keys(b["user_id"], 64)
+        return b
+
+    def trans_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        df = pd.DataFrame({"prev_type": et[:-1][same],
+                           "next_type": et[1:][same],
+                           "n": np.int64(1)})
+        return df.groupby(["prev_type", "next_type"], as_index=False).sum()
+
+    parts = (ev.map_batches(add_shard, batch_format="pandas")
+               .groupby("shard").map_groups(trans_shard,
+                                            batch_format="pandas"))
+    return sharded_group_sum(parts, keys=["prev_type", "next_type"],
+                             sum_cols=["n"], num_shards=16)
+
+
+def q_daily_new_users(sf_dir: str):
+    """Daily new-user counts with a cumulative total (round 4): the
+    growth-accounting view. First-seen epoch-day per user via one
+    sharded MIN (the exchange carries (user, day) partials); the
+    per-day rollup and running sum fold on the driver over the
+    bounded day domain. Returns (day, n_new, cum_users)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy("datetime64[us]").view("int64") \
+            // 86_400_000_000
+        return pd.DataFrame({"user_id": b["user_id"], "day": day})
+
+    first = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["user_id"], sum_cols=["day"], how="min").to_pandas()
+    days, counts = np.unique(first["day"].to_numpy(np.int64),
+                             return_counts=True)
+    return pd.DataFrame({"day": days.astype(np.int64),
+                         "n_new": counts.astype(np.int64),
+                         "cum_users": np.cumsum(counts).astype(np.int64)})
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "html_strip": q_html_strip,
+    "url_blocklist": q_url_blocklist,
+    "scd2_history": q_scd2_history,
+    "grouped_regression": q_grouped_regression,
+    "lang_top_terms": q_lang_top_terms,
+    "triangle_count": q_triangle_count,
+    "degree_histogram": q_degree_histogram,
+    "source_token_jaccard": q_source_token_jaccard,
+    "event_transitions": q_event_transitions,
+    "daily_new_users": q_daily_new_users,
     "vocab_coverage": q_vocab_coverage,
     "length_percentile": q_length_percentile,
     "luhn_scan": q_luhn_scan,
@@ -6118,6 +6538,168 @@ ORACLE_SQL = {
 
     "luhn_scan": _luhn_sql(),
     "winsorize": _winsorize_sql(),
+
+    "html_strip": (
+        # same injection arithmetic, regexp tag strip, entity chain in
+        # the PINNED order (amp last)
+        "WITH aug AS (SELECT doc_id, coalesce(text, '') "
+        f"  || CASE WHEN doc_id % {_cops.HTML_P_MOD} = 0 THEN "
+        f"       ' <p id=\"p' || CAST(doc_id % {_cops.HTML_ID_MOD} "
+        "         AS VARCHAR) || '\">x&amp;y</p>' ELSE '' END "
+        f"  || CASE WHEN doc_id % {_cops.HTML_BR_MOD} = 0 THEN "
+        "       ' <br/> &lt;raw&gt; &quot;q&quot;' ELSE '' END AS t "
+        "  FROM documents), "
+        "s AS (SELECT doc_id, "
+        f"  len(regexp_extract_all(t, '{_cops.HTML_TAG_RE}'))::BIGINT "
+        "    AS n_tags, "
+        "  replace(replace(replace(replace("
+        f"    regexp_replace(t, '{_cops.HTML_TAG_RE}', '', 'g'), "
+        "    '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+        "    '&amp;', '&') AS clean "
+        "  FROM aug) "
+        "SELECT doc_id, n_tags, length(clean)::BIGINT AS clean_len, "
+        "  md5(clean) AS clean_md5 FROM s"
+    ),
+
+    "url_blocklist": (
+        "WITH aug AS (SELECT doc_id, coalesce(text, '') "
+        f"  || CASE WHEN doc_id % {_cops.URL_HTTP_MOD} = 0 THEN "
+        f"       ' http://d' || CAST(doc_id % {_cops.URL_D_MOD} AS VARCHAR) "
+        f"       || '.example.com/p' || CAST(doc_id % {_cops.URL_P_MOD} "
+        "          AS VARCHAR) ELSE '' END "
+        f"  || CASE WHEN doc_id % {_cops.URL_HTTPS_MOD} = 0 THEN "
+        f"       ' https://s' || CAST(doc_id % {_cops.URL_S_MOD} AS VARCHAR) "
+        f"       || '.example.org/q' || CAST(doc_id % {_cops.URL_P_MOD} "
+        "          AS VARCHAR) ELSE '' END AS t "
+        "  FROM documents), "
+        "u AS (SELECT doc_id, "
+        f"  unnest(regexp_extract_all(t, '{_cops.URL_DOMAIN_RE}', 1)) "
+        "    AS dom FROM aug), "
+        "agg AS (SELECT doc_id, count(*)::BIGINT AS n_urls, "
+        "  sum(CASE WHEN dom IN ("
+        + ", ".join(f"'{d}'" for d in sorted(_cops.url_blocklist_domains()))
+        + ") THEN 1 ELSE 0 END)::BIGINT AS n_blocked "
+        "  FROM u GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(a.n_urls, 0)::BIGINT AS n_urls, "
+        "  coalesce(a.n_blocked, 0)::BIGINT AS n_blocked, "
+        "  CASE WHEN coalesce(a.n_blocked, 0) = 0 THEN 1 ELSE 0 "
+        "    END::BIGINT AS keep "
+        "FROM documents d LEFT JOIN agg a USING (doc_id)"
+    ),
+
+    "scd2_history": (
+        # run split by lag() over (ts, event_id); intervals by lead()
+        # over run start with the min-event-id tie-break (equal-ts runs)
+        "WITH o AS (SELECT user_id, event_type, ts, event_id, "
+        "  lag(event_type) OVER (PARTITION BY user_id "
+        "    ORDER BY ts, event_id) AS prev_t FROM events), "
+        "m AS (SELECT *, CASE WHEN prev_t IS NULL OR prev_t <> event_type "
+        "  THEN 1 ELSE 0 END AS brk FROM o), "
+        "r AS (SELECT *, sum(brk) OVER (PARTITION BY user_id "
+        "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run_id "
+        "  FROM m), "
+        "g AS (SELECT user_id, run_id, min(event_type) AS event_type, "
+        "  min(ts) AS valid_from, min(event_id) AS mei, "
+        "  count(*)::BIGINT AS n_rows FROM r GROUP BY user_id, run_id) "
+        "SELECT user_id, event_type, valid_from, "
+        "  lead(valid_from) OVER (PARTITION BY user_id "
+        "    ORDER BY valid_from, mei) AS valid_to, n_rows FROM g"
+    ),
+
+    "grouped_regression": (
+        # exact integer moments in HUGEINT, ONE double division each —
+        # bit-identical to the engine's Python-int fold
+        "WITH b AS (SELECT event_type, "
+        "  epoch_us(ts) // 86400000000 AS x, "
+        "  CAST(round(value * 100) AS BIGINT) AS y FROM events), "
+        "s AS (SELECT event_type, count(*)::HUGEINT AS n, "
+        "  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy, "
+        "  sum(CAST(x AS HUGEINT) * y) AS sxy, "
+        "  sum(CAST(x AS HUGEINT) * x) AS sxx FROM b GROUP BY event_type) "
+        "SELECT event_type, CAST(n AS BIGINT) AS n, "
+        "  floor(CAST(n * sxy - sx * sy AS DOUBLE) "
+        "    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5) "
+        "    / 1000000 AS slope, "
+        "  floor(CAST(sy * sxx - sx * sxy AS DOUBLE) "
+        "    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5) "
+        "    / 1000000 AS intercept "
+        "FROM s"
+    ),
+
+    "lang_top_terms": (
+        "WITH f AS (SELECT lang, "
+        "  unnest(regexp_extract_all(lower(text), '\\S+')) AS token "
+        "  FROM documents), "
+        "tf AS (SELECT lang, token, count(*)::BIGINT AS n_total "
+        "  FROM f GROUP BY lang, token), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY lang "
+        "  ORDER BY n_total DESC, token ASC) AS rn FROM tf) "
+        "SELECT lang, token, n_total, rn::BIGINT AS rn FROM r "
+        f"WHERE rn <= {LANG_TOP_K}"
+    ),
+
+    "triangle_count": (
+        # e0: distinct co-purchase part pairs (a<b); wedges a-b-c with
+        # a<b<c come free from the orientation; triangles close on (a,c)
+        "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b "
+        "  FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey "
+        "  AND x.l_partkey < y.l_partkey), "
+        "w AS (SELECT e1.a, e1.b, e2.b AS c FROM e0 e1 "
+        "  JOIN e0 e2 ON e1.b = e2.a) "
+        "SELECT (SELECT count(*) FROM e0)::BIGINT AS n_edges, "
+        "  (SELECT count(*) FROM w)::BIGINT AS n_wedges, "
+        "  (SELECT count(*) FROM w JOIN e0 e3 "
+        "     ON w.a = e3.a AND w.c = e3.b)::BIGINT AS n_triangles"
+    ),
+
+    "degree_histogram": (
+        "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b "
+        "  FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey "
+        "  AND x.l_partkey < y.l_partkey), "
+        "n AS (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0), "
+        "d AS (SELECT node, count(*)::BIGINT AS degree FROM n "
+        "  GROUP BY node) "
+        "SELECT degree, count(*)::BIGINT AS n_nodes FROM d GROUP BY degree"
+    ),
+
+    "source_token_jaccard": (
+        "WITH st AS (SELECT DISTINCT source, token FROM "
+        "  (SELECT source, unnest(regexp_extract_all(lower(text), '\\S+')) "
+        "    AS token FROM documents)), "
+        "sz AS (SELECT source, count(*)::BIGINT AS n FROM st "
+        "  GROUP BY source), "
+        "p AS (SELECT x.source AS source_a, y.source AS source_b, "
+        "  count(*)::BIGINT AS n_inter FROM st x JOIN st y "
+        "  ON x.token = y.token AND x.source < y.source "
+        "  GROUP BY 1, 2) "
+        "SELECT source_a, source_b, a.n AS n_a, b.n AS n_b, n_inter, "
+        "  floor(CAST(n_inter AS DOUBLE) / (a.n + b.n - n_inter) "
+        "    * 1000000 + 0.5) / 1000000 AS jaccard "
+        "FROM p JOIN sz a ON source_a = a.source "
+        "JOIN sz b ON source_b = b.source"
+    ),
+
+    "event_transitions": (
+        "WITH o AS (SELECT user_id, event_type, "
+        "  lag(event_type) OVER (PARTITION BY user_id "
+        "    ORDER BY ts, event_id) AS prev_type FROM events) "
+        "SELECT prev_type, event_type AS next_type, "
+        "  count(*)::BIGINT AS n FROM o WHERE prev_type IS NOT NULL "
+        "GROUP BY prev_type, next_type"
+    ),
+
+    "daily_new_users": (
+        "WITH f AS (SELECT user_id, "
+        "  min(epoch_us(ts) // 86400000000) AS day FROM events "
+        "  GROUP BY user_id), "
+        "d AS (SELECT day, count(*)::BIGINT AS n_new FROM f GROUP BY day) "
+        "SELECT day, n_new, "
+        "  CAST(sum(n_new) OVER (ORDER BY day "
+        "    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users "
+        "FROM d"
+    ),
 
     "temperature_mixture": (
         # e6-quantized sqrt(n/n_max) weights; INTEGER denominator so

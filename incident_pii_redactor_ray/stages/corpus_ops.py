@@ -2131,3 +2131,128 @@ def luhn_scan_batch(batch: pa.Table, *, id_col: str = "doc_id",
                      "n_digit_runs": pa.array(counts, type=pa.int64()),
                      "n_luhn_valid": pa.array(valid_per_doc,
                                               type=pa.int64())})
+
+
+# --- HTML extraction + URL blocklist (web-pipeline text cleanup) ------------
+
+#: deterministic HTML injection (the luhn_augment convention: modulus
+#: gates + id arithmetic so the SQL oracle reproduces the exact bytes)
+HTML_P_MOD = 3
+HTML_BR_MOD = 4
+HTML_ID_MOD = 97
+HTML_TAG_RE = r"<[^>]*>"
+#: entity decode chain — ORDER IS THE SPEC (amp decoded LAST so it
+#: cannot re-create entities); engine and SQL apply the same chain
+HTML_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&amp;", "&"))
+
+
+def html_augment_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                       text_col: str = "text") -> pa.Table:
+    """Deterministic HTML injection: a <p> block (with an id attribute
+    and entity-encoded payload) on doc_id % HTML_P_MOD == 0, a
+    self-closing tag plus raw entities on doc_id % HTML_BR_MOD == 0.
+    Vectorized string build, no per-row Python."""
+    ids = np.asarray(batch.column(id_col), dtype=np.int64)
+    t = batch.column(text_col).to_pandas().fillna("")
+    pid = pd.Series(ids % HTML_ID_MOD).astype(str)
+    t = t + np.where(ids % HTML_P_MOD == 0,
+                     ' <p id="p' + pid + '">x&amp;y</p>', "")
+    t = t + np.where(ids % HTML_BR_MOD == 0,
+                     ' <br/> &lt;raw&gt; &quot;q&quot;', "")
+    return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                     text_col: pa.array(t, type=pa.string())})
+
+
+def html_strip_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> pa.Table:
+    """HTML-to-text extraction (the trafilatura/justext slot of a web
+    corpus pipeline, reduced to its deterministic core): remove tags
+    (HTML_TAG_RE), decode the fixed entity chain, report per doc the
+    tag count, cleaned length (code points) and cleaned-text md5.
+    Tag removal and entity decode are vectorized pandas str kernels;
+    only the md5 digests walk rows (one hashlib call per doc — bounded
+    by doc count, not text size)."""
+    ids = np.asarray(batch.column(id_col), dtype=np.int64)
+    t = batch.column(text_col).to_pandas().fillna("")
+    n_tags = t.str.count(HTML_TAG_RE).to_numpy(np.int64)
+    clean = t.str.replace(HTML_TAG_RE, "", regex=True)
+    for ent, ch in HTML_ENTITIES:
+        clean = clean.str.replace(ent, ch, regex=False)
+    md5s = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in clean]
+    return pa.table({
+        id_col: pa.array(ids, type=pa.int64()),
+        "n_tags": pa.array(n_tags, type=pa.int64()),
+        "clean_len": pa.array(clean.str.len().to_numpy(np.int64),
+                              type=pa.int64()),
+        "clean_md5": pa.array(md5s, type=pa.string())})
+
+
+#: deterministic URL injection + domain blocklist (UT1-style): every
+#: constant is shared with the SQL oracle
+URL_HTTP_MOD = 2
+URL_HTTPS_MOD = 5
+URL_D_MOD = 23
+URL_S_MOD = 17
+URL_P_MOD = 11
+URL_BLOCK_STEP = 3
+#: explicit ASCII-whitespace complement — identical RE2/Python/DuckDB
+#: semantics (the _WS_PATTERN convention)
+URL_RE = r"https?://[^ \t\n\f\r]+"
+URL_DOMAIN_RE = r"https?://([^/ \t\n\f\r]+)"
+
+
+def url_blocklist_domains() -> frozenset:
+    """The blocklist: every injected domain whose shard index is a
+    multiple of URL_BLOCK_STEP — deterministic, so the SQL oracle can
+    enumerate the identical set."""
+    return frozenset(
+        [f"d{n}.example.com" for n in range(URL_D_MOD)
+         if n % URL_BLOCK_STEP == 0]
+        + [f"s{n}.example.org" for n in range(URL_S_MOD)
+           if n % URL_BLOCK_STEP == 0])
+
+
+def url_augment_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                      text_col: str = "text") -> pa.Table:
+    """Deterministic URL injection: an http URL on doc_id %
+    URL_HTTP_MOD == 0 and an https URL on doc_id % URL_HTTPS_MOD == 0,
+    domains cycling through small modulus classes so a fixed fraction
+    lands on the blocklist."""
+    ids = np.asarray(batch.column(id_col), dtype=np.int64)
+    t = batch.column(text_col).to_pandas().fillna("")
+    d = pd.Series(ids % URL_D_MOD).astype(str)
+    s = pd.Series(ids % URL_S_MOD).astype(str)
+    p = pd.Series(ids % URL_P_MOD).astype(str)
+    t = t + np.where(ids % URL_HTTP_MOD == 0,
+                     " http://d" + d + ".example.com/p" + p, "")
+    t = t + np.where(ids % URL_HTTPS_MOD == 0,
+                     " https://s" + s + ".example.org/q" + p, "")
+    return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                     text_col: pa.array(t, type=pa.string())})
+
+
+def url_blocklist_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                        text_col: str = "text") -> pa.Table:
+    """URL extraction + domain-blocklist gate (the UT1/robots stage of
+    a crawl pipeline): extract every URL (URL_RE), take its domain,
+    test membership against the broadcast-sized blocklist, emit per doc
+    (n_urls, n_blocked, keep) with keep = 1 iff no blocked domain.
+    findall + a flat pandas isin — the only per-row Python is the
+    regex engine itself."""
+    block = url_blocklist_domains()
+    ids = np.asarray(batch.column(id_col), dtype=np.int64)
+    t = batch.column(text_col).to_pandas().fillna("")
+    doms = t.str.findall(URL_DOMAIN_RE)
+    n_urls = doms.str.len().to_numpy(np.int64)
+    flat = pd.Series([d for lst in doms for d in lst])
+    n_blocked = np.zeros(len(ids), dtype=np.int64)
+    if len(flat):
+        hit = flat.isin(block).to_numpy(np.int64)
+        np.add.at(n_blocked, np.repeat(np.arange(len(ids)), n_urls), hit)
+    return pa.table({
+        id_col: pa.array(ids, type=pa.int64()),
+        "n_urls": pa.array(n_urls, type=pa.int64()),
+        "n_blocked": pa.array(n_blocked, type=pa.int64()),
+        "keep": pa.array((n_blocked == 0).astype(np.int64),
+                         type=pa.int64())})

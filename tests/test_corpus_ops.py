@@ -1449,3 +1449,173 @@ def test_luhn_scan_batch_known_cards():
     df = luhn_scan_batch(b).to_pandas()
     assert list(df["n_digit_runs"]) == [1, 1, 0, 2, 0]
     assert list(df["n_luhn_valid"]) == [1, 0, 0, 2, 0]
+
+
+# --- round-4 wave 2: html/url/scd2/regression/triangles ---------------------
+
+
+def test_html_strip_entity_chain_order():
+    """The entity chain decodes amp LAST: '&amp;lt;' must become
+    '&lt;' (NOT '<'), and tags with attributes vanish entirely."""
+    import pyarrow as pa
+
+    from incident_pii_redactor_ray.stages.corpus_ops import html_strip_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "text": pa.array(['<p id="x">a&amp;lt;b</p> &quot;q&quot;'])})
+    out = html_strip_batch(t).to_pandas().iloc[0]
+    import hashlib
+    clean = 'a&lt;b "q"'
+    assert out["n_tags"] == 2
+    assert out["clean_len"] == len(clean)
+    assert out["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
+
+
+def test_url_blocklist_handbuilt():
+    """Blocked and clean domains counted per doc; keep iff zero hits."""
+    import pyarrow as pa
+
+    from incident_pii_redactor_ray.stages.corpus_ops import (
+        url_blocklist_batch, url_blocklist_domains)
+
+    assert "d0.example.com" in url_blocklist_domains()
+    assert "d1.example.com" not in url_blocklist_domains()
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "see http://d0.example.com/p1 and https://d1.example.com/x",
+            "clean http://d1.example.com/y only",
+            "no urls at all"])})
+    out = url_blocklist_batch(t).to_pandas()
+    assert out["n_urls"].tolist() == [2, 1, 0]
+    assert out["n_blocked"].tolist() == [1, 0, 0]
+    assert out["keep"].tolist() == [0, 1, 1]
+
+
+def test_scd2_history_handbuilt(ray_session, tmp_path):
+    """One user: view->view->buy->view collapses to three intervals;
+    the open run has NULL valid_to; a second user's runs don't chain
+    into the first's."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_scd2_history
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    us = 1_000_000
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(6), type=pa.int64()),
+        "ts": pa.array([1 * us, 2 * us, 3 * us, 4 * us, 1 * us, 9 * us],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], type=pa.int64()),
+        "event_type": pa.array(["view", "view", "buy", "view",
+                                "buy", "buy"]),
+        "value": pa.array([0.0] * 6),
+        "props": pa.array(["{}"] * 6)}), str(sf / "events.parquet"))
+    out = (q_scd2_history(str(sf)).to_pandas()
+           .sort_values(["user_id", "valid_from"]).reset_index(drop=True))
+    assert len(out) == 4
+    u1 = out[out["user_id"] == 1]
+    assert u1["event_type"].tolist() == ["view", "buy", "view"]
+    assert u1["n_rows"].tolist() == [2, 1, 1]
+    assert u1["valid_to"].isna().tolist() == [False, False, True]
+    assert (u1["valid_to"].iloc[0] == u1["valid_from"].iloc[1])
+    u2 = out[out["user_id"] == 2]
+    assert u2["n_rows"].tolist() == [2] and u2["valid_to"].isna().all()
+
+
+def test_grouped_regression_exact_line(ray_session, tmp_path):
+    """Events lying exactly on cents = 2*day + 5 recover slope 2,
+    intercept 5 per group."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_grouped_regression)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    day_us = 86_400_000_000
+    days = [10, 20, 30, 40]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(4), type=pa.int64()),
+        "ts": pa.array([d * day_us for d in days], type=pa.timestamp("us")),
+        "user_id": pa.array([1] * 4, type=pa.int64()),
+        "event_type": pa.array(["view"] * 4),
+        "value": pa.array([(2 * d + 5) / 100.0 for d in days]),
+        "props": pa.array(["{}"] * 4)}), str(sf / "events.parquet"))
+    out = q_grouped_regression(str(sf))
+    assert out["slope"].tolist() == [2.0]
+    assert out["intercept"].tolist() == [5.0]
+    assert out["n"].tolist() == [4]
+
+
+def test_triangle_count_handbuilt(ray_session, tmp_path):
+    """Order 1 buys parts {1,2,3} (a triangle), order 2 buys {3,4}:
+    4 edges, 3 oriented wedges, exactly 1 triangle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_triangle_count
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+        "l_partkey": pa.array([1, 2, 3, 3, 4], type=pa.int64())}),
+        str(sf / "lineitem.parquet"))
+    out = q_triangle_count(str(sf))
+    assert out["n_edges"].tolist() == [4]
+    assert out["n_wedges"].tolist() == [3]
+    assert out["n_triangles"].tolist() == [1]
+
+
+def test_event_transitions_handbuilt(ray_session, tmp_path):
+    """u1: a->b->a gives (a,b) and (b,a); u2's single event emits
+    nothing; cross-user adjacency never counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_event_transitions)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    us = 1_000_000
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(4), type=pa.int64()),
+        "ts": pa.array([1 * us, 2 * us, 3 * us, 1 * us],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "z"]),
+        "value": pa.array([0.0] * 4),
+        "props": pa.array(["{}"] * 4)}), str(sf / "events.parquet"))
+    out = (q_event_transitions(str(sf)).to_pandas()
+           .sort_values(["prev_type", "next_type"]).reset_index(drop=True))
+    assert out.values.tolist() == [["a", "b", 1], ["b", "a", 1]]
+
+
+def test_source_token_jaccard_handbuilt(ray_session, tmp_path):
+    """Two sources sharing half their vocabularies: jaccard = 1/3."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_source_token_jaccard)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["x y", "y z"]),
+        "lang": pa.array(["en", "en"]),
+        "source": pa.array(["s1", "s2"]),
+        "n_chars": pa.array([3, 3], type=pa.int64())}),
+        str(sf / "documents.parquet"))
+    out = q_source_token_jaccard(str(sf))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["n_a"], r["n_b"], r["n_inter"]) == (2, 2, 1)
+    assert r["jaccard"] == 0.333333

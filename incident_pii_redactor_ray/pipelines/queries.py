@@ -6128,11 +6128,250 @@ def q_daily_new_users(sf_dir: str):
                          "cum_users": np.cumsum(counts).astype(np.int64)})
 
 
+K_ANON = 10          # k-anonymity threshold for the QI-cell audit
+FFILL_MASKED = "view"  # event_type whose values forward_fill treats as missing
+
+
+def q_group_split(sf_dir: str):
+    """Leakage-free GROUP-level train/val/test split (round 4): the
+    split every training pipeline needs when rows share an entity —
+    assigning by fmix32(user_id) puts ALL of a user's events in one
+    split, so no user leaks across train/val. Two metadata-only
+    exchanges: (user, split) partials sharded by user, then a 3-group
+    rollup. Returns (split, n_users, n_events)."""
+    from ..functions.hashing import fmix32
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("user_id", as_index=False).size()
+        return g.rename(columns={"size": "n_events"})
+
+    per_user = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["user_id"], sum_cols=["n_events"], num_shards=64)
+
+    def to_split(b: pd.DataFrame) -> pd.DataFrame:
+        bk = fmix32(b["user_id"].to_numpy(np.int64)) % np.uint32(16)
+        split = np.where(bk < 13, "train", np.where(bk < 14, "val", "test"))
+        return pd.DataFrame({"split": split, "n_users": np.int64(1),
+                             "n_events": b["n_events"].astype(np.int64)})
+
+    return sharded_group_sum(
+        per_user.map_batches(to_split, batch_format="pandas"),
+        keys=["split"], sum_cols=["n_users", "n_events"], num_shards=4)
+
+
+def q_forward_fill(sf_dir: str):
+    """Per-key LOCF forward fill (round 4): the standard sensor/event
+    gap-repair op. '{FFILL_MASKED}' events are treated as missing; each
+    is filled with the user's most recent non-masked value in (ts,
+    event_id) order (NULL before any). ONE user-sharded exchange; the
+    fill inside a shard is a vectorized index-propagation
+    (maximum.accumulate), no Python row loop.
+    Returns (event_id, user_id, filled_value)."""
+    from ..stages.relational import shard_of_keys
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type",
+                          "value"])
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["shard"] = shard_of_keys(b["user_id"], 64)
+        return b
+
+    def fill_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        v = g["value"].to_numpy(np.float64).copy()
+        masked = g["event_type"].to_numpy() == FFILL_MASKED
+        n = len(g)
+        # index of the latest non-masked row at-or-before each row,
+        # reset at user boundaries: maximum.accumulate over per-user
+        # segment-starts and non-masked positions
+        idx = np.arange(n)
+        src = np.where(masked, -1, idx)
+        starts = np.zeros(n, dtype=np.int64)
+        if n:
+            new_user = np.empty(n, dtype=bool)
+            new_user[0] = True
+            new_user[1:] = u[1:] != u[:-1]
+            starts = np.maximum.accumulate(np.where(new_user, idx, 0))
+        src = np.maximum.accumulate(np.where(src >= starts, src, -1)
+                                    if n else src)
+        # a fill source from an earlier user is invalid
+        valid = (src >= 0) & (src >= starts)
+        out = np.where(valid, v[np.clip(src, 0, None)], np.nan)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": u,
+            "filled_value": np.round(out, 6)})
+
+    return (ev.map_batches(add_shard, batch_format="pandas")
+              .groupby("shard").map_groups(fill_shard,
+                                           batch_format="pandas"))
+
+
+def q_gaps_islands(sf_dir: str):
+    """Gaps-and-islands (round 4): per user, runs of CONSECUTIVE active
+    days — the classic streak/retention shape. ONE user-sharded
+    exchange of (user, day) pairs; island segmentation inside the
+    shard is one vectorized diff+cumsum pass.
+    Returns (user_id, n_islands, longest)."""
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy("datetime64[us]").view("int64") \
+            // 86_400_000_000
+        df = pd.DataFrame({"user_id": b["user_id"].to_numpy(np.int64),
+                           "day": day}).drop_duplicates()
+        df["one"] = np.int64(1)
+        return df
+
+    days = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["user_id", "day"], sum_cols=["one"], how="max",
+        num_shards=64).drop_columns(["one"])
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["shard"] = shard_of_keys(b["user_id"], 64)
+        return b
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        n = len(g)
+        if not n:
+            return pd.DataFrame({"user_id": [], "n_islands": [],
+                                 "longest": []}).astype(np.int64)
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        isl = np.cumsum(brk) - 1
+        lens = np.bincount(isl)
+        df = pd.DataFrame({"user_id": u[brk], "len": lens})
+        out = df.groupby("user_id").agg(n_islands=("len", "size"),
+                                        longest=("len", "max"))
+        return out.reset_index().astype(np.int64)
+
+    return (days.map_batches(add_shard, batch_format="pandas")
+                .groupby("shard").map_groups(islands,
+                                             batch_format="pandas"))
+
+
+def q_ohlc_daily(sf_dir: str):
+    """Daily OHLC bars over the event value stream (round 4): open =
+    value at the smallest (ts, event_id) of the day, close at the
+    largest, high/low/count — the time-bucketed first/last aggregate
+    Ray Data lacks natively. Per-batch partials carry ONE row per
+    (batch, day) with its boundary keys; the day-grouped final picks
+    the global boundaries. The exchange is partial-rows only.
+    Returns (day, open, high, low, close, n)."""
+    ev = _events(sf_dir, ["event_id", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        tus = b["ts"].to_numpy("datetime64[us]").view("int64")
+        df = pd.DataFrame({"day": tus // 86_400_000_000, "tus": tus,
+                           "event_id": b["event_id"].to_numpy(np.int64),
+                           "value": b["value"].to_numpy(np.float64)})
+        df = df.sort_values(["day", "tus", "event_id"], kind="mergesort")
+        g = df.groupby("day")
+        first = g.first()
+        last = g.last()
+        return pd.DataFrame({
+            "day": first.index.to_numpy(np.int64),
+            "f_tus": first["tus"].to_numpy(np.int64),
+            "f_eid": first["event_id"].to_numpy(np.int64),
+            "open": first["value"].to_numpy(np.float64),
+            "l_tus": last["tus"].to_numpy(np.int64),
+            "l_eid": last["event_id"].to_numpy(np.int64),
+            "close": last["value"].to_numpy(np.float64),
+            "high": g["value"].max().to_numpy(np.float64),
+            "low": g["value"].min().to_numpy(np.float64),
+            "n": g.size().to_numpy(np.int64)})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        go = g.sort_values(["f_tus", "f_eid"], kind="mergesort")
+        gc = g.sort_values(["l_tus", "l_eid"], kind="mergesort")
+        return pd.DataFrame({
+            "day": [np.int64(g["day"].iloc[0])],
+            "open": [round(float(go["open"].iloc[0]), 6)],
+            "high": [round(float(g["high"].max()), 6)],
+            "low": [round(float(g["low"].min()), 6)],
+            "close": [round(float(gc["close"].iloc[-1]), 6)],
+            "n": [np.int64(g["n"].sum())]})
+
+    return (ev.map_batches(partial, batch_format="pandas")
+              .groupby("day").map_groups(final, batch_format="pandas"))
+
+
+def q_event_trigrams(sf_dir: str):
+    """Per-user event-type 3-gram counts (round 4): the sequence-mining
+    extension of event_transitions — (X, Y, Z) windows within a user's
+    (ts, event_id)-ordered stream. ONE user-sharded exchange; the
+    double shift-mask is vectorized; output is type³-bounded.
+    Returns (t1, t2, t3, n)."""
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["event_id", "user_id", "ts", "event_type"]].copy()
+        b["shard"] = shard_of_keys(b["user_id"], 64)
+        return b
+
+    def tri_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        if len(g) < 3:
+            return pd.DataFrame({"t1": [], "t2": [], "t3": [],
+                                 "n": pd.Series([], dtype=np.int64)})
+        same = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+        df = pd.DataFrame({"t1": et[:-2][same], "t2": et[1:-1][same],
+                           "t3": et[2:][same], "n": np.int64(1)})
+        return df.groupby(["t1", "t2", "t3"], as_index=False).sum()
+
+    parts = (ev.map_batches(add_shard, batch_format="pandas")
+               .groupby("shard").map_groups(tri_shard,
+                                            batch_format="pandas"))
+    return sharded_group_sum(parts, keys=["t1", "t2", "t3"],
+                             sum_cols=["n"], num_shards=16)
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit over quasi-identifiers (round 4): the
+    re-identification-risk check that belongs next to a PII scrubber —
+    every (nationkey, mktsegment) cell's population, flagged when it
+    is below k={K_ANON} (an attacker can corner those customers). One
+    bounded-domain groupby. Returns (c_nationkey, c_mktsegment, n,
+    is_anonymous)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_nationkey", "c_mktsegment"])
+    out = ds.groupby(["c_nationkey", "c_mktsegment"]).aggregate(
+        Count(alias_name="n")).to_pandas()
+    out["c_nationkey"] = out["c_nationkey"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    out["is_anonymous"] = (out["n"] >= K_ANON).astype(np.int64)
+    return out[["c_nationkey", "c_mktsegment", "n", "is_anonymous"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "group_split": q_group_split,
+    "forward_fill": q_forward_fill,
+    "gaps_islands": q_gaps_islands,
+    "ohlc_daily": q_ohlc_daily,
+    "event_trigrams": q_event_trigrams,
+    "k_anonymity": q_k_anonymity,
     "html_strip": q_html_strip,
     "url_blocklist": q_url_blocklist,
     "scd2_history": q_scd2_history,
@@ -6504,6 +6743,68 @@ def _winsorize_sql() -> str:
 
 
 ORACLE_SQL = {
+    "group_split": (
+        # fmix32(user_id) % 16 -> leakage-free user-level split
+        "WITH u AS (SELECT user_id, count(*)::BIGINT AS n_events "
+        "  FROM events GROUP BY user_id), "
+        + _fmix32_sql_ctes("user_id", "user_id, n_events", "u")
+        + " SELECT CASE WHEN h % 16 < 13 THEN 'train' "
+        "WHEN h % 16 < 14 THEN 'val' ELSE 'test' END AS split, "
+        "count(*)::BIGINT AS n_users, "
+        "CAST(sum(n_events) AS BIGINT) AS n_events FROM hf GROUP BY 1"
+    ),
+
+    "forward_fill": (
+        f"SELECT event_id, user_id, round(last_value("
+        f"  CASE WHEN event_type = '{FFILL_MASKED}' THEN NULL "
+        "   ELSE value END IGNORE NULLS) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS UNBOUNDED PRECEDING), 6) AS filled_value FROM events"
+    ),
+
+    "gaps_islands": (
+        "WITH d AS (SELECT DISTINCT user_id, "
+        "  epoch_us(ts) // 86400000000 AS day FROM events), "
+        "r AS (SELECT user_id, day, day - row_number() "
+        "  OVER (PARTITION BY user_id ORDER BY day) AS grp FROM d), "
+        "i AS (SELECT user_id, grp, count(*)::BIGINT AS len "
+        "  FROM r GROUP BY user_id, grp) "
+        "SELECT user_id, count(*)::BIGINT AS n_islands, "
+        "max(len)::BIGINT AS longest FROM i GROUP BY user_id"
+    ),
+
+    "ohlc_daily": (
+        # open/close = value at the min/max (ts, event_id) of the day
+        "WITH k AS (SELECT epoch_us(ts) // 86400000000 AS day, value, "
+        "  epoch_us(ts) AS tus, event_id FROM events), "
+        "w AS (SELECT day, value, "
+        "  first_value(value) OVER (PARTITION BY day "
+        "    ORDER BY tus, event_id) AS open, "
+        "  first_value(value) OVER (PARTITION BY day "
+        "    ORDER BY tus DESC, event_id DESC) AS close FROM k) "
+        "SELECT day, round(min(open), 6) AS open, "
+        "round(max(value), 6) AS high, round(min(value), 6) AS low, "
+        "round(min(close), 6) AS close, count(*)::BIGINT AS n "
+        "FROM w GROUP BY day"
+    ),
+
+    "event_trigrams": (
+        "WITH o AS (SELECT user_id, event_type AS t3, "
+        "  lag(event_type, 1) OVER w AS t2, "
+        "  lag(event_type, 2) OVER w AS t1 FROM events "
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT t1, t2, t3, count(*)::BIGINT AS n FROM o "
+        "WHERE t1 IS NOT NULL GROUP BY t1, t2, t3"
+    ),
+
+    "k_anonymity": (
+        f"SELECT c_nationkey::BIGINT AS c_nationkey, c_mktsegment, "
+        "count(*)::BIGINT AS n, "
+        f"CASE WHEN count(*) >= {K_ANON} THEN 1 ELSE 0 END::BIGINT "
+        "  AS is_anonymous "
+        "FROM customer GROUP BY c_nationkey, c_mktsegment"
+    ),
+
     "vocab_coverage": (
         # top-K vocab by (count desc, token asc), LEFT JOIN membership
         "WITH f AS (SELECT doc_id, "

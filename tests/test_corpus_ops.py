@@ -1619,3 +1619,132 @@ def test_source_token_jaccard_handbuilt(ray_session, tmp_path):
     r = out.iloc[0]
     assert (r["n_a"], r["n_b"], r["n_inter"]) == (2, 2, 1)
     assert r["jaccard"] == 0.333333
+
+
+def _write_events(sf, ts_sec, user_id, event_type, value=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    n = len(ts_sec)
+    us = 1_000_000
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "ts": pa.array([t * us for t in ts_sec], type=pa.timestamp("us")),
+        "user_id": pa.array(user_id, type=pa.int64()),
+        "event_type": pa.array(event_type),
+        "value": pa.array(value if value is not None else [0.0] * n),
+        "props": pa.array(["{}"] * n)}), str(sf / "events.parquet"))
+
+
+def test_forward_fill_handbuilt(ray_session, tmp_path):
+    """LOCF: masked ('view') rows take the user's latest earlier
+    non-masked value; a leading masked row stays NULL; fills never
+    cross a user boundary."""
+    import numpy as np
+
+    from incident_pii_redactor_ray.pipelines.queries import q_forward_fill
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # u1: view (no prior -> NaN), click 1.5, view (->1.5), click 2.5
+    # u2: view (no prior for THIS user even though u1 has values -> NaN)
+    _write_events(sf, [1, 2, 3, 4, 5], [1, 1, 1, 1, 2],
+                  ["view", "click", "view", "click", "view"],
+                  [9.0, 1.5, 9.0, 2.5, 9.0])
+    out = (q_forward_fill(str(sf)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    got = out["filled_value"].tolist()
+    assert np.isnan(got[0]) and np.isnan(got[4])
+    assert got[1:4] == [1.5, 1.5, 2.5]
+
+
+def test_gaps_islands_handbuilt(ray_session, tmp_path):
+    """Days {1,2,3,5,6} -> 2 islands, longest 3; repeat events within a
+    day collapse; second user independent."""
+    from incident_pii_redactor_ray.pipelines.queries import q_gaps_islands
+
+    day = 86_400
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    ts = [1 * day, 1 * day + 5, 2 * day, 3 * day, 5 * day, 6 * day,
+          10 * day]
+    users = [1, 1, 1, 1, 1, 1, 2]
+    _write_events(sf, ts, users, ["a"] * 7)
+    out = (q_gaps_islands(str(sf)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert out.values.tolist() == [[1, 2, 3], [2, 1, 1]]
+
+
+def test_ohlc_daily_handbuilt(ray_session, tmp_path):
+    """Open/close follow (ts, event_id) order incl. the event_id
+    tie-break; high/low/n are plain aggregates."""
+    from incident_pii_redactor_ray.pipelines.queries import q_ohlc_daily
+
+    day = 86_400
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # one day: events at t=10 (ids 0,1 tie -> open is id 0), t=20
+    _write_events(sf, [day + 10, day + 10, day + 20], [1, 1, 1],
+                  ["a"] * 3, [5.0, 3.0, 4.0])
+    out = q_ohlc_daily(str(sf)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["n"]) == \
+        (5.0, 5.0, 3.0, 4.0, 3)
+
+
+def test_event_trigrams_handbuilt(ray_session, tmp_path):
+    """a,b,a,c within one user -> (a,b,a) and (b,a,c); a 2-event user
+    emits nothing."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_event_trigrams)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [1, 2, 3, 4, 1, 2], [1, 1, 1, 1, 2, 2],
+                  ["a", "b", "a", "c", "x", "y"])
+    out = (q_event_trigrams(str(sf)).to_pandas()
+           .sort_values(["t1", "t2", "t3"]).reset_index(drop=True))
+    assert out.values.tolist() == [["a", "b", "a", 1], ["b", "a", "c", 1]]
+
+
+def test_group_split_leakage_free(ray_session):
+    """Every user lands in exactly one split: split-level user counts
+    sum to the distinct-user count, and re-running is deterministic."""
+    import duckdb
+
+    from incident_pii_redactor_ray.pipelines.queries import q_group_split
+
+    sf = "/root/testdata/sf0.001"
+    out = q_group_split(sf).to_pandas().sort_values("split")
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{sf}/events.parquet'"
+    ).fetchone()[0]
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/events.parquet'").fetchone()[0]
+    assert out["n_users"].sum() == n_users
+    assert out["n_events"].sum() == n_events
+    again = q_group_split(sf).to_pandas().sort_values("split")
+    assert out.values.tolist() == again.values.tolist()
+
+
+def test_k_anonymity_handbuilt(ray_session, tmp_path):
+    """A 10-member cell is anonymous at k=10; a 2-member cell is not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_k_anonymity
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    n = 12
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(n), type=pa.int64()),
+        "c_name": pa.array([f"c{i}" for i in range(n)]),
+        "c_nationkey": pa.array([1] * 10 + [2] * 2, type=pa.int32()),
+        "c_acctbal": pa.array([0.0] * n),
+        "c_mktsegment": pa.array(["BUILDING"] * n)}),
+        str(sf / "customer.parquet"))
+    out = (q_k_anonymity(str(sf))
+           .sort_values("c_nationkey").reset_index(drop=True))
+    assert out.values.tolist() == [[1, "BUILDING", 10, 1],
+                                   [2, "BUILDING", 2, 0]]

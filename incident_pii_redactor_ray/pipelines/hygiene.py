@@ -61,9 +61,14 @@ def _add_keys(num_partitions: int, salt: int = 8):
     from ..functions.hashing import fnv1a64_arrow
 
     def add_keys(batch: pa.Table) -> pa.Table:
+        # key columns may arrive as string OR large_string (a user
+        # corpus written with large_string offsets is valid input);
+        # join in large_string so the kernel always matches
+        ls = pa.large_string()
         joined = pc.binary_join_element_wise(
-            batch.column("repo"), batch.column("path"), batch.column("commit"),
-            "\x00").cast(pa.large_binary())
+            batch.column("repo").cast(ls), batch.column("path").cast(ls),
+            batch.column("commit").cast(ls),
+            pa.scalar("\x00", type=ls)).cast(pa.large_binary())
         if isinstance(joined, pa.ChunkedArray):
             joined = joined.combine_chunks()
         bufs = joined.buffers()

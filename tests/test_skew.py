@@ -67,3 +67,21 @@ def test_window_ops_hot_key_correct(ray_session):
     # all-equal values: one tie run -> rnk/drnk all 1, rn is 1..hot
     assert sorted(hotr["rn"]) == list(range(1, hot + 1))
     assert (hotr["rnk"] == 1).all() and (hotr["drnk"] == 1).all()
+
+
+def test_add_keys_large_string_input(small_corpus):
+    """A corpus written with large_string offsets is valid input: the
+    file_id/partition_id kernels must not require 32-bit-offset string
+    columns (found by driving the CLI on a large_string parquet —
+    binary_join_element_wise has no mixed string/large_string kernel)."""
+    _, table = small_corpus
+    big = pa.table({name: (col.cast(pa.large_string())
+                           if pa.types.is_string(col.type) else col)
+                    for name, col in zip(table.schema.names,
+                                         table.columns)})
+    out_small = _add_keys(num_partitions=32, salt=8)(table)
+    out_big = _add_keys(num_partitions=32, salt=8)(big)
+    assert (out_big.column("file_id").to_pylist()
+            == out_small.column("file_id").to_pylist())
+    assert (out_big.column("partition_id").to_pylist()
+            == out_small.column("partition_id").to_pylist())

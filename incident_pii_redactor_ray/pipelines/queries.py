@@ -6344,6 +6344,220 @@ def q_event_trigrams(sf_dir: str):
                              sum_cols=["n"], num_shards=16)
 
 
+#: Benford audit: expected first-digit frequency table is shared with
+#: the SQL oracle via identical 6-dp rounding of log10(1 + 1/d)
+BENFORD_DIGITS = np.arange(1, 10)
+
+#: deterministic email injection for the domain-histogram op (the
+#: corpus fixture carries no natural PII — same convention as
+#: url_augment_batch): one address on doc_id % 3 != 0, a second on
+#: doc_id % 11 == 0
+EMAIL_DOMAINS = ["gmail.example.com", "corp.example.org",
+                 "mail.example.net", "dev.example.io",
+                 "ops.example.co", "edu.example.edu", "qa.example.us"]
+EMAIL_DOM_RE = r"[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+\.[A-Za-z]{2,})"
+
+MAD_K = 5            # MAD outlier cut: |x - median| > MAD_K * MAD
+EDIT_PREFIX = 32     # edit-distance dedup: compared prefix length
+EDIT_MAX = 10        # ... and max distance to report
+EDIT_LEN_BUCKET = 16  # ... blocking: (lang, n_chars // bucket)
+ZIPF_K = 100         # zipf fit: top-K terms by (count desc, token asc)
+
+
+def q_benford_digits(sf_dir: str):
+    """Benford first-digit audit over order totals (round 4): the
+    fraud/synthetic-data smell test — first significant digit of the
+    exact cent amount vs the Benford expectation. Digit extraction is
+    string-based on int64 cents (identical on both sides — float
+    log10 near powers of ten is not). Map-side 9-bucket partials; one
+    tiny rollup. Returns (digit, n, freq, expected)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(b["o_totalprice"].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        d = pd.Series(c).astype(str).str[0].astype(np.int64)
+        return pd.DataFrame({"digit": d, "n": np.int64(1)}).groupby(
+            "digit", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("digit", as_index=False).sum()
+    total = int(g["n"].sum())
+    g["freq"] = np.floor(g["n"].to_numpy(np.float64) / total * 1e6
+                         + 0.5) / 1e6
+    g["expected"] = np.floor(
+        np.log10(1.0 + 1.0 / g["digit"].to_numpy(np.float64)) * 1e6
+        + 0.5) / 1e6
+    g["digit"] = g["digit"].astype(np.int64)
+    g["n"] = g["n"].astype(np.int64)
+    return g[["digit", "n", "freq", "expected"]]
+
+
+def _email_augment(ids: np.ndarray, t: pd.Series) -> pd.Series:
+    """Shared deterministic injection (engine + tests): primary address
+    on doc_id % 3 != 0, cc address on doc_id % 11 == 0."""
+    dom1 = pd.Series(ids % 7).map(dict(enumerate(EMAIL_DOMAINS)))
+    dom2 = pd.Series(ids % 5).map(dict(enumerate(EMAIL_DOMAINS)))
+    ids_s = pd.Series(ids).astype(str)
+    t = t.reset_index(drop=True)
+    t = t + np.where(ids % 3 != 0,
+                     " contact user" + ids_s + "@" + dom1, "")
+    t = t + np.where(ids % 11 == 0, " cc admin" + ids_s + "@" + dom2, "")
+    return t
+
+
+def q_email_domains(sf_dir: str):
+    """Email-domain histogram (round 4): the PII-audit rollup a
+    redaction pipeline reports — which mail domains appear in the
+    corpus and how often. Deterministic injection (fixture has no
+    natural PII, same convention as url_blocklist), then a real
+    extraction pass: findall + explode + ONE domain-sharded sum.
+    Returns (domain, n)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        t = _email_augment(ids, b["text"].fillna(""))
+        doms = t.str.findall(EMAIL_DOM_RE).explode().dropna()
+        df = pd.DataFrame({"domain": doms, "n": np.int64(1)})
+        return df.groupby("domain", as_index=False).sum()
+
+    return sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["domain"], sum_cols=["n"], num_shards=16)
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust (median/MAD) outlier counts per order priority (round
+    4): the heavy-tail-safe alternative to z-scores. Exact integer
+    cents; each (bounded-cardinality) priority group co-locates in one
+    map_groups task for the exact medians — at 100 TB the
+    approx-quantile path (q_approx_quantiles) is the streaming
+    substitute, documented trade. Returns (o_orderpriority, n, med,
+    mad, n_outliers)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderpriority", "o_totalprice"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(g["o_totalprice"].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        med = float(np.median(c))          # exact .0/.5 on int input
+        dev = np.abs(c - med)              # exact halves
+        mad = float(np.median(dev))
+        n_out = int((dev > MAD_K * mad).sum())
+        return pd.DataFrame({
+            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+            "n": [np.int64(len(c))],
+            "med": [round(med / 100.0, 4)],
+            "mad": [round(mad / 100.0, 4)],
+            "n_outliers": [np.int64(n_out)]})
+
+    return (ds.groupby("o_orderpriority")
+              .map_groups(fold, batch_format="pandas"))
+
+
+def q_char_class_profile(sf_dir: str):
+    """Per-language character-class profile (round 4): the
+    encoding/quality fingerprint (letter vs digit vs whitespace mass)
+    that catches mojibake and binary-in-text upstream of training.
+    pc.count_substring_regex per class — zero-copy Arrow in, four
+    vectorized kernels, bounded-domain rollup. Returns (lang, n_docs,
+    n_chars, lower, digit, space, other, lower_ratio)."""
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        t = b.column("text")
+        total = pc.utf8_length(t).to_pandas().fillna(0).astype(np.int64)
+        lower = pc.count_substring_regex(t, pattern="[a-z]").to_pandas() \
+            .fillna(0).astype(np.int64)
+        digit = pc.count_substring_regex(t, pattern="[0-9]").to_pandas() \
+            .fillna(0).astype(np.int64)
+        space = pc.count_substring_regex(t, pattern=" ").to_pandas() \
+            .fillna(0).astype(np.int64)
+        df = pd.DataFrame({"lang": b.column("lang").to_pandas(),
+                           "n_docs": np.int64(1), "n_chars": total,
+                           "lower": lower, "digit": digit,
+                           "space": space,
+                           "other": total - lower - digit - space})
+        return df.groupby("lang", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("lang", as_index=False).sum()
+    g["lower_ratio"] = np.floor(
+        g["lower"].to_numpy(np.float64)
+        / g["n_chars"].to_numpy(np.float64) * 1e6 + 0.5) / 1e6
+    for c in ["n_docs", "n_chars", "lower", "digit", "space", "other"]:
+        g[c] = g[c].astype(np.int64)
+    return g
+
+
+def q_edit_distance_dedup(sf_dir: str):
+    """Blocked edit-distance near-dup pairs (round 4): the
+    fuzzy-matching tier below token-level MinHash — Levenshtein over
+    {EDIT_PREFIX}-char prefixes, candidate pairs blocked on (lang,
+    n_chars // {EDIT_LEN_BUCKET}) so the quadratic work is bounded per
+    block (the standard blocking trade; unblocked all-pairs is the
+    documented non-goal). The DP is vectorized ACROSS pairs — 32x32
+    scalar iterations of whole-block numpy ops, no per-pair Python
+    loop. Returns (id_a, id_b, dist) with dist <= {EDIT_MAX}."""
+    from ..stages.dedup import levenshtein_pairs_block
+    from ..stages.relational import shard_of_keys
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text", "n_chars"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        lb = b["n_chars"].to_numpy(np.int64) // EDIT_LEN_BUCKET
+        block = b["lang"].astype(str) + "|" + pd.Series(lb).astype(str)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "block": block.to_numpy(),
+            "prefix": b["text"].fillna("").str.slice(0, EDIT_PREFIX)})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return levenshtein_pairs_block(
+            g["doc_id"].to_numpy(np.int64),
+            g["prefix"].tolist(), max_dist=EDIT_MAX)
+
+    return (ds.map_batches(prep, batch_format="pandas")
+              .groupby("block").map_groups(pairs, batch_format="pandas"))
+
+
+def q_zipf_fit(sf_dir: str):
+    """Zipf-law fit over the top-{ZIPF_K} terms (round 4): OLS of
+    ln(freq) on ln(rank) — the corpus-naturalness diagnostic (natural
+    text slopes ~ -1; template spam does not). Term counts come from
+    the sharded exact aggregate; only the K-row head reaches the
+    driver for the fold. Returns (k, slope, intercept)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["text"])
+
+    def tok_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\S+") \
+            .explode().dropna()
+        df = pd.DataFrame({"token": toks, "n": np.int64(1)})
+        return df.groupby("token", as_index=False).sum()
+
+    tf = sharded_group_sum(
+        ds.map_batches(tok_partial, batch_format="pandas"),
+        keys=["token"], sum_cols=["n"], num_shards=64).to_pandas()
+    top = tf.sort_values(["n", "token"], ascending=[False, True],
+                         kind="mergesort").head(ZIPF_K)
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    y = np.log(top["n"].to_numpy(np.float64))
+    n = float(len(top))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxy, sxx = float((x * y).sum()), float((x * x).sum())
+    den = n * sxx - sx * sx
+    slope = np.floor((n * sxy - sx * sy) / den * 1e6 + 0.5) / 1e6
+    icept = np.floor((sy * sxx - sx * sxy) / den * 1e6 + 0.5) / 1e6
+    return pd.DataFrame({"k": [np.int64(len(top))], "slope": [slope],
+                         "intercept": [icept]})
+
+
 def q_k_anonymity(sf_dir: str):
     """k-anonymity audit over quasi-identifiers (round 4): the
     re-identification-risk check that belongs next to a PII scrubber —
@@ -6366,6 +6580,12 @@ def q_k_anonymity(sf_dir: str):
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "benford_digits": q_benford_digits,
+    "email_domains": q_email_domains,
+    "mad_outliers": q_mad_outliers,
+    "char_class_profile": q_char_class_profile,
+    "edit_distance_dedup": q_edit_distance_dedup,
+    "zipf_fit": q_zipf_fit,
     "group_split": q_group_split,
     "forward_fill": q_forward_fill,
     "gaps_islands": q_gaps_islands,
@@ -6742,7 +6962,102 @@ def _winsorize_sql() -> str:
         "FROM c JOIN q USING (event_type)")
 
 
+#: SQL fragment reproducing _email_augment over documents as (doc_id,
+#: text2) — list literals index with doc_id mods like the engine
+_EMAIL_DOMS_SQL = "[" + ", ".join(f"'{d}'" for d in EMAIL_DOMAINS) + "]"
+
 ORACLE_SQL = {
+    "benford_digits": (
+        "WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) "
+        "  AS cents FROM orders), "
+        "d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) "
+        "  AS BIGINT) AS digit FROM c), "
+        "g AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit), "
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g) "
+        "SELECT digit, n, "
+        "floor(CAST(n AS DOUBLE) / total * 1000000 + 0.5) / 1000000 "
+        "  AS freq, "
+        "floor(log10(1.0 + 1.0 / digit) * 1000000 + 0.5) / 1000000 "
+        "  AS expected FROM g, t"
+    ),
+
+    "email_domains": (
+        "WITH aug AS (SELECT doc_id, coalesce(text, '') "
+        "  || CASE WHEN doc_id % 3 != 0 THEN ' contact user' || doc_id "
+        f"     || '@' || {_EMAIL_DOMS_SQL}[(doc_id % 7) + 1] ELSE '' END "
+        "  || CASE WHEN doc_id % 11 = 0 THEN ' cc admin' || doc_id "
+        f"     || '@' || {_EMAIL_DOMS_SQL}[(doc_id % 5) + 1] ELSE '' END "
+        "  AS text2 FROM documents), "
+        "e AS (SELECT unnest(regexp_extract_all(text2, "
+        f"  '{EMAIL_DOM_RE}', 1)) AS domain FROM aug) "
+        "SELECT domain, count(*)::BIGINT AS n FROM e GROUP BY domain"
+    ),
+
+    "mad_outliers": (
+        "WITH c AS (SELECT o_orderpriority, "
+        "  CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
+        "  FROM orders), "
+        "m AS (SELECT o_orderpriority, median(cents) AS med "
+        "  FROM c GROUP BY o_orderpriority), "
+        "d AS (SELECT c.o_orderpriority, cents, med, "
+        "  abs(cents - med) AS dev FROM c JOIN m USING (o_orderpriority)), "
+        "md AS (SELECT o_orderpriority, median(dev) AS mad "
+        "  FROM d GROUP BY o_orderpriority) "
+        "SELECT d.o_orderpriority, count(*)::BIGINT AS n, "
+        "round(min(med) / 100.0, 4) AS med, "
+        "round(min(mad) / 100.0, 4) AS mad, "
+        f"CAST(sum(CASE WHEN dev > {MAD_K} * mad THEN 1 ELSE 0 END) "
+        "  AS BIGINT) AS n_outliers "
+        "FROM d JOIN md USING (o_orderpriority) "
+        "GROUP BY d.o_orderpriority"
+    ),
+
+    "char_class_profile": (
+        "WITH p AS (SELECT lang, length(text) AS total, "
+        "  length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) "
+        "    AS lower, "
+        "  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) "
+        "    AS digit, "
+        "  length(text) - length(regexp_replace(text, ' ', '', 'g')) "
+        "    AS space FROM documents), "
+        "g AS (SELECT lang, count(*)::BIGINT AS n_docs, "
+        "  CAST(sum(total) AS BIGINT) AS n_chars, "
+        "  CAST(sum(lower) AS BIGINT) AS lower, "
+        "  CAST(sum(digit) AS BIGINT) AS digit, "
+        "  CAST(sum(space) AS BIGINT) AS space FROM p GROUP BY lang) "
+        "SELECT lang, n_docs, n_chars, lower, digit, space, "
+        "n_chars - lower - digit - space AS other, "
+        "floor(CAST(lower AS DOUBLE) / n_chars * 1000000 + 0.5) "
+        "  / 1000000 AS lower_ratio FROM g"
+    ),
+
+    "edit_distance_dedup": (
+        f"WITH d AS (SELECT doc_id, lang, n_chars // {EDIT_LEN_BUCKET} "
+        f"  AS lb, substr(coalesce(text, ''), 1, {EDIT_PREFIX}) AS p "
+        "  FROM documents) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "levenshtein(a.p, b.p)::BIGINT AS dist "
+        "FROM d a JOIN d b ON a.lang = b.lang AND a.lb = b.lb "
+        "  AND a.doc_id < b.doc_id "
+        f"WHERE levenshtein(a.p, b.p) <= {EDIT_MAX}"
+    ),
+
+    "zipf_fit": (
+        "WITH f AS (SELECT unnest(regexp_extract_all(lower(text), "
+        "  '\\S+')) AS token FROM documents), "
+        "tf AS (SELECT token, count(*)::BIGINT AS n FROM f GROUP BY token), "
+        f"top AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) "
+        f"  AS rnk FROM tf ORDER BY n DESC, token LIMIT {ZIPF_K}), "
+        "m AS (SELECT count(*)::DOUBLE AS cnt, sum(ln(rnk)) AS sx, "
+        "  sum(ln(n)) AS sy, sum(ln(rnk) * ln(n)) AS sxy, "
+        "  sum(ln(rnk) * ln(rnk)) AS sxx FROM top) "
+        "SELECT CAST(cnt AS BIGINT) AS k, "
+        "floor((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx) "
+        "  * 1000000 + 0.5) / 1000000 AS slope, "
+        "floor((sy * sxx - sx * sxy) / (cnt * sxx - sx * sx) "
+        "  * 1000000 + 0.5) / 1000000 AS intercept FROM m"
+    ),
+
     "group_split": (
         # fmix32(user_id) % 16 -> leakage-free user-level split
         "WITH u AS (SELECT user_id, count(*)::BIGINT AS n_events "

@@ -932,3 +932,58 @@ def repo_neardup(ds: ray.data.Dataset, *, repo_col: str = "repo",
     jac = shared[keep].astype(np.float64) / union[keep]
     out["jaccard"] = np.floor(jac * 1e6 + 0.5) / 1e6
     return out.reset_index(drop=True)
+
+
+def levenshtein_pairs_block(ids: np.ndarray, prefixes: list[str],
+                            *, max_dist: int):
+    """All-pairs Levenshtein within ONE blocking group (the fuzzy-dedup
+    tier below MinHash; q_edit_distance_dedup blocks on (lang, length
+    bucket) so groups stay small). The DP is vectorized ACROSS pairs:
+    LxL scalar iterations, each a whole-block numpy op — no per-pair
+    Python. Distances are byte-level, which equals DuckDB's
+    char-level ``levenshtein`` on ASCII input (the fixture corpus; a
+    non-ASCII corpus would compare codepoints — documented trade).
+    Returns (id_a, id_b, dist) for pairs with dist <= max_dist,
+    id_a < id_b."""
+    import pandas as pd
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64),
+                          "dist": pd.Series([], dtype=np.int64)})
+    g = len(ids)
+    if g < 2:
+        return empty
+    L = max((len(p.encode()) for p in prefixes), default=0)
+    if L == 0:
+        # all-empty prefixes: every pair has distance 0
+        ia, ib = np.triu_indices(g, k=1)
+        a, b = ids[ia], ids[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "dist": np.zeros(len(lo), np.int64)})
+    chars = np.zeros((g, L), dtype=np.uint8)
+    lens = np.empty(g, dtype=np.int64)
+    for i, p in enumerate(prefixes):
+        bts = p.encode()
+        lens[i] = len(bts)
+        chars[i, :len(bts)] = np.frombuffer(bts, dtype=np.uint8)
+    ia, ib = np.triu_indices(g, k=1)
+    npairs = len(ia)
+    A, B = chars[ia], chars[ib]            # (npairs, L)
+    # full DP table so each pair reads off D[len_a, len_b]
+    D = np.zeros((npairs, L + 1, L + 1), dtype=np.int32)
+    D[:, :, 0] = np.arange(L + 1)
+    D[:, 0, :] = np.arange(L + 1)
+    for i in range(1, L + 1):
+        ai = A[:, i - 1]
+        for j in range(1, L + 1):
+            sub = D[:, i - 1, j - 1] + (ai != B[:, j - 1])
+            D[:, i, j] = np.minimum(
+                sub, np.minimum(D[:, i - 1, j], D[:, i, j - 1]) + 1)
+    dist = D[np.arange(npairs), lens[ia], lens[ib]].astype(np.int64)
+    keep = dist <= max_dist
+    a, b = ids[ia[keep]], ids[ib[keep]]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pd.DataFrame({"id_a": lo.astype(np.int64),
+                         "id_b": hi.astype(np.int64),
+                         "dist": dist[keep]})

@@ -1748,3 +1748,139 @@ def test_k_anonymity_handbuilt(ray_session, tmp_path):
            .sort_values("c_nationkey").reset_index(drop=True))
     assert out.values.tolist() == [[1, "BUILDING", 10, 1],
                                    [2, "BUILDING", 2, 0]]
+
+
+def test_levenshtein_kernel_vs_reference():
+    """Block kernel vs a scalar DP on randomized strings, incl. empty
+    and different-length inputs."""
+    import random
+
+    import numpy as np
+
+    from incident_pii_redactor_ray.stages.dedup import (
+        levenshtein_pairs_block)
+
+    def ref(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(7)
+    words = ["", "a", "kitten", "sitting", "abcdefgh", "abcdffgh",
+             "xyz"] + ["".join(rng.choice("abcd") for _ in
+                               range(rng.randint(0, 12)))
+                       for _ in range(8)]
+    ids = np.arange(len(words), dtype=np.int64)
+    out = levenshtein_pairs_block(ids, words, max_dist=100)
+    got = {(r.id_a, r.id_b): r.dist for r in out.itertuples()}
+    for i in range(len(words)):
+        for j in range(i + 1, len(words)):
+            assert got[(i, j)] == ref(words[i], words[j]), (i, j)
+
+
+def test_benford_digits_handbuilt(ray_session, tmp_path):
+    """Digit extraction is on exact cents: 19.99 -> 1999 -> digit 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_benford_digits)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    prices = [19.99, 1.02, 950.00, 98.76, 12.34]   # digits 1,1,9,9,1
+    n = len(prices)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(n), type=pa.int64()),
+        "o_custkey": pa.array([1] * n, type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * n),
+        "o_totalprice": pa.array(prices),
+        "o_orderdate": pa.array([0] * n, type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * n)}),
+        str(sf / "orders.parquet"))
+    out = (q_benford_digits(str(sf))
+           .sort_values("digit").reset_index(drop=True))
+    assert out["digit"].tolist() == [1, 9]
+    assert out["n"].tolist() == [3, 2]
+    assert out["expected"].iloc[0] == 0.30103
+
+
+def test_mad_outliers_handbuilt(ray_session, tmp_path):
+    """Median/MAD on a planted group: one far point is the only
+    outlier; med/mad are the exact half-cent medians."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_mad_outliers
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    prices = [10.0, 11.0, 12.0, 13.0, 1000.0]
+    n = len(prices)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(n), type=pa.int64()),
+        "o_custkey": pa.array([1] * n, type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * n),
+        "o_totalprice": pa.array(prices),
+        "o_orderdate": pa.array([0] * n, type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * n)}),
+        str(sf / "orders.parquet"))
+    out = q_mad_outliers(str(sf)).to_pandas()
+    r = out.iloc[0]
+    # med = 12.0, deviations [2,1,0,1,988] -> mad = 1.0
+    assert (r["med"], r["mad"], r["n"], r["n_outliers"]) == \
+        (12.0, 1.0, 5, 1)
+
+
+def test_email_domains_injection(ray_session, tmp_path):
+    """doc_id=0 gets only the cc address (0%3==0, 0%11==0); doc_id=1
+    gets only the primary; extraction finds exactly those."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        EMAIL_DOMAINS, q_email_domains)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["no pii here", "plain text"]),
+        "lang": pa.array(["en", "en"]),
+        "source": pa.array(["s", "s"]),
+        "n_chars": pa.array([11, 10], type=pa.int64())}),
+        str(sf / "documents.parquet"))
+    out = (q_email_domains(str(sf)).to_pandas()
+           .sort_values("domain").reset_index(drop=True))
+    expect = sorted([EMAIL_DOMAINS[0 % 5], EMAIL_DOMAINS[1 % 7]])
+    assert out["domain"].tolist() == expect
+    assert out["n"].tolist() == [1, 1]
+
+
+def test_char_class_profile_handbuilt(ray_session, tmp_path):
+    """Counts per class add up: 'ab 12!' -> 2 lower, 2 digit, 1 space,
+    1 other."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_char_class_profile)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "text": pa.array(["ab 12!"]),
+        "lang": pa.array(["en"]),
+        "source": pa.array(["s"]),
+        "n_chars": pa.array([6], type=pa.int64())}),
+        str(sf / "documents.parquet"))
+    out = q_char_class_profile(str(sf))
+    r = out.iloc[0]
+    assert (r["n_chars"], r["lower"], r["digit"], r["space"],
+            r["other"]) == (6, 2, 2, 1, 1)

@@ -6575,11 +6575,553 @@ def q_k_anonymity(sf_dir: str):
     return out[["c_nationkey", "c_mktsegment", "n", "is_anonymous"]]
 
 
+#: ip_scan: deterministic IPv4 injection (the corpus fixture carries
+#: no natural PII — same convention as email_domains / url_blocklist).
+#: /16 prefixes indexed by doc_id % 6; octets from doc_id mods.
+IP_PREFIXES = ["10.0", "192.168", "172.16", "8.8", "203.0", "127.0"]
+IP_RE = r"(?:\d{1,3}\.){3}\d{1,3}"
+
+FLESCH_EASY = 70.0    # readability bands on the 4-dp rounded score
+FLESCH_MEDIUM = 50.0
+MB_MIN_SUPPORT = 2    # market basket: min co-order count to report
+NOVELTY_SHARDS = 64   # ngram_novelty: shingle-hash shard count
+
+
+def _ip_augment(ids: np.ndarray, t: pd.Series) -> pd.Series:
+    """Shared deterministic IPv4 injection (engine + tests): every doc
+    gets an 'addr' A.B.C.D built from doc_id mods; docs with
+    doc_id % 5 == 0 get a second 'peer' address from a rotated prefix."""
+    ids_s = pd.Series(ids)
+    pref1 = ids_s.mod(6).map(dict(enumerate(IP_PREFIXES)))
+    pref2 = (ids_s.mod(6) + 3).mod(6).map(dict(enumerate(IP_PREFIXES)))
+    ip1 = pref1 + "." + pd.Series(ids % 256).astype(str) + "." \
+        + pd.Series(ids * 7 % 256).astype(str)
+    ip2 = pref2 + "." + pd.Series(ids % 200).astype(str) + "." \
+        + pd.Series(ids * 13 % 256).astype(str)
+    t = t.reset_index(drop=True)
+    t = t + " addr " + ip1
+    t = t + np.where(ids % 5 == 0, " peer " + ip2, "")
+    return t
+
+
+def q_ip_scan(sf_dir: str):
+    """IPv4 scan + scope classification (round 4): the network-PII
+    audit a redaction pipeline reports — how many RFC1918/loopback vs
+    public addresses appear in the corpus. Deterministic injection
+    (fixture has no natural PII), then a real extraction pass: regex
+    findall + prefix classification, map-side 3-bucket partials, one
+    tiny driver rollup (the benford shape). Returns (ip_class, n)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        t = _ip_augment(ids, b["text"].fillna(""))
+        addrs = t.str.findall(IP_RE).explode().dropna()
+        if len(addrs) == 0:
+            return pd.DataFrame({"ip_class": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        a = addrs.astype(str)
+        cls = np.where(
+            a.str.startswith("10.") | a.str.startswith("192.168.")
+            | a.str.startswith("172.16."), "private",
+            np.where(a.str.startswith("127."), "loopback", "public"))
+        return pd.DataFrame({"ip_class": cls, "n": np.int64(1)}).groupby(
+            "ip_class", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("ip_class", as_index=False).sum()
+    g["n"] = g["n"].astype(np.int64)
+    return g[["ip_class", "n"]]
+
+
+def _md_augment(ids: np.ndarray, src: pd.Series, t: pd.Series) -> pd.Series:
+    """Shared deterministic markdown wrapper (engine + tests): a
+    header line, a bold source tag, and a trailing link."""
+    ids_s = pd.Series(ids).astype(str)
+    return ("## Doc " + ids_s + "\n**" + src.reset_index(drop=True)
+            + "** " + t.reset_index(drop=True)
+            + " [more](http://md.example/" + ids_s + ")")
+
+
+def q_markdown_strip(sf_dir: str):
+    """Markdown boilerplate strip (round 4): the html_strip sibling for
+    markdown-sourced corpora — drop the leading ATX header, bold
+    markers and inline links (keeping anchor text), report size before
+    and after plus an md5 digest of the cleaned text so the oracle
+    pins the exact output bytes. Pure map stage, no shuffle. Returns
+    (doc_id, n_before, n_after, digest)."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def strip(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        aug = _md_augment(ids, b["source"].fillna(""), b["text"].fillna(""))
+        s = aug.str.replace(r"^#{1,6} ", "", regex=True)
+        s = s.str.replace("**", "", regex=False)
+        s = s.str.replace(r"\[([^\]]*)\]\([^)]*\)", r"\1", regex=True)
+        dig = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in s]
+        return pd.DataFrame({
+            "doc_id": ids,
+            "n_before": aug.str.len().to_numpy(np.int64),
+            "n_after": s.str.len().to_numpy(np.int64),
+            "digest": dig})
+
+    return ds.map_batches(strip, batch_format="pandas")
+
+
+def q_readability(sf_dir: str):
+    """Flesch-style readability scoring (round 4): the classic
+    quality-filter feature — 206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/words), with deterministic proxies (words = \\S+
+    runs, sentences = [.!?]+ runs, syllables = [aeiouy]+ groups on the
+    lowercased text) so the SQL oracle reproduces it exactly. The
+    fixture corpus carries no sentence punctuation, so terminators are
+    injected deterministically (a period after every 'batch'/'merge'
+    token — same convention as the email/ip PII injections). Banding
+    happens on the 4-dp ROUNDED score (boundary-stable). Pure map
+    stage. Returns (doc_id, n_words, n_sentences, n_syllables, flesch,
+    band) over docs with at least one word and one sentence mark."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("").str.replace(
+            r"\b(batch|merge)\b", r"\1.", regex=True)
+        w = t.str.count(r"\S+").to_numpy(np.int64)
+        s = t.str.count(r"[.!?]+").to_numpy(np.int64)
+        y = t.str.lower().str.count(r"[aeiouy]+").to_numpy(np.int64)
+        m = (w > 0) & (s > 0)
+        wf, sf_, yf = (w[m].astype(np.float64), s[m].astype(np.float64),
+                       y[m].astype(np.float64))
+        fl = 206.835 - 1.015 * (wf / sf_) - 84.6 * (yf / wf)
+        fl = np.floor(fl * 1e4 + 0.5) / 1e4
+        band = np.where(fl >= FLESCH_EASY, "easy",
+                        np.where(fl >= FLESCH_MEDIUM, "medium", "hard"))
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64)[m],
+            "n_words": w[m], "n_sentences": s[m], "n_syllables": y[m],
+            "flesch": fl, "band": band})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def q_market_basket(sf_dir: str):
+    """Frequent co-purchase pairs with lift (round 4): market-basket
+    mining over lineitem — pairs of parts co-ordered in >=
+    {MB_MIN_SUPPORT} orders, scored by lift = support * n_orders /
+    (orders_with_a * orders_with_b). Same exchange plan as
+    triangle_count's edge build (ONE order-sharded self-merge keeps
+    the quadratic pair step inside bounded per-order groups; all
+    shuffles carry (key, count) metadata only); per-part order counts
+    are part-scale and join on the driver. Returns (part_a, part_b,
+    support, lift)."""
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    lp = sharded_group_sum(
+        li.map_batches(lambda b: b.assign(one=np.int64(1)),
+                       batch_format="pandas"),
+        keys=["l_orderkey", "l_partkey"], sum_cols=["one"])
+
+    pcount = sharded_group_sum(
+        lp.map_batches(lambda b: pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(np.int64),
+            "c": np.int64(1)}), batch_format="pandas"),
+        keys=["l_partkey"], sum_cols=["c"]).to_pandas()
+    n_orders = sharded_group_sum(
+        lp.map_batches(lambda b: pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+            "c": np.int64(1)}), batch_format="pandas"),
+        keys=["l_orderkey"], sum_cols=["c"]).count()
+
+    def add_oshard(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["l_orderkey", "l_partkey"]].copy()
+        b["shard"] = shard_of_keys(b["l_orderkey"], 64)
+        return b
+
+    def pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        out = pd.DataFrame({"part_a": m["l_partkey_x"].to_numpy(np.int64),
+                            "part_b": m["l_partkey_y"].to_numpy(np.int64),
+                            "support": np.int64(1)})
+        return out.groupby(["part_a", "part_b"], as_index=False).sum()
+
+    sup = sharded_group_sum(
+        lp.map_batches(add_oshard, batch_format="pandas")
+          .groupby("shard").map_groups(pairs_shard, batch_format="pandas"),
+        keys=["part_a", "part_b"], sum_cols=["support"])
+    sup = sup.map_batches(
+        lambda b: b[b["support"] >= MB_MIN_SUPPORT],
+        batch_format="pandas").to_pandas()
+
+    cnt = dict(zip(pcount["l_partkey"].to_numpy(np.int64),
+                   pcount["c"].to_numpy(np.int64)))
+    ca = sup["part_a"].map(cnt).to_numpy(np.int64)
+    cb = sup["part_b"].map(cnt).to_numpy(np.int64)
+    s_ = sup["support"].to_numpy(np.int64)
+    lift = (s_ * np.int64(n_orders)).astype(np.float64) / (ca * cb)
+    sup = sup.reset_index(drop=True)
+    sup["lift"] = np.floor(lift * 1e6 + 0.5) / 1e6
+    return sup[["part_a", "part_b", "support", "lift"]]
+
+
+def q_chi2_independence(sf_dir: str):
+    """Chi-square independence audit of lang x source (round 4): is the
+    language mix the same across sources, per-cell — observed n,
+    expected under independence, and the cell's chi2 contribution. ONE
+    bounded-domain groupby (|langs| x |sources| cells); the margin math
+    runs on the driver over the tiny contingency table. Returns (lang,
+    source, n, expected, chi2_term)."""
+    ds = _docs(sf_dir, ["lang", "source"])
+    g = ds.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="n")).to_pandas()
+    g["n"] = g["n"].astype(np.int64)
+    rt = g.groupby("lang")["n"].transform("sum").to_numpy(np.int64)
+    ct = g.groupby("source")["n"].transform("sum").to_numpy(np.int64)
+    tot = float(g["n"].sum())
+    e = (rt * ct).astype(np.float64) / tot
+    d = g["n"].to_numpy(np.float64) - e
+    term = d * d / e
+    g["expected"] = np.floor(e * 1e6 + 0.5) / 1e6
+    g["chi2_term"] = np.floor(term * 1e6 + 0.5) / 1e6
+    return g[["lang", "source", "n", "expected", "chi2_term"]]
+
+
+def q_ngram_novelty(sf_dir: str):
+    """Per-document shingle novelty (round 4): the doc-level
+    duplication fraction — of each doc's DISTINCT 3-token shingles,
+    how many first appeared in an earlier doc (ordered by doc_id).
+    This is the scalable form of 'how much of this page is copied':
+    shingles hash-shard once (first-seen is a per-shingle min), the
+    per-doc rollup is a second metadata-only exchange; the token
+    stream itself never shuffles beyond its shingle partials. Returns
+    (doc_id, n_shingles, n_seen, dup_frac) over docs with >= 3
+    tokens."""
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def shingles(batch: pa.Table) -> pd.DataFrame:
+        batch = batch.combine_chunks()
+        arr = batch.column("text")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(arr, "")),
+            pattern=_cops._WS_PATTERN)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        flat = pc.list_flatten(toks)
+        doc_idx = np.repeat(np.arange(len(arr), dtype=np.int64), lens)
+        ne = pc.not_equal(flat, "")
+        flat = flat.filter(ne)
+        doc_idx = doc_idx[np.asarray(ne)]
+        s = flat.to_pandas().reset_index(drop=True)
+        sh = s + " " + s.shift(-1) + " " + s.shift(-2)
+        ok = np.zeros(len(s), dtype=bool)
+        if len(s) >= 3:
+            ok[:-2] = doc_idx[:-2] == doc_idx[2:]
+        ids = batch.column("doc_id").to_pandas().to_numpy(np.int64)
+        df = pd.DataFrame({"doc_id": ids[doc_idx[ok]],
+                           "sh": sh[ok]}).drop_duplicates()
+        df["__nshard"] = shard_of_keys(df["sh"].to_numpy(), NOVELTY_SHARDS)
+        return df
+
+    def novelty_shard(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("sh")["doc_id"].transform("min")
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_shingles": np.int64(1),
+            "n_seen": (g["doc_id"].to_numpy(np.int64)
+                       > first.to_numpy(np.int64)).astype(np.int64)})
+        return out.groupby("doc_id", as_index=False).sum()
+
+    per_doc = sharded_group_sum(
+        ds.map_batches(shingles, batch_format="pyarrow")
+          .groupby("__nshard")
+          .map_groups(novelty_shard, batch_format="pandas"),
+        keys=["doc_id"], sum_cols=["n_shingles", "n_seen"], num_shards=64)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["dup_frac"] = np.floor(
+            b["n_seen"].to_numpy(np.float64)
+            / b["n_shingles"].to_numpy(np.float64) * 1e6 + 0.5) / 1e6
+        return b[["doc_id", "n_shingles", "n_seen", "dup_frac"]]
+
+    return per_doc.map_batches(fin, batch_format="pandas")
+
+
+EWMA_ALPHA = 0.3       # ewma smoothing factor (literal shared with SQL)
+CUSUM_K = 3.0          # cusum threshold: K * sd of the daily counts
+URL_CANON_MOD = 7      # url_canonical_dedup: variant-URL injection mod
+PREFIX_CHARS = 32      # prefix_dedup: compared leading characters
+ENTROPY_SCALE = 1_000_000_000  # per-term 1e-9 quantization (order-free sum)
+
+
+def q_ewma(sf_dir: str):
+    """Per-type EWMA of daily revenue (round 4): the
+    exponentially-weighted trend line a monitoring pipeline draws.
+    Daily sums are EXACT e6-quantized ints (order-free), so the only
+    float work is the sequential fold s_t = a*x_t + (1-a)*s_{t-1} —
+    reproduced verbatim by the oracle's recursive CTE. The fold runs
+    on the driver over the (types x days)-bounded series; the corpus
+    never leaves the map-side partials. Returns (event_type, day, x,
+    ewma)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        tus = b["ts"].to_numpy("datetime64[us]").view("int64")
+        v6 = np.floor(b["value"].to_numpy(np.float64) * 1e6
+                      + 0.5).astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                           "day": tus // 86_400_000_000, "v6": v6})
+        return df.groupby(["event_type", "day"], as_index=False).sum()
+
+    daily = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "day"], sum_cols=["v6"],
+        num_shards=16).to_pandas()
+    daily = daily.sort_values(["event_type", "day"],
+                              kind="mergesort").reset_index(drop=True)
+    out = []
+    for et, g in daily.groupby("event_type", sort=True):
+        x = g["v6"].to_numpy(np.int64).astype(np.float64) / 1e6
+        s = np.empty(len(x), dtype=np.float64)
+        s[0] = x[0]
+        for i in range(1, len(x)):
+            s[i] = EWMA_ALPHA * x[i] + (1.0 - EWMA_ALPHA) * s[i - 1]
+        out.append(pd.DataFrame({
+            "event_type": et, "day": g["day"].to_numpy(np.int64),
+            "x": x, "ewma": np.floor(s * 1e6 + 0.5) / 1e6}))
+    return pd.concat(out, ignore_index=True)
+
+
+def q_cusum_changepoint(sf_dir: str):
+    """CUSUM change-point scan over daily event counts (round 4): per
+    event type, the first day whose cumulative deviation from the
+    series mean exceeds {CUSUM_K} standard deviations. Every
+    cumulative quantity derives from EXACT int prefix sums (cum -
+    rn*mean), so no float accumulation order can diverge from the
+    oracle's window SQL. Map-side partials, one bounded rollup.
+    Returns (event_type, n_days, max_dev, cp_day) with cp_day NULL
+    when no break is found."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        tus = b["ts"].to_numpy("datetime64[us]").view("int64")
+        df = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                           "day": tus // 86_400_000_000,
+                           "n": np.int64(1)})
+        return df.groupby(["event_type", "day"], as_index=False).sum()
+
+    daily = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "day"], sum_cols=["n"],
+        num_shards=16).to_pandas()
+    daily = daily.sort_values(["event_type", "day"],
+                              kind="mergesort").reset_index(drop=True)
+    rows = []
+    for et, g in daily.groupby("event_type", sort=True):
+        n = g["n"].to_numpy(np.int64)
+        nd = len(n)
+        s, q = int(n.sum()), int((n * n).sum())
+        m = float(s) / nd
+        cum = np.cumsum(n).astype(np.float64)
+        rn = np.arange(1, nd + 1, dtype=np.float64)
+        dev = np.abs(cum - rn * m)
+        thr = CUSUM_K * (np.sqrt(float(nd * q - s * s)) / nd)
+        hit = np.flatnonzero(dev > thr)
+        rows.append({
+            "event_type": et, "n_days": np.int64(nd),
+            "max_dev": np.floor(dev.max() * 1e6 + 0.5) / 1e6,
+            "cp_day": (np.int64(g["day"].to_numpy(np.int64)[hit[0]])
+                       if len(hit) else None)})
+    out = pd.DataFrame(rows)
+    out["cp_day"] = out["cp_day"].astype("Int64")
+    return out
+
+
+def q_interarrival_stats(sf_dir: str):
+    """Per-user event inter-arrival stats (round 4): gaps between
+    consecutive events (ordered by ts, event_id) in microseconds —
+    mean and max, users with >= 2 events. ONE 64-way user-sharded
+    exchange; gap math is vectorized diff inside the shard (the
+    session_windows pattern). Returns (user_id, n_events,
+    mean_gap_us, max_gap_us)."""
+    from ..stages.relational import shard_of_keys
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["event_id", "user_id", "ts"]].copy()
+        b["shard"] = shard_of_keys(b["user_id"], 64)
+        return b
+
+    def gaps_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        tus = g["ts"].to_numpy("datetime64[us]").view("int64")
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        gap = np.zeros(len(g), dtype=np.int64)
+        gap[1:] = tus[1:] - tus[:-1]
+        df = pd.DataFrame({"user_id": u, "n_events": np.int64(1),
+                           "gap_sum": np.where(same, gap, 0),
+                           "gap_max": np.where(same, gap, np.int64(-1)),
+                           "n_gaps": same.astype(np.int64)})
+        a = df.groupby("user_id", as_index=False).agg(
+            n_events=("n_events", "sum"), gap_sum=("gap_sum", "sum"),
+            gap_max=("gap_max", "max"), n_gaps=("n_gaps", "sum"))
+        a = a[a["n_gaps"] > 0]
+        return pd.DataFrame({
+            "user_id": a["user_id"].to_numpy(np.int64),
+            "n_events": a["n_events"].to_numpy(np.int64),
+            "mean_gap_us": (a["gap_sum"].to_numpy(np.int64)
+                            .astype(np.float64)
+                            / a["n_gaps"].to_numpy(np.int64)),
+            "max_gap_us": a["gap_max"].to_numpy(np.int64)})
+
+    out = (ev.map_batches(add_shard, batch_format="pandas")
+             .groupby("shard").map_groups(gaps_shard,
+                                          batch_format="pandas"))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["mean_gap_us"] = np.floor(
+            b["mean_gap_us"].to_numpy(np.float64) * 1e6 + 0.5) / 1e6
+        return b[["user_id", "n_events", "mean_gap_us", "max_gap_us"]]
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def q_url_canonical_dedup(sf_dir: str):
+    """URL canonicalization + duplicate-target count (round 4): the
+    crawl-frontier dedup — scheme/'www.'/query/fragment/trailing-slash
+    stripped and lowercased so variant spellings collapse. URLs come
+    from the shared deterministic injection (url_augment_batch) plus a
+    mixed-case variant with query string on doc_id % {URL_CANON_MOD}
+    == 0 (collapses with its plain sibling). Per-doc distinct canon
+    URLs; ONE canon-sharded count; targets cited by >= 2 docs.
+    Returns (canon_url, n_docs)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = (_docs(sf_dir, ["doc_id", "text"])
+          .map_batches(_cops.url_augment_batch, batch_format="pyarrow"))
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        t = b.column("text").to_pandas().fillna("")
+        d = pd.Series(ids % _cops.URL_D_MOD).astype(str)
+        p = pd.Series(ids % _cops.URL_P_MOD).astype(str)
+        t = t + np.where(ids % URL_CANON_MOD == 0,
+                         " https://WWW.d" + d + ".EXAMPLE.com/p" + p
+                         + "/?utm=1", "")
+        urls = t.str.findall(_cops.URL_RE)
+        df = pd.DataFrame({"doc_id": np.repeat(
+            ids, urls.str.len().to_numpy(np.int64)),
+            "u": np.concatenate([np.asarray(x, dtype=object)
+                                 for x in urls] or [[]])})
+        c = df["u"].astype(str).str.replace(
+            r"^https?://", "", regex=True).str.lower()
+        c = c.str.replace(r"^www\.", "", regex=True)
+        c = c.str.replace(r"[?#].*$", "", regex=True)
+        c = c.str.replace(r"/+$", "", regex=True)
+        out = pd.DataFrame({"canon_url": c,
+                            "doc_id": df["doc_id"]}).drop_duplicates()
+        return pd.DataFrame({"canon_url": out["canon_url"],
+                             "n_docs": np.int64(1)})
+
+    counted = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["canon_url"], sum_cols=["n_docs"], num_shards=32)
+    return counted.map_batches(lambda b: b[b["n_docs"] >= 2],
+                               batch_format="pandas")
+
+
+def q_prefix_dedup(sf_dir: str):
+    """Leading-prefix duplicate groups (round 4): docs sharing their
+    first {PREFIX_CHARS} characters — the cheap boilerplate/mirror
+    detector that runs before any shingling. The shuffle carries
+    (md5(prefix), doc_id) only; ONE digest-sharded group computes
+    count + min doc. Returns (prefix_digest, n_docs, min_doc) for
+    groups of >= 2."""
+    import hashlib
+
+    from ..stages.relational import shard_of_keys
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        pre = b["text"].fillna("").str.slice(0, PREFIX_CHARS)
+        dg = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in pre]
+        df = pd.DataFrame({"prefix_digest": dg,
+                           "doc_id": b["doc_id"].to_numpy(np.int64)})
+        df["shard"] = shard_of_keys(df["prefix_digest"].to_numpy(), 64)
+        return df
+
+    def group_shard(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("prefix_digest", as_index=False).agg(
+            n_docs=("doc_id", "size"), min_doc=("doc_id", "min"))
+        a = a[a["n_docs"] >= 2]
+        return pd.DataFrame({
+            "prefix_digest": a["prefix_digest"],
+            "n_docs": a["n_docs"].to_numpy(np.int64),
+            "min_doc": a["min_doc"].to_numpy(np.int64)})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+              .groupby("shard").map_groups(group_shard,
+                                           batch_format="pandas"))
+
+
+def q_source_lang_entropy(sf_dir: str):
+    """Per-source language-mix entropy (round 4): the dataset-card
+    diversity stat — Shannon entropy (nats) of the language
+    distribution within each source. Per-term values quantize to
+    1e-9 ints BEFORE summing, so the cross-language addition is
+    order-free on both sides. ONE bounded-domain groupby. Returns
+    (source, n_docs, n_langs, lang_entropy)."""
+    ds = _docs(sf_dir, ["lang", "source"])
+    g = ds.groupby(["source", "lang"]).aggregate(
+        Count(alias_name="c")).to_pandas()
+    g["c"] = g["c"].astype(np.int64)
+    nd = g.groupby("source")["c"].transform("sum").to_numpy(np.int64)
+    p = g["c"].to_numpy(np.int64).astype(np.float64) / nd
+    term = np.floor(-(p * np.log(p)) * ENTROPY_SCALE + 0.5).astype(np.int64)
+    g["term"] = term
+    g["nd"] = nd
+    out = g.groupby("source", as_index=False).agg(
+        n_docs=("nd", "first"), n_langs=("lang", "size"),
+        term=("term", "sum"))
+    out["lang_entropy"] = (out["term"].to_numpy(np.int64)
+                           .astype(np.float64) / ENTROPY_SCALE)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_langs"] = out["n_langs"].astype(np.int64)
+    return out[["source", "n_docs", "n_langs", "lang_entropy"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "ewma": q_ewma,
+    "cusum_changepoint": q_cusum_changepoint,
+    "interarrival_stats": q_interarrival_stats,
+    "url_canonical_dedup": q_url_canonical_dedup,
+    "prefix_dedup": q_prefix_dedup,
+    "source_lang_entropy": q_source_lang_entropy,
+    "ip_scan": q_ip_scan,
+    "markdown_strip": q_markdown_strip,
+    "readability": q_readability,
+    "market_basket": q_market_basket,
+    "chi2_independence": q_chi2_independence,
+    "ngram_novelty": q_ngram_novelty,
     "benford_digits": q_benford_digits,
     "email_domains": q_email_domains,
     "mad_outliers": q_mad_outliers,
@@ -9810,3 +10352,113 @@ ORACLE_SQL["fk_integrity"] = (
     "UNION ALL SELECT 'orders->customer', count(*)::BIGINT, "
     "sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT "
     "FROM oc LEFT JOIN customer c ON c.c_custkey = oc.k")
+
+
+#: SQL fragment reproducing _ip_augment's /16 prefix list
+_IP_PREF_SQL = "[" + ", ".join(f"'{p}'" for p in IP_PREFIXES) + "]"
+
+ORACLE_SQL["ip_scan"] = (
+    # same deterministic injection as _ip_augment, then identical
+    # extraction (full-match regexp) + prefix CASE classification
+    "WITH aug AS (SELECT doc_id, coalesce(text, '') "
+    f"  || ' addr ' || {_IP_PREF_SQL}[(doc_id % 6) + 1] || '.' "
+    "  || (doc_id % 256) || '.' || (doc_id * 7 % 256) "
+    "  || CASE WHEN doc_id % 5 = 0 THEN ' peer ' "
+    f"     || {_IP_PREF_SQL}[((doc_id % 6 + 3) % 6) + 1] || '.' "
+    "     || (doc_id % 200) || '.' || (doc_id * 13 % 256) "
+    "     ELSE '' END AS text2 FROM documents), "
+    "a AS (SELECT unnest(regexp_extract_all(text2, "
+    f"  '{IP_RE}')) AS addr FROM aug) "
+    "SELECT CASE WHEN addr LIKE '10.%' OR addr LIKE '192.168.%' "
+    "    OR addr LIKE '172.16.%' THEN 'private' "
+    "  WHEN addr LIKE '127.%' THEN 'loopback' "
+    "  ELSE 'public' END AS ip_class, count(*)::BIGINT AS n "
+    "FROM a GROUP BY 1")
+
+
+ORACLE_SQL["markdown_strip"] = (
+    # same wrapper as _md_augment; strip order pinned: header, then
+    # '**', then [text](url) -> text; md5 of the exact cleaned string
+    "WITH aug AS (SELECT doc_id, '## Doc ' || doc_id || chr(10) "
+    "  || '**' || coalesce(source, '') || '** ' || coalesce(text, '') "
+    "  || ' [more](http://md.example/' || doc_id || ')' AS a "
+    "  FROM documents), "
+    "s AS (SELECT doc_id, a, regexp_replace(replace(regexp_replace(a, "
+    "  '^#{1,6} ', ''), '**', ''), "
+    "  '\\[([^\\]]*)\\]\\([^)]*\\)', '\\1', 'g') AS c FROM aug) "
+    "SELECT doc_id, len(a)::BIGINT AS n_before, "
+    "len(c)::BIGINT AS n_after, md5(c) AS digest FROM s")
+
+
+ORACLE_SQL["readability"] = (
+    # identical word/sentence/syllable proxies over the same
+    # deterministic terminator injection; score rounded 4dp
+    # floor-half-up BEFORE banding on both sides
+    "WITH aug AS (SELECT doc_id, regexp_replace(coalesce(text, ''), "
+    "  '\\b(batch|merge)\\b', '\\1.', 'g') AS t FROM documents), "
+    "c AS (SELECT doc_id, "
+    "  len(regexp_extract_all(t, '\\S+'))::BIGINT AS n_words, "
+    "  len(regexp_extract_all(t, '[.!?]+'))::BIGINT AS n_sentences, "
+    "  len(regexp_extract_all(lower(t), "
+    "    '[aeiouy]+'))::BIGINT AS n_syllables FROM aug), "
+    "f AS (SELECT *, floor((206.835 "
+    "  - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) "
+    "  - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)) * 10000 + 0.5) "
+    "  / 10000 AS flesch FROM c WHERE n_words > 0 AND n_sentences > 0) "
+    f"SELECT doc_id, n_words, n_sentences, n_syllables, flesch, "
+    f"CASE WHEN flesch >= {FLESCH_EASY} THEN 'easy' "
+    f"  WHEN flesch >= {FLESCH_MEDIUM} THEN 'medium' "
+    "  ELSE 'hard' END AS band FROM f")
+
+
+ORACLE_SQL["market_basket"] = (
+    # distinct (order, part) incidence; pair support via a<b
+    # self-join; lift from exact int products, one double division
+    "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "t AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n FROM lp), "
+    "pc AS (SELECT l_partkey, count(*)::BIGINT AS c FROM lp GROUP BY 1), "
+    "s AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+    "  count(*)::BIGINT AS support FROM lp a JOIN lp b "
+    "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+    f"  GROUP BY 1, 2 HAVING count(*) >= {MB_MIN_SUPPORT}) "
+    "SELECT part_a, part_b, support, "
+    "floor(CAST(support * t.n AS DOUBLE) / (ca.c * cb.c) "
+    "  * 1000000 + 0.5) / 1000000 AS lift "
+    "FROM s CROSS JOIN t "
+    "JOIN pc ca ON ca.l_partkey = s.part_a "
+    "JOIN pc cb ON cb.l_partkey = s.part_b")
+
+
+ORACLE_SQL["chi2_independence"] = (
+    # expected = exact int rt*ct, ONE double division by the total;
+    # chi2 term from the unrounded expected, both rounded 6dp
+    "WITH g AS (SELECT lang, source, count(*)::BIGINT AS n "
+    "  FROM documents GROUP BY 1, 2), "
+    "r AS (SELECT lang, sum(n)::BIGINT AS rt FROM g GROUP BY lang), "
+    "c AS (SELECT source, sum(n)::BIGINT AS ct FROM g GROUP BY source), "
+    "t AS (SELECT sum(n)::BIGINT AS tot FROM g), "
+    "e AS (SELECT g.lang, g.source, g.n, "
+    "  CAST(r.rt * c.ct AS DOUBLE) / t.tot AS e "
+    "  FROM g JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t) "
+    "SELECT lang, source, n, "
+    "floor(e * 1000000 + 0.5) / 1000000 AS expected, "
+    "floor((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e "
+    "  * 1000000 + 0.5) / 1000000 AS chi2_term FROM e")
+
+
+ORACLE_SQL["ngram_novelty"] = (
+    # distinct 3-token shingles per doc; first-seen = min(doc_id) per
+    # shingle; seen = strictly-later docs; frac = one double division
+    "WITH t AS (SELECT doc_id, regexp_extract_all(lower("
+    "  coalesce(text, '')), '\\S+') AS toks FROM documents), "
+    "z AS (SELECT doc_id, unnest(list_zip(toks[:-3], toks[2:-2], "
+    "  toks[3:])) AS z FROM t WHERE len(toks) >= 3), "
+    "s AS (SELECT DISTINCT doc_id, "
+    "  z[1] || ' ' || z[2] || ' ' || z[3] AS sh FROM z), "
+    "f AS (SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY sh) "
+    "SELECT s.doc_id, count(*)::BIGINT AS n_shingles, "
+    "sum(CASE WHEN s.doc_id > f.first_doc THEN 1 ELSE 0 END)::BIGINT "
+    "  AS n_seen, "
+    "floor(CAST(sum(CASE WHEN s.doc_id > f.first_doc THEN 1 ELSE 0 END) "
+    "  AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS dup_frac "
+    "FROM s JOIN f USING (sh) GROUP BY s.doc_id")

@@ -1884,3 +1884,160 @@ def test_char_class_profile_handbuilt(ray_session, tmp_path):
     r = out.iloc[0]
     assert (r["n_chars"], r["lower"], r["digit"], r["space"],
             r["other"]) == (6, 2, 2, 1, 1)
+
+
+def test_ip_scan_handbuilt(ray_session, tmp_path):
+    """Each /16 template classifies as documented; peer injection only
+    on doc_id % 5 == 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_ip_scan
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "text": pa.array([""] * 6, type=pa.string())}),
+        str(sf / "documents.parquet"))
+    out = q_ip_scan(str(sf)).sort_values("ip_class").reset_index(drop=True)
+    # addrs: ids 0,1,2 private / 3,4 public / 5 loopback
+    # peers: id 0 -> prefix[3] public, id 5 -> prefix[2] private
+    assert out["ip_class"].tolist() == ["loopback", "private", "public"]
+    assert out["n"].tolist() == [1, 4, 3]
+
+
+def test_markdown_strip_handbuilt(ray_session, tmp_path):
+    """Exact cleaned bytes pinned: header, bold markers, inline link
+    (keeping anchor text) — including markdown already in the text."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_markdown_strip
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([7], type=pa.int64()),
+        "source": pa.array(["s0"], type=pa.string()),
+        "text": pa.array(["alpha [x](http://q) **b** beta"],
+                         type=pa.string())}),
+        str(sf / "documents.parquet"))
+    out = q_markdown_strip(str(sf)).to_pandas()
+    aug = ("## Doc 7\n**s0** alpha [x](http://q) **b** beta"
+           " [more](http://md.example/7)")
+    clean = "Doc 7\ns0 alpha x b beta more"
+    assert out["n_before"].iloc[0] == len(aug)
+    assert out["n_after"].iloc[0] == len(clean)
+    assert out["digest"].iloc[0] == hashlib.md5(
+        clean.encode("utf-8")).hexdigest()
+
+
+def test_readability_handbuilt(ray_session, tmp_path):
+    """batch./merge. terminator injection; Flesch formula on the
+    deterministic proxies, banding on the rounded score."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_readability
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["batch merge data", "no terminators here"],
+                         type=pa.string())}),
+        str(sf / "documents.parquet"))
+    out = q_readability(str(sf)).to_pandas()
+    assert out["doc_id"].tolist() == [0]     # doc 1 has no sentence mark
+    assert out["n_words"].iloc[0] == 3
+    assert out["n_sentences"].iloc[0] == 2
+    assert out["n_syllables"].iloc[0] == 5   # a | e,e | a,a
+    # 206.835 - 1.015*(3/2) - 84.6*(5/3) = 64.3125
+    assert out["flesch"].iloc[0] == 64.3125
+    assert out["band"].iloc[0] == "medium"
+
+
+def test_market_basket_handbuilt(ray_session, tmp_path):
+    """Support counts distinct orders (duplicate lines collapse);
+    pairs below MB_MIN_SUPPORT drop; lift = sup*T/(ca*cb)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_market_basket
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    ok = [1, 1, 1, 1, 2, 2, 3, 3]            # (1,1) duplicated
+    pk = [1, 1, 2, 3, 1, 2, 2, 3]
+    n = len(ok)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(ok, type=pa.int64()),
+        "l_partkey": pa.array(pk, type=pa.int64()),
+        "l_suppkey": pa.array([1] * n, type=pa.int64()),
+        "l_linenumber": pa.array(range(n), type=pa.int32()),
+        "l_quantity": pa.array([1.0] * n),
+        "l_extendedprice": pa.array([1.0] * n),
+        "l_discount": pa.array([0.0] * n),
+        "l_tax": pa.array([0.0] * n),
+        "l_returnflag": pa.array(["N"] * n),
+        "l_linestatus": pa.array(["O"] * n),
+        "l_shipdate": pa.array([0] * n, type=pa.timestamp("us"))}),
+        str(sf / "lineitem.parquet"))
+    out = (q_market_basket(str(sf))
+           .sort_values(["part_a", "part_b"]).reset_index(drop=True))
+    # pairs: (1,2) in orders 1,2; (2,3) in orders 1,3; (1,3) only in 1
+    assert out[["part_a", "part_b", "support"]].values.tolist() == \
+        [[1, 2, 2], [2, 3, 2]]
+    # T=3, c1=2, c2=3, c3=2 -> lift = 2*3/(2*3) = 1.0 both
+    assert out["lift"].tolist() == [1.0, 1.0]
+
+
+def test_chi2_independence_handbuilt(ray_session, tmp_path):
+    """Expected = rt*ct/T; chi2 term from the unrounded expected."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_chi2_independence)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    langs = ["en", "en", "en", "fr"]
+    srcs = ["a", "a", "b", "a"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array([""] * 4, type=pa.string()),
+        "lang": pa.array(langs, type=pa.string()),
+        "source": pa.array(srcs, type=pa.string())}),
+        str(sf / "documents.parquet"))
+    out = (q_chi2_independence(str(sf))
+           .sort_values(["lang", "source"]).reset_index(drop=True))
+    assert out["n"].tolist() == [2, 1, 1]
+    assert out["expected"].tolist() == [2.25, 0.75, 0.75]
+    assert out["chi2_term"].tolist() == [0.027778, 0.083333, 0.083333]
+
+
+def test_ngram_novelty_handbuilt(ray_session, tmp_path):
+    """First-seen is per-shingle min doc_id; repeated shingles within a
+    doc count once; docs under 3 tokens drop."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_ngram_novelty
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(["a b c d", "a b c x", "a b c d", "a b"],
+                         type=pa.string())}),
+        str(sf / "documents.parquet"))
+    out = (q_ngram_novelty(str(sf)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["n_shingles"].tolist() == [2, 2, 2]
+    assert out["n_seen"].tolist() == [0, 1, 2]
+    assert out["dup_frac"].tolist() == [0.0, 0.5, 1.0]

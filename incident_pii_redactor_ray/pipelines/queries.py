@@ -6940,10 +6940,12 @@ def q_cusum_changepoint(sf_dir: str):
         rows.append({
             "event_type": et, "n_days": np.int64(nd),
             "max_dev": np.floor(dev.max() * 1e6 + 0.5) / 1e6,
-            "cp_day": (np.int64(g["day"].to_numpy(np.int64)[hit[0]])
-                       if len(hit) else None)})
+            # float64 with NaN-as-null: the dtype a nullable BIGINT
+            # lands in on the comparison side
+            "cp_day": (float(g["day"].to_numpy(np.int64)[hit[0]])
+                       if len(hit) else np.nan)})
     out = pd.DataFrame(rows)
-    out["cp_day"] = out["cp_day"].astype("Int64")
+    out["cp_day"] = out["cp_day"].astype(np.float64)
     return out
 
 
@@ -10462,3 +10464,112 @@ ORACLE_SQL["ngram_novelty"] = (
     "floor(CAST(sum(CASE WHEN s.doc_id > f.first_doc THEN 1 ELSE 0 END) "
     "  AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS dup_frac "
     "FROM s JOIN f USING (sh) GROUP BY s.doc_id")
+
+
+ORACLE_SQL["ewma"] = (
+    # exact e6-int daily sums; the sequential fold reproduced by a
+    # recursive CTE with the same float literals and op order
+    "WITH RECURSIVE q AS (SELECT event_type, "
+    "  epoch_us(ts) // 86400000000 AS day, "
+    "  sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))::BIGINT AS v6 "
+    "  FROM events GROUP BY 1, 2), "
+    "r AS (SELECT event_type, day, v6, row_number() OVER ("
+    "  PARTITION BY event_type ORDER BY day) AS rn FROM q), "
+    "e AS (SELECT event_type, day, rn, "
+    "  CAST(v6 AS DOUBLE) / 1000000 AS x, "
+    "  CAST(v6 AS DOUBLE) / 1000000 AS s FROM r WHERE rn = 1 "
+    "  UNION ALL SELECT r.event_type, r.day, r.rn, "
+    "  CAST(r.v6 AS DOUBLE) / 1000000, "
+    f"  {EWMA_ALPHA} * (CAST(r.v6 AS DOUBLE) / 1000000) "
+    f"  + {1.0 - EWMA_ALPHA} * e.s "
+    "  FROM r JOIN e ON r.event_type = e.event_type "
+    "  AND r.rn = e.rn + 1) "
+    "SELECT event_type, day, x, "
+    "floor(s * 1000000 + 0.5) / 1000000 AS ewma FROM e")
+
+
+ORACLE_SQL["cusum_changepoint"] = (
+    # dev = |exact-int prefix count - rn * mean|; threshold from exact
+    # int moments, sqrt-then-divide order pinned to the engine
+    "WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, "
+    "  count(*)::BIGINT AS n FROM events GROUP BY 1, 2), "
+    "st AS (SELECT event_type, count(*)::BIGINT AS nd, "
+    "  sum(n)::BIGINT AS s, sum(n * n)::BIGINT AS q FROM d GROUP BY 1), "
+    "c AS (SELECT d.event_type, d.day, st.nd, "
+    "  abs(CAST(sum(d.n) OVER (PARTITION BY d.event_type ORDER BY d.day) "
+    "    AS DOUBLE) "
+    "  - (row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)) "
+    "    * (CAST(st.s AS DOUBLE) / st.nd)) AS dev, "
+    f"  {CUSUM_K} * (sqrt(CAST(st.nd * st.q - st.s * st.s AS DOUBLE)) "
+    "    / st.nd) AS thr "
+    "  FROM d JOIN st USING (event_type)) "
+    "SELECT event_type, min(nd)::BIGINT AS n_days, "
+    "floor(max(dev) * 1000000 + 0.5) / 1000000 AS max_dev, "
+    # DOUBLE cast: a nullable BIGINT's pandas dtype flips with NULL
+    # presence; the engine emits float64 unconditionally
+    "CAST(min(CASE WHEN dev > thr THEN day END) AS DOUBLE) AS cp_day "
+    "FROM c GROUP BY event_type")
+
+
+ORACLE_SQL["interarrival_stats"] = (
+    # gaps via lag over (ts, event_id); mean = exact int sum, one
+    # double division, 6dp floor-half-up
+    "WITH o AS (SELECT user_id, epoch_us(ts) "
+    "  - lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+    "    ORDER BY ts, event_id) AS gap FROM events), "
+    "a AS (SELECT user_id, count(*)::BIGINT AS n_events, "
+    "  sum(gap)::BIGINT AS gs, max(gap)::BIGINT AS gm, "
+    "  count(gap)::BIGINT AS ng FROM o GROUP BY user_id) "
+    "SELECT user_id, n_events, "
+    "floor(CAST(gs AS DOUBLE) / ng * 1000000 + 0.5) / 1000000 "
+    "  AS mean_gap_us, gm AS max_gap_us FROM a WHERE ng > 0")
+
+
+ORACLE_SQL["url_canonical_dedup"] = (
+    # same injections (url_augment_batch's two URLs + the mixed-case
+    # variant), same canonicalization chain, distinct per doc
+    "WITH aug AS (SELECT doc_id, coalesce(text, '') "
+    f"  || CASE WHEN doc_id % {_cops.URL_HTTP_MOD} = 0 THEN "
+    f"     ' http://d' || (doc_id % {_cops.URL_D_MOD}) "
+    f"     || '.example.com/p' || (doc_id % {_cops.URL_P_MOD}) "
+    "     ELSE '' END "
+    f"  || CASE WHEN doc_id % {_cops.URL_HTTPS_MOD} = 0 THEN "
+    f"     ' https://s' || (doc_id % {_cops.URL_S_MOD}) "
+    f"     || '.example.org/q' || (doc_id % {_cops.URL_P_MOD}) "
+    "     ELSE '' END "
+    f"  || CASE WHEN doc_id % {URL_CANON_MOD} = 0 THEN "
+    f"     ' https://WWW.d' || (doc_id % {_cops.URL_D_MOD}) "
+    f"     || '.EXAMPLE.com/p' || (doc_id % {_cops.URL_P_MOD}) "
+    "     || '/?utm=1' ELSE '' END AS t FROM documents), "
+    "u AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+    f"  '{_cops.URL_RE}')) AS u FROM aug), "
+    "c AS (SELECT DISTINCT doc_id, regexp_replace(regexp_replace("
+    "  regexp_replace(lower(regexp_replace(u, '^https?://', '')), "
+    "  '^www\\.', ''), '[?#].*$', ''), '/+$', '') AS canon_url FROM u) "
+    "SELECT canon_url, count(*)::BIGINT AS n_docs FROM c "
+    "GROUP BY canon_url HAVING count(*) >= 2")
+
+
+ORACLE_SQL["prefix_dedup"] = (
+    f"WITH p AS (SELECT doc_id, md5(substr(coalesce(text, ''), 1, "
+    f"{PREFIX_CHARS})) AS dg FROM documents) "
+    "SELECT dg AS prefix_digest, count(*)::BIGINT AS n_docs, "
+    "min(doc_id)::BIGINT AS min_doc FROM p GROUP BY dg "
+    "HAVING count(*) >= 2")
+
+
+ORACLE_SQL["source_lang_entropy"] = (
+    # per-term 1e-9 quantization BEFORE the cross-language sum makes
+    # the float addition order-free on both sides
+    "WITH g AS (SELECT source, lang, count(*)::BIGINT AS c "
+    "  FROM documents GROUP BY 1, 2), "
+    "n AS (SELECT source, sum(c)::BIGINT AS nd FROM g GROUP BY source), "
+    "t AS (SELECT g.source, n.nd, "
+    "  CAST(floor(-((CAST(c AS DOUBLE) / nd) "
+    "    * ln(CAST(c AS DOUBLE) / nd)) "
+    f"    * {ENTROPY_SCALE} + 0.5) AS BIGINT) AS term "
+    "  FROM g JOIN n USING (source)) "
+    "SELECT source, min(nd)::BIGINT AS n_docs, "
+    "count(*)::BIGINT AS n_langs, "
+    f"CAST(sum(term) AS DOUBLE) / {ENTROPY_SCALE} AS lang_entropy "
+    "FROM t GROUP BY source")

@@ -2041,3 +2041,160 @@ def test_ngram_novelty_handbuilt(ray_session, tmp_path):
     assert out["n_shingles"].tolist() == [2, 2, 2]
     assert out["n_seen"].tolist() == [0, 1, 2]
     assert out["dup_frac"].tolist() == [0.0, 0.5, 1.0]
+
+
+def _write_events(sf, ts_us, user_ids, event_types, values=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(ts_us)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "ts": pa.array(ts_us, type=pa.timestamp("us")),
+        "user_id": pa.array(user_ids, type=pa.int64()),
+        "event_type": pa.array(event_types, type=pa.string()),
+        "value": pa.array(values or [1.0] * n),
+        "props": pa.array(["{}"] * n)}),
+        str(sf / "events.parquet"))
+
+
+def test_ewma_handbuilt(ray_session, tmp_path):
+    """s1 = x1; s2 = 0.3*x2 + 0.7*s1 over exact e6-int daily sums."""
+    from incident_pii_redactor_ray.pipelines.queries import q_ewma
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    day = 86_400_000_000
+    _write_events(sf, [0, 10, day, 2 * day], [1, 2, 1, 1],
+                  ["a", "a", "a", "a"], [1.5, 2.5, 8.0, 2.0])
+    out = q_ewma(str(sf)).sort_values("day").reset_index(drop=True)
+    assert out["x"].tolist() == [4.0, 8.0, 2.0]
+    # s: 4.0, .3*8+.7*4=5.2, .3*2+.7*5.2=4.24
+    assert out["ewma"].tolist() == [4.0, 5.2, 4.24]
+
+
+def test_cusum_changepoint_handbuilt(ray_session, tmp_path):
+    """A level shift flips the first day whose |cum - rn*mean|
+    exceeds K*sd; a flat series reports NaN."""
+    import numpy as np
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_cusum_changepoint)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    day = 86_400_000_000
+    ts, types = [], []
+    # type 'a': 1/day for 10 days then 9/day for 10 days -> break
+    for d in range(10):
+        ts.append(d * day); types.append("a")
+    for d in range(10, 20):
+        for _ in range(9):
+            ts.append(d * day); types.append("a")
+    # type 'b': exactly 2/day for 20 days -> no break
+    for d in range(20):
+        for _ in range(2):
+            ts.append(d * day); types.append("b")
+    _write_events(sf, ts, [1] * len(ts), types)
+    out = (q_cusum_changepoint(str(sf))
+           .sort_values("event_type").reset_index(drop=True))
+    assert out["n_days"].tolist() == [20, 20]
+    assert not np.isnan(out["cp_day"].iloc[0])
+    assert np.isnan(out["cp_day"].iloc[1])
+    assert out["max_dev"].iloc[1] == 0.0
+
+
+def test_interarrival_stats_handbuilt(ray_session, tmp_path):
+    """Gaps from the (ts, event_id)-sorted stream; single-event users
+    drop."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_interarrival_stats)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [0, 100, 400, 50], [1, 1, 1, 2],
+                  ["a", "a", "a", "a"])
+    out = q_interarrival_stats(str(sf)).to_pandas()
+    assert out["user_id"].tolist() == [1]    # user 2 has one event
+    assert out["n_events"].iloc[0] == 3
+    assert out["mean_gap_us"].iloc[0] == 200.0   # (100 + 300) / 2
+    assert out["max_gap_us"].iloc[0] == 300
+
+
+def test_url_canonical_dedup_handbuilt(ray_session, tmp_path):
+    """The mixed-case www/query variant collapses onto its plain
+    sibling."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_url_canonical_dedup)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # doc 0: http (0%2=0) AND https (0%5=0) AND variant (0%7=0);
+    # doc 70: http AND https AND variant with the same d/p classes as
+    # doc 0 mod 23/11? 70%23=1 != 0 -> different. Use doc 0 and 322
+    # (322 = 2*7*23 -> %23=0, %7=0, %2=0; 322%11=3 != 0%11) — instead
+    # rely on doc 0's own variant collapsing: canon d0.example.com/p0
+    # appears for doc 0 twice (http + variant) = 1 doc. So build two
+    # docs whose injected http URLs collide: 0 and 506 (506=2*11*23).
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 506], type=pa.int64()),
+        "text": pa.array(["", ""], type=pa.string())}),
+        str(sf / "documents.parquet"))
+    out = q_url_canonical_dedup(str(sf)).to_pandas()
+    # both docs inject http://d0.example.com/p0 (506%23=0, 506%11=0);
+    # doc 0's variant collapses into the same canon (within-doc dedup)
+    assert out["canon_url"].tolist() == ["d0.example.com/p0"]
+    assert out["n_docs"].tolist() == [2]
+
+
+def test_prefix_dedup_handbuilt(ray_session, tmp_path):
+    """Docs sharing the first 32 chars group; singletons drop."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_prefix_dedup
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shared = "x" * 32
+    pq.write_table(pa.table({
+        "doc_id": pa.array([3, 1, 2], type=pa.int64()),
+        "text": pa.array([shared + " tail a", shared + " tail b",
+                          "completely different text here"],
+                         type=pa.string())}),
+        str(sf / "documents.parquet"))
+    out = q_prefix_dedup(str(sf)).to_pandas()
+    assert len(out) == 1
+    assert out["n_docs"].iloc[0] == 2
+    assert out["min_doc"].iloc[0] == 1
+
+
+def test_source_lang_entropy_handbuilt(ray_session, tmp_path):
+    """Uniform 2-language source -> ln 2; single-language -> 0."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_source_lang_entropy)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    langs = ["en", "fr", "en", "en"]
+    srcs = ["a", "a", "b", "b"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array([""] * 4, type=pa.string()),
+        "lang": pa.array(langs, type=pa.string()),
+        "source": pa.array(srcs, type=pa.string())}),
+        str(sf / "documents.parquet"))
+    out = (q_source_lang_entropy(str(sf))
+           .sort_values("source").reset_index(drop=True))
+    assert out["n_docs"].tolist() == [2, 2]
+    assert out["n_langs"].tolist() == [2, 1]
+    assert abs(out["lang_entropy"].iloc[0] - math.log(2)) < 1e-8
+    assert out["lang_entropy"].iloc[1] == 0.0

@@ -7107,11 +7107,246 @@ def q_source_lang_entropy(sf_dir: str):
     return out[["source", "n_docs", "n_langs", "lang_entropy"]]
 
 
+NORM_SCALE = 1_000_000_000   # embedding_norm_stats: per-vec 1e-9 quant
+
+
+def q_pii_density(sf_dir: str):
+    """Per-source PII density rollup (round 4): the dataset-card
+    number a privacy review asks for — emails and IPv4s per thousand
+    characters, by source. Scans run over the shared deterministic
+    injections (_email_augment / _ip_augment — the fixture has no
+    natural PII); the density denominator is the RAW character count
+    (documents.n_chars), documented. Map-side partials, one tiny
+    rollup. Returns (source, n_docs, n_chars, n_emails, n_ips,
+    pii_per_kchar)."""
+    ds = _docs(sf_dir, ["doc_id", "source", "text", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        t = b["text"].fillna("")
+        ne = _email_augment(ids, t).str.count(EMAIL_DOM_RE)
+        ni = _ip_augment(ids, t).str.count(IP_RE)
+        df = pd.DataFrame({
+            "source": b["source"].to_numpy(),
+            "n_docs": np.int64(1),
+            "n_chars": b["n_chars"].to_numpy(np.int64),
+            "n_emails": ne.to_numpy(np.int64),
+            "n_ips": ni.to_numpy(np.int64)})
+        return df.groupby("source", as_index=False).sum()
+
+    g = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("source", as_index=False).sum())
+    for c in ("n_docs", "n_chars", "n_emails", "n_ips"):
+        g[c] = g[c].astype(np.int64)
+    g["pii_per_kchar"] = np.floor(
+        ((g["n_emails"].to_numpy(np.int64)
+          + g["n_ips"].to_numpy(np.int64)) * 1000).astype(np.float64)
+        / g["n_chars"].to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    return g[["source", "n_docs", "n_chars", "n_emails", "n_ips",
+              "pii_per_kchar"]]
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Exact-duplicate rate per source (round 4): of each source's
+    docs, how many are byte-identical to an EARLIER doc (global
+    first-wins by doc_id — the exact_dedup keep rule). The shuffle
+    carries (md5, doc_id, source) only; ONE digest-sharded pass flags
+    dupes and emits per-source partials. Returns (source, n_docs,
+    n_dupes, dup_rate)."""
+    import hashlib
+
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(x.encode("utf-8")).hexdigest()
+             for x in b["text"].fillna("")]
+        df = pd.DataFrame({"h": h,
+                           "doc_id": b["doc_id"].to_numpy(np.int64),
+                           "source": b["source"].to_numpy()})
+        df["shard"] = shard_of_keys(df["h"].to_numpy(), 64)
+        return df
+
+    def flag_shard(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("h")["doc_id"].transform("min")
+        out = pd.DataFrame({
+            "source": g["source"],
+            "n_docs": np.int64(1),
+            "n_dupes": (g["doc_id"].to_numpy(np.int64)
+                        > first.to_numpy(np.int64)).astype(np.int64)})
+        return out.groupby("source", as_index=False).sum()
+
+    rolled = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas")
+          .groupby("shard").map_groups(flag_shard, batch_format="pandas"),
+        keys=["source"], sum_cols=["n_docs", "n_dupes"],
+        num_shards=8).to_pandas()
+    rolled["dup_rate"] = np.floor(
+        rolled["n_dupes"].to_numpy(np.int64).astype(np.float64)
+        / rolled["n_docs"].to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    return rolled[["source", "n_docs", "n_dupes", "dup_rate"]]
+
+
+def q_acf1_daily(sf_dir: str):
+    """Lag-1 autocorrelation of daily revenue per event type (round
+    4): the Pearson correlation between consecutive days — the
+    seasonality/trend smell test. All moments are EXACT integer sums
+    over e6-quantized daily totals (Python bigints on the driver,
+    HUGEINT in the oracle), one double division at the end. Returns
+    (event_type, n_days, acf1) with NaN on degenerate series."""
+    import math
+
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        tus = b["ts"].to_numpy("datetime64[us]").view("int64")
+        v6 = np.floor(b["value"].to_numpy(np.float64) * 1e6
+                      + 0.5).astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                           "day": tus // 86_400_000_000, "v6": v6})
+        return df.groupby(["event_type", "day"], as_index=False).sum()
+
+    daily = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "day"], sum_cols=["v6"],
+        num_shards=16).to_pandas()
+    daily = daily.sort_values(["event_type", "day"],
+                              kind="mergesort").reset_index(drop=True)
+    rows = []
+    for et, g in daily.groupby("event_type", sort=True):
+        v = [int(x) for x in g["v6"].to_numpy(np.int64)]
+        n = len(v)
+        if n < 2:
+            continue
+        a, b_ = v[:-1], v[1:]
+        m = n - 1
+        s1, s2 = sum(a), sum(b_)
+        p = sum(x * y for x, y in zip(a, b_))
+        q1 = sum(x * x for x in a)
+        q2 = sum(y * y for y in b_)
+        num = m * p - s1 * s2
+        d1, d2 = m * q1 - s1 * s1, m * q2 - s2 * s2
+        den = math.sqrt(float(d1) * float(d2))
+        acf = float(num) / den if den > 0 else np.nan
+        rows.append({"event_type": et, "n_days": np.int64(n),
+                     "acf1": (np.floor(acf * 1e6 + 0.5) / 1e6
+                              if den > 0 else np.nan)})
+    return pd.DataFrame(rows)
+
+
+def q_tokenizer_fertility(sf_dir: str):
+    """Characters-per-token by language (round 4): the tokenizer
+    fertility proxy a multilingual pipeline tracks — languages whose
+    tokens are long need more subword splits. n_token_chars counts
+    non-whitespace characters (= total token length). Map-side int
+    partials, tiny rollup, one double division. Returns (lang,
+    n_docs, n_tokens, n_token_chars, chars_per_token)."""
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        df = pd.DataFrame({
+            "lang": b["lang"].to_numpy(),
+            "n_docs": np.int64(1),
+            "n_tokens": t.str.count(r"\S+").to_numpy(np.int64),
+            "n_token_chars": t.str.replace(
+                r"[ \t\n\f\r]+", "", regex=True).str.len()
+                .to_numpy(np.int64)})
+        return df.groupby("lang", as_index=False).sum()
+
+    g = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("lang", as_index=False).sum())
+    for c in ("n_docs", "n_tokens", "n_token_chars"):
+        g[c] = g[c].astype(np.int64)
+    g["chars_per_token"] = np.floor(
+        g["n_token_chars"].to_numpy(np.int64).astype(np.float64)
+        / g["n_tokens"].to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    return g[["lang", "n_docs", "n_tokens", "n_token_chars",
+              "chars_per_token"]]
+
+
+def q_weekday_profile(sf_dir: str):
+    """Event weekday seasonality (round 4): count and share per
+    (event_type, weekday), weekday = (epoch_days + 3) % 7 with
+    0=Monday — pure integer arithmetic on the epoch, no timezone/
+    locale dependency for the oracle to diverge on. Map-side
+    partials over a bounded domain. Returns (event_type, weekday, n,
+    pct)."""
+    ev = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        tus = b["ts"].to_numpy("datetime64[us]").view("int64")
+        df = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                           "weekday": (tus // 86_400_000_000 + 3) % 7,
+                           "n": np.int64(1)})
+        return df.groupby(["event_type", "weekday"], as_index=False).sum()
+
+    g = (ev.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby(["event_type", "weekday"], as_index=False).sum())
+    g["n"] = g["n"].astype(np.int64)
+    tot = g.groupby("event_type")["n"].transform("sum").to_numpy(np.int64)
+    g["pct"] = np.floor(g["n"].to_numpy(np.int64).astype(np.float64)
+                        / tot * 1e6 + 0.5) / 1e6
+    g["weekday"] = g["weekday"].astype(np.int64)
+    return g[["event_type", "weekday", "n", "pct"]]
+
+
+def q_embedding_norm_stats(sf_dir: str):
+    """Per-label L2-norm statistics of the embedding column (round 4):
+    the embedding-health check (collapsed or exploding norms flag a
+    bad encoder run). Norms derive from e6-quantized components
+    (exact int sum of squares, one sqrt); the per-label mean
+    quantizes each norm to 1e-9 BEFORE summing so the reduction is
+    order-free. Map-side partials per label. Returns (label, n,
+    mean_norm, min_norm, max_norm)."""
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dim = len(col[0])
+        v = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+        v6 = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        q = (v6 * v6).sum(axis=1)
+        norm = np.sqrt(q.astype(np.float64)) / 1e6
+        n9 = np.floor(norm * NORM_SCALE + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "label": np.asarray(batch.column("label"), dtype=np.int64),
+            "n": np.int64(1), "s9": n9, "mn": norm, "mx": norm})
+        return df.groupby("label", as_index=False).agg(
+            n=("n", "sum"), s9=("s9", "sum"), mn=("mn", "min"),
+            mx=("mx", "max"))
+
+    parts = (_emb(sf_dir).map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    g = parts.groupby("label", as_index=False).agg(
+        n=("n", "sum"), s9=("s9", "sum"), mn=("mn", "min"),
+        mx=("mx", "max"))
+    g["mean_norm"] = np.floor(
+        g["s9"].to_numpy(np.int64).astype(np.float64)
+        / g["n"].to_numpy(np.int64) / NORM_SCALE * 1e6 + 0.5) / 1e6
+    g["min_norm"] = np.floor(g["mn"].to_numpy(np.float64) * 1e6
+                             + 0.5) / 1e6
+    g["max_norm"] = np.floor(g["mx"].to_numpy(np.float64) * 1e6
+                             + 0.5) / 1e6
+    g["label"] = g["label"].astype(np.int64)
+    g["n"] = g["n"].astype(np.int64)
+    return g[["label", "n", "mean_norm", "min_norm", "max_norm"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "pii_density": q_pii_density,
+    "dup_rate_by_source": q_dup_rate_by_source,
+    "acf1_daily": q_acf1_daily,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "weekday_profile": q_weekday_profile,
+    "embedding_norm_stats": q_embedding_norm_stats,
     "ewma": q_ewma,
     "cusum_changepoint": q_cusum_changepoint,
     "interarrival_stats": q_interarrival_stats,
@@ -10573,3 +10808,112 @@ ORACLE_SQL["source_lang_entropy"] = (
     "count(*)::BIGINT AS n_langs, "
     f"CAST(sum(term) AS DOUBLE) / {ENTROPY_SCALE} AS lang_entropy "
     "FROM t GROUP BY source")
+
+
+ORACLE_SQL["pii_density"] = (
+    # same email/ip injections as email_domains/ip_scan; denominator
+    # is the RAW n_chars column
+    "WITH aug AS (SELECT doc_id, source, n_chars, "
+    "  coalesce(text, '') "
+    "  || CASE WHEN doc_id % 3 != 0 THEN ' contact user' || doc_id "
+    f"     || '@' || {_EMAIL_DOMS_SQL}[(doc_id % 7) + 1] ELSE '' END "
+    "  || CASE WHEN doc_id % 11 = 0 THEN ' cc admin' || doc_id "
+    f"     || '@' || {_EMAIL_DOMS_SQL}[(doc_id % 5) + 1] ELSE '' END "
+    "  AS te, "
+    "  coalesce(text, '') "
+    f"  || ' addr ' || {_IP_PREF_SQL}[(doc_id % 6) + 1] || '.' "
+    "  || (doc_id % 256) || '.' || (doc_id * 7 % 256) "
+    "  || CASE WHEN doc_id % 5 = 0 THEN ' peer ' "
+    f"     || {_IP_PREF_SQL}[((doc_id % 6 + 3) % 6) + 1] || '.' "
+    "     || (doc_id % 200) || '.' || (doc_id * 13 % 256) "
+    "     ELSE '' END AS ti FROM documents), "
+    "c AS (SELECT source, count(*)::BIGINT AS n_docs, "
+    "  sum(n_chars)::BIGINT AS n_chars, "
+    f"  sum(len(regexp_extract_all(te, '{EMAIL_DOM_RE}')))::BIGINT "
+    "    AS n_emails, "
+    f"  sum(len(regexp_extract_all(ti, '{IP_RE}')))::BIGINT AS n_ips "
+    "  FROM aug GROUP BY source) "
+    "SELECT source, n_docs, n_chars, n_emails, n_ips, "
+    "floor(CAST((n_emails + n_ips) * 1000 AS DOUBLE) / n_chars "
+    "  * 1000000 + 0.5) / 1000000 AS pii_per_kchar FROM c")
+
+
+ORACLE_SQL["dup_rate_by_source"] = (
+    "WITH h AS (SELECT doc_id, source, "
+    "  md5(coalesce(text, '')) AS h FROM documents), "
+    "f AS (SELECT *, min(doc_id) OVER (PARTITION BY h) AS first_doc "
+    "  FROM h) "
+    "SELECT source, count(*)::BIGINT AS n_docs, "
+    "sum(CASE WHEN doc_id > first_doc THEN 1 ELSE 0 END)::BIGINT "
+    "  AS n_dupes, "
+    "floor(CAST(sum(CASE WHEN doc_id > first_doc THEN 1 ELSE 0 END) "
+    "  AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS dup_rate "
+    "FROM f GROUP BY source")
+
+
+ORACLE_SQL["acf1_daily"] = (
+    # exact HUGEINT moments over consecutive-day pairs of e6 daily
+    # sums; one CAST-to-DOUBLE division, sqrt(d1*d2) order pinned
+    "WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, "
+    "  sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))::BIGINT AS v6 "
+    "  FROM events GROUP BY 1, 2), "
+    "p AS (SELECT event_type, v6 AS a, lead(v6) OVER ("
+    "  PARTITION BY event_type ORDER BY day) AS b, "
+    "  count(*) OVER (PARTITION BY event_type) AS nd FROM d), "
+    "m AS (SELECT event_type, min(nd)::BIGINT AS n_days, "
+    "  count(*)::HUGEINT AS m, sum(a::HUGEINT)::HUGEINT AS s1, "
+    "  sum(b::HUGEINT)::HUGEINT AS s2, "
+    "  sum(a::HUGEINT * b::HUGEINT)::HUGEINT AS p, "
+    "  sum(a::HUGEINT * a::HUGEINT)::HUGEINT AS q1, "
+    "  sum(b::HUGEINT * b::HUGEINT)::HUGEINT AS q2 "
+    "  FROM p WHERE b IS NOT NULL GROUP BY event_type) "
+    "SELECT event_type, n_days, "
+    "CASE WHEN (m * q1 - s1 * s1) > 0 AND (m * q2 - s2 * s2) > 0 THEN "
+    "floor(CAST(m * p - s1 * s2 AS DOUBLE) "
+    "  / sqrt(CAST(m * q1 - s1 * s1 AS DOUBLE) "
+    "         * CAST(m * q2 - s2 * s2 AS DOUBLE)) * 1000000 + 0.5) "
+    "  / 1000000 ELSE CAST('nan' AS DOUBLE) END AS acf1 FROM m")
+
+
+ORACLE_SQL["tokenizer_fertility"] = (
+    "WITH c AS (SELECT lang, "
+    "  len(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT "
+    "    AS n_tokens, "
+    "  len(regexp_replace(coalesce(text, ''), '[ \\t\\n\\f\\r]+', "
+    "    '', 'g'))::BIGINT AS n_token_chars FROM documents) "
+    "SELECT lang, count(*)::BIGINT AS n_docs, "
+    "sum(n_tokens)::BIGINT AS n_tokens, "
+    "sum(n_token_chars)::BIGINT AS n_token_chars, "
+    "floor(CAST(sum(n_token_chars) AS DOUBLE) / sum(n_tokens) "
+    "  * 1000000 + 0.5) / 1000000 AS chars_per_token "
+    "FROM c GROUP BY lang")
+
+
+ORACLE_SQL["weekday_profile"] = (
+    "WITH w AS (SELECT event_type, "
+    "  (epoch_us(ts) // 86400000000 + 3) % 7 AS weekday FROM events), "
+    "g AS (SELECT event_type, weekday, count(*)::BIGINT AS n "
+    "  FROM w GROUP BY 1, 2), "
+    "t AS (SELECT event_type, sum(n)::BIGINT AS tot FROM g GROUP BY 1) "
+    "SELECT g.event_type, g.weekday::BIGINT AS weekday, g.n, "
+    "floor(CAST(g.n AS DOUBLE) / t.tot * 1000000 + 0.5) / 1000000 "
+    "  AS pct FROM g JOIN t USING (event_type)")
+
+
+ORACLE_SQL["embedding_norm_stats"] = (
+    # norm = sqrt(exact int sum of e6^2 components) / 1e6; mean over
+    # 1e-9-quantized norms (order-free int sum)
+    "WITH e AS (SELECT vec_id, label::BIGINT AS label, "
+    "  CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) "
+    "    AS v6 FROM embeddings), "
+    "q AS (SELECT vec_id, min(label) AS label, "
+    "  sqrt(CAST(sum(v6 * v6) AS DOUBLE)) / 1000000 AS norm "
+    "  FROM e GROUP BY vec_id), "
+    f"n AS (SELECT label, CAST(floor(norm * {NORM_SCALE} + 0.5) "
+    "  AS BIGINT) AS n9, norm FROM q) "
+    "SELECT label, count(*)::BIGINT AS n, "
+    f"floor(CAST(sum(n9) AS DOUBLE) / count(*) / {NORM_SCALE} "
+    "  * 1000000 + 0.5) / 1000000 AS mean_norm, "
+    "floor(min(norm) * 1000000 + 0.5) / 1000000 AS min_norm, "
+    "floor(max(norm) * 1000000 + 0.5) / 1000000 AS max_norm "
+    "FROM n GROUP BY label")

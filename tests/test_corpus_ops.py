@@ -2198,3 +2198,134 @@ def test_source_lang_entropy_handbuilt(ray_session, tmp_path):
     assert out["n_langs"].tolist() == [2, 1]
     assert abs(out["lang_entropy"].iloc[0] - math.log(2)) < 1e-8
     assert out["lang_entropy"].iloc[1] == 0.0
+
+
+def test_pii_density_handbuilt(ray_session, tmp_path):
+    """Email + IP counts over the shared injections; denominator is
+    the raw n_chars column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_pii_density
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # doc_id 1: email (1%3!=0), no cc (1%11!=0); one addr IP, no peer
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "source": pa.array(["s"], type=pa.string()),
+        "text": pa.array(["hello world"], type=pa.string()),
+        "n_chars": pa.array([1000], type=pa.int64())}),
+        str(sf / "documents.parquet"))
+    out = q_pii_density(str(sf))
+    assert out["n_emails"].iloc[0] == 1
+    assert out["n_ips"].iloc[0] == 1
+    assert out["pii_per_kchar"].iloc[0] == 2.0   # (1+1)*1000/1000
+
+
+def test_dup_rate_by_source_handbuilt(ray_session, tmp_path):
+    """First occurrence (min doc_id, across sources) is not a dupe;
+    later identical docs are."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_dup_rate_by_source)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "source": pa.array(["a", "b", "a", "b"], type=pa.string()),
+        "text": pa.array(["same", "same", "same", "unique"],
+                         type=pa.string())}),
+        str(sf / "documents.parquet"))
+    out = (q_dup_rate_by_source(str(sf))
+           .sort_values("source").reset_index(drop=True))
+    # a: doc0 first, doc2 dupe -> 1/2; b: doc1 dupe of doc0, doc3 new
+    assert out["n_dupes"].tolist() == [1, 1]
+    assert out["dup_rate"].tolist() == [0.5, 0.5]
+
+
+def test_acf1_daily_handbuilt(ray_session, tmp_path):
+    """A strictly alternating series has acf1 = -1; constant series
+    reports NaN."""
+    import numpy as np
+
+    from incident_pii_redactor_ray.pipelines.queries import q_acf1_daily
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    day = 86_400_000_000
+    ts, types, vals = [], [], []
+    for d in range(6):
+        ts.append(d * day); types.append("a")
+        vals.append(1.0 if d % 2 == 0 else 3.0)
+    for d in range(6):
+        ts.append(d * day); types.append("b"); vals.append(2.0)
+    _write_events(sf, ts, [1] * len(ts), types, vals)
+    out = (q_acf1_daily(str(sf))
+           .sort_values("event_type").reset_index(drop=True))
+    assert out["acf1"].iloc[0] == -1.0
+    assert np.isnan(out["acf1"].iloc[1])
+
+
+def test_tokenizer_fertility_handbuilt(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_tokenizer_fertility)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["ab cde", "x  yz"], type=pa.string()),
+        "lang": pa.array(["en", "en"], type=pa.string())}),
+        str(sf / "documents.parquet"))
+    out = q_tokenizer_fertility(str(sf))
+    assert out["n_tokens"].iloc[0] == 4
+    assert out["n_token_chars"].iloc[0] == 8
+    assert out["chars_per_token"].iloc[0] == 2.0
+
+
+def test_weekday_profile_handbuilt(ray_session, tmp_path):
+    """1970-01-01 (epoch day 0) maps to weekday 3 (Thursday, 0=Mon)."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_weekday_profile)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    day = 86_400_000_000
+    # epoch days 0 (Thu), 4 (Mon), 4 again
+    _write_events(sf, [0, 4 * day, 4 * day + 5], [1, 1, 1],
+                  ["a", "a", "a"])
+    out = (q_weekday_profile(str(sf))
+           .sort_values("weekday").reset_index(drop=True))
+    assert out["weekday"].tolist() == [0, 3]
+    assert out["n"].tolist() == [2, 1]
+    assert out["pct"].tolist() == [0.666667, 0.333333]
+
+
+def test_embedding_norm_stats_handbuilt(ray_session, tmp_path):
+    """Exact norms on a hand-built 2-vector label: 3-4-5 triangle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_embedding_norm_stats)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1], type=pa.int64()),
+        "embedding": pa.array([[3.0, 4.0], [6.0, 8.0]],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([7, 7], type=pa.int32())}),
+        str(sf / "embeddings.parquet"))
+    out = q_embedding_norm_stats(str(sf))
+    assert out["label"].tolist() == [7]
+    assert out["min_norm"].iloc[0] == 5.0
+    assert out["max_norm"].iloc[0] == 10.0
+    assert out["mean_norm"].iloc[0] == 7.5

@@ -7336,11 +7336,269 @@ def q_embedding_norm_stats(sf_dir: str):
     return g[["label", "n", "mean_norm", "min_norm", "max_norm"]]
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+BM25_TERMS = ["scan", "window", "merge"]   # fixed query, corpus-frequent
+BM25_SCALE = 1_000_000_000  # per-term 1e-9 quantization -> exact int rank
+WAU_DAYS = 7                 # rolling_active_users trailing window
+NEG_K = 4                    # negative_sampling: negatives per doc
+NEG_A, NEG_B, NEG_C = 1103515245, 40503, 7   # LCG-ish mix constants
+STOP_TOKENS = ["the", "a", "of", "and", "to"]
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-{BM25_TOP} retrieval for a fixed query (round 4): the
+    classic sparse ranking function over exact integer term/doc
+    statistics. Two map-only passes (tiny stats rollup, then per-doc
+    scoring with per-batch partial top-k); per-term scores quantize to
+    1e-9 ints BEFORE summing, so ranking compares exact integers —
+    no float-order tie risk against the oracle. Returns (doc_id,
+    score, rn)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def tfs(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\S+")
+        out = {"doc_id": b["doc_id"].to_numpy(np.int64),
+               "dl": toks.str.len().to_numpy(np.int64)}
+        for i, term in enumerate(BM25_TERMS):
+            out[f"tf{i}"] = toks.map(
+                lambda xs: sum(1 for x in xs if x == term)) \
+                .to_numpy(np.int64)
+        return pd.DataFrame(out)
+
+    per_doc = ds.map_batches(tfs, batch_format="pandas")
+
+    def stats_partial(b: pd.DataFrame) -> pd.DataFrame:
+        row = {"n": np.int64(len(b)),
+               "sum_dl": np.int64(b["dl"].sum())}
+        for i in range(len(BM25_TERMS)):
+            row[f"df{i}"] = np.int64((b[f"tf{i}"] > 0).sum())
+        return pd.DataFrame([row])
+
+    st = (per_doc.map_batches(stats_partial, batch_format="pandas")
+          .to_pandas().sum())
+    n_docs = int(st["n"])
+    avgdl = float(st["sum_dl"]) / n_docs
+    import math
+    idf = [math.log(1.0 + (n_docs - int(st[f"df{i}"]) + 0.5)
+                    / (int(st[f"df{i}"]) + 0.5))
+           for i in range(len(BM25_TERMS))]
+
+    def score_topk(b: pd.DataFrame) -> pd.DataFrame:
+        dl = b["dl"].to_numpy(np.int64).astype(np.float64)
+        s9 = np.zeros(len(b), dtype=np.int64)
+        for i in range(len(BM25_TERMS)):
+            tf = b[f"tf{i}"].to_numpy(np.int64).astype(np.float64)
+            den = tf + BM25_K1 * ((1.0 - BM25_B)
+                                  + BM25_B * (dl / avgdl))
+            ts = idf[i] * ((tf * (BM25_K1 + 1.0)) / den)
+            s9 += np.floor(ts * BM25_SCALE + 0.5).astype(np.int64)
+        out = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                            "s9": s9})
+        out = out[out["s9"] > 0]
+        return out.sort_values(["s9", "doc_id"],
+                               ascending=[False, True],
+                               kind="mergesort").head(BM25_TOP)
+
+    cand = (per_doc.map_batches(score_topk, batch_format="pandas")
+            .to_pandas())
+    cand = cand.sort_values(["s9", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(BM25_TOP) \
+        .reset_index(drop=True)
+    cand["score"] = cand["s9"].to_numpy(np.int64).astype(np.float64) \
+        / BM25_SCALE
+    cand["score"] = np.floor(cand["score"] * 1e6 + 0.5) / 1e6
+    cand["rn"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+    return cand[["doc_id", "score", "rn"]]
+
+
+def q_rolling_active_users(sf_dir: str):
+    """Trailing-{WAU_DAYS}-day active users per observed day (round
+    4): the WAU curve. Distinct (user, day) pairs shuffle ONCE
+    (metadata only); inside each user shard every pair expands to its
+    {WAU_DAYS} covered days (bounded fan-out) and dedups per user, so
+    the per-day counts are exact without a count-distinct exchange.
+    Output days are restricted to days observed in the data. Returns
+    (day, wau)."""
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        tus = b["ts"].to_numpy("datetime64[us]").view("int64")
+        df = pd.DataFrame({"user_id": b["user_id"].to_numpy(np.int64),
+                           "day": tus // 86_400_000_000,
+                           "one": np.int64(1)})
+        return df.drop_duplicates(["user_id", "day"])
+
+    up = sharded_group_sum(
+        ev.map_batches(pairs, batch_format="pandas"),
+        keys=["user_id", "day"], sum_cols=["one"])
+
+    # observed-day whitelist: bounded (calendar-scale), broadcast
+    days = sorted(sharded_group_sum(
+        up.map_batches(lambda b: pd.DataFrame(
+            {"day": b["day"].to_numpy(np.int64), "one": np.int64(1)}),
+            batch_format="pandas"),
+        keys=["day"], sum_cols=["one"], num_shards=8)
+        .to_pandas()["day"].to_numpy(np.int64).tolist())
+    days_arr = np.asarray(days, dtype=np.int64)
+
+    def add_ushard(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["user_id", "day"]].copy()
+        b["shard"] = shard_of_keys(b["user_id"], 64)
+        return b
+
+    def cover_shard(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.repeat(g["user_id"].to_numpy(np.int64), WAU_DAYS)
+        d = (np.repeat(g["day"].to_numpy(np.int64), WAU_DAYS)
+             + np.tile(np.arange(WAU_DAYS, dtype=np.int64), len(g)))
+        keep = np.isin(d, days_arr)
+        cov = pd.DataFrame({"user_id": u[keep],
+                            "day": d[keep]}).drop_duplicates()
+        out = pd.DataFrame({"day": cov["day"], "wau": np.int64(1)})
+        return out.groupby("day", as_index=False).sum()
+
+    return sharded_group_sum(
+        up.map_batches(add_ushard, batch_format="pandas")
+          .groupby("shard").map_groups(cover_shard,
+                                       batch_format="pandas"),
+        keys=["day"], sum_cols=["wau"], num_shards=8)
+
+
+def q_negative_sampling(sf_dir: str):
+    """Deterministic contrastive negatives (round 4): {NEG_K} pseudo-
+    random (hash-mixed) negative doc ids per doc, self-collisions
+    bumped to the next id — the training-pair generator that must be
+    reproducible across reruns and cluster sizes. Pure map over dense
+    doc ids; N comes from parquet metadata. Returns (doc_id, k,
+    neg_id)."""
+    ds = _docs(sf_dir, ["doc_id"])
+    n = ds.count()   # parquet row-count metadata, no scan
+
+    def gen(b: pd.DataFrame) -> pd.DataFrame:
+        ids = np.repeat(b["doc_id"].to_numpy(np.int64), NEG_K)
+        k = np.tile(np.arange(1, NEG_K + 1, dtype=np.int64),
+                    len(b))
+        m = (ids * NEG_A + k * NEG_B + NEG_C) % n
+        m = np.where(m == ids, (m + 1) % n, m)
+        return pd.DataFrame({"doc_id": ids, "k": k, "neg_id": m})
+
+    return ds.map_batches(gen, batch_format="pandas")
+
+
+def q_stopword_profile(sf_dir: str):
+    """Stopword share by language (round 4): the function-word density
+    a language-quality gate keys on (natural text has a stable
+    stopword floor; keyword spam does not). Fixed broadcast list
+    {STOP_TOKENS}; map-side int partials, tiny rollup. Returns (lang,
+    n_tokens, n_stop, stop_ratio)."""
+    ds = _docs(sf_dir, ["lang", "text"])
+    stop = set(STOP_TOKENS)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\S+")
+        df = pd.DataFrame({
+            "lang": b["lang"].to_numpy(),
+            "n_tokens": toks.str.len().to_numpy(np.int64),
+            "n_stop": toks.map(
+                lambda xs: sum(1 for x in xs if x in stop))
+            .to_numpy(np.int64)})
+        return df.groupby("lang", as_index=False).sum()
+
+    g = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("lang", as_index=False).sum())
+    for c in ("n_tokens", "n_stop"):
+        g[c] = g[c].astype(np.int64)
+    g["stop_ratio"] = np.floor(
+        g["n_stop"].to_numpy(np.int64).astype(np.float64)
+        / g["n_tokens"].to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    return g[["lang", "n_tokens", "n_stop", "stop_ratio"]]
+
+
+def q_time_to_first_purchase(sf_dir: str):
+    """Time-to-conversion per user (round 4): microseconds from a
+    user's first event to their first 'purchase', NaN for users who
+    never convert. ONE metadata-only min-exchange (sentinel int64 max
+    for the missing-purchase lattice identity). Returns (user_id,
+    first_ts_us, first_purchase_us, gap_us)."""
+    from ..stages.relational import sharded_group_sum
+
+    SENT = np.iinfo(np.int64).max
+    ev = _events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        tus = b["ts"].to_numpy("datetime64[us]").view("int64")
+        is_p = b["event_type"].to_numpy() == "purchase"
+        df = pd.DataFrame({"user_id": b["user_id"].to_numpy(np.int64),
+                           "first_us": tus,
+                           "purch_us": np.where(is_p, tus, SENT)})
+        return df.groupby("user_id", as_index=False).min()
+
+    mins = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["user_id"], sum_cols=["first_us", "purch_us"],
+        how="min")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        f = b["first_us"].to_numpy(np.int64)
+        p = b["purch_us"].to_numpy(np.int64)
+        has = p != SENT
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "first_ts_us": f,
+            "first_purchase_us": np.where(has, p.astype(np.float64),
+                                          np.nan),
+            "gap_us": np.where(has, (p - f).astype(np.float64),
+                               np.nan)})
+
+    return mins.map_batches(fin, batch_format="pandas")
+
+
+def q_monthly_growth(sf_dir: str):
+    """Month-over-month revenue growth (round 4): exact cent sums per
+    calendar month, growth = (rev - prev) / prev as one double
+    division, NaN on the first month. Map-side partials over a
+    bounded (months) domain; the lag fold runs on the driver.
+    Returns (ym, rev_cents, growth)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        dt = pd.to_datetime(b["o_orderdate"])
+        ym = (dt.dt.year * 100 + dt.dt.month).to_numpy(np.int64)
+        cents = np.floor(b["o_totalprice"].to_numpy(np.float64) * 100.0
+                         + 0.5).astype(np.int64)
+        return pd.DataFrame({"ym": ym, "rev_cents": cents}).groupby(
+            "ym", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["ym"], sum_cols=["rev_cents"], num_shards=8).to_pandas()
+    g = g.sort_values("ym", kind="mergesort").reset_index(drop=True)
+    rev = g["rev_cents"].to_numpy(np.int64)
+    growth = np.full(len(g), np.nan)
+    if len(g) > 1:
+        growth[1:] = (rev[1:] - rev[:-1]).astype(np.float64) / rev[:-1]
+        growth[1:] = np.floor(growth[1:] * 1e6 + 0.5) / 1e6
+    g["growth"] = growth
+    return g[["ym", "rev_cents", "growth"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "bm25_topk": q_bm25_topk,
+    "rolling_active_users": q_rolling_active_users,
+    "negative_sampling": q_negative_sampling,
+    "stopword_profile": q_stopword_profile,
+    "time_to_first_purchase": q_time_to_first_purchase,
+    "monthly_growth": q_monthly_growth,
     "pii_density": q_pii_density,
     "dup_rate_by_source": q_dup_rate_by_source,
     "acf1_daily": q_acf1_daily,
@@ -10917,3 +11175,96 @@ ORACLE_SQL["embedding_norm_stats"] = (
     "floor(min(norm) * 1000000 + 0.5) / 1000000 AS min_norm, "
     "floor(max(norm) * 1000000 + 0.5) / 1000000 AS max_norm "
     "FROM n GROUP BY label")
+
+
+_BM25_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in BM25_TERMS) + "]"
+
+ORACLE_SQL["bm25_topk"] = (
+    # tf/dl/df/N are exact ints; the scoring expression mirrors the
+    # engine op-for-op; per-term 1e-9 quantization makes the rank key
+    # an exact integer on both sides
+    "WITH tok AS (SELECT doc_id, "
+    "  regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS toks "
+    "  FROM documents), "
+    "dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok), "
+    f"qt AS (SELECT unnest({_BM25_TERMS_SQL}) AS term), "
+    "tf AS (SELECT t.doc_id, qt.term, "
+    "  len(list_filter(t.toks, x -> x = qt.term))::BIGINT AS tf "
+    "  FROM tok t CROSS JOIN qt), "
+    "st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sum_dl "
+    "  FROM dl), "
+    "df AS (SELECT term, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)"
+    "  ::BIGINT AS df FROM tf GROUP BY term), "
+    "sc AS (SELECT tf.doc_id, "
+    "  CAST(floor(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) "
+    f"    * ((tf.tf * {BM25_K1 + 1.0}) / (tf.tf + {BM25_K1} "
+    f"      * ((1.0 - {BM25_B}) + {BM25_B} "
+    "        * (CAST(dl.dl AS DOUBLE) "
+    "           / (CAST(st.sum_dl AS DOUBLE) / st.n))))) "
+    f"    * {BM25_SCALE} + 0.5) AS BIGINT) AS t9 "
+    "  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) "
+    "  CROSS JOIN st), "
+    "agg AS (SELECT doc_id, sum(t9)::BIGINT AS s9 FROM sc "
+    "  GROUP BY doc_id HAVING sum(t9) > 0) "
+    "SELECT doc_id, "
+    f"floor(CAST(s9 AS DOUBLE) / {BM25_SCALE} * 1000000 + 0.5) "
+    "  / 1000000 AS score, "
+    "row_number() OVER (ORDER BY s9 DESC, doc_id ASC)::BIGINT AS rn "
+    f"FROM agg ORDER BY s9 DESC, doc_id ASC LIMIT {BM25_TOP}")
+
+
+ORACLE_SQL["rolling_active_users"] = (
+    f"WITH p AS (SELECT DISTINCT user_id, "
+    "  epoch_us(ts) // 86400000000 AS day FROM events), "
+    "days AS (SELECT DISTINCT day FROM p) "
+    "SELECT d.day, count(DISTINCT p.user_id)::BIGINT AS wau "
+    "FROM days d JOIN p ON p.day "
+    f"  BETWEEN d.day - {WAU_DAYS - 1} AND d.day "
+    "GROUP BY d.day")
+
+
+ORACLE_SQL["negative_sampling"] = (
+    "WITH t AS (SELECT count(*)::BIGINT AS n FROM documents), "
+    "m AS (SELECT doc_id, g.k::BIGINT AS k, "
+    f"  (doc_id * {NEG_A}::BIGINT + g.k * {NEG_B} + {NEG_C}) % t.n "
+    "    AS m FROM documents CROSS JOIN t "
+    f"  CROSS JOIN generate_series(1, {NEG_K}) g(k)) "
+    "SELECT doc_id, k, CASE WHEN m = doc_id "
+    "THEN (m + 1) % (SELECT n FROM t) ELSE m END AS neg_id FROM m")
+
+
+_STOP_SQL = "[" + ", ".join(f"'{t}'" for t in STOP_TOKENS) + "]"
+
+ORACLE_SQL["stopword_profile"] = (
+    "WITH tok AS (SELECT lang, "
+    "  regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS toks "
+    "  FROM documents), "
+    "c AS (SELECT lang, len(toks)::BIGINT AS n_tokens, "
+    f"  len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))"
+    "    ::BIGINT AS n_stop FROM tok) "
+    "SELECT lang, sum(n_tokens)::BIGINT AS n_tokens, "
+    "sum(n_stop)::BIGINT AS n_stop, "
+    "floor(CAST(sum(n_stop) AS DOUBLE) / sum(n_tokens) "
+    "  * 1000000 + 0.5) / 1000000 AS stop_ratio "
+    "FROM c GROUP BY lang")
+
+
+ORACLE_SQL["time_to_first_purchase"] = (
+    "SELECT user_id, min(epoch_us(ts))::BIGINT AS first_ts_us, "
+    "CAST(min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) "
+    "  END) AS DOUBLE) AS first_purchase_us, "
+    "CAST(min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) "
+    "  END) - min(epoch_us(ts)) AS DOUBLE) AS gap_us "
+    "FROM events GROUP BY user_id")
+
+
+ORACLE_SQL["monthly_growth"] = (
+    "WITH g AS (SELECT year(o_orderdate)::BIGINT * 100 "
+    "  + month(o_orderdate) AS ym, "
+    "  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT "
+    "    AS rev_cents FROM orders GROUP BY 1), "
+    "l AS (SELECT ym, rev_cents, "
+    "  lag(rev_cents) OVER (ORDER BY ym) AS prev FROM g) "
+    "SELECT ym, rev_cents, "
+    "floor(CAST(rev_cents - prev AS DOUBLE) / prev * 1000000 + 0.5) "
+    "  / 1000000 AS growth FROM l")

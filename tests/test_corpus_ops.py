@@ -2329,3 +2329,136 @@ def test_embedding_norm_stats_handbuilt(ray_session, tmp_path):
     assert out["min_norm"].iloc[0] == 5.0
     assert out["max_norm"].iloc[0] == 10.0
     assert out["mean_norm"].iloc[0] == 7.5
+
+
+def test_bm25_topk_handbuilt(ray_session, tmp_path):
+    """A doc matching two query terms outranks a single-term doc;
+    non-matching docs never appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_bm25_topk
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["scan window scan", "merge only here",
+                          "nothing relevant at all"],
+                         type=pa.string())}),
+        str(sf / "documents.parquet"))
+    out = q_bm25_topk(str(sf))
+    assert out["doc_id"].tolist() == [0, 1]      # doc 2 scores 0
+    assert out["rn"].tolist() == [1, 2]
+    assert (out["score"] > 0).all()
+
+
+def test_rolling_active_users_handbuilt(ray_session, tmp_path):
+    """A user active on day 0 counts through day 6 (observed days
+    only); two users on the same day count twice."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_rolling_active_users)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    day = 86_400_000_000
+    # user 1 on day 0; user 2 on days 5 and 20
+    _write_events(sf, [0, 5 * day, 20 * day], [1, 2, 2],
+                  ["a", "a", "a"])
+    out = (q_rolling_active_users(str(sf)).to_pandas()
+           .sort_values("day").reset_index(drop=True))
+    # observed days 0, 5, 20: day 0 -> {1}; day 5 -> {1, 2}; day 20 -> {2}
+    assert out["day"].tolist() == [0, 5, 20]
+    assert out["wau"].tolist() == [1, 2, 1]
+
+
+def test_negative_sampling_handbuilt(ray_session, tmp_path):
+    """K negatives per doc, none equal to the anchor, all in [0, N)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        NEG_K, q_negative_sampling)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    n = 10
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64())}),
+        str(sf / "documents.parquet"))
+    out = q_negative_sampling(str(sf)).to_pandas()
+    assert len(out) == n * NEG_K
+    assert (out["neg_id"] != out["doc_id"]).all()
+    assert out["neg_id"].between(0, n - 1).all()
+    # determinism: rerun matches
+    out2 = q_negative_sampling(str(sf)).to_pandas()
+    assert out.sort_values(["doc_id", "k"]).values.tolist() == \
+        out2.sort_values(["doc_id", "k"]).values.tolist()
+
+
+def test_stopword_profile_handbuilt(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_stopword_profile)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": pa.array(["the scan of a window"], type=pa.string()),
+        "lang": pa.array(["en"], type=pa.string())}),
+        str(sf / "documents.parquet"))
+    out = q_stopword_profile(str(sf))
+    assert out["n_tokens"].iloc[0] == 5
+    assert out["n_stop"].iloc[0] == 3     # the, of, a
+    assert out["stop_ratio"].iloc[0] == 0.6
+
+
+def test_time_to_first_purchase_handbuilt(ray_session, tmp_path):
+    """Converted user gets the exact gap; non-converter gets NaN."""
+    import numpy as np
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_time_to_first_purchase)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [100, 500, 900, 200], [1, 1, 1, 2],
+                  ["view", "purchase", "purchase", "view"])
+    out = (q_time_to_first_purchase(str(sf)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert out["first_ts_us"].tolist() == [100, 200]
+    assert out["gap_us"].iloc[0] == 400.0
+    assert np.isnan(out["gap_us"].iloc[1])
+
+
+def test_monthly_growth_handbuilt(ray_session, tmp_path):
+    """Exact cent sums; growth vs previous month; first month NaN."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_monthly_growth)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    dates = ["1995-01-15", "1995-01-20", "1995-02-10"]
+    prices = [10.00, 10.00, 30.00]
+    n = len(dates)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(n), type=pa.int64()),
+        "o_custkey": pa.array([1] * n, type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * n),
+        "o_totalprice": pa.array(prices),
+        "o_orderdate": pa.array([np.datetime64(d, "us") for d in dates],
+                                type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * n)}),
+        str(sf / "orders.parquet"))
+    out = q_monthly_growth(str(sf))
+    assert out["ym"].tolist() == [199501, 199502]
+    assert out["rev_cents"].tolist() == [2000, 3000]
+    assert np.isnan(out["growth"].iloc[0])
+    assert out["growth"].iloc[1] == 0.5

@@ -7588,11 +7588,315 @@ def q_monthly_growth(sf_dir: str):
     return g[["ym", "rev_cents", "growth"]]
 
 
+RFM_TILES = 4      # rfm_scores: quartile ntiles
+SHIP_P90 = 0.90    # ship_latency: reported upper percentile
+
+
+def q_normalized_dedup(sf_dir: str):
+    """Normalization-collapse profile per source (round 4): the cheap
+    near-dup tier between exact dedup and MinHash — casefold, strip
+    every non-alphanumeric, collapse the result, and count distinct
+    md5s of THAT per source. Digest-sharded so each digest lands
+    wholly in one shard (per-shard distinct counts sum exactly);
+    shuffle carries (digest, source) only. Returns (source, n_docs,
+    n_norm, collapse = 1 - n_norm/n_docs)."""
+    import hashlib
+
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        norm = (b["text"].fillna("").str.lower()
+                .str.replace(r"[^a-z0-9]+", "", regex=True))
+        dg = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in norm]
+        df = pd.DataFrame({"norm_digest": dg,
+                           "source": b["source"].to_numpy(),
+                           "n_docs": np.int64(1)})
+        df["shard"] = shard_of_keys(df["norm_digest"].to_numpy(), 64)
+        return df
+
+    def group_shard(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"),
+            n_norm=("norm_digest", "nunique"))
+        return pd.DataFrame({
+            "source": a["source"],
+            "n_docs": a["n_docs"].to_numpy(np.int64),
+            "n_norm": a["n_norm"].to_numpy(np.int64)})
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas")
+          .groupby("shard").map_groups(group_shard,
+                                       batch_format="pandas"),
+        keys=["source"], sum_cols=["n_docs", "n_norm"],
+        num_shards=8).to_pandas()
+    g["collapse"] = np.floor(
+        (1.0 - g["n_norm"].to_numpy(np.int64).astype(np.float64)
+         / g["n_docs"].to_numpy(np.int64)) * 1e6 + 0.5) / 1e6
+    return g[["source", "n_docs", "n_norm", "collapse"]]
+
+
+def q_source_tv_distance(sf_dir: str):
+    """Pairwise total-variation distance between sources' token
+    distributions (round 4): the distribution-shift number a mixture
+    designer reads before weighting sources. tv = 0.5 * sum_t
+    |c_a*T_b - c_b*T_a| / (T_a*T_b) — the numerator folds as EXACT
+    driver bigints over the (vocabulary x sources) count table (the
+    synthetic vocabulary is small; at 100 TB cap to the top-M terms,
+    documented), ONE double division per pair. Returns (source_a,
+    source_b, tv)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = (b["text"].fillna("").str.lower().str.findall(r"\S+"))
+        lens = toks.str.len().to_numpy(np.int64)
+        src = np.repeat(b["source"].to_numpy(), lens)
+        flat = toks.explode().dropna()
+        df = pd.DataFrame({"source": src, "token": flat.to_numpy(),
+                           "n": np.int64(1)})
+        return df.groupby(["source", "token"], as_index=False).sum()
+
+    counts = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["source", "token"], sum_cols=["n"]).to_pandas()
+    piv = counts.pivot_table(index="token", columns="source",
+                             values="n", fill_value=0, aggfunc="sum")
+    srcs = sorted(piv.columns)
+    tot = {s: int(piv[s].sum()) for s in srcs}
+    rows = []
+    for i, a in enumerate(srcs):
+        ca = piv[a].to_numpy(np.int64)
+        for b_ in srcs[i + 1:]:
+            cb = piv[b_].to_numpy(np.int64)
+            num = int(np.abs(ca.astype(object) * tot[b_]
+                             - cb.astype(object) * tot[a]).sum())
+            tv = 0.5 * (float(num) / (float(tot[a]) * float(tot[b_])))
+            rows.append({"source_a": a, "source_b": b_,
+                         "tv": np.floor(tv * 1e6 + 0.5) / 1e6})
+    return pd.DataFrame(rows)
+
+
+def q_rfm_scores(sf_dir: str):
+    """RFM quartile scoring per user (round 4): recency (last event
+    us), frequency (event count), monetary (e6-exact value sum), each
+    ntile({RFM_TILES})-bucketed with the SQL tie order (metric,
+    user_id). Per-user triples come from ONE metadata-only exchange;
+    the ntile fold sorts the user-dimension table on the driver (the
+    pagerank broadcast trade — fine at dimension scale). Returns
+    (user_id, r_us, f, m6, rfm_code)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        tus = b["ts"].to_numpy("datetime64[us]").view("int64")
+        v6 = np.floor(b["value"].to_numpy(np.float64) * 1e6
+                      + 0.5).astype(np.int64)
+        df = pd.DataFrame({"user_id": b["user_id"].to_numpy(np.int64),
+                           "r_us": tus, "f": np.int64(1), "m6": v6})
+        return df.groupby("user_id", as_index=False).agg(
+            r_us=("r_us", "max"), f=("f", "sum"), m6=("m6", "sum"))
+
+    # max/sum fold: r is a max, f/m are sums — two passes share the
+    # partials frame; do it with one groupby-agg per shard instead
+    parts = ev.map_batches(partial, batch_format="pandas")
+    u = sharded_group_sum(parts.map_batches(
+        lambda b: b[["user_id", "f", "m6"]], batch_format="pandas"),
+        keys=["user_id"], sum_cols=["f", "m6"]).to_pandas()
+    r = sharded_group_sum(parts.map_batches(
+        lambda b: b[["user_id", "r_us"]], batch_format="pandas"),
+        keys=["user_id"], sum_cols=["r_us"], how="max").to_pandas()
+    u = u.merge(r, on="user_id")
+
+    def ntile(vals: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        # SQL ntile(k): the first n%k buckets get the extra row
+        # (size ceil(n/k)), the rest floor(n/k) — NOT rank*k//n.
+        order = np.lexsort((ids, vals))
+        rank = np.empty(len(vals), dtype=np.int64)
+        rank[order] = np.arange(len(vals), dtype=np.int64)
+        n, k = len(vals), RFM_TILES
+        big, small = n % k, n // k
+        cut = big * (small + 1)
+        return np.where(
+            rank < cut, rank // (small + 1),
+            big + (rank - cut) // max(small, 1)) + 1
+
+    ids = u["user_id"].to_numpy(np.int64)
+    rq = ntile(u["r_us"].to_numpy(np.int64), ids)
+    fq = ntile(u["f"].to_numpy(np.int64), ids)
+    mq = ntile(u["m6"].to_numpy(np.int64), ids)
+    u["rfm_code"] = (rq * 100 + fq * 10 + mq).astype(np.int64)
+    return u[["user_id", "r_us", "f", "m6", "rfm_code"]]
+
+
+def q_ship_latency(sf_dir: str):
+    """Order-to-ship latency profile per priority (round 4): exact
+    day gaps from ONE bucketed lineitem x orders join with the
+    per-bucket histogram fused into the join (``post=``), then a
+    bounded-domain (priority x gap-day) rollup — mean AND the exact
+    p90 come from integer counts, no quantile sketch. Returns
+    (o_orderpriority, n, mean_days, p90_days)."""
+    from ..stages.relational import bucketed_hash_join, declare_schema
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].to_numpy(np.int64),
+            "ship_day": b["l_shipdate"].to_numpy("datetime64[us]")
+            .view("int64") // 86_400_000_000})
+
+    def o_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+            "order_day": b["o_orderdate"].to_numpy("datetime64[us]")
+            .view("int64") // 86_400_000_000,
+            "o_orderpriority": b["o_orderpriority"].to_numpy()})
+
+    lid = declare_schema(
+        li.map_batches(li_prep, batch_format="pandas"),
+        pa.schema([("o_orderkey", pa.int64()),
+                   ("ship_day", pa.int64())]))
+    od = declare_schema(
+        orders.map_batches(o_prep, batch_format="pandas"),
+        pa.schema([("o_orderkey", pa.int64()),
+                   ("order_day", pa.int64()),
+                   ("o_orderpriority", pa.string())]))
+
+    def hist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "o_orderpriority": g["o_orderpriority"],
+            "gap": (g["ship_day"].to_numpy(np.int64)
+                    - g["order_day"].to_numpy(np.int64)),
+            "n": np.int64(1)})
+        return df.groupby(["o_orderpriority", "gap"],
+                          as_index=False).sum()
+
+    hist = (bucketed_hash_join(lid, od, on="o_orderkey",
+                               post=hist_bucket).to_pandas()
+            .groupby(["o_orderpriority", "gap"], as_index=False).sum())
+    out = []
+    for pr, g in hist.groupby("o_orderpriority", sort=True):
+        g = g.sort_values("gap", kind="mergesort")
+        n = int(g["n"].sum())
+        gaps = g["gap"].to_numpy(np.int64)
+        cnts = g["n"].to_numpy(np.int64)
+        mean = float(int((gaps * cnts).sum())) / n
+        # exact discrete p90: smallest gap with cum count >= ceil(.9n)
+        # (positive-int ceil form — DuckDB // truncates toward zero,
+        # so the -(-a//b) trick is NOT portable to the oracle)
+        need = (9 * n + 9) // 10          # ceil(0.9 * n) in ints
+        p90 = int(gaps[np.searchsorted(np.cumsum(cnts), need)])
+        out.append({"o_orderpriority": pr, "n": np.int64(n),
+                    "mean_days": np.floor(mean * 1e6 + 0.5) / 1e6,
+                    "p90_days": np.int64(p90)})
+    return pd.DataFrame(out)
+
+
+def q_hapax_stats(sf_dir: str):
+    """Vocabulary hapax profile per language (round 4): how much of
+    each language's vocabulary occurs exactly once — the
+    noise/misspelling smell test. (lang, token) counts shuffle once
+    (vocabulary-sized partials); per-shard partials then a tiny
+    rollup. Returns (lang, vocab_size, n_hapax, hapax_ratio)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\S+")
+        lens = toks.str.len().to_numpy(np.int64)
+        lang = np.repeat(b["lang"].to_numpy(), lens)
+        flat = toks.explode().dropna()
+        df = pd.DataFrame({"lang": lang, "token": flat.to_numpy(),
+                           "n": np.int64(1)})
+        return df.groupby(["lang", "token"], as_index=False).sum()
+
+    counts = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["lang", "token"], sum_cols=["n"])
+
+    def roll(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "lang": b["lang"],
+            "vocab_size": np.int64(1),
+            "n_hapax": (b["n"].to_numpy(np.int64) == 1)
+            .astype(np.int64)})
+        return df.groupby("lang", as_index=False).sum()
+
+    g = (counts.map_batches(roll, batch_format="pandas").to_pandas()
+         .groupby("lang", as_index=False).sum())
+    for c in ("vocab_size", "n_hapax"):
+        g[c] = g[c].astype(np.int64)
+    g["hapax_ratio"] = np.floor(
+        g["n_hapax"].to_numpy(np.int64).astype(np.float64)
+        / g["vocab_size"].to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    return g[["lang", "vocab_size", "n_hapax", "hapax_ratio"]]
+
+
+def q_dedup_token_savings(sf_dir: str):
+    """Token savings from exact dedup, per source (round 4): how many
+    tokens dedup actually removes — the number that justifies the
+    pass. Same digest-sharded first-wins as dup_rate_by_source,
+    weighted by per-doc token counts. Returns (source, tokens_total,
+    tokens_dupe, savings_frac)."""
+    import hashlib
+
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        h = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t]
+        df = pd.DataFrame({"h": h,
+                           "doc_id": b["doc_id"].to_numpy(np.int64),
+                           "source": b["source"].to_numpy(),
+                           "n_tok": t.str.count(r"\S+")
+                           .to_numpy(np.int64)})
+        df["shard"] = shard_of_keys(df["h"].to_numpy(), 64)
+        return df
+
+    def flag_shard(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("h")["doc_id"].transform("min")
+        dupe = (g["doc_id"].to_numpy(np.int64)
+                > first.to_numpy(np.int64))
+        nt = g["n_tok"].to_numpy(np.int64)
+        out = pd.DataFrame({"source": g["source"],
+                            "tokens_total": nt,
+                            "tokens_dupe": np.where(dupe, nt, 0)})
+        return out.groupby("source", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas")
+          .groupby("shard").map_groups(flag_shard,
+                                       batch_format="pandas"),
+        keys=["source"], sum_cols=["tokens_total", "tokens_dupe"],
+        num_shards=8).to_pandas()
+    g["savings_frac"] = np.floor(
+        g["tokens_dupe"].to_numpy(np.int64).astype(np.float64)
+        / g["tokens_total"].to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    return g[["source", "tokens_total", "tokens_dupe", "savings_frac"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "normalized_dedup": q_normalized_dedup,
+    "source_tv_distance": q_source_tv_distance,
+    "rfm_scores": q_rfm_scores,
+    "ship_latency": q_ship_latency,
+    "hapax_stats": q_hapax_stats,
+    "dedup_token_savings": q_dedup_token_savings,
     "bm25_topk": q_bm25_topk,
     "rolling_active_users": q_rolling_active_users,
     "negative_sampling": q_negative_sampling,
@@ -11268,3 +11572,100 @@ ORACLE_SQL["monthly_growth"] = (
     "SELECT ym, rev_cents, "
     "floor(CAST(rev_cents - prev AS DOUBLE) / prev * 1000000 + 0.5) "
     "  / 1000000 AS growth FROM l")
+
+
+ORACLE_SQL["normalized_dedup"] = (
+    "WITH n AS (SELECT source, md5(regexp_replace(lower("
+    "  coalesce(text, '')), '[^a-z0-9]+', '', 'g')) AS dg "
+    "  FROM documents) "
+    "SELECT source, count(*)::BIGINT AS n_docs, "
+    "count(DISTINCT dg)::BIGINT AS n_norm, "
+    "floor((1.0 - CAST(count(DISTINCT dg) AS DOUBLE) / count(*)) "
+    "  * 1000000 + 0.5) / 1000000 AS collapse "
+    "FROM n GROUP BY source")
+
+
+ORACLE_SQL["source_tv_distance"] = (
+    # numerator |ca*Tb - cb*Ta| folds as exact HUGEINTs; one double
+    # division per pair, 0.5 factor applied the engine's way
+    "WITH tok AS (SELECT source, unnest(regexp_extract_all(lower("
+    "  coalesce(text, '')), '\\S+')) AS token FROM documents), "
+    "c AS (SELECT source, token, count(*)::HUGEINT AS n "
+    "  FROM tok GROUP BY 1, 2), "
+    "t AS (SELECT source, sum(n)::HUGEINT AS tot FROM c GROUP BY 1), "
+    "pairs AS (SELECT a.source AS sa, b.source AS sb, "
+    "  a.tot AS ta, b.tot AS tb FROM t a JOIN t b "
+    "  ON a.source < b.source), "
+    "v AS (SELECT token FROM c GROUP BY token), "
+    "x AS (SELECT p.sa, p.sb, p.ta, p.tb, v.token, "
+    "  coalesce(ca.n, 0) AS ca, coalesce(cb.n, 0) AS cb "
+    "  FROM pairs p CROSS JOIN v "
+    "  LEFT JOIN c ca ON ca.source = p.sa AND ca.token = v.token "
+    "  LEFT JOIN c cb ON cb.source = p.sb AND cb.token = v.token) "
+    "SELECT sa AS source_a, sb AS source_b, "
+    "floor(0.5 * (CAST(sum(abs(ca * tb - cb * ta)) AS DOUBLE) "
+    "  / (CAST(min(ta) AS DOUBLE) * CAST(min(tb) AS DOUBLE))) "
+    "  * 1000000 + 0.5) / 1000000 AS tv "
+    "FROM x GROUP BY sa, sb")
+
+
+ORACLE_SQL["rfm_scores"] = (
+    f"WITH u AS (SELECT user_id, max(epoch_us(ts))::BIGINT AS r_us, "
+    "  count(*)::BIGINT AS f, "
+    "  sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))::BIGINT "
+    "    AS m6 FROM events GROUP BY user_id), "
+    "q AS (SELECT user_id, r_us, f, m6, "
+    f"  ntile({RFM_TILES}) OVER (ORDER BY r_us, user_id) AS rq, "
+    f"  ntile({RFM_TILES}) OVER (ORDER BY f, user_id) AS fq, "
+    f"  ntile({RFM_TILES}) OVER (ORDER BY m6, user_id) AS mq FROM u) "
+    "SELECT user_id, r_us, f, m6, "
+    "(rq * 100 + fq * 10 + mq)::BIGINT AS rfm_code FROM q")
+
+
+ORACLE_SQL["ship_latency"] = (
+    # integer epoch-day gaps; p90 = smallest gap with cumulative count
+    # >= ceil(0.9 n) (exact discrete percentile)
+    "WITH j AS (SELECT o.o_orderpriority, "
+    "  epoch_us(l.l_shipdate) // 86400000000 "
+    "  - epoch_us(o.o_orderdate) // 86400000000 AS gap "
+    "  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), "
+    "h AS (SELECT o_orderpriority, gap, count(*)::BIGINT AS n "
+    "  FROM j GROUP BY 1, 2), "
+    "c AS (SELECT o_orderpriority, gap, n, "
+    "  sum(n) OVER (PARTITION BY o_orderpriority ORDER BY gap) AS cum, "
+    "  sum(n) OVER (PARTITION BY o_orderpriority) AS tot, "
+    "  sum(gap * n) OVER (PARTITION BY o_orderpriority) AS gsum "
+    "  FROM h) "
+    "SELECT o_orderpriority, min(tot)::BIGINT AS n, "
+    "floor(CAST(min(gsum) AS DOUBLE) / min(tot) * 1000000 + 0.5) "
+    "  / 1000000 AS mean_days, "
+    "min(CASE WHEN cum >= (9 * tot + 9) // 10 THEN gap END)::BIGINT "
+    "  AS p90_days "
+    "FROM c GROUP BY o_orderpriority")
+
+
+ORACLE_SQL["hapax_stats"] = (
+    "WITH tok AS (SELECT lang, unnest(regexp_extract_all(lower("
+    "  coalesce(text, '')), '\\S+')) AS token FROM documents), "
+    "c AS (SELECT lang, token, count(*)::BIGINT AS n "
+    "  FROM tok GROUP BY 1, 2) "
+    "SELECT lang, count(*)::BIGINT AS vocab_size, "
+    "sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax, "
+    "floor(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+    "  / count(*) * 1000000 + 0.5) / 1000000 AS hapax_ratio "
+    "FROM c GROUP BY lang")
+
+
+ORACLE_SQL["dedup_token_savings"] = (
+    "WITH h AS (SELECT doc_id, source, md5(coalesce(text, '')) AS h, "
+    "  len(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT "
+    "    AS n_tok FROM documents), "
+    "f AS (SELECT *, min(doc_id) OVER (PARTITION BY h) AS first_doc "
+    "  FROM h) "
+    "SELECT source, sum(n_tok)::BIGINT AS tokens_total, "
+    "sum(CASE WHEN doc_id > first_doc THEN n_tok ELSE 0 END)::BIGINT "
+    "  AS tokens_dupe, "
+    "floor(CAST(sum(CASE WHEN doc_id > first_doc THEN n_tok ELSE 0 "
+    "  END) AS DOUBLE) / sum(n_tok) * 1000000 + 0.5) / 1000000 "
+    "  AS savings_frac "
+    "FROM f GROUP BY source")

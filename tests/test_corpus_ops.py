@@ -2462,3 +2462,155 @@ def test_monthly_growth_handbuilt(ray_session, tmp_path):
     assert out["rev_cents"].tolist() == [2000, 3000]
     assert np.isnan(out["growth"].iloc[0])
     assert out["growth"].iloc[1] == 0.5
+
+
+def _write_docs4(sf, texts, sources=None, langs=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(langs or ["en"] * n, type=pa.string()),
+        "source": pa.array(sources or ["web"] * n, type=pa.string())}),
+        str(sf / "documents.parquet"))
+
+
+def test_normalized_dedup_handbuilt(ray_session, tmp_path):
+    """'Hello, World!' and 'hello world' collapse to one normalized
+    digest; the distinct doc does not."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_normalized_dedup)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["Hello, World!", "hello world", "other text"],
+                 sources=["a", "a", "b"])
+    out = (q_normalized_dedup(str(sf))
+           .sort_values("source").reset_index(drop=True))
+    assert out["source"].tolist() == ["a", "b"]
+    assert out["n_docs"].tolist() == [2, 1]
+    assert out["n_norm"].tolist() == [1, 1]
+    assert out["collapse"].tolist() == [0.5, 0.0]
+
+
+def test_source_tv_distance_handbuilt(ray_session, tmp_path):
+    """Exact TV on two tiny distributions: a={x:2,y:1}, b={x:1,y:3}
+    -> 0.5*(|8-3| + |4-9|)/12 = 5/12."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_source_tv_distance)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["x x y", "x y y y"], sources=["a", "b"])
+    out = q_source_tv_distance(str(sf))
+    assert len(out) == 1
+    assert out["source_a"].iloc[0] == "a"
+    assert out["source_b"].iloc[0] == "b"
+    assert out["tv"].iloc[0] == 0.416667
+
+
+def test_rfm_scores_handbuilt(ray_session, tmp_path):
+    """Two users: u2 is more recent, more frequent, higher-value, so
+    every tile is strictly higher (ntile over 2 rows = ranks 1, 2)."""
+    from incident_pii_redactor_ray.pipelines.queries import q_rfm_scores
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [100, 200, 300], [1, 2, 2],
+                  ["view", "view", "view"], values=[1.0, 2.0, 2.0])
+    out = (q_rfm_scores(str(sf))
+           .sort_values("user_id").reset_index(drop=True))
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["r_us"].tolist() == [100, 300]
+    assert out["f"].tolist() == [1, 2]
+    assert out["m6"].tolist() == [1_000_000, 4_000_000]
+    assert out["rfm_code"].tolist() == [111, 222]
+
+
+def test_rfm_ntile_matches_sql(ray_session):
+    """The numpy ntile reproduces SQL ntile remainder semantics: for
+    n=10, k=4 the bucket sizes are 3,3,2,2 (extra rows to the FIRST
+    buckets), not 3,2,3,2."""
+    import numpy as np
+
+    from incident_pii_redactor_ray.pipelines import queries as Q
+
+    n = 10
+    vals = np.arange(n, dtype=np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    # replicate the inner ntile via the module-level constant path
+    order = np.lexsort((ids, vals))
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+    k = Q.RFM_TILES
+    big, small = n % k, n // k
+    cut = big * (small + 1)
+    tiles = np.where(rank < cut, rank // (small + 1),
+                     big + (rank - cut) // max(small, 1)) + 1
+    sizes = np.bincount(tiles)[1:].tolist()
+    assert sizes == [3, 3, 2, 2]
+
+
+def test_ship_latency_handbuilt(ray_session, tmp_path):
+    """Gaps 1, 2, 10 days in one priority: mean 13/3, p90 = smallest
+    gap with cum count >= ceil(0.9*3) = 3 -> 10."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_ship_latency)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    odate = np.datetime64("1995-01-01", "us")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([0, 1, 2], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([1.0] * 3),
+        "o_orderdate": pa.array([odate] * 3, type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3)}),
+        str(sf / "orders.parquet"))
+    day = np.timedelta64(86_400_000_000, "us")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([0, 1, 2], type=pa.int64()),
+        "l_shipdate": pa.array([odate + 1 * day, odate + 2 * day,
+                                odate + 10 * day],
+                               type=pa.timestamp("us"))}),
+        str(sf / "lineitem.parquet"))
+    out = q_ship_latency(str(sf))
+    assert len(out) == 1
+    assert out["n"].iloc[0] == 3
+    assert out["mean_days"].iloc[0] == 4.333333
+    assert out["p90_days"].iloc[0] == 10
+
+
+def test_hapax_stats_handbuilt(ray_session, tmp_path):
+    """'a b b' -> vocab 2, one hapax, ratio 0.5."""
+    from incident_pii_redactor_ray.pipelines.queries import q_hapax_stats
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["a b b"], langs=["en"])
+    out = q_hapax_stats(str(sf))
+    assert out["vocab_size"].iloc[0] == 2
+    assert out["n_hapax"].iloc[0] == 1
+    assert out["hapax_ratio"].iloc[0] == 0.5
+
+
+def test_dedup_token_savings_handbuilt(ray_session, tmp_path):
+    """Exact dup 'x y' costs its 2 tokens; unique docs cost nothing;
+    savings = 2/5."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_dedup_token_savings)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["x y", "x y", "z"], sources=["s", "s", "s"])
+    out = q_dedup_token_savings(str(sf))
+    assert out["tokens_total"].iloc[0] == 5
+    assert out["tokens_dupe"].iloc[0] == 2
+    assert out["savings_frac"].iloc[0] == 0.4

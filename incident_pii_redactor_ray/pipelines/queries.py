@@ -7886,11 +7886,263 @@ def q_dedup_token_savings(sf_dir: str):
     return g[["source", "tokens_total", "tokens_dupe", "savings_frac"]]
 
 
+BURST_WINDOW_US = 60_000_000   # burst_detect: trailing window (60 s)
+REORDER_MAX_DAYS = 3           # rapid_reorders: max day gap
+
+
+def q_type_token_ratio(sf_dir: str):
+    """Lexical diversity per language (round 4): aggregate
+    type-token ratio = sum over docs of per-doc DISTINCT tokens,
+    divided by total tokens — per-doc distincts are map-side
+    (explode + drop_duplicates, vectorized), so the only exchange is
+    the tiny per-lang partial sum. Returns (lang, n_docs, n_tokens,
+    n_doc_types, ttr)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\S+")
+        n_tok = toks.str.len().to_numpy(np.int64)
+        ex = toks.explode().dropna()
+        dd = (pd.DataFrame({"row": ex.index, "token": ex.to_numpy()})
+              .drop_duplicates())
+        n_types = np.zeros(len(b), dtype=np.int64)
+        vc = dd.groupby("row").size()
+        n_types[vc.index.to_numpy()] = vc.to_numpy(np.int64)
+        df = pd.DataFrame({"lang": b["lang"].to_numpy(),
+                           "n_docs": np.int64(1),
+                           "n_tokens": n_tok, "n_doc_types": n_types})
+        return df.groupby("lang", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["lang"], sum_cols=["n_docs", "n_tokens", "n_doc_types"],
+        num_shards=8).to_pandas()
+    g["ttr"] = np.floor(
+        g["n_doc_types"].to_numpy(np.int64).astype(np.float64)
+        / np.maximum(g["n_tokens"].to_numpy(np.int64), 1)
+        * 1e6 + 0.5) / 1e6
+    return g[["lang", "n_docs", "n_tokens", "n_doc_types", "ttr"]]
+
+
+def q_rapid_reorders(sf_dir: str):
+    """Same-customer orders placed within {REORDER_MAX_DAYS} days of
+    each other (round 4): the duplicate-submission / fraud smell
+    query. Custkey-sharded; within a shard each customer's orders
+    sort by day and a bounded two-pointer emits pairs — per-customer
+    order counts are small (TPC-H ~10), so the pair loop is
+    group-bounded, and only (custkey, orderkey, day) cross the wire.
+    Returns (o_custkey, o1, o2, day_gap) with o1 < o2."""
+    from ..stages.relational import shard_of_keys
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(np.int64),
+            "o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+            "day": b["o_orderdate"].to_numpy("datetime64[us]")
+            .view("int64") // 86_400_000_000})
+        df["shard"] = shard_of_keys(df["o_custkey"].to_numpy(), 64)
+        return df
+
+    def pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "day", "o_orderkey"],
+                          kind="mergesort")
+        cust = g["o_custkey"].to_numpy(np.int64)
+        key = g["o_orderkey"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
+        ends = np.r_[starts[1:], len(cust)]
+        oc, o1, o2, gap = [], [], [], []
+        for s, e in zip(starts, ends):
+            d, k = day[s:e], key[s:e]
+            for i in range(len(d)):
+                j = i + 1
+                while j < len(d) and d[j] - d[i] <= REORDER_MAX_DAYS:
+                    a, b_ = (k[i], k[j]) if k[i] < k[j] else (k[j], k[i])
+                    oc.append(cust[s]); o1.append(a); o2.append(b_)
+                    gap.append(d[j] - d[i])
+                    j += 1
+        return pd.DataFrame({
+            "o_custkey": np.asarray(oc, dtype=np.int64),
+            "o1": np.asarray(o1, dtype=np.int64),
+            "o2": np.asarray(o2, dtype=np.int64),
+            "day_gap": np.asarray(gap, dtype=np.int64)})
+
+    return (orders.map_batches(prep, batch_format="pandas")
+            .groupby("shard").map_groups(pairs_shard,
+                                         batch_format="pandas"))
+
+
+def q_burst_detect(sf_dir: str):
+    """Per-user burst score (round 4): the bot-detection primitive —
+    the maximum number of events inside ANY trailing
+    {BURST_WINDOW_US}-us window (peers at the window edge included,
+    matching SQL RANGE-frame semantics). User-sharded; within a
+    shard each user's sorted timestamps resolve every window bound
+    with two vectorized searchsorteds. Returns (user_id, n_events,
+    max_burst)."""
+    from ..stages.relational import shard_of_keys
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "t_us": b["ts"].to_numpy("datetime64[us]").view("int64")})
+        df["shard"] = shard_of_keys(df["user_id"].to_numpy(), 64)
+        return df
+
+    def burst_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t_us"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        t = g["t_us"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        out_u = uid[starts]
+        n_ev = (ends - starts).astype(np.int64)
+        mx = np.empty(len(starts), dtype=np.int64)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            a = t[s:e]
+            lo = np.searchsorted(a, a - BURST_WINDOW_US, side="left")
+            hi = np.searchsorted(a, a, side="right")
+            mx[i] = int((hi - lo).max())
+        return pd.DataFrame({"user_id": out_u, "n_events": n_ev,
+                             "max_burst": mx})
+
+    return (ev.map_batches(prep, batch_format="pandas")
+            .groupby("shard").map_groups(burst_shard,
+                                         batch_format="pandas"))
+
+
+def q_sentence_stats(sf_dir: str):
+    """Sentence-shape profile per source (round 4): sentence count
+    (non-blank segments between [.!?]+ runs) and mean tokens per
+    sentence — the 'wall of unpunctuated text' quality signal. All
+    counts fold map-side as ints; one tiny per-source exchange.
+    Returns (source, n_docs, n_sentences, n_tokens, tok_per_sent)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        segs = t.str.split(r"[.!?]+", regex=True)
+        n_sent = segs.apply(
+            lambda xs: sum(1 for x in xs if x.strip() != ""))
+        df = pd.DataFrame({
+            "source": b["source"].to_numpy(),
+            "n_docs": np.int64(1),
+            "n_sentences": n_sent.to_numpy(np.int64),
+            "n_tokens": t.str.count(r"\S+").to_numpy(np.int64)})
+        return df.groupby("source", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["source"],
+        sum_cols=["n_docs", "n_sentences", "n_tokens"],
+        num_shards=8).to_pandas()
+    g["tok_per_sent"] = np.floor(
+        g["n_tokens"].to_numpy(np.int64).astype(np.float64)
+        / np.maximum(g["n_sentences"].to_numpy(np.int64), 1)
+        * 1e6 + 0.5) / 1e6
+    return g[["source", "n_docs", "n_sentences", "n_tokens",
+              "tok_per_sent"]]
+
+
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension embedding statistics (round 4): mean/min/max of
+    every coordinate — the dead-dimension / scale-mismatch check
+    before training an index. e6-quantized int sums per dim (exact,
+    order-free; |v6| <= ~1e6 so int64 holds ~1e12 rows per dim);
+    partials are (dim x 4) per batch, the final fold is a tiny
+    driver frame. Returns (dim, n, mean_val, min_val, max_val) with
+    1-based dims (SQL generate_subscripts)."""
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dim = len(col[0])
+        v = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+        v6 = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "dim": np.arange(1, dim + 1, dtype=np.int64),
+            "n": np.int64(len(v)),
+            "s6": v6.sum(axis=0),
+            "mn6": v6.min(axis=0),
+            "mx6": v6.max(axis=0)})
+
+    parts = (_emb(sf_dir).map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    g = parts.groupby("dim", as_index=False).agg(
+        n=("n", "sum"), s6=("s6", "sum"), mn6=("mn6", "min"),
+        mx6=("mx6", "max"))
+    n = g["n"].to_numpy(np.int64)
+    g["mean_val"] = np.floor(
+        g["s6"].to_numpy(np.int64).astype(np.float64) / n + 0.5) / 1e6
+    g["min_val"] = g["mn6"].to_numpy(np.int64).astype(np.float64) / 1e6
+    g["max_val"] = g["mx6"].to_numpy(np.int64).astype(np.float64) / 1e6
+    g["dim"] = g["dim"].astype(np.int64)
+    g["n"] = g["n"].astype(np.int64)
+    return g[["dim", "n", "mean_val", "min_val", "max_val"]]
+
+
+def q_first_touch_attribution(sf_dir: str):
+    """First-touch attribution (round 4): for every user whose
+    history contains a purchase, credit the user's FIRST event's
+    type (ties: earliest ts then event_id). User-sharded — first
+    event and purchase flag resolve inside the shard, only the tiny
+    (first_type, n_users) rollup leaves. Returns (first_type,
+    n_users)."""
+    from ..stages.relational import shard_of_keys
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "t_us": b["ts"].to_numpy("datetime64[us]").view("int64"),
+            "event_type": b["event_type"].to_numpy()})
+        df["shard"] = shard_of_keys(df["user_id"].to_numpy(), 64)
+        return df
+
+    def attr_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t_us", "event_id"],
+                          kind="mergesort")
+        first = g.groupby("user_id", as_index=False).agg(
+            first_type=("event_type", "first"))
+        conv = g[g["event_type"] == "purchase"]["user_id"].unique()
+        first = first[first["user_id"].isin(conv)]
+        out = first.groupby("first_type", as_index=False).size()
+        return pd.DataFrame({
+            "first_type": out["first_type"],
+            "n_users": out["size"].to_numpy(np.int64)})
+
+    parts = (ev.map_batches(prep, batch_format="pandas")
+             .groupby("shard").map_groups(attr_shard,
+                                          batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby("first_type", as_index=False).sum()
+    g["n_users"] = g["n_users"].astype(np.int64)
+    return g[["first_type", "n_users"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "type_token_ratio": q_type_token_ratio,
+    "rapid_reorders": q_rapid_reorders,
+    "burst_detect": q_burst_detect,
+    "sentence_stats": q_sentence_stats,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "first_touch_attribution": q_first_touch_attribution,
     "normalized_dedup": q_normalized_dedup,
     "source_tv_distance": q_source_tv_distance,
     "rfm_scores": q_rfm_scores,
@@ -11669,3 +11921,78 @@ ORACLE_SQL["dedup_token_savings"] = (
     "  END) AS DOUBLE) / sum(n_tok) * 1000000 + 0.5) / 1000000 "
     "  AS savings_frac "
     "FROM f GROUP BY source")
+
+
+ORACLE_SQL["type_token_ratio"] = (
+    "WITH tok AS (SELECT doc_id, lang, unnest(regexp_extract_all("
+    "  lower(coalesce(text, '')), '\\S+')) AS token FROM documents), "
+    "d AS (SELECT doc_id, min(lang) AS lang, count(*)::BIGINT AS nt, "
+    "  count(DISTINCT token)::BIGINT AS nd FROM tok GROUP BY doc_id), "
+    "a AS (SELECT doc_id, lang FROM documents), "
+    "j AS (SELECT a.lang, coalesce(d.nt, 0) AS nt, "
+    "  coalesce(d.nd, 0) AS nd FROM a LEFT JOIN d USING (doc_id)) "
+    "SELECT lang, count(*)::BIGINT AS n_docs, "
+    "sum(nt)::BIGINT AS n_tokens, sum(nd)::BIGINT AS n_doc_types, "
+    "floor(CAST(sum(nd) AS DOUBLE) "
+    "  / greatest(sum(nt), 1) * 1000000 + 0.5) / 1000000 AS ttr "
+    "FROM j GROUP BY lang")
+
+
+ORACLE_SQL["rapid_reorders"] = (
+    f"WITH o AS (SELECT o_orderkey AS k, o_custkey AS c, "
+    "  epoch_us(o_orderdate) // 86400000000 AS d FROM orders) "
+    "SELECT a.c AS o_custkey, a.k AS o1, b.k AS o2, "
+    "abs(a.d - b.d)::BIGINT AS day_gap "
+    "FROM o a JOIN o b ON a.c = b.c AND a.k < b.k "
+    f"AND abs(a.d - b.d) <= {REORDER_MAX_DAYS}")
+
+
+ORACLE_SQL["burst_detect"] = (
+    # RANGE frame includes same-ts peers on both sides of the current
+    # row — the engine counts [t-W, t] inclusively the same way
+    "WITH w AS (SELECT user_id, count(*) OVER ("
+    "  PARTITION BY user_id ORDER BY epoch_us(ts) "
+    f"  RANGE BETWEEN {BURST_WINDOW_US} PRECEDING AND CURRENT ROW) "
+    "  AS burst FROM events) "
+    "SELECT user_id, count(*)::BIGINT AS n_events, "
+    "max(burst)::BIGINT AS max_burst FROM w GROUP BY user_id")
+
+
+ORACLE_SQL["sentence_stats"] = (
+    "WITH seg AS (SELECT doc_id, unnest(regexp_split_to_array("
+    "  coalesce(text, ''), '[.!?]+')) AS s FROM documents), "
+    "sc AS (SELECT doc_id, sum(CASE WHEN trim(s) <> '' THEN 1 "
+    "  ELSE 0 END)::BIGINT AS ns FROM seg GROUP BY doc_id), "
+    "d AS (SELECT doc_id, source, len(regexp_extract_all("
+    "  coalesce(text, ''), '\\S+'))::BIGINT AS nt FROM documents) "
+    "SELECT source, count(*)::BIGINT AS n_docs, "
+    "sum(coalesce(ns, 0))::BIGINT AS n_sentences, "
+    "sum(nt)::BIGINT AS n_tokens, "
+    "floor(CAST(sum(nt) AS DOUBLE) "
+    "  / greatest(sum(coalesce(ns, 0)), 1) * 1000000 + 0.5) / 1000000 "
+    "  AS tok_per_sent "
+    "FROM d LEFT JOIN sc USING (doc_id) GROUP BY source")
+
+
+ORACLE_SQL["embedding_dim_stats"] = (
+    # e6-quantized exact int sums per 1-based dimension
+    "WITH e AS (SELECT generate_subscripts(embedding, 1)::BIGINT "
+    "  AS dim, CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) "
+    "  AS BIGINT) AS v6 FROM embeddings) "
+    "SELECT dim, count(*)::BIGINT AS n, "
+    "floor(CAST(sum(v6) AS DOUBLE) / count(*) + 0.5) / 1000000 "
+    "  AS mean_val, "
+    "CAST(min(v6) AS DOUBLE) / 1000000 AS min_val, "
+    "CAST(max(v6) AS DOUBLE) / 1000000 AS max_val "
+    "FROM e GROUP BY dim")
+
+
+ORACLE_SQL["first_touch_attribution"] = (
+    "WITH f AS (SELECT user_id, event_type, row_number() OVER ("
+    "  PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn "
+    "  FROM events), "
+    "conv AS (SELECT DISTINCT user_id FROM events "
+    "  WHERE event_type = 'purchase') "
+    "SELECT f.event_type AS first_type, count(*)::BIGINT AS n_users "
+    "FROM f JOIN conv USING (user_id) WHERE f.rn = 1 "
+    "GROUP BY f.event_type")

@@ -2614,3 +2614,122 @@ def test_dedup_token_savings_handbuilt(ray_session, tmp_path):
     assert out["tokens_total"].iloc[0] == 5
     assert out["tokens_dupe"].iloc[0] == 2
     assert out["savings_frac"].iloc[0] == 0.4
+
+
+def test_type_token_ratio_handbuilt(ray_session, tmp_path):
+    """'a a b' has 2 types / 3 tokens; casefold merges 'A' with 'a'."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_type_token_ratio)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["A a b", "x"], langs=["en", "en"])
+    out = q_type_token_ratio(str(sf))
+    assert out["n_docs"].iloc[0] == 2
+    assert out["n_tokens"].iloc[0] == 4
+    assert out["n_doc_types"].iloc[0] == 3    # {a, b} + {x}
+    assert out["ttr"].iloc[0] == 0.75
+
+
+def test_rapid_reorders_handbuilt(ray_session, tmp_path):
+    """Orders 0/1 are 2 days apart (pair), order 2 is 30 days out
+    (no pair); a different customer never pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_rapid_reorders)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    day = np.timedelta64(86_400_000_000, "us")
+    d0 = np.datetime64("1995-01-01", "us")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 4),
+        "o_totalprice": pa.array([1.0] * 4),
+        "o_orderdate": pa.array([d0, d0 + 2 * day, d0 + 30 * day,
+                                 d0 + 1 * day], type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4)}),
+        str(sf / "orders.parquet"))
+    out = q_rapid_reorders(str(sf)).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["o1"] == 0 and out.iloc[0]["o2"] == 1
+    assert out.iloc[0]["day_gap"] == 2
+
+
+def test_burst_detect_handbuilt(ray_session, tmp_path):
+    """Three events inside 60 s and one far later: max_burst 3.
+    Same-timestamp peers all count (RANGE semantics)."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_burst_detect)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [0, 30_000_000, 60_000_000, 500_000_000,
+                       100, 100], [1, 1, 1, 1, 2, 2],
+                  ["view"] * 6)
+    out = (q_burst_detect(str(sf)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["n_events"].tolist() == [4, 2]
+    assert out["max_burst"].tolist() == [3, 2]
+
+
+def test_sentence_stats_handbuilt(ray_session, tmp_path):
+    """'Hi there. Go! ' = 2 sentences, 3 tokens; trailing split
+    residue does not count as a sentence."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_sentence_stats)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["Hi there. Go! "], sources=["s"])
+    out = q_sentence_stats(str(sf))
+    assert out["n_docs"].iloc[0] == 1
+    assert out["n_sentences"].iloc[0] == 2
+    assert out["n_tokens"].iloc[0] == 3
+    assert out["tok_per_sent"].iloc[0] == 1.5
+
+
+def test_embedding_dim_stats_handbuilt(ray_session, tmp_path):
+    """Two 2-dim vectors: exact per-dim mean/min/max, 1-based dims."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_embedding_dim_stats)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1], type=pa.int64()),
+        "embedding": pa.array([[1.0, -2.0], [3.0, 4.0]],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0, 0], type=pa.int32())}),
+        str(sf / "embeddings.parquet"))
+    out = (q_embedding_dim_stats(str(sf))
+           .sort_values("dim").reset_index(drop=True))
+    assert out["dim"].tolist() == [1, 2]
+    assert out["n"].tolist() == [2, 2]
+    assert out["mean_val"].tolist() == [2.0, 1.0]
+    assert out["min_val"].tolist() == [1.0, -2.0]
+    assert out["max_val"].tolist() == [3.0, 4.0]
+
+
+def test_first_touch_attribution_handbuilt(ray_session, tmp_path):
+    """Converter u1's first touch is 'view'; u2 never purchases and
+    is excluded; u3's first touch IS the purchase."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_first_touch_attribution)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [0, 10, 0, 5, 7], [1, 1, 2, 3, 3],
+                  ["view", "purchase", "click", "purchase", "view"])
+    out = (q_first_touch_attribution(str(sf))
+           .sort_values("first_type").reset_index(drop=True))
+    assert out["first_type"].tolist() == ["purchase", "view"]
+    assert out["n_users"].tolist() == [1, 1]

@@ -8132,11 +8132,243 @@ def q_first_touch_attribution(sf_dir: str):
     return g[["first_type", "n_users"]]
 
 
+PARETO_TOP_FRAC = 10     # pareto_revenue: top 1/10 of customers
+
+
+def q_hourly_profile(sf_dir: str):
+    """Hour-of-day activity profile per event type (round 4): the
+    seasonality check behind bot heuristics and crawl scheduling.
+    (event_type x 24)-bounded domain — map-side partials, one tiny
+    exchange. Returns (event_type, hour, n, pct)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        tus = b["ts"].to_numpy("datetime64[us]").view("int64")
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "hour": (tus // 3_600_000_000) % 24,
+            "n": np.int64(1)})
+        return df.groupby(["event_type", "hour"], as_index=False).sum()
+
+    g = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "hour"], sum_cols=["n"],
+        num_shards=8).to_pandas()
+    tot = g.groupby("event_type")["n"].transform("sum")
+    g["pct"] = np.floor(g["n"].to_numpy(np.int64).astype(np.float64)
+                        / tot.to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    g["hour"] = g["hour"].astype(np.int64)
+    g["n"] = g["n"].astype(np.int64)
+    return g[["event_type", "hour", "n", "pct"]]
+
+
+def q_pareto_revenue(sf_dir: str):
+    """Revenue concentration (round 4): what share of total order
+    revenue the top 1/{PARETO_TOP_FRAC} of customers contribute —
+    the 80/20 read before stratifying a sample by account. Per-
+    customer cent sums come from ONE metadata-only exchange; the
+    top-decile cut sorts the customer-dimension table on the driver
+    (the rfm/pagerank broadcast trade). Cents fold as Python ints
+    (no int64 ceiling at 100-TB revenue). Returns one row
+    (n_customers, top_customers, top_rev_cents, total_rev_cents,
+    top_share)."""
+    from ..stages.relational import sharded_group_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(np.int64),
+            "rev_cents": np.floor(
+                b["o_totalprice"].to_numpy(np.float64) * 100 + 0.5)
+            .astype(np.int64)})
+        return df.groupby("o_custkey", as_index=False).sum()
+
+    u = sharded_group_sum(
+        orders.map_batches(partial, batch_format="pandas"),
+        keys=["o_custkey"], sum_cols=["rev_cents"]).to_pandas()
+    u = u.sort_values(["rev_cents", "o_custkey"],
+                      ascending=[False, True], kind="mergesort")
+    n = len(u)
+    k = (n + PARETO_TOP_FRAC - 1) // PARETO_TOP_FRAC
+    rev = [int(x) for x in u["rev_cents"]]
+    top = sum(rev[:k])
+    tot = sum(rev)
+    return pd.DataFrame([{
+        "n_customers": np.int64(n), "top_customers": np.int64(k),
+        "top_rev_cents": np.int64(top),
+        "total_rev_cents": np.int64(tot),
+        "top_share": np.floor(top / tot * 1e6 + 0.5) / 1e6}])
+
+
+def q_quantile_transform(sf_dir: str):
+    """Distributed quantile (percent-rank) transform of the event
+    value column (round 4): each row maps to the fraction of OTHER
+    rows strictly below it — the rank-normalization step before
+    mixing heterogeneous quality scores. ONE bounded exchange builds
+    the e6-quantized value CDF (distinct-value histogram; at 100 TB
+    cap/bucket the domain, documented); the CDF broadcasts via
+    ray.put and every batch maps through a searchsorted — the row
+    stream never shuffles. Returns (event_id, v6, pct)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["event_id", "value"])
+
+    def vpart(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "v6": np.floor(b["value"].to_numpy(np.float64) * 1e6
+                           + 0.5).astype(np.int64),
+            "n": np.int64(1)})
+        return df.groupby("v6", as_index=False).sum()
+
+    hist = sharded_group_sum(
+        ev.map_batches(vpart, batch_format="pandas"),
+        keys=["v6"], sum_cols=["n"]).to_pandas().sort_values("v6")
+    vals = hist["v6"].to_numpy(np.int64)
+    cnts = hist["n"].to_numpy(np.int64)
+    below = np.r_[0, np.cumsum(cnts)[:-1]]          # strictly less
+    n_total = int(cnts.sum())
+    cdf_ref = ray.put((vals, below, n_total))
+
+    def apply(b: pd.DataFrame) -> pd.DataFrame:
+        v, lo, n = ray.get(cdf_ref)
+        v6 = np.floor(b["value"].to_numpy(np.float64) * 1e6
+                      + 0.5).astype(np.int64)
+        idx = np.searchsorted(v, v6)
+        pct = lo[idx].astype(np.float64) / max(n - 1, 1)
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "v6": v6,
+            "pct": np.floor(pct * 1e6 + 0.5) / 1e6})
+
+    return ev.map_batches(apply, batch_format="pandas")
+
+
+def q_supplier_hhi(sf_dir: str):
+    """Supplier revenue concentration per region (round 4): the
+    Herfindahl-Hirschman index over suppliers' lineitem revenue —
+    sum of squared revenue shares. Per-supplier e4 cents come from
+    ONE metadata-only exchange; the supplier->nation->region dims
+    are driver-side (dimension tables); squares fold as Python ints
+    (rev^2 overflows int64 long before 100 TB). Returns
+    (r_name, n_suppliers, total_rev4, hhi)."""
+    from ..stages.relational import sharded_group_sum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "l_suppkey": np.asarray(batch.column("l_suppkey"),
+                                    dtype=np.int64),
+            "rev4": np.asarray(_rev_e4(batch), dtype=np.int64)})
+        return df.groupby("l_suppkey", as_index=False).sum()
+
+    srev = sharded_group_sum(
+        li.map_batches(partial, batch_format="pyarrow"),
+        keys=["l_suppkey"], sum_cols=["rev4"]).to_pandas()
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_regionkey"])
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet",
+                          columns=["r_regionkey", "r_name"])
+    j = (srev.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+         .merge(reg, left_on="n_regionkey", right_on="r_regionkey"))
+    rows = []
+    for rname, g in j.groupby("r_name", sort=True):
+        rv = [int(x) for x in g["rev4"]]
+        tot = sum(rv)
+        hhi = sum(x * x for x in rv) / (tot * tot) if tot else 0.0
+        rows.append({"r_name": rname,
+                     "n_suppliers": np.int64(len(rv)),
+                     "total_rev4": np.int64(tot),
+                     "hhi": np.floor(hhi * 1e6 + 0.5) / 1e6})
+    return pd.DataFrame(rows)
+
+
+def q_char_entropy(sf_dir: str):
+    """Corpus character-distribution entropy per source (round 4):
+    the encoding-glitch / binary-contamination smell (clean prose
+    sits near 4.2 bits; mojibake and base64 blobs spike it).
+    Per-(source, char) counts fold map-side (one Counter pass over
+    each source's concatenated batch text — C-speed, domain is the
+    charset); entropy derives from exact counts on the driver.
+    Returns (source, n_chars, n_distinct, entropy)."""
+    from collections import Counter
+
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in b.groupby("source"):
+            c = Counter("".join(g["text"].fillna("")))
+            rows.extend((src, ch, n) for ch, n in c.items())
+        return pd.DataFrame(rows, columns=["source", "ch", "n"])
+
+    counts = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["source", "ch"], sum_cols=["n"],
+        num_shards=16).to_pandas()
+    rows = []
+    for src, g in counts.groupby("source", sort=True):
+        c = g["n"].to_numpy(np.int64)
+        n = int(c.sum())
+        s = float((c * np.log2(c.astype(np.float64))).sum())
+        h = np.log2(float(n)) - s / n
+        rows.append({"source": src, "n_chars": np.int64(n),
+                     "n_distinct": np.int64(len(c)),
+                     "entropy": np.floor(h * 1e6 + 0.5) / 1e6})
+    return pd.DataFrame(rows)
+
+
+def q_link_density(sf_dir: str):
+    """URL density per source (round 4): link-farm / navigation-page
+    smell — URLs per document and per kilotoken. Map-side regex
+    counts, one tiny exchange. Returns (source, n_docs, n_links,
+    links_per_doc)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        df = pd.DataFrame({
+            "source": b["source"].to_numpy(),
+            "n_docs": np.int64(1),
+            "n_links": t.str.count(r"https?://\S+")
+            .to_numpy(np.int64)})
+        return df.groupby("source", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["source"], sum_cols=["n_docs", "n_links"],
+        num_shards=8).to_pandas()
+    g["links_per_doc"] = np.floor(
+        g["n_links"].to_numpy(np.int64).astype(np.float64)
+        / g["n_docs"].to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    return g[["source", "n_docs", "n_links", "links_per_doc"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "hourly_profile": q_hourly_profile,
+    "pareto_revenue": q_pareto_revenue,
+    "quantile_transform": q_quantile_transform,
+    "supplier_hhi": q_supplier_hhi,
+    "char_entropy": q_char_entropy,
+    "link_density": q_link_density,
     "type_token_ratio": q_type_token_ratio,
     "rapid_reorders": q_rapid_reorders,
     "burst_detect": q_burst_detect,
@@ -11996,3 +12228,86 @@ ORACLE_SQL["first_touch_attribution"] = (
     "SELECT f.event_type AS first_type, count(*)::BIGINT AS n_users "
     "FROM f JOIN conv USING (user_id) WHERE f.rn = 1 "
     "GROUP BY f.event_type")
+
+
+ORACLE_SQL["hourly_profile"] = (
+    "WITH h AS (SELECT event_type, "
+    "  ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS hour, "
+    "  count(*)::BIGINT AS n FROM events GROUP BY 1, 2) "
+    "SELECT event_type, hour, n, "
+    "floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type) "
+    "  * 1000000 + 0.5) / 1000000 AS pct FROM h")
+
+
+ORACLE_SQL["pareto_revenue"] = (
+    # top ceil(n/K) customers by (rev desc, custkey asc); HUGEINT sums
+    f"WITH u AS (SELECT o_custkey, "
+    "  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::HUGEINT "
+    "    AS rev FROM orders GROUP BY o_custkey), "
+    "r AS (SELECT rev, row_number() OVER (ORDER BY rev DESC, "
+    "  o_custkey) AS rn, count(*) OVER () AS n FROM u) "
+    "SELECT min(n)::BIGINT AS n_customers, "
+    f"((min(n) + {PARETO_TOP_FRAC} - 1) // {PARETO_TOP_FRAC})::BIGINT "
+    "  AS top_customers, "
+    f"sum(CASE WHEN rn <= (n + {PARETO_TOP_FRAC} - 1) "
+    f"  // {PARETO_TOP_FRAC} THEN rev ELSE 0 END)::BIGINT "
+    "  AS top_rev_cents, "
+    "sum(rev)::BIGINT AS total_rev_cents, "
+    f"floor(CAST(sum(CASE WHEN rn <= (n + {PARETO_TOP_FRAC} - 1) "
+    f"  // {PARETO_TOP_FRAC} THEN rev ELSE 0 END) AS DOUBLE) "
+    "  / CAST(sum(rev) AS DOUBLE) * 1000000 + 0.5) / 1000000 "
+    "  AS top_share FROM r")
+
+
+ORACLE_SQL["quantile_transform"] = (
+    # percent_rank over the e6-quantized value, ties share the rank
+    "WITH q AS (SELECT event_id, "
+    "  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6 "
+    "  FROM events) "
+    "SELECT event_id, v6, "
+    "floor(percent_rank() OVER (ORDER BY v6) * 1000000 + 0.5) "
+    "  / 1000000 AS pct FROM q")
+
+
+ORACLE_SQL["supplier_hhi"] = (
+    # per-supplier e4 revenue -> per-region sum of squared shares;
+    # HUGEINT keeps rev^2 exact
+    "WITH s AS (SELECT l_suppkey, "
+    "  sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+    "    * (100 - CAST(round(l_discount * 100) AS BIGINT)))::HUGEINT "
+    "    AS rev4 FROM lineitem GROUP BY l_suppkey), "
+    "j AS (SELECT r.r_name, s.rev4 FROM s "
+    "  JOIN supplier ON s_suppkey = l_suppkey "
+    "  JOIN nation ON n_nationkey = s_nationkey "
+    "  JOIN region r ON r_regionkey = n_regionkey) "
+    "SELECT r_name, count(*)::BIGINT AS n_suppliers, "
+    "sum(rev4)::BIGINT AS total_rev4, "
+    "floor(CAST(sum(rev4 * rev4) AS DOUBLE) "
+    "  / (CAST(sum(rev4) AS DOUBLE) * CAST(sum(rev4) AS DOUBLE)) "
+    "  * 1000000 + 0.5) / 1000000 AS hhi "
+    "FROM j GROUP BY r_name")
+
+
+ORACLE_SQL["char_entropy"] = (
+    # (?s). matches every char including newline; exact counts, one
+    # float log fold, half-up at 6dp like token_entropy
+    "WITH ch AS (SELECT source, unnest(regexp_extract_all("
+    "  coalesce(text, ''), '(?s).')) AS c FROM documents), "
+    "cc AS (SELECT source, c, count(*)::BIGINT AS n "
+    "  FROM ch GROUP BY 1, 2), "
+    "a AS (SELECT source, sum(n)::BIGINT AS nt, "
+    "  count(*)::BIGINT AS nd, "
+    "  sum(n * log2(n::DOUBLE)) AS s FROM cc GROUP BY source) "
+    "SELECT source, nt AS n_chars, nd AS n_distinct, "
+    "floor((log2(nt::DOUBLE) - s / nt) * 1000000 + 0.5) / 1000000 "
+    "  AS entropy FROM a")
+
+
+ORACLE_SQL["link_density"] = (
+    "SELECT source, count(*)::BIGINT AS n_docs, "
+    "sum(len(regexp_extract_all(coalesce(text, ''), "
+    "  'https?://\\S+')))::BIGINT AS n_links, "
+    "floor(CAST(sum(len(regexp_extract_all(coalesce(text, ''), "
+    "  'https?://\\S+'))) AS DOUBLE) / count(*) * 1000000 + 0.5) "
+    "  / 1000000 AS links_per_doc "
+    "FROM documents GROUP BY source")

@@ -2733,3 +2733,132 @@ def test_first_touch_attribution_handbuilt(ray_session, tmp_path):
            .sort_values("first_type").reset_index(drop=True))
     assert out["first_type"].tolist() == ["purchase", "view"]
     assert out["n_users"].tolist() == [1, 1]
+
+
+def test_hourly_profile_handbuilt(ray_session, tmp_path):
+    """Two events at hour 0 and one at hour 5 for one type."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_hourly_profile)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    hr = 3_600_000_000
+    _write_events(sf, [0, 100, 5 * hr], [1, 2, 3], ["view"] * 3)
+    out = (q_hourly_profile(str(sf))
+           .sort_values("hour").reset_index(drop=True))
+    assert out["hour"].tolist() == [0, 5]
+    assert out["n"].tolist() == [2, 1]
+    assert out["pct"].tolist() == [0.666667, 0.333333]
+
+
+def test_pareto_revenue_handbuilt(ray_session, tmp_path):
+    """10 customers, one whale: top ceil(10/10)=1 customer holds
+    1000 of 1900 cents -> share 0.526316."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_pareto_revenue)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    n = 10
+    prices = [10.0] + [1.0] * (n - 1)     # cents: 1000 + 9*100
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(n), type=pa.int64()),
+        "o_custkey": pa.array(range(n), type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * n),
+        "o_totalprice": pa.array(prices),
+        "o_orderdate": pa.array(
+            [np.datetime64("1995-01-01", "us")] * n,
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * n)}),
+        str(sf / "orders.parquet"))
+    out = q_pareto_revenue(str(sf))
+    assert out["n_customers"].iloc[0] == 10
+    assert out["top_customers"].iloc[0] == 1
+    assert out["top_rev_cents"].iloc[0] == 1000
+    assert out["total_rev_cents"].iloc[0] == 1900
+    assert out["top_share"].iloc[0] == 0.526316
+
+
+def test_quantile_transform_handbuilt(ray_session, tmp_path):
+    """Values 1,2,2,3: percent_rank = below/(n-1) with ties sharing
+    the rank -> 0, 1/3, 1/3, 1."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_quantile_transform)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [0, 1, 2, 3], [1, 1, 1, 1], ["view"] * 4,
+                  values=[1.0, 2.0, 2.0, 3.0])
+    out = (q_quantile_transform(str(sf)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert out["pct"].tolist() == [0.0, 0.333333, 0.333333, 1.0]
+
+
+def test_char_entropy_handbuilt(ray_session, tmp_path):
+    """'aabb' -> uniform over 2 symbols = exactly 1 bit."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_char_entropy)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["aabb"], sources=["s"])
+    out = q_char_entropy(str(sf))
+    assert out["n_chars"].iloc[0] == 4
+    assert out["n_distinct"].iloc[0] == 2
+    assert out["entropy"].iloc[0] == 1.0
+
+
+def test_link_density_handbuilt(ray_session, tmp_path):
+    """Two URLs across two docs -> 1.0 links/doc."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_link_density)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["see https://a.io and http://b.io/x", "plain"],
+                 sources=["s", "s"])
+    out = q_link_density(str(sf))
+    assert out["n_docs"].iloc[0] == 2
+    assert out["n_links"].iloc[0] == 2
+    assert out["links_per_doc"].iloc[0] == 1.0
+
+
+def test_supplier_hhi_handbuilt(ray_session, tmp_path):
+    """Two suppliers with revenue 300:100 in one region ->
+    HHI = (0.75^2 + 0.25^2) = 0.625."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_supplier_hhi)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0], type=pa.int64()),
+        "r_name": pa.array(["EUROPE"])}), str(sf / "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], type=pa.int64()),
+        "n_name": pa.array(["FRANCE"]),
+        "n_regionkey": pa.array([0], type=pa.int64())}),
+        str(sf / "nation.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2], type=pa.int64()),
+        "s_nationkey": pa.array([0, 0], type=pa.int64())}),
+        str(sf / "supplier.parquet"))
+    # rev4 = cents * (100 - d2): 3.0/no-discount -> 300*100; 1.0 -> 100*100
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([0, 1], type=pa.int64()),
+        "l_suppkey": pa.array([1, 2], type=pa.int64()),
+        "l_extendedprice": pa.array([3.0, 1.0]),
+        "l_discount": pa.array([0.0, 0.0])}),
+        str(sf / "lineitem.parquet"))
+    out = q_supplier_hhi(str(sf))
+    assert out["r_name"].iloc[0] == "EUROPE"
+    assert out["n_suppliers"].iloc[0] == 2
+    assert out["total_rev4"].iloc[0] == 40000
+    assert out["hhi"].iloc[0] == 0.625

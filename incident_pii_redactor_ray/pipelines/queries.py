@@ -8358,11 +8358,291 @@ def q_link_density(sf_dir: str):
     return g[["source", "n_docs", "n_links", "links_per_doc"]]
 
 
+BFS_SEED_NODE = 2      # bfs_levels: custkey 1 in the cust*2 namespace
+BFS_MAX_LEVEL = 4      # bfs_levels: hop cap (trade graph is shallow)
+L_DIVERSITY = 3        # l_diversity: min distinct sensitive values
+ACCT_BAND = 1000       # l_diversity: acctbal band width (dollars)
+
+
+def q_bfs_levels(sf_dir: str):
+    """Breadth-first hop levels over the customer<->supplier trade
+    graph (round 4): 'everything within N hops of this account' —
+    the blast-radius query. Same edge build as pagerank (ONE
+    bucketed big-big join + global distinct, ids cust*2/supp*2+1,
+    both directions); each BFS round is ONE map-only pass of the
+    materialized edges against the broadcast frontier (sorted-array
+    membership), with node-bounded per-batch partials — the edge
+    stream never shuffles per round. Returns (node, level) for
+    nodes within {BFS_MAX_LEVEL} hops of node {BFS_SEED_NODE}."""
+    from ..stages.relational import bucketed_hash_join, sharded_group_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey"]) \
+        .map_batches(lambda b: b.rename_columns(
+            ["o_orderkey", "l_suppkey"]), batch_format="pyarrow")
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[["o_custkey", "l_suppkey"]].drop_duplicates()
+        return out.assign(one=np.int64(1))
+
+    pairs = sharded_group_sum(
+        bucketed_hash_join(li, orders, on="o_orderkey", post=pair_dedup),
+        keys=["o_custkey", "l_suppkey"], sum_cols=["one"])
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["o_custkey"].to_numpy(np.int64) * 2
+        s = df["l_suppkey"].to_numpy(np.int64) * 2 + 1
+        return pd.DataFrame({"src": np.concatenate([c, s]),
+                             "dst": np.concatenate([s, c])})
+
+    edges = (pairs.map_batches(both_dirs, batch_format="pandas")
+             .repartition(16).materialize())
+
+    levels = {BFS_SEED_NODE: 0}
+    frontier = np.asarray([BFS_SEED_NODE], dtype=np.int64)
+    for lvl in range(1, BFS_MAX_LEVEL + 1):
+        f_ref = ray.put(frontier)           # sorted by construction
+
+        def expand(df: pd.DataFrame) -> pd.DataFrame:
+            f = ray.get(f_ref)
+            src = df["src"].to_numpy(np.int64)
+            pos = np.searchsorted(f, src)
+            hit = (pos < len(f)) & (f[np.minimum(pos, len(f) - 1)]
+                                    == src)
+            return pd.DataFrame({
+                "node": np.unique(df["dst"].to_numpy(np.int64)[hit])})
+
+        reached = np.unique(
+            edges.map_batches(expand, batch_format="pandas")
+            .to_pandas()["node"].to_numpy(np.int64))
+        new = np.asarray([n for n in reached if n not in levels],
+                         dtype=np.int64)
+        if len(new) == 0:
+            break
+        for n in new:
+            levels[int(n)] = lvl
+        frontier = np.sort(new)
+
+    out = pd.DataFrame(sorted(levels.items()),
+                       columns=["node", "level"])
+    return out.astype({"node": np.int64, "level": np.int64})
+
+
+def q_l_diversity(sf_dir: str):
+    """l-diversity audit (round 4): k-anonymity's sibling — each
+    (nationkey, mktsegment) quasi-identifier cell must also carry at
+    least {L_DIVERSITY} DISTINCT sensitive values (acctbal bands of
+    ${ACCT_BAND}) or the cell leaks the attribute by membership
+    alone. Cell-sharded so per-shard distinct counts are exact.
+    Returns (c_nationkey, c_mktsegment, n, n_sensitive,
+    is_diverse)."""
+    from ..stages.relational import shard_of_keys
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        bal = np.floor(b["c_acctbal"].to_numpy(np.float64) * 100
+                       + 0.5).astype(np.int64)
+        band = np.floor_divide(bal, ACCT_BAND * 100)
+        df = pd.DataFrame({
+            "c_nationkey": b["c_nationkey"].to_numpy(np.int64),
+            "c_mktsegment": b["c_mktsegment"].to_numpy(),
+            "band": band})
+        df["shard"] = shard_of_keys(
+            df["c_nationkey"].to_numpy() * 31
+            + shard_of_keys(df["c_mktsegment"].to_numpy(), 1 << 20),
+            64)
+        return df
+
+    def cell_shard(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby(["c_nationkey", "c_mktsegment"],
+                      as_index=False).agg(
+            n=("band", "size"), n_sensitive=("band", "nunique"))
+        a["n"] = a["n"].astype(np.int64)
+        a["n_sensitive"] = a["n_sensitive"].astype(np.int64)
+        a["is_diverse"] = (a["n_sensitive"] >= L_DIVERSITY) \
+            .astype(np.int64)
+        return a
+
+    return (ds.map_batches(prep, batch_format="pandas")
+            .groupby("shard").map_groups(cell_shard,
+                                         batch_format="pandas"))
+
+
+def q_session_duration_hist(sf_dir: str):
+    """Session-duration histogram (round 4): whole-minute duration
+    of every 30-min-gap session, rolled into a bounded histogram —
+    the engagement-shape read. Sessions come from the shared
+    session_windows stage (one user-sharded exchange); the minute
+    rollup is map-side. Returns (dur_min, n_sessions, pct)."""
+    from ..stages.relational import session_windows
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+    sess = session_windows(ev, gap="30min")
+
+    def roll(b: pd.DataFrame) -> pd.DataFrame:
+        dur = (b["session_end"].to_numpy("datetime64[us]")
+               .view("int64")
+               - b["session_start"].to_numpy("datetime64[us]")
+               .view("int64"))
+        df = pd.DataFrame({"dur_min": dur // 60_000_000,
+                           "n_sessions": np.int64(1)})
+        return df.groupby("dur_min", as_index=False).sum()
+
+    g = (sess.map_batches(roll, batch_format="pandas").to_pandas()
+         .groupby("dur_min", as_index=False).sum())
+    tot = int(g["n_sessions"].sum())
+    g["dur_min"] = g["dur_min"].astype(np.int64)
+    g["n_sessions"] = g["n_sessions"].astype(np.int64)
+    g["pct"] = np.floor(
+        g["n_sessions"].to_numpy(np.int64).astype(np.float64)
+        / tot * 1e6 + 0.5) / 1e6
+    return g[["dur_min", "n_sessions", "pct"]]
+
+
+def q_audience_overlap(sf_dir: str):
+    """Audience overlap between event types (round 4): pairwise
+    Jaccard of user sets — 'do clickers also err?'. User-sharded:
+    each user's type set resolves in-shard, pair counts are
+    (types x types)-bounded, so the second exchange is tiny.
+    Returns (type_a, type_b, n_a, n_b, n_both, jaccard)."""
+    from ..stages.relational import shard_of_keys
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        df = b[["user_id", "event_type"]].drop_duplicates()
+        df = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "event_type": df["event_type"].to_numpy()})
+        df["shard"] = shard_of_keys(df["user_id"].to_numpy(), 64)
+        return df
+
+    def pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        rows = []
+        singles = g.groupby("event_type").size()
+        for t, n in singles.items():
+            rows.append((t, t, np.int64(n)))
+        m = g.merge(g, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        both = m.groupby(["event_type_x", "event_type_y"]).size()
+        for (a, b_), n in both.items():
+            rows.append((a, b_, np.int64(n)))
+        return pd.DataFrame(rows, columns=["ta", "tb", "n"])
+
+    parts = (ev.map_batches(prep, batch_format="pandas")
+             .groupby("shard").map_groups(pairs_shard,
+                                          batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby(["ta", "tb"], as_index=False)["n"].sum()
+    singles = {t: int(n) for t, _, n in
+               g[g["ta"] == g["tb"]].itertuples(index=False)}
+    p = g[g["ta"] < g["tb"]].copy()
+    na = p["ta"].map(singles).to_numpy(np.int64)
+    nb = p["tb"].map(singles).to_numpy(np.int64)
+    nboth = p["n"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "type_a": p["ta"].to_numpy(), "type_b": p["tb"].to_numpy(),
+        "n_a": na, "n_b": nb, "n_both": nboth,
+        "jaccard": np.floor(nboth.astype(np.float64)
+                            / (na + nb - nboth) * 1e6 + 0.5) / 1e6})
+
+
+def q_length_gini(sf_dir: str):
+    """Gini coefficient of document lengths per source (round 4):
+    the length-inequality number behind packing efficiency and
+    truncation losses. Lengths fold into a (source, n_chars)
+    distinct-value histogram (ONE bounded exchange); the exact
+    rank-sum Gini folds as Python ints on the driver. Returns
+    (source, n_docs, total_chars, gini)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["source", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"source": b["source"].to_numpy(),
+                           "n_chars": b["n_chars"].to_numpy(np.int64),
+                           "n": np.int64(1)})
+        return df.groupby(["source", "n_chars"], as_index=False).sum()
+
+    hist = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["source", "n_chars"], sum_cols=["n"],
+        num_shards=16).to_pandas()
+    rows = []
+    for src, g in hist.groupby("source", sort=True):
+        g = g.sort_values("n_chars", kind="mergesort")
+        v = [int(x) for x in g["n_chars"]]
+        c = [int(x) for x in g["n"]]
+        n = sum(c)
+        s = sum(vi * ci for vi, ci in zip(v, c))
+        # sum of rank*value over ties: ranks in a tie group sum to
+        # c*prefix + c*(c+1)/2
+        pref, rsum = 0, 0
+        for vi, ci in zip(v, c):
+            rsum += vi * (ci * pref + ci * (ci + 1) // 2)
+            pref += ci
+        gini = (2 * rsum - (n + 1) * s) / (n * s) if n and s else 0.0
+        rows.append({"source": src, "n_docs": np.int64(n),
+                     "total_chars": np.int64(s),
+                     "gini": np.floor(gini * 1e6 + 0.5) / 1e6})
+    return pd.DataFrame(rows)
+
+
+def q_order_size_hist(sf_dir: str):
+    """Order-size histogram (round 4): lineitems per order, rolled
+    into a bounded histogram — the fan-out profile joins are sized
+    against. Per-order counts are ONE metadata-only exchange
+    (orderkey, count); the size rollup is map-side. Returns
+    (n_items, n_orders, pct)."""
+    from ..stages.relational import sharded_group_sum
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+            "cnt": np.int64(1)})
+        return df.groupby("l_orderkey", as_index=False).sum()
+
+    per_order = sharded_group_sum(
+        li.map_batches(partial, batch_format="pandas"),
+        keys=["l_orderkey"], sum_cols=["cnt"])
+
+    def roll(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"n_items": b["cnt"].to_numpy(np.int64),
+                           "n_orders": np.int64(1)})
+        return df.groupby("n_items", as_index=False).sum()
+
+    g = (per_order.map_batches(roll, batch_format="pandas")
+         .to_pandas().groupby("n_items", as_index=False).sum())
+    tot = int(g["n_orders"].sum())
+    g["n_items"] = g["n_items"].astype(np.int64)
+    g["n_orders"] = g["n_orders"].astype(np.int64)
+    g["pct"] = np.floor(
+        g["n_orders"].to_numpy(np.int64).astype(np.float64)
+        / tot * 1e6 + 0.5) / 1e6
+    return g[["n_items", "n_orders", "pct"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "bfs_levels": q_bfs_levels,
+    "l_diversity": q_l_diversity,
+    "session_duration_hist": q_session_duration_hist,
+    "audience_overlap": q_audience_overlap,
+    "length_gini": q_length_gini,
+    "order_size_hist": q_order_size_hist,
     "hourly_profile": q_hourly_profile,
     "pareto_revenue": q_pareto_revenue,
     "quantile_transform": q_quantile_transform,
@@ -12311,3 +12591,91 @@ ORACLE_SQL["link_density"] = (
     "  'https?://\\S+'))) AS DOUBLE) / count(*) * 1000000 + 0.5) "
     "  / 1000000 AS links_per_doc "
     "FROM documents GROUP BY source")
+
+
+ORACLE_SQL["bfs_levels"] = (
+    # recursive UNION (dedup) keeps the working set node-bounded;
+    # min(level) = first-reach level
+    "WITH RECURSIVE e AS (SELECT DISTINCT o_custkey * 2 AS a, "
+    "  l_suppkey * 2 + 1 AS b FROM orders "
+    "  JOIN lineitem ON l_orderkey = o_orderkey), "
+    "ed AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
+    "bfs(node, level) AS ("
+    f"  SELECT {BFS_SEED_NODE}::BIGINT, 0::BIGINT "
+    "  UNION "
+    "  SELECT ed.b, bfs.level + 1 FROM bfs JOIN ed ON ed.a = bfs.node "
+    f"  WHERE bfs.level < {BFS_MAX_LEVEL}) "
+    "SELECT node::BIGINT AS node, min(level)::BIGINT AS level "
+    "FROM bfs GROUP BY node")
+
+
+ORACLE_SQL["l_diversity"] = (
+    # band = floor(cents / band_cents) via double floor (NOT //,
+    # which truncates toward zero on negative balances)
+    "WITH c AS (SELECT c_nationkey, c_mktsegment, "
+    "  CAST(floor(CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) "
+    f"    AS DOUBLE) / {ACCT_BAND * 100}) AS BIGINT) AS band "
+    "  FROM customer) "
+    "SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n, "
+    "count(DISTINCT band)::BIGINT AS n_sensitive, "
+    f"(count(DISTINCT band) >= {L_DIVERSITY})::BIGINT AS is_diverse "
+    "FROM c GROUP BY c_nationkey, c_mktsegment")
+
+
+ORACLE_SQL["session_duration_hist"] = (
+    # same 30-min-gap sessionization as session_windows; durations
+    # are nonnegative so // floor == trunc
+    "WITH o AS (SELECT user_id, ts, CASE WHEN "
+    "  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR "
+    "  ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+    "    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), "
+    "s AS (SELECT user_id, ts, sum(new_s) OVER ("
+    "  PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) "
+    "  AS sid FROM o), "
+    "sess AS (SELECT (epoch_us(max(ts)) - epoch_us(min(ts))) "
+    "  // 60000000 AS dur_min FROM s GROUP BY user_id, sid), "
+    "h AS (SELECT dur_min::BIGINT AS dur_min, count(*)::BIGINT "
+    "  AS n_sessions FROM sess GROUP BY 1) "
+    "SELECT dur_min, n_sessions, "
+    "floor(CAST(n_sessions AS DOUBLE) / sum(n_sessions) OVER () "
+    "  * 1000000 + 0.5) / 1000000 AS pct FROM h")
+
+
+ORACLE_SQL["audience_overlap"] = (
+    "WITH u AS (SELECT DISTINCT user_id, event_type FROM events), "
+    "s AS (SELECT event_type, count(*)::BIGINT AS n FROM u "
+    "  GROUP BY 1), "
+    "p AS (SELECT a.event_type AS ta, b.event_type AS tb, "
+    "  count(*)::BIGINT AS nboth FROM u a JOIN u b "
+    "  ON a.user_id = b.user_id AND a.event_type < b.event_type "
+    "  GROUP BY 1, 2) "
+    "SELECT ta AS type_a, tb AS type_b, sa.n AS n_a, sb.n AS n_b, "
+    "nboth AS n_both, "
+    "floor(CAST(nboth AS DOUBLE) / (sa.n + sb.n - nboth) "
+    "  * 1000000 + 0.5) / 1000000 AS jaccard "
+    "FROM p JOIN s sa ON sa.event_type = ta "
+    "JOIN s sb ON sb.event_type = tb")
+
+
+ORACLE_SQL["length_gini"] = (
+    # exact rank-sum Gini: G = (2*sum(rn*x) - (n+1)*sum(x)) /
+    # (n*sum(x)); rank products fold as HUGEINTs
+    "WITH r AS (SELECT source, n_chars::HUGEINT AS x, "
+    "  row_number() OVER (PARTITION BY source "
+    "    ORDER BY n_chars, doc_id)::HUGEINT AS rn FROM documents) "
+    "SELECT source, count(*)::BIGINT AS n_docs, "
+    "sum(x)::BIGINT AS total_chars, "
+    "floor(CAST(2 * sum(rn * x) - (count(*)::HUGEINT + 1) * sum(x) "
+    "  AS DOUBLE) / (CAST(count(*) AS DOUBLE) "
+    "  * CAST(sum(x) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS gini "
+    "FROM r GROUP BY source")
+
+
+ORACLE_SQL["order_size_hist"] = (
+    "WITH c AS (SELECT l_orderkey, count(*)::BIGINT AS cnt "
+    "  FROM lineitem GROUP BY 1), "
+    "h AS (SELECT cnt AS n_items, count(*)::BIGINT AS n_orders "
+    "  FROM c GROUP BY 1) "
+    "SELECT n_items, n_orders, "
+    "floor(CAST(n_orders AS DOUBLE) / sum(n_orders) OVER () "
+    "  * 1000000 + 0.5) / 1000000 AS pct FROM h")

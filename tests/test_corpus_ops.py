@@ -2862,3 +2862,135 @@ def test_supplier_hhi_handbuilt(ray_session, tmp_path):
     assert out["n_suppliers"].iloc[0] == 2
     assert out["total_rev4"].iloc[0] == 40000
     assert out["hhi"].iloc[0] == 0.625
+
+
+def test_bfs_levels_handbuilt(ray_session, tmp_path):
+    """Star graph: cust 1 -> supp A -> cust 2 -> supp B gives levels
+    0,1,2,3; an unconnected supplier is never reached."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_bfs_levels
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # order 10: cust1 x suppA(1); order 11: cust2 x suppA;
+    # order 12: cust2 x suppB(2); supp 99 unconnected
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12], type=pa.int64()),
+        "o_custkey": pa.array([1, 2, 2], type=pa.int64())}),
+        str(sf / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 11, 12], type=pa.int64()),
+        "l_suppkey": pa.array([1, 1, 2], type=pa.int64())}),
+        str(sf / "lineitem.parquet"))
+    out = q_bfs_levels(str(sf)).set_index("node")["level"]
+    # node ids: cust*2, supp*2+1
+    assert out[2] == 0        # cust 1 (seed)
+    assert out[3] == 1        # supp 1
+    assert out[4] == 2        # cust 2
+    assert out[5] == 3        # supp 2
+    assert 199 not in out.index
+
+
+def test_l_diversity_handbuilt(ray_session, tmp_path):
+    """A cell with 3 distinct $1000-bands is diverse; a cell whose
+    members share one band is not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_l_diversity)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(5), type=pa.int64()),
+        "c_nationkey": pa.array([0, 0, 0, 1, 1], type=pa.int64()),
+        "c_mktsegment": pa.array(["A"] * 5),
+        "c_acctbal": pa.array([100.0, 1500.0, 2500.0, 50.0, 60.0])}),
+        str(sf / "customer.parquet"))
+    out = (q_l_diversity(str(sf)).to_pandas()
+           .sort_values("c_nationkey").reset_index(drop=True))
+    assert out["n"].tolist() == [3, 2]
+    assert out["n_sensitive"].tolist() == [3, 1]
+    assert out["is_diverse"].tolist() == [1, 0]
+
+
+def test_session_duration_hist_handbuilt(ray_session, tmp_path):
+    """One 90-second session (1 min bucket) and one instant session
+    (0 min bucket)."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_session_duration_hist)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [0, 90_000_000, 10_000_000_000], [1, 1, 2],
+                  ["view"] * 3)
+    out = (q_session_duration_hist(str(sf))
+           .sort_values("dur_min").reset_index(drop=True))
+    assert out["dur_min"].tolist() == [0, 1]
+    assert out["n_sessions"].tolist() == [1, 1]
+    assert out["pct"].tolist() == [0.5, 0.5]
+
+
+def test_audience_overlap_handbuilt(ray_session, tmp_path):
+    """u1 does click+view, u2 click only: jaccard(click, view) =
+    1/2; repeated events do not inflate counts."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_audience_overlap)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [0, 1, 2, 3], [1, 1, 1, 2],
+                  ["click", "view", "view", "click"])
+    out = q_audience_overlap(str(sf))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["type_a"], r["type_b"]) == ("click", "view")
+    assert (r["n_a"], r["n_b"], r["n_both"]) == (2, 1, 1)
+    assert r["jaccard"] == 0.5
+
+
+def test_length_gini_handbuilt(ray_session, tmp_path):
+    """Lengths 1,1,4: G = (2*(1*1+2*1+3*4) - 4*6) / (3*6) = 1/3.
+    n_chars is taken from the fixture column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_length_gini)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["a", "b", "cccc"]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([1, 1, 4], type=pa.int64())}),
+        str(sf / "documents.parquet"))
+    out = q_length_gini(str(sf))
+    assert out["n_docs"].iloc[0] == 3
+    assert out["total_chars"].iloc[0] == 6
+    assert out["gini"].iloc[0] == 0.333333
+
+
+def test_order_size_hist_handbuilt(ray_session, tmp_path):
+    """Orders with 2 and 1 items -> one bucket each, pct 0.5/0.5."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_order_size_hist)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], type=pa.int64())}),
+        str(sf / "lineitem.parquet"))
+    out = (q_order_size_hist(str(sf))
+           .sort_values("n_items").reset_index(drop=True))
+    assert out["n_items"].tolist() == [1, 2]
+    assert out["n_orders"].tolist() == [1, 1]
+    assert out["pct"].tolist() == [0.5, 0.5]

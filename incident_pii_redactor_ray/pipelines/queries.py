@@ -8632,11 +8632,291 @@ def q_order_size_hist(sf_dir: str):
     return g[["n_items", "n_orders", "pct"]]
 
 
+BAL_TILES = 10        # acctbal_order_rate: decile count
+
+
+def q_dup_cross_source(sf_dir: str):
+    """Cross-source duplicate matrix (round 4): which sources copy
+    from which — exact-dup pairs counted per unordered source pair.
+    Input is documents UNION an id-shifted 'recrawl' copy (every
+    10th doc twice, so same-source pairs exist — the raw corpus has
+    no exact dups, the _docs_doubled convention). Digest-sharded; a
+    dup group's per-source counts {n_i} yield the pair counts
+    combinatorially (C(n_i,2) same-source, n_i*n_j cross), so no
+    pair ever materializes. Returns (source_a, source_b, n_pairs)
+    with source_a <= source_b."""
+    import hashlib
+
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    base = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def recrawl(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        txt = batch.column("text")
+        src = pa.array(["recrawl"] * len(ids), type=pa.string())
+        one = pa.table({"doc_id": pa.array(ids + 1_000_000),
+                        "source": src, "text": txt})
+        sel = ids % 10 == 0
+        two = pa.table({
+            "doc_id": pa.array(ids[sel] + 2_000_000),
+            "source": pa.array(["recrawl"] * int(sel.sum()),
+                               type=pa.string()),
+            "text": txt.filter(pa.array(sel))})
+        return pa.concat_tables([one, two])
+
+    ds = base.union(base.map_batches(recrawl, batch_format="pyarrow")) \
+        .map_batches(lambda b: b.select(["source", "text"]),
+                     batch_format="pyarrow")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        h = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t]
+        df = pd.DataFrame({"h": h, "source": b["source"].to_numpy(),
+                           "n": np.int64(1)})
+        df["shard"] = shard_of_keys(df["h"].to_numpy(), 64)
+        return df
+
+    def pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby(["h", "source"], as_index=False)["n"].sum()
+        rows = []
+        for _, grp in cnt.groupby("h"):
+            if grp["n"].sum() < 2:
+                continue
+            srcs = sorted(zip(grp["source"], grp["n"]))
+            for i, (sa, na) in enumerate(srcs):
+                na = int(na)
+                if na >= 2:
+                    rows.append((sa, sa, na * (na - 1) // 2))
+                for sb, nb in srcs[i + 1:]:
+                    rows.append((sa, sb, na * int(nb)))
+        return pd.DataFrame(rows, columns=["source_a", "source_b",
+                                           "n_pairs"])
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("shard").map_groups(pairs_shard,
+                                          batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby(["source_a", "source_b"], as_index=False).sum()
+    g["n_pairs"] = g["n_pairs"].astype(np.int64)
+    return g[["source_a", "source_b", "n_pairs"]]
+
+
+def q_transition_latency(sf_dir: str):
+    """Median dwell time per event-type transition (round 4): the
+    latency profile between consecutive actions in a user's stream.
+    User-sharded sort; consecutive pairs reduce to a (from, to,
+    gap-second) count table (ONE bounded-ish exchange), from which
+    the exact discrete median reads off cumulative counts — no
+    quantile sketch. Returns (type_from, type_to, n,
+    median_gap_s)."""
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "t_us": b["ts"].to_numpy("datetime64[us]").view("int64"),
+            "event_type": b["event_type"].to_numpy()})
+        df["shard"] = shard_of_keys(df["user_id"].to_numpy(), 64)
+        return df
+
+    def gaps_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t_us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        t = g["t_us"].to_numpy(np.int64)
+        ty = g["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        df = pd.DataFrame({
+            "type_from": ty[:-1][same], "type_to": ty[1:][same],
+            "gap_s": (t[1:][same] - t[:-1][same]) // 1_000_000,
+            "n": np.int64(1)})
+        return df.groupby(["type_from", "type_to", "gap_s"],
+                          as_index=False).sum()
+
+    hist = sharded_group_sum(
+        ev.map_batches(prep, batch_format="pandas")
+          .groupby("shard").map_groups(gaps_shard,
+                                       batch_format="pandas"),
+        keys=["type_from", "type_to", "gap_s"], sum_cols=["n"],
+        num_shards=16).to_pandas()
+    rows = []
+    for (tf, tt), g in hist.groupby(["type_from", "type_to"],
+                                    sort=True):
+        g = g.sort_values("gap_s", kind="mergesort")
+        cnts = g["n"].to_numpy(np.int64)
+        n = int(cnts.sum())
+        need = (n + 1) // 2                 # ceil(n/2), positive ints
+        med = int(g["gap_s"].to_numpy(np.int64)[
+            np.searchsorted(np.cumsum(cnts), need)])
+        rows.append({"type_from": tf, "type_to": tt,
+                     "n": np.int64(n), "median_gap_s": np.int64(med)})
+    return pd.DataFrame(rows)
+
+
+def q_acctbal_order_rate(sf_dir: str):
+    """Orders per customer by account-balance decile (round 4): the
+    'do richer accounts order more' read. Per-customer order counts
+    come from ONE metadata-only exchange; the decile cut uses the
+    SQL-ntile fold over the customer-dimension table on the driver
+    (rfm_scores trade). Customers with no orders count in their
+    decile. Returns (decile, n_customers, n_orders,
+    orders_per_cust)."""
+    from ..stages.relational import sharded_group_sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "c_custkey": b["o_custkey"].to_numpy(np.int64),
+            "n_orders": np.int64(1)})
+        return df.groupby("c_custkey", as_index=False).sum()
+
+    oc = sharded_group_sum(
+        orders.map_batches(partial, batch_format="pandas"),
+        keys=["c_custkey"], sum_cols=["n_orders"]).to_pandas()
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"])
+    u = cust.merge(oc, on="c_custkey", how="left")
+    u["n_orders"] = u["n_orders"].fillna(0).astype(np.int64)
+    bal6 = np.floor(u["c_acctbal"].to_numpy(np.float64) * 100
+                    + 0.5).astype(np.int64)
+    ids = u["c_custkey"].to_numpy(np.int64)
+    order = np.lexsort((ids, bal6))
+    rank = np.empty(len(u), dtype=np.int64)
+    rank[order] = np.arange(len(u), dtype=np.int64)
+    n, k = len(u), BAL_TILES
+    big, small = n % k, n // k
+    cut = big * (small + 1)
+    u["decile"] = np.where(
+        rank < cut, rank // (small + 1),
+        big + (rank - cut) // max(small, 1)) + 1
+    g = u.groupby("decile", as_index=False).agg(
+        n_customers=("c_custkey", "size"),
+        n_orders=("n_orders", "sum"))
+    g["decile"] = g["decile"].astype(np.int64)
+    g["n_customers"] = g["n_customers"].astype(np.int64)
+    g["n_orders"] = g["n_orders"].astype(np.int64)
+    g["orders_per_cust"] = np.floor(
+        g["n_orders"].to_numpy(np.int64).astype(np.float64)
+        / g["n_customers"].to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    return g[["decile", "n_customers", "n_orders", "orders_per_cust"]]
+
+
+def q_monthly_seasonality(sf_dir: str):
+    """Month-of-year revenue seasonality (round 4): cent-exact
+    revenue share per calendar month, folded map-side into a
+    12-slot domain. Returns (month, rev_cents, share)."""
+    from ..stages.relational import sharded_group_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = pd.DatetimeIndex(b["o_orderdate"]).month
+        df = pd.DataFrame({
+            "month": m.to_numpy(np.int64),
+            "rev_cents": np.floor(
+                b["o_totalprice"].to_numpy(np.float64) * 100 + 0.5)
+            .astype(np.int64)})
+        return df.groupby("month", as_index=False).sum()
+
+    g = sharded_group_sum(
+        orders.map_batches(partial, batch_format="pandas"),
+        keys=["month"], sum_cols=["rev_cents"],
+        num_shards=4).to_pandas()
+    tot = int(g["rev_cents"].sum())
+    g["month"] = g["month"].astype(np.int64)
+    g["rev_cents"] = g["rev_cents"].astype(np.int64)
+    g["share"] = np.floor(
+        g["rev_cents"].to_numpy(np.int64).astype(np.float64)
+        / tot * 1e6 + 0.5) / 1e6
+    return g[["month", "rev_cents", "share"]]
+
+
+def q_discount_uplift(sf_dir: str):
+    """Quantity uplift per discount tier (round 4): does a deeper
+    discount move more units — mean quantity per 1%-discount tier,
+    normalized to the no-discount baseline. e2-exact quantity sums
+    in an 11-slot domain. Returns (d2, n_items, avg_qty, uplift)."""
+    from ..stages.relational import sharded_group_sum
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_discount", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d2 = np.floor(b["l_discount"].to_numpy(np.float64) * 100
+                      + 0.5).astype(np.int64)
+        q2 = np.floor(b["l_quantity"].to_numpy(np.float64) * 100
+                      + 0.5).astype(np.int64)
+        df = pd.DataFrame({"d2": d2, "n_items": np.int64(1),
+                           "q2": q2})
+        return df.groupby("d2", as_index=False).sum()
+
+    g = sharded_group_sum(
+        li.map_batches(partial, batch_format="pandas"),
+        keys=["d2"], sum_cols=["n_items", "q2"],
+        num_shards=4).to_pandas().sort_values("d2")
+    g["avg_qty"] = np.floor(
+        g["q2"].to_numpy(np.int64).astype(np.float64)
+        / g["n_items"].to_numpy(np.int64) * 1e4 + 0.5) / 1e6
+    base = float(g.loc[g["d2"] == 0, "avg_qty"].iloc[0])
+    g["uplift"] = np.floor(g["avg_qty"].to_numpy(np.float64)
+                           / base * 1e6 + 0.5) / 1e6
+    g["d2"] = g["d2"].astype(np.int64)
+    g["n_items"] = g["n_items"].astype(np.int64)
+    return g[["d2", "n_items", "avg_qty", "uplift"]]
+
+
+def q_brand_return_rate(sf_dir: str):
+    """Return rate per part brand (round 4): fraction of lineitems
+    with returnflag 'R' — the quality-complaint signal. The part
+    dimension broadcasts once (ray.put inside broadcast_join);
+    the lineitem stream never shuffles; per-brand counts fold
+    map-side. Returns (p_brand, n_items, n_returned, return_rate)."""
+    from ..stages.relational import broadcast_join, sharded_group_sum
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_returnflag"])
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    part = part.rename(columns={"p_partkey": "l_partkey"})
+
+    def roll(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "p_brand": b["p_brand"].to_numpy(),
+            "n_items": np.int64(1),
+            "n_returned": (b["l_returnflag"].to_numpy() == "R")
+            .astype(np.int64)})
+        return df.groupby("p_brand", as_index=False).sum()
+
+    joined = broadcast_join(li, part, on="l_partkey")
+    g = sharded_group_sum(
+        joined.map_batches(roll, batch_format="pandas"),
+        keys=["p_brand"], sum_cols=["n_items", "n_returned"],
+        num_shards=8).to_pandas()
+    g["return_rate"] = np.floor(
+        g["n_returned"].to_numpy(np.int64).astype(np.float64)
+        / g["n_items"].to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    return g[["p_brand", "n_items", "n_returned", "return_rate"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "dup_cross_source": q_dup_cross_source,
+    "transition_latency": q_transition_latency,
+    "acctbal_order_rate": q_acctbal_order_rate,
+    "monthly_seasonality": q_monthly_seasonality,
+    "discount_uplift": q_discount_uplift,
+    "brand_return_rate": q_brand_return_rate,
     "bfs_levels": q_bfs_levels,
     "l_diversity": q_l_diversity,
     "session_duration_hist": q_session_duration_hist,
@@ -12679,3 +12959,90 @@ ORACLE_SQL["order_size_hist"] = (
     "SELECT n_items, n_orders, "
     "floor(CAST(n_orders AS DOUBLE) / sum(n_orders) OVER () "
     "  * 1000000 + 0.5) / 1000000 AS pct FROM h")
+
+
+ORACLE_SQL["dup_cross_source"] = (
+    # documents + 'recrawl' copies (every 10th doc twice) — the
+    # engine's augmented view, reproduced row for row
+    "WITH d AS (SELECT doc_id, source, coalesce(text, '') AS t "
+    "  FROM documents "
+    "UNION ALL SELECT doc_id + 1000000, 'recrawl', "
+    "  coalesce(text, '') FROM documents "
+    "UNION ALL SELECT doc_id + 2000000, 'recrawl', "
+    "  coalesce(text, '') FROM documents WHERE doc_id % 10 = 0), "
+    "h AS (SELECT doc_id, source, md5(t) AS h FROM d) "
+    "SELECT least(a.source, b.source) AS source_a, "
+    "greatest(a.source, b.source) AS source_b, "
+    "count(*)::BIGINT AS n_pairs "
+    "FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2")
+
+
+ORACLE_SQL["transition_latency"] = (
+    # gaps are nonnegative so // floor == trunc; median = smallest
+    # gap with cum >= ceil(n/2) = (n+1)//2 (positive ints)
+    "WITH s AS (SELECT event_type, "
+    "  lead(event_type) OVER w AS nt, epoch_us(ts) AS t, "
+    "  lead(epoch_us(ts)) OVER w AS nts FROM events "
+    "  WINDOW w AS (PARTITION BY user_id "
+    "    ORDER BY epoch_us(ts), event_id)), "
+    "p AS (SELECT event_type AS tf, nt AS tt, "
+    "  (nts - t) // 1000000 AS gap FROM s WHERE nt IS NOT NULL), "
+    "h AS (SELECT tf, tt, gap, count(*)::BIGINT AS n "
+    "  FROM p GROUP BY 1, 2, 3), "
+    "c AS (SELECT tf, tt, gap, n, "
+    "  sum(n) OVER (PARTITION BY tf, tt ORDER BY gap) AS cum, "
+    "  sum(n) OVER (PARTITION BY tf, tt) AS tot FROM h) "
+    "SELECT tf AS type_from, tt AS type_to, min(tot)::BIGINT AS n, "
+    "min(CASE WHEN cum >= (tot + 1) // 2 THEN gap END)::BIGINT "
+    "  AS median_gap_s FROM c GROUP BY tf, tt")
+
+
+ORACLE_SQL["acctbal_order_rate"] = (
+    f"WITH oc AS (SELECT o_custkey, count(*)::BIGINT AS n "
+    "  FROM orders GROUP BY 1), "
+    "u AS (SELECT c_custkey, "
+    "  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal6, "
+    "  coalesce(oc.n, 0) AS n_orders FROM customer "
+    "  LEFT JOIN oc ON o_custkey = c_custkey), "
+    f"q AS (SELECT ntile({BAL_TILES}) OVER (ORDER BY bal6, c_custkey) "
+    "  AS decile, n_orders FROM u) "
+    "SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_customers, "
+    "sum(n_orders)::BIGINT AS n_orders, "
+    "floor(CAST(sum(n_orders) AS DOUBLE) / count(*) * 1000000 + 0.5) "
+    "  / 1000000 AS orders_per_cust FROM q GROUP BY 1")
+
+
+ORACLE_SQL["monthly_seasonality"] = (
+    "WITH m AS (SELECT month(o_orderdate)::BIGINT AS month, "
+    "  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT "
+    "    AS rev FROM orders GROUP BY 1) "
+    "SELECT month, rev AS rev_cents, "
+    "floor(CAST(rev AS DOUBLE) / sum(rev) OVER () * 1000000 + 0.5) "
+    "  / 1000000 AS share FROM m")
+
+
+ORACLE_SQL["discount_uplift"] = (
+    # avg_qty rounds to 6dp FIRST; uplift is a ratio of the rounded
+    # values (two-stage rounding pinned on both sides)
+    "WITH t AS (SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) "
+    "  AS d2, count(*)::BIGINT AS n, "
+    "  sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT "
+    "    AS q2 FROM lineitem GROUP BY 1), "
+    "a AS (SELECT d2, n AS n_items, "
+    "  floor(CAST(q2 AS DOUBLE) / n * 10000 + 0.5) / 1000000 "
+    "    AS avg_qty FROM t) "
+    "SELECT d2, n_items, avg_qty, "
+    "floor(avg_qty / (SELECT avg_qty FROM a WHERE d2 = 0) "
+    "  * 1000000 + 0.5) / 1000000 AS uplift FROM a")
+
+
+ORACLE_SQL["brand_return_rate"] = (
+    "SELECT p_brand, count(*)::BIGINT AS n_items, "
+    "sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT "
+    "  AS n_returned, "
+    "floor(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) "
+    "  AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 "
+    "  AS return_rate "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "GROUP BY p_brand")

@@ -2994,3 +2994,160 @@ def test_order_size_hist_handbuilt(ray_session, tmp_path):
     assert out["n_items"].tolist() == [1, 2]
     assert out["n_orders"].tolist() == [1, 1]
     assert out["pct"].tolist() == [0.5, 0.5]
+
+
+def test_dup_cross_source_handbuilt(ray_session, tmp_path):
+    """doc 0 (source a) gets two recrawl copies (id%10==0): pairs =
+    a-recrawl 1*2=2 cross + C(2,2)=1 same; doc 1 (source b) gets
+    one: 1 cross pair."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_dup_cross_source)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["alpha", "beta"], sources=["a", "b"])
+    out = (q_dup_cross_source(str(sf))
+           .sort_values(["source_a", "source_b"])
+           .reset_index(drop=True))
+    got = {(r.source_a, r.source_b): r.n_pairs
+           for r in out.itertuples(index=False)}
+    assert got == {("a", "recrawl"): 2, ("b", "recrawl"): 1,
+                   ("recrawl", "recrawl"): 1}
+
+
+def test_transition_latency_handbuilt(ray_session, tmp_path):
+    """view->click gaps 1s,3s,5s: median = 3 (cum>=2 at gap 3);
+    transitions never cross users."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_transition_latency)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    s = 1_000_000
+    _write_events(sf,
+                  [0, 1 * s, 10 * s, 13 * s, 100 * s, 105 * s, 0],
+                  [1, 1, 1, 1, 1, 1, 2],
+                  ["view", "click", "view", "click", "view", "click",
+                   "view"])
+    out = q_transition_latency(str(sf))
+    vc = out[(out["type_from"] == "view")
+             & (out["type_to"] == "click")].iloc[0]
+    assert vc["n"] == 3
+    assert vc["median_gap_s"] == 3
+
+
+def test_acctbal_order_rate_handbuilt(ray_session, tmp_path):
+    """Two customers, deciles collapse to ntile(10) over n=2 ->
+    tiles 1 and 2; customer without orders counts with 0."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_acctbal_order_rate)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], type=pa.int64()),
+        "c_nationkey": pa.array([0, 0], type=pa.int64()),
+        "c_mktsegment": pa.array(["A", "A"]),
+        "c_acctbal": pa.array([10.0, 99.0])}),
+        str(sf / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([7, 8], type=pa.int64()),
+        "o_custkey": pa.array([2, 2], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 2),
+        "o_totalprice": pa.array([1.0] * 2),
+        "o_orderdate": pa.array(
+            [np.datetime64("1995-01-01", "us")] * 2,
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 2)}),
+        str(sf / "orders.parquet"))
+    out = (q_acctbal_order_rate(str(sf))
+           .sort_values("decile").reset_index(drop=True))
+    assert out["decile"].tolist() == [1, 2]
+    assert out["n_customers"].tolist() == [1, 1]
+    assert out["n_orders"].tolist() == [0, 2]   # poorer cust first
+    assert out["orders_per_cust"].tolist() == [0.0, 2.0]
+
+
+def test_monthly_seasonality_handbuilt(ray_session, tmp_path):
+    """Jan 20.00 + Feb 30.00: shares 0.4 / 0.6."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_monthly_seasonality)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([0, 1], type=pa.int64()),
+        "o_custkey": pa.array([1, 1], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 2),
+        "o_totalprice": pa.array([20.0, 30.0]),
+        "o_orderdate": pa.array(
+            [np.datetime64("1995-01-05", "us"),
+             np.datetime64("1996-02-05", "us")],
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 2)}),
+        str(sf / "orders.parquet"))
+    out = (q_monthly_seasonality(str(sf))
+           .sort_values("month").reset_index(drop=True))
+    assert out["month"].tolist() == [1, 2]
+    assert out["rev_cents"].tolist() == [2000, 3000]
+    assert out["share"].tolist() == [0.4, 0.6]
+
+
+def test_discount_uplift_handbuilt(ray_session, tmp_path):
+    """Tier 0 avg qty 2, tier 5 avg qty 3: uplift 1.5 on 6dp-rounded
+    averages."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_discount_uplift)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([0, 1, 2], type=pa.int64()),
+        "l_discount": pa.array([0.0, 0.0, 0.05]),
+        "l_quantity": pa.array([1.0, 3.0, 3.0])}),
+        str(sf / "lineitem.parquet"))
+    out = (q_discount_uplift(str(sf))
+           .sort_values("d2").reset_index(drop=True))
+    assert out["d2"].tolist() == [0, 5]
+    assert out["avg_qty"].tolist() == [2.0, 3.0]
+    assert out["uplift"].tolist() == [1.0, 1.5]
+
+
+def test_brand_return_rate_handbuilt(ray_session, tmp_path):
+    """Brand X: 1 of 2 items returned -> 0.5."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_brand_return_rate)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], type=pa.int64()),
+        "p_name": pa.array(["n1", "n2"]),
+        "p_brand": pa.array(["X", "X"]),
+        "p_type": pa.array(["t", "t"]),
+        "p_size": pa.array([1, 1], type=pa.int64()),
+        "p_retailprice": pa.array([1.0, 1.0])}),
+        str(sf / "part.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([0, 1], type=pa.int64()),
+        "l_partkey": pa.array([1, 2], type=pa.int64()),
+        "l_returnflag": pa.array(["R", "N"])}),
+        str(sf / "lineitem.parquet"))
+    out = q_brand_return_rate(str(sf))
+    assert out["n_items"].iloc[0] == 2
+    assert out["n_returned"].iloc[0] == 1
+    assert out["return_rate"].iloc[0] == 0.5

@@ -8906,11 +8906,257 @@ def q_brand_return_rate(sf_dir: str):
     return g[["p_brand", "n_items", "n_returned", "return_rate"]]
 
 
+REBAL_CAP = 8.0       # lang_rebalance: max upsample factor
+SUFFIX_MIN_N = 5      # suffix_profile: min count to report
+
+
+def q_lang_rebalance(sf_dir: str):
+    """Language rebalancing plan (round 4): the upsample factor per
+    language that would equalize token shares (capped at
+    {REBAL_CAP}x — the low-resource-language curation step). Token
+    counts fold map-side; factors derive from exact ints on the
+    driver, 6dp two-stage rounding. Returns (lang, n_tokens, share,
+    factor)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "lang": b["lang"].to_numpy(),
+            "n_tokens": b["text"].fillna("").str.count(r"\S+")
+            .to_numpy(np.int64)})
+        return df.groupby("lang", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["lang"], sum_cols=["n_tokens"],
+        num_shards=8).to_pandas()
+    tot = int(g["n_tokens"].sum())
+    nl = len(g)
+    nt = g["n_tokens"].to_numpy(np.int64)
+    g["share"] = np.floor(nt.astype(np.float64) / tot * 1e6
+                          + 0.5) / 1e6
+    raw = np.floor(tot / (nl * nt.astype(np.float64)) * 1e6
+                   + 0.5) / 1e6
+    g["factor"] = np.minimum(np.maximum(raw, 1.0), REBAL_CAP)
+    g["n_tokens"] = g["n_tokens"].astype(np.int64)
+    return g[["lang", "n_tokens", "share", "factor"]]
+
+
+def q_pii_cooccurrence(sf_dir: str):
+    """Multi-kind PII co-occurrence per source (round 4): documents
+    carrying >= 2 distinct PII kinds (email / IPv4 / URL) — the
+    high-risk-document rate a privacy review triages first. Same
+    deterministic email/ip injections as pii_density; URL presence
+    reads the raw text. Map-side flags, one tiny rollup. Returns
+    (source, n_docs, n_multi, multi_rate)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        t = b["text"].fillna("")
+        has_email = (_email_augment(ids, t).str.count(EMAIL_DOM_RE)
+                     .to_numpy(np.int64) > 0)
+        has_ip = (_ip_augment(ids, t).str.count(IP_RE)
+                  .to_numpy(np.int64) > 0)
+        has_url = (t.str.count(r"https?://\S+")
+                   .to_numpy(np.int64) > 0)
+        kinds = (has_email.astype(np.int64) + has_ip.astype(np.int64)
+                 + has_url.astype(np.int64))
+        df = pd.DataFrame({"source": b["source"].to_numpy(),
+                           "n_docs": np.int64(1),
+                           "n_multi": (kinds >= 2).astype(np.int64)})
+        return df.groupby("source", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["source"], sum_cols=["n_docs", "n_multi"],
+        num_shards=8).to_pandas()
+    g["multi_rate"] = np.floor(
+        g["n_multi"].to_numpy(np.int64).astype(np.float64)
+        / g["n_docs"].to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    return g[["source", "n_docs", "n_multi", "multi_rate"]]
+
+
+def q_component_purity(sf_dir: str):
+    """Source purity of near-dup clusters (round 4): does each
+    MinHash component stay inside one source (a recrawl) or span
+    sources (syndication)? Components from the shared LSH + min-
+    label stages; members join their source through ONE bucketed
+    exchange keyed on the original doc id; per-component distinct
+    counts are component-sharded (exact). Returns (survivor, n_docs,
+    n_sources, is_pure)."""
+    from ..stages.dedup import dedup_components
+    from ..stages.relational import (bucketed_hash_join, declare_schema,
+                                     shard_of_keys)
+
+    pairs = dedup.minhash_lsh_pairs(_docs_with_neardups(sf_dir),
+                                    threshold=0.6)
+    comp = dedup_components(pairs.select_columns(["id_a", "id_b"]))
+
+    def orig_key(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64) % 1_000_000,
+            "member": b["doc_id"].to_numpy(np.int64),
+            "component": b["component"].to_numpy(np.int64)})
+
+    compk = declare_schema(
+        comp.map_batches(orig_key, batch_format="pandas"),
+        pa.schema([("doc_id", pa.int64()), ("member", pa.int64()),
+                   ("component", pa.int64())]))
+    docs = _docs(sf_dir, ["doc_id", "source"])
+
+    def shard_comp(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[["component", "source"]].copy()
+        df["shard"] = shard_of_keys(df["component"].to_numpy(), 32)
+        return df
+
+    def purity(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("component", as_index=False).agg(
+            n_docs=("source", "size"),
+            n_sources=("source", "nunique"))
+        return pd.DataFrame({
+            "survivor": a["component"].to_numpy(np.int64),
+            "n_docs": a["n_docs"].to_numpy(np.int64),
+            "n_sources": a["n_sources"].to_numpy(np.int64),
+            "is_pure": (a["n_sources"].to_numpy(np.int64) == 1)
+            .astype(np.int64)})
+
+    return (bucketed_hash_join(compk, docs, on="doc_id",
+                               post=shard_comp)
+            .groupby("shard").map_groups(purity,
+                                         batch_format="pandas"))
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth curve (round 4): distinct tokens
+    in the first 25/50/75/100% of the corpus (by doc id) — the
+    'is more data still adding vocabulary' read. Each token's
+    FIRST-quartile-of-appearance folds through one vocabulary-sized
+    min-exchange; the cumulative curve is a 4-row driver fold.
+    Returns (quartile, n_docs, vocab)."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.relational import sharded_group_sum
+
+    n_total = _pq.ParquetFile(
+        f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\S+")
+        lens = toks.str.len().to_numpy(np.int64)
+        bkt = np.repeat(
+            b["doc_id"].to_numpy(np.int64) * 4 // n_total, lens)
+        flat = toks.explode().dropna()
+        df = pd.DataFrame({"token": flat.to_numpy(), "b": bkt})
+        return df.groupby("token", as_index=False).min()
+
+    mb = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["token"], sum_cols=["b"], how="min")
+
+    def roll(t: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"b": t["b"].to_numpy(np.int64),
+                           "v": np.int64(1)})
+        return df.groupby("b", as_index=False).sum()
+
+    c = (mb.map_batches(roll, batch_format="pandas").to_pandas()
+         .groupby("b", as_index=False).sum())
+    vb = np.zeros(4, dtype=np.int64)
+    vb[c["b"].to_numpy(np.int64)] = c["v"].to_numpy(np.int64)
+    ids = np.arange(n_total, dtype=np.int64)
+    nd = np.bincount(ids * 4 // n_total, minlength=4)
+    return pd.DataFrame({
+        "quartile": np.arange(1, 5, dtype=np.int64),
+        "n_docs": np.cumsum(nd).astype(np.int64),
+        "vocab": np.cumsum(vb).astype(np.int64)})
+
+
+def q_suffix_profile(sf_dir: str):
+    """Morphological suffix profile per language (round 4): counts
+    of 3-char suffixes over purely-alphabetic tokens of length >= 4
+    — the cheap morphology fingerprint behind the langid n-gram
+    model. Vocabulary-sized exchange, {SUFFIX_MIN_N}+ filter keeps
+    the report bounded. Returns (lang, suffix, n)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(
+            r"\b[a-z]{4,}\b")
+        lens = toks.str.len().to_numpy(np.int64)
+        lang = np.repeat(b["lang"].to_numpy(), lens)
+        flat = toks.explode().dropna()
+        df = pd.DataFrame({"lang": lang,
+                           "suffix": flat.str[-3:].to_numpy(),
+                           "n": np.int64(1)})
+        return df.groupby(["lang", "suffix"], as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["lang", "suffix"], sum_cols=["n"],
+        num_shards=16).to_pandas()
+    g = g[g["n"] >= SUFFIX_MIN_N]
+    g["n"] = g["n"].astype(np.int64)
+    return g[["lang", "suffix", "n"]].reset_index(drop=True)
+
+
+#: ident_case_profile: style name -> full-token regex (RE2-safe,
+#: shared verbatim by the engine and the DuckDB oracle)
+IDENT_STYLES = {
+    "camelCase": r"[a-z]+(?:[A-Z][a-z0-9]*)+",
+    "PascalCase": r"(?:[A-Z][a-z0-9]+){2,}",
+    "snake_case": r"[a-z0-9]+(?:_[a-z0-9]+)+",
+    "SCREAMING_SNAKE": r"[A-Z0-9]+(?:_[A-Z0-9]+)+",
+}
+
+
+def q_ident_case_profile(sf_dir: str):
+    """Identifier casing-style census (round 4): how many tokens are
+    camelCase / PascalCase / snake_case / SCREAMING_SNAKE — the
+    code-convention fingerprint of a source. Full-token regex
+    matches fold map-side into a 4-slot domain. Returns (style, n,
+    pct)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.findall(r"\S+").explode() \
+            .dropna()
+        rows = []
+        for style, rx in IDENT_STYLES.items():
+            n = int(toks.str.fullmatch(rx).sum())
+            rows.append((style, np.int64(n)))
+        return pd.DataFrame(rows, columns=["style", "n"])
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["style"], sum_cols=["n"], num_shards=4).to_pandas()
+    tot = max(int(g["n"].sum()), 1)
+    g["n"] = g["n"].astype(np.int64)
+    g["pct"] = np.floor(
+        g["n"].to_numpy(np.int64).astype(np.float64) / tot * 1e6
+        + 0.5) / 1e6
+    return g[["style", "n", "pct"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "lang_rebalance": q_lang_rebalance,
+    "pii_cooccurrence": q_pii_cooccurrence,
+    "component_purity": q_component_purity,
+    "vocab_growth": q_vocab_growth,
+    "suffix_profile": q_suffix_profile,
+    "ident_case_profile": q_ident_case_profile,
     "dup_cross_source": q_dup_cross_source,
     "transition_latency": q_transition_latency,
     "acctbal_order_rate": q_acctbal_order_rate,
@@ -13046,3 +13292,109 @@ ORACLE_SQL["brand_return_rate"] = (
     "  AS return_rate "
     "FROM lineitem JOIN part ON p_partkey = l_partkey "
     "GROUP BY p_brand")
+
+
+ORACLE_SQL["lang_rebalance"] = (
+    "WITH g AS (SELECT lang, sum(len(regexp_extract_all("
+    "  coalesce(text, ''), '\\S+')))::BIGINT AS nt "
+    "  FROM documents GROUP BY lang), "
+    "t AS (SELECT sum(nt)::BIGINT AS tot, count(*)::BIGINT AS nl "
+    "  FROM g) "
+    "SELECT lang, nt AS n_tokens, "
+    "floor(CAST(nt AS DOUBLE) / tot * 1000000 + 0.5) / 1000000 "
+    "  AS share, "
+    "least(greatest(floor(CAST(tot AS DOUBLE) / (nl * nt) "
+    f"  * 1000000 + 0.5) / 1000000, 1.0), {REBAL_CAP}) AS factor "
+    "FROM g, t")
+
+
+ORACLE_SQL["pii_cooccurrence"] = (
+    # same email/ip injections as pii_density; URL flag on raw text
+    "WITH aug AS (SELECT doc_id, source, text, "
+    "  coalesce(text, '') "
+    "  || CASE WHEN doc_id % 3 != 0 THEN ' contact user' || doc_id "
+    f"     || '@' || {_EMAIL_DOMS_SQL}[(doc_id % 7) + 1] ELSE '' END "
+    "  || CASE WHEN doc_id % 11 = 0 THEN ' cc admin' || doc_id "
+    f"     || '@' || {_EMAIL_DOMS_SQL}[(doc_id % 5) + 1] ELSE '' END "
+    "  AS te, "
+    "  coalesce(text, '') "
+    f"  || ' addr ' || {_IP_PREF_SQL}[(doc_id % 6) + 1] || '.' "
+    "  || (doc_id % 256) || '.' || (doc_id * 7 % 256) "
+    "  || CASE WHEN doc_id % 5 = 0 THEN ' peer ' "
+    f"     || {_IP_PREF_SQL}[((doc_id % 6 + 3) % 6) + 1] || '.' "
+    "     || (doc_id % 200) || '.' || (doc_id * 13 % 256) "
+    "     ELSE '' END AS ti FROM documents), "
+    "f AS (SELECT source, "
+    f"  (len(regexp_extract_all(te, '{EMAIL_DOM_RE}')) > 0)::INT "
+    f"  + (len(regexp_extract_all(ti, '{IP_RE}')) > 0)::INT "
+    "  + (len(regexp_extract_all(coalesce(text, ''), "
+    "     'https?://\\S+')) > 0)::INT AS kinds FROM aug) "
+    "SELECT source, count(*)::BIGINT AS n_docs, "
+    "sum(CASE WHEN kinds >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_multi, "
+    "floor(CAST(sum(CASE WHEN kinds >= 2 THEN 1 ELSE 0 END) "
+    "  AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 "
+    "  AS multi_rate "
+    "FROM f GROUP BY source")
+
+
+ORACLE_SQL["component_purity"] = (
+    # minhash components (shared CTE chain) joined to each member's
+    # ORIGINAL doc's source (copy ids map back mod 1e6)
+    "WITH RECURSIVE " + _minhash_sql_prefix()
+    + ", e AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.6), "
+    "ed AS (SELECT id_a AS src, id_b AS dst FROM e "
+    "       UNION SELECT id_b, id_a FROM e), "
+    "n AS (SELECT DISTINCT src AS node FROM ed), "
+    "r(node, label) AS (SELECT node, node FROM n "
+    "  UNION SELECT ed.dst, r.label FROM r JOIN ed ON ed.src = r.node), "
+    "comp AS (SELECT node AS doc_id, min(label) AS component FROM r "
+    "  GROUP BY node), "
+    "j AS (SELECT comp.component, d.source FROM comp "
+    "  JOIN documents d ON d.doc_id = comp.doc_id % 1000000) "
+    "SELECT component::BIGINT AS survivor, count(*)::BIGINT AS n_docs, "
+    "count(DISTINCT source)::BIGINT AS n_sources, "
+    "(count(DISTINCT source) = 1)::BIGINT AS is_pure "
+    "FROM j GROUP BY component")
+
+
+ORACLE_SQL["vocab_growth"] = (
+    # first-appearance quartile per token (ids are 0..n-1, so
+    # doc_id*4//n is the engine's bucket exactly); cumulative curve
+    "WITH p AS (SELECT count(*)::BIGINT AS n FROM documents), "
+    "tok AS (SELECT doc_id, unnest(regexp_extract_all(lower("
+    "  coalesce(text, '')), '\\S+')) AS token FROM documents), "
+    "mb AS (SELECT token, min(doc_id * 4 // (SELECT n FROM p)) AS b "
+    "  FROM tok GROUP BY token), "
+    "c AS (SELECT b, count(*)::BIGINT AS v FROM mb GROUP BY b), "
+    "d AS (SELECT doc_id * 4 // (SELECT n FROM p) AS b, "
+    "  count(*)::BIGINT AS nd FROM documents GROUP BY 1), "
+    "q AS (SELECT b FROM range(0, 4) t(b)) "
+    "SELECT (q.b + 1)::BIGINT AS quartile, "
+    "sum(coalesce(d.nd, 0)) OVER (ORDER BY q.b)::BIGINT AS n_docs, "
+    "sum(coalesce(c.v, 0)) OVER (ORDER BY q.b)::BIGINT AS vocab "
+    "FROM q LEFT JOIN c ON c.b = q.b LEFT JOIN d ON d.b = q.b")
+
+
+ORACLE_SQL["suffix_profile"] = (
+    f"WITH tok AS (SELECT lang, unnest(regexp_extract_all(lower("
+    "  coalesce(text, '')), '\\b[a-z]{4,}\\b')) AS t "
+    "  FROM documents) "
+    "SELECT lang, substr(t, length(t) - 2, 3) AS suffix, "
+    "count(*)::BIGINT AS n FROM tok GROUP BY 1, 2 "
+    f"HAVING count(*) >= {SUFFIX_MIN_N}")
+
+
+_IDENT_STYLES_SQL = ", ".join(
+    f"('{k}', '^(?:{v})$')" for k, v in IDENT_STYLES.items())
+
+ORACLE_SQL["ident_case_profile"] = (
+    # LEFT JOIN keeps zero-match styles; pct over max(total, 1)
+    "WITH tok AS (SELECT unnest(regexp_extract_all(coalesce(text, "
+    "  ''), '\\S+')) AS t FROM documents), "
+    f"s(style, rx) AS (SELECT * FROM (VALUES {_IDENT_STYLES_SQL})), "
+    "c AS (SELECT style, sum(CASE WHEN regexp_full_match(t, rx) "
+    "  THEN 1 ELSE 0 END)::BIGINT AS n "
+    "  FROM s LEFT JOIN tok ON true GROUP BY style) "
+    "SELECT style, n, "
+    "floor(CAST(n AS DOUBLE) / greatest(sum(n) OVER (), 1) "
+    "  * 1000000 + 0.5) / 1000000 AS pct FROM c")

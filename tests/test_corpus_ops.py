@@ -3151,3 +3151,114 @@ def test_brand_return_rate_handbuilt(ray_session, tmp_path):
     assert out["n_items"].iloc[0] == 2
     assert out["n_returned"].iloc[0] == 1
     assert out["return_rate"].iloc[0] == 0.5
+
+
+def test_lang_rebalance_handbuilt(ray_session, tmp_path):
+    """Two langs with 3:1 tokens: minority factor = tot/(nl*nt) =
+    4/(2*1) = 2; majority clamps up to 1.0."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_lang_rebalance)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["a b c", "x"], langs=["en", "de"])
+    out = (q_lang_rebalance(str(sf))
+           .sort_values("lang").reset_index(drop=True))
+    assert out["lang"].tolist() == ["de", "en"]
+    assert out["n_tokens"].tolist() == [1, 3]
+    assert out["share"].tolist() == [0.25, 0.75]
+    assert out["factor"].tolist() == [2.0, 1.0]
+
+
+def test_lang_rebalance_cap(ray_session, tmp_path):
+    """A 100:1 minority clamps at REBAL_CAP."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        REBAL_CAP, q_lang_rebalance)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["w " * 100, "x"], langs=["en", "de"])
+    out = q_lang_rebalance(str(sf)).set_index("lang")
+    assert out.loc["de", "factor"] == REBAL_CAP
+
+
+def test_pii_cooccurrence_handbuilt(ray_session, tmp_path):
+    """Every doc gets an injected IP; emails go to id%3!=0 plus the
+    id%11==0 cc line — over ids 0..11 that is 9 multi-kind docs."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_pii_cooccurrence)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["plain"] * 12, sources=["s"] * 12)
+    out = q_pii_cooccurrence(str(sf))
+    assert out["n_docs"].iloc[0] == 12
+    assert out["n_multi"].iloc[0] == 9
+    assert out["multi_rate"].iloc[0] == 0.75
+
+
+def test_component_purity_handbuilt(ray_session, tmp_path):
+    """The near-dup copy shares its original's source, so every
+    2-member component is pure."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_component_purity)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["one two three four five six seven",
+                      "alpha beta gamma delta epsilon zeta eta"],
+                 sources=["a", "b"])
+    out = (q_component_purity(str(sf)).to_pandas()
+           .sort_values("survivor").reset_index(drop=True))
+    assert out["survivor"].tolist() == [0, 1]
+    assert out["n_docs"].tolist() == [2, 2]
+    assert out["n_sources"].tolist() == [1, 1]
+    assert out["is_pure"].tolist() == [1, 1]
+
+
+def test_vocab_growth_handbuilt(ray_session, tmp_path):
+    """4 docs, one per quartile: 'a', 'a b', 'b c', 'c' ->
+    cumulative vocab 1, 2, 3, 3."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_vocab_growth)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["a", "a b", "b c", "c"])
+    out = q_vocab_growth(str(sf))
+    assert out["quartile"].tolist() == [1, 2, 3, 4]
+    assert out["n_docs"].tolist() == [1, 2, 3, 4]
+    assert out["vocab"].tolist() == [1, 2, 3, 3]
+
+
+def test_suffix_profile_handbuilt(ray_session, tmp_path):
+    """'running walking talking' x2 gives -ing count 6 (>= min 5);
+    3-letter tokens never count."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_suffix_profile)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["running walking talking cat"] * 2,
+                 langs=["en", "en"])
+    out = q_suffix_profile(str(sf))
+    assert len(out) == 1
+    assert out["suffix"].iloc[0] == "ing"
+    assert out["n"].iloc[0] == 6
+
+
+def test_ident_case_profile_handbuilt(ray_session, tmp_path):
+    """One token of each style counts once; plain words count
+    nowhere."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_ident_case_profile)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["fooBar FooBar foo_bar FOO_BAR plain"])
+    out = q_ident_case_profile(str(sf)).set_index("style")
+    assert out.loc["camelCase", "n"] == 1
+    assert out.loc["PascalCase", "n"] == 1
+    assert out.loc["snake_case", "n"] == 1
+    assert out.loc["SCREAMING_SNAKE", "n"] == 1
+    assert out["n"].sum() == 4

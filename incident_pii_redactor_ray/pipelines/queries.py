@@ -9146,11 +9146,227 @@ def q_ident_case_profile(sf_dir: str):
     return g[["style", "n", "pct"]]
 
 
+BOILER_MIN_DOCS = 3        # boilerplate_catalog: min docs per line
+CHURN_DAYS = 30            # churn_flags: inactivity horizon
+
+
+def q_boilerplate_catalog(sf_dir: str):
+    """Boilerplate line catalog per source (round 4): lines that
+    repeat across >= {BOILER_MIN_DOCS} distinct documents of a
+    source — the footer/navigation detector that feeds line-level
+    scrubbing. A deterministic per-source footer is injected on
+    even doc ids (the corpus has no natural boilerplate — the
+    fixture-injection convention). A doc is one row, so per-batch
+    (doc, line) dedup is global; the only exchange carries
+    (source, line) partial counts. Returns (source, line,
+    n_docs)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        src = b["source"].to_numpy()
+        footer = np.where(
+            ids % 2 == 0,
+            pd.Series(["\n(c) "] * len(b)) + pd.Series(src)
+            + " footer", "")
+        t = b["text"].fillna("") + footer
+        lines = t.str.split("\n")
+        lens = lines.str.len().to_numpy(np.int64)
+        df = pd.DataFrame({
+            "doc": np.repeat(ids, lens),
+            "source": np.repeat(src, lens),
+            "line": lines.explode().to_numpy()})
+        df = df[df["line"] != ""].drop_duplicates()
+        df = df.groupby(["source", "line"], as_index=False).size()
+        return df.rename(columns={"size": "n_docs"})
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["source", "line"], sum_cols=["n_docs"],
+        num_shards=16).to_pandas()
+    g = g[g["n_docs"] >= BOILER_MIN_DOCS]
+    g["n_docs"] = g["n_docs"].astype(np.int64)
+    return g[["source", "line", "n_docs"]].reset_index(drop=True)
+
+
+def q_numeric_token_profile(sf_dir: str):
+    """Numeric-token share per source (round 4): the table-dump /
+    scraped-spreadsheet smell — tokens that are pure numbers (digits
+    with separators). Map-side regex counts, one tiny exchange.
+    Returns (source, n_tokens, n_numeric, numeric_rate)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        toks = t.str.findall(r"\S+").explode().dropna()
+        src = np.repeat(b["source"].to_numpy(),
+                        t.str.count(r"\S+").to_numpy(np.int64))
+        num = toks.str.fullmatch(r"[0-9][0-9.,%]*").to_numpy()
+        df = pd.DataFrame({"source": src, "n_tokens": np.int64(1),
+                           "n_numeric": num.astype(np.int64)})
+        return df.groupby("source", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["source"], sum_cols=["n_tokens", "n_numeric"],
+        num_shards=8).to_pandas()
+    g["numeric_rate"] = np.floor(
+        g["n_numeric"].to_numpy(np.int64).astype(np.float64)
+        / np.maximum(g["n_tokens"].to_numpy(np.int64), 1)
+        * 1e6 + 0.5) / 1e6
+    return g[["source", "n_tokens", "n_numeric", "numeric_rate"]]
+
+
+def q_utf8_ratio(sf_dir: str):
+    """UTF-8 expansion ratio per language (round 4): bytes per
+    character — the multibyte-script / mojibake check that sizes
+    storage and tokenizer byte-fallback rates. Zero-copy Arrow
+    kernels (binary_length / utf8_length) per batch. Returns
+    (lang, n_chars, n_bytes, bytes_per_char)."""
+    import pyarrow.compute as pc
+
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        t = pc.fill_null(batch.column("text"), "")
+        df = pd.DataFrame({
+            "lang": np.asarray(batch.column("lang")),
+            "n_chars": np.asarray(pc.utf8_length(t),
+                                  dtype=np.int64),
+            "n_bytes": np.asarray(pc.binary_length(t),
+                                  dtype=np.int64)})
+        return df.groupby("lang", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["lang"], sum_cols=["n_chars", "n_bytes"],
+        num_shards=8).to_pandas()
+    g["bytes_per_char"] = np.floor(
+        g["n_bytes"].to_numpy(np.int64).astype(np.float64)
+        / np.maximum(g["n_chars"].to_numpy(np.int64), 1)
+        * 1e6 + 0.5) / 1e6
+    return g[["lang", "n_chars", "n_bytes", "bytes_per_char"]]
+
+
+def q_user_entropy(sf_dir: str):
+    """Behavioral entropy per user (round 4): Shannon entropy of the
+    user's event-type distribution — bots sit near 0, organic users
+    spread out. User-sharded count fold, exact integer counts, the
+    token_entropy float convention (log2, 6dp half-up). Returns
+    (user_id, n_events, entropy)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "event_type": b["event_type"].to_numpy(),
+            "c": np.int64(1)})
+        return df.groupby(["user_id", "event_type"],
+                          as_index=False).sum()
+
+    counts = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["user_id", "event_type"], sum_cols=["c"])
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy(np.int64)
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "n_events": c,
+            "s": c * np.log2(c.astype(np.float64))})
+        return df.groupby("user_id", as_index=False).sum()
+
+    g = (counts.map_batches(fold, batch_format="pandas").to_pandas()
+         .groupby("user_id", as_index=False).sum())
+    n = g["n_events"].to_numpy(np.int64)
+    g["entropy"] = np.floor(
+        (np.log2(n.astype(np.float64))
+         - g["s"].to_numpy(np.float64) / n) * 1e6 + 0.5) / 1e6
+    g["n_events"] = g["n_events"].astype(np.int64)
+    return g[["user_id", "n_events", "entropy"]]
+
+
+def q_churn_flags(sf_dir: str):
+    """Churn flags (round 4): users silent for the trailing
+    {CHURN_DAYS} days of the observation window. The window end is
+    the corpus max ts (one tiny pre-pass); per-user last-seen comes
+    from ONE metadata-only exchange. Returns (user_id, last_ts_us,
+    is_churned)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def tpart(b: pd.DataFrame) -> pd.DataFrame:
+        tus = b["ts"].to_numpy("datetime64[us]").view("int64")
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "last_ts_us": tus})
+        return df.groupby("user_id", as_index=False).max()
+
+    u = sharded_group_sum(
+        ev.map_batches(tpart, batch_format="pandas"),
+        keys=["user_id"], sum_cols=["last_ts_us"],
+        how="max").to_pandas()
+    horizon = int(u["last_ts_us"].max()) \
+        - CHURN_DAYS * 86_400_000_000
+    u["last_ts_us"] = u["last_ts_us"].astype(np.int64)
+    u["is_churned"] = (u["last_ts_us"] < horizon).astype(np.int64)
+    return u[["user_id", "last_ts_us", "is_churned"]]
+
+
+def q_segment_priority_mix(sf_dir: str):
+    """Order-priority mix per market segment (round 4): the classic
+    dimensional share matrix. The customer dimension broadcasts
+    once; counts fold in a (segments x priorities)-bounded domain.
+    Returns (c_mktsegment, o_orderpriority, n, pct)."""
+    from ..stages.relational import broadcast_join, sharded_group_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+
+    def roll(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "c_mktsegment": b["c_mktsegment"].to_numpy(),
+            "o_orderpriority": b["o_orderpriority"].to_numpy(),
+            "n": np.int64(1)})
+        return df.groupby(["c_mktsegment", "o_orderpriority"],
+                          as_index=False).sum()
+
+    joined = broadcast_join(orders, cust, on="o_custkey")
+    g = sharded_group_sum(
+        joined.map_batches(roll, batch_format="pandas"),
+        keys=["c_mktsegment", "o_orderpriority"], sum_cols=["n"],
+        num_shards=8).to_pandas()
+    tot = g.groupby("c_mktsegment")["n"].transform("sum")
+    g["n"] = g["n"].astype(np.int64)
+    g["pct"] = np.floor(g["n"].to_numpy(np.int64).astype(np.float64)
+                        / tot.to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    return g[["c_mktsegment", "o_orderpriority", "n", "pct"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "boilerplate_catalog": q_boilerplate_catalog,
+    "numeric_token_profile": q_numeric_token_profile,
+    "utf8_ratio": q_utf8_ratio,
+    "user_entropy": q_user_entropy,
+    "churn_flags": q_churn_flags,
+    "segment_priority_mix": q_segment_priority_mix,
     "lang_rebalance": q_lang_rebalance,
     "pii_cooccurrence": q_pii_cooccurrence,
     "component_purity": q_component_purity,
@@ -13398,3 +13614,69 @@ ORACLE_SQL["ident_case_profile"] = (
     "SELECT style, n, "
     "floor(CAST(n AS DOUBLE) / greatest(sum(n) OVER (), 1) "
     "  * 1000000 + 0.5) / 1000000 AS pct FROM c")
+
+
+ORACLE_SQL["boilerplate_catalog"] = (
+    # even doc ids get the injected per-source footer line;
+    # list_distinct dedups lines within a doc before counting docs
+    "WITH aug AS (SELECT doc_id, source, coalesce(text, '') "
+    "  || CASE WHEN doc_id % 2 = 0 THEN chr(10) || '(c) ' || source "
+    "     || ' footer' ELSE '' END AS t FROM documents), "
+    "l AS (SELECT doc_id, source, unnest(list_distinct("
+    "  string_split(t, chr(10)))) AS line FROM aug) "
+    "SELECT source, line, count(*)::BIGINT AS n_docs "
+    "FROM l WHERE line <> '' GROUP BY source, line "
+    f"HAVING count(*) >= {BOILER_MIN_DOCS}")
+
+
+ORACLE_SQL["numeric_token_profile"] = (
+    "WITH tok AS (SELECT source, unnest(regexp_extract_all("
+    "  coalesce(text, ''), '\\S+')) AS t FROM documents), "
+    "c AS (SELECT source, count(*)::BIGINT AS n_tokens, "
+    "  sum(CASE WHEN regexp_full_match(t, '[0-9][0-9.,%]*') "
+    "    THEN 1 ELSE 0 END)::BIGINT AS n_numeric "
+    "  FROM tok GROUP BY source) "
+    "SELECT source, n_tokens, n_numeric, "
+    "floor(CAST(n_numeric AS DOUBLE) / greatest(n_tokens, 1) "
+    "  * 1000000 + 0.5) / 1000000 AS numeric_rate FROM c")
+
+
+ORACLE_SQL["utf8_ratio"] = (
+    # length() counts chars, strlen() counts UTF-8 bytes
+    "WITH c AS (SELECT lang, "
+    "  sum(length(coalesce(text, '')))::BIGINT AS n_chars, "
+    "  sum(strlen(coalesce(text, '')))::BIGINT AS n_bytes "
+    "  FROM documents GROUP BY lang) "
+    "SELECT lang, n_chars, n_bytes, "
+    "floor(CAST(n_bytes AS DOUBLE) / greatest(n_chars, 1) "
+    "  * 1000000 + 0.5) / 1000000 AS bytes_per_char FROM c")
+
+
+ORACLE_SQL["user_entropy"] = (
+    # token_entropy's float convention: H = log2(n) - sum(c*log2 c)/n
+    "WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS c "
+    "  FROM events GROUP BY 1, 2), "
+    "a AS (SELECT user_id, sum(c)::BIGINT AS n, "
+    "  sum(c * log2(c::DOUBLE)) AS s FROM c GROUP BY user_id) "
+    "SELECT user_id, n AS n_events, "
+    "floor((log2(n::DOUBLE) - s / n) * 1000000 + 0.5) / 1000000 "
+    "  AS entropy FROM a")
+
+
+ORACLE_SQL["churn_flags"] = (
+    "WITH u AS (SELECT user_id, max(epoch_us(ts))::BIGINT "
+    "  AS last_ts_us FROM events GROUP BY user_id), "
+    "m AS (SELECT max(last_ts_us) AS mx FROM u) "
+    "SELECT user_id, last_ts_us, "
+    f"(last_ts_us < mx - {CHURN_DAYS} * 86400000000)::BIGINT AS is_churned "
+    "FROM u, m")
+
+
+ORACLE_SQL["segment_priority_mix"] = (
+    "WITH c AS (SELECT c_mktsegment, o_orderpriority, "
+    "  count(*)::BIGINT AS n FROM orders "
+    "  JOIN customer ON c_custkey = o_custkey GROUP BY 1, 2) "
+    "SELECT c_mktsegment, o_orderpriority, n, "
+    "floor(CAST(n AS DOUBLE) / sum(n) OVER ("
+    "  PARTITION BY c_mktsegment) * 1000000 + 0.5) / 1000000 AS pct "
+    "FROM c")

@@ -1621,7 +1621,7 @@ def test_source_token_jaccard_handbuilt(ray_session, tmp_path):
     assert r["jaccard"] == 0.333333
 
 
-def _write_events(sf, ts_sec, user_id, event_type, value=None):
+def _write_events_sec(sf, ts_sec, user_id, event_type, value=None):
     import pyarrow as pa
     import pyarrow.parquet as pq
     n = len(ts_sec)
@@ -1647,7 +1647,7 @@ def test_forward_fill_handbuilt(ray_session, tmp_path):
     sf.mkdir()
     # u1: view (no prior -> NaN), click 1.5, view (->1.5), click 2.5
     # u2: view (no prior for THIS user even though u1 has values -> NaN)
-    _write_events(sf, [1, 2, 3, 4, 5], [1, 1, 1, 1, 2],
+    _write_events_sec(sf, [1, 2, 3, 4, 5], [1, 1, 1, 1, 2],
                   ["view", "click", "view", "click", "view"],
                   [9.0, 1.5, 9.0, 2.5, 9.0])
     out = (q_forward_fill(str(sf)).to_pandas()
@@ -1668,7 +1668,7 @@ def test_gaps_islands_handbuilt(ray_session, tmp_path):
     ts = [1 * day, 1 * day + 5, 2 * day, 3 * day, 5 * day, 6 * day,
           10 * day]
     users = [1, 1, 1, 1, 1, 1, 2]
-    _write_events(sf, ts, users, ["a"] * 7)
+    _write_events_sec(sf, ts, users, ["a"] * 7)
     out = (q_gaps_islands(str(sf)).to_pandas()
            .sort_values("user_id").reset_index(drop=True))
     assert out.values.tolist() == [[1, 2, 3], [2, 1, 1]]
@@ -1683,7 +1683,7 @@ def test_ohlc_daily_handbuilt(ray_session, tmp_path):
     sf = tmp_path / "sf"
     sf.mkdir()
     # one day: events at t=10 (ids 0,1 tie -> open is id 0), t=20
-    _write_events(sf, [day + 10, day + 10, day + 20], [1, 1, 1],
+    _write_events_sec(sf, [day + 10, day + 10, day + 20], [1, 1, 1],
                   ["a"] * 3, [5.0, 3.0, 4.0])
     out = q_ohlc_daily(str(sf)).to_pandas()
     assert len(out) == 1
@@ -1700,7 +1700,7 @@ def test_event_trigrams_handbuilt(ray_session, tmp_path):
 
     sf = tmp_path / "sf"
     sf.mkdir()
-    _write_events(sf, [1, 2, 3, 4, 1, 2], [1, 1, 1, 1, 2, 2],
+    _write_events_sec(sf, [1, 2, 3, 4, 1, 2], [1, 1, 1, 1, 2, 2],
                   ["a", "b", "a", "c", "x", "y"])
     out = (q_event_trigrams(str(sf)).to_pandas()
            .sort_values(["t1", "t2", "t3"]).reset_index(drop=True))
@@ -3262,3 +3262,112 @@ def test_ident_case_profile_handbuilt(ray_session, tmp_path):
     assert out.loc["snake_case", "n"] == 1
     assert out.loc["SCREAMING_SNAKE", "n"] == 1
     assert out["n"].sum() == 4
+
+
+def test_boilerplate_catalog_handbuilt(ray_session, tmp_path):
+    """Even doc ids (0,2,4) share the injected footer -> one catalog
+    line with n_docs 3; unique body lines never reach the minimum."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_boilerplate_catalog)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, [f"body {i}" for i in range(5)],
+                 sources=["s"] * 5)
+    out = q_boilerplate_catalog(str(sf))
+    assert len(out) == 1
+    assert out["line"].iloc[0] == "(c) s footer"
+    assert out["n_docs"].iloc[0] == 3
+
+
+def test_numeric_token_profile_handbuilt(ray_session, tmp_path):
+    """'12.5% of 80 cases' -> 2 numeric of 4 tokens."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_numeric_token_profile)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["12.5% of 80 x"], sources=["s"])
+    out = q_numeric_token_profile(str(sf))
+    assert out["n_tokens"].iloc[0] == 4
+    assert out["n_numeric"].iloc[0] == 2
+    assert out["numeric_rate"].iloc[0] == 0.5
+
+
+def test_utf8_ratio_handbuilt(ray_session, tmp_path):
+    """'héllo' is 5 chars / 6 bytes -> 1.2 bytes per char."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_utf8_ratio)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["héllo"], langs=["fr"])
+    out = q_utf8_ratio(str(sf))
+    assert out["n_chars"].iloc[0] == 5
+    assert out["n_bytes"].iloc[0] == 6
+    assert out["bytes_per_char"].iloc[0] == 1.2
+
+
+def test_user_entropy_handbuilt(ray_session, tmp_path):
+    """2+2 events over two types = exactly 1 bit; a single-type user
+    sits at 0."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_user_entropy)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [0, 1, 2, 3, 4], [1, 1, 1, 1, 2],
+                  ["view", "view", "click", "click", "view"])
+    out = (q_user_entropy(str(sf))
+           .sort_values("user_id").reset_index(drop=True))
+    assert out["n_events"].tolist() == [4, 1]
+    assert out["entropy"].tolist() == [1.0, 0.0]
+
+
+def test_churn_flags_handbuilt(ray_session, tmp_path):
+    """u1's last event is 40 days before the window end -> churned;
+    u2 defines the window end -> active."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_churn_flags)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    day_us = 86_400_000_000
+    _write_events(sf, [0, 40 * day_us], [1, 2], ["view", "view"])
+    out = (q_churn_flags(str(sf))
+           .sort_values("user_id").reset_index(drop=True))
+    assert out["is_churned"].tolist() == [1, 0]
+
+
+def test_segment_priority_mix_handbuilt(ray_session, tmp_path):
+    """One segment, priorities 2:1 -> pct 0.666667/0.333333."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_segment_priority_mix)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], type=pa.int64()),
+        "c_nationkey": pa.array([0], type=pa.int64()),
+        "c_mktsegment": pa.array(["BUILDING"]),
+        "c_acctbal": pa.array([1.0])}),
+        str(sf / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([0, 1, 2], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([1.0] * 3),
+        "o_orderdate": pa.array(
+            [np.datetime64("1995-01-01", "us")] * 3,
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT",
+                                     "2-HIGH"])}),
+        str(sf / "orders.parquet"))
+    out = (q_segment_priority_mix(str(sf))
+           .sort_values("o_orderpriority").reset_index(drop=True))
+    assert out["n"].tolist() == [2, 1]
+    assert out["pct"].tolist() == [0.666667, 0.333333]

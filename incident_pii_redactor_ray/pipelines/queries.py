@@ -9356,11 +9356,291 @@ def q_segment_priority_mix(sf_dir: str):
     return g[["c_mktsegment", "o_orderpriority", "n", "pct"]]
 
 
+def q_grouped_minmax_scaler(sf_dir: str):
+    """Grouped min-max scaling (round 4): each event value maps to
+    [0, 1] within its event type — the per-feature normalization
+    step. Pass 1 is a (types x 2)-bounded min/max exchange; the
+    bounds broadcast (ray.put) into a map-only pass 2 — the row
+    stream never shuffles. e6-quantized bounds keep both sides
+    bit-identical. Returns (event_id, event_type, v6, scaled)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def vpart(b: pd.DataFrame) -> pd.DataFrame:
+        v6 = np.floor(b["value"].to_numpy(np.float64) * 1e6
+                      + 0.5).astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                           "mn": v6, "mx": v6})
+        return df.groupby("event_type", as_index=False).agg(
+            mn=("mn", "min"), mx=("mx", "max"))
+
+    lo = sharded_group_sum(
+        ev.map_batches(vpart, batch_format="pandas"),
+        keys=["event_type"], sum_cols=["mn"], how="min",
+        num_shards=4).to_pandas()
+    hi = sharded_group_sum(
+        ev.map_batches(vpart, batch_format="pandas"),
+        keys=["event_type"], sum_cols=["mx"], how="max",
+        num_shards=4).to_pandas()
+    b = lo.merge(hi, on="event_type")
+    bounds_ref = ray.put({t: (int(m), int(x)) for t, m, x in
+                          zip(b["event_type"], b["mn"], b["mx"])})
+
+    def apply(batch: pd.DataFrame) -> pd.DataFrame:
+        bounds = ray.get(bounds_ref)
+        v6 = np.floor(batch["value"].to_numpy(np.float64) * 1e6
+                      + 0.5).astype(np.int64)
+        ty = batch["event_type"].to_numpy()
+        mn = np.asarray([bounds[t][0] for t in ty], dtype=np.int64)
+        mx = np.asarray([bounds[t][1] for t in ty], dtype=np.int64)
+        rng = np.maximum(mx - mn, 1)
+        sc = (v6 - mn).astype(np.float64) / rng
+        return pd.DataFrame({
+            "event_id": batch["event_id"].to_numpy(np.int64),
+            "event_type": ty, "v6": v6,
+            "scaled": np.floor(sc * 1e6 + 0.5) / 1e6})
+
+    return ev.map_batches(apply, batch_format="pandas")
+
+
+def q_pk_uniqueness(sf_dir: str):
+    """Primary-key uniqueness audit across every table (round 4):
+    the load-time data-quality gate. Per table: row count vs
+    distinct-key count (key-sharded partial distincts — each key
+    lands in one shard, counts sum exactly). Returns (table_name,
+    n_rows, n_distinct, is_unique)."""
+    from ..stages.relational import sharded_group_sum
+
+    PKS = [("region", "r_regionkey"), ("nation", "n_nationkey"),
+           ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+           ("part", "p_partkey"), ("orders", "o_orderkey"),
+           ("events", "event_id"), ("documents", "doc_id"),
+           ("embeddings", "vec_id")]
+    rows = []
+    for table, key in PKS:
+        ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                   columns=[key])
+
+        def partial(b: pd.DataFrame, key=key) -> pd.DataFrame:
+            g = (pd.DataFrame({"k": b[key].to_numpy(np.int64)})
+                 .groupby("k", as_index=False).size())
+            return pd.DataFrame({
+                "k": g["k"].to_numpy(np.int64),
+                "n": g["size"].to_numpy(np.int64)})
+
+        per_key = sharded_group_sum(
+            ds.map_batches(partial, batch_format="pandas"),
+            keys=["k"], sum_cols=["n"], num_shards=32)
+
+        def roll(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "n_rows": [np.int64(b["n"].sum())],
+                "n_distinct": [np.int64(len(b))]})
+
+        t = (per_key.map_batches(roll, batch_format="pandas")
+             .to_pandas().sum())
+        rows.append({"table_name": table,
+                     "n_rows": np.int64(t["n_rows"]),
+                     "n_distinct": np.int64(t["n_distinct"]),
+                     "is_unique": np.int64(
+                         int(t["n_rows"] == t["n_distinct"]))})
+    return pd.DataFrame(rows)
+
+
+def q_fk_orphan_audit(sf_dir: str):
+    """Full foreign-key orphan audit (round 4): fk_integrity's
+    big-big anti-join count over the five remaining edges of the
+    schema graph (lineitem->part / ->supplier, customer->nation,
+    supplier->nation, nation->region), with the same deterministic
+    FK_BAD_MOD orphan injection so counts are non-trivial. Returns
+    (relation, n_child_rows, n_orphan_rows)."""
+    def with_bad(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
+        def inject(batch: pa.Table) -> pa.Table:
+            k = np.asarray(batch.column(key), dtype=np.int64)
+            bad = -k[k % FK_BAD_MOD == 0] - 1
+            return pa.table({key: pa.array(np.concatenate([k, bad]))})
+        return ds.map_batches(inject, batch_format="pyarrow")
+
+    def rd(table: str, col: str) -> ray.data.Dataset:
+        return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                     columns=[col])
+
+    EDGES = [
+        ("lineitem->part", rd("lineitem", "l_partkey"),
+         rd("part", "p_partkey"), "l_partkey", "p_partkey"),
+        ("lineitem->supplier", rd("lineitem", "l_suppkey"),
+         rd("supplier", "s_suppkey"), "l_suppkey", "s_suppkey"),
+        ("customer->nation", rd("customer", "c_nationkey"),
+         rd("nation", "n_nationkey"), "c_nationkey", "n_nationkey"),
+        ("supplier->nation", rd("supplier", "s_nationkey"),
+         rd("nation", "n_nationkey"), "s_nationkey", "n_nationkey"),
+        ("nation->region", rd("nation", "n_regionkey"),
+         rd("region", "r_regionkey"), "n_regionkey", "r_regionkey"),
+    ]
+    rows = []
+    for name, child, parent, ck, pk in EDGES:
+        n_child, n_orphan = _fk_orphans(with_bad(child, ck), parent,
+                                        ck, pk)
+        rows.append({"relation": name,
+                     "n_child_rows": np.int64(n_child),
+                     "n_orphan_rows": np.int64(n_orphan)})
+    return pd.DataFrame(rows)
+
+
+def q_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the trade graph (round 4): Pearson
+    correlation of endpoint degrees over every directed edge — do
+    hub customers trade with hub suppliers? Same edge build as
+    pagerank; degrees broadcast once; ONE map pass emits 5 exact
+    integer moments per batch that fold as Python ints on the
+    driver (no int64 ceiling). Returns one row (n_edges, r)."""
+    from ..stages.relational import bucketed_hash_join, sharded_group_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey"]) \
+        .map_batches(lambda b: b.rename_columns(
+            ["o_orderkey", "l_suppkey"]), batch_format="pyarrow")
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[["o_custkey", "l_suppkey"]].drop_duplicates()
+        return out.assign(one=np.int64(1))
+
+    pairs = sharded_group_sum(
+        bucketed_hash_join(li, orders, on="o_orderkey",
+                           post=pair_dedup),
+        keys=["o_custkey", "l_suppkey"], sum_cols=["one"])
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["o_custkey"].to_numpy(np.int64) * 2
+        s = df["l_suppkey"].to_numpy(np.int64) * 2 + 1
+        return pd.DataFrame({"src": np.concatenate([c, s]),
+                             "dst": np.concatenate([s, c])})
+
+    edges = (pairs.map_batches(both_dirs, batch_format="pandas")
+             .repartition(16).materialize())
+    deg = sharded_group_sum(
+        edges.map_batches(lambda df: df.assign(one=np.int64(1)),
+                          batch_format="pandas"),
+        keys=["src"], sum_cols=["one"]).to_pandas().sort_values("src")
+    ids = deg["src"].to_numpy(np.int64)
+    dg = deg["one"].to_numpy(np.int64)
+    deg_ref = ray.put((ids, dg))
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        nid, nd = ray.get(deg_ref)
+        dx = nd[np.searchsorted(nid, df["src"].to_numpy(np.int64))]
+        dy = nd[np.searchsorted(nid, df["dst"].to_numpy(np.int64))]
+        return pd.DataFrame([{
+            "m": np.int64(len(df)),
+            "sx": np.int64(dx.sum()), "sy": np.int64(dy.sum()),
+            "sxx": np.int64((dx * dx).sum()),
+            "syy": np.int64((dy * dy).sum()),
+            "sxy": np.int64((dx * dy).sum())}])
+
+    p = edges.map_batches(moments, batch_format="pandas").to_pandas()
+    m = int(p["m"].sum())
+    sx, sy = int(p["sx"].sum()), int(p["sy"].sum())
+    sxx, syy = int(p["sxx"].sum()), int(p["syy"].sum())
+    sxy = int(p["sxy"].sum())
+    num = m * sxy - sx * sy
+    den = float(np.sqrt(float(m * sxx - sx * sx))
+                * np.sqrt(float(m * syy - sy * sy)))
+    r = float(num) / den if den else 0.0
+    return pd.DataFrame([{
+        "n_edges": np.int64(m),
+        "r": np.floor(r * 1e6 + 0.5) / 1e6}])
+
+
+def q_token_length_hist(sf_dir: str):
+    """Token-length histogram per language (round 4): the
+    tokenizer-design profile (agglutinative languages skew long).
+    Bounded (lang x length) domain, map-side partials. Returns
+    (lang, tok_len, n, pct)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.findall(r"\S+")
+        lens = toks.str.len().to_numpy(np.int64)
+        lang = np.repeat(b["lang"].to_numpy(), lens)
+        tl = toks.explode().dropna().str.len().to_numpy(np.int64)
+        df = pd.DataFrame({"lang": lang, "tok_len": tl,
+                           "n": np.int64(1)})
+        return df.groupby(["lang", "tok_len"], as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["lang", "tok_len"], sum_cols=["n"],
+        num_shards=8).to_pandas()
+    tot = g.groupby("lang")["n"].transform("sum")
+    g["tok_len"] = g["tok_len"].astype(np.int64)
+    g["n"] = g["n"].astype(np.int64)
+    g["pct"] = np.floor(g["n"].to_numpy(np.int64).astype(np.float64)
+                        / tot.to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    return g[["lang", "tok_len", "n", "pct"]]
+
+
+def q_new_vs_repeat(sf_dir: str):
+    """New-vs-repeat order mix per month (round 4): is growth
+    acquisition or retention — each order flags whether it is its
+    customer's first (earliest orderdate, tie by orderkey).
+    Custkey-sharded first-order resolution, then a 12ish-month
+    bounded rollup. Returns (ym, n_orders, n_first, repeat_rate)."""
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        dt = pd.DatetimeIndex(b["o_orderdate"])
+        df = pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(np.int64),
+            "o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+            "day": b["o_orderdate"].to_numpy("datetime64[us]")
+            .view("int64") // 86_400_000_000,
+            "ym": (dt.year * 100 + dt.month).to_numpy(np.int64)})
+        df["shard"] = shard_of_keys(df["o_custkey"].to_numpy(), 64)
+        return df
+
+    def flag_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "day", "o_orderkey"],
+                          kind="mergesort")
+        first = ~g["o_custkey"].duplicated()
+        df = pd.DataFrame({"ym": g["ym"].to_numpy(np.int64),
+                           "n_orders": np.int64(1),
+                           "n_first": first.to_numpy()
+                           .astype(np.int64)})
+        return df.groupby("ym", as_index=False).sum()
+
+    g = sharded_group_sum(
+        orders.map_batches(prep, batch_format="pandas")
+        .groupby("shard").map_groups(flag_shard,
+                                     batch_format="pandas"),
+        keys=["ym"], sum_cols=["n_orders", "n_first"],
+        num_shards=8).to_pandas()
+    g["repeat_rate"] = np.floor(
+        (1.0 - g["n_first"].to_numpy(np.int64).astype(np.float64)
+         / g["n_orders"].to_numpy(np.int64)) * 1e6 + 0.5) / 1e6
+    return g[["ym", "n_orders", "n_first", "repeat_rate"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "grouped_minmax_scaler": q_grouped_minmax_scaler,
+    "pk_uniqueness": q_pk_uniqueness,
+    "fk_orphan_audit": q_fk_orphan_audit,
+    "degree_assortativity": q_degree_assortativity,
+    "token_length_hist": q_token_length_hist,
+    "new_vs_repeat": q_new_vs_repeat,
     "boilerplate_catalog": q_boilerplate_catalog,
     "numeric_token_profile": q_numeric_token_profile,
     "utf8_ratio": q_utf8_ratio,
@@ -13680,3 +13960,95 @@ ORACLE_SQL["segment_priority_mix"] = (
     "floor(CAST(n AS DOUBLE) / sum(n) OVER ("
     "  PARTITION BY c_mktsegment) * 1000000 + 0.5) / 1000000 AS pct "
     "FROM c")
+
+
+ORACLE_SQL["grouped_minmax_scaler"] = (
+    "WITH q AS (SELECT event_id, event_type, "
+    "  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6 "
+    "  FROM events), "
+    "b AS (SELECT event_type, min(v6) AS mn, max(v6) AS mx "
+    "  FROM q GROUP BY 1) "
+    "SELECT event_id, q.event_type, v6, "
+    "floor(CAST(v6 - mn AS DOUBLE) / greatest(mx - mn, 1) "
+    "  * 1000000 + 0.5) / 1000000 AS scaled "
+    "FROM q JOIN b USING (event_type)")
+
+
+_PK_TABLES = [("region", "r_regionkey"), ("nation", "n_nationkey"),
+              ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+              ("part", "p_partkey"), ("orders", "o_orderkey"),
+              ("events", "event_id"), ("documents", "doc_id"),
+              ("embeddings", "vec_id")]
+
+ORACLE_SQL["pk_uniqueness"] = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, count(*)::BIGINT AS n_rows, "
+    f"count(DISTINCT {k})::BIGINT AS n_distinct, "
+    f"(count(*) = count(DISTINCT {k}))::BIGINT AS is_unique FROM {t}"
+    for t, k in _PK_TABLES)
+
+
+_FK_EDGES = [("lineitem->part", "lineitem", "l_partkey",
+              "part", "p_partkey"),
+             ("lineitem->supplier", "lineitem", "l_suppkey",
+              "supplier", "s_suppkey"),
+             ("customer->nation", "customer", "c_nationkey",
+              "nation", "n_nationkey"),
+             ("supplier->nation", "supplier", "s_nationkey",
+              "nation", "n_nationkey"),
+             ("nation->region", "nation", "n_regionkey",
+              "region", "r_regionkey")]
+
+ORACLE_SQL["fk_orphan_audit"] = " UNION ALL ".join(
+    f"SELECT '{name}' AS relation, count(*)::BIGINT AS n_child_rows, "
+    "sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END)::BIGINT "
+    "  AS n_orphan_rows FROM "
+    f"(SELECT {ck} AS k FROM {ct} UNION ALL "
+    f" SELECT -{ck} - 1 FROM {ct} WHERE {ck} % {FK_BAD_MOD} = 0) c "
+    f"LEFT JOIN (SELECT {pk} AS pk FROM {pt}) p ON p.pk = c.k"
+    for name, ct, ck, pt, pk in _FK_EDGES)
+
+
+ORACLE_SQL["degree_assortativity"] = (
+    # exact HUGEINT moments over directed edges; den = sqrt*sqrt in
+    # the engine's order
+    "WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, "
+    "  l_suppkey * 2 + 1 AS b FROM orders "
+    "  JOIN lineitem ON l_orderkey = o_orderkey), "
+    "ed AS (SELECT a AS src, b AS dst FROM e0 "
+    "  UNION ALL SELECT b, a FROM e0), "
+    "d AS (SELECT src, count(*)::HUGEINT AS deg FROM ed GROUP BY src), "
+    "j AS (SELECT dx.deg AS dx, dy.deg AS dy FROM ed "
+    "  JOIN d dx ON dx.src = ed.src JOIN d dy ON dy.src = ed.dst), "
+    "m AS (SELECT count(*)::HUGEINT AS m, sum(dx) AS sx, "
+    "  sum(dy) AS sy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy, "
+    "  sum(dx * dy) AS sxy FROM j) "
+    "SELECT m::BIGINT AS n_edges, "
+    "floor(CAST(m * sxy - sx * sy AS DOUBLE) "
+    "  / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) "
+    "     * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) "
+    "  * 1000000 + 0.5) / 1000000 AS r FROM m")
+
+
+ORACLE_SQL["token_length_hist"] = (
+    "WITH tok AS (SELECT lang, length(unnest(regexp_extract_all("
+    "  coalesce(text, ''), '\\S+')))::BIGINT AS tok_len "
+    "  FROM documents), "
+    "h AS (SELECT lang, tok_len, count(*)::BIGINT AS n "
+    "  FROM tok GROUP BY 1, 2) "
+    "SELECT lang, tok_len, n, "
+    "floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) "
+    "  * 1000000 + 0.5) / 1000000 AS pct FROM h")
+
+
+ORACLE_SQL["new_vs_repeat"] = (
+    "WITH o AS (SELECT o_orderkey, o_custkey, "
+    "  epoch_us(o_orderdate) // 86400000000 AS day, "
+    "  (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT AS ym "
+    "  FROM orders), "
+    "f AS (SELECT ym, row_number() OVER (PARTITION BY o_custkey "
+    "  ORDER BY day, o_orderkey) AS rn FROM o) "
+    "SELECT ym, count(*)::BIGINT AS n_orders, "
+    "sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_first, "
+    "floor((1.0 - CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) "
+    "  AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 "
+    "  AS repeat_rate FROM f GROUP BY ym")

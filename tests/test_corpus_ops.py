@@ -3371,3 +3371,111 @@ def test_segment_priority_mix_handbuilt(ray_session, tmp_path):
            .sort_values("o_orderpriority").reset_index(drop=True))
     assert out["n"].tolist() == [2, 1]
     assert out["pct"].tolist() == [0.666667, 0.333333]
+
+
+def test_grouped_minmax_scaler_handbuilt(ray_session, tmp_path):
+    """Values 1,2,3 in one type scale to 0, 0.5, 1; a singleton type
+    maps to 0 (guarded range)."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_grouped_minmax_scaler)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [0, 1, 2, 3], [1, 1, 1, 2],
+                  ["a", "a", "a", "b"], values=[1.0, 2.0, 3.0, 7.0])
+    out = (q_grouped_minmax_scaler(str(sf)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert out["scaled"].tolist() == [0.0, 0.5, 1.0, 0.0]
+
+
+def test_pk_uniqueness_handbuilt(ray_session, tmp_path):
+    """A table with a duplicated key is flagged non-unique."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_pk_uniqueness)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for t, k in [("region", "r_regionkey"), ("nation", "n_nationkey"),
+                 ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+                 ("part", "p_partkey"), ("orders", "o_orderkey"),
+                 ("events", "event_id"), ("documents", "doc_id"),
+                 ("embeddings", "vec_id")]:
+        ids = [0, 0] if t == "events" else [0, 1]
+        pq.write_table(pa.table({k: pa.array(ids, type=pa.int64())}),
+                       str(sf / f"{t}.parquet"))
+    out = q_pk_uniqueness(str(sf)).set_index("table_name")
+    assert out.loc["events", "is_unique"] == 0
+    assert out.loc["events", "n_distinct"] == 1
+    assert out.loc["orders", "is_unique"] == 1
+
+
+def test_degree_assortativity_handbuilt(ray_session, tmp_path):
+    """A single cust-supp edge: both endpoints degree 1, zero
+    variance -> r = 0 (guarded denominator)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_degree_assortativity)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10], type=pa.int64()),
+        "o_custkey": pa.array([1], type=pa.int64())}),
+        str(sf / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10], type=pa.int64()),
+        "l_suppkey": pa.array([1], type=pa.int64())}),
+        str(sf / "lineitem.parquet"))
+    out = q_degree_assortativity(str(sf))
+    assert out["n_edges"].iloc[0] == 2
+    assert out["r"].iloc[0] == 0.0
+
+
+def test_token_length_hist_handbuilt(ray_session, tmp_path):
+    """'a bb bb' -> len1:1/3, len2:2/3."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_token_length_hist)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["a bb bb"], langs=["en"])
+    out = (q_token_length_hist(str(sf))
+           .sort_values("tok_len").reset_index(drop=True))
+    assert out["tok_len"].tolist() == [1, 2]
+    assert out["n"].tolist() == [1, 2]
+    assert out["pct"].tolist() == [0.333333, 0.666667]
+
+
+def test_new_vs_repeat_handbuilt(ray_session, tmp_path):
+    """Customer 1 orders in Jan and Feb: Jan order is first, Feb is
+    repeat."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_new_vs_repeat)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([0, 1], type=pa.int64()),
+        "o_custkey": pa.array([1, 1], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 2),
+        "o_totalprice": pa.array([1.0] * 2),
+        "o_orderdate": pa.array(
+            [np.datetime64("1995-01-05", "us"),
+             np.datetime64("1995-02-05", "us")],
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 2)}),
+        str(sf / "orders.parquet"))
+    out = (q_new_vs_repeat(str(sf))
+           .sort_values("ym").reset_index(drop=True))
+    assert out["ym"].tolist() == [199501, 199502]
+    assert out["n_first"].tolist() == [1, 0]
+    assert out["repeat_rate"].tolist() == [0.0, 1.0]

@@ -9630,11 +9630,292 @@ def q_new_vs_repeat(sf_dir: str):
     return g[["ym", "n_orders", "n_first", "repeat_rate"]]
 
 
+WILSON_Z = 1.96          # purchase_wilson: normal z for 95% CI
+TRIM_FRAC = 10           # trimmed_mean: drop lowest/highest 1/10
+PARTNAME_MIN_N = 10      # part_name_tokens: min count to report
+
+
+def q_purchase_wilson(sf_dir: str):
+    """Purchase rate per weekday with a Wilson lower bound
+    (round 4): the uncertainty-aware conversion read — small days
+    stop looking artificially good. Counts fold in a 7-slot domain;
+    the Wilson formula evaluates once per weekday on the driver in
+    a fixed operation order mirrored by the oracle. Returns
+    (weekday, n_events, n_purchase, rate, wilson_low)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        tus = b["ts"].to_numpy("datetime64[us]").view("int64")
+        wd = (tus // 86_400_000_000 + 3) % 7     # epoch day 0 = Thu
+        df = pd.DataFrame({
+            "weekday": wd,
+            "n_events": np.int64(1),
+            "n_purchase": (b["event_type"].to_numpy() == "purchase")
+            .astype(np.int64)})
+        return df.groupby("weekday", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["weekday"], sum_cols=["n_events", "n_purchase"],
+        num_shards=4).to_pandas()
+    n = g["n_events"].to_numpy(np.int64).astype(np.float64)
+    k = g["n_purchase"].to_numpy(np.int64).astype(np.float64)
+    p = k / n
+    z = WILSON_Z
+    z2 = z * z
+    low = (p + z2 / (2 * n)
+           - z * np.sqrt(p * (1 - p) / n + z2 / (4 * n * n))) \
+        / (1 + z2 / n)
+    g["weekday"] = g["weekday"].astype(np.int64)
+    g["n_events"] = g["n_events"].astype(np.int64)
+    g["n_purchase"] = g["n_purchase"].astype(np.int64)
+    g["rate"] = np.floor(p * 1e6 + 0.5) / 1e6
+    g["wilson_low"] = np.floor(low * 1e6 + 0.5) / 1e6
+    return g[["weekday", "n_events", "n_purchase", "rate",
+              "wilson_low"]]
+
+
+def q_dead_stock(sf_dir: str):
+    """Dead stock per brand (round 4): parts never appearing in any
+    lineitem — the catalog-pruning anti-join. Sold part keys reduce
+    to a distinct key set through ONE metadata-only exchange
+    (part-dimension scale), then membership is a searchsorted over
+    the broadcast sorted array; the part dimension folds driver-
+    side. Returns (p_brand, n_parts, n_unsold, unsold_rate)."""
+    from ..stages.relational import sharded_group_sum
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey"])
+
+    def kpart(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": np.unique(b["l_partkey"].to_numpy(np.int64)),
+            "one": np.int64(1)})
+
+    sold = np.sort(sharded_group_sum(
+        li.map_batches(kpart, batch_format="pandas"),
+        keys=["k"], sum_cols=["one"]).to_pandas()["k"]
+        .to_numpy(np.int64))
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    pk = part["p_partkey"].to_numpy(np.int64)
+    pos = np.searchsorted(sold, pk)
+    unsold = ~((pos < len(sold))
+               & (sold[np.minimum(pos, len(sold) - 1)] == pk))
+    g = pd.DataFrame({"p_brand": part["p_brand"].to_numpy(),
+                      "n_parts": np.int64(1),
+                      "n_unsold": unsold.astype(np.int64)}) \
+        .groupby("p_brand", as_index=False).sum()
+    g["n_parts"] = g["n_parts"].astype(np.int64)
+    g["n_unsold"] = g["n_unsold"].astype(np.int64)
+    g["unsold_rate"] = np.floor(
+        g["n_unsold"].to_numpy(np.int64).astype(np.float64)
+        / g["n_parts"].to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    return g[["p_brand", "n_parts", "n_unsold", "unsold_rate"]]
+
+
+def q_trimmed_mean(sf_dir: str):
+    """Two-sided trimmed mean of event value per type (round 4):
+    drop the lowest and highest n/{TRIM_FRAC} rows and average the
+    middle — the robust-location stat that, unlike winsorize, is
+    outlier-DELETING. The (type, e6-value) distinct-value histogram
+    is the one bounded exchange; trim boundaries read off exact
+    cumulative counts with partial-bucket arithmetic (all ints until
+    one final division). Returns (event_type, n, n_trim, tmean)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["event_type", "value"])
+
+    def vpart(b: pd.DataFrame) -> pd.DataFrame:
+        v6 = np.floor(b["value"].to_numpy(np.float64) * 1e6
+                      + 0.5).astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                           "v6": v6, "n": np.int64(1)})
+        return df.groupby(["event_type", "v6"], as_index=False).sum()
+
+    hist = sharded_group_sum(
+        ev.map_batches(vpart, batch_format="pandas"),
+        keys=["event_type", "v6"], sum_cols=["n"],
+        num_shards=16).to_pandas()
+    rows = []
+    for ty, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("v6", kind="mergesort")
+        v = g["v6"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        n = int(c.sum())
+        k = n // TRIM_FRAC
+        # sum of the k smallest values (partial last bucket) and the
+        # k largest, via cumulative counts — exact ints
+        cum = np.cumsum(c)
+        total = int((v * c).sum())
+
+        def tail_sum(vv, cc, kk):
+            s, left = 0, kk
+            for vi, ci in zip(vv, cc):
+                take = min(left, int(ci))
+                s += int(vi) * take
+                left -= take
+                if left == 0:
+                    break
+            return s
+
+        lo = tail_sum(v, c, k)
+        hi = tail_sum(v[::-1], c[::-1], k)
+        mid_n = n - 2 * k
+        tm = (total - lo - hi) / mid_n / 1e6 if mid_n else 0.0
+        rows.append({"event_type": ty, "n": np.int64(n),
+                     "n_trim": np.int64(k),
+                     "tmean": np.floor(tm * 1e6 + 0.5) / 1e6})
+    return pd.DataFrame(rows)
+
+
+def q_session_conversion(sf_dir: str):
+    """Session conversion rate (round 4): fraction of 30-min-gap
+    sessions containing a purchase — the engagement-to-intent
+    number. User-sharded sessionization (the session_windows split)
+    with a per-session any-purchase flag; two integers per shard
+    leave the exchange. Returns one row (n_sessions, n_converting,
+    conv_rate)."""
+    from ..stages.relational import shard_of_keys
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_type"])
+    gap_us = 30 * 60 * 1_000_000
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "t_us": b["ts"].to_numpy("datetime64[us]").view("int64"),
+            "is_p": (b["event_type"].to_numpy() == "purchase")
+            .astype(np.int64)})
+        df["shard"] = shard_of_keys(df["user_id"].to_numpy(), 64)
+        return df
+
+    def sess_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t_us"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        t = g["t_us"].to_numpy(np.int64)
+        new = np.r_[True, (uid[1:] != uid[:-1])
+                    | (t[1:] - t[:-1] > gap_us)]
+        sid = np.cumsum(new) - 1
+        conv = pd.DataFrame({"sid": sid,
+                             "is_p": g["is_p"].to_numpy(np.int64)}) \
+            .groupby("sid")["is_p"].max()
+        return pd.DataFrame([{
+            "n_sessions": np.int64(len(conv)),
+            "n_converting": np.int64(int(conv.sum()))}])
+
+    p = (ev.map_batches(prep, batch_format="pandas")
+         .groupby("shard").map_groups(sess_shard,
+                                      batch_format="pandas")
+         .to_pandas().sum())
+    ns, nc = int(p["n_sessions"]), int(p["n_converting"])
+    return pd.DataFrame([{
+        "n_sessions": np.int64(ns), "n_converting": np.int64(nc),
+        "conv_rate": np.floor(nc / ns * 1e6 + 0.5) / 1e6}])
+
+
+def q_crawl_budget(sf_dir: str):
+    """Crawl-budget allocation per source (round 4): the planner
+    that weights the next crawl by each source's NON-duplicate token
+    yield. Runs over the recrawl-augmented view (dup_cross_source's
+    convention) so dup rates are non-trivial; digest-sharded
+    first-wins accounting, weight = unique tokens / total unique
+    tokens. Returns (source, n_docs, tokens_total, tokens_dupe,
+    weight)."""
+    import hashlib
+
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    base = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def recrawl(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        txt = batch.column("text")
+        one = pa.table({"doc_id": pa.array(ids + 1_000_000),
+                        "source": pa.array(["recrawl"] * len(ids),
+                                           type=pa.string()),
+                        "text": txt})
+        return one
+
+    ds = base.union(base.map_batches(recrawl, batch_format="pyarrow"))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        h = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t]
+        df = pd.DataFrame({"h": h,
+                           "doc_id": b["doc_id"].to_numpy(np.int64),
+                           "source": b["source"].to_numpy(),
+                           "n_tok": t.str.count(r"\S+")
+                           .to_numpy(np.int64)})
+        df["shard"] = shard_of_keys(df["h"].to_numpy(), 64)
+        return df
+
+    def flag_shard(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("h")["doc_id"].transform("min")
+        dupe = (g["doc_id"].to_numpy(np.int64)
+                > first.to_numpy(np.int64))
+        nt = g["n_tok"].to_numpy(np.int64)
+        out = pd.DataFrame({"source": g["source"],
+                            "n_docs": np.int64(1),
+                            "tokens_total": nt,
+                            "tokens_dupe": np.where(dupe, nt, 0)})
+        return out.groupby("source", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas")
+          .groupby("shard").map_groups(flag_shard,
+                                       batch_format="pandas"),
+        keys=["source"],
+        sum_cols=["n_docs", "tokens_total", "tokens_dupe"],
+        num_shards=8).to_pandas()
+    uniq = (g["tokens_total"].to_numpy(np.int64)
+            - g["tokens_dupe"].to_numpy(np.int64))
+    tot = max(int(uniq.sum()), 1)
+    g["weight"] = np.floor(uniq.astype(np.float64) / tot * 1e6
+                           + 0.5) / 1e6
+    for c in ("n_docs", "tokens_total", "tokens_dupe"):
+        g[c] = g[c].astype(np.int64)
+    return g[["source", "n_docs", "tokens_total", "tokens_dupe",
+              "weight"]]
+
+
+def q_part_name_tokens(sf_dir: str):
+    """Part-name vocabulary census (round 4): dimension-table text
+    mining — the catalog's naming palette. Vocabulary-bounded
+    exchange, {PARTNAME_MIN_N}+ filter. Returns (word, n)."""
+    from ..stages.relational import sharded_group_sum
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_name"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["p_name"].fillna("").str.findall(r"\S+")
+        flat = toks.explode().dropna()
+        df = pd.DataFrame({"word": flat.to_numpy(),
+                           "n": np.int64(1)})
+        return df.groupby("word", as_index=False).sum()
+
+    g = sharded_group_sum(
+        part.map_batches(partial, batch_format="pandas"),
+        keys=["word"], sum_cols=["n"], num_shards=8).to_pandas()
+    g = g[g["n"] >= PARTNAME_MIN_N]
+    g["n"] = g["n"].astype(np.int64)
+    return g[["word", "n"]].reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "purchase_wilson": q_purchase_wilson,
+    "dead_stock": q_dead_stock,
+    "trimmed_mean": q_trimmed_mean,
+    "session_conversion": q_session_conversion,
+    "crawl_budget": q_crawl_budget,
+    "part_name_tokens": q_part_name_tokens,
     "grouped_minmax_scaler": q_grouped_minmax_scaler,
     "pk_uniqueness": q_pk_uniqueness,
     "fk_orphan_audit": q_fk_orphan_audit,
@@ -14052,3 +14333,93 @@ ORACLE_SQL["new_vs_repeat"] = (
     "floor((1.0 - CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) "
     "  AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 "
     "  AS repeat_rate FROM f GROUP BY ym")
+
+
+ORACLE_SQL["purchase_wilson"] = (
+    # z*z is written as 1.96*1.96 on BOTH sides (the decimal literal
+    # 3.8416 is a different double); operation order mirrored exactly
+    "WITH c AS (SELECT ((epoch_us(ts) // 86400000000 + 3) % 7)"
+    "::BIGINT AS weekday, count(*)::BIGINT AS n, "
+    "  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+    "::BIGINT AS k FROM events GROUP BY 1), "
+    "w AS (SELECT weekday, n, k, CAST(k AS DOUBLE) / n AS p, "
+    "  CAST(n AS DOUBLE) AS nd FROM c) "
+    "SELECT weekday, n AS n_events, k AS n_purchase, "
+    "floor(p * 1000000 + 0.5) / 1000000 AS rate, "
+    "floor((p + 1.96 * 1.96 / (2 * nd) - 1.96 * sqrt("
+    "  p * (1 - p) / nd + 1.96 * 1.96 / (4 * nd * nd))) "
+    "  / (1 + 1.96 * 1.96 / nd) * 1000000 + 0.5) / 1000000 "
+    "  AS wilson_low FROM w")
+
+
+ORACLE_SQL["dead_stock"] = (
+    "WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem) "
+    "SELECT p_brand, count(*)::BIGINT AS n_parts, "
+    "sum(CASE WHEN s.l_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT "
+    "  AS n_unsold, "
+    "floor(CAST(sum(CASE WHEN s.l_partkey IS NULL THEN 1 ELSE 0 "
+    "  END) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 "
+    "  AS unsold_rate "
+    "FROM part LEFT JOIN sold s ON s.l_partkey = p_partkey "
+    "GROUP BY p_brand")
+
+
+ORACLE_SQL["trimmed_mean"] = (
+    # row-trim by rank (ties share a value so the trimmed sum is
+    # tie-order invariant); division order mirrors the engine
+    "WITH q AS (SELECT event_type, "
+    "  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6 "
+    "  FROM events), "
+    "r AS (SELECT event_type, v6, row_number() OVER ("
+    "  PARTITION BY event_type ORDER BY v6) AS rn, "
+    "  count(*) OVER (PARTITION BY event_type) AS n FROM q) "
+    "SELECT event_type, min(n)::BIGINT AS n, "
+    f"(min(n) // {TRIM_FRAC})::BIGINT AS n_trim, "
+    f"floor(CAST(sum(CASE WHEN rn > n // {TRIM_FRAC} "
+    f"  AND rn <= n - n // {TRIM_FRAC} THEN v6 ELSE 0 END) "
+    f"  AS DOUBLE) / greatest(min(n) - 2 * (min(n) // {TRIM_FRAC}), "
+    "  1) / 1000000 * 1000000 + 0.5) / 1000000 AS tmean "
+    "FROM r GROUP BY event_type")
+
+
+ORACLE_SQL["session_conversion"] = (
+    "WITH o AS (SELECT user_id, ts, event_type, CASE WHEN "
+    "  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR "
+    "  ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+    "    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), "
+    "s AS (SELECT user_id, event_type, sum(new_s) OVER ("
+    "  PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) "
+    "  AS sid FROM o), "
+    "sess AS (SELECT max(CASE WHEN event_type = 'purchase' THEN 1 "
+    "  ELSE 0 END) AS conv FROM s GROUP BY user_id, sid) "
+    "SELECT count(*)::BIGINT AS n_sessions, "
+    "sum(conv)::BIGINT AS n_converting, "
+    "floor(CAST(sum(conv) AS DOUBLE) / count(*) * 1000000 + 0.5) "
+    "  / 1000000 AS conv_rate FROM sess")
+
+
+ORACLE_SQL["crawl_budget"] = (
+    # documents + one 'recrawl' copy per doc (the engine's view)
+    "WITH d AS (SELECT doc_id, source, coalesce(text, '') AS t "
+    "  FROM documents "
+    "UNION ALL SELECT doc_id + 1000000, 'recrawl', "
+    "  coalesce(text, '') FROM documents), "
+    "h AS (SELECT doc_id, source, md5(t) AS h, "
+    "  len(regexp_extract_all(t, '\\S+'))::BIGINT AS n_tok FROM d), "
+    "f AS (SELECT *, min(doc_id) OVER (PARTITION BY h) AS first_doc "
+    "  FROM h), "
+    "g AS (SELECT source, count(*)::BIGINT AS n_docs, "
+    "  sum(n_tok)::BIGINT AS tokens_total, "
+    "  sum(CASE WHEN doc_id > first_doc THEN n_tok ELSE 0 END)"
+    "::BIGINT AS tokens_dupe FROM f GROUP BY source) "
+    "SELECT source, n_docs, tokens_total, tokens_dupe, "
+    "floor(CAST(tokens_total - tokens_dupe AS DOUBLE) "
+    "  / greatest(sum(tokens_total - tokens_dupe) OVER (), 1) "
+    "  * 1000000 + 0.5) / 1000000 AS weight FROM g")
+
+
+ORACLE_SQL["part_name_tokens"] = (
+    "WITH tok AS (SELECT unnest(regexp_extract_all("
+    "  coalesce(p_name, ''), '\\S+')) AS word FROM part) "
+    "SELECT word, count(*)::BIGINT AS n FROM tok GROUP BY word "
+    f"HAVING count(*) >= {PARTNAME_MIN_N}")

@@ -3479,3 +3479,123 @@ def test_new_vs_repeat_handbuilt(ray_session, tmp_path):
     assert out["ym"].tolist() == [199501, 199502]
     assert out["n_first"].tolist() == [1, 0]
     assert out["repeat_rate"].tolist() == [0.0, 1.0]
+
+
+def test_purchase_wilson_handbuilt(ray_session, tmp_path):
+    """4 events on one weekday, 1 purchase: rate 0.25, Wilson lower
+    bound strictly below the rate and above 0."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_purchase_wilson)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [0, 1, 2, 3], [1, 2, 3, 4],
+                  ["purchase", "view", "view", "view"])
+    out = q_purchase_wilson(str(sf))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_events"] == 4 and r["n_purchase"] == 1
+    assert r["rate"] == 0.25
+    assert 0 < r["wilson_low"] < 0.25
+
+
+def test_dead_stock_handbuilt(ray_session, tmp_path):
+    """Part 2 never sold -> brand rate 0.5."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_dead_stock)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], type=pa.int64()),
+        "p_name": pa.array(["a", "b"]),
+        "p_brand": pa.array(["X", "X"]),
+        "p_type": pa.array(["t", "t"]),
+        "p_size": pa.array([1, 1], type=pa.int64()),
+        "p_retailprice": pa.array([1.0, 1.0])}),
+        str(sf / "part.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([0], type=pa.int64()),
+        "l_partkey": pa.array([1], type=pa.int64())}),
+        str(sf / "lineitem.parquet"))
+    out = q_dead_stock(str(sf))
+    assert out["n_parts"].iloc[0] == 2
+    assert out["n_unsold"].iloc[0] == 1
+    assert out["unsold_rate"].iloc[0] == 0.5
+
+
+def test_trimmed_mean_handbuilt(ray_session, tmp_path):
+    """10 values 1..9 plus outlier 1000: k = 1 drops the 1 and the
+    1000, mean of 2..9 = 5.5."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_trimmed_mean)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    vals = [float(v) for v in range(1, 10)] + [1000.0]
+    _write_events(sf, list(range(10)), [1] * 10, ["a"] * 10,
+                  values=vals)
+    out = q_trimmed_mean(str(sf))
+    assert out["n"].iloc[0] == 10
+    assert out["n_trim"].iloc[0] == 1
+    assert out["tmean"].iloc[0] == 5.5
+
+
+def test_session_conversion_handbuilt(ray_session, tmp_path):
+    """u1 has two sessions (one converting); u2 one session without
+    purchase -> 1 of 3."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_session_conversion)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    hr = 3_600_000_000
+    _write_events(sf, [0, 1, 5 * hr, 0], [1, 1, 1, 2],
+                  ["view", "purchase", "view", "view"])
+    out = q_session_conversion(str(sf))
+    assert out["n_sessions"].iloc[0] == 3
+    assert out["n_converting"].iloc[0] == 1
+    assert out["conv_rate"].iloc[0] == 0.333333
+
+
+def test_crawl_budget_handbuilt(ray_session, tmp_path):
+    """Every original token is unique; all recrawl tokens are dupes,
+    so recrawl gets weight 0 and sources split by token mass."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_crawl_budget)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["a b c", "x"], sources=["s1", "s2"])
+    out = q_crawl_budget(str(sf)).set_index("source")
+    assert out.loc["recrawl", "tokens_dupe"] == 4
+    assert out.loc["recrawl", "weight"] == 0.0
+    assert out.loc["s1", "weight"] == 0.75
+    assert out.loc["s2", "weight"] == 0.25
+
+
+def test_part_name_tokens_handbuilt(ray_session, tmp_path):
+    """A word repeated 10 times passes the minimum; 9 does not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_part_name_tokens)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    names = ["navy linen"] * 10 + ["rose"] * 9
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(range(len(names)), type=pa.int64()),
+        "p_name": pa.array(names),
+        "p_brand": pa.array(["B"] * len(names)),
+        "p_type": pa.array(["t"] * len(names)),
+        "p_size": pa.array([1] * len(names), type=pa.int64()),
+        "p_retailprice": pa.array([1.0] * len(names))}),
+        str(sf / "part.parquet"))
+    out = q_part_name_tokens(str(sf)).set_index("word")
+    assert set(out.index) == {"navy", "linen"}
+    assert out["n"].tolist() == [10, 10]

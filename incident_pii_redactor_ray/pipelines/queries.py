@@ -9905,11 +9905,258 @@ def q_part_name_tokens(sf_dir: str):
     return g[["word", "n"]].reset_index(drop=True)
 
 
+KFOLD_K = 5             # kfold_assign: number of folds
+
+
+def q_kfold_assign(sf_dir: str):
+    """Deterministic k-fold assignment balance (round 4): every doc
+    hashes to one of {KFOLD_K} folds (fmix32 — the train_val_split
+    convention, leakage-safe and shuffle-free), reported as the
+    (lang x fold) count matrix a CV setup sanity-checks. Returns
+    (lang, fold, n)."""
+    from ..functions.hashing import fmix32
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = fmix32(b["doc_id"].to_numpy(np.int64))
+        df = pd.DataFrame({
+            "lang": b["lang"].to_numpy(),
+            "fold": (h % np.uint64(KFOLD_K)).astype(np.int64),
+            "n": np.int64(1)})
+        return df.groupby(["lang", "fold"], as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["lang", "fold"], sum_cols=["n"],
+        num_shards=8).to_pandas()
+    g["fold"] = g["fold"].astype(np.int64)
+    g["n"] = g["n"].astype(np.int64)
+    return g[["lang", "fold", "n"]]
+
+
+def q_engagement_percentiles(sf_dir: str):
+    """Events-per-user distribution summary (round 4): exact
+    discrete p50/p90/p99 of per-user event counts read off the
+    count histogram's cumulative sums — the engagement-shape number
+    behind sampling and rate-limit decisions. Per-user counts are
+    ONE metadata-only exchange; the histogram is count-domain
+    bounded. Returns one row (n_users, p50, p90, p99)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["user_id"])
+
+    def upart(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"user_id": b["user_id"]
+                           .to_numpy(np.int64), "n": np.int64(1)})
+        return df.groupby("user_id", as_index=False).sum()
+
+    u = sharded_group_sum(
+        ev.map_batches(upart, batch_format="pandas"),
+        keys=["user_id"], sum_cols=["n"])
+
+    def hpart(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"c": b["n"].to_numpy(np.int64),
+                           "k": np.int64(1)})
+        return df.groupby("c", as_index=False).sum()
+
+    h = (u.map_batches(hpart, batch_format="pandas").to_pandas()
+         .groupby("c", as_index=False).sum().sort_values("c"))
+    c = h["c"].to_numpy(np.int64)
+    k = h["k"].to_numpy(np.int64)
+    n = int(k.sum())
+    cum = np.cumsum(k)
+
+    def pctl(num: int, den: int) -> int:
+        need = (num * n + den - 1) // den        # ceil(num*n/den)
+        return int(c[np.searchsorted(cum, need)])
+
+    return pd.DataFrame([{
+        "n_users": np.int64(n),
+        "p50": np.int64(pctl(1, 2)),
+        "p90": np.int64(pctl(9, 10)),
+        "p99": np.int64(pctl(99, 100))}])
+
+
+def q_embedding_coverage(sf_dir: str):
+    """Embedding coverage audit (round 4): which documents have a
+    vector (vec_id keys documents) — the completeness gate before
+    any similarity stage. Vec keys reduce to a sorted distinct array
+    (dimension-bounded exchange) and broadcast; the doc stream maps
+    through a searchsorted membership. Returns one row (n_docs,
+    n_vecs, n_docs_without_vec, coverage)."""
+    from ..stages.relational import sharded_group_sum
+
+    emb = _emb(sf_dir)
+
+    def kpart(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": np.unique(np.asarray(batch.column("vec_id"),
+                                      dtype=np.int64)),
+            "one": np.int64(1)})
+
+    vecs = np.sort(sharded_group_sum(
+        emb.map_batches(kpart, batch_format="pyarrow"),
+        keys=["k"], sum_cols=["one"]).to_pandas()["k"]
+        .to_numpy(np.int64))
+    vec_ref = ray.put(vecs)
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def cover(b: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(vec_ref)
+        ids = b["doc_id"].to_numpy(np.int64)
+        pos = np.searchsorted(v, ids)
+        has = (pos < len(v)) & (v[np.minimum(pos, len(v) - 1)] == ids)
+        return pd.DataFrame([{
+            "n_docs": np.int64(len(ids)),
+            "n_without": np.int64(int((~has).sum()))}])
+
+    p = docs.map_batches(cover, batch_format="pandas") \
+        .to_pandas().sum()
+    nd, nw = int(p["n_docs"]), int(p["n_without"])
+    return pd.DataFrame([{
+        "n_docs": np.int64(nd), "n_vecs": np.int64(len(vecs)),
+        "n_docs_without_vec": np.int64(nw),
+        "coverage": np.floor((nd - nw) / nd * 1e6 + 0.5) / 1e6}])
+
+
+def q_purchase_cadence(sf_dir: str):
+    """Purchase cadence (round 4): gaps between a user's consecutive
+    purchases — mean and exact discrete median in whole seconds,
+    from a gap-second histogram (no quantile sketch). User-sharded
+    sort; only (gap_s, count) partials leave. Returns one row
+    (n_users, n_gaps, mean_gap_s, median_gap_s)."""
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["event_type"].to_numpy() == "purchase"
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64)[m],
+            "event_id": b["event_id"].to_numpy(np.int64)[m],
+            "t_us": b["ts"].to_numpy("datetime64[us]")
+            .view("int64")[m]})
+        df["shard"] = shard_of_keys(df["user_id"].to_numpy(), 64)
+        return df
+
+    def gaps_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t_us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        t = g["t_us"].to_numpy(np.int64)
+        same = uid[1:] == uid[:-1]
+        gap_s = (t[1:][same] - t[:-1][same]) // 1_000_000
+        out = pd.DataFrame({"gap_s": gap_s, "n": np.int64(1)}) \
+            .groupby("gap_s", as_index=False).sum()
+        out["n_users"] = np.int64(0)
+        users = pd.DataFrame(
+            {"gap_s": np.int64(-1),
+             "n": np.int64(0),
+             "n_users": np.int64(len(np.unique(uid)))}, index=[0])
+        return pd.concat([out, users], ignore_index=True)
+
+    h = sharded_group_sum(
+        ev.map_batches(prep, batch_format="pandas")
+          .groupby("shard").map_groups(gaps_shard,
+                                       batch_format="pandas"),
+        keys=["gap_s"], sum_cols=["n", "n_users"],
+        num_shards=8).to_pandas().sort_values("gap_s")
+    n_users = int(h["n_users"].sum())
+    h = h[h["gap_s"] >= 0]
+    gaps = h["gap_s"].to_numpy(np.int64)
+    cnts = h["n"].to_numpy(np.int64)
+    ng = int(cnts.sum())
+    mean = float(int((gaps * cnts).sum())) / ng if ng else 0.0
+    med = 0
+    if ng:
+        need = (ng + 1) // 2
+        med = int(gaps[np.searchsorted(np.cumsum(cnts), need)])
+    return pd.DataFrame([{
+        "n_users": np.int64(n_users), "n_gaps": np.int64(ng),
+        "mean_gap_s": np.floor(mean * 1e6 + 0.5) / 1e6,
+        "median_gap_s": np.int64(med)}])
+
+
+def q_calendar_gaps(sf_dir: str):
+    """Order-calendar completeness (round 4): days in the order-date
+    span with ZERO orders — the ingest-hole detector. Distinct
+    active days reduce through one bounded exchange; the span math
+    is a driver fold. Returns one row (span_days, active_days,
+    n_gap_days)."""
+    from ..stages.relational import sharded_group_sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderdate"])
+
+    def dpart(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["o_orderdate"].to_numpy("datetime64[us]")
+               .view("int64") // 86_400_000_000)
+        return pd.DataFrame({"day": np.unique(day),
+                             "one": np.int64(1)})
+
+    d = sharded_group_sum(
+        orders.map_batches(dpart, batch_format="pandas"),
+        keys=["day"], sum_cols=["one"]).to_pandas()
+    days = d["day"].to_numpy(np.int64)
+    span = int(days.max() - days.min()) + 1
+    active = len(days)
+    return pd.DataFrame([{
+        "span_days": np.int64(span),
+        "active_days": np.int64(active),
+        "n_gap_days": np.int64(span - active)}])
+
+
+def q_props_numeric_stats(sf_dir: str):
+    """Semi-structured props extraction (round 4): the JSON 'k'
+    field parsed out of the props string column (vectorized regex,
+    never a per-row json.loads) and profiled per event type — the
+    schema-on-read pattern. Exact int sums, bounded domain. Returns
+    (event_type, n, k_min, k_max, k_mean)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["event_type", "props"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = (b["props"].fillna("").str
+             .extract(r'"k":\s*(-?\d+)', expand=False))
+        m = k.notna()
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_numpy()[m.to_numpy()],
+            "n": np.int64(1),
+            "s": k[m].astype(np.int64).to_numpy(),
+            "mn": k[m].astype(np.int64).to_numpy(),
+            "mx": k[m].astype(np.int64).to_numpy()})
+        return df.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"),
+            mx=("mx", "max"))
+
+    parts = (ev.map_batches(partial, batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"),
+        mx=("mx", "max"))
+    g["k_mean"] = np.floor(
+        g["s"].to_numpy(np.int64).astype(np.float64)
+        / g["n"].to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    g["n"] = g["n"].astype(np.int64)
+    g["k_min"] = g["mn"].astype(np.int64)
+    g["k_max"] = g["mx"].astype(np.int64)
+    return g[["event_type", "n", "k_min", "k_max", "k_mean"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "kfold_assign": q_kfold_assign,
+    "engagement_percentiles": q_engagement_percentiles,
+    "embedding_coverage": q_embedding_coverage,
+    "purchase_cadence": q_purchase_cadence,
+    "calendar_gaps": q_calendar_gaps,
+    "props_numeric_stats": q_props_numeric_stats,
     "purchase_wilson": q_purchase_wilson,
     "dead_stock": q_dead_stock,
     "trimmed_mean": q_trimmed_mean,
@@ -14423,3 +14670,82 @@ ORACLE_SQL["part_name_tokens"] = (
     "  coalesce(p_name, ''), '\\S+')) AS word FROM part) "
     "SELECT word, count(*)::BIGINT AS n FROM tok GROUP BY word "
     f"HAVING count(*) >= {PARTNAME_MIN_N}")
+
+
+ORACLE_SQL["kfold_assign"] = (
+    # fmix32 in SQL — the train_val_split CTE chain, fold = h % K
+    "WITH h0 AS (SELECT doc_id, lang, doc_id % 4294967296 AS h "
+    "  FROM documents), "
+    "h1 AS (SELECT doc_id, lang, ((xor(h, h // 65536)::HUGEINT "
+    "  * 2246822507) % 4294967296)::BIGINT AS h FROM h0), "
+    "h2 AS (SELECT doc_id, lang, ((xor(h, h // 8192)::HUGEINT "
+    "  * 3266489909) % 4294967296)::BIGINT AS h FROM h1), "
+    "hf AS (SELECT doc_id, lang, xor(h, h // 65536) AS h FROM h2) "
+    f"SELECT lang, (h % {KFOLD_K})::BIGINT AS fold, "
+    "count(*)::BIGINT AS n FROM hf GROUP BY 1, 2")
+
+
+ORACLE_SQL["engagement_percentiles"] = (
+    # exact discrete percentiles: smallest count with cum >= ceil(q*n)
+    "WITH u AS (SELECT user_id, count(*)::BIGINT AS c FROM events "
+    "  GROUP BY 1), "
+    "h AS (SELECT c, count(*)::BIGINT AS k FROM u GROUP BY c), "
+    "s AS (SELECT c, k, sum(k) OVER (ORDER BY c) AS cum, "
+    "  sum(k) OVER () AS n FROM h) "
+    "SELECT min(n)::BIGINT AS n_users, "
+    "min(CASE WHEN cum >= (n + 1) // 2 THEN c END)::BIGINT AS p50, "
+    "min(CASE WHEN cum >= (9 * n + 9) // 10 THEN c END)::BIGINT "
+    "  AS p90, "
+    "min(CASE WHEN cum >= (99 * n + 99) // 100 THEN c END)::BIGINT "
+    "  AS p99 FROM s")
+
+
+ORACLE_SQL["embedding_coverage"] = (
+    "WITH v AS (SELECT DISTINCT vec_id FROM embeddings), "
+    "c AS (SELECT count(*)::BIGINT AS nd, "
+    "  sum(CASE WHEN v.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT "
+    "    AS nw FROM documents d LEFT JOIN v ON v.vec_id = d.doc_id) "
+    "SELECT nd AS n_docs, "
+    "(SELECT count(*) FROM v)::BIGINT AS n_vecs, "
+    "nw AS n_docs_without_vec, "
+    "floor(CAST(nd - nw AS DOUBLE) / nd * 1000000 + 0.5) / 1000000 "
+    "  AS coverage FROM c")
+
+
+ORACLE_SQL["purchase_cadence"] = (
+    # gaps nonnegative so // floor == trunc; median = smallest gap
+    # with cum >= (n+1)//2
+    "WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id "
+    "  FROM events WHERE event_type = 'purchase'), "
+    "g AS (SELECT (t - lag(t) OVER (PARTITION BY user_id "
+    "  ORDER BY t, event_id)) // 1000000 AS gap FROM p), "
+    "h AS (SELECT gap, count(*)::BIGINT AS n FROM g "
+    "  WHERE gap IS NOT NULL GROUP BY gap), "
+    "s AS (SELECT gap, n, sum(n) OVER (ORDER BY gap) AS cum, "
+    "  sum(n) OVER () AS ng, sum(gap * n) OVER () AS gs FROM h) "
+    "SELECT (SELECT count(DISTINCT user_id) FROM p)::BIGINT "
+    "  AS n_users, min(ng)::BIGINT AS n_gaps, "
+    "floor(CAST(min(gs) AS DOUBLE) / min(ng) * 1000000 + 0.5) "
+    "  / 1000000 AS mean_gap_s, "
+    "min(CASE WHEN cum >= (ng + 1) // 2 THEN gap END)::BIGINT "
+    "  AS median_gap_s FROM s")
+
+
+ORACLE_SQL["calendar_gaps"] = (
+    "WITH d AS (SELECT DISTINCT epoch_us(o_orderdate) "
+    "  // 86400000000 AS day FROM orders) "
+    "SELECT (max(day) - min(day) + 1)::BIGINT AS span_days, "
+    "count(*)::BIGINT AS active_days, "
+    "(max(day) - min(day) + 1 - count(*))::BIGINT AS n_gap_days "
+    "FROM d")
+
+
+ORACLE_SQL["props_numeric_stats"] = (
+    "WITH x AS (SELECT event_type, CAST(regexp_extract("
+    "  coalesce(props, ''), '\"k\":\s*(-?\d+)', 1) AS BIGINT) AS k "
+    "  FROM events WHERE regexp_extract(coalesce(props, ''), "
+    "  '\"k\":\s*(-?\d+)', 1) <> '') "
+    "SELECT event_type, count(*)::BIGINT AS n, "
+    "min(k)::BIGINT AS k_min, max(k)::BIGINT AS k_max, "
+    "floor(CAST(sum(k) AS DOUBLE) / count(*) * 1000000 + 0.5) "
+    "  / 1000000 AS k_mean FROM x GROUP BY 1")

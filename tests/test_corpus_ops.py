@@ -3599,3 +3599,135 @@ def test_part_name_tokens_handbuilt(ray_session, tmp_path):
     out = q_part_name_tokens(str(sf)).set_index("word")
     assert set(out.index) == {"navy", "linen"}
     assert out["n"].tolist() == [10, 10]
+
+
+def test_kfold_assign_handbuilt(ray_session, tmp_path):
+    """Every doc lands in exactly one fold in [0, K); totals add up;
+    assignment is deterministic across reruns."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        KFOLD_K, q_kfold_assign)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, [f"doc {i}" for i in range(50)],
+                 langs=["en"] * 50)
+    out = q_kfold_assign(str(sf))
+    assert out["n"].sum() == 50
+    assert out["fold"].between(0, KFOLD_K - 1).all()
+    out2 = q_kfold_assign(str(sf))
+    assert (out.sort_values(["lang", "fold"]).values.tolist()
+            == out2.sort_values(["lang", "fold"]).values.tolist())
+
+
+def test_engagement_percentiles_handbuilt(ray_session, tmp_path):
+    """Counts 1,1,1,10 -> p50 = 1 (cum 3 >= 2), p90 = p99 = 10."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_engagement_percentiles)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    users = [1, 2, 3] + [4] * 10
+    _write_events(sf, list(range(len(users))), users,
+                  ["view"] * len(users))
+    out = q_engagement_percentiles(str(sf))
+    assert out["n_users"].iloc[0] == 4
+    assert out["p50"].iloc[0] == 1
+    assert out["p90"].iloc[0] == 10
+    assert out["p99"].iloc[0] == 10
+
+
+def test_embedding_coverage_handbuilt(ray_session, tmp_path):
+    """3 docs, vectors for ids 0 and 2 -> coverage 2/3."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_embedding_coverage)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["a", "b", "c"])
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 2], type=pa.int64()),
+        "embedding": pa.array([[1.0], [2.0]],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0, 0], type=pa.int32())}),
+        str(sf / "embeddings.parquet"))
+    out = q_embedding_coverage(str(sf))
+    assert out["n_docs"].iloc[0] == 3
+    assert out["n_vecs"].iloc[0] == 2
+    assert out["n_docs_without_vec"].iloc[0] == 1
+    assert out["coverage"].iloc[0] == 0.666667
+
+
+def test_purchase_cadence_handbuilt(ray_session, tmp_path):
+    """u1 purchases at 0s, 10s, 30s -> gaps 10, 20: mean 15,
+    median 10; the view event never counts."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_purchase_cadence)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    s = 1_000_000
+    _write_events(sf, [0, 10 * s, 30 * s, 5 * s],
+                  [1, 1, 1, 1],
+                  ["purchase", "purchase", "purchase", "view"])
+    out = q_purchase_cadence(str(sf))
+    assert out["n_users"].iloc[0] == 1
+    assert out["n_gaps"].iloc[0] == 2
+    assert out["mean_gap_s"].iloc[0] == 15.0
+    assert out["median_gap_s"].iloc[0] == 10
+
+
+def test_calendar_gaps_handbuilt(ray_session, tmp_path):
+    """Orders on days 0, 1, 4 -> span 5, active 3, gaps 2."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_calendar_gaps)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    d0 = np.datetime64("1995-01-01", "us")
+    day = np.timedelta64(86_400_000_000, "us")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([0, 1, 2], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([1.0] * 3),
+        "o_orderdate": pa.array([d0, d0 + 1 * day, d0 + 4 * day],
+                                type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3)}),
+        str(sf / "orders.parquet"))
+    out = q_calendar_gaps(str(sf))
+    assert out["span_days"].iloc[0] == 5
+    assert out["active_days"].iloc[0] == 3
+    assert out["n_gap_days"].iloc[0] == 2
+
+
+def test_props_numeric_stats_handbuilt(ray_session, tmp_path):
+    """k values 5 and 7 for one type -> min 5, max 7, mean 6;
+    malformed props rows are skipped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_props_numeric_stats)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array([0, 1, 2], type=pa.int64()),
+        "ts": pa.array([0, 1, 2], type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1], type=pa.int64()),
+        "event_type": pa.array(["view"] * 3),
+        "value": pa.array([0.0] * 3),
+        "props": pa.array(['{"k": 5}', '{"k": 7}', "{}"])}),
+        str(sf / "events.parquet"))
+    out = q_props_numeric_stats(str(sf))
+    assert out["n"].iloc[0] == 2
+    assert out["k_min"].iloc[0] == 5
+    assert out["k_max"].iloc[0] == 7
+    assert out["k_mean"].iloc[0] == 6.0

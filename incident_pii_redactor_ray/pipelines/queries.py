@@ -10146,11 +10146,308 @@ def q_props_numeric_stats(sf_dir: str):
     return g[["event_type", "n", "k_min", "k_max", "k_mean"]]
 
 
+BEST_WEEK_DAYS = 7        # best_week: rolling window length (rows)
+RETENTION_KS = (1, 7, 14)  # day_k_retention: day offsets
+
+
+def q_best_week(sf_dir: str):
+    """Best 7-active-day revenue window (round 4): the peak-season
+    finder — max rolling sum of daily revenue over {BEST_WEEK_DAYS}
+    consecutive ACTIVE days (rows, not calendar gaps). Daily cent
+    sums are one bounded exchange; the rolling max is a driver fold
+    over the day-dimension table. Returns one row (best_start_day,
+    best_end_day, window_rev_cents)."""
+    from ..stages.relational import sharded_group_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "day": b["o_orderdate"].to_numpy("datetime64[us]")
+            .view("int64") // 86_400_000_000,
+            "rev": np.floor(b["o_totalprice"].to_numpy(np.float64)
+                            * 100 + 0.5).astype(np.int64)})
+        return df.groupby("day", as_index=False).sum()
+
+    d = sharded_group_sum(
+        orders.map_batches(partial, batch_format="pandas"),
+        keys=["day"], sum_cols=["rev"]).to_pandas() \
+        .sort_values("day")
+    days = d["day"].to_numpy(np.int64)
+    rev = d["rev"].to_numpy(np.int64)
+    w = BEST_WEEK_DAYS
+    if len(rev) < w:
+        w = len(rev)
+    roll = np.convolve(rev, np.ones(w, dtype=np.int64),
+                       mode="valid")
+    i = int(np.argmax(roll))     # first max wins (ties)
+    return pd.DataFrame([{
+        "best_start_day": np.int64(days[i]),
+        "best_end_day": np.int64(days[i + w - 1]),
+        "window_rev_cents": np.int64(roll[i])}])
+
+
+def q_weekday_adjusted_volume(sf_dir: str):
+    """Weekday-adjusted event volume (round 4): each day's count as
+    a ratio to its weekday's mean — the seasonality-corrected
+    anomaly read. Daily counts are one bounded exchange; weekday
+    means derive from exact ints with two-stage 6dp rounding.
+    Returns (day, weekday, n, weekday_mean, ratio)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy("datetime64[us]").view("int64")
+               // 86_400_000_000)
+        df = pd.DataFrame({"day": day, "n": np.int64(1)})
+        return df.groupby("day", as_index=False).sum()
+
+    d = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["day"], sum_cols=["n"]).to_pandas()
+    d["weekday"] = (d["day"].to_numpy(np.int64) + 3) % 7
+    wd = d.groupby("weekday", as_index=False).agg(
+        s=("n", "sum"), k=("n", "size"))
+    wd["weekday_mean"] = np.floor(
+        wd["s"].to_numpy(np.int64).astype(np.float64)
+        / wd["k"].to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    d = d.merge(wd[["weekday", "weekday_mean"]], on="weekday")
+    d["ratio"] = np.floor(
+        d["n"].to_numpy(np.int64).astype(np.float64)
+        / d["weekday_mean"].to_numpy(np.float64) * 1e6 + 0.5) / 1e6
+    d["day"] = d["day"].astype(np.int64)
+    d["weekday"] = d["weekday"].astype(np.int64)
+    d["n"] = d["n"].astype(np.int64)
+    return d[["day", "weekday", "n", "weekday_mean", "ratio"]]
+
+
+def q_transition_entropy(sf_dir: str):
+    """Conditional next-action entropy per event type (round 4):
+    H(next | current) — how predictable each state is; funnels show
+    low entropy, browsing shows high. Transition counts come from
+    the user-sharded consecutive-pair fold (transition_latency's
+    exchange), entropy from exact counts. Returns (type_from, n,
+    entropy)."""
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "t_us": b["ts"].to_numpy("datetime64[us]").view("int64"),
+            "event_type": b["event_type"].to_numpy()})
+        df["shard"] = shard_of_keys(df["user_id"].to_numpy(), 64)
+        return df
+
+    def pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t_us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        ty = g["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        df = pd.DataFrame({"type_from": ty[:-1][same],
+                           "type_to": ty[1:][same],
+                           "n": np.int64(1)})
+        return df.groupby(["type_from", "type_to"],
+                          as_index=False).sum()
+
+    c = sharded_group_sum(
+        ev.map_batches(prep, batch_format="pandas")
+          .groupby("shard").map_groups(pairs_shard,
+                                       batch_format="pandas"),
+        keys=["type_from", "type_to"], sum_cols=["n"],
+        num_shards=8).to_pandas()
+    rows = []
+    for tf, g in c.groupby("type_from", sort=True):
+        cnt = g["n"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        s = float((cnt * np.log2(cnt.astype(np.float64))).sum())
+        h = np.log2(float(n)) - s / n
+        rows.append({"type_from": tf, "n": np.int64(n),
+                     "entropy": np.floor(h * 1e6 + 0.5) / 1e6})
+    return pd.DataFrame(rows)
+
+
+def q_trade_matrix(sf_dir: str):
+    """Inter-region trade flow matrix (round 4): e4-exact revenue
+    by (customer region, supplier region) — the who-buys-from-whom
+    rollup. ONE bucketed big-big join (orders x lineitem) with the
+    regional rollup fused into the join; both region dims broadcast
+    driver-side. Returns (cust_region, supp_region, rev4)."""
+    from ..stages.relational import bucketed_hash_join, sharded_group_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def li_prep(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": np.asarray(batch.column("l_orderkey"),
+                                     dtype=np.int64),
+            "l_suppkey": np.asarray(batch.column("l_suppkey"),
+                                    dtype=np.int64),
+            "rev4": np.asarray(_rev_e4(batch), dtype=np.int64)})
+
+    lid = li.map_batches(li_prep, batch_format="pyarrow")
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_regionkey"])
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet",
+                          columns=["r_regionkey", "r_name"])
+    n2r = nat.merge(reg, left_on="n_regionkey",
+                    right_on="r_regionkey")
+    c2r = dict(zip(
+        cust["c_custkey"],
+        cust.merge(n2r, left_on="c_nationkey",
+                   right_on="n_nationkey")["r_name"]))
+    s2r = dict(zip(
+        supp["s_suppkey"],
+        supp.merge(n2r, left_on="s_nationkey",
+                   right_on="n_nationkey")["r_name"]))
+    c2r_ref, s2r_ref = ray.put(c2r), ray.put(s2r)
+
+    def post(g: pd.DataFrame) -> pd.DataFrame:
+        # the join probes post with an EMPTY frame to infer the
+        # output schema — empty object columns infer as Arrow null,
+        # so answer the probe with explicitly-typed empties
+        if len(g) == 0:
+            return pd.DataFrame({
+                "cust_region": pd.Series(dtype="string"),
+                "supp_region": pd.Series(dtype="string"),
+                "rev4": pd.Series(dtype="int64")})
+        cr, sr = ray.get(c2r_ref), ray.get(s2r_ref)
+        df = pd.DataFrame({
+            "cust_region": g["o_custkey"].map(cr).to_numpy(),
+            "supp_region": g["l_suppkey"].map(sr).to_numpy(),
+            "rev4": g["rev4"].to_numpy(np.int64)})
+        return df.groupby(["cust_region", "supp_region"],
+                          as_index=False).sum()
+
+    g = sharded_group_sum(
+        bucketed_hash_join(lid, orders, on="o_orderkey", post=post),
+        keys=["cust_region", "supp_region"], sum_cols=["rev4"],
+        num_shards=8).to_pandas()
+    g["rev4"] = g["rev4"].astype(np.int64)
+    return g[["cust_region", "supp_region", "rev4"]]
+
+
+def q_day_k_retention(sf_dir: str):
+    """Day-k retention curve (round 4): of users first seen on day
+    D, what fraction is active on day D+k for k in {RETENTION_KS} —
+    the product-health curve. Each user's (first day, active-day
+    set) resolves in its shard; only k-indexed counters leave.
+    Returns (k, n_users, n_retained, rate)."""
+    from ..stages.relational import shard_of_keys
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "day": b["ts"].to_numpy("datetime64[us]").view("int64")
+            // 86_400_000_000}).drop_duplicates()
+        df["shard"] = shard_of_keys(df["user_id"].to_numpy(), 64)
+        return df
+
+    def retain_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]) \
+            .sort_values(["user_id", "day"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        rows = []
+        for k in RETENTION_KS:
+            ret = 0
+            for s, e in zip(starts, ends):
+                ds = day[s:e]
+                tgt = ds[0] + k
+                j = np.searchsorted(ds, tgt)
+                if j < len(ds) and ds[j] == tgt:
+                    ret += 1
+            rows.append((np.int64(k), np.int64(len(starts)),
+                         np.int64(ret)))
+        return pd.DataFrame(rows,
+                            columns=["k", "n_users", "n_retained"])
+
+    p = (ev.map_batches(prep, batch_format="pandas")
+         .groupby("shard").map_groups(retain_shard,
+                                      batch_format="pandas")
+         .to_pandas().groupby("k", as_index=False).sum())
+    p["k"] = p["k"].astype(np.int64)
+    p["n_users"] = p["n_users"].astype(np.int64)
+    p["n_retained"] = p["n_retained"].astype(np.int64)
+    p["rate"] = np.floor(
+        p["n_retained"].to_numpy(np.int64).astype(np.float64)
+        / p["n_users"].to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    return p[["k", "n_users", "n_retained", "rate"]]
+
+
+def q_source_overlap_coef(sf_dir: str):
+    """Pairwise histogram-intersection between sources' token
+    distributions (round 4): sum_t min(p_a, p_b) — the overlap
+    companion to source_tv_distance (tv = 1 - overlap for
+    distributions, reported independently for the mixture design
+    read). Exact bigint numerators over the (vocab x sources) count
+    table. Returns (source_a, source_b, overlap)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = (b["text"].fillna("").str.lower().str.findall(r"\S+"))
+        lens = toks.str.len().to_numpy(np.int64)
+        src = np.repeat(b["source"].to_numpy(), lens)
+        flat = toks.explode().dropna()
+        df = pd.DataFrame({"source": src, "token": flat.to_numpy(),
+                           "n": np.int64(1)})
+        return df.groupby(["source", "token"], as_index=False).sum()
+
+    counts = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["source", "token"], sum_cols=["n"]).to_pandas()
+    piv = counts.pivot_table(index="token", columns="source",
+                             values="n", fill_value=0, aggfunc="sum")
+    srcs = sorted(piv.columns)
+    tot = {s: int(piv[s].sum()) for s in srcs}
+    rows = []
+    for i, a in enumerate(srcs):
+        ca = piv[a].to_numpy(np.int64)
+        for b_ in srcs[i + 1:]:
+            cb = piv[b_].to_numpy(np.int64)
+            # overlap = sum min(ca/Ta, cb/Tb) = sum min(ca*Tb, cb*Ta)
+            # / (Ta*Tb) — exact bigints, one double division
+            num = int(np.minimum(ca.astype(object) * tot[b_],
+                                 cb.astype(object) * tot[a]).sum())
+            ov = float(num) / (float(tot[a]) * float(tot[b_]))
+            rows.append({"source_a": a, "source_b": b_,
+                         "overlap": np.floor(ov * 1e6 + 0.5) / 1e6})
+    return pd.DataFrame(rows)
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "best_week": q_best_week,
+    "weekday_adjusted_volume": q_weekday_adjusted_volume,
+    "transition_entropy": q_transition_entropy,
+    "trade_matrix": q_trade_matrix,
+    "day_k_retention": q_day_k_retention,
+    "source_overlap_coef": q_source_overlap_coef,
     "kfold_assign": q_kfold_assign,
     "engagement_percentiles": q_engagement_percentiles,
     "embedding_coverage": q_embedding_coverage,
@@ -14749,3 +15046,99 @@ ORACLE_SQL["props_numeric_stats"] = (
     "min(k)::BIGINT AS k_min, max(k)::BIGINT AS k_max, "
     "floor(CAST(sum(k) AS DOUBLE) / count(*) * 1000000 + 0.5) "
     "  / 1000000 AS k_mean FROM x GROUP BY 1")
+
+
+ORACLE_SQL["best_week"] = (
+    # first max wins: ORDER BY wsum DESC, start day ASC
+    "WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day, "
+    "  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT "
+    "    AS rev FROM orders GROUP BY 1), "
+    "r AS (SELECT day, sum(rev) OVER (ORDER BY day ROWS "
+    f"  {BEST_WEEK_DAYS - 1} PRECEDING) AS wsum, "
+    "  row_number() OVER (ORDER BY day) AS rn, "
+    f"  lag(day, {BEST_WEEK_DAYS - 1}) OVER (ORDER BY day) AS sday "
+    "  FROM d) "
+    "SELECT sday::BIGINT AS best_start_day, "
+    "day::BIGINT AS best_end_day, wsum::BIGINT AS window_rev_cents "
+    f"FROM r WHERE rn >= {BEST_WEEK_DAYS} "
+    "ORDER BY wsum DESC, sday LIMIT 1")
+
+
+ORACLE_SQL["weekday_adjusted_volume"] = (
+    "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+    "  count(*)::BIGINT AS n FROM events GROUP BY 1), "
+    "w AS (SELECT ((day + 3) % 7)::BIGINT AS weekday, "
+    "  floor(CAST(sum(n) AS DOUBLE) / count(*) * 1000000 + 0.5) "
+    "    / 1000000 AS weekday_mean FROM d GROUP BY 1) "
+    "SELECT day::BIGINT AS day, ((day + 3) % 7)::BIGINT AS weekday, "
+    "n, weekday_mean, "
+    "floor(CAST(n AS DOUBLE) / weekday_mean * 1000000 + 0.5) "
+    "  / 1000000 AS ratio "
+    "FROM d JOIN w ON w.weekday = (day + 3) % 7")
+
+
+ORACLE_SQL["transition_entropy"] = (
+    "WITH s AS (SELECT event_type, lead(event_type) OVER ("
+    "  PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nt "
+    "  FROM events), "
+    "c AS (SELECT event_type AS tf, nt, count(*)::BIGINT AS n "
+    "  FROM s WHERE nt IS NOT NULL GROUP BY 1, 2), "
+    "a AS (SELECT tf, sum(n)::BIGINT AS n, "
+    "  sum(n * log2(n::DOUBLE)) AS s FROM c GROUP BY tf) "
+    "SELECT tf AS type_from, n, "
+    "floor((log2(n::DOUBLE) - s / n) * 1000000 + 0.5) / 1000000 "
+    "  AS entropy FROM a")
+
+
+ORACLE_SQL["trade_matrix"] = (
+    "SELECT rc.r_name AS cust_region, rs.r_name AS supp_region, "
+    "sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+    "  * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT "
+    "  AS rev4 "
+    "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "JOIN nation nc ON nc.n_nationkey = c_nationkey "
+    "JOIN region rc ON rc.r_regionkey = nc.n_regionkey "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN nation ns ON ns.n_nationkey = s_nationkey "
+    "JOIN region rs ON rs.r_regionkey = ns.n_regionkey "
+    "GROUP BY 1, 2")
+
+
+ORACLE_SQL["day_k_retention"] = (
+    "WITH a AS (SELECT DISTINCT user_id, "
+    "  epoch_us(ts) // 86400000000 AS day FROM events), "
+    "f AS (SELECT user_id, min(day) AS fd FROM a GROUP BY 1), "
+    f"ks AS (SELECT unnest({list(RETENTION_KS)}) AS k) "
+    "SELECT ks.k::BIGINT AS k, count(*)::BIGINT AS n_users, "
+    "sum(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT "
+    "  AS n_retained, "
+    "floor(CAST(sum(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 "
+    "  END) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 "
+    "  AS rate "
+    "FROM ks CROSS JOIN f LEFT JOIN a r ON r.user_id = f.user_id "
+    "AND r.day = f.fd + ks.k GROUP BY ks.k")
+
+
+ORACLE_SQL["source_overlap_coef"] = (
+    # histogram intersection: sum min(ca*Tb, cb*Ta) / (Ta*Tb),
+    # exact HUGEINT numerator like source_tv_distance
+    "WITH tok AS (SELECT source, unnest(regexp_extract_all(lower("
+    "  coalesce(text, '')), '\\S+')) AS token FROM documents), "
+    "c AS (SELECT source, token, count(*)::HUGEINT AS n "
+    "  FROM tok GROUP BY 1, 2), "
+    "t AS (SELECT source, sum(n)::HUGEINT AS tot FROM c GROUP BY 1), "
+    "pairs AS (SELECT a.source AS sa, b.source AS sb, "
+    "  a.tot AS ta, b.tot AS tb FROM t a JOIN t b "
+    "  ON a.source < b.source), "
+    "v AS (SELECT token FROM c GROUP BY token), "
+    "x AS (SELECT p.sa, p.sb, p.ta, p.tb, v.token, "
+    "  coalesce(ca.n, 0) AS ca, coalesce(cb.n, 0) AS cb "
+    "  FROM pairs p CROSS JOIN v "
+    "  LEFT JOIN c ca ON ca.source = p.sa AND ca.token = v.token "
+    "  LEFT JOIN c cb ON cb.source = p.sb AND cb.token = v.token) "
+    "SELECT sa AS source_a, sb AS source_b, "
+    "floor(CAST(sum(least(ca * tb, cb * ta)) AS DOUBLE) "
+    "  / (CAST(min(ta) AS DOUBLE) * CAST(min(tb) AS DOUBLE)) "
+    "  * 1000000 + 0.5) / 1000000 AS overlap "
+    "FROM x GROUP BY sa, sb")

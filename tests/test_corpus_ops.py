@@ -3731,3 +3731,159 @@ def test_props_numeric_stats_handbuilt(ray_session, tmp_path):
     assert out["k_min"].iloc[0] == 5
     assert out["k_max"].iloc[0] == 7
     assert out["k_mean"].iloc[0] == 6.0
+
+
+def test_best_week_handbuilt(ray_session, tmp_path):
+    """Days 0..7 with a spike on day 7: best 7-active-day window is
+    days 1..7."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_best_week
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    d0 = np.datetime64("1995-01-01", "us")
+    day = np.timedelta64(86_400_000_000, "us")
+    n = 8
+    prices = [1.0] * 7 + [100.0]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(n), type=pa.int64()),
+        "o_custkey": pa.array([1] * n, type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * n),
+        "o_totalprice": pa.array(prices),
+        "o_orderdate": pa.array([d0 + i * day for i in range(n)],
+                                type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * n)}),
+        str(sf / "orders.parquet"))
+    out = q_best_week(str(sf))
+    base = int((d0 - np.datetime64(0, "us"))
+               / np.timedelta64(1, "D"))
+    assert out["best_start_day"].iloc[0] == base + 1
+    assert out["best_end_day"].iloc[0] == base + 7
+    assert out["window_rev_cents"].iloc[0] == 600 + 10000
+
+
+def test_transition_entropy_handbuilt(ray_session, tmp_path):
+    """From 'view' the next step splits 1:1 -> 1 bit; 'click' always
+    leads to 'view' -> 0 bits."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_transition_entropy)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [0, 1, 2, 3, 4], [1, 1, 1, 1, 1],
+                  ["view", "click", "view", "error", "view"])
+    out = q_transition_entropy(str(sf)).set_index("type_from")
+    assert out.loc["view", "n"] == 2
+    assert out.loc["view", "entropy"] == 1.0
+    assert out.loc["click", "entropy"] == 0.0
+
+
+def test_trade_matrix_handbuilt(ray_session, tmp_path):
+    """One customer in EUROPE buying from an ASIA supplier: a single
+    cross-region cell with the exact e4 revenue."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_trade_matrix)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], type=pa.int64()),
+        "r_name": pa.array(["EUROPE", "ASIA"])}),
+        str(sf / "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], type=pa.int64()),
+        "n_name": pa.array(["FRANCE", "JAPAN"]),
+        "n_regionkey": pa.array([0, 1], type=pa.int64())}),
+        str(sf / "nation.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], type=pa.int64()),
+        "c_name": pa.array(["c"]),
+        "c_nationkey": pa.array([0], type=pa.int64()),
+        "c_acctbal": pa.array([0.0]),
+        "c_mktsegment": pa.array(["A"])}),
+        str(sf / "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([5], type=pa.int64()),
+        "s_name": pa.array(["s"]),
+        "s_nationkey": pa.array([1], type=pa.int64()),
+        "s_acctbal": pa.array([0.0])}),
+        str(sf / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10], type=pa.int64()),
+        "o_custkey": pa.array([1], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"]),
+        "o_totalprice": pa.array([1.0]),
+        "o_orderdate": pa.array([np.datetime64("1995-01-01", "us")],
+                                type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"])}),
+        str(sf / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10], type=pa.int64()),
+        "l_suppkey": pa.array([5], type=pa.int64()),
+        "l_extendedprice": pa.array([2.0]),
+        "l_discount": pa.array([0.1])}),
+        str(sf / "lineitem.parquet"))
+    out = q_trade_matrix(str(sf))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["cust_region"], r["supp_region"]) == ("EUROPE", "ASIA")
+    assert r["rev4"] == 200 * 90
+
+
+def test_day_k_retention_handbuilt(ray_session, tmp_path):
+    """u1 returns on day 1 and 7; u2 never returns."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_day_k_retention)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    day_us = 86_400_000_000
+    _write_events(sf, [0, 1 * day_us, 7 * day_us, 0],
+                  [1, 1, 1, 2], ["view"] * 4)
+    out = q_day_k_retention(str(sf)).set_index("k")
+    assert out.loc[1, "n_retained"] == 1
+    assert out.loc[7, "n_retained"] == 1
+    assert out.loc[14, "n_retained"] == 0
+    assert (out["n_users"] == 2).all()
+    assert out.loc[1, "rate"] == 0.5
+
+
+def test_source_overlap_coef_handbuilt(ray_session, tmp_path):
+    """a={x:2,y:1}, b={x:1,y:3}: overlap = (min(8,3)+min(4,9))/12 =
+    7/12; tv + overlap = 1 for distributions."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_source_overlap_coef, q_source_tv_distance)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["x x y", "x y y y"], sources=["a", "b"])
+    ov = q_source_overlap_coef(str(sf))["overlap"].iloc[0]
+    tv = q_source_tv_distance(str(sf))["tv"].iloc[0]
+    assert ov == 0.583333
+    assert abs((1 - tv) - ov) < 2e-6
+
+
+def test_weekday_adjusted_volume_handbuilt(ray_session, tmp_path):
+    """Two Thursdays with 1 and 3 events (mean 2): ratios 0.5 and
+    1.5 against the weekday mean."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_weekday_adjusted_volume)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    day_us = 86_400_000_000
+    ts = [0] + [7 * day_us, 7 * day_us + 1, 7 * day_us + 2]
+    _write_events(sf, ts, [1] * 4, ["view"] * 4)
+    out = (q_weekday_adjusted_volume(str(sf))
+           .sort_values("day").reset_index(drop=True))
+    assert out["weekday"].tolist() == [3, 3]   # epoch day 0 = Thu
+    assert out["n"].tolist() == [1, 3]
+    assert out["weekday_mean"].tolist() == [2.0, 2.0]
+    assert out["ratio"].tolist() == [0.5, 1.5]

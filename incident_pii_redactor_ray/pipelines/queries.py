@@ -10437,11 +10437,284 @@ def q_source_overlap_coef(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+SPARSE_EPS6 = 10_000      # embedding_sparsity: |v6| < this is "zero"
+
+
+def q_dataset_card(sf_dir: str):
+    """Dataset-card metric sheet (round 4): the one-pass summary a
+    data release ships — doc/token/lang/source counts, mean doc
+    length, English share — as (metric, value) rows. Counts fold
+    map-side in a lang-bounded domain; every value derives from
+    exact ints. Returns (metric, value)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["lang", "source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "lang": b["lang"].to_numpy(),
+            "source": b["source"].to_numpy(),
+            "n_docs": np.int64(1),
+            "n_tokens": b["text"].fillna("").str.count(r"\S+")
+            .to_numpy(np.int64)})
+        return df.groupby(["lang", "source"], as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["lang", "source"], sum_cols=["n_docs", "n_tokens"],
+        num_shards=8).to_pandas()
+    nd = int(g["n_docs"].sum())
+    nt = int(g["n_tokens"].sum())
+    en = int(g.loc[g["lang"] == "en", "n_docs"].sum())
+    rows = [
+        ("n_docs", float(nd)),
+        ("n_tokens", float(nt)),
+        ("n_langs", float(g["lang"].nunique())),
+        ("n_sources", float(g["source"].nunique())),
+        ("mean_tokens_per_doc",
+         np.floor(nt / nd * 1e6 + 0.5) / 1e6),
+        ("pct_en", np.floor(en / nd * 1e6 + 0.5) / 1e6),
+    ]
+    return pd.DataFrame(rows, columns=["metric", "value"])
+
+
+def q_dispersion_index(sf_dir: str):
+    """Daily-count dispersion per event type (round 4): variance /
+    mean of events-per-day — 1 under Poisson arrivals, above 1 when
+    traffic is bursty at day scale. Exact HUGEINT-safe integer
+    moments over the bounded daily-count table; three final float
+    divisions. Returns (event_type, n_days, mean, variance,
+    dispersion)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy("datetime64[us]").view("int64")
+               // 86_400_000_000)
+        df = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                           "day": day, "n": np.int64(1)})
+        return df.groupby(["event_type", "day"], as_index=False).sum()
+
+    d = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "day"], sum_cols=["n"],
+        num_shards=8).to_pandas()
+    rows = []
+    for ty, g in d.groupby("event_type", sort=True):
+        c = [int(x) for x in g["n"]]
+        m = len(c)
+        s = sum(c)
+        q = sum(x * x for x in c)
+        mean = float(s) / m
+        var = float(m * q - s * s) / (m * m)
+        disp = float(m * q - s * s) / (m * s)
+        rows.append({
+            "event_type": ty, "n_days": np.int64(m),
+            "mean": np.floor(mean * 1e6 + 0.5) / 1e6,
+            "variance": np.floor(var * 1e6 + 0.5) / 1e6,
+            "dispersion": np.floor(disp * 1e6 + 0.5) / 1e6})
+    return pd.DataFrame(rows)
+
+
+def q_source_kl(sf_dir: str):
+    """Directed KL divergence between sources' token distributions
+    (round 4): KL(a || b) with add-1 smoothing on the reference side
+    — the asymmetric companion to TV/overlap that tells you which
+    direction a mixture substitution hurts. Per-term contributions
+    quantize to 1e-9 ints BEFORE summing (the source_lang_entropy
+    order-free convention). Returns (source_a, source_b, kl)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = (b["text"].fillna("").str.lower().str.findall(r"\S+"))
+        lens = toks.str.len().to_numpy(np.int64)
+        src = np.repeat(b["source"].to_numpy(), lens)
+        flat = toks.explode().dropna()
+        df = pd.DataFrame({"source": src, "token": flat.to_numpy(),
+                           "n": np.int64(1)})
+        return df.groupby(["source", "token"], as_index=False).sum()
+
+    counts = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["source", "token"], sum_cols=["n"]).to_pandas()
+    piv = counts.pivot_table(index="token", columns="source",
+                             values="n", fill_value=0, aggfunc="sum")
+    srcs = sorted(piv.columns)
+    tot = {s: int(piv[s].sum()) for s in srcs}
+    V = len(piv)
+    rows = []
+    for a in srcs:
+        ca = piv[a].to_numpy(np.int64)
+        for b_ in srcs:
+            if a == b_:
+                continue
+            cb = piv[b_].to_numpy(np.int64)
+            m = ca > 0
+            pa = ca[m].astype(np.float64) / tot[a]
+            pb = (cb[m].astype(np.float64) + 1.0) / (tot[b_] + V)
+            term = np.floor(pa * np.log2(pa / pb) * ENTROPY_SCALE
+                            + 0.5).astype(np.int64)
+            kl = float(int(term.sum())) / ENTROPY_SCALE
+            rows.append({"source_a": a, "source_b": b_,
+                         "kl": np.floor(kl * 1e6 + 0.5) / 1e6})
+    return pd.DataFrame(rows)
+
+
+def q_priority_trend(sf_dir: str):
+    """Order-priority mix by year (round 4): is urgency drifting —
+    the bounded (year x priority) trend matrix. Map-side partials.
+    Returns (year, o_orderpriority, n, pct)."""
+    from ..stages.relational import sharded_group_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        y = pd.DatetimeIndex(b["o_orderdate"]).year
+        df = pd.DataFrame({
+            "year": y.to_numpy(np.int64),
+            "o_orderpriority": b["o_orderpriority"].to_numpy(),
+            "n": np.int64(1)})
+        return df.groupby(["year", "o_orderpriority"],
+                          as_index=False).sum()
+
+    g = sharded_group_sum(
+        orders.map_batches(partial, batch_format="pandas"),
+        keys=["year", "o_orderpriority"], sum_cols=["n"],
+        num_shards=8).to_pandas()
+    tot = g.groupby("year")["n"].transform("sum")
+    g["year"] = g["year"].astype(np.int64)
+    g["n"] = g["n"].astype(np.int64)
+    g["pct"] = np.floor(g["n"].to_numpy(np.int64).astype(np.float64)
+                        / tot.to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    return g[["year", "o_orderpriority", "n", "pct"]]
+
+
+def q_embedding_sparsity(sf_dir: str):
+    """Embedding near-zero sparsity per label (round 4): the share
+    of components with |value| < {SPARSE_EPS6}e-6 — dead-feature /
+    over-regularization check. e6-quantized comparison, exact int
+    counts, map-side. Returns (label, n_components, n_small,
+    sparsity)."""
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dim = len(col[0])
+        v = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+        v6 = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        small = (np.abs(v6) < SPARSE_EPS6).sum(axis=1)
+        df = pd.DataFrame({
+            "label": np.asarray(batch.column("label"),
+                                dtype=np.int64),
+            "n_components": np.int64(dim),
+            "n_small": small.astype(np.int64)})
+        return df.groupby("label", as_index=False).sum()
+
+    g = (_emb(sf_dir).map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("label", as_index=False).sum())
+    g["label"] = g["label"].astype(np.int64)
+    g["n_components"] = g["n_components"].astype(np.int64)
+    g["n_small"] = g["n_small"].astype(np.int64)
+    g["sparsity"] = np.floor(
+        g["n_small"].to_numpy(np.int64).astype(np.float64)
+        / g["n_components"].to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    return g[["label", "n_components", "n_small", "sparsity"]]
+
+
+def q_growth_accounting(sf_dir: str):
+    """Monthly growth accounting (round 4): new / retained /
+    resurrected / churned user counts per month — the canonical
+    MAU decomposition. Each user's active-month set resolves in its
+    shard (users are shard-local); only month-indexed counters
+    leave; churn attributes to the month AFTER the last active one,
+    capped at the corpus max month. Returns (ym, n_new, n_retained,
+    n_resurrected, n_churned)."""
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        dt = pd.DatetimeIndex(b["ts"])
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "mi": (dt.year * 12 + dt.month - 1).to_numpy(np.int64)
+        }).drop_duplicates()
+        df["shard"] = shard_of_keys(df["user_id"].to_numpy(), 64)
+        return df
+
+    # global max month index: tiny bounded pre-pass
+    mx = int(sharded_group_sum(
+        ev.map_batches(
+            lambda b: pd.DataFrame(
+                {"one": np.int64(1),
+                 "mi": [np.int64((pd.DatetimeIndex(b["ts"]).year * 12
+                                  + pd.DatetimeIndex(b["ts"]).month
+                                  - 1).max())]}),
+            batch_format="pandas"),
+        keys=["one"], sum_cols=["mi"], how="max",
+        num_shards=1).to_pandas()["mi"].iloc[0])
+
+    def acct_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "mi"]) \
+            .sort_values(["user_id", "mi"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        mi = g["mi"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        out: dict[int, list] = {}
+
+        def bump(m, idx):
+            out.setdefault(m, [0, 0, 0, 0])[idx] += 1
+
+        for s, e in zip(starts, ends):
+            ms = mi[s:e]
+            bump(int(ms[0]), 0)                       # new
+            prev_active = set(ms.tolist())
+            for j in range(1, len(ms)):
+                if ms[j] - 1 in prev_active:
+                    bump(int(ms[j]), 1)               # retained
+                else:
+                    bump(int(ms[j]), 2)               # resurrected
+            for m in ms:
+                if m + 1 not in prev_active and m + 1 <= mx:
+                    bump(int(m) + 1, 3)               # churned
+        rows = [(m, *v) for m, v in out.items()]
+        return pd.DataFrame(rows, columns=[
+            "mi", "n_new", "n_retained", "n_resurrected",
+            "n_churned"]).astype(np.int64)
+
+    g = sharded_group_sum(
+        ev.map_batches(prep, batch_format="pandas")
+          .groupby("shard").map_groups(acct_shard,
+                                       batch_format="pandas"),
+        keys=["mi"], sum_cols=["n_new", "n_retained",
+                               "n_resurrected", "n_churned"],
+        num_shards=8).to_pandas()
+    mi = g["mi"].to_numpy(np.int64)
+    g["ym"] = (mi // 12) * 100 + mi % 12 + 1
+    for c in ("ym", "n_new", "n_retained", "n_resurrected",
+              "n_churned"):
+        g[c] = g[c].astype(np.int64)
+    return g[["ym", "n_new", "n_retained", "n_resurrected",
+              "n_churned"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "dataset_card": q_dataset_card,
+    "dispersion_index": q_dispersion_index,
+    "source_kl": q_source_kl,
+    "priority_trend": q_priority_trend,
+    "embedding_sparsity": q_embedding_sparsity,
+    "growth_accounting": q_growth_accounting,
     "best_week": q_best_week,
     "weekday_adjusted_volume": q_weekday_adjusted_volume,
     "transition_entropy": q_transition_entropy,
@@ -15142,3 +15415,115 @@ ORACLE_SQL["source_overlap_coef"] = (
     "  / (CAST(min(ta) AS DOUBLE) * CAST(min(tb) AS DOUBLE)) "
     "  * 1000000 + 0.5) / 1000000 AS overlap "
     "FROM x GROUP BY sa, sb")
+
+
+ORACLE_SQL["dataset_card"] = (
+    "WITH d AS (SELECT lang, source, len(regexp_extract_all("
+    "  coalesce(text, ''), '\\S+'))::BIGINT AS nt FROM documents), "
+    "a AS (SELECT count(*)::BIGINT AS nd, sum(nt)::BIGINT AS nts, "
+    "  count(DISTINCT lang)::BIGINT AS nl, "
+    "  count(DISTINCT source)::BIGINT AS ns, "
+    "  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS en "
+    "  FROM d) "
+    "SELECT 'n_docs' AS metric, CAST(nd AS DOUBLE) AS value FROM a "
+    "UNION ALL SELECT 'n_tokens', CAST(nts AS DOUBLE) FROM a "
+    "UNION ALL SELECT 'n_langs', CAST(nl AS DOUBLE) FROM a "
+    "UNION ALL SELECT 'n_sources', CAST(ns AS DOUBLE) FROM a "
+    "UNION ALL SELECT 'mean_tokens_per_doc', "
+    "floor(CAST(nts AS DOUBLE) / nd * 1000000 + 0.5) / 1000000 FROM a "
+    "UNION ALL SELECT 'pct_en', "
+    "floor(CAST(en AS DOUBLE) / nd * 1000000 + 0.5) / 1000000 FROM a")
+
+
+ORACLE_SQL["dispersion_index"] = (
+    "WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 "
+    "  AS day, count(*)::BIGINT AS n FROM events GROUP BY 1, 2), "
+    "m AS (SELECT event_type, count(*)::HUGEINT AS m, "
+    "  sum(n::HUGEINT)::HUGEINT AS s, "
+    "  sum(n::HUGEINT * n::HUGEINT)::HUGEINT AS q FROM d GROUP BY 1) "
+    "SELECT event_type, m::BIGINT AS n_days, "
+    "floor(CAST(s AS DOUBLE) / CAST(m AS DOUBLE) * 1000000 + 0.5) "
+    "  / 1000000 AS mean, "
+    "floor(CAST(m * q - s * s AS DOUBLE) / CAST(m * m AS DOUBLE) "
+    "  * 1000000 + 0.5) / 1000000 AS variance, "
+    "floor(CAST(m * q - s * s AS DOUBLE) / CAST(m * s AS DOUBLE) "
+    "  * 1000000 + 0.5) / 1000000 AS dispersion FROM m")
+
+
+ORACLE_SQL["source_kl"] = (
+    # per-term 1e-9 quantization before the sum (order-free); add-1
+    # smoothing on the reference side over the SHARED vocabulary
+    "WITH tok AS (SELECT source, unnest(regexp_extract_all(lower("
+    "  coalesce(text, '')), '\\S+')) AS token FROM documents), "
+    "c AS (SELECT source, token, count(*)::BIGINT AS n "
+    "  FROM tok GROUP BY 1, 2), "
+    "t AS (SELECT source, sum(n)::BIGINT AS tot FROM c GROUP BY 1), "
+    "vv AS (SELECT count(DISTINCT token)::BIGINT AS v FROM c), "
+    "x AS (SELECT a.source AS sa, b.source AS sb, "
+    "  ca.n AS can, coalesce(cb.n, 0) AS cbn, "
+    "  a.tot AS ta, b.tot AS tb, vv.v AS v "
+    "  FROM t a JOIN t b ON a.source <> b.source "
+    "  CROSS JOIN vv "
+    "  JOIN c ca ON ca.source = a.source "
+    "  LEFT JOIN c cb ON cb.source = b.source "
+    "    AND cb.token = ca.token), "
+    "terms AS (SELECT sa, sb, CAST(floor("
+    "  (CAST(can AS DOUBLE) / ta) "
+    "  * log2((CAST(can AS DOUBLE) / ta) "
+    "         / ((CAST(cbn AS DOUBLE) + 1) / CAST(tb + v AS DOUBLE))) "
+    f"  * {ENTROPY_SCALE} + 0.5) AS BIGINT) AS term FROM x) "
+    "SELECT sa AS source_a, sb AS source_b, "
+    f"floor(CAST(sum(term) AS DOUBLE) / {ENTROPY_SCALE} "
+    "  * 1000000 + 0.5) / 1000000 AS kl "
+    "FROM terms GROUP BY sa, sb")
+
+
+ORACLE_SQL["priority_trend"] = (
+    "WITH c AS (SELECT year(o_orderdate)::BIGINT AS year, "
+    "  o_orderpriority, count(*)::BIGINT AS n FROM orders "
+    "  GROUP BY 1, 2) "
+    "SELECT year, o_orderpriority, n, "
+    "floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY year) "
+    "  * 1000000 + 0.5) / 1000000 AS pct FROM c")
+
+
+ORACLE_SQL["embedding_sparsity"] = (
+    "WITH e AS (SELECT label::BIGINT AS label, "
+    "  CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) "
+    "  AS BIGINT) AS v6 FROM embeddings) "
+    "SELECT label, count(*)::BIGINT AS n_components, "
+    f"sum(CASE WHEN abs(v6) < {SPARSE_EPS6} THEN 1 ELSE 0 END)"
+    "::BIGINT AS n_small, "
+    f"floor(CAST(sum(CASE WHEN abs(v6) < {SPARSE_EPS6} THEN 1 "
+    "  ELSE 0 END) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 "
+    "  AS sparsity FROM e GROUP BY label")
+
+
+ORACLE_SQL["growth_accounting"] = (
+    "WITH am AS (SELECT DISTINCT user_id, "
+    "  (year(ts) * 12 + month(ts) - 1)::BIGINT AS mi FROM events), "
+    "f AS (SELECT user_id, min(mi) AS fmi FROM am GROUP BY 1), "
+    "mx AS (SELECT max(mi) AS mmax FROM am), "
+    "nw AS (SELECT fmi AS mi, count(*)::BIGINT AS n FROM f "
+    "  GROUP BY 1), "
+    "ret AS (SELECT a.mi, count(*)::BIGINT AS n FROM am a "
+    "  JOIN am p ON p.user_id = a.user_id AND p.mi = a.mi - 1 "
+    "  GROUP BY a.mi), "
+    "res AS (SELECT a.mi, count(*)::BIGINT AS n FROM am a "
+    "  JOIN f USING (user_id) "
+    "  LEFT JOIN am p ON p.user_id = a.user_id AND p.mi = a.mi - 1 "
+    "  WHERE a.mi > f.fmi AND p.user_id IS NULL GROUP BY a.mi), "
+    "chn AS (SELECT a.mi + 1 AS mi, count(*)::BIGINT AS n "
+    "  FROM am a LEFT JOIN am nx ON nx.user_id = a.user_id "
+    "  AND nx.mi = a.mi + 1 CROSS JOIN mx "
+    "  WHERE nx.user_id IS NULL AND a.mi + 1 <= mx.mmax "
+    "  GROUP BY a.mi + 1), "
+    "months AS (SELECT mi FROM nw UNION SELECT mi FROM ret "
+    "  UNION SELECT mi FROM res UNION SELECT mi FROM chn) "
+    "SELECT ((mi // 12) * 100 + mi % 12 + 1)::BIGINT AS ym, "
+    "coalesce(nw.n, 0)::BIGINT AS n_new, "
+    "coalesce(ret.n, 0)::BIGINT AS n_retained, "
+    "coalesce(res.n, 0)::BIGINT AS n_resurrected, "
+    "coalesce(chn.n, 0)::BIGINT AS n_churned "
+    "FROM months LEFT JOIN nw USING (mi) LEFT JOIN ret USING (mi) "
+    "LEFT JOIN res USING (mi) LEFT JOIN chn USING (mi)")

@@ -3887,3 +3887,126 @@ def test_weekday_adjusted_volume_handbuilt(ray_session, tmp_path):
     assert out["n"].tolist() == [1, 3]
     assert out["weekday_mean"].tolist() == [2.0, 2.0]
     assert out["ratio"].tolist() == [0.5, 1.5]
+
+
+def test_dataset_card_handbuilt(ray_session, tmp_path):
+    """Exact counts on a 2-doc bilingual corpus."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_dataset_card)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["one two three", "eins"],
+                 langs=["en", "de"], sources=["a", "b"])
+    out = q_dataset_card(str(sf)).set_index("metric")["value"]
+    assert out["n_docs"] == 2.0
+    assert out["n_tokens"] == 4.0
+    assert out["n_langs"] == 2.0
+    assert out["n_sources"] == 2.0
+    assert out["mean_tokens_per_doc"] == 2.0
+    assert out["pct_en"] == 0.5
+
+
+def test_dispersion_index_handbuilt(ray_session, tmp_path):
+    """Daily counts 1 and 3: mean 2, population var 1, dispersion
+    0.5."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_dispersion_index)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    day_us = 86_400_000_000
+    _write_events(sf, [0, day_us, day_us + 1, day_us + 2],
+                  [1] * 4, ["view"] * 4)
+    out = q_dispersion_index(str(sf))
+    assert out["n_days"].iloc[0] == 2
+    assert out["mean"].iloc[0] == 2.0
+    assert out["variance"].iloc[0] == 1.0
+    assert out["dispersion"].iloc[0] == 0.5
+
+
+def test_source_kl_properties(ray_session, tmp_path):
+    """KL is asymmetric, zero-ish for identical distributions, and
+    directed pairs both appear."""
+    from incident_pii_redactor_ray.pipelines.queries import q_source_kl
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["x x y", "x y y y"], sources=["a", "b"])
+    out = q_source_kl(str(sf)).set_index(["source_a", "source_b"])
+    assert len(out) == 2
+    assert out.loc[("a", "b"), "kl"] != out.loc[("b", "a"), "kl"]
+    assert (out["kl"] > 0).all()
+
+
+def test_embedding_sparsity_handbuilt(ray_session, tmp_path):
+    """One near-zero component of four -> sparsity 0.25."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_embedding_sparsity)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1], type=pa.int64()),
+        "embedding": pa.array([[0.001, 5.0], [2.0, 3.0]],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0, 0], type=pa.int32())}),
+        str(sf / "embeddings.parquet"))
+    out = q_embedding_sparsity(str(sf))
+    assert out["n_components"].iloc[0] == 4
+    assert out["n_small"].iloc[0] == 1
+    assert out["sparsity"].iloc[0] == 0.25
+
+
+def test_growth_accounting_handbuilt(ray_session, tmp_path):
+    """u1 active Jan+Feb (retained), u2 Jan only (churned into Feb),
+    u3 Jan and Mar (resurrected in Mar, churned into Feb)."""
+    import numpy as np
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_growth_accounting)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    jan = int(np.datetime64("2024-01-15", "us").astype("int64"))
+    feb = int(np.datetime64("2024-02-15", "us").astype("int64"))
+    mar = int(np.datetime64("2024-03-15", "us").astype("int64"))
+    _write_events(sf, [jan, feb, jan, jan, mar],
+                  [1, 1, 2, 3, 3], ["view"] * 5)
+    out = q_growth_accounting(str(sf)).set_index("ym")
+    assert out.loc[202401, "n_new"] == 3
+    assert out.loc[202402, "n_retained"] == 1
+    assert out.loc[202402, "n_churned"] == 2       # u2 and u3
+    assert out.loc[202403, "n_resurrected"] == 1   # u3
+    assert out.loc[202403, "n_churned"] == 1       # u1 (active Feb only)
+
+
+def test_priority_trend_handbuilt(ray_session, tmp_path):
+    """One year, priorities 2:1 -> pct 2/3 and 1/3."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_priority_trend)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([0, 1, 2], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([1.0] * 3),
+        "o_orderdate": pa.array(
+            [np.datetime64("1995-03-01", "us")] * 3,
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT",
+                                     "2-HIGH"])}),
+        str(sf / "orders.parquet"))
+    out = (q_priority_trend(str(sf))
+           .sort_values("o_orderpriority").reset_index(drop=True))
+    assert out["year"].tolist() == [1995, 1995]
+    assert out["pct"].tolist() == [0.666667, 0.333333]

@@ -10704,11 +10704,253 @@ def q_growth_accounting(sf_dir: str):
               "n_churned"]]
 
 
+def q_cohort_ltv(sf_dir: str):
+    """Cohort LTV triangle (round 4): cent-exact revenue by (first-
+    order-month cohort, month age) — the lifetime-value read.
+    Custkey-sharded first-month resolution (each customer's history
+    is shard-local); the triangle itself is a bounded (cohorts x
+    ages) rollup. Returns (cohort_ym, age_months, rev_cents)."""
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        dt = pd.DatetimeIndex(b["o_orderdate"])
+        df = pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(np.int64),
+            "mi": (dt.year * 12 + dt.month - 1).to_numpy(np.int64),
+            "rev": np.floor(b["o_totalprice"].to_numpy(np.float64)
+                            * 100 + 0.5).astype(np.int64)})
+        df["shard"] = shard_of_keys(df["o_custkey"].to_numpy(), 64)
+        return df
+
+    def tri_shard(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("o_custkey")["mi"].transform("min")
+        df = pd.DataFrame({
+            "cohort_mi": first.to_numpy(np.int64),
+            "age_months": (g["mi"].to_numpy(np.int64)
+                           - first.to_numpy(np.int64)),
+            "rev_cents": g["rev"].to_numpy(np.int64)})
+        return df.groupby(["cohort_mi", "age_months"],
+                          as_index=False).sum()
+
+    g = sharded_group_sum(
+        orders.map_batches(prep, batch_format="pandas")
+        .groupby("shard").map_groups(tri_shard,
+                                     batch_format="pandas"),
+        keys=["cohort_mi", "age_months"], sum_cols=["rev_cents"],
+        num_shards=8).to_pandas()
+    mi = g["cohort_mi"].to_numpy(np.int64)
+    g["cohort_ym"] = (mi // 12) * 100 + mi % 12 + 1
+    for c in ("cohort_ym", "age_months", "rev_cents"):
+        g[c] = g[c].astype(np.int64)
+    return g[["cohort_ym", "age_months", "rev_cents"]]
+
+
+def q_monthly_return_share(sf_dir: str):
+    """Returned-revenue share per ship month (round 4): what
+    fraction of each month's e4 revenue came back flagged 'R' — the
+    quality trend. Bounded (month x 2) domain, map-side e4 partials.
+    Returns (ym, rev4_total, rev4_returned, return_share)."""
+    from ..stages.relational import sharded_group_sum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        dt = pd.DatetimeIndex(
+            np.asarray(batch.column("l_shipdate"),
+                       dtype="datetime64[us]"))
+        rev = np.asarray(_rev_e4(batch), dtype=np.int64)
+        ret = np.asarray(batch.column("l_returnflag")) == "R"
+        df = pd.DataFrame({
+            "ym": (dt.year * 100 + dt.month).to_numpy(np.int64),
+            "rev4_total": rev,
+            "rev4_returned": np.where(ret, rev, 0)})
+        return df.groupby("ym", as_index=False).sum()
+
+    g = sharded_group_sum(
+        li.map_batches(partial, batch_format="pyarrow"),
+        keys=["ym"], sum_cols=["rev4_total", "rev4_returned"],
+        num_shards=8).to_pandas()
+    g["return_share"] = np.floor(
+        g["rev4_returned"].to_numpy(np.int64).astype(np.float64)
+        / g["rev4_total"].to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    for c in ("ym", "rev4_total", "rev4_returned"):
+        g[c] = g[c].astype(np.int64)
+    return g[["ym", "rev4_total", "rev4_returned", "return_share"]]
+
+
+def q_lifetime_span(sf_dir: str):
+    """User lifetime span (round 4): first/last active epoch day and
+    the inclusive span — the raw input to LTV and churn models. ONE
+    metadata-only exchange (user, min day, max day). Returns
+    (user_id, first_day, last_day, span_days)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy("datetime64[us]").view("int64")
+               // 86_400_000_000)
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "first_day": day, "last_day": day})
+        return df.groupby("user_id", as_index=False).agg(
+            first_day=("first_day", "min"),
+            last_day=("last_day", "max"))
+
+    lo = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas")
+        .map_batches(lambda b: b[["user_id", "first_day"]],
+                     batch_format="pandas"),
+        keys=["user_id"], sum_cols=["first_day"],
+        how="min").to_pandas()
+    hi = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas")
+        .map_batches(lambda b: b[["user_id", "last_day"]],
+                     batch_format="pandas"),
+        keys=["user_id"], sum_cols=["last_day"],
+        how="max").to_pandas()
+    g = lo.merge(hi, on="user_id")
+    g["span_days"] = (g["last_day"].to_numpy(np.int64)
+                      - g["first_day"].to_numpy(np.int64) + 1)
+    for c in ("user_id", "first_day", "last_day", "span_days"):
+        g[c] = g[c].astype(np.int64)
+    return g[["user_id", "first_day", "last_day", "span_days"]]
+
+
+def q_weekly_range(sf_dir: str):
+    """Weekly high/low of daily revenue (round 4): the OHLC-style
+    range view at week grain. Daily cent sums are one bounded
+    exchange; the week fold is a tiny rollup. Returns (week,
+    n_days, min_day_rev, max_day_rev)."""
+    from ..stages.relational import sharded_group_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "day": b["o_orderdate"].to_numpy("datetime64[us]")
+            .view("int64") // 86_400_000_000,
+            "rev": np.floor(b["o_totalprice"].to_numpy(np.float64)
+                            * 100 + 0.5).astype(np.int64)})
+        return df.groupby("day", as_index=False).sum()
+
+    d = sharded_group_sum(
+        orders.map_batches(partial, batch_format="pandas"),
+        keys=["day"], sum_cols=["rev"]).to_pandas()
+    d["week"] = d["day"].to_numpy(np.int64) // 7
+    g = d.groupby("week", as_index=False).agg(
+        n_days=("day", "size"), min_day_rev=("rev", "min"),
+        max_day_rev=("rev", "max"))
+    for c in ("week", "n_days", "min_day_rev", "max_day_rev"):
+        g[c] = g[c].astype(np.int64)
+    return g[["week", "n_days", "min_day_rev", "max_day_rev"]]
+
+
+def q_nation_balance(sf_dir: str):
+    """Customers-per-supplier balance by nation (round 4): the
+    marketplace liquidity read over two dimension rollups joined on
+    the nation dimension (all bounded). Returns (n_name,
+    n_customers, n_suppliers, ratio)."""
+    from ..stages.relational import sharded_group_sum
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_nationkey"])
+    supp = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                 columns=["s_nationkey"])
+
+    def cpart(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"nk": b["c_nationkey"].to_numpy(np.int64),
+                           "n_customers": np.int64(1)})
+        return df.groupby("nk", as_index=False).sum()
+
+    def spart(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"nk": b["s_nationkey"].to_numpy(np.int64),
+                           "n_suppliers": np.int64(1)})
+        return df.groupby("nk", as_index=False).sum()
+
+    c = sharded_group_sum(cust.map_batches(cpart,
+                                           batch_format="pandas"),
+                          keys=["nk"], sum_cols=["n_customers"],
+                          num_shards=4).to_pandas()
+    s = sharded_group_sum(supp.map_batches(spart,
+                                           batch_format="pandas"),
+                          keys=["nk"], sum_cols=["n_suppliers"],
+                          num_shards=4).to_pandas()
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+    g = (nat.merge(c, left_on="n_nationkey", right_on="nk",
+                   how="left")
+         .merge(s, left_on="n_nationkey", right_on="nk",
+                how="left"))
+    g["n_customers"] = g["n_customers"].fillna(0).astype(np.int64)
+    g["n_suppliers"] = g["n_suppliers"].fillna(0).astype(np.int64)
+    g["ratio"] = np.floor(
+        g["n_customers"].to_numpy(np.int64).astype(np.float64)
+        / np.maximum(g["n_suppliers"].to_numpy(np.int64), 1)
+        * 1e6 + 0.5) / 1e6
+    return g[["n_name", "n_customers", "n_suppliers", "ratio"]]
+
+
+def q_tukey_days(sf_dir: str):
+    """Tukey-fence outlier days (round 4): days whose event count
+    falls outside [Q1 - 1.5 IQR, Q3 + 1.5 IQR] — flagged with
+    INTEGER-EXACT fences (4n < 4Q1 - 6 IQR avoids the 1.5 float).
+    Quartiles are exact discrete (lower rule: smallest value with
+    cum >= ceil(q*n)) over the bounded daily-count table. Returns
+    (day, n, is_outlier)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy("datetime64[us]").view("int64")
+               // 86_400_000_000)
+        df = pd.DataFrame({"day": day, "n": np.int64(1)})
+        return df.groupby("day", as_index=False).sum()
+
+    d = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["day"], sum_cols=["n"]).to_pandas() \
+        .sort_values("n", kind="mergesort")
+    cnt = d["n"].to_numpy(np.int64)
+    m = len(cnt)
+    srt = np.sort(cnt)
+
+    def quart(num: int, den: int) -> int:
+        need = (num * m + den - 1) // den
+        return int(srt[need - 1])
+
+    q1, q3 = quart(1, 4), quart(3, 4)
+    iqr = q3 - q1
+    n4 = 4 * d["n"].to_numpy(np.int64)
+    out = (n4 < 4 * q1 - 6 * iqr) | (n4 > 4 * q3 + 6 * iqr)
+    d["is_outlier"] = out.astype(np.int64)
+    d["day"] = d["day"].astype(np.int64)
+    d["n"] = d["n"].astype(np.int64)
+    return d[["day", "n", "is_outlier"]].sort_values("day") \
+        .reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "cohort_ltv": q_cohort_ltv,
+    "monthly_return_share": q_monthly_return_share,
+    "lifetime_span": q_lifetime_span,
+    "weekly_range": q_weekly_range,
+    "nation_balance": q_nation_balance,
+    "tukey_days": q_tukey_days,
     "dataset_card": q_dataset_card,
     "dispersion_index": q_dispersion_index,
     "source_kl": q_source_kl,
@@ -15527,3 +15769,79 @@ ORACLE_SQL["growth_accounting"] = (
     "coalesce(chn.n, 0)::BIGINT AS n_churned "
     "FROM months LEFT JOIN nw USING (mi) LEFT JOIN ret USING (mi) "
     "LEFT JOIN res USING (mi) LEFT JOIN chn USING (mi)")
+
+
+ORACLE_SQL["cohort_ltv"] = (
+    "WITH o AS (SELECT o_custkey, "
+    "  (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT "
+    "    AS mi, "
+    "  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS rev "
+    "  FROM orders), "
+    "f AS (SELECT o_custkey, min(mi) AS fmi FROM o GROUP BY 1) "
+    "SELECT ((fmi // 12) * 100 + fmi % 12 + 1)::BIGINT "
+    "  AS cohort_ym, (mi - fmi)::BIGINT AS age_months, "
+    "sum(rev)::BIGINT AS rev_cents "
+    "FROM o JOIN f USING (o_custkey) GROUP BY 1, 2")
+
+
+ORACLE_SQL["monthly_return_share"] = (
+    "WITH l AS (SELECT l_shipdate, l_returnflag, "
+    "  CAST(round(l_extendedprice * 100) AS BIGINT) "
+    "  * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev "
+    "  FROM lineitem), "
+    "c AS (SELECT (year(l_shipdate) * 100 "
+    "  + month(l_shipdate))::BIGINT AS ym, "
+    "  sum(rev)::BIGINT AS t, "
+    "  sum(CASE WHEN l_returnflag = 'R' THEN rev ELSE 0 END)::BIGINT "
+    "    AS r FROM l GROUP BY 1) "
+    "SELECT ym, t AS rev4_total, r AS rev4_returned, "
+    "floor(CAST(r AS DOUBLE) / t * 1000000 + 0.5) / 1000000 "
+    "  AS return_share FROM c")
+
+
+ORACLE_SQL["lifetime_span"] = (
+    "SELECT user_id, "
+    "min(epoch_us(ts) // 86400000000)::BIGINT AS first_day, "
+    "max(epoch_us(ts) // 86400000000)::BIGINT AS last_day, "
+    "(max(epoch_us(ts) // 86400000000) "
+    " - min(epoch_us(ts) // 86400000000) + 1)::BIGINT AS span_days "
+    "FROM events GROUP BY user_id")
+
+
+ORACLE_SQL["weekly_range"] = (
+    "WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day, "
+    "  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT "
+    "    AS rev FROM orders GROUP BY 1) "
+    "SELECT (day // 7)::BIGINT AS week, count(*)::BIGINT AS n_days, "
+    "min(rev)::BIGINT AS min_day_rev, max(rev)::BIGINT "
+    "  AS max_day_rev FROM d GROUP BY 1")
+
+
+ORACLE_SQL["nation_balance"] = (
+    "WITH c AS (SELECT c_nationkey AS nk, count(*)::BIGINT AS nc "
+    "  FROM customer GROUP BY 1), "
+    "s AS (SELECT s_nationkey AS nk, count(*)::BIGINT AS ns "
+    "  FROM supplier GROUP BY 1) "
+    "SELECT n_name, coalesce(nc, 0)::BIGINT AS n_customers, "
+    "coalesce(ns, 0)::BIGINT AS n_suppliers, "
+    "floor(CAST(coalesce(nc, 0) AS DOUBLE) "
+    "  / greatest(coalesce(ns, 0), 1) * 1000000 + 0.5) / 1000000 "
+    "  AS ratio "
+    "FROM nation LEFT JOIN c ON c.nk = n_nationkey "
+    "LEFT JOIN s ON s.nk = n_nationkey")
+
+
+ORACLE_SQL["tukey_days"] = (
+    # integer-exact fences: 4n vs 4Q - 6 IQR (no 1.5 float); lower-
+    # rule discrete quartiles at ranks ceil(m/4) and ceil(3m/4)
+    "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+    "  count(*)::BIGINT AS n FROM events GROUP BY 1), "
+    "r AS (SELECT n, row_number() OVER (ORDER BY n) AS rn, "
+    "  count(*) OVER () AS m FROM d), "
+    "q AS (SELECT min(CASE WHEN rn = (m + 3) // 4 THEN n END) AS q1, "
+    "  min(CASE WHEN rn = (3 * m + 3) // 4 THEN n END) AS q3 "
+    "  FROM r) "
+    "SELECT day::BIGINT AS day, n, "
+    "(4 * n < 4 * q1 - 6 * (q3 - q1) "
+    " OR 4 * n > 4 * q3 + 6 * (q3 - q1))::BIGINT AS is_outlier "
+    "FROM d, q")

@@ -4010,3 +4010,156 @@ def test_priority_trend_handbuilt(ray_session, tmp_path):
            .sort_values("o_orderpriority").reset_index(drop=True))
     assert out["year"].tolist() == [1995, 1995]
     assert out["pct"].tolist() == [0.666667, 0.333333]
+
+
+def test_cohort_ltv_handbuilt(ray_session, tmp_path):
+    """Customer first orders in Jan (age 0), reorders in Mar
+    (age 2); cents exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import q_cohort_ltv
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([0, 1], type=pa.int64()),
+        "o_custkey": pa.array([1, 1], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 2),
+        "o_totalprice": pa.array([10.0, 25.5]),
+        "o_orderdate": pa.array(
+            [np.datetime64("1995-01-05", "us"),
+             np.datetime64("1995-03-09", "us")],
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 2)}),
+        str(sf / "orders.parquet"))
+    out = (q_cohort_ltv(str(sf))
+           .sort_values("age_months").reset_index(drop=True))
+    assert out["cohort_ym"].tolist() == [199501, 199501]
+    assert out["age_months"].tolist() == [0, 2]
+    assert out["rev_cents"].tolist() == [1000, 2550]
+
+
+def test_monthly_return_share_handbuilt(ray_session, tmp_path):
+    """One returned of two equal-revenue items in a month -> 0.5."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_monthly_return_share)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    d = np.datetime64("1995-06-10", "us")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([0, 1], type=pa.int64()),
+        "l_returnflag": pa.array(["R", "N"]),
+        "l_extendedprice": pa.array([1.0, 1.0]),
+        "l_discount": pa.array([0.0, 0.0]),
+        "l_shipdate": pa.array([d, d], type=pa.timestamp("us"))}),
+        str(sf / "lineitem.parquet"))
+    out = q_monthly_return_share(str(sf))
+    assert out["ym"].iloc[0] == 199506
+    assert out["return_share"].iloc[0] == 0.5
+
+
+def test_lifetime_span_handbuilt(ray_session, tmp_path):
+    """Span is inclusive: first day 0, last day 2 -> 3 days."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_lifetime_span)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    day_us = 86_400_000_000
+    _write_events(sf, [0, 2 * day_us], [1, 1], ["view"] * 2)
+    out = q_lifetime_span(str(sf))
+    assert out["span_days"].iloc[0] == 3
+
+
+def test_weekly_range_handbuilt(ray_session, tmp_path):
+    """Two days in epoch-week k with daily revenue 100 and 300."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_weekly_range)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    d0 = np.datetime64("1995-01-02", "us")     # epoch day 9132
+    day = np.timedelta64(86_400_000_000, "us")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([0, 1], type=pa.int64()),
+        "o_custkey": pa.array([1, 1], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 2),
+        "o_totalprice": pa.array([1.0, 3.0]),
+        "o_orderdate": pa.array([d0, d0 + day],
+                                type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 2)}),
+        str(sf / "orders.parquet"))
+    out = q_weekly_range(str(sf))
+    assert len(out) == 1
+    assert out["n_days"].iloc[0] == 2
+    assert out["min_day_rev"].iloc[0] == 100
+    assert out["max_day_rev"].iloc[0] == 300
+
+
+def test_nation_balance_handbuilt(ray_session, tmp_path):
+    """2 customers / 1 supplier in one nation; a supplier-less
+    nation guards the ratio denominator."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_nation_balance)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], type=pa.int64()),
+        "n_name": pa.array(["FRANCE", "JAPAN"]),
+        "n_regionkey": pa.array([0, 0], type=pa.int64())}),
+        str(sf / "nation.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+        "c_nationkey": pa.array([0, 0, 1], type=pa.int64()),
+        "c_mktsegment": pa.array(["A"] * 3),
+        "c_acctbal": pa.array([0.0] * 3)}),
+        str(sf / "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1], type=pa.int64()),
+        "s_nationkey": pa.array([0], type=pa.int64()),
+        "s_acctbal": pa.array([0.0])}),
+        str(sf / "supplier.parquet"))
+    out = q_nation_balance(str(sf)).set_index("n_name")
+    assert out.loc["FRANCE", "ratio"] == 2.0
+    assert out.loc["JAPAN", "n_suppliers"] == 0
+    assert out.loc["JAPAN", "ratio"] == 1.0    # guarded denominator
+
+
+def test_tukey_days_handbuilt(ray_session, tmp_path):
+    """Five days of ~2 events and one 50-event day: only the spike
+    is flagged."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_tukey_days)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    day_us = 86_400_000_000
+    ts, uid = [], []
+    for d in range(5):
+        for i in range(2):
+            ts.append(d * day_us + i)
+            uid.append(1)
+    for i in range(50):
+        ts.append(5 * day_us + i)
+        uid.append(1)
+    _write_events(sf, ts, uid, ["view"] * len(ts))
+    out = q_tukey_days(str(sf)).set_index("day")
+    base = out.index.min()
+    assert out.loc[base + 5, "is_outlier"] == 1
+    assert out.loc[[base + i for i in range(5)],
+                   "is_outlier"].sum() == 0

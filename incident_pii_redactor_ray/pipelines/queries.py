@@ -10940,11 +10940,248 @@ def q_tukey_days(sf_dir: str):
         .reset_index(drop=True)
 
 
+#: column_fingerprint: (table, column) pairs to fingerprint —
+#: string-cast value domain, shared by engine and oracle
+FP_COLUMNS = [("documents", "lang"), ("documents", "source"),
+              ("events", "event_type"), ("orders", "o_orderpriority"),
+              ("orders", "o_orderstatus"), ("customer", "c_mktsegment")]
+FP_BANDS = 4
+TAIL_SHARD_BAL = 64      # shard_balance: shard count audited
+
+
+def q_column_fingerprint(sf_dir: str):
+    """Column content fingerprints for schema matching (round 4):
+    a {FP_BANDS}-band minhash (min of salted md5 over the column's
+    string-cast values) per audited column — equal signatures flag
+    columns with identical value domains across tables. Map-side
+    min partials, no shuffle beyond the tiny fold. Returns
+    (table_name, column_name, b0..b{FP_BANDS-1})."""
+    import hashlib
+
+    rows = []
+    for table, col in FP_COLUMNS:
+        ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                   columns=[col])
+
+        def partial(b: pd.DataFrame, col=col) -> pd.DataFrame:
+            vals = b[col].astype(str).unique()
+            out = {}
+            for band in range(FP_BANDS):
+                out[f"b{band}"] = [min(
+                    hashlib.md5(f"{band}:{v}".encode()).hexdigest()
+                    for v in vals)]
+            return pd.DataFrame(out)
+
+        p = ds.map_batches(partial, batch_format="pandas") \
+            .to_pandas().min()
+        rows.append({"table_name": table, "column_name": col,
+                     **{f"b{band}": p[f"b{band}"]
+                        for band in range(FP_BANDS)}})
+    return pd.DataFrame(rows)
+
+
+def q_bounce_rate(sf_dir: str):
+    """Session bounce rate (round 4): single-event sessions over all
+    30-min-gap sessions — the shallow-engagement number. Reuses the
+    shared session_windows stage; two integers per batch leave.
+    Returns one row (n_sessions, n_bounce, bounce_rate)."""
+    from ..stages.relational import session_windows
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+    sess = session_windows(ev, gap="30min")
+
+    def roll(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n_events"].to_numpy(np.int64)
+        return pd.DataFrame([{
+            "n_sessions": np.int64(len(n)),
+            "n_bounce": np.int64(int((n == 1).sum()))}])
+
+    p = (sess.map_batches(roll, batch_format="pandas")
+         .to_pandas().sum())
+    ns, nb = int(p["n_sessions"]), int(p["n_bounce"])
+    return pd.DataFrame([{
+        "n_sessions": np.int64(ns), "n_bounce": np.int64(nb),
+        "bounce_rate": np.floor(nb / ns * 1e6 + 0.5) / 1e6}])
+
+
+def q_tail_ratio(sf_dir: str):
+    """Value tail-heaviness per event type (round 4): exact discrete
+    p50 and p99 of the e6-quantized value and their ratio — the
+    heavy-tail alarm before mean-based decisions. Same bounded
+    distinct-value histogram as trimmed_mean. Returns (event_type,
+    n, p50_v6, p99_v6, tail_ratio)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["event_type", "value"])
+
+    def vpart(b: pd.DataFrame) -> pd.DataFrame:
+        v6 = np.floor(b["value"].to_numpy(np.float64) * 1e6
+                      + 0.5).astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                           "v6": v6, "n": np.int64(1)})
+        return df.groupby(["event_type", "v6"], as_index=False).sum()
+
+    hist = sharded_group_sum(
+        ev.map_batches(vpart, batch_format="pandas"),
+        keys=["event_type", "v6"], sum_cols=["n"],
+        num_shards=16).to_pandas()
+    rows = []
+    for ty, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("v6", kind="mergesort")
+        v = g["v6"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+
+        def pctl(num, den):
+            need = (num * n + den - 1) // den
+            return int(v[np.searchsorted(cum, need)])
+
+        p50, p99 = pctl(1, 2), pctl(99, 100)
+        ratio = float(p99) / p50 if p50 else 0.0
+        rows.append({"event_type": ty, "n": np.int64(n),
+                     "p50_v6": np.int64(p50), "p99_v6": np.int64(p99),
+                     "tail_ratio": np.floor(ratio * 1e6 + 0.5) / 1e6})
+    return pd.DataFrame(rows)
+
+
+def q_peak_concurrency(sf_dir: str):
+    """Peak concurrent sessions (round 4): the sweep-line max over
+    all users' 30-min-gap session intervals (inclusive ends) — the
+    capacity-planning number. Sessions reduce to (+1 at start, -1
+    at end+1us) deltas; the prefix-max folds over the time-sorted
+    session-dimension table on the driver (at 100 TB this would
+    become a time-bucketed two-pass scan — documented trade).
+    Returns one row (n_sessions, peak)."""
+    from ..stages.relational import session_windows
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+    sess = session_windows(ev, gap="30min")
+
+    def deltas(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["session_start"].to_numpy("datetime64[us]") \
+            .view("int64")
+        e = b["session_end"].to_numpy("datetime64[us]") \
+            .view("int64") + 1
+        return pd.DataFrame({
+            "t": np.concatenate([s, e]),
+            "d": np.concatenate([np.ones(len(s), dtype=np.int64),
+                                 -np.ones(len(e), dtype=np.int64)])})
+
+    d = (sess.map_batches(deltas, batch_format="pandas")
+         .to_pandas().groupby("t", as_index=False).sum()
+         .sort_values("t"))
+    run = np.cumsum(d["d"].to_numpy(np.int64))
+    n_sessions = int((d["d"].to_numpy(np.int64) > 0).sum()) \
+        if len(d) else 0
+    n_sessions = int(d["d"].to_numpy(np.int64)[
+        d["d"].to_numpy(np.int64) > 0].sum())
+    return pd.DataFrame([{
+        "n_sessions": np.int64(n_sessions),
+        "peak": np.int64(int(run.max()) if len(run) else 0)}])
+
+
+def q_shard_balance(sf_dir: str):
+    """Shuffle-shard balance audit (round 4): doc counts per
+    md5-derived shard (first 8 hex digits mod {TAIL_SHARD_BAL}) and
+    each shard's deviation from the mean — the skew check a
+    partitioner ships with. SQL-mirrorable hash by construction.
+    Returns (shard, n_docs, dev_ratio)."""
+    import hashlib
+
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        sh = np.asarray([int(hashlib.md5(x.encode()).hexdigest()[:8],
+                             16) % TAIL_SHARD_BAL for x in t],
+                        dtype=np.int64)
+        df = pd.DataFrame({"shard": sh, "n_docs": np.int64(1)})
+        return df.groupby("shard", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["shard"], sum_cols=["n_docs"],
+        num_shards=8).to_pandas()
+    tot = int(g["n_docs"].sum())
+    mean = tot / TAIL_SHARD_BAL
+    g["shard"] = g["shard"].astype(np.int64)
+    g["n_docs"] = g["n_docs"].astype(np.int64)
+    g["dev_ratio"] = np.floor(
+        g["n_docs"].to_numpy(np.int64).astype(np.float64) / mean
+        * 1e6 + 0.5) / 1e6
+    return g[["shard", "n_docs", "dev_ratio"]]
+
+
+def q_stickiness(sf_dir: str):
+    """DAU/MAU stickiness per month (round 4): mean daily active
+    users over monthly active users — the habit metric. (ym, day,
+    user) distincts fold once (metadata-only), MAU via a month-
+    sharded distinct. Returns (ym, mau, mean_dau, stickiness)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        dt = pd.DatetimeIndex(b["ts"])
+        return pd.DataFrame({
+            "ym": (dt.year * 100 + dt.month).to_numpy(np.int64),
+            "day": b["ts"].to_numpy("datetime64[us]").view("int64")
+            // 86_400_000_000,
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "one": np.int64(1)}).drop_duplicates(
+                ["ym", "day", "user_id"])
+
+    ud = sharded_group_sum(
+        ev.map_batches(prep, batch_format="pandas"),
+        keys=["ym", "day", "user_id"], sum_cols=["one"])
+
+    def dau_part(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"ym": b["ym"].to_numpy(np.int64),
+                           "day": b["day"].to_numpy(np.int64),
+                           "dau": np.int64(1)})
+        return df.groupby(["ym", "day"], as_index=False).sum()
+
+    daily = (ud.map_batches(dau_part, batch_format="pandas")
+             .to_pandas().groupby(["ym", "day"], as_index=False)
+             .sum())
+
+    def mau_part(b: pd.DataFrame) -> pd.DataFrame:
+        df = b[["ym", "user_id"]].drop_duplicates()
+        return pd.DataFrame({"ym": df["ym"].to_numpy(np.int64),
+                             "user_id": df["user_id"]
+                             .to_numpy(np.int64)})
+
+    mu = (ud.map_batches(mau_part, batch_format="pandas")
+          .to_pandas().drop_duplicates()
+          .groupby("ym", as_index=False).size()
+          .rename(columns={"size": "mau"}))
+    g = daily.groupby("ym", as_index=False).agg(
+        days=("day", "size"), dsum=("dau", "sum")).merge(mu, on="ym")
+    g["mean_dau"] = np.floor(
+        g["dsum"].to_numpy(np.int64).astype(np.float64)
+        / g["days"].to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    g["stickiness"] = np.floor(
+        g["mean_dau"].to_numpy(np.float64)
+        / g["mau"].to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    g["ym"] = g["ym"].astype(np.int64)
+    g["mau"] = g["mau"].astype(np.int64)
+    return g[["ym", "mau", "mean_dau", "stickiness"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "column_fingerprint": q_column_fingerprint,
+    "bounce_rate": q_bounce_rate,
+    "tail_ratio": q_tail_ratio,
+    "peak_concurrency": q_peak_concurrency,
+    "shard_balance": q_shard_balance,
+    "stickiness": q_stickiness,
     "cohort_ltv": q_cohort_ltv,
     "monthly_return_share": q_monthly_return_share,
     "lifetime_span": q_lifetime_span,
@@ -15845,3 +16082,96 @@ ORACLE_SQL["tukey_days"] = (
     "(4 * n < 4 * q1 - 6 * (q3 - q1) "
     " OR 4 * n > 4 * q3 + 6 * (q3 - q1))::BIGINT AS is_outlier "
     "FROM d, q")
+
+
+ORACLE_SQL["column_fingerprint"] = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
+    + ", ".join(
+        f"min(md5('{band}:' || CAST({c} AS VARCHAR))) AS b{band}"
+        for band in range(FP_BANDS))
+    + f" FROM {t}"
+    for t, c in FP_COLUMNS)
+
+
+ORACLE_SQL["bounce_rate"] = (
+    "WITH o AS (SELECT user_id, ts, CASE WHEN "
+    "  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR "
+    "  ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+    "    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), "
+    "s AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id "
+    "  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+    "sess AS (SELECT count(*) AS c FROM s GROUP BY user_id, sid) "
+    "SELECT count(*)::BIGINT AS n_sessions, "
+    "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounce, "
+    "floor(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+    "  / count(*) * 1000000 + 0.5) / 1000000 AS bounce_rate "
+    "FROM sess")
+
+
+ORACLE_SQL["tail_ratio"] = (
+    # lower-rule discrete percentiles at ranks ceil(n/2), ceil(99n/100)
+    "WITH q AS (SELECT event_type, "
+    "  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6 "
+    "  FROM events), "
+    "r AS (SELECT event_type, v6, row_number() OVER ("
+    "  PARTITION BY event_type ORDER BY v6) AS rn, "
+    "  count(*) OVER (PARTITION BY event_type) AS n FROM q) "
+    "SELECT event_type, min(n)::BIGINT AS n, "
+    "min(CASE WHEN rn = (n + 1) // 2 THEN v6 END)::BIGINT AS p50_v6, "
+    "min(CASE WHEN rn = (99 * n + 99) // 100 THEN v6 END)::BIGINT "
+    "  AS p99_v6, "
+    "floor(CAST(min(CASE WHEN rn = (99 * n + 99) // 100 THEN v6 "
+    "  END) AS DOUBLE) / min(CASE WHEN rn = (n + 1) // 2 THEN v6 "
+    "  END) * 1000000 + 0.5) / 1000000 AS tail_ratio "
+    "FROM r GROUP BY event_type")
+
+
+ORACLE_SQL["peak_concurrency"] = (
+    # sweep line over inclusive session intervals: +1 at start,
+    # -1 at end + 1us; peak = max running sum in time order
+    "WITH o AS (SELECT user_id, ts, CASE WHEN "
+    "  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR "
+    "  ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+    "    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), "
+    "s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id "
+    "  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+    "sess AS (SELECT min(epoch_us(ts)) AS st, max(epoch_us(ts)) AS en "
+    "  FROM s GROUP BY user_id, sid), "
+    "d AS (SELECT st AS t, 1 AS dd FROM sess "
+    "  UNION ALL SELECT en + 1, -1 FROM sess), "
+    "a AS (SELECT t, sum(dd)::BIGINT AS d FROM d GROUP BY t), "
+    "r AS (SELECT sum(d) OVER (ORDER BY t) AS run FROM a) "
+    "SELECT (SELECT count(*) FROM sess)::BIGINT AS n_sessions, "
+    "max(run)::BIGINT AS peak FROM r")
+
+
+ORACLE_SQL["shard_balance"] = (
+    # shard = int(first 8 md5 hex digits, 16) % N via DuckDB's
+    # 0x-string cast — SQL-mirrorable by construction
+    "WITH s AS (SELECT (('0x' || substr(md5(coalesce(text, '')), "
+    f"  1, 8))::BIGINT % {TAIL_SHARD_BAL})::BIGINT AS shard "
+    "  FROM documents), "
+    "g AS (SELECT shard, count(*)::BIGINT AS n_docs FROM s "
+    "  GROUP BY shard) "
+    "SELECT shard, n_docs, "
+    "floor(CAST(n_docs AS DOUBLE) / (CAST((SELECT sum(n_docs) "
+    f"  FROM g) AS DOUBLE) / {TAIL_SHARD_BAL}) * 1000000 + 0.5) "
+    "  / 1000000 AS dev_ratio FROM g")
+
+
+ORACLE_SQL["stickiness"] = (
+    "WITH ud AS (SELECT DISTINCT "
+    "  (year(ts) * 100 + month(ts))::BIGINT AS ym, "
+    "  epoch_us(ts) // 86400000000 AS day, user_id FROM events), "
+    "d AS (SELECT ym, day, count(*)::BIGINT AS dau FROM ud "
+    "  GROUP BY 1, 2), "
+    "m AS (SELECT ym, count(DISTINCT user_id)::BIGINT AS mau "
+    "  FROM ud GROUP BY 1), "
+    "a AS (SELECT ym, count(*)::BIGINT AS days, "
+    "  sum(dau)::BIGINT AS dsum FROM d GROUP BY ym) "
+    "SELECT ym, mau, "
+    "floor(CAST(dsum AS DOUBLE) / days * 1000000 + 0.5) / 1000000 "
+    "  AS mean_dau, "
+    "floor(floor(CAST(dsum AS DOUBLE) / days * 1000000 + 0.5) "
+    "  / 1000000 / mau * 1000000 + 0.5) / 1000000 AS stickiness "
+    "FROM a JOIN m USING (ym)")

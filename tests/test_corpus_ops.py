@@ -4163,3 +4163,113 @@ def test_tukey_days_handbuilt(ray_session, tmp_path):
     assert out.loc[base + 5, "is_outlier"] == 1
     assert out.loc[[base + i for i in range(5)],
                    "is_outlier"].sum() == 0
+
+
+def test_column_fingerprint_handbuilt(ray_session, tmp_path):
+    """Columns with identical value domains get identical signatures
+    regardless of row order/multiplicity."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        FP_BANDS, q_column_fingerprint)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["x", "y", "z"], langs=["en", "de", "en"],
+                 sources=["en", "en", "de"])   # same domain as lang
+    _write_events(sf, [0], [1], ["view"])
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([0], type=pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT"]),
+        "o_orderstatus": pa.array(["O"])}),
+        str(sf / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([0], type=pa.int64()),
+        "c_mktsegment": pa.array(["A"])}),
+        str(sf / "customer.parquet"))
+    out = q_column_fingerprint(str(sf)).set_index("column_name")
+    for b in range(FP_BANDS):
+        assert out.loc["lang", f"b{b}"] == out.loc["source", f"b{b}"]
+
+
+def test_bounce_rate_handbuilt(ray_session, tmp_path):
+    """One 2-event session and one bounce -> rate 0.5."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_bounce_rate)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [0, 1, 10_000_000_000], [1, 1, 2],
+                  ["view"] * 3)
+    out = q_bounce_rate(str(sf))
+    assert out["n_sessions"].iloc[0] == 2
+    assert out["n_bounce"].iloc[0] == 1
+    assert out["bounce_rate"].iloc[0] == 0.5
+
+
+def test_tail_ratio_handbuilt(ray_session, tmp_path):
+    """Values 1..100: p50 = 50, p99 = 99 -> ratio 1.98."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_tail_ratio)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    vals = [float(v) for v in range(1, 101)]
+    _write_events(sf, list(range(100)), [1] * 100, ["a"] * 100,
+                  values=vals)
+    out = q_tail_ratio(str(sf))
+    assert out["p50_v6"].iloc[0] == 50_000_000
+    assert out["p99_v6"].iloc[0] == 99_000_000
+    assert out["tail_ratio"].iloc[0] == 1.98
+
+
+def test_peak_concurrency_handbuilt(ray_session, tmp_path):
+    """Three users with overlapping sessions: two overlap, the third
+    is disjoint -> peak 2."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_peak_concurrency)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    mn = 60_000_000
+    # u1: [0, 10min]; u2: [5min, 15min]; u3: [100min, 101min]
+    _write_events(sf, [0, 10 * mn, 5 * mn, 15 * mn, 100 * mn,
+                       101 * mn],
+                  [1, 1, 2, 2, 3, 3], ["view"] * 6)
+    out = q_peak_concurrency(str(sf))
+    assert out["n_sessions"].iloc[0] == 3
+    assert out["peak"].iloc[0] == 2
+
+
+def test_shard_balance_sums(ray_session, tmp_path):
+    """Shard counts sum to the corpus size and deviations average
+    about 1."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_shard_balance)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, [f"doc number {i}" for i in range(200)])
+    out = q_shard_balance(str(sf))
+    assert out["n_docs"].sum() == 200
+    assert (out["n_docs"] > 0).all()
+
+
+def test_stickiness_handbuilt(ray_session, tmp_path):
+    """2 users over 2 days: DAU 2 and 1, MAU 2 -> mean_dau 1.5,
+    stickiness 0.75."""
+    import numpy as np
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_stickiness)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    d1 = int(np.datetime64("2024-01-01", "us").astype("int64"))
+    d2 = int(np.datetime64("2024-01-02", "us").astype("int64"))
+    _write_events(sf, [d1, d1 + 5, d2], [1, 2, 1], ["view"] * 3)
+    out = q_stickiness(str(sf))
+    assert out["mau"].iloc[0] == 2
+    assert out["mean_dau"].iloc[0] == 1.5
+    assert out["stickiness"].iloc[0] == 0.75

@@ -11171,11 +11171,249 @@ def q_stickiness(sf_dir: str):
     return g[["ym", "mau", "mean_dau", "stickiness"]]
 
 
+LORENZ_TILES = 10        # lorenz_curve: decile points
+
+
+def q_monthly_value_deciles(sf_dir: str):
+    """Monthly value-decile drift (round 4): exact discrete decile
+    boundaries of the e6 event value per month — the
+    distribution-shift trace a drift monitor plots. Bounded
+    (month x distinct-value) histograms; boundaries read off
+    cumulative counts. Returns (ym, decile, v6)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["ts", "value"])
+
+    def vpart(b: pd.DataFrame) -> pd.DataFrame:
+        dt = pd.DatetimeIndex(b["ts"])
+        df = pd.DataFrame({
+            "ym": (dt.year * 100 + dt.month).to_numpy(np.int64),
+            "v6": np.floor(b["value"].to_numpy(np.float64) * 1e6
+                           + 0.5).astype(np.int64),
+            "n": np.int64(1)})
+        return df.groupby(["ym", "v6"], as_index=False).sum()
+
+    hist = sharded_group_sum(
+        ev.map_batches(vpart, batch_format="pandas"),
+        keys=["ym", "v6"], sum_cols=["n"],
+        num_shards=16).to_pandas()
+    rows = []
+    for ym, g in hist.groupby("ym", sort=True):
+        g = g.sort_values("v6", kind="mergesort")
+        v = g["v6"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        for d in range(1, 10):
+            need = (d * n + 9) // 10          # ceil(d*n/10)
+            rows.append({"ym": np.int64(ym), "decile": np.int64(d),
+                         "v6": np.int64(v[np.searchsorted(cum,
+                                                          need)])})
+    return pd.DataFrame(rows)
+
+
+def q_lang_source_mi(sf_dir: str):
+    """Mutual information between language and source (round 4):
+    MI = H(lang) + H(source) - H(lang, source) from exact joint
+    counts — the dependence strength behind the chi-square audit.
+    token_entropy's float convention (log2, 6dp half-up on each H
+    before the combination). Returns one row (n_docs, h_lang,
+    h_source, h_joint, mi)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["lang", "source"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"lang": b["lang"].to_numpy(),
+                           "source": b["source"].to_numpy(),
+                           "n": np.int64(1)})
+        return df.groupby(["lang", "source"], as_index=False).sum()
+
+    j = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["lang", "source"], sum_cols=["n"],
+        num_shards=8).to_pandas()
+    n = int(j["n"].sum())
+
+    def ent(counts: np.ndarray) -> float:
+        c = counts.astype(np.float64)
+        s = float((c * np.log2(c)).sum())
+        return float(np.floor((np.log2(float(n)) - s / n) * 1e6
+                              + 0.5) / 1e6)
+
+    hl = ent(j.groupby("lang")["n"].sum().to_numpy(np.int64))
+    hs = ent(j.groupby("source")["n"].sum().to_numpy(np.int64))
+    hj = ent(j["n"].to_numpy(np.int64))
+    return pd.DataFrame([{
+        "n_docs": np.int64(n), "h_lang": hl, "h_source": hs,
+        "h_joint": hj,
+        "mi": np.floor((hl + hs - hj) * 1e6 + 0.5) / 1e6}])
+
+
+def q_active_days_hist(sf_dir: str):
+    """Active-days-per-user histogram (round 4): how many distinct
+    days each user shows up, as a distribution — the engagement-
+    depth companion to the events-count percentiles. (user, day)
+    distincts fold once; the histogram is count-domain bounded.
+    Returns (n_days_active, n_users, pct)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "day": b["ts"].to_numpy("datetime64[us]").view("int64")
+            // 86_400_000_000,
+            "one": np.int64(1)}).drop_duplicates(["user_id", "day"])
+        return df
+
+    ud = sharded_group_sum(
+        ev.map_batches(prep, batch_format="pandas"),
+        keys=["user_id", "day"], sum_cols=["one"])
+
+    def upart(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"user_id": b["user_id"]
+                           .to_numpy(np.int64), "nd": np.int64(1)})
+        return df.groupby("user_id", as_index=False).sum()
+
+    u = sharded_group_sum(
+        ud.map_batches(upart, batch_format="pandas"),
+        keys=["user_id"], sum_cols=["nd"]).to_pandas()
+    h = (u.groupby("nd", as_index=False).size()
+         .rename(columns={"nd": "n_days_active",
+                          "size": "n_users"}))
+    tot = int(h["n_users"].sum())
+    h["n_days_active"] = h["n_days_active"].astype(np.int64)
+    h["n_users"] = h["n_users"].astype(np.int64)
+    h["pct"] = np.floor(
+        h["n_users"].to_numpy(np.int64).astype(np.float64)
+        / tot * 1e6 + 0.5) / 1e6
+    return h[["n_days_active", "n_users", "pct"]]
+
+
+def q_markdown_census(sf_dir: str):
+    """Markdown feature census per source (round 4): headers, bold
+    pairs and inline links counted over the shared _md_augment
+    wrapper (markdown_strip's fixture convention) — the structure
+    profile before stripping. Map-side regex counts. Returns
+    (source, n_docs, n_headers, n_bold_pairs, n_links)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        aug = _md_augment(ids, b["source"].fillna(""),
+                          b["text"].fillna(""))
+        df = pd.DataFrame({
+            "source": b["source"].to_numpy(),
+            "n_docs": np.int64(1),
+            "n_headers": aug.str.count(r"(?m)^#{1,6} ")
+            .to_numpy(np.int64),
+            "n_bold_pairs": (aug.str.count(r"\*\*")
+                             .to_numpy(np.int64) // 2),
+            "n_links": aug.str.count(r"\[[^\]]*\]\([^)]*\)")
+            .to_numpy(np.int64)})
+        return df.groupby("source", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["source"],
+        sum_cols=["n_docs", "n_headers", "n_bold_pairs", "n_links"],
+        num_shards=8).to_pandas()
+    for c in ("n_docs", "n_headers", "n_bold_pairs", "n_links"):
+        g[c] = g[c].astype(np.int64)
+    return g[["source", "n_docs", "n_headers", "n_bold_pairs",
+              "n_links"]]
+
+
+def q_session_size_hist(sf_dir: str):
+    """Session size histogram (round 4): events per 30-min-gap
+    session as a distribution — the duration histogram's companion.
+    Shared session_windows stage; bounded rollup. Returns
+    (n_events, n_sessions, pct)."""
+    from ..stages.relational import session_windows
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+    sess = session_windows(ev, gap="30min")
+
+    def roll(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"n_events": b["n_events"]
+                           .to_numpy(np.int64),
+                           "n_sessions": np.int64(1)})
+        return df.groupby("n_events", as_index=False).sum()
+
+    g = (sess.map_batches(roll, batch_format="pandas").to_pandas()
+         .groupby("n_events", as_index=False).sum())
+    tot = int(g["n_sessions"].sum())
+    g["n_events"] = g["n_events"].astype(np.int64)
+    g["n_sessions"] = g["n_sessions"].astype(np.int64)
+    g["pct"] = np.floor(
+        g["n_sessions"].to_numpy(np.int64).astype(np.float64)
+        / tot * 1e6 + 0.5) / 1e6
+    return g[["n_events", "n_sessions", "pct"]]
+
+
+def q_lorenz_curve(sf_dir: str):
+    """Lorenz curve of customer revenue (round 4): cumulative
+    revenue share at each customer decile (poorest first) — the
+    points behind the Gini/Pareto reads. Per-customer cents from
+    ONE metadata-only exchange; the decile fold sorts the customer
+    dimension on the driver (SQL-ntile-exact cuts, Python-int cum
+    sums). Returns (decile, n_customers, cum_rev_cents,
+    cum_share)."""
+    from ..stages.relational import sharded_group_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(np.int64),
+            "rev": np.floor(b["o_totalprice"].to_numpy(np.float64)
+                            * 100 + 0.5).astype(np.int64)})
+        return df.groupby("o_custkey", as_index=False).sum()
+
+    u = sharded_group_sum(
+        orders.map_batches(partial, batch_format="pandas"),
+        keys=["o_custkey"], sum_cols=["rev"]).to_pandas()
+    ids = u["o_custkey"].to_numpy(np.int64)
+    rev = u["rev"].to_numpy(np.int64)
+    order = np.lexsort((ids, rev))
+    rev = rev[order]
+    n, k = len(rev), LORENZ_TILES
+    big, small = n % k, n // k
+    cut = big * (small + 1)
+    rank = np.arange(n, dtype=np.int64)
+    tile = np.where(rank < cut, rank // (small + 1),
+                    big + (rank - cut) // max(small, 1)) + 1
+    tot = int(rev.sum())
+    rows, cum, cnt_cum = [], 0, 0
+    for d in range(1, k + 1):
+        m = tile == d
+        cum += int(rev[m].sum())
+        cnt_cum += int(m.sum())
+        rows.append({
+            "decile": np.int64(d),
+            "n_customers": np.int64(cnt_cum),
+            "cum_rev_cents": np.int64(cum),
+            "cum_share": np.floor(cum / tot * 1e6 + 0.5) / 1e6})
+    return pd.DataFrame(rows)
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "monthly_value_deciles": q_monthly_value_deciles,
+    "lang_source_mi": q_lang_source_mi,
+    "active_days_hist": q_active_days_hist,
+    "markdown_census": q_markdown_census,
+    "session_size_hist": q_session_size_hist,
+    "lorenz_curve": q_lorenz_curve,
     "column_fingerprint": q_column_fingerprint,
     "bounce_rate": q_bounce_rate,
     "tail_ratio": q_tail_ratio,
@@ -16175,3 +16413,104 @@ ORACLE_SQL["stickiness"] = (
     "floor(floor(CAST(dsum AS DOUBLE) / days * 1000000 + 0.5) "
     "  / 1000000 / mau * 1000000 + 0.5) / 1000000 AS stickiness "
     "FROM a JOIN m USING (ym)")
+
+
+ORACLE_SQL["monthly_value_deciles"] = (
+    # lower-rule discrete decile boundaries at ranks ceil(d*n/10)
+    "WITH q AS (SELECT (year(ts) * 100 + month(ts))::BIGINT AS ym, "
+    "  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6 "
+    "  FROM events), "
+    "r AS (SELECT ym, v6, row_number() OVER (PARTITION BY ym "
+    "  ORDER BY v6) AS rn, count(*) OVER (PARTITION BY ym) AS n "
+    "  FROM q), "
+    "ds AS (SELECT d FROM range(1, 10) t(d)) "
+    "SELECT ym, d::BIGINT AS decile, "
+    "min(CASE WHEN rn = (d * n + 9) // 10 THEN v6 END)::BIGINT "
+    "  AS v6 "
+    "FROM r CROSS JOIN ds GROUP BY ym, d")
+
+
+ORACLE_SQL["lang_source_mi"] = (
+    # each entropy rounds to 6dp BEFORE the combination (mirrored)
+    "WITH j AS (SELECT lang, source, count(*)::BIGINT AS n "
+    "  FROM documents GROUP BY 1, 2), "
+    "t AS (SELECT sum(n)::BIGINT AS nt FROM j), "
+    "hl AS (SELECT floor((log2(nt::DOUBLE) - sum(c * log2(c::DOUBLE)) "
+    "  / nt) * 1000000 + 0.5) / 1000000 AS h FROM "
+    "  (SELECT lang, sum(n)::BIGINT AS c FROM j GROUP BY 1), t "
+    "  GROUP BY nt), "
+    "hs AS (SELECT floor((log2(nt::DOUBLE) - sum(c * log2(c::DOUBLE)) "
+    "  / nt) * 1000000 + 0.5) / 1000000 AS h FROM "
+    "  (SELECT source, sum(n)::BIGINT AS c FROM j GROUP BY 1), t "
+    "  GROUP BY nt), "
+    "hj AS (SELECT floor((log2(nt::DOUBLE) - sum(n * log2(n::DOUBLE)) "
+    "  / nt) * 1000000 + 0.5) / 1000000 AS h FROM j, t GROUP BY nt) "
+    "SELECT (SELECT nt FROM t) AS n_docs, "
+    "hl.h AS h_lang, hs.h AS h_source, hj.h AS h_joint, "
+    "floor((hl.h + hs.h - hj.h) * 1000000 + 0.5) / 1000000 AS mi "
+    "FROM hl, hs, hj")
+
+
+ORACLE_SQL["active_days_hist"] = (
+    "WITH ud AS (SELECT DISTINCT user_id, "
+    "  epoch_us(ts) // 86400000000 AS day FROM events), "
+    "u AS (SELECT user_id, count(*)::BIGINT AS nd FROM ud "
+    "  GROUP BY 1), "
+    "h AS (SELECT nd AS n_days_active, count(*)::BIGINT AS n_users "
+    "  FROM u GROUP BY 1) "
+    "SELECT n_days_active, n_users, "
+    "floor(CAST(n_users AS DOUBLE) / sum(n_users) OVER () "
+    "  * 1000000 + 0.5) / 1000000 AS pct FROM h")
+
+
+ORACLE_SQL["markdown_census"] = (
+    # same _md_augment wrapper as markdown_strip; bold pairs =
+    # occurrences of '**' divided by two (integer)
+    "WITH aug AS (SELECT source, '## Doc ' || doc_id || chr(10) "
+    "  || '**' || coalesce(source, '') || '** ' || coalesce(text, '') "
+    "  || ' [more](http://md.example/' || doc_id || ')' AS a "
+    "  FROM documents) "
+    "SELECT source, count(*)::BIGINT AS n_docs, "
+    "sum(len(regexp_extract_all(a, '(?m)^#{1,6} ')))::BIGINT "
+    "  AS n_headers, "
+    "sum(len(regexp_extract_all(a, '\\*\\*')) // 2)::BIGINT "
+    "  AS n_bold_pairs, "
+    "sum(len(regexp_extract_all(a, "
+    "  '\\[[^\\]]*\\]\\([^)]*\\)')))::BIGINT AS n_links "
+    "FROM aug GROUP BY source")
+
+
+ORACLE_SQL["session_size_hist"] = (
+    "WITH o AS (SELECT user_id, ts, CASE WHEN "
+    "  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR "
+    "  ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+    "    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), "
+    "s AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id "
+    "  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+    "sess AS (SELECT count(*)::BIGINT AS ne FROM s "
+    "  GROUP BY user_id, sid), "
+    "h AS (SELECT ne AS n_events, count(*)::BIGINT AS n_sessions "
+    "  FROM sess GROUP BY 1) "
+    "SELECT n_events, n_sessions, "
+    "floor(CAST(n_sessions AS DOUBLE) / sum(n_sessions) OVER () "
+    "  * 1000000 + 0.5) / 1000000 AS pct FROM h")
+
+
+ORACLE_SQL["lorenz_curve"] = (
+    # ntile(K) over (rev asc, custkey) — SQL remainder semantics;
+    # cumulative HUGEINT-safe sums per decile
+    f"WITH u AS (SELECT o_custkey, "
+    "  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT "
+    "    AS rev FROM orders GROUP BY 1), "
+    f"q AS (SELECT ntile({LORENZ_TILES}) OVER (ORDER BY rev, "
+    "  o_custkey) AS decile, rev FROM u), "
+    "d AS (SELECT decile, count(*)::BIGINT AS nc, "
+    "  sum(rev)::BIGINT AS r FROM q GROUP BY 1), "
+    "c AS (SELECT decile, "
+    "  sum(nc) OVER (ORDER BY decile) AS n_customers, "
+    "  sum(r) OVER (ORDER BY decile) AS cum_rev, "
+    "  sum(r) OVER () AS tot FROM d) "
+    "SELECT decile::BIGINT AS decile, n_customers::BIGINT "
+    "  AS n_customers, cum_rev::BIGINT AS cum_rev_cents, "
+    "floor(CAST(cum_rev AS DOUBLE) / tot * 1000000 + 0.5) / 1000000 "
+    "  AS cum_share FROM c")

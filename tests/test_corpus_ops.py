@@ -4273,3 +4273,122 @@ def test_stickiness_handbuilt(ray_session, tmp_path):
     assert out["mau"].iloc[0] == 2
     assert out["mean_dau"].iloc[0] == 1.5
     assert out["stickiness"].iloc[0] == 0.75
+
+
+def test_monthly_value_deciles_handbuilt(ray_session, tmp_path):
+    """Values 1..10 in one month: decile d boundary = value d."""
+    import numpy as np
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_monthly_value_deciles)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    base = int(np.datetime64("2024-01-01", "us").astype("int64"))
+    vals = [float(v) for v in range(1, 11)]
+    _write_events(sf, [base + i for i in range(10)], [1] * 10,
+                  ["a"] * 10, values=vals)
+    out = (q_monthly_value_deciles(str(sf))
+           .sort_values("decile").reset_index(drop=True))
+    assert out["ym"].tolist() == [202401] * 9
+    assert out["v6"].tolist() == [d * 1_000_000
+                                  for d in range(1, 10)]
+
+
+def test_lang_source_mi_handbuilt(ray_session, tmp_path):
+    """lang == source (perfect dependence): MI = H(lang) = 1 bit for
+    a 50/50 split."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_lang_source_mi)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["a", "b", "c", "d"],
+                 langs=["en", "en", "de", "de"],
+                 sources=["en", "en", "de", "de"])
+    out = q_lang_source_mi(str(sf))
+    assert out["h_lang"].iloc[0] == 1.0
+    assert out["h_joint"].iloc[0] == 1.0
+    assert out["mi"].iloc[0] == 1.0
+
+
+def test_active_days_hist_handbuilt(ray_session, tmp_path):
+    """u1 active 2 days, u2 active 1 day -> histogram {1: 1, 2: 1};
+    repeat events within a day collapse."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_active_days_hist)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    day_us = 86_400_000_000
+    _write_events(sf, [0, 5, day_us, 0], [1, 1, 1, 2],
+                  ["view"] * 4)
+    out = (q_active_days_hist(str(sf))
+           .sort_values("n_days_active").reset_index(drop=True))
+    assert out["n_days_active"].tolist() == [1, 2]
+    assert out["n_users"].tolist() == [1, 1]
+
+
+def test_markdown_census_handbuilt(ray_session, tmp_path):
+    """The _md_augment wrapper contributes exactly one header, one
+    bold pair and one link per doc."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_markdown_census)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["plain body", "plain body"],
+                 sources=["s", "s"])
+    out = q_markdown_census(str(sf))
+    assert out["n_docs"].iloc[0] == 2
+    assert out["n_headers"].iloc[0] == 2
+    assert out["n_bold_pairs"].iloc[0] == 2
+    assert out["n_links"].iloc[0] == 2
+
+
+def test_session_size_hist_handbuilt(ray_session, tmp_path):
+    """One 2-event session and one singleton: 50/50 histogram."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_session_size_hist)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [0, 1, 10_000_000_000], [1, 1, 2],
+                  ["view"] * 3)
+    out = (q_session_size_hist(str(sf))
+           .sort_values("n_events").reset_index(drop=True))
+    assert out["n_events"].tolist() == [1, 2]
+    assert out["n_sessions"].tolist() == [1, 1]
+    assert out["pct"].tolist() == [0.5, 0.5]
+
+
+def test_lorenz_curve_handbuilt(ray_session, tmp_path):
+    """10 customers, revenues 1..10 dollars: poorest decile holds
+    1/55 of revenue, the curve ends at exactly 1."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_lorenz_curve)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    n = 10
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(n), type=pa.int64()),
+        "o_custkey": pa.array(range(n), type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * n),
+        "o_totalprice": pa.array([float(v) for v in range(1, 11)]),
+        "o_orderdate": pa.array(
+            [np.datetime64("1995-01-01", "us")] * n,
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * n)}),
+        str(sf / "orders.parquet"))
+    out = (q_lorenz_curve(str(sf))
+           .sort_values("decile").reset_index(drop=True))
+    assert len(out) == 10
+    assert out["cum_rev_cents"].iloc[0] == 100
+    assert out["cum_share"].iloc[0] == 0.018182   # 1/55
+    assert out["cum_share"].iloc[-1] == 1.0
+    assert out["n_customers"].iloc[-1] == 10

@@ -11403,11 +11403,245 @@ def q_lorenz_curve(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+EVENT_PARETO_FRAC = 100     # event_pareto: top 1/100 of users
+
+
+def q_event_pareto(sf_dir: str):
+    """Event concentration (round 4): the share of ALL events
+    produced by the top 1/{EVENT_PARETO_FRAC} most active users —
+    the bot-load read. Per-user counts from ONE metadata-only
+    exchange; the cut sorts the user dimension on the driver
+    (rfm/pareto trade). Returns one row (n_users, top_users,
+    top_events, total_events, top_share)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"user_id": b["user_id"]
+                           .to_numpy(np.int64), "n": np.int64(1)})
+        return df.groupby("user_id", as_index=False).sum()
+
+    u = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["user_id"], sum_cols=["n"]).to_pandas()
+    u = u.sort_values(["n", "user_id"], ascending=[False, True],
+                      kind="mergesort")
+    nu = len(u)
+    k = (nu + EVENT_PARETO_FRAC - 1) // EVENT_PARETO_FRAC
+    cnt = [int(x) for x in u["n"]]
+    top = sum(cnt[:k])
+    tot = sum(cnt)
+    return pd.DataFrame([{
+        "n_users": np.int64(nu), "top_users": np.int64(k),
+        "top_events": np.int64(top), "total_events": np.int64(tot),
+        "top_share": np.floor(top / tot * 1e6 + 0.5) / 1e6}])
+
+
+def q_lang_drift(sf_dir: str):
+    """Language-mix drift across corpus quartiles (round 4): lang
+    shares per doc-id quartile — the crawl-composition-over-time
+    proxy (ids are ingest-ordered). Bounded (quartile x lang)
+    domain. Returns (quartile, lang, n, pct)."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.relational import sharded_group_sum
+
+    n_total = _pq.ParquetFile(
+        f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "quartile": b["doc_id"].to_numpy(np.int64) * 4
+            // n_total + 1,
+            "lang": b["lang"].to_numpy(), "n": np.int64(1)})
+        return df.groupby(["quartile", "lang"], as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["quartile", "lang"], sum_cols=["n"],
+        num_shards=8).to_pandas()
+    tot = g.groupby("quartile")["n"].transform("sum")
+    g["quartile"] = g["quartile"].astype(np.int64)
+    g["n"] = g["n"].astype(np.int64)
+    g["pct"] = np.floor(g["n"].to_numpy(np.int64).astype(np.float64)
+                        / tot.to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    return g[["quartile", "lang", "n", "pct"]]
+
+
+def q_intersession_gap(sf_dir: str):
+    """Inter-session gap profile (round 4): whole-minute gaps
+    between a user's consecutive 30-min sessions, mean + exact
+    discrete median — the return-frequency read. Session bounds
+    from the shared stage; gaps fold into a bounded minute
+    histogram. Returns one row (n_gaps, mean_gap_min,
+    median_gap_min)."""
+    from ..stages.relational import (session_windows, shard_of_keys,
+                                     sharded_group_sum)
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+    sess = session_windows(ev, gap="30min")
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "s_us": b["session_start"].to_numpy("datetime64[us]")
+            .view("int64"),
+            "e_us": b["session_end"].to_numpy("datetime64[us]")
+            .view("int64")})
+        df["shard"] = shard_of_keys(df["user_id"].to_numpy(), 64)
+        return df
+
+    def gaps_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "s_us"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        s = g["s_us"].to_numpy(np.int64)
+        e = g["e_us"].to_numpy(np.int64)
+        same = uid[1:] == uid[:-1]
+        gap_min = (s[1:][same] - e[:-1][same]) // 60_000_000
+        return pd.DataFrame({"gap_min": gap_min,
+                             "n": np.int64(1)}) \
+            .groupby("gap_min", as_index=False).sum()
+
+    h = sharded_group_sum(
+        sess.map_batches(prep, batch_format="pandas")
+        .groupby("shard").map_groups(gaps_shard,
+                                     batch_format="pandas"),
+        keys=["gap_min"], sum_cols=["n"],
+        num_shards=8).to_pandas().sort_values("gap_min")
+    gaps = h["gap_min"].to_numpy(np.int64)
+    cnts = h["n"].to_numpy(np.int64)
+    ng = int(cnts.sum())
+    mean = float(int((gaps * cnts).sum())) / ng if ng else 0.0
+    med = 0
+    if ng:
+        need = (ng + 1) // 2
+        med = int(gaps[np.searchsorted(np.cumsum(cnts), need)])
+    return pd.DataFrame([{
+        "n_gaps": np.int64(ng),
+        "mean_gap_min": np.floor(mean * 1e6 + 0.5) / 1e6,
+        "median_gap_min": np.int64(med)}])
+
+
+def q_peak_hour(sf_dir: str):
+    """Peak activity hour per event type (round 4): the argmax of
+    the hourly profile (ties: earliest hour) — the scheduling
+    shorthand. Bounded domain + driver argmax. Returns
+    (event_type, peak_hour, peak_n)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        tus = b["ts"].to_numpy("datetime64[us]").view("int64")
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "hour": (tus // 3_600_000_000) % 24,
+            "n": np.int64(1)})
+        return df.groupby(["event_type", "hour"], as_index=False).sum()
+
+    g = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "hour"], sum_cols=["n"],
+        num_shards=4).to_pandas()
+    rows = []
+    for ty, grp in g.groupby("event_type", sort=True):
+        grp = grp.sort_values(["n", "hour"],
+                              ascending=[False, True],
+                              kind="mergesort")
+        rows.append({"event_type": ty,
+                     "peak_hour": np.int64(grp["hour"].iloc[0]),
+                     "peak_n": np.int64(grp["n"].iloc[0])})
+    return pd.DataFrame(rows)
+
+
+def q_round_value_rate(sf_dir: str):
+    """Round-number value rate per event type (round 4): values
+    that are whole dollars — the manual-entry / synthetic-data
+    smell (organic prices cluster off round numbers). e6-exact
+    modulus test, map-side. Returns (event_type, n, n_round,
+    round_rate)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v6 = np.floor(b["value"].to_numpy(np.float64) * 1e6
+                      + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "n": np.int64(1),
+            "n_round": (v6 % 1_000_000 == 0).astype(np.int64)})
+        return df.groupby("event_type", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["event_type"], sum_cols=["n", "n_round"],
+        num_shards=4).to_pandas()
+    g["round_rate"] = np.floor(
+        g["n_round"].to_numpy(np.int64).astype(np.float64)
+        / g["n"].to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    for c in ("n", "n_round"):
+        g[c] = g[c].astype(np.int64)
+    return g[["event_type", "n", "n_round", "round_rate"]]
+
+
+def q_joint_tail_users(sf_dir: str):
+    """Joint-tail user audit (round 4): users above the p90 of BOTH
+    event count and e6 value sum, vs the count independence would
+    predict — the whale-detection lift. Per-user aggregates from
+    ONE exchange; thresholds are exact discrete p90s; the lift is
+    one division. Returns one row (n_users, n_tail_events,
+    n_tail_value, n_joint, lift)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["user_id", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v6 = np.floor(b["value"].to_numpy(np.float64) * 1e6
+                      + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "ne": np.int64(1), "v6": v6})
+        return df.groupby("user_id", as_index=False).sum()
+
+    u = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["user_id"], sum_cols=["ne", "v6"]).to_pandas()
+    n = len(u)
+
+    def p90(vals: np.ndarray) -> int:
+        srt = np.sort(vals)
+        need = (9 * n + 9) // 10
+        return int(srt[need - 1])
+
+    ne = u["ne"].to_numpy(np.int64)
+    v6 = u["v6"].to_numpy(np.int64)
+    te, tv = p90(ne), p90(v6)
+    a = ne > te
+    b = v6 > tv
+    na, nb = int(a.sum()), int(b.sum())
+    nj = int((a & b).sum())
+    exp = na * nb / n if n else 0.0
+    lift = nj / exp if exp > 0 else 0.0
+    return pd.DataFrame([{
+        "n_users": np.int64(n), "n_tail_events": np.int64(na),
+        "n_tail_value": np.int64(nb), "n_joint": np.int64(nj),
+        "lift": np.floor(lift * 1e6 + 0.5) / 1e6}])
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "event_pareto": q_event_pareto,
+    "lang_drift": q_lang_drift,
+    "intersession_gap": q_intersession_gap,
+    "peak_hour": q_peak_hour,
+    "round_value_rate": q_round_value_rate,
+    "joint_tail_users": q_joint_tail_users,
     "monthly_value_deciles": q_monthly_value_deciles,
     "lang_source_mi": q_lang_source_mi,
     "active_days_hist": q_active_days_hist,
@@ -16514,3 +16748,98 @@ ORACLE_SQL["lorenz_curve"] = (
     "  AS n_customers, cum_rev::BIGINT AS cum_rev_cents, "
     "floor(CAST(cum_rev AS DOUBLE) / tot * 1000000 + 0.5) / 1000000 "
     "  AS cum_share FROM c")
+
+
+ORACLE_SQL["event_pareto"] = (
+    f"WITH u AS (SELECT user_id, count(*)::BIGINT AS n FROM events "
+    "  GROUP BY 1), "
+    "r AS (SELECT n, row_number() OVER (ORDER BY n DESC, user_id) "
+    "  AS rn, count(*) OVER () AS nu FROM u) "
+    "SELECT min(nu)::BIGINT AS n_users, "
+    f"((min(nu) + {EVENT_PARETO_FRAC} - 1) // {EVENT_PARETO_FRAC})"
+    "::BIGINT AS top_users, "
+    f"sum(CASE WHEN rn <= (nu + {EVENT_PARETO_FRAC} - 1) "
+    f"  // {EVENT_PARETO_FRAC} THEN n ELSE 0 END)::BIGINT "
+    "  AS top_events, "
+    "sum(n)::BIGINT AS total_events, "
+    f"floor(CAST(sum(CASE WHEN rn <= (nu + {EVENT_PARETO_FRAC} - 1) "
+    f"  // {EVENT_PARETO_FRAC} THEN n ELSE 0 END) AS DOUBLE) "
+    "  / sum(n) * 1000000 + 0.5) / 1000000 AS top_share FROM r")
+
+
+ORACLE_SQL["lang_drift"] = (
+    "WITH p AS (SELECT count(*)::BIGINT AS n FROM documents), "
+    "c AS (SELECT (doc_id * 4 // (SELECT n FROM p) + 1)::BIGINT "
+    "  AS quartile, lang, count(*)::BIGINT AS n FROM documents "
+    "  GROUP BY 1, 2) "
+    "SELECT quartile, lang, n, "
+    "floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY quartile) "
+    "  * 1000000 + 0.5) / 1000000 AS pct FROM c")
+
+
+ORACLE_SQL["intersession_gap"] = (
+    # sessions are disjoint so gaps are positive; // floor == trunc
+    "WITH o AS (SELECT user_id, ts, CASE WHEN "
+    "  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR "
+    "  ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+    "    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), "
+    "s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id "
+    "  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+    "sess AS (SELECT user_id, min(epoch_us(ts)) AS st, "
+    "  max(epoch_us(ts)) AS en FROM s GROUP BY user_id, sid), "
+    "g AS (SELECT (st - lag(en) OVER (PARTITION BY user_id "
+    "  ORDER BY st)) // 60000000 AS gap FROM sess), "
+    "h AS (SELECT gap, count(*)::BIGINT AS n FROM g "
+    "  WHERE gap IS NOT NULL GROUP BY gap), "
+    "c AS (SELECT gap, n, sum(n) OVER (ORDER BY gap) AS cum, "
+    "  sum(n) OVER () AS ng, sum(gap * n) OVER () AS gs FROM h) "
+    "SELECT min(ng)::BIGINT AS n_gaps, "
+    "floor(CAST(min(gs) AS DOUBLE) / min(ng) * 1000000 + 0.5) "
+    "  / 1000000 AS mean_gap_min, "
+    "min(CASE WHEN cum >= (ng + 1) // 2 THEN gap END)::BIGINT "
+    "  AS median_gap_min FROM c")
+
+
+ORACLE_SQL["peak_hour"] = (
+    "WITH h AS (SELECT event_type, "
+    "  ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS hour, "
+    "  count(*)::BIGINT AS n FROM events GROUP BY 1, 2), "
+    "r AS (SELECT event_type, hour, n, row_number() OVER ("
+    "  PARTITION BY event_type ORDER BY n DESC, hour) AS rn FROM h) "
+    "SELECT event_type, hour AS peak_hour, n AS peak_n "
+    "FROM r WHERE rn = 1")
+
+
+ORACLE_SQL["round_value_rate"] = (
+    "WITH q AS (SELECT event_type, "
+    "  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6 "
+    "  FROM events) "
+    "SELECT event_type, count(*)::BIGINT AS n, "
+    "sum(CASE WHEN v6 % 1000000 = 0 THEN 1 ELSE 0 END)::BIGINT "
+    "  AS n_round, "
+    "floor(CAST(sum(CASE WHEN v6 % 1000000 = 0 THEN 1 ELSE 0 END) "
+    "  AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 "
+    "  AS round_rate FROM q GROUP BY event_type")
+
+
+ORACLE_SQL["joint_tail_users"] = (
+    # p90 thresholds by rank ceil(0.9 n) (lower rule); strict >
+    "WITH u AS (SELECT user_id, count(*)::BIGINT AS ne, "
+    "  sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))::BIGINT "
+    "    AS v6 FROM events GROUP BY 1), "
+    "t AS (SELECT count(*)::BIGINT AS n FROM u), "
+    "re AS (SELECT ne, row_number() OVER (ORDER BY ne) AS rn FROM u), "
+    "te AS (SELECT min(CASE WHEN rn = (9 * (SELECT n FROM t) + 9) "
+    "  // 10 THEN ne END) AS v FROM re), "
+    "rv AS (SELECT v6, row_number() OVER (ORDER BY v6) AS rn FROM u), "
+    "tv AS (SELECT min(CASE WHEN rn = (9 * (SELECT n FROM t) + 9) "
+    "  // 10 THEN v6 END) AS v FROM rv), "
+    "f AS (SELECT (SELECT n FROM t) AS n, "
+    "  (SELECT count(*) FROM u, te WHERE ne > te.v)::BIGINT AS na, "
+    "  (SELECT count(*) FROM u, tv WHERE v6 > tv.v)::BIGINT AS nb, "
+    "  (SELECT count(*) FROM u, te, tv WHERE ne > te.v "
+    "   AND v6 > tv.v)::BIGINT AS nj) "
+    "SELECT n AS n_users, na AS n_tail_events, nb AS n_tail_value, "
+    "nj AS n_joint, "
+    "floor(CAST(nj AS DOUBLE) / (CAST(na * nb AS DOUBLE) / n) "
+    "  * 1000000 + 0.5) / 1000000 AS lift FROM f")

@@ -4392,3 +4392,107 @@ def test_lorenz_curve_handbuilt(ray_session, tmp_path):
     assert out["cum_share"].iloc[0] == 0.018182   # 1/55
     assert out["cum_share"].iloc[-1] == 1.0
     assert out["n_customers"].iloc[-1] == 10
+
+
+def test_event_pareto_handbuilt(ray_session, tmp_path):
+    """100 users, one with 100 events, 99 with 1: top 1% (1 user)
+    holds 100/199 of events."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_event_pareto)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    users = [0] * 100 + list(range(1, 100))
+    _write_events(sf, list(range(len(users))), users,
+                  ["view"] * len(users))
+    out = q_event_pareto(str(sf))
+    assert out["n_users"].iloc[0] == 100
+    assert out["top_users"].iloc[0] == 1
+    assert out["top_events"].iloc[0] == 100
+    assert out["total_events"].iloc[0] == 199
+    assert out["top_share"].iloc[0] == 0.502513
+
+
+def test_lang_drift_handbuilt(ray_session, tmp_path):
+    """4 docs, one per quartile, langs en/en/de/de: quartile shares
+    are all 1.0 for their lang."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_lang_drift)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["a", "b", "c", "d"],
+                 langs=["en", "en", "de", "de"])
+    out = (q_lang_drift(str(sf))
+           .sort_values("quartile").reset_index(drop=True))
+    assert out["quartile"].tolist() == [1, 2, 3, 4]
+    assert out["lang"].tolist() == ["en", "en", "de", "de"]
+    assert (out["pct"] == 1.0).all()
+
+
+def test_intersession_gap_handbuilt(ray_session, tmp_path):
+    """Two sessions ending at 0s and resuming at 60min: one gap of
+    exactly 60 minutes (minus the session length)."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_intersession_gap)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    mn = 60_000_000
+    _write_events(sf, [0, 100 * mn], [1, 1], ["view"] * 2)
+    out = q_intersession_gap(str(sf))
+    assert out["n_gaps"].iloc[0] == 1
+    assert out["median_gap_min"].iloc[0] == 100
+    assert out["mean_gap_min"].iloc[0] == 100.0
+
+
+def test_peak_hour_handbuilt(ray_session, tmp_path):
+    """Hour 5 has two events, hour 0 one: peak is 5; ties resolve
+    to the earliest hour."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_peak_hour)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    hr = 3_600_000_000
+    _write_events(sf, [0, 5 * hr, 5 * hr + 1], [1, 1, 1],
+                  ["view"] * 3)
+    out = q_peak_hour(str(sf))
+    assert out["peak_hour"].iloc[0] == 5
+    assert out["peak_n"].iloc[0] == 2
+
+
+def test_round_value_rate_handbuilt(ray_session, tmp_path):
+    """2.00 is round; 2.50 and 0.99 are not."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_round_value_rate)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [0, 1, 2], [1, 1, 1], ["a"] * 3,
+                  values=[2.0, 2.5, 0.99])
+    out = q_round_value_rate(str(sf))
+    assert out["n_round"].iloc[0] == 1
+    assert out["round_rate"].iloc[0] == 0.333333
+
+
+def test_joint_tail_users_handbuilt(ray_session, tmp_path):
+    """One whale above both p90 thresholds; lift is positive and
+    the joint count equals 1."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_joint_tail_users)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    ts, uid, val = [], [], []
+    t = 0
+    for u in range(1, 11):
+        k = 10 if u == 10 else 1       # user 10 is the whale
+        for _ in range(k):
+            ts.append(t); uid.append(u); val.append(float(u))
+            t += 1
+    _write_events(sf, ts, uid, ["view"] * len(ts), values=val)
+    out = q_joint_tail_users(str(sf))
+    assert out["n_users"].iloc[0] == 10
+    assert out["n_joint"].iloc[0] == 1
+    assert out["lift"].iloc[0] > 1.0

@@ -11631,11 +11631,249 @@ def q_joint_tail_users(sf_dir: str):
         "lift": np.floor(lift * 1e6 + 0.5) / 1e6}])
 
 
+ANOVA_SCALE = 1000       # length_anova: per-group term quantization
+
+
+def q_vocab_quartile_jaccard(sf_dir: str):
+    """Vocabulary Jaccard between adjacent corpus quartiles
+    (round 4): how much the token inventory turns over along the
+    ingest order — lang_drift's vocabulary companion. Each token's
+    quartile-presence bitmask folds through one vocabulary exchange
+    (bitwise-OR as max of per-batch masks is NOT distributive —
+    sum of distinct per-(token, quartile) rows is, so presence
+    reduces per (token, quartile) first). Returns (quartile_a,
+    quartile_b, n_a, n_b, n_both, jaccard)."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.relational import sharded_group_sum
+
+    n_total = _pq.ParquetFile(
+        f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\S+")
+        lens = toks.str.len().to_numpy(np.int64)
+        q = np.repeat(b["doc_id"].to_numpy(np.int64) * 4 // n_total,
+                      lens)
+        flat = toks.explode().dropna()
+        df = pd.DataFrame({"token": flat.to_numpy(), "q": q,
+                           "one": np.int64(1)}).drop_duplicates(
+            ["token", "q"])
+        return df
+
+    tq = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["token", "q"], sum_cols=["one"])
+
+    def mask_part(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "token": b["token"].to_numpy(),
+            "mask": np.left_shift(
+                np.int64(1), b["q"].to_numpy(np.int64))})
+        return df.groupby("token", as_index=False).sum()
+
+    masks = sharded_group_sum(
+        tq.map_batches(mask_part, batch_format="pandas"),
+        keys=["token"], sum_cols=["mask"])
+
+    def count_part(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["mask"].to_numpy(np.int64)
+        rows = []
+        for a in range(3):
+            in_a = (m >> a) & 1
+            in_b = (m >> (a + 1)) & 1
+            rows.append((np.int64(a + 1),
+                         np.int64(int(in_a.sum())),
+                         np.int64(int(in_b.sum())),
+                         np.int64(int((in_a & in_b).sum()))))
+        return pd.DataFrame(rows, columns=["qa", "na", "nb",
+                                           "nboth"])
+
+    p = (masks.map_batches(count_part, batch_format="pandas")
+         .to_pandas().groupby("qa", as_index=False).sum())
+    p["quartile_a"] = p["qa"].astype(np.int64)
+    p["quartile_b"] = (p["qa"] + 1).astype(np.int64)
+    for c in ("na", "nb", "nboth"):
+        p[c] = p[c].astype(np.int64)
+    p["jaccard"] = np.floor(
+        p["nboth"].to_numpy(np.int64).astype(np.float64)
+        / (p["na"].to_numpy(np.int64) + p["nb"].to_numpy(np.int64)
+           - p["nboth"].to_numpy(np.int64)) * 1e6 + 0.5) / 1e6
+    return p.rename(columns={"na": "n_a", "nb": "n_b",
+                             "nboth": "n_both"})[
+        ["quartile_a", "quartile_b", "n_a", "n_b", "n_both",
+         "jaccard"]]
+
+
+def q_discount_return_rate(sf_dir: str):
+    """Return rate by discount tier (round 4): do discounted items
+    come back less — the promo-quality interaction. 11-slot bounded
+    domain, map-side. Returns (d2, n_items, n_returned, rate)."""
+    from ..stages.relational import sharded_group_sum
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_discount", "l_returnflag"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d2 = np.floor(b["l_discount"].to_numpy(np.float64) * 100
+                      + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "d2": d2, "n_items": np.int64(1),
+            "n_returned": (b["l_returnflag"].to_numpy() == "R")
+            .astype(np.int64)})
+        return df.groupby("d2", as_index=False).sum()
+
+    g = sharded_group_sum(
+        li.map_batches(partial, batch_format="pandas"),
+        keys=["d2"], sum_cols=["n_items", "n_returned"],
+        num_shards=4).to_pandas()
+    g["rate"] = np.floor(
+        g["n_returned"].to_numpy(np.int64).astype(np.float64)
+        / g["n_items"].to_numpy(np.int64) * 1e6 + 0.5) / 1e6
+    for c in ("d2", "n_items", "n_returned"):
+        g[c] = g[c].astype(np.int64)
+    return g[["d2", "n_items", "n_returned", "rate"]]
+
+
+def q_length_anova(sf_dir: str):
+    """One-way ANOVA of doc length by language (round 4):
+    eta-squared = SSB / SST — does language explain length? Exact
+    integer per-lang moments (n_g, s_g, q) fold map-side; the
+    per-group s_g^2/n_g terms quantize to 1/{ANOVA_SCALE} ints
+    before the cross-group sum (order-free), mirroring the entropy
+    convention. Returns one row (n_docs, n_langs, eta_sq)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["n_chars"].to_numpy(np.int64)
+        df = pd.DataFrame({"lang": b["lang"].to_numpy(),
+                           "n": np.int64(1), "s": x, "q": x * x})
+        return df.groupby("lang", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["lang"], sum_cols=["n", "s", "q"],
+        num_shards=8).to_pandas()
+    n = int(g["n"].sum())
+    s = int(g["s"].sum())
+    q = int(g["q"].sum())
+    terms = [
+        int(np.floor(float(int(sg) * int(sg)) / int(ng)
+                     * ANOVA_SCALE + 0.5))
+        for sg, ng in zip(g["s"], g["n"])]
+    ssb_num = float(sum(terms)) / ANOVA_SCALE - float(s) * s / n
+    sst = float(q) - float(s) * s / n
+    eta = ssb_num / sst if sst else 0.0
+    return pd.DataFrame([{
+        "n_docs": np.int64(n), "n_langs": np.int64(len(g)),
+        "eta_sq": np.floor(eta * 1e6 + 0.5) / 1e6}])
+
+
+def q_source_hhi(sf_dir: str):
+    """Source concentration HHI (round 4): sum of squared doc-count
+    shares across sources — one number for 'is this corpus one
+    crawl in a trenchcoat'. Exact Python-int squares over the
+    source-bounded count table. Returns one row (n_sources, n_docs,
+    hhi)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["source"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"source": b["source"].to_numpy(),
+                           "n": np.int64(1)})
+        return df.groupby("source", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["source"], sum_cols=["n"], num_shards=4).to_pandas()
+    c = [int(x) for x in g["n"]]
+    tot = sum(c)
+    hhi = sum(x * x for x in c) / (tot * tot) if tot else 0.0
+    return pd.DataFrame([{
+        "n_sources": np.int64(len(c)), "n_docs": np.int64(tot),
+        "hhi": np.floor(hhi * 1e6 + 0.5) / 1e6}])
+
+
+def q_doc_length_quartiles(sf_dir: str):
+    """Doc-length quartiles per language (round 4): exact discrete
+    p25/p50/p75 of n_chars from the bounded per-lang length
+    histogram — the truncation-policy input. Returns (lang, n_docs,
+    p25, p50, p75)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"lang": b["lang"].to_numpy(),
+                           "n_chars": b["n_chars"]
+                           .to_numpy(np.int64),
+                           "n": np.int64(1)})
+        return df.groupby(["lang", "n_chars"], as_index=False).sum()
+
+    hist = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["lang", "n_chars"], sum_cols=["n"],
+        num_shards=8).to_pandas()
+    rows = []
+    for lang, g in hist.groupby("lang", sort=True):
+        g = g.sort_values("n_chars", kind="mergesort")
+        v = g["n_chars"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+
+        def pctl(num, den):
+            need = (num * n + den - 1) // den
+            return int(v[np.searchsorted(cum, need)])
+
+        rows.append({"lang": lang, "n_docs": np.int64(n),
+                     "p25": np.int64(pctl(1, 4)),
+                     "p50": np.int64(pctl(1, 2)),
+                     "p75": np.int64(pctl(3, 4))})
+    return pd.DataFrame(rows)
+
+
+def q_repeat_purchase_rate(sf_dir: str):
+    """Repeat purchase rate (round 4): purchasers with a second
+    purchase over all purchasers — the retention headline. One
+    metadata-only per-user purchase-count exchange. Returns one row
+    (n_purchasers, n_repeat, repeat_rate)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["event_type"].to_numpy() == "purchase"
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64)[m],
+            "n": np.int64(1)})
+        return df.groupby("user_id", as_index=False).sum()
+
+    u = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["user_id"], sum_cols=["n"]).to_pandas()
+    np_, nr = len(u), int((u["n"] >= 2).sum())
+    return pd.DataFrame([{
+        "n_purchasers": np.int64(np_), "n_repeat": np.int64(nr),
+        "repeat_rate": np.floor(nr / np_ * 1e6 + 0.5) / 1e6
+        if np_ else 0.0}])
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "vocab_quartile_jaccard": q_vocab_quartile_jaccard,
+    "discount_return_rate": q_discount_return_rate,
+    "length_anova": q_length_anova,
+    "source_hhi": q_source_hhi,
+    "doc_length_quartiles": q_doc_length_quartiles,
+    "repeat_purchase_rate": q_repeat_purchase_rate,
     "event_pareto": q_event_pareto,
     "lang_drift": q_lang_drift,
     "intersession_gap": q_intersession_gap,
@@ -16843,3 +17081,88 @@ ORACLE_SQL["joint_tail_users"] = (
     "nj AS n_joint, "
     "floor(CAST(nj AS DOUBLE) / (CAST(na * nb AS DOUBLE) / n) "
     "  * 1000000 + 0.5) / 1000000 AS lift FROM f")
+
+
+ORACLE_SQL["vocab_quartile_jaccard"] = (
+    "WITH p AS (SELECT count(*)::BIGINT AS n FROM documents), "
+    "t0 AS (SELECT doc_id * 4 // (SELECT n FROM p) AS q, "
+    "  unnest(regexp_extract_all(lower(coalesce(text, '')), "
+    "  '\\S+')) AS token FROM documents), "
+    "tq AS (SELECT DISTINCT token, q FROM t0), "
+    "c AS (SELECT q, count(*)::BIGINT AS nq FROM tq GROUP BY q), "
+    "bt AS (SELECT x.q AS qa, count(*)::BIGINT AS nboth FROM tq x "
+    "  JOIN tq y ON y.token = x.token AND y.q = x.q + 1 "
+    "  GROUP BY x.q) "
+    "SELECT (r.qa + 1)::BIGINT AS quartile_a, "
+    "(r.qa + 2)::BIGINT AS quartile_b, ca.nq AS n_a, cb.nq AS n_b, "
+    "coalesce(bt.nboth, 0)::BIGINT AS n_both, "
+    "floor(CAST(coalesce(bt.nboth, 0) AS DOUBLE) "
+    "  / (ca.nq + cb.nq - coalesce(bt.nboth, 0)) * 1000000 + 0.5) "
+    "  / 1000000 AS jaccard "
+    "FROM range(0, 3) r(qa) JOIN c ca ON ca.q = r.qa "
+    "JOIN c cb ON cb.q = r.qa + 1 LEFT JOIN bt ON bt.qa = r.qa")
+
+
+ORACLE_SQL["discount_return_rate"] = (
+    "WITH q AS (SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) "
+    "  AS d2, l_returnflag FROM lineitem) "
+    "SELECT d2, count(*)::BIGINT AS n_items, "
+    "sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT "
+    "  AS n_returned, "
+    "floor(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) "
+    "  AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS rate "
+    "FROM q GROUP BY d2")
+
+
+ORACLE_SQL["length_anova"] = (
+    # per-group s^2/n terms quantized to 1/SCALE ints before the
+    # cross-group sum (order-free), entropy-style
+    "WITH g AS (SELECT lang, count(*)::HUGEINT AS n, "
+    "  sum(n_chars::HUGEINT)::HUGEINT AS s, "
+    "  sum(n_chars::HUGEINT * n_chars::HUGEINT)::HUGEINT AS q "
+    "  FROM documents GROUP BY lang), "
+    "t AS (SELECT sum(n) AS n, sum(s) AS s, sum(q) AS q, "
+    "  count(*)::BIGINT AS nl FROM g), "
+    "terms AS (SELECT CAST(floor(CAST(s * s AS DOUBLE) "
+    f"  / CAST(n AS DOUBLE) * {ANOVA_SCALE} + 0.5) AS BIGINT) "
+    "  AS term FROM g) "
+    "SELECT t.n::BIGINT AS n_docs, t.nl AS n_langs, "
+    f"floor((CAST(sum(term) AS DOUBLE) / {ANOVA_SCALE} "
+    "  - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n) "
+    "  / (CAST(t.q AS DOUBLE) "
+    "     - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n) "
+    "  * 1000000 + 0.5) / 1000000 AS eta_sq "
+    "FROM terms, t GROUP BY t.n, t.nl, t.s, t.q")
+
+
+ORACLE_SQL["source_hhi"] = (
+    "WITH g AS (SELECT source, count(*)::HUGEINT AS n "
+    "  FROM documents GROUP BY 1), "
+    "t AS (SELECT sum(n) AS tot, count(*)::BIGINT AS ns, "
+    "  sum(n * n) AS sq FROM g) "
+    "SELECT ns AS n_sources, tot::BIGINT AS n_docs, "
+    "floor(CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) "
+    "  * CAST(tot AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS hhi "
+    "FROM t")
+
+
+ORACLE_SQL["doc_length_quartiles"] = (
+    "WITH r AS (SELECT lang, n_chars, row_number() OVER ("
+    "  PARTITION BY lang ORDER BY n_chars) AS rn, "
+    "  count(*) OVER (PARTITION BY lang) AS n FROM documents) "
+    "SELECT lang, min(n)::BIGINT AS n_docs, "
+    "min(CASE WHEN rn = (n + 3) // 4 THEN n_chars END)::BIGINT "
+    "  AS p25, "
+    "min(CASE WHEN rn = (n + 1) // 2 THEN n_chars END)::BIGINT "
+    "  AS p50, "
+    "min(CASE WHEN rn = (3 * n + 3) // 4 THEN n_chars END)::BIGINT "
+    "  AS p75 FROM r GROUP BY lang")
+
+
+ORACLE_SQL["repeat_purchase_rate"] = (
+    "WITH u AS (SELECT user_id, count(*)::BIGINT AS n FROM events "
+    "  WHERE event_type = 'purchase' GROUP BY 1) "
+    "SELECT count(*)::BIGINT AS n_purchasers, "
+    "sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_repeat, "
+    "floor(CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS DOUBLE) "
+    "  / count(*) * 1000000 + 0.5) / 1000000 AS repeat_rate FROM u")

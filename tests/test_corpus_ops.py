@@ -4496,3 +4496,113 @@ def test_joint_tail_users_handbuilt(ray_session, tmp_path):
     assert out["n_users"].iloc[0] == 10
     assert out["n_joint"].iloc[0] == 1
     assert out["lift"].iloc[0] > 1.0
+
+
+def test_vocab_quartile_jaccard_handbuilt(ray_session, tmp_path):
+    """Adjacent quartiles sharing one of two tokens give jaccard
+    1/3; fully shared vocab gives 1."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_vocab_quartile_jaccard)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["a b", "b c", "b c", "b c"])
+    out = (q_vocab_quartile_jaccard(str(sf))
+           .sort_values("quartile_a").reset_index(drop=True))
+    assert out["quartile_a"].tolist() == [1, 2, 3]
+    assert out["jaccard"].tolist() == [0.333333, 1.0, 1.0]
+
+
+def test_discount_return_rate_handbuilt(ray_session, tmp_path):
+    """Tier 0: 1 of 2 returned; tier 5: none."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_discount_return_rate)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([0, 1, 2], type=pa.int64()),
+        "l_discount": pa.array([0.0, 0.0, 0.05]),
+        "l_returnflag": pa.array(["R", "N", "N"])}),
+        str(sf / "lineitem.parquet"))
+    out = (q_discount_return_rate(str(sf))
+           .sort_values("d2").reset_index(drop=True))
+    assert out["rate"].tolist() == [0.5, 0.0]
+
+
+def test_length_anova_extremes(ray_session, tmp_path):
+    """Lang fully determines length -> eta^2 = 1; equal lengths
+    within groups, different between."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_length_anova)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array(["x"] * 4),
+        "lang": pa.array(["en", "en", "de", "de"]),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([10, 10, 50, 50], type=pa.int64())}),
+        str(sf / "documents.parquet"))
+    out = q_length_anova(str(sf))
+    assert out["n_langs"].iloc[0] == 2
+    assert out["eta_sq"].iloc[0] == 1.0
+
+
+def test_source_hhi_handbuilt(ray_session, tmp_path):
+    """3:1 doc split -> HHI = (9 + 1) / 16 = 0.625."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_source_hhi)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["a", "b", "c", "d"],
+                 sources=["x", "x", "x", "y"])
+    out = q_source_hhi(str(sf))
+    assert out["n_sources"].iloc[0] == 2
+    assert out["hhi"].iloc[0] == 0.625
+
+
+def test_doc_length_quartiles_handbuilt(ray_session, tmp_path):
+    """Lengths 1..4: p25 = 1, p50 = 2, p75 = 3 (lower rule)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_doc_length_quartiles)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array(["x"] * 4),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([1, 2, 3, 4], type=pa.int64())}),
+        str(sf / "documents.parquet"))
+    out = q_doc_length_quartiles(str(sf))
+    assert out["p25"].iloc[0] == 1
+    assert out["p50"].iloc[0] == 2
+    assert out["p75"].iloc[0] == 3
+
+
+def test_repeat_purchase_rate_handbuilt(ray_session, tmp_path):
+    """u1 purchases twice, u2 once, u3 never -> 1 of 2."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_repeat_purchase_rate)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [0, 1, 2, 3], [1, 1, 2, 3],
+                  ["purchase", "purchase", "purchase", "view"])
+    out = q_repeat_purchase_rate(str(sf))
+    assert out["n_purchasers"].iloc[0] == 2
+    assert out["n_repeat"].iloc[0] == 1
+    assert out["repeat_rate"].iloc[0] == 0.5

@@ -13,6 +13,7 @@ Ray is initialised by the caller — nothing here calls ray.init().
 
 from __future__ import annotations
 
+import logging
 import os
 
 import numpy as np
@@ -29,6 +30,8 @@ from ..stages.multimodal import (AudioFeatureStage, MediaFeatureStage,
                                  VideoFrameSampleStage, audio_from_documents,
                                  media_from_documents, video_from_documents)
 from ..stages.scrub import scrub_batch
+
+logger = logging.getLogger(__name__)
 
 
 def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
@@ -7637,15 +7640,21 @@ def q_normalized_dedup(sf_dir: str):
     return g[["source", "n_docs", "n_norm", "collapse"]]
 
 
-def q_source_tv_distance(sf_dir: str):
-    """Pairwise total-variation distance between sources' token
-    distributions (round 4): the distribution-shift number a mixture
-    designer reads before weighting sources. tv = 0.5 * sum_t
-    |c_a*T_b - c_b*T_a| / (T_a*T_b) — the numerator folds as EXACT
-    driver bigints over the (vocabulary x sources) count table (the
-    synthetic vocabulary is small; at 100 TB cap to the top-M terms,
-    documented), ONE double division per pair. Returns (source_a,
-    source_b, tv)."""
+TV_TOP_M = 200_000   # source_tv/overlap: driver vocabulary cap
+
+
+def _source_token_pivot_capped(sf_dir: str, top_m: int = TV_TOP_M):
+    """(vocab x sources) token-count pivot for the pairwise
+    distribution-distance ops, capped to the global top-``top_m``
+    tokens by total count (ties: token asc) so driver memory is
+    BOUNDED in the corpus vocabulary (advice r4). Per-source token
+    totals stay EXACT (distributed fold over the full vocabulary,
+    pre-cap); tokens beyond the cap drop out of the pairwise
+    numerators only, and the truncation is logged
+    (minhash_truncation convention). The synthetic vocabulary is far
+    below the cap, so the sf oracles see the exact value. Returns
+    (pivot reindexed to every source, tot dict, n_vocab,
+    n_truncated)."""
     from ..stages.relational import sharded_group_sum
 
     ds = _docs(sf_dir, ["source", "text"])
@@ -7659,13 +7668,70 @@ def q_source_tv_distance(sf_dir: str):
                            "n": np.int64(1)})
         return df.groupby(["source", "token"], as_index=False).sum()
 
+    # vocabulary-sized, stays in the object store for 3 consumers
     counts = sharded_group_sum(
         ds.map_batches(partial, batch_format="pandas"),
-        keys=["source", "token"], sum_cols=["n"]).to_pandas()
-    piv = counts.pivot_table(index="token", columns="source",
-                             values="n", fill_value=0, aggfunc="sum")
+        keys=["source", "token"], sum_cols=["n"]).materialize()
+
+    tot_df = sharded_group_sum(
+        counts.map_batches(
+            lambda b: b.groupby("source", as_index=False)
+            .agg(tot=("n", "sum")), batch_format="pandas"),
+        keys=["source"], sum_cols=["tot"], num_shards=4).to_pandas()
+    tot = {s: int(t) for s, t in zip(tot_df["source"], tot_df["tot"])}
+
+    # global top-M: per-block partial top-M + one sentinel row per
+    # block carrying its vocab count, merged on the driver — each
+    # token appears once post-groupby, so every global-top-M token is
+    # in its block's top-M
+    tok = sharded_group_sum(
+        counts.map_batches(
+            lambda b: b.groupby("token", as_index=False)
+            .agg(tn=("n", "sum")), batch_format="pandas"),
+        keys=["token"], sum_cols=["tn"])
+
+    def block_top(b: pd.DataFrame) -> pd.DataFrame:
+        top = b.sort_values(["tn", "token"], ascending=[False, True],
+                            kind="mergesort").head(top_m)
+        sent = pd.DataFrame({"token": [None],
+                             "tn": np.asarray([-len(b)], np.int64)})
+        return pd.concat([top, sent], ignore_index=True)
+
+    parts = tok.map_batches(block_top,
+                            batch_format="pandas").to_pandas()
+    is_sent = parts["token"].isna()
+    n_vocab = int(-parts.loc[is_sent, "tn"].sum())
+    tops = (parts[~is_sent]
+            .sort_values(["tn", "token"], ascending=[False, True],
+                         kind="mergesort").head(top_m))
+    n_truncated = n_vocab - len(tops)
+    if n_truncated > 0:
+        logger.warning(
+            "source token pivot: vocabulary %d exceeds top_m=%d; "
+            "%d tail terms dropped from the pairwise numerators "
+            "(per-source totals remain exact)",
+            n_vocab, top_m, n_truncated)
+    keep = frozenset(tops["token"])
+
+    filt = counts.map_batches(
+        lambda b, _k=keep: b[b["token"].isin(_k)],
+        batch_format="pandas").to_pandas()
+    piv = filt.pivot_table(index="token", columns="source",
+                           values="n", fill_value=0, aggfunc="sum")
+    piv = piv.reindex(columns=sorted(tot), fill_value=0)
+    return piv, tot, n_vocab, n_truncated
+
+
+def q_source_tv_distance(sf_dir: str):
+    """Pairwise total-variation distance between sources' token
+    distributions (round 4): the distribution-shift number a mixture
+    designer reads before weighting sources. tv = 0.5 * sum_t
+    |c_a*T_b - c_b*T_a| / (T_a*T_b) — EXACT driver bigints over the
+    top-{TV_TOP_M} slice of the (vocabulary x sources) count table
+    (driver memory bounded; truncation logged; totals exact), ONE
+    double division per pair. Returns (source_a, source_b, tv)."""
+    piv, tot, _nv, _nt = _source_token_pivot_capped(sf_dir)
     srcs = sorted(piv.columns)
-    tot = {s: int(piv[s].sum()) for s in srcs}
     rows = []
     for i, a in enumerate(srcs):
         ca = piv[a].to_numpy(np.int64)
@@ -10400,28 +10466,12 @@ def q_source_overlap_coef(sf_dir: str):
     distributions (round 4): sum_t min(p_a, p_b) — the overlap
     companion to source_tv_distance (tv = 1 - overlap for
     distributions, reported independently for the mixture design
-    read). Exact bigint numerators over the (vocab x sources) count
-    table. Returns (source_a, source_b, overlap)."""
-    from ..stages.relational import sharded_group_sum
-
-    ds = _docs(sf_dir, ["source", "text"])
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        toks = (b["text"].fillna("").str.lower().str.findall(r"\S+"))
-        lens = toks.str.len().to_numpy(np.int64)
-        src = np.repeat(b["source"].to_numpy(), lens)
-        flat = toks.explode().dropna()
-        df = pd.DataFrame({"source": src, "token": flat.to_numpy(),
-                           "n": np.int64(1)})
-        return df.groupby(["source", "token"], as_index=False).sum()
-
-    counts = sharded_group_sum(
-        ds.map_batches(partial, batch_format="pandas"),
-        keys=["source", "token"], sum_cols=["n"]).to_pandas()
-    piv = counts.pivot_table(index="token", columns="source",
-                             values="n", fill_value=0, aggfunc="sum")
+    read). Exact bigint numerators over the top-{TV_TOP_M} slice of
+    the (vocab x sources) count table (driver memory bounded,
+    truncation logged, totals exact — advice r4). Returns
+    (source_a, source_b, overlap)."""
+    piv, tot, _nv, _nt = _source_token_pivot_capped(sf_dir)
     srcs = sorted(piv.columns)
-    tot = {s: int(piv[s].sum()) for s in srcs}
     rows = []
     for i, a in enumerate(srcs):
         ca = piv[a].to_numpy(np.int64)
@@ -11399,7 +11449,8 @@ def q_lorenz_curve(sf_dir: str):
             "decile": np.int64(d),
             "n_customers": np.int64(cnt_cum),
             "cum_rev_cents": np.int64(cum),
-            "cum_share": np.floor(cum / tot * 1e6 + 0.5) / 1e6})
+            "cum_share": (np.floor(cum / tot * 1e6 + 0.5) / 1e6
+                          if tot else 0.0)})
     return pd.DataFrame(rows)
 
 
@@ -11654,8 +11705,12 @@ def q_vocab_quartile_jaccard(sf_dir: str):
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         toks = b["text"].fillna("").str.lower().str.findall(r"\S+")
         lens = toks.str.len().to_numpy(np.int64)
-        q = np.repeat(b["doc_id"].to_numpy(np.int64) * 4 // n_total,
-                      lens)
+        # doc_id * 4 // n assumes dense 0-based ids; clip to [0, 3]
+        # so sparse/offset ids can't shift past the int64 bitmask
+        # (advice r4) — the oracle clips identically
+        q = np.repeat(np.clip(
+            b["doc_id"].to_numpy(np.int64) * 4 // n_total, 0, 3),
+            lens)
         flat = toks.explode().dropna()
         df = pd.DataFrame({"token": flat.to_numpy(), "q": q,
                            "one": np.int64(1)}).drop_duplicates(
@@ -17085,7 +17140,8 @@ ORACLE_SQL["joint_tail_users"] = (
 
 ORACLE_SQL["vocab_quartile_jaccard"] = (
     "WITH p AS (SELECT count(*)::BIGINT AS n FROM documents), "
-    "t0 AS (SELECT doc_id * 4 // (SELECT n FROM p) AS q, "
+    "t0 AS (SELECT least(greatest("
+    "  doc_id * 4 // (SELECT n FROM p), 0), 3) AS q, "
     "  unnest(regexp_extract_all(lower(coalesce(text, '')), "
     "  '\\S+')) AS token FROM documents), "
     "tq AS (SELECT DISTINCT token, q FROM t0), "
@@ -17127,11 +17183,16 @@ ORACLE_SQL["length_anova"] = (
     f"  / CAST(n AS DOUBLE) * {ANOVA_SCALE} + 0.5) AS BIGINT) "
     "  AS term FROM g) "
     "SELECT t.n::BIGINT AS n_docs, t.nl AS n_langs, "
+    # degenerate corpus (all docs same length): SST == 0 -> 0.0,
+    # matching the engine's `if sst else 0.0` guard (advice r4)
+    "CASE WHEN CAST(t.q AS DOUBLE) "
+    "     - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n = 0 "
+    "THEN 0.0 ELSE "
     f"floor((CAST(sum(term) AS DOUBLE) / {ANOVA_SCALE} "
     "  - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n) "
     "  / (CAST(t.q AS DOUBLE) "
     "     - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n) "
-    "  * 1000000 + 0.5) / 1000000 AS eta_sq "
+    "  * 1000000 + 0.5) / 1000000 END AS eta_sq "
     "FROM terms, t GROUP BY t.n, t.nl, t.s, t.q")
 
 

@@ -4606,3 +4606,86 @@ def test_repeat_purchase_rate_handbuilt(ray_session, tmp_path):
     assert out["n_purchasers"].iloc[0] == 2
     assert out["n_repeat"].iloc[0] == 1
     assert out["repeat_rate"].iloc[0] == 0.5
+
+
+def test_source_pivot_cap_truncation(ray_session, tmp_path):
+    """Advice r4: the (vocab x sources) pivot is capped to the global
+    top-M tokens — driver memory bounded — while per-source totals
+    stay exact over the FULL vocabulary."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        _source_token_pivot_capped, q_source_tv_distance)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # vocab {aa:4, bb:3, cc:2, dd:1}
+    _write_docs4(sf, ["aa aa aa bb cc", "aa bb bb cc dd"],
+                 sources=["a", "b"])
+    piv, tot, n_vocab, n_trunc = _source_token_pivot_capped(
+        str(sf), top_m=2)
+    assert n_vocab == 4 and n_trunc == 2
+    # top-2 by (count desc, token asc): aa, bb
+    assert sorted(piv.index) == ["aa", "bb"]
+    # totals exact over the FULL vocabulary, not the capped slice
+    assert tot == {"a": 5, "b": 5}
+    # with the default (huge) cap nothing truncates and the tv op is
+    # exact: a={aa:3,bb:1,cc:1}, b={aa:1,bb:2,cc:1,dd:1}
+    # tv = 0.5*(|15-5| + |5-10| + |5-5| + |0-5|)/25 = 0.4
+    out = q_source_tv_distance(str(sf))
+    assert out["tv"].iloc[0] == 0.4
+
+
+def test_length_anova_degenerate_oracle_parity(ray_session, tmp_path):
+    """Advice r4: all docs the same length -> SST == 0; engine AND
+    oracle both return eta_sq = 0.0 (the oracle's CASE guard)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        ORACLE_SQL, q_length_anova)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array(["xxxxx"] * 4),
+        "lang": pa.array(["en", "en", "de", "de"]),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([5, 5, 5, 5], type=pa.int64())}),
+        str(sf / "documents.parquet"))
+    out = q_length_anova(str(sf))
+    assert out["eta_sq"].iloc[0] == 0.0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')")
+    ora = con.execute(ORACLE_SQL["length_anova"]).df()
+    con.close()
+    assert ora["eta_sq"].iloc[0] == 0.0
+    assert int(ora["n_docs"].iloc[0]) == 4
+
+
+def test_lorenz_curve_zero_total(ray_session, tmp_path):
+    """Advice r4: zero total revenue must not ZeroDivisionError —
+    cum_share is 0.0 across all deciles."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_lorenz_curve)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    n = 10
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(n), type=pa.int64()),
+        "o_custkey": pa.array(range(n), type=pa.int64()),
+        "o_totalprice": pa.array([0.0] * n, type=pa.float64()),
+        "o_orderdate": pa.array(
+            [np.datetime64("1995-01-01", "us")] * n,
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * n)}),
+        str(sf / "orders.parquet"))
+    out = q_lorenz_curve(str(sf))
+    assert (out["cum_share"] == 0.0).all()
+    assert out["cum_rev_cents"].tolist() == [0] * len(out)

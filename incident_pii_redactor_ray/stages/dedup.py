@@ -245,6 +245,10 @@ def _batch_minhash_rows(texts) -> tuple:
     """
     import pyarrow.compute as pc
     arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    if pa.types.is_large_string(arr.type):
+        # binary_join_element_wise has no (large_string..., string)
+        # kernel; per-batch offsets fit 32 bits, so the cast is safe
+        arr = arr.cast(pa.string())
     arr = pc.fill_null(arr, "")
     toks = pc.split_pattern_regex(pc.utf8_lower(arr), pattern=r"[ \t\n\f\r]+")
     lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
@@ -261,7 +265,8 @@ def _batch_minhash_rows(texts) -> tuple:
         in_doc = np.empty(0, dtype=bool)
     if not in_doc.any():
         return (np.empty(0, dtype=np.int64), np.zeros(1, dtype=np.int64),
-                np.empty(0, dtype=np.uint64), [[] for _ in range(nb)])
+                np.empty(0, dtype=np.uint64), [[] for _ in range(nb)],
+                [np.empty(0, dtype=np.int32) for _ in range(nb)])
     m = pa.array(in_doc)
     parts = [flat.slice(j, len(in_doc)).filter(m) for j in range(k)]
     sh_str = pc.binary_join_element_wise(*parts, " ")
@@ -314,14 +319,20 @@ def _batch_minhash_rows(texts) -> tuple:
     offsets = np.concatenate(([0], np.cumsum(counts)))
 
     band_hex: list[list[str]] = [[] for _ in range(nb)]
-    for row in mins:
+    band_shard: list[np.ndarray] = [
+        np.empty(len(mins), dtype=np.int32) for _ in range(nb)]
+    for ri, row in enumerate(mins):
         for b in range(nb):
-            h = hashlib.md5(
+            dgst = hashlib.md5(
                 (("%d:" % b) + "".join("%08x" % v
                  for v in row[rpb * b: rpb * (b + 1)])).encode()
-            ).hexdigest()[:16]
-            band_hex[b].append(h)
-    return doc_pos, offsets, shingle_vals, band_hex
+            ).digest()
+            # hexdigest()[:16] == digest()[:8].hex(); the 256-way
+            # bucket shard int(hex[:2], 16) == first digest byte —
+            # precomputed here so explode never parses hex in Python
+            band_hex[b].append(dgst[:8].hex())
+            band_shard[b][ri] = dgst[0]
+    return doc_pos, offsets, shingle_vals, band_hex, band_shard
 
 
 def _minhash_sig_dataset(ds: ray.data.Dataset, text_col: str,
@@ -329,8 +340,8 @@ def _minhash_sig_dataset(ds: ray.data.Dataset, text_col: str,
     """One row per shingled doc: (doc_id, shingles, band_0..band_{nb-1})."""
 
     def sigs(batch: pa.Table) -> pa.Table:
-        doc_pos, offsets, shingle_vals, band_hex = _batch_minhash_rows(
-            batch.column(text_col))
+        (doc_pos, offsets, shingle_vals, band_hex,
+         band_shard) = _batch_minhash_rows(batch.column(text_col))
         ids = np.asarray(batch.column(id_col), dtype=np.int64)[doc_pos]
         cols: dict = {
             "doc_id": pa.array(ids, type=pa.int64()),
@@ -340,6 +351,8 @@ def _minhash_sig_dataset(ds: ray.data.Dataset, text_col: str,
         }
         for b in range(MINHASH_NUM_BANDS):
             cols[f"band_{b}"] = pa.array(band_hex[b], type=pa.string())
+            cols[f"bshard_{b}"] = pa.array(band_shard[b],
+                                           type=pa.int32())
         return pa.table(cols)
 
     return ds.map_batches(sigs, batch_format="pyarrow")
@@ -392,82 +405,177 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     sigs = _minhash_sig_dataset(ds, text_col, id_col)
 
     def explode(batch: pa.Table) -> pa.Table:
+        # Arrow-native x8 band replication: no to_pylist, no per-hash
+        # hex parse — the bucket shard byte was precomputed in the
+        # signature pass (r5, VERDICT r4 next-round #1)
         n = batch.num_rows
-        ids, bands, hashes, shs = [], [], [], []
-        sh_col = batch.column("shingles")
-        for b in range(MINHASH_NUM_BANDS):
-            ids.append(np.asarray(batch.column("doc_id"), dtype=np.int64))
-            bands.append(np.full(n, b, dtype=np.int32))
-            hashes.extend(batch.column(f"band_{b}").to_pylist())
-            shs.append(sh_col)
-        t = pa.table({"doc_id": pa.array(np.concatenate(ids)),
-                      "band": pa.array(np.concatenate(bands)),
-                      "band_hash": pa.array(hashes, type=pa.string()),
-                      "sh": pa.concat_arrays(
-                          [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-                           for c in shs])})
-        shard = pa.array([int(h[:2], 16) for h in hashes], type=pa.int32())
-        return t.append_column("shard", shard)
+        nb = MINHASH_NUM_BANDS
+
+        def _arr(col):
+            return (col.combine_chunks()
+                    if isinstance(col, pa.ChunkedArray) else col)
+
+        sh_col = _arr(batch.column("shingles"))
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.tile(ids, nb)),
+            "band": pa.array(np.repeat(
+                np.arange(nb, dtype=np.int32), n)),
+            "band_hash": pa.concat_arrays(
+                [_arr(batch.column(f"band_{b}")) for b in range(nb)]),
+            "sh": pa.concat_arrays([sh_col] * nb),
+            "shard": pa.array(np.concatenate(
+                [np.asarray(batch.column(f"bshard_{b}"),
+                            dtype=np.int32) for b in range(nb)]))})
 
     # 256-way hash shard of the bucket key; every bucket lands wholly in
     # one shard (shard is a function of band_hash); pairing + exact
     # verification run inside the shard. A pair colliding in several
     # bands may be verified once per shard it lands in — identical
     # jaccard each time; the final pair-shard groupby dedups.
+    # threshold <= 0 would require emitting zero-intersection bucket
+    # pairs, which the inverted-list verify below never enumerates
+    assert threshold > 0, "minhash_lsh_pairs requires threshold > 0"
+
     def shard_verify(g: pd.DataFrame) -> pd.DataFrame:
-        out_a: list[int] = []
-        out_b: list[int] = []
-        out_j: list[float] = []
-        seen: set[tuple[int, int]] = set()
-        n_overflow = 0
-        n_dropped = 0
-        for (_b, _h), rows in g.groupby(["band", "band_hash"], sort=False):
-            rows = rows.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
-            if len(rows) < 2:
-                continue
-            u = rows["doc_id"].to_numpy(dtype=np.int64)
-            sh = [np.asarray(x, dtype=np.uint64) for x in rows["sh"]]
-            if len(u) > max_bucket:
-                # degenerate bucket: min-anchored fallback, counted and
-                # logged below, reproduced by the SQL oracle
-                n_overflow += 1
-                n_dropped += len(u) * (len(u) - 1) // 2 - (len(u) - 1)
-                pair_idx = [(0, j) for j in range(1, len(u))]
-            else:
-                ai, bi = np.triu_indices(len(u), k=1)
-                pair_idx = list(zip(ai.tolist(), bi.tolist()))
-            for i, j in pair_idx:
-                key = (int(u[i]), int(u[j]))
-                # two-sided mode: only pairs straddling the id base are
-                # candidates (incremental dedup: delta vs existing) —
-                # skipping same-side pairs BEFORE the set-intersection
-                # verify removes the O(s^2) within-side work entirely
-                if cross_side_base is not None and not (
-                        key[0] < cross_side_base <= key[1]):
-                    continue
-                if key in seen:
-                    continue
-                seen.add(key)
-                a, b = sh[i], sh[j]
-                inter = len(np.intersect1d(a, b, assume_unique=True))
-                jac = inter / (len(a) + len(b) - inter)
-                # half-up via floor, NOT round(): Python rounds
-                # half-even, DuckDB half-up — jaccard rationals like
-                # 1/128 hit an exact 7th-decimal 5 and would diverge
-                jac = float(np.floor(jac * 1e6 + 0.5) / 1e6)
-                if jac >= threshold:
-                    out_a.append(key[0])
-                    out_b.append(key[1])
-                    out_j.append(jac)
+        """Vectorized bucket pairing + exact-Jaccard verify (r5,
+        VERDICT r4 next-round #1 — the per-pair np.intersect1d Python
+        loop was the 2M-file hot spot). Same output as the loop form:
+
+        * normal buckets: pairwise intersection sizes come from an
+          inverted shingle list — runs of equal (bucket, shingle)
+          across the whole shard expand to per-pair increments
+          (a grouped-arange all-pairs construction, no Python in the
+          pair dimension), summed by np.unique on the pair key;
+        * overflow buckets (> max_bucket): the legacy min-anchored
+          loop, O(s) per bucket, counted and logged as before.
+        """
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64")})
+        g = g.drop_duplicates(subset=["band", "band_hash", "doc_id"])
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["band", "band_hash", "doc_id"],
+                          kind="mergesort")
+        band_np = g["band"].to_numpy()
+        bh_np = g["band_hash"].to_numpy()
+        newb = np.concatenate(([True], (band_np[1:] != band_np[:-1])
+                               | (bh_np[1:] != bh_np[:-1])))
+        sizes = np.diff(np.append(np.flatnonzero(newb), len(g)))
+        keep_rows = np.repeat(sizes, sizes) >= 2
+        if not keep_rows.any():
+            return empty
+        g = g[keep_rows]
+        band_np, bh_np = band_np[keep_rows], bh_np[keep_rows]
+        newb = np.concatenate(([True], (band_np[1:] != band_np[:-1])
+                               | (bh_np[1:] != bh_np[:-1])))
+        codes = np.cumsum(newb) - 1
+        bstart = np.flatnonzero(newb)
+        bsizes = np.diff(np.append(bstart, len(g)))
+        u = g["doc_id"].to_numpy(np.int64)
+        sh_list = [np.asarray(x, dtype=np.uint64) for x in g["sh"]]
+        lens = np.fromiter((len(a) for a in sh_list), np.int64,
+                           count=len(sh_list))
+        nrows = len(u)
+        overflow_b = bsizes > max_bucket
+        n_overflow = int(overflow_b.sum())
+        over = bsizes[overflow_b]
+        n_dropped = int((over * (over - 1) // 2 - (over - 1)).sum())
+        overflow_row = np.repeat(overflow_b, bsizes)
+        frames = []
+
+        rows_norm = np.flatnonzero(~overflow_row)
+        if len(rows_norm):
+            flat_sh = np.concatenate(
+                [sh_list[r] for r in rows_norm]
+                or [np.empty(0, np.uint64)])
+            row_of = np.repeat(rows_norm, lens[rows_norm])
+            buck_of = codes[row_of]
+            # stable: ties keep ascending row order within each run
+            order = np.lexsort((flat_sh, buck_of))
+            fs, fr, fb = flat_sh[order], row_of[order], buck_of[order]
+            newrun = np.concatenate(
+                ([True], (fb[1:] != fb[:-1]) | (fs[1:] != fs[:-1])))
+            rstart = np.flatnonzero(newrun)
+            rlen = np.diff(np.append(rstart, len(fs)))
+            m2 = rlen >= 2
+            rs, rl = rstart[m2], rlen[m2]
+            if len(rs):
+                # all pairs (a < b) within each run, fully vectorized:
+                # level 1 enumerates b = 1..m-1 per run, level 2
+                # repeats each b by b and counts a = 0..b-1 under it
+                c1 = rl - 1
+                off1 = np.repeat(np.cumsum(c1) - c1, c1)
+                b1 = np.arange(int(c1.sum()), dtype=np.int64) - off1 + 1
+                runbase1 = np.repeat(rs, c1)
+                b2 = np.repeat(b1, b1)
+                runbase2 = np.repeat(runbase1, b1)
+                off2 = np.repeat(np.cumsum(b1) - b1, b1)
+                a2 = np.arange(int(b1.sum()), dtype=np.int64) - off2
+                ri = fr[runbase2 + a2]
+                rj = fr[runbase2 + b2]
+                if cross_side_base is not None:
+                    # two-sided mode: only pairs straddling the base
+                    keep = (u[ri] < cross_side_base) & (
+                        cross_side_base <= u[rj])
+                    ri, rj = ri[keep], rj[keep]
+                if len(ri):
+                    uk, inter = np.unique(ri * nrows + rj,
+                                          return_counts=True)
+                    pi, pj = uk // nrows, uk % nrows
+                    jac = inter / (lens[pi] + lens[pj] - inter)
+                    # half-up via floor, NOT round(): Python rounds
+                    # half-even, DuckDB half-up — rationals like 1/128
+                    # hit an exact 7th-decimal 5 and would diverge
+                    jac = np.floor(jac * 1e6 + 0.5) / 1e6
+                    keep = jac >= threshold
+                    frames.append(pd.DataFrame({
+                        "id_a": u[pi[keep]], "id_b": u[pj[keep]],
+                        "jaccard": jac[keep]}))
+
         if n_overflow:
+            out_a: list[int] = []
+            out_b: list[int] = []
+            out_j: list[float] = []
+            for k in np.flatnonzero(overflow_b):
+                s0, m = int(bstart[k]), int(bsizes[k])
+                anchor = sh_list[s0]
+                a_id = int(u[s0])
+                for j in range(s0 + 1, s0 + m):
+                    b_id = int(u[j])
+                    if cross_side_base is not None and not (
+                            a_id < cross_side_base <= b_id):
+                        continue
+                    bsh = sh_list[j]
+                    inter = len(np.intersect1d(anchor, bsh,
+                                               assume_unique=True))
+                    jac = inter / (len(anchor) + len(bsh) - inter)
+                    jac = float(np.floor(jac * 1e6 + 0.5) / 1e6)
+                    if jac >= threshold:
+                        out_a.append(a_id)
+                        out_b.append(b_id)
+                        out_j.append(jac)
+            frames.append(pd.DataFrame({
+                "id_a": pd.Series(out_a, dtype="int64"),
+                "id_b": pd.Series(out_b, dtype="int64"),
+                "jaccard": pd.Series(out_j, dtype="float64")}))
             logger.warning(
                 "minhash_lsh_pairs: %d bucket(s) exceeded max_bucket=%d in "
                 "this shard; %d candidate pair(s) fell back to min-anchored "
                 "coverage (run minhash_bucket_stats for the corpus total)",
                 n_overflow, max_bucket, n_dropped)
-        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
-                             "id_b": pd.Series(out_b, dtype="int64"),
-                             "jaccard": pd.Series(out_j, dtype="float64")})
+        if not frames:
+            return empty
+        out = pd.concat(frames, ignore_index=True)
+        # same doc pair via several buckets of this shard: identical
+        # jaccard each time (the old `seen`-set semantics)
+        out = out.drop_duplicates(subset=["id_a", "id_b"])
+        return pd.DataFrame({
+            "id_a": out["id_a"].to_numpy(np.int64),
+            "id_b": out["id_b"].to_numpy(np.int64),
+            "jaccard": out["jaccard"].to_numpy(np.float64)})
 
     pairs = (sigs.map_batches(explode, batch_format="pyarrow")
                  .groupby("shard")
@@ -517,15 +625,20 @@ def minhash_bucket_stats(ds: ray.data.Dataset, *, text_col: str = "text",
 
     def explode_meta(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        bands: list[np.ndarray] = []
-        hashes: list[str] = []
-        for b in range(MINHASH_NUM_BANDS):
-            bands.append(np.full(n, b, dtype=np.int32))
-            hashes.extend(batch.column(f"band_{b}").to_pylist())
-        shard = pa.array([int(h[:2], 16) for h in hashes], type=pa.int32())
-        return pa.table({"band": pa.array(np.concatenate(bands)),
-                         "band_hash": pa.array(hashes, type=pa.string()),
-                         "shard": shard})
+        nb = MINHASH_NUM_BANDS
+
+        def _arr(col):
+            return (col.combine_chunks()
+                    if isinstance(col, pa.ChunkedArray) else col)
+
+        return pa.table({
+            "band": pa.array(np.repeat(
+                np.arange(nb, dtype=np.int32), n)),
+            "band_hash": pa.concat_arrays(
+                [_arr(batch.column(f"band_{b}")) for b in range(nb)]),
+            "shard": pa.array(np.concatenate(
+                [np.asarray(batch.column(f"bshard_{b}"),
+                            dtype=np.int32) for b in range(nb)]))})
 
     # every (band, band_hash) bucket lands wholly in one shard (shard is
     # a function of band_hash), and a doc contributes one row per band,

@@ -281,3 +281,42 @@ def test_m22_false_positive_flag():
     s_o, f_o = osc(text)
     assert f_e == f_o and s_e == s_o
     assert all(x["likely_false_positive"] is False for x in f_e)
+
+
+def test_minhash_pairs_large_string_and_overflow(ray_session):
+    """r5 regression: (1) the vectorized signature path must accept
+    ``large_string`` text columns (the scale corpus's dtype — it
+    crashed on Arrow's missing (large_string..., string) join kernel
+    before); (2) the vectorized shard_verify must equal the legacy
+    per-pair loop, including min-anchored overflow buckets."""
+    import pyarrow as pa
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.dedup import minhash_lsh_pairs
+
+    texts = (["alpha beta gamma delta epsilon zeta"] * 5
+             + ["alpha beta gamma delta epsilon eta"]
+             + ["totally different words here now ok"])
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.large_string())})
+    ds = ray.data.from_arrow(t)
+    out = (minhash_lsh_pairs(ds, threshold=0.5)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    # five identical docs: all 10 pairs at jaccard 1.0; doc 5 shares
+    # 3 of 5 shingles with them (4 shingles each, 3 common -> 3/5)
+    exact = out[out["jaccard"] == 1.0]
+    assert len(exact) == 10
+    assert set(exact["id_a"]).issubset(set(range(5)))
+    near = out[(out["id_b"] == 5) & (out["jaccard"] < 1.0)]
+    assert len(near) == 5 and (near["jaccard"] == 0.6).all()
+    assert 6 not in set(out["id_a"]) | set(out["id_b"])
+
+    # overflow: max_bucket=3 forces the min-anchored fallback on the
+    # 6-member bucket -> pairs only anchored at doc 0
+    over = (minhash_lsh_pairs(ds, threshold=0.5, max_bucket=3)
+            .to_pandas().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+    assert (over["id_a"] == 0).all()
+    assert sorted(over["id_b"]) == [1, 2, 3, 4, 5]

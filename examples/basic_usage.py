@@ -1,0 +1,131 @@
+"""Custom-policy walkthrough for the Ray Data corpus-hygiene engine
+(mirrors reference examples/basic_usage.py:88-139, re-expressed for
+the batch pipeline): build a tiny source-file corpus, write a custom
+policy JSON (drop a detector, add one, tighten a threshold), run the
+default and custom pipelines side by side, and fetch one processed
+row by file_id.
+
+Run standalone:
+
+    python examples/basic_usage.py [workdir]
+
+or via pytest (tests/test_hygiene_options.py::test_examples_walkthrough),
+which executes ``main()`` end-to-end in CI.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import tempfile
+
+
+def build_corpus(path: str) -> None:
+    """Six files: emails/phones/keys to scrub, an internal hostname for
+    the custom detector, and one low-quality file for the threshold."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        ("acme/api", "auth.py", "c1", "python",
+         "def notify():\n    return send('ops@example.com')\n"),
+        ("acme/api", "dial.py", "c2", "python",
+         "SUPPORT = '+1-555-123-4567'\ndef dial():\n    return SUPPORT\n"),
+        ("acme/api", "cfg.py", "c3", "python",
+         "FLAG = 'bluebird_rollout'\nPORT = 5432\n"),
+        ("acme/web", "index.js", "c4", "javascript",
+         "export const ping = () => fetch('/api/ping');\n"),
+        ("acme/web", "junk.js", "c5", "javascript",
+         "zzzz " * 400),
+        ("acme/web", "readme.md", "c6", "markdown",
+         "# Acme\nContact ops@example.com for access.\n"),
+    ]
+    pq.write_table(pa.table({
+        "repo": pa.array([r[0] for r in rows]),
+        "path": pa.array([r[1] for r in rows]),
+        "commit": pa.array([r[2] for r in rows]),
+        "lang": pa.array([r[3] for r in rows]),
+        "content": pa.array([r[4] for r in rows],
+                            type=pa.large_string())}), path)
+
+
+CUSTOM_POLICY = {
+    # phones stay in cleartext for this tenant
+    "disable_detectors": ["phone"],
+    # internal project codenames are scrubbed like secrets
+    "extra_detectors": [{
+        "name": "internal_codename",
+        "pattern": r"\bbluebird_\w+\b",
+        "confidence": 0.9,
+        "category": "SECRETS",
+        "action": "REDACT",
+        "tier": "custom",
+    }],
+    "force_redact_types": ["internal_codename"],
+    # drop highly repetitive files outright
+    "thresholds": {"QUALITY_MAX_REP_RATIO": 0.05},
+}
+
+
+def main(workdir: str | None = None) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.hygiene import run_hygiene
+    from incident_pii_redactor_ray.policy import HygienePolicy
+    from incident_pii_redactor_ray.state import manifests as mf
+
+    workdir = workdir or tempfile.mkdtemp(prefix="ipr_example_")
+    corpus = os.path.join(workdir, "corpus.parquet")
+    build_corpus(corpus)
+
+    policy_path = os.path.join(workdir, "custom_policy.json")
+    with open(policy_path, "w") as f:
+        json.dump(CUSTOM_POLICY, f, indent=2)
+
+    out_default = os.path.join(workdir, "out_default")
+    out_custom = os.path.join(workdir, "out_custom")
+    s_default = run_hygiene(corpus, out_default, num_partitions=2,
+                            scorer_concurrency=1, resume=False)
+    s_custom = run_hygiene(corpus, out_custom, num_partitions=2,
+                           scorer_concurrency=1, resume=False,
+                           policy=HygienePolicy.from_json(policy_path))
+
+    print("default run:", json.dumps(s_default, sort_keys=True))
+    print("custom run: ", json.dumps(s_custom, sort_keys=True))
+
+    def rows_of(out_dir):
+        fs, _ = mf.resolve_fs(out_dir)
+        out = {}
+        for p in mf.output_files(out_dir):
+            with fs.open_input_file(p) as f:
+                t = pq.read_table(f)
+            for i in range(t.num_rows):
+                out[t.column("path")[i].as_py()] = {
+                    c: t.column(c)[i].as_py() for c in t.column_names}
+        return out
+
+    rd, rc = rows_of(out_default), rows_of(out_custom)
+
+    # point lookup by file_id, the cli `get` shape
+    fid = hashlib.sha256("acme/api\x00cfg.py\x00c3".encode()).hexdigest()
+    assert rc["cfg.py"]["file_id"] == fid
+
+    print("\nscrubbed cfg.py (default):", rd["cfg.py"]["scrubbed_content"])
+    print("scrubbed cfg.py (custom): ", rc["cfg.py"]["scrubbed_content"])
+    print("scrubbed dial.py (default):", rd["dial.py"]["scrubbed_content"])
+    print("scrubbed dial.py (custom): ", rc["dial.py"]["scrubbed_content"])
+    return {"default": (s_default, rd), "custom": (s_custom, rc)}
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else None)

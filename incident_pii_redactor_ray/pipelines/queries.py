@@ -12287,11 +12287,260 @@ def q_order_age_by_status(sf_dir: str):
     return g[["status", "n_orders", "mean_age_days", "max_age_days"]]
 
 
+_SENT_STRIP = " \t\n\r\f"
+
+
+def q_sentence_dedup_stats(sf_dir: str):
+    """Sentence-level duplication per source (round 5): how much of a
+    source is repeated SENTENCES (boilerplate sign-offs, templates) —
+    finer-grained than line_dedup, coarser than n-grams. Sentences
+    split on [.!?]+ runs, trimmed; the exchange carries (digest,
+    source) pairs only, each digest wholly in one shard so per-shard
+    distinct sums exactly (the normalized_dedup shape). Returns
+    (source, n_sentences, n_distinct, dup_rate)."""
+    import hashlib
+
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = (b.assign(sent=b["text"].fillna("")
+                      .str.split(r"[.!?]+", regex=True))
+             .explode("sent"))
+        s["sent"] = s["sent"].str.strip(_SENT_STRIP)
+        s = s[s["sent"] != ""]
+        if not len(s):
+            return pd.DataFrame({
+                "digest": pd.Series([], dtype="object"),
+                "source": pd.Series([], dtype="object"),
+                "n_sentences": pd.Series([], dtype="int64"),
+                "shard": pd.Series([], dtype="int64")})
+        dg = [hashlib.md5(x.encode("utf-8")).hexdigest()
+              for x in s["sent"]]
+        df = pd.DataFrame({"digest": dg,
+                           "source": s["source"].to_numpy(),
+                           "n_sentences": np.int64(1)})
+        df["shard"] = shard_of_keys(df["digest"].to_numpy(), 64)
+        return df
+
+    def group_shard(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("source", as_index=False).agg(
+            n_sentences=("n_sentences", "sum"),
+            n_distinct=("digest", "nunique"))
+        return pd.DataFrame({
+            "source": a["source"],
+            "n_sentences": a["n_sentences"].to_numpy(np.int64),
+            "n_distinct": a["n_distinct"].to_numpy(np.int64)})
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas")
+          .groupby("shard").map_groups(group_shard,
+                                       batch_format="pandas"),
+        keys=["source"], sum_cols=["n_sentences", "n_distinct"],
+        num_shards=8).to_pandas()
+    n = g["n_sentences"].to_numpy(np.int64)
+    d = g["n_distinct"].to_numpy(np.int64)
+    g["dup_rate"] = np.floor(
+        (1.0 - d.astype(np.float64) / n) * 1e6 + 0.5) / 1e6
+    return g[["source", "n_sentences", "n_distinct", "dup_rate"]]
+
+
+def q_dow_hour_matrix(sf_dir: str):
+    """Weekday x hour event heatmap (round 5): the joint
+    traffic-shape read (weekday_profile and hourly_profile only show
+    the margins). Map-side fold in a 168-slot bounded domain; dow 0 =
+    Sunday via exact epoch-day arithmetic (1970-01-01 was a
+    Thursday), matching DuckDB dayofweek. Returns (dow, hour,
+    n_events)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy("datetime64[us]").view("int64")
+        df = pd.DataFrame({
+            "dow": (us // 86_400_000_000 + 4) % 7,
+            "hour": (us // 3_600_000_000) % 24,
+            "n_events": np.int64(1)})
+        return df.groupby(["dow", "hour"], as_index=False).sum()
+
+    g = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["dow", "hour"], sum_cols=["n_events"],
+        num_shards=4).to_pandas()
+    for c in ("dow", "hour", "n_events"):
+        g[c] = g[c].astype(np.int64)
+    return g[["dow", "hour", "n_events"]]
+
+
+def q_minhash_jaccard_hist(sf_dir: str):
+    """Histogram of near-dup pair jaccards (round 5): how close the
+    dup mass sits to the 0.6 threshold — the dedup-policy tuning
+    read next to minhash_threshold_curve. Integer binning on the
+    e6-quantized jaccard (bin = (j6-600000)//50000 capped at 7);
+    partials fold map-side over the pair stream. Returns (bin, lo,
+    hi, n_pairs)."""
+    from ..stages.relational import sharded_group_sum
+
+    pairs = dedup.minhash_lsh_pairs(_docs_with_neardups(sf_dir),
+                                    threshold=0.6)
+
+    def binpart(b: pa.Table) -> pd.DataFrame:
+        j6 = np.floor(np.asarray(b.column("jaccard"),
+                                 dtype=np.float64) * 1e6
+                      + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "bin": np.minimum((j6 - 600_000) // 50_000, 7),
+            "n_pairs": np.int64(1)})
+        return df.groupby("bin", as_index=False).sum()
+
+    g = sharded_group_sum(
+        pairs.map_batches(binpart, batch_format="pyarrow"),
+        keys=["bin"], sum_cols=["n_pairs"], num_shards=4).to_pandas()
+    b = g["bin"].to_numpy(np.int64)
+    g["lo"] = (600_000 + b * 50_000).astype(np.float64) / 1e6
+    g["hi"] = (600_000 + (b + 1) * 50_000).astype(np.float64) / 1e6
+    g["bin"] = b
+    g["n_pairs"] = g["n_pairs"].astype(np.int64)
+    return g[["bin", "lo", "hi", "n_pairs"]]
+
+
+def q_part_type_price_profile(sf_dir: str):
+    """Catalog profile per part type (round 5): count, mean size,
+    mean retail price — the assortment read over the one dimension
+    the part-ops family hadn't rolled up. Exact integer cents and
+    size sums fold map-side in a type-bounded domain. Returns
+    (p_type, n_parts, mean_size, mean_retail)."""
+    from ..stages.relational import sharded_group_sum
+
+    pt = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_type", "p_size",
+                                        "p_retailprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["p_retailprice"].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+        df = pd.DataFrame({"p_type": b["p_type"].to_numpy(),
+                           "n": np.int64(1),
+                           "sz": b["p_size"].to_numpy(np.int64),
+                           "cents": cents})
+        return df.groupby("p_type", as_index=False).sum()
+
+    g = sharded_group_sum(
+        pt.map_batches(partial, batch_format="pandas"),
+        keys=["p_type"], sum_cols=["n", "sz", "cents"],
+        num_shards=8).to_pandas()
+    n = g["n"].to_numpy(np.int64)
+    g["mean_size"] = np.floor(
+        g["sz"].to_numpy(np.int64).astype(np.float64) / n * 1e6
+        + 0.5) / 1e6
+    g["mean_retail"] = np.floor(
+        g["cents"].to_numpy(np.int64).astype(np.float64) / n / 100
+        * 1e6 + 0.5) / 1e6
+    g["n_parts"] = n
+    return g[["p_type", "n_parts", "mean_size", "mean_retail"]]
+
+
+def q_supplier_acctbal_by_nation(sf_dir: str):
+    """Supplier account-balance rollup by nation (round 5): the
+    supply-side liquidity read (nation_balance covers counts; this
+    adds exact-cents balances). Supplier partials fold map-side; the
+    25-row nation dimension joins on the driver. Returns (n_name,
+    n_suppliers, bal_cents, mean_bal)."""
+    from ..stages.relational import sharded_group_sum
+
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_nationkey", "s_acctbal"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["s_acctbal"].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+        df = pd.DataFrame({"nk": b["s_nationkey"].to_numpy(np.int64),
+                           "n": np.int64(1), "cents": cents})
+        return df.groupby("nk", as_index=False).sum()
+
+    g = sharded_group_sum(
+        sup.map_batches(partial, batch_format="pandas"),
+        keys=["nk"], sum_cols=["n", "cents"], num_shards=4).to_pandas()
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+                                columns=["n_nationkey",
+                                         "n_name"]).to_pandas()
+    g = g.merge(nat, left_on="nk", right_on="n_nationkey")
+    n = g["n"].to_numpy(np.int64)
+    g["mean_bal"] = np.floor(
+        g["cents"].to_numpy(np.int64).astype(np.float64) / n / 100
+        * 1e6 + 0.5) / 1e6
+    g["n_suppliers"] = n
+    g["bal_cents"] = g["cents"].astype(np.int64)
+    return g[["n_name", "n_suppliers", "bal_cents", "mean_bal"]]
+
+
+def q_contamination_by_source(sf_dir: str):
+    """Benchmark-contamination rate by source (round 5): which
+    sources carry eval-overlapping training docs — the per-source
+    action read on top of q_decontaminate. The flagged-id set is
+    benchmark-overlap-sized, collected once and broadcast; training
+    docs (non-bench originals + all near-dup copies, inheriting the
+    original's source) stream through one membership pass. Returns
+    (source, n_train_docs, n_flagged, rate)."""
+    from ..stages.corpus_ops import benchmark_ngram_hashes, decontaminate
+    from ..stages.relational import sharded_group_sum
+
+    bench, train = _decon_split(sf_dir)
+    fl = decontaminate(train, benchmark_ngram_hashes(bench)).to_pandas()
+    flag_ids = (np.sort(fl["doc_id"].to_numpy(np.int64))
+                if "doc_id" in fl.columns else
+                np.empty(0, dtype=np.int64))
+    ref = ray.put(flag_ids)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        f = ray.get(ref)
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        src = np.asarray(b.column("source"))
+
+        def hits(v: np.ndarray) -> np.ndarray:
+            if len(f) == 0:
+                return np.zeros(len(v), dtype=np.int64)
+            pos = np.searchsorted(f, v)
+            return ((pos < len(f))
+                    & (f[np.clip(pos, 0, len(f) - 1)] == v)) \
+                .astype(np.int64)
+
+        m = ids % BENCH_MOD != 0
+        df = pd.concat([
+            pd.DataFrame({"source": src[m], "n": np.int64(1),
+                          "flagged": hits(ids[m])}),
+            pd.DataFrame({"source": src, "n": np.int64(1),
+                          "flagged": hits(ids + 1000000)}),
+        ], ignore_index=True)
+        return df.groupby("source", as_index=False).sum()
+
+    g = sharded_group_sum(
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(partial, batch_format="pyarrow"),
+        keys=["source"], sum_cols=["n", "flagged"],
+        num_shards=4).to_pandas()
+    n = g["n"].to_numpy(np.int64)
+    g["rate"] = np.floor(
+        g["flagged"].to_numpy(np.int64).astype(np.float64) / n * 1e6
+        + 0.5) / 1e6
+    g["n_train_docs"] = n
+    g["n_flagged"] = g["flagged"].astype(np.int64)
+    return g[["source", "n_train_docs", "n_flagged", "rate"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "sentence_dedup_stats": q_sentence_dedup_stats,
+    "dow_hour_matrix": q_dow_hour_matrix,
+    "minhash_jaccard_hist": q_minhash_jaccard_hist,
+    "part_type_price_profile": q_part_type_price_profile,
+    "supplier_acctbal_by_nation": q_supplier_acctbal_by_nation,
+    "contamination_by_source": q_contamination_by_source,
     "fanout_profile": q_fanout_profile,
     "centroid_cosine_by_label": q_centroid_cosine_by_label,
     "bigram_ppl_per_doc": q_bigram_ppl_per_doc,
@@ -17719,3 +17968,88 @@ ORACLE_SQL["order_age_by_status"] = (
     "max(datediff('day', o_orderdate, (SELECT a FROM mx)))::BIGINT "
     "  AS max_age_days "
     "FROM orders GROUP BY 1")
+
+
+ORACLE_SQL["sentence_dedup_stats"] = (
+    # split on [.!?]+ runs, trim the same 5-char whitespace set the
+    # engine strips, drop empties; distinct per (source, sentence)
+    "WITH s0 AS (SELECT source, trim(unnest(regexp_split_to_array("
+    "  coalesce(text, ''), '[.!?]+')), "
+    "  ' ' || chr(9) || chr(10) || chr(13) || chr(12)) AS sent "
+    "  FROM documents), "
+    "s AS (SELECT source, sent FROM s0 WHERE sent <> '') "
+    "SELECT source, count(*)::BIGINT AS n_sentences, "
+    "count(DISTINCT sent)::BIGINT AS n_distinct, "
+    "floor((1.0 - CAST(count(DISTINCT sent) AS DOUBLE) / count(*)) "
+    "  * 1000000 + 0.5) / 1000000 AS dup_rate "
+    "FROM s GROUP BY source")
+
+
+ORACLE_SQL["dow_hour_matrix"] = (
+    # exact epoch arithmetic; dow 0 = Sunday (1970-01-01 = Thursday)
+    "WITH e AS (SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow, "
+    "  (epoch_us(ts) // 3600000000) % 24 AS hour FROM events) "
+    "SELECT dow::BIGINT AS dow, hour::BIGINT AS hour, "
+    "count(*)::BIGINT AS n_events FROM e GROUP BY dow, hour")
+
+
+ORACLE_SQL["minhash_jaccard_hist"] = (
+    "WITH " + _minhash_sql_prefix()
+    + ", j AS (SELECT CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT) "
+    "  AS j6 FROM v WHERE jaccard >= 0.6), "
+    "b AS (SELECT least((j6 - 600000) // 50000, 7) AS bin FROM j) "
+    "SELECT bin::BIGINT AS bin, "
+    "CAST(600000 + bin * 50000 AS DOUBLE) / 1000000 AS lo, "
+    "CAST(600000 + (bin + 1) * 50000 AS DOUBLE) / 1000000 AS hi, "
+    "count(*)::BIGINT AS n_pairs FROM b GROUP BY bin")
+
+
+ORACLE_SQL["part_type_price_profile"] = (
+    "WITH p AS (SELECT p_type, p_size::BIGINT AS sz, "
+    "  CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents "
+    "  FROM part) "
+    "SELECT p_type, count(*)::BIGINT AS n_parts, "
+    "floor(CAST(sum(sz) AS DOUBLE) / count(*) * 1000000 + 0.5) "
+    "  / 1000000 AS mean_size, "
+    "floor(CAST(sum(cents) AS DOUBLE) / count(*) / 100 * 1000000 "
+    "  + 0.5) / 1000000 AS mean_retail "
+    "FROM p GROUP BY p_type")
+
+
+ORACLE_SQL["supplier_acctbal_by_nation"] = (
+    "WITH s AS (SELECT s_nationkey, "
+    "  CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS cents "
+    "  FROM supplier) "
+    "SELECT n.n_name, count(*)::BIGINT AS n_suppliers, "
+    "sum(cents)::BIGINT AS bal_cents, "
+    "floor(CAST(sum(cents) AS DOUBLE) / count(*) / 100 * 1000000 "
+    "  + 0.5) / 1000000 AS mean_bal "
+    "FROM s JOIN nation n ON n.n_nationkey = s.s_nationkey "
+    "GROUP BY n.n_name")
+
+
+ORACLE_SQL["contamination_by_source"] = (
+    "WITH corpus AS (SELECT doc_id, text FROM documents "
+    "  UNION ALL SELECT doc_id + 1000000, text || ' zzz' FROM documents), "
+    "tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks "
+    "  FROM corpus), "
+    f"sh AS (SELECT doc_id, {_DECON_SH_SQL} AS g FROM tok), "
+    "bench AS (SELECT list(DISTINCT u) AS bg FROM "
+    f"  (SELECT unnest(g) AS u FROM sh WHERE doc_id < 1000000 AND doc_id % {BENCH_MOD} = 0)), "
+    "fl AS (SELECT doc_id FROM (SELECT doc_id, "
+    "  len(list_intersect(g, bg))::BIGINT AS n_shared FROM sh, bench "
+    f"  WHERE NOT (doc_id < 1000000 AND doc_id % {BENCH_MOD} = 0)) "
+    "  WHERE n_shared > 0), "
+    "tr AS (SELECT CASE WHEN c.doc_id >= 1000000 "
+    "  THEN c.doc_id - 1000000 ELSE c.doc_id END AS base_id, "
+    "  c.doc_id AS tid FROM corpus c "
+    f"  WHERE NOT (c.doc_id < 1000000 AND c.doc_id % {BENCH_MOD} = 0)), "
+    "j AS (SELECT d.source, CASE WHEN fl.doc_id IS NULL THEN 0 "
+    "  ELSE 1 END AS flagged FROM tr "
+    "  JOIN documents d ON d.doc_id = tr.base_id "
+    "  LEFT JOIN fl ON fl.doc_id = tr.tid) "
+    "SELECT source, count(*)::BIGINT AS n_train_docs, "
+    "sum(flagged)::BIGINT AS n_flagged, "
+    "floor(CAST(sum(flagged) AS DOUBLE) / count(*) * 1000000 + 0.5) "
+    "  / 1000000 AS rate "
+    "FROM j GROUP BY source")

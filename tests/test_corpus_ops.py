@@ -4836,3 +4836,87 @@ def test_order_age_by_status_handbuilt(ray_session, tmp_path):
     assert out.loc["O", "max_age_days"] == 10
     assert out.loc["F", "mean_age_days"] == 5.0
     assert out.loc["F", "max_age_days"] == 5
+
+
+def test_sentence_dedup_stats_handbuilt(ray_session, tmp_path):
+    """'hello world' repeated across docs collapses; empty segments
+    and whitespace-only segments are dropped."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_sentence_dedup_stats)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["Hello world. Bye now!", "Hello world? Fresh.",
+                      "...  !"],
+                 sources=["a", "a", "a"])
+    out = q_sentence_dedup_stats(str(sf))
+    # sentences: 'Hello world','Bye now','Hello world','Fresh' -> 4/3
+    assert out["n_sentences"].tolist() == [4]
+    assert out["n_distinct"].tolist() == [3]
+    assert out["dup_rate"].iloc[0] == 0.25
+
+
+def test_dow_hour_matrix_handbuilt(ray_session, tmp_path):
+    """1970-01-01 (Thursday) 00:30 and 01:10, 1970-01-04 (Sunday)
+    00:05."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_dow_hour_matrix)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [30 * 60 * 10**6, 70 * 60 * 10**6,
+                       3 * 86400 * 10**6 + 5 * 60 * 10**6],
+                  [1, 1, 2], ["view"] * 3)
+    out = (q_dow_hour_matrix(str(sf))
+           .sort_values(["dow", "hour"]).reset_index(drop=True))
+    assert out.values.tolist() == [[0, 0, 1], [4, 0, 1], [4, 1, 1]]
+
+
+def test_part_type_price_profile_handbuilt(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_part_type_price_profile)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], type=pa.int64()),
+        "p_name": pa.array(["a", "b", "c"]),
+        "p_brand": pa.array(["B1"] * 3),
+        "p_type": pa.array(["tin", "tin", "steel"]),
+        "p_size": pa.array([10, 20, 7], type=pa.int64()),
+        "p_retailprice": pa.array([1.25, 2.75, 10.10])}),
+        str(sf / "part.parquet"))
+    out = q_part_type_price_profile(str(sf)).set_index("p_type")
+    assert out.loc["tin", "n_parts"] == 2
+    assert out.loc["tin", "mean_size"] == 15.0
+    assert out.loc["tin", "mean_retail"] == 2.0
+    assert out.loc["steel", "mean_retail"] == 10.1
+
+
+def test_supplier_acctbal_by_nation_handbuilt(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_supplier_acctbal_by_nation)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], type=pa.int64()),
+        "s_name": pa.array(["s1", "s2", "s3"]),
+        "s_nationkey": pa.array([0, 0, 1], type=pa.int64()),
+        "s_acctbal": pa.array([100.50, -0.50, 7.33])}),
+        str(sf / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], type=pa.int64()),
+        "n_name": pa.array(["ALGERIA", "ARGENTINA"]),
+        "n_regionkey": pa.array([0, 1], type=pa.int64())}),
+        str(sf / "nation.parquet"))
+    out = q_supplier_acctbal_by_nation(str(sf)).set_index("n_name")
+    assert out.loc["ALGERIA", "bal_cents"] == 10000
+    assert out.loc["ALGERIA", "mean_bal"] == 50.0
+    assert out.loc["ARGENTINA", "bal_cents"] == 733

@@ -12530,11 +12530,383 @@ def q_contamination_by_source(sf_dir: str):
     return g[["source", "n_train_docs", "n_flagged", "rate"]]
 
 
+def q_quality_filter_funnel(sf_dir: str):
+    """Cumulative quality-gate funnel (round 5): how many documents
+    survive gopher -> c4 -> starcoder applied IN SEQUENCE — the
+    pipeline-composition read the individual filter ops can't give
+    (gates overlap, so per-gate keep rates don't multiply). Each
+    gate's per-doc keep flag streams map-side; ONE doc_id-shard
+    exchange of (doc_id, gate, keep) triples folds the conjunctions;
+    a doc missing from a gate's output (zero augmented lines) counts
+    as dropped, matching the per-gate ops. Returns (stage, n_in,
+    n_kept, keep_rate)."""
+    from ..stages.relational import sharded_group_sum
+
+    def tag(src: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+            return pa.table({
+                "doc_id": pa.array(ids),
+                "src": pa.array(np.full(len(ids), src, dtype=np.int8)),
+                "keep": b.column("keep").cast(pa.int64()),
+                "shard": pa.array(ids % 64)})
+        return f
+
+    both = (q_gopher_filter(sf_dir).select_columns(["doc_id", "keep"])
+            .map_batches(tag(0), batch_format="pyarrow")
+            .union(q_c4_filter(sf_dir)
+                   .select_columns(["doc_id", "keep"])
+                   .map_batches(tag(1), batch_format="pyarrow"),
+                   q_starcoder_filter(sf_dir)
+                   .select_columns(["doc_id", "keep"])
+                   .map_batches(tag(2), batch_format="pyarrow")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.pivot_table(index="doc_id", columns="src",
+                          values="keep", aggfunc="first", fill_value=0)
+        kg = (w[0].to_numpy(np.int64) if 0 in w.columns
+              else np.zeros(len(w), dtype=np.int64))
+        kc = (w[1].to_numpy(np.int64) if 1 in w.columns
+              else np.zeros(len(w), dtype=np.int64))
+        ks = (w[2].to_numpy(np.int64) if 2 in w.columns
+              else np.zeros(len(w), dtype=np.int64))
+        return pd.DataFrame([{
+            "z": np.int64(0), "n": np.int64(len(w)),
+            "k1": np.int64(kg.sum()),
+            "k2": np.int64((kg & kc).sum()),
+            "k3": np.int64((kg & kc & ks).sum())}])
+
+    f = sharded_group_sum(
+        both.groupby("shard").map_groups(fold, batch_format="pandas"),
+        keys=["z"], sum_cols=["n", "k1", "k2", "k3"],
+        num_shards=1).to_pandas()
+    n = int(f["n"].sum())
+    k1, k2, k3 = (int(f[c].sum()) for c in ("k1", "k2", "k3"))
+    rows = []
+    for stage, nin, nk in (("gopher", n, k1), ("c4", k1, k2),
+                           ("starcoder", k2, k3)):
+        rows.append({
+            "stage": stage, "n_in": np.int64(nin),
+            "n_kept": np.int64(nk),
+            "keep_rate": (np.floor(nk / nin * 1e6 + 0.5) / 1e6
+                          if nin else 0.0)})
+    return pd.DataFrame(rows)
+
+
+def q_split_leakage(sf_dir: str):
+    """Train/val n-gram leakage audit (round 5): how many VAL-split
+    docs share a word 8-gram with any TRAIN-split doc
+    under the fmix32 doc_id split — the check that the leakage-safe
+    split really is leakage-safe at the content level (id-hash splits
+    leak through duplicated text). Unlike decontaminate (bench side
+    small, broadcast), BOTH sides are corpus-scale here, so grams
+    collide in ONE 256-way gram-hash-shard exchange; only leaky val
+    doc_ids leave the shards. Returns one row (n_val, n_leaky,
+    rate)."""
+    from ..functions.hashing import fmix32
+    from ..stages.corpus_ops import DECON_K, ngram_hashes
+    from ..stages.dedup import _token_hashes
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def grams(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        buckets = fmix32(ids) % np.uint32(16)
+        out_h, out_side, out_id = [], [], []
+        n_val = 0
+        for did, bk, t in zip(ids, buckets,
+                              b.column("text").to_pylist()):
+            if bk >= 14:          # test split: not audited
+                continue
+            side = 0 if bk < 13 else 1
+            if side == 1:
+                n_val += 1
+            sh = np.unique(ngram_hashes(_token_hashes(t or ""),
+                                        DECON_K))
+            out_h.append(sh)
+            out_side.append(np.full(len(sh), side, dtype=np.int8))
+            out_id.append(np.full(len(sh), did if side else -1,
+                                  dtype=np.int64))
+        h = (np.concatenate(out_h) if out_h
+             else np.empty(0, dtype=np.uint64))
+        t = pa.table({
+            "h": pa.array(h, type=pa.uint64()),
+            "side": pa.array(np.concatenate(out_side)
+                             if out_side else
+                             np.empty(0, dtype=np.int8)),
+            "doc_id": pa.array(np.concatenate(out_id)
+                               if out_id else
+                               np.empty(0, dtype=np.int64)),
+            "shard": pa.array((h % np.uint64(256)).astype(np.int64)),
+            # sentinel row channel: per-batch val-doc count
+            "n_val": pa.array(np.zeros(len(h), dtype=np.int64))})
+        sent = pa.table({
+            "h": pa.array([0], type=pa.uint64()),
+            "side": pa.array([np.int8(-1)]),
+            "doc_id": pa.array([-1], type=pa.int64()),
+            "shard": pa.array([-1], type=pa.int64()),
+            "n_val": pa.array([n_val], type=pa.int64())})
+        return pa.concat_tables([t, sent])
+
+    g = ds.map_batches(grams, batch_format="pyarrow")
+
+    def shard_leaky(grp: pd.DataFrame) -> pd.DataFrame:
+        nv = int(grp.loc[grp["shard"] == -1, "n_val"].sum())
+        grp = grp[grp["shard"] != -1]
+        tr = set(grp.loc[grp["side"] == 0, "h"])
+        va = grp[grp["side"] == 1]
+        leaky = va.loc[va["h"].isin(tr), "doc_id"] \
+            .drop_duplicates().astype("int64")
+        out = pd.DataFrame({
+            "doc_id": leaky.to_numpy(np.int64),
+            "n_val": np.zeros(len(leaky), dtype=np.int64)})
+        if nv:
+            out = pd.concat([out, pd.DataFrame(
+                {"doc_id": pd.Series([-1], dtype="int64"),
+                 "n_val": pd.Series([nv], dtype="int64")})],
+                ignore_index=True)
+        return out
+
+    out = g.groupby("shard").map_groups(
+        shard_leaky, batch_format="pandas").to_pandas()
+    if "doc_id" not in out.columns:
+        return pd.DataFrame([{"n_val": np.int64(0),
+                              "n_leaky": np.int64(0), "rate": 0.0}])
+    n_val = int(out.loc[out["doc_id"] == -1, "n_val"].sum())
+    leaky = out.loc[out["doc_id"] >= 0, "doc_id"].nunique()
+    return pd.DataFrame([{
+        "n_val": np.int64(n_val), "n_leaky": np.int64(leaky),
+        "rate": (np.floor(leaky / n_val * 1e6 + 0.5) / 1e6
+                 if n_val else 0.0)}])
+
+
+ACF7_LAG = 7
+
+
+def q_acf7_daily(sf_dir: str):
+    """Lag-{ACF7_LAG} autocorrelation of daily revenue per event type
+    (round 5): the WEEKLY-seasonality strength next to acf1_daily's
+    trend read; positional lag over observed days, exact integer
+    moments (Python bigints / HUGEINT), one double division. Returns
+    (event_type, n_days, acf7) with NaN on degenerate series."""
+    import math
+
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        tus = b["ts"].to_numpy("datetime64[us]").view("int64")
+        v6 = np.floor(b["value"].to_numpy(np.float64) * 1e6
+                      + 0.5).astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                           "day": tus // 86_400_000_000, "v6": v6})
+        return df.groupby(["event_type", "day"], as_index=False).sum()
+
+    daily = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "day"], sum_cols=["v6"],
+        num_shards=16).to_pandas()
+    daily = daily.sort_values(["event_type", "day"],
+                              kind="mergesort").reset_index(drop=True)
+    L = ACF7_LAG
+    rows = []
+    for et, g in daily.groupby("event_type", sort=True):
+        v = [int(x) for x in g["v6"].to_numpy(np.int64)]
+        n = len(v)
+        if n < L + 1:
+            continue
+        a, b_ = v[:-L], v[L:]
+        m = n - L
+        s1, s2 = sum(a), sum(b_)
+        p = sum(x * y for x, y in zip(a, b_))
+        q1 = sum(x * x for x in a)
+        q2 = sum(y * y for y in b_)
+        num = m * p - s1 * s2
+        d1, d2 = m * q1 - s1 * s1, m * q2 - s2 * s2
+        den = math.sqrt(float(d1) * float(d2))
+        acf = float(num) / den if den > 0 else np.nan
+        rows.append({"event_type": et, "n_days": np.int64(n),
+                     "acf7": (np.floor(acf * 1e6 + 0.5) / 1e6
+                              if den > 0 else np.nan)})
+    return pd.DataFrame(rows)
+
+
+def q_id_gap_audit(sf_dir: str):
+    """doc_id continuity audit (round 5): count, distinct, range and
+    holes of the id space — the ingest-completeness check next to
+    pk_uniqueness (which audits keys, not coverage). Map-side (n,
+    min, max) partials; distinct via one id-shard exchange of count
+    rows. Returns one row (n_ids, n_distinct, min_id, max_id,
+    n_missing)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(b["doc_id"].to_numpy(np.int64))
+        return pd.DataFrame({"shard": u % 64, "doc_id": u})
+
+    raw = ds.map_batches(
+        lambda b: pd.DataFrame({
+            "z": np.zeros(len(b), dtype=np.int64),
+            "n": np.ones(len(b), dtype=np.int64),
+            "mn": b["doc_id"].to_numpy(np.int64),
+            "mx": b["doc_id"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    tot = sharded_group_sum(raw.map_batches(
+        lambda b: b[["z", "n"]], batch_format="pandas"),
+        keys=["z"], sum_cols=["n"], num_shards=1).to_pandas()
+    mn = sharded_group_sum(raw.map_batches(
+        lambda b: b[["z", "mn"]], batch_format="pandas"),
+        keys=["z"], sum_cols=["mn"], how="min",
+        num_shards=1).to_pandas()
+    mx = sharded_group_sum(raw.map_batches(
+        lambda b: b[["z", "mx"]], batch_format="pandas"),
+        keys=["z"], sum_cols=["mx"], how="max",
+        num_shards=1).to_pandas()
+
+    def dpart(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{
+            "z": np.int64(0),
+            "nd": np.int64(g["doc_id"].nunique())}])
+
+    nd = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("shard").map_groups(dpart, batch_format="pandas"),
+        keys=["z"], sum_cols=["nd"], num_shards=1).to_pandas()
+    n = int(tot["n"].iloc[0])
+    lo, hi = int(mn["mn"].iloc[0]), int(mx["mx"].iloc[0])
+    ndist = int(nd["nd"].iloc[0])
+    return pd.DataFrame([{
+        "n_ids": np.int64(n), "n_distinct": np.int64(ndist),
+        "min_id": np.int64(lo), "max_id": np.int64(hi),
+        "n_missing": np.int64(hi - lo + 1 - ndist)}])
+
+
+def q_balance_spend_corr(sf_dir: str):
+    """Pearson correlation of customer account balance vs lifetime
+    order spend (round 5): the does-wealth-predict-revenue read. A
+    big-big bucketed LEFT join (customers with no orders spend 0)
+    whose post hook fuses the moment partials INSIDE the join buckets
+    — only 6 integers per bucket leave the exchange; the fold is
+    exact Python bigints, one double division (the acf convention).
+    Returns one row (n_customers, corr)."""
+    import math
+
+    from ..stages.relational import bucketed_hash_join, sharded_group_sum
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_acctbal"])
+
+    def cust_cents(b: pa.Table) -> pa.Table:
+        cents = np.floor(np.asarray(b.column("c_acctbal"),
+                                    np.float64) * 100
+                         + 0.5).astype(np.int64)
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "bal": pa.array(cents)})
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey",
+                                            "o_totalprice"])
+
+    def spend_part(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["o_totalprice"].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+        df = pd.DataFrame({"c_custkey": b["o_custkey"]
+                           .to_numpy(np.int64), "spend": cents})
+        return df.groupby("c_custkey", as_index=False).sum()
+
+    spend = sharded_group_sum(
+        orders.map_batches(spend_part, batch_format="pandas"),
+        keys=["c_custkey"], sum_cols=["spend"])
+
+    cols = ("z", "n", "sx", "sy", "sxx_hi", "sxx_lo", "syy_hi",
+            "syy_lo", "sxy_hi", "sxy_lo")
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        x = df["bal"].to_numpy(np.int64)
+        y = df["spend"].fillna(0).to_numpy(np.int64)
+        # lifetime spend squared overflows int64 (~2e17 per whale
+        # row): fold second moments as Python bigints and ship them
+        # as exact 62-bit (hi, lo) int64 pairs through the block
+        xo, yo = x.astype(object), y.astype(object)
+        sxx = int((xo * xo).sum())
+        syy = int((yo * yo).sum())
+        sxy = int((xo * yo).sum())
+        M = (1 << 62) - 1
+        return pd.DataFrame([{
+            "z": np.int64(0), "n": np.int64(len(df)),
+            "sx": np.int64(int(x.sum())), "sy": np.int64(int(y.sum())),
+            "sxx_hi": np.int64(sxx >> 62), "sxx_lo": np.int64(sxx & M),
+            "syy_hi": np.int64(syy >> 62), "syy_lo": np.int64(syy & M),
+            "sxy_hi": np.int64(sxy >> 62), "sxy_lo": np.int64(sxy & M),
+        }])
+
+    parts = bucketed_hash_join(
+        cust.map_batches(cust_cents, batch_format="pyarrow"), spend,
+        on="c_custkey", how="left", post=moments).to_pandas()
+    n = int(parts["n"].sum())
+    sx = sum(int(v) for v in parts["sx"])
+    sy = sum(int(v) for v in parts["sy"])
+    sxx = sum((int(h) << 62) + int(lo) for h, lo
+              in zip(parts["sxx_hi"], parts["sxx_lo"]))
+    syy = sum((int(h) << 62) + int(lo) for h, lo
+              in zip(parts["syy_hi"], parts["syy_lo"]))
+    sxy = sum((int(h) << 62) + int(lo) for h, lo
+              in zip(parts["sxy_hi"], parts["sxy_lo"]))
+    num = n * sxy - sx * sy
+    d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+    den = math.sqrt(float(d1) * float(d2))
+    corr = (np.floor(float(num) / den * 1e6 + 0.5) / 1e6
+            if den > 0 else np.nan)
+    return pd.DataFrame([{"n_customers": np.int64(n), "corr": corr}])
+
+
+def q_weekday_revenue_profile(sf_dir: str):
+    """Order volume + exact-cents revenue by weekday (round 5): the
+    orders-side companion to dow_hour_matrix (events). dow 0 = Sunday
+    by exact epoch-day arithmetic. Map-side fold in a 7-slot domain.
+    Returns (dow, n_orders, rev_cents)."""
+    from ..stages.relational import sharded_group_sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderdate",
+                                            "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["o_orderdate"].to_numpy("datetime64[us]").view("int64")
+        cents = np.floor(b["o_totalprice"].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+        df = pd.DataFrame({"dow": (us // 86_400_000_000 + 4) % 7,
+                           "n_orders": np.int64(1),
+                           "rev_cents": cents})
+        return df.groupby("dow", as_index=False).sum()
+
+    g = sharded_group_sum(
+        orders.map_batches(partial, batch_format="pandas"),
+        keys=["dow"], sum_cols=["n_orders", "rev_cents"],
+        num_shards=4).to_pandas()
+    for c in ("dow", "n_orders", "rev_cents"):
+        g[c] = g[c].astype(np.int64)
+    return g[["dow", "n_orders", "rev_cents"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "quality_filter_funnel": q_quality_filter_funnel,
+    "split_leakage": q_split_leakage,
+    "acf7_daily": q_acf7_daily,
+    "id_gap_audit": q_id_gap_audit,
+    "balance_spend_corr": q_balance_spend_corr,
+    "weekday_revenue_profile": q_weekday_revenue_profile,
     "sentence_dedup_stats": q_sentence_dedup_stats,
     "dow_hour_matrix": q_dow_hour_matrix,
     "minhash_jaccard_hist": q_minhash_jaccard_hist,
@@ -18053,3 +18425,112 @@ ORACLE_SQL["contamination_by_source"] = (
     "floor(CAST(sum(flagged) AS DOUBLE) / count(*) * 1000000 + 0.5) "
     "  / 1000000 AS rate "
     "FROM j GROUP BY source")
+
+
+ORACLE_SQL["quality_filter_funnel"] = (
+    # nested-WITH composition of the three gate oracles; a doc absent
+    # from a gate's output (zero augmented lines) is dropped there
+    f"WITH gq AS ({ORACLE_SQL['gopher_filter']}), "
+    f"cq AS ({ORACLE_SQL['c4_filter']}), "
+    f"sq AS ({ORACLE_SQL['starcoder_filter']}), "
+    "j AS (SELECT d.doc_id, gq.keep AS kg, "
+    "  coalesce(cq.keep, 0) AS kc, coalesce(sq.keep, 0) AS ks "
+    "  FROM documents d JOIN gq ON gq.doc_id = d.doc_id "
+    "  LEFT JOIN cq ON cq.doc_id = d.doc_id "
+    "  LEFT JOIN sq ON sq.doc_id = d.doc_id), "
+    "m AS (SELECT count(*)::BIGINT AS n, sum(kg)::BIGINT AS k1, "
+    "  sum(kg * kc)::BIGINT AS k2, "
+    "  sum(kg * kc * ks)::BIGINT AS k3 FROM j) "
+    "SELECT 'gopher' AS stage, n AS n_in, k1 AS n_kept, "
+    "CASE WHEN n = 0 THEN 0.0 ELSE floor(CAST(k1 AS DOUBLE) / n "
+    "  * 1000000 + 0.5) / 1000000 END AS keep_rate FROM m "
+    "UNION ALL SELECT 'c4', k1, k2, CASE WHEN k1 = 0 THEN 0.0 ELSE "
+    "floor(CAST(k2 AS DOUBLE) / k1 * 1000000 + 0.5) / 1000000 END "
+    "FROM m "
+    "UNION ALL SELECT 'starcoder', k2, k3, CASE WHEN k2 = 0 THEN 0.0 "
+    "ELSE floor(CAST(k3 AS DOUBLE) / k2 * 1000000 + 0.5) / 1000000 "
+    "END FROM m")
+
+
+ORACLE_SQL["split_leakage"] = (
+    # fmix32 split (train_val_split chain) + 8-gram string overlap
+    "WITH h0 AS (SELECT doc_id, doc_id % 4294967296 AS h "
+    "  FROM documents), "
+    "h1 AS (SELECT doc_id, ((xor(h, h // 65536)::HUGEINT "
+    "  * 2246822507) % 4294967296)::BIGINT AS h FROM h0), "
+    "h2 AS (SELECT doc_id, ((xor(h, h // 8192)::HUGEINT "
+    "  * 3266489909) % 4294967296)::BIGINT AS h FROM h1), "
+    "hf AS (SELECT doc_id, xor(h, h // 65536) AS h FROM h2), "
+    "sp AS (SELECT doc_id, h % 16 AS b FROM hf), "
+    "tok AS (SELECT doc_id, regexp_extract_all(lower(coalesce("
+    "  text, '')), '\\S+') AS toks FROM documents), "
+    f"sh AS (SELECT doc_id, {_DECON_SH_SQL} AS g FROM tok), "
+    "u AS (SELECT sh.doc_id, unnest(g) AS gram, sp.b FROM sh "
+    "  JOIN sp ON sp.doc_id = sh.doc_id), "
+    "tr AS (SELECT DISTINCT gram FROM u WHERE b < 13), "
+    "va AS (SELECT DISTINCT u.doc_id, u.gram FROM u WHERE b = 13), "
+    "leaky AS (SELECT DISTINCT va.doc_id FROM va "
+    "  JOIN tr ON tr.gram = va.gram), "
+    "nv AS (SELECT count(*)::BIGINT AS n_val FROM sp WHERE b = 13) "
+    "SELECT nv.n_val AS n_val, "
+    "(SELECT count(*) FROM leaky)::BIGINT AS n_leaky, "
+    "CASE WHEN nv.n_val = 0 THEN 0.0 ELSE "
+    "floor(CAST((SELECT count(*) FROM leaky) AS DOUBLE) / nv.n_val "
+    "  * 1000000 + 0.5) / 1000000 END AS rate FROM nv")
+
+
+ORACLE_SQL["acf7_daily"] = (
+    # lag-7 positional autocorrelation over observed days (acf1 clone)
+    "WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, "
+    "  sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))::BIGINT AS v6 "
+    "  FROM events GROUP BY 1, 2), "
+    "p AS (SELECT event_type, v6 AS a, lead(v6, 7) OVER ("
+    "  PARTITION BY event_type ORDER BY day) AS b, "
+    "  count(*) OVER (PARTITION BY event_type) AS nd FROM d), "
+    "m AS (SELECT event_type, min(nd)::BIGINT AS n_days, "
+    "  count(*)::HUGEINT AS m, sum(a::HUGEINT)::HUGEINT AS s1, "
+    "  sum(b::HUGEINT)::HUGEINT AS s2, "
+    "  sum(a::HUGEINT * b::HUGEINT)::HUGEINT AS p, "
+    "  sum(a::HUGEINT * a::HUGEINT)::HUGEINT AS q1, "
+    "  sum(b::HUGEINT * b::HUGEINT)::HUGEINT AS q2 "
+    "  FROM p WHERE b IS NOT NULL GROUP BY event_type) "
+    "SELECT event_type, n_days, "
+    "CASE WHEN (m * q1 - s1 * s1) > 0 AND (m * q2 - s2 * s2) > 0 THEN "
+    "floor(CAST(m * p - s1 * s2 AS DOUBLE) "
+    "  / sqrt(CAST(m * q1 - s1 * s1 AS DOUBLE) "
+    "         * CAST(m * q2 - s2 * s2 AS DOUBLE)) * 1000000 + 0.5) "
+    "  / 1000000 ELSE CAST('nan' AS DOUBLE) END AS acf7 FROM m")
+
+
+ORACLE_SQL["id_gap_audit"] = (
+    "SELECT count(*)::BIGINT AS n_ids, "
+    "count(DISTINCT doc_id)::BIGINT AS n_distinct, "
+    "min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id, "
+    "(max(doc_id) - min(doc_id) + 1 "
+    " - count(DISTINCT doc_id))::BIGINT AS n_missing FROM documents")
+
+
+ORACLE_SQL["balance_spend_corr"] = (
+    "WITH s AS (SELECT o_custkey, sum(CAST(floor(o_totalprice * 100 "
+    "  + 0.5) AS BIGINT))::BIGINT AS spend FROM orders GROUP BY 1), "
+    "j AS (SELECT CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) "
+    "  AS x, coalesce(s.spend, 0) AS y FROM customer c "
+    "  LEFT JOIN s ON s.o_custkey = c.c_custkey), "
+    "m AS (SELECT count(*)::HUGEINT AS n, sum(x::HUGEINT) AS sx, "
+    "  sum(y::HUGEINT) AS sy, sum(x::HUGEINT * x) AS sxx, "
+    "  sum(y::HUGEINT * y) AS syy, sum(x::HUGEINT * y) AS sxy "
+    "  FROM j) "
+    "SELECT n::BIGINT AS n_customers, "
+    "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 "
+    "THEN floor(CAST(n * sxy - sx * sy AS DOUBLE) "
+    "  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) "
+    "         * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5) "
+    "  / 1000000 ELSE CAST('nan' AS DOUBLE) END AS corr FROM m")
+
+
+ORACLE_SQL["weekday_revenue_profile"] = (
+    "WITH o AS (SELECT (epoch_us(o_orderdate) // 86400000000 + 4) "
+    "  % 7 AS dow, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) "
+    "  AS cents FROM orders) "
+    "SELECT dow::BIGINT AS dow, count(*)::BIGINT AS n_orders, "
+    "sum(cents)::BIGINT AS rev_cents FROM o GROUP BY dow")

@@ -4920,3 +4920,97 @@ def test_supplier_acctbal_by_nation_handbuilt(ray_session, tmp_path):
     assert out.loc["ALGERIA", "bal_cents"] == 10000
     assert out.loc["ALGERIA", "mean_bal"] == 50.0
     assert out.loc["ARGENTINA", "bal_cents"] == 733
+
+
+def test_id_gap_audit_handbuilt(ray_session, tmp_path):
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_id_gap_audit)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([2, 5, 9, 5], type=pa.int64()),
+        "text": pa.array(["a"] * 4), "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4)}),
+        str(sf / "documents.parquet"))
+    out = q_id_gap_audit(str(sf))
+    assert out.iloc[0].tolist() == [4, 3, 2, 9, 5]
+
+
+def test_weekday_revenue_profile_handbuilt(ray_session, tmp_path):
+    """1970-01-01 was a Thursday (dow 4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_weekday_revenue_profile)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], type=pa.int64()),
+        "o_custkey": pa.array([1, 1], type=pa.int64()),
+        "o_orderstatus": pa.array(["O", "O"]),
+        "o_totalprice": pa.array([10.00, 2.50]),
+        "o_orderdate": pa.array(
+            [np.datetime64("1970-01-01", "us"),
+             np.datetime64("1970-01-04", "us")],
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 2)}),
+        str(sf / "orders.parquet"))
+    out = (q_weekday_revenue_profile(str(sf))
+           .sort_values("dow").reset_index(drop=True))
+    assert out.values.tolist() == [[0, 1, 250], [4, 1, 1000]]
+
+
+def test_balance_spend_corr_perfect(ray_session, tmp_path):
+    """spend = 2 * balance exactly -> corr 1.0; whale-sized spends
+    exercise the 62-bit moment split."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_balance_spend_corr)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    bals = [100.0, 200.0, 400.0, 50_000_000.0]
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(4), type=pa.int64()),
+        "c_name": pa.array(["c"] * 4),
+        "c_nationkey": pa.array([0] * 4, type=pa.int64()),
+        "c_acctbal": pa.array(bals),
+        "c_mktsegment": pa.array(["BUILDING"] * 4)}),
+        str(sf / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(4), type=pa.int64()),
+        "o_custkey": pa.array(range(4), type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 4),
+        "o_totalprice": pa.array([b * 2 for b in bals]),
+        "o_orderdate": pa.array(
+            [np.datetime64("1995-01-01", "us")] * 4,
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4)}),
+        str(sf / "orders.parquet"))
+    out = q_balance_spend_corr(str(sf))
+    assert out["n_customers"].iloc[0] == 4
+    assert out["corr"].iloc[0] == 1.0
+
+
+def test_acf7_daily_period7(ray_session, tmp_path):
+    """A strict period-7 series is perfectly lag-7 correlated."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_acf7_daily)
+
+    us_day = 86_400 * 10**6
+    n_days = 21
+    ts = [d * us_day for d in range(n_days)]
+    vals = [float(10 + (d % 7) * 3) for d in range(n_days)]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, ts, [1] * n_days, ["view"] * n_days, vals)
+    out = q_acf7_daily(str(sf))
+    assert out["n_days"].iloc[0] == n_days
+    assert out["acf7"].iloc[0] == 1.0

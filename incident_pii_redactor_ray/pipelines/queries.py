@@ -12896,11 +12896,263 @@ def q_weekday_revenue_profile(sf_dir: str):
     return g[["dow", "n_orders", "rev_cents"]]
 
 
+def q_lang_script_mismatch(sf_dir: str):
+    """Language-tag vs script sanity audit (round 5): docs whose
+    non-ASCII character mass contradicts their lang tag (zh should be
+    mostly non-ASCII; latin-script langs mostly ASCII) — the mislabel
+    smell the langid ops can't see because they retrain the same
+    markers. The gate is an integer cross-multiplication
+    (10*non_ascii > 3*n_chars), map-side in a lang-bounded domain.
+    Returns (lang, n_docs, n_mismatch, rate)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        non_ascii = t.str.count(r"[^\x00-\x7F]").to_numpy(np.int64)
+        n_chars = t.str.len().to_numpy(np.int64)
+        lang = b["lang"].to_numpy()
+        hi = 10 * non_ascii > 3 * n_chars
+        mism = np.where(lang == "zh", ~hi, hi)
+        df = pd.DataFrame({"lang": lang, "n_docs": np.int64(1),
+                           "n_mismatch": mism.astype(np.int64)})
+        return df.groupby("lang", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["lang"], sum_cols=["n_docs", "n_mismatch"],
+        num_shards=4).to_pandas()
+    n = g["n_docs"].to_numpy(np.int64)
+    g["rate"] = np.floor(
+        g["n_mismatch"].to_numpy(np.int64).astype(np.float64) / n
+        * 1e6 + 0.5) / 1e6
+    for c in ("n_docs", "n_mismatch"):
+        g[c] = g[c].astype(np.int64)
+    return g[["lang", "n_docs", "n_mismatch", "rate"]]
+
+
+def q_allcaps_rate(sf_dir: str):
+    """SHOUTING-document rate per source (round 5): docs containing
+    letters but no lowercase — the scraped-header / OCR-artifact
+    smell. Two vectorized containment checks, map-side. Returns
+    (source, n_docs, n_allcaps, rate)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        has_letter = t.str.contains(r"[A-Za-z]", regex=True)
+        has_lower = t.str.contains(r"[a-z]", regex=True)
+        df = pd.DataFrame({
+            "source": b["source"].to_numpy(),
+            "n_docs": np.int64(1),
+            "n_allcaps": (has_letter & ~has_lower)
+            .to_numpy().astype(np.int64)})
+        return df.groupby("source", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["source"], sum_cols=["n_docs", "n_allcaps"],
+        num_shards=4).to_pandas()
+    n = g["n_docs"].to_numpy(np.int64)
+    g["rate"] = np.floor(
+        g["n_allcaps"].to_numpy(np.int64).astype(np.float64) / n
+        * 1e6 + 0.5) / 1e6
+    for c in ("n_docs", "n_allcaps"):
+        g[c] = g[c].astype(np.int64)
+    return g[["source", "n_docs", "n_allcaps", "rate"]]
+
+
+def q_nn_label_agreement(sf_dir: str):
+    """1-NN label agreement over the deterministic embedding sample
+    (round 5): does the nearest neighbor share the label — the
+    label-quality / separability read that decides whether
+    semantic_dedup can trust labels. Same bounded sample as
+    embedding_dist_hist; exact e6-int distances; ties break on the
+    smaller vec_id. Returns one row (n_sample, n_agree, rate)."""
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        return batch.filter(pa.array(ids % EMB_DIST_SAMPLE_MOD == 0))
+
+    s = _emb(sf_dir).map_batches(
+        pick, batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    n = len(s)
+    if n < 2:
+        return pd.DataFrame([{"n_sample": np.int64(n),
+                              "n_agree": np.int64(0), "rate": 0.0}])
+    v = np.stack([np.asarray(x, dtype=np.float64)
+                  for x in s["embedding"]])
+    v6 = np.floor(v * 1e6 + 0.5).astype(np.int64)
+    labs = s["label"].to_numpy(np.int64)
+    # exact int64 pairwise d2; self-distances masked to +inf
+    d2 = ((v6[:, None, :] - v6[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    # tie-break on the smaller vec_id: argmin picks the FIRST minimum
+    # and rows are vec_id-sorted
+    nn = d2.argmin(axis=1)
+    agree = int((labs[nn] == labs).sum())
+    return pd.DataFrame([{
+        "n_sample": np.int64(n), "n_agree": np.int64(agree),
+        "rate": np.floor(agree / n * 1e6 + 0.5) / 1e6}])
+
+
+def q_tfidf_doc_norms(sf_dir: str):
+    """L2 norm of each document's tf-idf vector (round 5): the
+    vector-space length a cosine retrieval system normalizes by —
+    tfidf_top_terms' whole-vector companion. Same integer-exact score
+    (c*N / (df*n_tok), one double division); squared scores quantize
+    to e6 ints before the per-doc sum (order-free), one sqrt at the
+    end. Document frequencies fold through a vocabulary exchange and
+    broadcast once (the tfidf trade). Returns (doc_id, n_terms,
+    norm)."""
+    import ray as _ray
+
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = int(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id"]).count())
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\S+")
+        rows = (b.assign(tok=toks).explode("tok").dropna(
+            subset=["tok"]).drop_duplicates(["doc_id", "tok"]))
+        return pd.DataFrame({"tok": rows["tok"].to_numpy(),
+                             "df": np.int64(1)})
+
+    dft = sharded_group_sum(
+        ds.map_batches(df_partial, batch_format="pandas"),
+        keys=["tok"], sum_cols=["df"]).to_pandas().sort_values("tok")
+    ref = _ray.put((dft["tok"].to_numpy(),
+                    dft["df"].to_numpy(np.int64)))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        toks_arr, dfs = _ray.get(ref)
+        toks = b["text"].fillna("").str.lower().str.findall(r"\S+")
+        out = []
+        for did, ts in zip(b["doc_id"].to_numpy(np.int64), toks):
+            if not len(ts):
+                continue
+            uniq, cnt = np.unique(np.asarray(ts, dtype=object),
+                                  return_counts=True)
+            df_v = dfs[np.searchsorted(toks_arr, uniq)]
+            n_tok = len(ts)
+            sc = (cnt.astype(np.float64) * n_docs) \
+                / (df_v.astype(np.float64) * n_tok)
+            s6 = np.floor(sc * sc * 1e6 + 0.5).astype(np.int64)
+            norm = np.floor(
+                np.sqrt(int(s6.sum()) / 1e6) * 1e6 + 0.5) / 1e6
+            out.append((did, np.int64(len(uniq)), norm))
+        return pd.DataFrame(out, columns=["doc_id", "n_terms",
+                                          "norm"]) if out else \
+            pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "n_terms": pd.Series([], dtype="int64"),
+                          "norm": pd.Series([], dtype="float64")})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def q_segment_revenue_share(sf_dir: str):
+    """Revenue share by market segment (round 5): exact-cents order
+    revenue attributed through a big-big orders-customer bucketed
+    join whose post hook fuses the segment rollup INSIDE the buckets
+    — only (segment, n, cents) partials leave the exchange. Returns
+    (c_mktsegment, n_orders, rev_cents, share)."""
+    from ..stages.relational import bucketed_hash_join, sharded_group_sum
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey",
+                                            "o_totalprice"])
+
+    def ord_cents(b: pa.Table) -> pa.Table:
+        cents = np.floor(np.asarray(b.column("o_totalprice"),
+                                    np.float64) * 100
+                         + 0.5).astype(np.int64)
+        return pa.table({"c_custkey": b.column("o_custkey"),
+                         "cents": pa.array(cents)})
+
+    def seg_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "c_mktsegment": pd.Series([], dtype="object"),
+                "n_orders": pd.Series([], dtype="int64"),
+                "rev_cents": pd.Series([], dtype="int64")})
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("cents", "size"), rev_cents=("cents", "sum"))
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        g["rev_cents"] = g["rev_cents"].astype(np.int64)
+        return g
+
+    parts = bucketed_hash_join(
+        orders.map_batches(ord_cents, batch_format="pyarrow"), cust,
+        on="c_custkey", how="inner", post=seg_fold)
+    g = sharded_group_sum(parts, keys=["c_mktsegment"],
+                          sum_cols=["n_orders", "rev_cents"],
+                          num_shards=4).to_pandas()
+    tot = int(g["rev_cents"].sum())
+    g["share"] = np.floor(
+        g["rev_cents"].to_numpy(np.int64).astype(np.float64) / tot
+        * 1e6 + 0.5) / 1e6 if tot else 0.0
+    for c in ("n_orders", "rev_cents"):
+        g[c] = g[c].astype(np.int64)
+    return g[["c_mktsegment", "n_orders", "rev_cents", "share"]]
+
+
+ORDERS_HIST_CAP = 20
+
+
+def q_orders_per_customer_hist(sf_dir: str):
+    """Distribution of orders per customer (round 5): the histogram
+    behind fanout_profile's min/mean/max — buckets capped at
+    {ORDERS_HIST_CAP}. One metadata key-shard exchange; the bucket
+    rollup is domain-bounded. Returns (n_orders_bucket,
+    n_customers)."""
+    from ..stages.relational import sharded_group_sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"k": b["o_custkey"].to_numpy(np.int64),
+                           "n": np.int64(1)})
+        return df.groupby("k", as_index=False).sum()
+
+    cnt = sharded_group_sum(
+        orders.map_batches(partial, batch_format="pandas"),
+        keys=["k"], sum_cols=["n"])
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "n_orders_bucket": np.minimum(
+                b["n"].to_numpy(np.int64), ORDERS_HIST_CAP),
+            "n_customers": np.int64(1)})
+        return df.groupby("n_orders_bucket", as_index=False).sum()
+
+    g = sharded_group_sum(
+        cnt.map_batches(bucketize, batch_format="pandas"),
+        keys=["n_orders_bucket"], sum_cols=["n_customers"],
+        num_shards=4).to_pandas()
+    for c in ("n_orders_bucket", "n_customers"):
+        g[c] = g[c].astype(np.int64)
+    return g[["n_orders_bucket", "n_customers"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "lang_script_mismatch": q_lang_script_mismatch,
+    "allcaps_rate": q_allcaps_rate,
+    "nn_label_agreement": q_nn_label_agreement,
+    "tfidf_doc_norms": q_tfidf_doc_norms,
+    "segment_revenue_share": q_segment_revenue_share,
+    "orders_per_customer_hist": q_orders_per_customer_hist,
     "quality_filter_funnel": q_quality_filter_funnel,
     "split_leakage": q_split_leakage,
     "acf7_daily": q_acf7_daily,
@@ -18534,3 +18786,92 @@ ORACLE_SQL["weekday_revenue_profile"] = (
     "  AS cents FROM orders) "
     "SELECT dow::BIGINT AS dow, count(*)::BIGINT AS n_orders, "
     "sum(cents)::BIGINT AS rev_cents FROM o GROUP BY dow")
+
+
+ORACLE_SQL["lang_script_mismatch"] = (
+    # 10*non_ascii > 3*n_chars, XOR'd with lang = 'zh'
+    "WITH d AS (SELECT lang, "
+    "  length(coalesce(text, '')) AS nc, "
+    "  len(regexp_extract_all(coalesce(text, ''), '[^\\x00-\\x7F]')) "
+    "  AS na FROM documents), "
+    "m AS (SELECT lang, CASE WHEN lang = 'zh' THEN "
+    "  CASE WHEN 10 * na > 3 * nc THEN 0 ELSE 1 END "
+    "  ELSE CASE WHEN 10 * na > 3 * nc THEN 1 ELSE 0 END END "
+    "  AS mism FROM d) "
+    "SELECT lang, count(*)::BIGINT AS n_docs, "
+    "sum(mism)::BIGINT AS n_mismatch, "
+    "floor(CAST(sum(mism) AS DOUBLE) / count(*) * 1000000 + 0.5) "
+    "  / 1000000 AS rate FROM m GROUP BY lang")
+
+
+ORACLE_SQL["allcaps_rate"] = (
+    "WITH d AS (SELECT source, "
+    "  CASE WHEN regexp_matches(coalesce(text, ''), '[A-Za-z]') "
+    "   AND NOT regexp_matches(coalesce(text, ''), '[a-z]') "
+    "  THEN 1 ELSE 0 END AS ac FROM documents) "
+    "SELECT source, count(*)::BIGINT AS n_docs, "
+    "sum(ac)::BIGINT AS n_allcaps, "
+    "floor(CAST(sum(ac) AS DOUBLE) / count(*) * 1000000 + 0.5) "
+    "  / 1000000 AS rate FROM d GROUP BY source")
+
+
+ORACLE_SQL["nn_label_agreement"] = (
+    "WITH s AS (SELECT vec_id, label, "
+    "  generate_subscripts(embedding, 1)::BIGINT AS dim, "
+    "  CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) "
+    "  AS BIGINT) AS v6 FROM embeddings WHERE vec_id % 25 = 0), "
+    "p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, "
+    "  sum((a.v6 - b.v6) * (a.v6 - b.v6))::HUGEINT AS d2 "
+    "  FROM s a JOIN s b ON b.dim = a.dim AND b.vec_id <> a.vec_id "
+    "  GROUP BY 1, 2), "
+    "r AS (SELECT ia, ib, row_number() OVER (PARTITION BY ia "
+    "  ORDER BY d2, ib) AS rn FROM p), "
+    "lab AS (SELECT DISTINCT vec_id, label FROM s), "
+    "j AS (SELECT CASE WHEN la.label = lb.label THEN 1 ELSE 0 END "
+    "  AS ok FROM r JOIN lab la ON la.vec_id = r.ia "
+    "  JOIN lab lb ON lb.vec_id = r.ib WHERE r.rn = 1) "
+    "SELECT count(*)::BIGINT AS n_sample, sum(ok)::BIGINT AS n_agree, "
+    "floor(CAST(sum(ok) AS DOUBLE) / count(*) * 1000000 + 0.5) "
+    "  / 1000000 AS rate FROM j")
+
+
+ORACLE_SQL["tfidf_doc_norms"] = (
+    # score = (c*N)/(df*n_tok), one double division; score^2
+    # e6-quantized before the per-doc sum, sqrt at the end
+    "WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents), "
+    "t AS (SELECT doc_id, unnest(regexp_extract_all(lower(coalesce("
+    "  text, '')), '\\S+')) AS tok FROM documents), "
+    "nt AS (SELECT doc_id, count(*)::BIGINT AS n_tok FROM t "
+    "  GROUP BY 1), "
+    "c AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM t "
+    "  GROUP BY 1, 2), "
+    "df AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM t "
+    "  GROUP BY 1), "
+    "sc AS (SELECT c.doc_id, CAST(floor(POW("
+    "  CAST(c.c * nn.n AS DOUBLE) / CAST(df.df * nt.n_tok AS DOUBLE),"
+    "  2) * 1000000 + 0.5) AS BIGINT) AS s6 "
+    "  FROM c JOIN df ON df.tok = c.tok "
+    "  JOIN nt ON nt.doc_id = c.doc_id CROSS JOIN nn) "
+    "SELECT doc_id, count(*)::BIGINT AS n_terms, "
+    "floor(sqrt(CAST(sum(s6) AS DOUBLE) / 1000000) * 1000000 + 0.5) "
+    "  / 1000000 AS norm FROM sc GROUP BY doc_id")
+
+
+ORACLE_SQL["segment_revenue_share"] = (
+    "WITH o AS (SELECT o_custkey, CAST(floor(o_totalprice * 100 "
+    "  + 0.5) AS BIGINT) AS cents FROM orders), "
+    "g AS (SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders, "
+    "  sum(o.cents)::BIGINT AS rev_cents FROM o "
+    "  JOIN customer c ON c.c_custkey = o.o_custkey "
+    "  GROUP BY 1), "
+    "t AS (SELECT sum(rev_cents)::BIGINT AS tot FROM g) "
+    "SELECT g.c_mktsegment, g.n_orders, g.rev_cents, "
+    "floor(CAST(g.rev_cents AS DOUBLE) / t.tot * 1000000 + 0.5) "
+    "  / 1000000 AS share FROM g, t")
+
+
+ORACLE_SQL["orders_per_customer_hist"] = (
+    "WITH c AS (SELECT o_custkey, count(*)::BIGINT AS n FROM orders "
+    "  GROUP BY 1) "
+    "SELECT least(n, 20)::BIGINT AS n_orders_bucket, "
+    "count(*)::BIGINT AS n_customers FROM c GROUP BY 1")

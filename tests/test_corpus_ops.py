@@ -5014,3 +5014,89 @@ def test_acf7_daily_period7(ray_session, tmp_path):
     out = q_acf7_daily(str(sf))
     assert out["n_days"].iloc[0] == n_days
     assert out["acf7"].iloc[0] == 1.0
+
+
+def test_lang_script_mismatch_handbuilt(ray_session, tmp_path):
+    """zh doc in ASCII is a mismatch; en doc in CJK is a mismatch."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_lang_script_mismatch)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["hello world ascii", "你好世界你好世界",
+                      "mostly ascii text here", "漢字漢字漢字"],
+                 langs=["zh", "zh", "en", "en"])
+    out = (q_lang_script_mismatch(str(sf))
+           .sort_values("lang").set_index("lang"))
+    assert out.loc["zh", "n_mismatch"] == 1   # the ASCII zh doc
+    assert out.loc["en", "n_mismatch"] == 1   # the CJK en doc
+    assert out.loc["zh", "rate"] == 0.5
+
+
+def test_allcaps_rate_handbuilt(ray_session, tmp_path):
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_allcaps_rate)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["ALL CAPS HERE 123", "Mixed Case text",
+                      "12345 678"], sources=["a", "a", "a"])
+    out = q_allcaps_rate(str(sf))
+    # digits-only doc has no letters -> not allcaps
+    assert out["n_allcaps"].tolist() == [1]
+    assert out["rate"].iloc[0] == 0.333333
+
+
+def test_nn_label_agreement_handbuilt(ray_session, tmp_path):
+    """Two tight same-label points + one far other-label point:
+    agreement 2/3."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_nn_label_agreement)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 25, 50], type=pa.int64()),
+        "embedding": pa.array([[0.0, 0.0], [0.1, 0.0], [5.0, 5.0]],
+                              type=pa.list_(pa.float64())),
+        "label": pa.array([1, 1, 2], type=pa.int64())}),
+        str(sf / "embeddings.parquet"))
+    out = q_nn_label_agreement(str(sf))
+    assert out["n_sample"].iloc[0] == 3
+    assert out["n_agree"].iloc[0] == 2
+    assert out["rate"].iloc[0] == 0.666667
+
+
+def test_segment_revenue_share_handbuilt(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_segment_revenue_share)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], type=pa.int64()),
+        "c_name": pa.array(["a", "b"]),
+        "c_nationkey": pa.array([0, 0], type=pa.int64()),
+        "c_acctbal": pa.array([0.0, 0.0]),
+        "c_mktsegment": pa.array(["BUILDING", "MACHINERY"])}),
+        str(sf / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 2], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([10.0, 20.0, 70.0]),
+        "o_orderdate": pa.array(
+            [np.datetime64("1995-01-01", "us")] * 3,
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3)}),
+        str(sf / "orders.parquet"))
+    out = q_segment_revenue_share(str(sf)).set_index("c_mktsegment")
+    assert out.loc["BUILDING", "rev_cents"] == 3000
+    assert out.loc["BUILDING", "share"] == 0.3
+    assert out.loc["MACHINERY", "share"] == 0.7

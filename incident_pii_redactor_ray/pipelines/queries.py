@@ -13142,11 +13142,287 @@ def q_orders_per_customer_hist(sf_dir: str):
     return g[["n_orders_bucket", "n_customers"]]
 
 
+def q_ppl_length_corr(sf_dir: str):
+    """Pearson correlation of per-doc bigram-LM perplexity vs doc
+    length in bigrams (round 5): the does-the-quality-score-just-
+    measure-length calibration check every filter threshold needs.
+    Composes bigram_ppl_per_doc; moments fold map-side as exact
+    62-bit-split bigints (ppl6 squares overflow int64), one double
+    division (the acf convention). Returns one row (n_docs, corr)."""
+    import math
+
+    from ..stages.relational import sharded_group_sum
+
+    ppl = q_bigram_ppl_per_doc(sf_dir)
+    cols = ("z", "n", "sx", "sy", "sxx_hi", "sxx_lo", "syy_hi",
+            "syy_lo", "sxy_hi", "sxy_lo")
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        x = b["n_bigrams"].to_numpy(np.int64)
+        y = np.floor(b["ppl"].to_numpy(np.float64) * 1e6
+                     + 0.5).astype(np.int64)
+        xo, yo = x.astype(object), y.astype(object)
+        sxx = int((xo * xo).sum())
+        syy = int((yo * yo).sum())
+        sxy = int((xo * yo).sum())
+        M = (1 << 62) - 1
+        return pd.DataFrame([{
+            "z": np.int64(0), "n": np.int64(len(b)),
+            "sx": np.int64(int(x.sum())), "sy": np.int64(int(y.sum())),
+            "sxx_hi": np.int64(sxx >> 62), "sxx_lo": np.int64(sxx & M),
+            "syy_hi": np.int64(syy >> 62), "syy_lo": np.int64(syy & M),
+            "sxy_hi": np.int64(sxy >> 62), "sxy_lo": np.int64(sxy & M),
+        }])
+
+    parts = ppl.map_batches(moments, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    sx = sum(int(v) for v in parts["sx"])
+    sy = sum(int(v) for v in parts["sy"])
+    sxx = sum((int(h) << 62) + int(lo) for h, lo
+              in zip(parts["sxx_hi"], parts["sxx_lo"]))
+    syy = sum((int(h) << 62) + int(lo) for h, lo
+              in zip(parts["syy_hi"], parts["syy_lo"]))
+    sxy = sum((int(h) << 62) + int(lo) for h, lo
+              in zip(parts["sxy_hi"], parts["sxy_lo"]))
+    num = n * sxy - sx * sy
+    d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+    den = math.sqrt(float(d1) * float(d2))
+    corr = (np.floor(float(num) / den * 1e6 + 0.5) / 1e6
+            if den > 0 else np.nan)
+    return pd.DataFrame([{"n_docs": np.int64(n), "corr": corr}])
+
+
+def q_quantization_mse(sf_dir: str):
+    """Reconstruction error of the int8 symmetric quantization
+    (round 5): per-vector RMSE of dequantized vs raw coordinates,
+    corpus-averaged — the accuracy cost of embedding_quantize's 4x
+    compression. Same scheme (q = floor(v/m*127+0.5)); squared errors
+    quantize to e12 ints before the per-vector sum (order-free; the
+    errors live at ~1e-3), means fold map-side. Returns one row
+    (n_vecs, mean_rmse)."""
+    from ..stages.relational import sharded_group_sum
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dim = len(col[0])
+        v = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+        m = np.abs(v).max(axis=1, keepdims=True)
+        q = np.floor(v / m * 127.0 + 0.5)
+        err = v - q * m / 127.0
+        s12 = np.floor(err * err * 1e12 + 0.5).astype(np.int64) \
+            .sum(axis=1)
+        rmse6 = np.floor(np.sqrt(s12.astype(np.float64) / 1e12 / dim)
+                         * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame([{"z": np.int64(0),
+                              "n": np.int64(len(v)),
+                              "r6": np.int64(rmse6.sum())}])
+
+    g = sharded_group_sum(
+        _emb(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        keys=["z"], sum_cols=["n", "r6"], num_shards=1).to_pandas()
+    n = int(g["n"].sum())
+    r6 = int(g["r6"].sum())
+    return pd.DataFrame([{
+        "n_vecs": np.int64(n),
+        "mean_rmse": (np.floor(r6 / n + 0.5) / 1e6 if n else 0.0)}])
+
+
+def q_shuffle_adjacency(sf_dir: str):
+    """Training-order shuffle quality (round 5): after the
+    deterministic global shuffle, how often adjacent docs share a
+    source, vs the without-replacement expectation sum c_s(c_s-1) /
+    (n(n-1)) — the shuffle-is-actually-mixing check. The sort output
+    is range-partitioned, so per-batch internal adjacencies count
+    vectorized and only (first, last) boundary rows reach the driver
+    (one per batch); boundary stitching follows the key order.
+    Returns one row (n_docs, n_adjacent_same, rate, expected)."""
+    from ..functions.hashing import fmix32
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        k = fmix32(ids ^ np.int64(SHUFFLE_SEED)).astype(np.int64)
+        return batch.append_column("shuffle_key",
+                                   pa.array(k, type=pa.int64()))
+
+    shuffled = ds.map_batches(key, batch_format="pyarrow") \
+        .sort(["shuffle_key", "doc_id"])
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        src = b["source"].to_numpy()
+        same = int((src[1:] == src[:-1]).sum()) if len(src) > 1 else 0
+        return pd.DataFrame([{
+            "kind": np.int8(0), "n": np.int64(len(src)),
+            "same": np.int64(same),
+            "first_key": np.int64(b["shuffle_key"].iloc[0]),
+            "first_id": np.int64(b["doc_id"].iloc[0]),
+            "first_src": src[0], "last_src": src[-1]}]) \
+            if len(src) else pd.DataFrame({
+                "kind": pd.Series([], dtype="int8"),
+                "n": pd.Series([], dtype="int64"),
+                "same": pd.Series([], dtype="int64"),
+                "first_key": pd.Series([], dtype="int64"),
+                "first_id": pd.Series([], dtype="int64"),
+                "first_src": pd.Series([], dtype="object"),
+                "last_src": pd.Series([], dtype="object")})
+
+    parts = shuffled.map_batches(fold, batch_format="pandas") \
+        .to_pandas().sort_values(["first_key", "first_id"]) \
+        .reset_index(drop=True)
+    n = int(parts["n"].sum())
+    same = int(parts["same"].sum())
+    # stitch batch boundaries in key order
+    same += int((parts["first_src"].to_numpy()[1:]
+                 == parts["last_src"].to_numpy()[:-1]).sum())
+
+    # exact source counts for the expectation
+    from ..stages.relational import sharded_group_sum
+
+    def cpart(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"source": b["source"].to_numpy(),
+                           "c": np.int64(1)})
+        return df.groupby("source", as_index=False).sum()
+
+    cc = sharded_group_sum(
+        _docs(sf_dir, ["source"]).map_batches(cpart,
+                                              batch_format="pandas"),
+        keys=["source"], sum_cols=["c"], num_shards=4).to_pandas()
+    num = sum(int(c) * (int(c) - 1) for c in cc["c"])
+    den = n * (n - 1)
+    return pd.DataFrame([{
+        "n_docs": np.int64(n), "n_adjacent_same": np.int64(same),
+        "rate": (np.floor(same / (n - 1) * 1e6 + 0.5) / 1e6
+                 if n > 1 else 0.0),
+        "expected": (np.floor(num / den * 1e6 + 0.5) / 1e6
+                     if den else 0.0)}])
+
+
+def q_region_segment_matrix(sf_dir: str):
+    """Region x market-segment customer matrix (round 5): the
+    demand-geography read. The 25-nation -> 5-region map broadcasts
+    as a driver dict; the customer pass folds map-side in a 25-slot
+    domain. Returns (r_name, c_mktsegment, n_customers)."""
+    from ..stages.relational import sharded_group_sum
+
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    n2r = dict(zip(nat["n_nationkey"].astype(int),
+                   nat["n_regionkey"].astype(int)))
+    r2name = dict(zip(reg["r_regionkey"].astype(int),
+                      reg["r_name"]))
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_nationkey",
+                                          "c_mktsegment"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rk = b["c_nationkey"].map(n2r)
+        df = pd.DataFrame({
+            "r_name": rk.map(r2name).to_numpy(),
+            "c_mktsegment": b["c_mktsegment"].to_numpy(),
+            "n_customers": np.int64(1)})
+        return df.groupby(["r_name", "c_mktsegment"],
+                          as_index=False).sum()
+
+    g = sharded_group_sum(
+        cust.map_batches(partial, batch_format="pandas"),
+        keys=["r_name", "c_mktsegment"], sum_cols=["n_customers"],
+        num_shards=4).to_pandas()
+    g["n_customers"] = g["n_customers"].astype(np.int64)
+    return g[["r_name", "c_mktsegment", "n_customers"]]
+
+
+def q_top2_gap_by_type(sf_dir: str):
+    """Winner dominance per event type (round 5): the top user's
+    event count vs the runner-up's — the one-bot-or-many read. ONE
+    metadata exchange for per-user counts; per-block partial top-2
+    per type merges on the driver (type-bounded). Ties: higher count,
+    then smaller user_id. Returns (event_type, top_user, top_n,
+    second_n, dominance)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                           "user_id": b["user_id"]
+                           .to_numpy(np.int64), "n": np.int64(1)})
+        return df.groupby(["event_type", "user_id"],
+                          as_index=False).sum()
+
+    cnt = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "user_id"], sum_cols=["n"])
+
+    def block_top(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.sort_values(["event_type", "n", "user_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+                .groupby("event_type", as_index=False).head(2))
+
+    tops = (cnt.map_batches(block_top, batch_format="pandas")
+            .to_pandas()
+            .sort_values(["event_type", "n", "user_id"],
+                         ascending=[True, False, True],
+                         kind="mergesort")
+            .groupby("event_type", as_index=False).head(2))
+    rows = []
+    for et, g in tops.groupby("event_type", sort=True):
+        top = g.iloc[0]
+        second_n = int(g.iloc[1]["n"]) if len(g) > 1 else 0
+        tn = int(top["n"])
+        rows.append({
+            "event_type": et, "top_user": np.int64(top["user_id"]),
+            "top_n": np.int64(tn), "second_n": np.int64(second_n),
+            "dominance": np.floor(tn / (tn + second_n) * 1e6
+                                  + 0.5) / 1e6})
+    return pd.DataFrame(rows)
+
+
+def q_qty_discount_matrix(sf_dir: str):
+    """Quantity x discount-tier sales matrix (round 5): the price-
+    elasticity input table. 50x11 bounded domain, map-side fold.
+    Returns (qty, d2, n_items)."""
+    from ..stages.relational import sharded_group_sum
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_quantity", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        qty = np.floor(b["l_quantity"].to_numpy(np.float64)
+                       + 0.5).astype(np.int64)
+        d2 = np.floor(b["l_discount"].to_numpy(np.float64) * 100
+                      + 0.5).astype(np.int64)
+        df = pd.DataFrame({"qty": qty, "d2": d2,
+                           "n_items": np.int64(1)})
+        return df.groupby(["qty", "d2"], as_index=False).sum()
+
+    g = sharded_group_sum(
+        li.map_batches(partial, batch_format="pandas"),
+        keys=["qty", "d2"], sum_cols=["n_items"],
+        num_shards=4).to_pandas()
+    for c in ("qty", "d2", "n_items"):
+        g[c] = g[c].astype(np.int64)
+    return g[["qty", "d2", "n_items"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "ppl_length_corr": q_ppl_length_corr,
+    "quantization_mse": q_quantization_mse,
+    "shuffle_adjacency": q_shuffle_adjacency,
+    "region_segment_matrix": q_region_segment_matrix,
+    "top2_gap_by_type": q_top2_gap_by_type,
+    "qty_discount_matrix": q_qty_discount_matrix,
     "lang_script_mismatch": q_lang_script_mismatch,
     "allcaps_rate": q_allcaps_rate,
     "nn_label_agreement": q_nn_label_agreement,
@@ -18875,3 +19151,92 @@ ORACLE_SQL["orders_per_customer_hist"] = (
     "  GROUP BY 1) "
     "SELECT least(n, 20)::BIGINT AS n_orders_bucket, "
     "count(*)::BIGINT AS n_customers FROM c GROUP BY 1")
+
+
+ORACLE_SQL["ppl_length_corr"] = (
+    # nested composition of the bigram-LM oracle + HUGEINT moments
+    f"WITH pq AS ({ORACLE_SQL['bigram_ppl_per_doc']}), "
+    "xy AS (SELECT n_bigrams AS x, "
+    "  CAST(floor(ppl * 1000000 + 0.5) AS BIGINT) AS y FROM pq), "
+    "m AS (SELECT count(*)::HUGEINT AS n, sum(x::HUGEINT) AS sx, "
+    "  sum(y::HUGEINT) AS sy, sum(x::HUGEINT * x) AS sxx, "
+    "  sum(y::HUGEINT * y) AS syy, sum(x::HUGEINT * y) AS sxy "
+    "  FROM xy) "
+    "SELECT n::BIGINT AS n_docs, "
+    "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 "
+    "THEN floor(CAST(n * sxy - sx * sy AS DOUBLE) "
+    "  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) "
+    "         * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5) "
+    "  / 1000000 ELSE CAST('nan' AS DOUBLE) END AS corr FROM m")
+
+
+ORACLE_SQL["quantization_mse"] = (
+    # identical op chain: m = maxabs, q = floor(v/m*127+0.5),
+    # err = v - q*m/127, e12-quantized squares, sqrt per vec
+    "WITH v AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x, "
+    "  generate_subscripts(embedding, 1) AS dim FROM embeddings), "
+    "mm AS (SELECT vec_id, max(abs(x)) AS m, count(*)::BIGINT AS d "
+    "  FROM v GROUP BY 1), "
+    "e AS (SELECT v.vec_id, mm.d, CAST(floor("
+    "  (v.x - floor(v.x / mm.m * 127 + 0.5) * mm.m / 127) "
+    "  * (v.x - floor(v.x / mm.m * 127 + 0.5) * mm.m / 127) "
+    "  * 1000000000000 + 0.5) AS BIGINT) AS s12 "
+    "  FROM v JOIN mm ON mm.vec_id = v.vec_id), "
+    "r AS (SELECT vec_id, CAST(floor(sqrt(CAST(sum(s12) AS DOUBLE) "
+    "  / 1000000000000 / min(d)) * 1000000 + 0.5) AS BIGINT) AS r6 "
+    "  FROM e GROUP BY vec_id) "
+    "SELECT count(*)::BIGINT AS n_vecs, "
+    "floor(CAST(sum(r6) AS DOUBLE) / count(*) + 0.5) / 1000000 "
+    "  AS mean_rmse FROM r")
+
+
+ORACLE_SQL["shuffle_adjacency"] = (
+    "WITH " + _fmix32_sql_ctes(
+        f"xor(doc_id % 4294967296, {SHUFFLE_SEED})",
+        "doc_id, source", "documents")
+    + ", o AS (SELECT source, lag(source) OVER ("
+    "  ORDER BY h, doc_id) AS prev FROM hf), "
+    "adj AS (SELECT count(*)::BIGINT AS n, "
+    "  sum(CASE WHEN source = prev THEN 1 ELSE 0 END)::BIGINT "
+    "  AS same FROM o), "
+    "cc AS (SELECT count(*)::HUGEINT AS c FROM documents "
+    "  GROUP BY source), "
+    "ex AS (SELECT sum(c * (c - 1)) AS num FROM cc) "
+    "SELECT adj.n AS n_docs, adj.same AS n_adjacent_same, "
+    "CASE WHEN adj.n > 1 THEN floor(CAST(adj.same AS DOUBLE) "
+    "  / (adj.n - 1) * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS rate, "
+    "CASE WHEN adj.n > 1 THEN floor(CAST(ex.num AS DOUBLE) "
+    "  / (CAST(adj.n AS HUGEINT) * (adj.n - 1)) * 1000000 + 0.5) "
+    "  / 1000000 ELSE 0.0 END AS expected FROM adj, ex")
+
+
+ORACLE_SQL["region_segment_matrix"] = (
+    "SELECT r.r_name, c.c_mktsegment, "
+    "count(*)::BIGINT AS n_customers "
+    "FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey "
+    "JOIN region r ON r.r_regionkey = n.n_regionkey "
+    "GROUP BY r.r_name, c.c_mktsegment")
+
+
+ORACLE_SQL["top2_gap_by_type"] = (
+    "WITH u AS (SELECT event_type, user_id, count(*)::BIGINT AS n "
+    "  FROM events GROUP BY 1, 2), "
+    "r AS (SELECT event_type, user_id, n, row_number() OVER ("
+    "  PARTITION BY event_type ORDER BY n DESC, user_id) AS rn "
+    "  FROM u), "
+    "t AS (SELECT event_type, "
+    "  min(CASE WHEN rn = 1 THEN user_id END)::BIGINT AS top_user, "
+    "  min(CASE WHEN rn = 1 THEN n END)::BIGINT AS top_n, "
+    "  coalesce(min(CASE WHEN rn = 2 THEN n END), 0)::BIGINT "
+    "  AS second_n FROM r WHERE rn <= 2 GROUP BY event_type) "
+    "SELECT event_type, top_user, top_n, second_n, "
+    "floor(CAST(top_n AS DOUBLE) / (top_n + second_n) * 1000000 "
+    "  + 0.5) / 1000000 AS dominance FROM t")
+
+
+ORACLE_SQL["qty_discount_matrix"] = (
+    "WITH q AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) "
+    "  AS qty, CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d2 "
+    "  FROM lineitem) "
+    "SELECT qty, d2, count(*)::BIGINT AS n_items FROM q "
+    "GROUP BY qty, d2")

@@ -5100,3 +5100,57 @@ def test_segment_revenue_share_handbuilt(ray_session, tmp_path):
     assert out.loc["BUILDING", "rev_cents"] == 3000
     assert out.loc["BUILDING", "share"] == 0.3
     assert out.loc["MACHINERY", "share"] == 0.7
+
+
+def test_quantization_mse_zero_for_exact(ray_session, tmp_path):
+    """Vectors already on the int8 grid reconstruct exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_quantization_mse)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1], type=pa.int64()),
+        "embedding": pa.array([[127.0, 0.0], [64.0, -127.0]],
+                              type=pa.list_(pa.float64())),
+        "label": pa.array([0, 0], type=pa.int64())}),
+        str(sf / "embeddings.parquet"))
+    out = q_quantization_mse(str(sf))
+    assert out["n_vecs"].iloc[0] == 2
+    assert out["mean_rmse"].iloc[0] == 0.0
+
+
+def test_top2_gap_by_type_handbuilt(ray_session, tmp_path):
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_top2_gap_by_type)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, list(range(6)), [1, 1, 1, 2, 2, 3],
+                  ["view"] * 6)
+    out = q_top2_gap_by_type(str(sf))
+    assert out["top_user"].iloc[0] == 1
+    assert out["top_n"].iloc[0] == 3
+    assert out["second_n"].iloc[0] == 2
+    assert out["dominance"].iloc[0] == 0.6
+
+
+def test_shuffle_adjacency_parallelism_invariant(ray_session, tmp_path):
+    """Same result at different parallelism — batch-boundary
+    stitching must not depend on the block split."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_shuffle_adjacency)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, [f"doc {i}" for i in range(50)],
+                 sources=["a" if i % 3 else "b" for i in range(50)])
+    out = q_shuffle_adjacency(str(sf))
+    assert out["n_docs"].iloc[0] == 50
+    n_same = int(out["n_adjacent_same"].iloc[0])
+    assert 0 <= n_same <= 49
+    out2 = q_shuffle_adjacency(str(sf))
+    assert int(out2["n_adjacent_same"].iloc[0]) == n_same

@@ -13412,11 +13412,232 @@ def q_qty_discount_matrix(sf_dir: str):
     return g[["qty", "d2", "n_items"]]
 
 
+def q_events_weekend_lift(sf_dir: str):
+    """Weekend-vs-weekday traffic lift per event type (round 5):
+    (weekend events / 2 days) over (weekday events / 5 days) as the
+    integer cross-ratio 5*we / (2*wd) — the staffing/caching
+    seasonality read. Map-side fold in a type-bounded domain. Returns
+    (event_type, n_weekday, n_weekend, lift)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy("datetime64[us]").view("int64")
+        dow = (us // 86_400_000_000 + 4) % 7
+        wkend = (dow == 0) | (dow == 6)
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "n_weekday": (~wkend).astype(np.int64),
+            "n_weekend": wkend.astype(np.int64)})
+        return df.groupby("event_type", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["event_type"], sum_cols=["n_weekday", "n_weekend"],
+        num_shards=4).to_pandas()
+    wd = g["n_weekday"].to_numpy(np.int64)
+    we = g["n_weekend"].to_numpy(np.int64)
+    g["lift"] = np.where(
+        wd > 0, np.floor(5.0 * we / (2.0 * wd) * 1e6 + 0.5) / 1e6,
+        0.0)
+    for c in ("n_weekday", "n_weekend"):
+        g[c] = g[c].astype(np.int64)
+    return g[["event_type", "n_weekday", "n_weekend", "lift"]]
+
+
+def q_part_brand_premium(sf_dir: str):
+    """Brand price premium (round 5): each brand's mean retail price
+    over the catalog-wide mean — the brand-positioning read. Exact
+    cents partials in a brand-bounded domain, two double divisions
+    in a pinned order. Returns (p_brand, n_parts, mean_retail,
+    premium)."""
+    from ..stages.relational import sharded_group_sum
+
+    pt = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_brand", "p_retailprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["p_retailprice"].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+        df = pd.DataFrame({"p_brand": b["p_brand"].to_numpy(),
+                           "n": np.int64(1), "cents": cents})
+        return df.groupby("p_brand", as_index=False).sum()
+
+    g = sharded_group_sum(
+        pt.map_batches(partial, batch_format="pandas"),
+        keys=["p_brand"], sum_cols=["n", "cents"],
+        num_shards=4).to_pandas()
+    n = g["n"].to_numpy(np.int64)
+    cents = g["cents"].to_numpy(np.int64)
+    tot_n = int(n.sum())
+    tot_c = int(cents.sum())
+    mean_all = tot_c / tot_n   # one double division, same in SQL
+    g["mean_retail"] = np.floor(
+        cents.astype(np.float64) / n / 100 * 1e6 + 0.5) / 1e6
+    g["premium"] = np.floor(
+        (cents.astype(np.float64) / n) / mean_all * 1e6 + 0.5) / 1e6
+    g["n_parts"] = n
+    return g[["p_brand", "n_parts", "mean_retail", "premium"]]
+
+
+def q_source_common_prefix(sf_dir: str):
+    """Longest common prefix of all docs per source (round 5): a
+    non-zero LCP means the source stamps a boilerplate header on
+    every file — the trim-before-training read. Uses the order
+    identity LCP(set) = LCP(min, max): only each shard's
+    lexicographic min/max strings travel, the final character
+    comparison is per-source driver work. Returns (source, n_docs,
+    lcp_len)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        g = pd.DataFrame({"source": b["source"].to_numpy(),
+                          "mn": t.to_numpy(), "mx": t.to_numpy(),
+                          "n_docs": np.int64(1)})
+        return g.groupby("source", as_index=False).agg(
+            mn=("mn", "min"), mx=("mx", "max"),
+            n_docs=("n_docs", "sum"))
+
+    # source-bounded partials, pinned once for the three folds
+    parts = ds.map_batches(partial, batch_format="pandas") \
+        .materialize()
+    mn = sharded_group_sum(
+        parts.map_batches(lambda b: b[["source", "mn"]],
+                          batch_format="pandas"),
+        keys=["source"], sum_cols=["mn"], how="min",
+        num_shards=4).to_pandas()
+    mx = sharded_group_sum(
+        parts.map_batches(lambda b: b[["source", "mx"]],
+                          batch_format="pandas"),
+        keys=["source"], sum_cols=["mx"], how="max",
+        num_shards=4).to_pandas()
+    nd = sharded_group_sum(
+        parts.map_batches(lambda b: b[["source", "n_docs"]],
+                          batch_format="pandas"),
+        keys=["source"], sum_cols=["n_docs"], num_shards=4).to_pandas()
+    g = mn.merge(mx, on="source").merge(nd, on="source") \
+        .sort_values("source").reset_index(drop=True)
+    lcp = []
+    for a, b_ in zip(g["mn"], g["mx"]):
+        k = 0
+        for ca, cb in zip(a, b_):
+            if ca != cb:
+                break
+            k += 1
+        lcp.append(k)
+    g["lcp_len"] = np.asarray(lcp, dtype=np.int64)
+    g["n_docs"] = g["n_docs"].astype(np.int64)
+    return g[["source", "n_docs", "lcp_len"]]
+
+
+def q_null_text_audit(sf_dir: str):
+    """Null / empty / whitespace-only text audit per source
+    (round 5): the ingest-health numbers a crawl dashboard leads
+    with. Map-side fold; whitespace-only means non-empty and
+    stripped-empty. Returns (source, n_docs, n_null, n_empty,
+    n_ws_only)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"]
+        is_null = t.isna().to_numpy()
+        filled = t.fillna("")
+        is_empty = (filled == "").to_numpy() & ~is_null
+        stripped = filled.str.strip(_SENT_STRIP)
+        ws_only = ((stripped == "").to_numpy()
+                   & ~is_null & ~is_empty)
+        df = pd.DataFrame({
+            "source": b["source"].to_numpy(),
+            "n_docs": np.int64(1),
+            "n_null": is_null.astype(np.int64),
+            "n_empty": is_empty.astype(np.int64),
+            "n_ws_only": ws_only.astype(np.int64)})
+        return df.groupby("source", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["source"], sum_cols=["n_docs", "n_null", "n_empty",
+                                   "n_ws_only"],
+        num_shards=4).to_pandas()
+    for c in ("n_docs", "n_null", "n_empty", "n_ws_only"):
+        g[c] = g[c].astype(np.int64)
+    return g[["source", "n_docs", "n_null", "n_empty", "n_ws_only"]]
+
+
+def q_priority_dow_matrix(sf_dir: str):
+    """Order priority x weekday matrix (round 5): do urgent orders
+    cluster on particular weekdays — the ops-staffing joint the
+    priority_trend margin can't show. 35-slot bounded domain,
+    map-side. Returns (o_orderpriority, dow, n_orders)."""
+    from ..stages.relational import sharded_group_sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderpriority",
+                                            "o_orderdate"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["o_orderdate"].to_numpy("datetime64[us]").view("int64")
+        df = pd.DataFrame({
+            "o_orderpriority": b["o_orderpriority"].to_numpy(),
+            "dow": (us // 86_400_000_000 + 4) % 7,
+            "n_orders": np.int64(1)})
+        return df.groupby(["o_orderpriority", "dow"],
+                          as_index=False).sum()
+
+    g = sharded_group_sum(
+        orders.map_batches(partial, batch_format="pandas"),
+        keys=["o_orderpriority", "dow"], sum_cols=["n_orders"],
+        num_shards=4).to_pandas()
+    g["dow"] = g["dow"].astype(np.int64)
+    g["n_orders"] = g["n_orders"].astype(np.int64)
+    return g[["o_orderpriority", "dow", "n_orders"]]
+
+
+def q_embedding_label_balance(sf_dir: str):
+    """Label distribution + entropy of the embedding corpus
+    (round 5): the class-balance read before trusting kmeans/ANN
+    evaluations. Counts fold map-side; per-label entropy terms
+    -p*log2(p) quantize to e6 ints before the cross-label sum (the
+    entropy convention). Returns one row (n_labels, n_vecs,
+    entropy)."""
+    from ..stages.relational import sharded_group_sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"label": b["label"].to_numpy(np.int64),
+                           "n": np.int64(1)})
+        return df.groupby("label", as_index=False).sum()
+
+    g = sharded_group_sum(
+        _emb(sf_dir).map_batches(partial, batch_format="pandas"),
+        keys=["label"], sum_cols=["n"], num_shards=4).to_pandas()
+    c = [int(x) for x in g["n"]]
+    tot = sum(c)
+    terms = [
+        int(np.floor(-(x / tot) * np.log2(x / tot) * 1e6 + 0.5))
+        for x in c if x > 0]
+    ent = sum(terms) / 1e6
+    return pd.DataFrame([{
+        "n_labels": np.int64(len(c)), "n_vecs": np.int64(tot),
+        "entropy": np.floor(ent * 1e6 + 0.5) / 1e6}])
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "events_weekend_lift": q_events_weekend_lift,
+    "part_brand_premium": q_part_brand_premium,
+    "source_common_prefix": q_source_common_prefix,
+    "null_text_audit": q_null_text_audit,
+    "priority_dow_matrix": q_priority_dow_matrix,
+    "embedding_label_balance": q_embedding_label_balance,
     "ppl_length_corr": q_ppl_length_corr,
     "quantization_mse": q_quantization_mse,
     "shuffle_adjacency": q_shuffle_adjacency,
@@ -19240,3 +19461,78 @@ ORACLE_SQL["qty_discount_matrix"] = (
     "  FROM lineitem) "
     "SELECT qty, d2, count(*)::BIGINT AS n_items FROM q "
     "GROUP BY qty, d2")
+
+
+ORACLE_SQL["events_weekend_lift"] = (
+    "WITH e AS (SELECT event_type, "
+    "  (epoch_us(ts) // 86400000000 + 4) % 7 AS dow FROM events), "
+    "g AS (SELECT event_type, "
+    "  sum(CASE WHEN dow IN (0, 6) THEN 0 ELSE 1 END)::BIGINT "
+    "  AS n_weekday, "
+    "  sum(CASE WHEN dow IN (0, 6) THEN 1 ELSE 0 END)::BIGINT "
+    "  AS n_weekend FROM e GROUP BY 1) "
+    "SELECT event_type, n_weekday, n_weekend, "
+    "CASE WHEN n_weekday > 0 THEN "
+    "floor(5.0 * n_weekend / (2.0 * n_weekday) * 1000000 + 0.5) "
+    "  / 1000000 ELSE 0.0 END AS lift FROM g")
+
+
+ORACLE_SQL["part_brand_premium"] = (
+    "WITH p AS (SELECT p_brand, count(*)::BIGINT AS n, "
+    "  sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))::BIGINT "
+    "  AS cents FROM part GROUP BY 1), "
+    "t AS (SELECT sum(n)::BIGINT AS tn, sum(cents)::BIGINT AS tc "
+    "  FROM p) "
+    "SELECT p.p_brand, p.n AS n_parts, "
+    "floor(CAST(p.cents AS DOUBLE) / p.n / 100 * 1000000 + 0.5) "
+    "  / 1000000 AS mean_retail, "
+    "floor((CAST(p.cents AS DOUBLE) / p.n) "
+    "  / (CAST(t.tc AS DOUBLE) / t.tn) * 1000000 + 0.5) / 1000000 "
+    "  AS premium FROM p, t")
+
+
+ORACLE_SQL["source_common_prefix"] = (
+    # LCP(set) = LCP(lexicographic min, max); prefix equality is
+    # monotone, so counting matching prefixes gives the LCP length
+    "WITH g AS (SELECT source, count(*)::BIGINT AS n_docs, "
+    "  min(coalesce(text, '')) AS mn, max(coalesce(text, '')) AS mx "
+    "  FROM documents GROUP BY source) "
+    "SELECT source, n_docs, "
+    "len(list_filter([substr(mn, 1, i) = substr(mx, 1, i) "
+    "  for i in generate_series(1, least(length(mn), length(mx)))], "
+    "  x -> x))::BIGINT AS lcp_len FROM g")
+
+
+ORACLE_SQL["null_text_audit"] = (
+    "WITH d AS (SELECT source, "
+    "  CASE WHEN text IS NULL THEN 1 ELSE 0 END AS is_null, "
+    "  CASE WHEN text = '' THEN 1 ELSE 0 END AS is_empty, "
+    "  CASE WHEN text IS NOT NULL AND text <> '' AND "
+    "  trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12)) "
+    "    = '' THEN 1 ELSE 0 END AS ws_only FROM documents) "
+    "SELECT source, count(*)::BIGINT AS n_docs, "
+    "sum(is_null)::BIGINT AS n_null, "
+    "sum(is_empty)::BIGINT AS n_empty, "
+    "sum(ws_only)::BIGINT AS n_ws_only FROM d GROUP BY source")
+
+
+ORACLE_SQL["priority_dow_matrix"] = (
+    "WITH o AS (SELECT o_orderpriority, "
+    "  (epoch_us(o_orderdate) // 86400000000 + 4) % 7 AS dow "
+    "  FROM orders) "
+    "SELECT o_orderpriority, dow::BIGINT AS dow, "
+    "count(*)::BIGINT AS n_orders FROM o "
+    "GROUP BY o_orderpriority, dow")
+
+
+ORACLE_SQL["embedding_label_balance"] = (
+    "WITH g AS (SELECT label, count(*)::BIGINT AS c "
+    "  FROM embeddings GROUP BY 1), "
+    "t AS (SELECT sum(c)::BIGINT AS tot, count(*)::BIGINT AS nl "
+    "  FROM g), "
+    "terms AS (SELECT CAST(floor(-(CAST(c AS DOUBLE) / t.tot) "
+    "  * log2(CAST(c AS DOUBLE) / t.tot) * 1000000 + 0.5) AS BIGINT) "
+    "  AS term FROM g, t WHERE c > 0) "
+    "SELECT t.nl AS n_labels, t.tot AS n_vecs, "
+    "floor(CAST(sum(term) AS DOUBLE) / 1000000 * 1000000 + 0.5) "
+    "  / 1000000 AS entropy FROM terms, t GROUP BY t.nl, t.tot")

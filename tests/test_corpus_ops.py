@@ -5154,3 +5154,59 @@ def test_shuffle_adjacency_parallelism_invariant(ray_session, tmp_path):
     assert 0 <= n_same <= 49
     out2 = q_shuffle_adjacency(str(sf))
     assert int(out2["n_adjacent_same"].iloc[0]) == n_same
+
+
+def test_source_common_prefix_handbuilt(ray_session, tmp_path):
+    """Shared '# header\\n' prefix across one source; none in the
+    other."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_source_common_prefix)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["# header\nalpha", "# header\nbeta",
+                      "x one", "y two"],
+                 sources=["a", "a", "b", "b"])
+    out = q_source_common_prefix(str(sf)).set_index("source")
+    assert out.loc["a", "lcp_len"] == len("# header\n")
+    assert out.loc["b", "lcp_len"] == 0
+
+
+def test_null_text_audit_handbuilt(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_null_text_audit)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array([None, "", "  \t\n", "real text"],
+                         type=pa.string()),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4)}),
+        str(sf / "documents.parquet"))
+    out = q_null_text_audit(str(sf))
+    assert out.iloc[0][["n_docs", "n_null", "n_empty",
+                        "n_ws_only"]].tolist() == [4, 1, 1, 1]
+
+
+def test_events_weekend_lift_handbuilt(ray_session, tmp_path):
+    """2 weekend events (Sun 1970-01-04) + 5 weekday -> lift 1.0."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_events_weekend_lift)
+
+    us_day = 86_400 * 10**6
+    ts = [0, 0, 1 * us_day, 1 * us_day, 2 * us_day,
+          3 * us_day + 1, 3 * us_day + 2]
+    # 1970-01-01 Thu, 01-02 Fri, 01-03 Sat, 01-04 Sun
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, ts, [1] * 7, ["view"] * 7)
+    out = q_events_weekend_lift(str(sf))
+    # weekend = Sat(01-03: 1 event) + Sun(01-04: 2) = 3; weekday = 4
+    assert out["n_weekend"].iloc[0] == 3
+    assert out["n_weekday"].iloc[0] == 4
+    assert out["lift"].iloc[0] == np.floor(5*3/(2*4)*1e6+0.5)/1e6

@@ -13627,11 +13627,252 @@ def q_embedding_label_balance(sf_dir: str):
         "entropy": np.floor(ent * 1e6 + 0.5) / 1e6}])
 
 
+def q_token_quantiles_by_source(sf_dir: str):
+    """Exact per-source token-count quantiles (round 5): p50/p90 of
+    doc length in tokens, the truncation-budget input per source.
+    Routed through the (group, value) histogram shape — the shuffle
+    is value-domain-bounded, never row-stream-sized. Returns (source,
+    p50_tokens, p90_tokens)."""
+    from ..stages.relational import grouped_exact_quantiles
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def with_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": b["source"].to_numpy(),
+            "n_tokens": b["text"].fillna("").str.count(r"\S+")
+            .to_numpy(np.int64).astype(np.float64)})
+
+    q = grouped_exact_quantiles(
+        ds.map_batches(with_tokens, batch_format="pandas"),
+        group_col="source", val_col="n_tokens", pcts=(50, 90),
+        scale=1.0)
+    q = q.rename(columns={"p50_cents": "p50_tokens",
+                          "p90_cents": "p90_tokens"})
+    for c in ("p50_tokens", "p90_tokens"):
+        q[c] = q[c].astype(np.int64)
+    return q[["source", "p50_tokens", "p90_tokens"]]
+
+
+def q_first_line_dup_rate(sf_dir: str):
+    """Shared-first-line rate per source (round 5): docs whose FIRST
+    line appears as the first line of >= 2 docs of that source — the
+    header-boilerplate detector between line_dedup (all lines) and
+    source_common_prefix (all docs). One (md5(first line), source)
+    exchange; each digest lives wholly in one shard so the >= 2 test
+    is exact per shard. Returns (source, n_docs, n_shared_first,
+    rate)."""
+    import hashlib
+
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        first = b["text"].fillna("").str.split("\n").str[0]
+        dg = [hashlib.md5(x.encode("utf-8")).hexdigest()
+              for x in first]
+        df = pd.DataFrame({"digest": dg,
+                           "source": b["source"].to_numpy(),
+                           "n": np.int64(1)})
+        df["shard"] = shard_of_keys(df["digest"].to_numpy(), 64)
+        return df
+
+    def shard_fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["source", "digest"], as_index=False)["n"].sum()
+        c["shared"] = np.where(c["n"] >= 2, c["n"], 0).astype(np.int64)
+        out = c.groupby("source", as_index=False).agg(
+            n_docs=("n", "sum"), n_shared_first=("shared", "sum"))
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["n_shared_first"] = out["n_shared_first"].astype(np.int64)
+        return out
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("shard").map_groups(shard_fold,
+                                     batch_format="pandas"),
+        keys=["source"], sum_cols=["n_docs", "n_shared_first"],
+        num_shards=8).to_pandas()
+    n = g["n_docs"].to_numpy(np.int64)
+    g["rate"] = np.floor(
+        g["n_shared_first"].to_numpy(np.int64).astype(np.float64) / n
+        * 1e6 + 0.5) / 1e6
+    for c in ("n_docs", "n_shared_first"):
+        g[c] = g[c].astype(np.int64)
+    return g[["source", "n_docs", "n_shared_first", "rate"]]
+
+
+def q_monthly_active_customers(sf_dir: str):
+    """Distinct ordering customers per month (round 5): the MAU of
+    the order book, next to monthly_seasonality's revenue margin.
+    Distinct (ym, custkey) reduces map-side per batch, then one
+    key-shard exchange of distinct pairs; months roll up bounded.
+    Returns (ym, n_customers)."""
+    from ..stages.relational import sharded_group_sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey",
+                                            "o_orderdate"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"].to_numpy("datetime64[M]")
+        ym = (d.astype("datetime64[Y]").astype(np.int64) + 1970) \
+            * 100 + (d.astype(np.int64) % 12 + 1)
+        df = pd.DataFrame({"ym": ym,
+                           "k": b["o_custkey"].to_numpy(np.int64)})
+        return df.drop_duplicates()
+
+    pairs = sharded_group_sum(
+        _with_const(orders.map_batches(partial,
+                                       batch_format="pandas")),
+        keys=["ym", "k"], sum_cols=["one"])
+
+    def count_part(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"ym": b["ym"].to_numpy(np.int64),
+                           "n_customers": np.int64(1)})
+        return df.groupby("ym", as_index=False).sum()
+
+    g = sharded_group_sum(
+        pairs.map_batches(count_part, batch_format="pandas"),
+        keys=["ym"], sum_cols=["n_customers"],
+        num_shards=4).to_pandas()
+    for c in ("ym", "n_customers"):
+        g[c] = g[c].astype(np.int64)
+    return g[["ym", "n_customers"]]
+
+
+def _with_const(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Append a constant 'one' int64 column (distinct-count plumbing
+    for sharded_group_sum)."""
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["one"] = np.int64(1)
+        return b
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def q_tax_profile(sf_dir: str):
+    """Tax-tier profile (round 5): item counts and EXACT tax amounts
+    per rounded tax percent — tax_e6 = rev_e4 x t2 is an exact
+    integer (price x (1-disc) is 4 dp, tax 2 dp), so the distributed
+    sum is order-free. 9-slot bounded domain, map-side. Returns (t2,
+    n_items, tax_e6)."""
+    from ..stages.relational import sharded_group_sum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_tax"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        rev = np.asarray(_rev_e4(b), dtype=np.int64)
+        t2 = np.floor(np.asarray(b.column("l_tax"), np.float64) * 100
+                      + 0.5).astype(np.int64)
+        df = pd.DataFrame({"t2": t2, "n_items": np.int64(1),
+                           "tax_e6": rev * t2})
+        return df.groupby("t2", as_index=False).sum()
+
+    g = sharded_group_sum(
+        li.map_batches(partial, batch_format="pyarrow"),
+        keys=["t2"], sum_cols=["n_items", "tax_e6"],
+        num_shards=4).to_pandas()
+    for c in ("t2", "n_items", "tax_e6"):
+        g[c] = g[c].astype(np.int64)
+    return g[["t2", "n_items", "tax_e6"]]
+
+
+def q_neardup_rate_by_lang(sf_dir: str):
+    """Near-duplication rate by language (round 5): which languages'
+    crawls are dirtiest — the per-lang dedup-budget read. Pair
+    members (dup-graph-sized) collect once and broadcast; base docs
+    stream through a membership pass (a doc counts as near-dup when
+    IT or its synthetic copy appears in any pair). Returns (lang,
+    n_docs, n_neardup, rate)."""
+    from ..stages.relational import sharded_group_sum
+
+    pairs = dedup.minhash_lsh_pairs(_docs_with_neardups(sf_dir),
+                                    threshold=0.6).to_pandas()
+    ids = (np.unique(np.concatenate([
+        pairs["id_a"].to_numpy(np.int64),
+        pairs["id_b"].to_numpy(np.int64)]))
+        if len(pairs) else np.empty(0, dtype=np.int64))
+    ref = ray.put(ids)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        m = ray.get(ref)
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+
+        def hit(v: np.ndarray) -> np.ndarray:
+            if not len(m):
+                return np.zeros(len(v), dtype=bool)
+            pos = np.searchsorted(m, v)
+            return (pos < len(m)) & (
+                m[np.clip(pos, 0, len(m) - 1)] == v)
+
+        nd = (hit(did) | hit(did + 1000000)).astype(np.int64)
+        df = pd.DataFrame({"lang": np.asarray(b.column("lang")),
+                           "n_docs": np.int64(1), "n_neardup": nd})
+        return df.groupby("lang", as_index=False).sum()
+
+    g = sharded_group_sum(
+        _docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(partial, batch_format="pyarrow"),
+        keys=["lang"], sum_cols=["n_docs", "n_neardup"],
+        num_shards=4).to_pandas()
+    n = g["n_docs"].to_numpy(np.int64)
+    g["rate"] = np.floor(
+        g["n_neardup"].to_numpy(np.int64).astype(np.float64) / n
+        * 1e6 + 0.5) / 1e6
+    for c in ("n_docs", "n_neardup"):
+        g[c] = g[c].astype(np.int64)
+    return g[["lang", "n_docs", "n_neardup", "rate"]]
+
+
+def q_hour_entropy_by_type(sf_dir: str):
+    """Hourly-distribution entropy per event type (round 5): how
+    uniform is each type's traffic over the 24-hour clock (log2, max
+    ~4.585) — the bot-vs-human rhythm read. 24-slot bounded domain;
+    per-hour entropy terms quantize to e6 ints before the cross-hour
+    sum (entropy convention). Returns (event_type, n_events,
+    hour_entropy)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy("datetime64[us]").view("int64")
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "hour": (us // 3_600_000_000) % 24, "c": np.int64(1)})
+        return df.groupby(["event_type", "hour"],
+                          as_index=False).sum()
+
+    g = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "hour"], sum_cols=["c"],
+        num_shards=4).to_pandas()
+    rows = []
+    for et, grp in g.groupby("event_type", sort=True):
+        c = [int(x) for x in grp["c"]]
+        tot = sum(c)
+        terms = [int(np.floor(-(x / tot) * np.log2(x / tot) * 1e6
+                              + 0.5)) for x in c if x > 0]
+        ent = sum(terms) / 1e6
+        rows.append({"event_type": et, "n_events": np.int64(tot),
+                     "hour_entropy": np.floor(ent * 1e6 + 0.5) / 1e6})
+    return pd.DataFrame(rows)
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "token_quantiles_by_source": q_token_quantiles_by_source,
+    "first_line_dup_rate": q_first_line_dup_rate,
+    "monthly_active_customers": q_monthly_active_customers,
+    "tax_profile": q_tax_profile,
+    "neardup_rate_by_lang": q_neardup_rate_by_lang,
+    "hour_entropy_by_type": q_hour_entropy_by_type,
     "events_weekend_lift": q_events_weekend_lift,
     "part_brand_premium": q_part_brand_premium,
     "source_common_prefix": q_source_common_prefix,
@@ -19536,3 +19777,81 @@ ORACLE_SQL["embedding_label_balance"] = (
     "SELECT t.nl AS n_labels, t.tot AS n_vecs, "
     "floor(CAST(sum(term) AS DOUBLE) / 1000000 * 1000000 + 0.5) "
     "  / 1000000 AS entropy FROM terms, t GROUP BY t.nl, t.tot")
+
+
+ORACLE_SQL["token_quantiles_by_source"] = (
+    # discrete lower quantile at (n-1)*p//100 of the sorted group
+    "WITH c AS (SELECT source, len(regexp_extract_all("
+    "  coalesce(text, ''), '\\S+'))::BIGINT AS v FROM documents), "
+    "r AS (SELECT source, v, row_number() OVER ("
+    "  PARTITION BY source ORDER BY v) - 1 AS rn, "
+    "  count(*) OVER (PARTITION BY source) AS n FROM c) "
+    "SELECT source, "
+    "max(CASE WHEN rn = ((n-1)*50)//100 THEN v END)::BIGINT "
+    "  AS p50_tokens, "
+    "max(CASE WHEN rn = ((n-1)*90)//100 THEN v END)::BIGINT "
+    "  AS p90_tokens FROM r GROUP BY source")
+
+
+ORACLE_SQL["first_line_dup_rate"] = (
+    "WITH f AS (SELECT source, split_part(coalesce(text, ''), "
+    "  chr(10), 1) AS fl FROM documents), "
+    "c AS (SELECT source, fl, count(*)::BIGINT AS n FROM f "
+    "  GROUP BY 1, 2), "
+    "g AS (SELECT source, sum(n)::BIGINT AS n_docs, "
+    "  sum(CASE WHEN n >= 2 THEN n ELSE 0 END)::BIGINT "
+    "  AS n_shared_first FROM c GROUP BY source) "
+    "SELECT source, n_docs, n_shared_first, "
+    "floor(CAST(n_shared_first AS DOUBLE) / n_docs * 1000000 + 0.5) "
+    "  / 1000000 AS rate FROM g")
+
+
+ORACLE_SQL["monthly_active_customers"] = (
+    "SELECT (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT "
+    "  AS ym, count(DISTINCT o_custkey)::BIGINT AS n_customers "
+    "FROM orders GROUP BY 1")
+
+
+ORACLE_SQL["tax_profile"] = (
+    # rev_e4 = round(price*100) * (100 - round(disc*100)); exact
+    # tax_e6 = rev_e4 * round(tax*100)
+    "WITH q AS (SELECT CAST(floor(l_tax * 100 + 0.5) AS BIGINT) "
+    "  AS t2, CAST(round(l_extendedprice * 100) AS BIGINT) "
+    "  * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4 "
+    "  FROM lineitem) "
+    "SELECT t2, count(*)::BIGINT AS n_items, "
+    "sum(rev_e4 * t2)::BIGINT AS tax_e6 FROM q GROUP BY t2")
+
+
+ORACLE_SQL["neardup_rate_by_lang"] = (
+    "WITH " + _minhash_sql_prefix()
+    + ", kept AS (SELECT DISTINCT id_a AS i FROM v "
+    "  WHERE jaccard >= 0.6 "
+    "  UNION SELECT DISTINCT id_b FROM v WHERE jaccard >= 0.6), "
+    "d AS (SELECT d.lang, CASE WHEN ka.i IS NOT NULL "
+    "  OR kb.i IS NOT NULL THEN 1 ELSE 0 END AS nd "
+    "  FROM documents d "
+    "  LEFT JOIN kept ka ON ka.i = d.doc_id "
+    "  LEFT JOIN kept kb ON kb.i = d.doc_id + 1000000) "
+    "SELECT lang, count(*)::BIGINT AS n_docs, "
+    "sum(nd)::BIGINT AS n_neardup, "
+    "floor(CAST(sum(nd) AS DOUBLE) / count(*) * 1000000 + 0.5) "
+    "  / 1000000 AS rate FROM d GROUP BY lang")
+
+
+ORACLE_SQL["hour_entropy_by_type"] = (
+    "WITH h AS (SELECT event_type, "
+    "  (epoch_us(ts) // 3600000000) % 24 AS hour, "
+    "  count(*)::BIGINT AS c FROM events GROUP BY 1, 2), "
+    "t AS (SELECT event_type, sum(c)::BIGINT AS tot FROM h "
+    "  GROUP BY 1), "
+    "terms AS (SELECT h.event_type, CAST(floor("
+    "  -(CAST(h.c AS DOUBLE) / t.tot) "
+    "  * log2(CAST(h.c AS DOUBLE) / t.tot) * 1000000 + 0.5) "
+    "  AS BIGINT) AS term FROM h JOIN t USING (event_type) "
+    "  WHERE h.c > 0) "
+    "SELECT terms.event_type, min(t.tot)::BIGINT AS n_events, "
+    "floor(CAST(sum(term) AS DOUBLE) / 1000000 * 1000000 + 0.5) "
+    "  / 1000000 AS hour_entropy FROM terms "
+    "JOIN t ON t.event_type = terms.event_type "
+    "GROUP BY terms.event_type")

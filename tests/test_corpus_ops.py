@@ -5210,3 +5210,65 @@ def test_events_weekend_lift_handbuilt(ray_session, tmp_path):
     assert out["n_weekend"].iloc[0] == 3
     assert out["n_weekday"].iloc[0] == 4
     assert out["lift"].iloc[0] == np.floor(5*3/(2*4)*1e6+0.5)/1e6
+
+
+def test_first_line_dup_rate_handbuilt(ray_session, tmp_path):
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_first_line_dup_rate)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["#!/bin/sh\necho a", "#!/bin/sh\necho b",
+                      "unique line\nbody"], sources=["a"] * 3)
+    out = q_first_line_dup_rate(str(sf))
+    assert out["n_docs"].iloc[0] == 3
+    assert out["n_shared_first"].iloc[0] == 2
+    assert out["rate"].iloc[0] == 0.666667
+
+
+def test_tax_profile_exact(ray_session, tmp_path):
+    """One item: price 10.00, disc 0.05, tax 0.04 ->
+    rev_e4 = 1000*95 = 95000, tax_e6 = 380000."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_tax_profile)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "l_extendedprice": pa.array([10.00]),
+        "l_discount": pa.array([0.05]),
+        "l_tax": pa.array([0.04])}),
+        str(sf / "lineitem.parquet"))
+    out = q_tax_profile(str(sf))
+    assert out["t2"].tolist() == [4]
+    assert out["tax_e6"].tolist() == [95000 * 4]
+
+
+def test_monthly_active_customers_handbuilt(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_monthly_active_customers)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(4), type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 1], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 4),
+        "o_totalprice": pa.array([1.0] * 4),
+        "o_orderdate": pa.array(
+            [np.datetime64("1995-01-05", "us"),
+             np.datetime64("1995-01-20", "us"),
+             np.datetime64("1995-01-25", "us"),
+             np.datetime64("1995-02-01", "us")],
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4)}),
+        str(sf / "orders.parquet"))
+    out = (q_monthly_active_customers(str(sf))
+           .sort_values("ym").reset_index(drop=True))
+    assert out.values.tolist() == [[199501, 2], [199502, 1]]

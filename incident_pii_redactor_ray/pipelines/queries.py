@@ -13862,11 +13862,267 @@ def q_hour_entropy_by_type(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_dedup_savings_projection(sf_dir: str):
+    """Projected dedup savings (round 5): if every near-dup component
+    collapses to its survivor, how many docs and characters disappear
+    — the storage/compute business case for running the dedup at all.
+    Components are dup-graph-sized (collected once, broadcast); the
+    char rollup streams the near-dup corpus. Returns one row
+    (n_components, n_dropped, chars_saved)."""
+    from ..stages.dedup import dedup_components
+    from ..stages.relational import sharded_group_sum
+
+    docs = _docs_with_neardups(sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.6,
+                                    dedup_pairs=False)
+    comp = dedup_components(
+        pairs.select_columns(["id_a", "id_b"])).to_pandas()
+    if not len(comp):
+        return pd.DataFrame([{"n_components": np.int64(0),
+                              "n_dropped": np.int64(0),
+                              "chars_saved": np.int64(0)}])
+    n_comp = int(comp["component"].nunique())
+    dropped = np.sort(comp.loc[comp["doc_id"] != comp["component"],
+                               "doc_id"].to_numpy(np.int64))
+    ref = ray.put(dropped)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        d = ray.get(ref)
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        pos = np.searchsorted(d, ids)
+        hit = (pos < len(d)) & (
+            d[np.clip(pos, 0, max(len(d) - 1, 0))] == ids) \
+            if len(d) else np.zeros(len(ids), dtype=bool)
+        lens = pc.utf8_length(pc.coalesce(
+            b.column("text"), pa.scalar(""))).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame([{
+            "z": np.int64(0),
+            "chars": np.int64(int(lens[hit].sum()))}])
+
+    g = sharded_group_sum(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        keys=["z"], sum_cols=["chars"], num_shards=1).to_pandas()
+    return pd.DataFrame([{
+        "n_components": np.int64(n_comp),
+        "n_dropped": np.int64(len(dropped)),
+        "chars_saved": np.int64(int(g["chars"].sum()))}])
+
+
+def q_window_dedup_summary(sf_dir: str):
+    """Per-week keep rates of the trailing-window crawl policy
+    (round 5): the window_dedup flags rolled up by crawl week — the
+    dashboard row a recurring crawl publishes. Composition over
+    q_window_dedup (one extra bounded rollup). Returns (wk, n_docs,
+    n_kept, keep_rate)."""
+    from ..stages.relational import sharded_group_sum
+
+    flags = q_window_dedup(sf_dir)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "wk": b["doc_id"].to_numpy(np.int64) % WINDOW_DEDUP_MOD,
+            "n_docs": np.int64(1),
+            "n_kept": b["keep"].to_numpy().astype(np.int64)})
+        return df.groupby("wk", as_index=False).sum()
+
+    g = sharded_group_sum(
+        flags.map_batches(partial, batch_format="pandas"),
+        keys=["wk"], sum_cols=["n_docs", "n_kept"],
+        num_shards=4).to_pandas()
+    n = g["n_docs"].to_numpy(np.int64)
+    g["keep_rate"] = np.floor(
+        g["n_kept"].to_numpy(np.int64).astype(np.float64) / n * 1e6
+        + 0.5) / 1e6
+    for c in ("wk", "n_docs", "n_kept"):
+        g[c] = g[c].astype(np.int64)
+    return g[["wk", "n_docs", "n_kept", "keep_rate"]]
+
+
+def q_centroid_distance_matrix(sf_dir: str):
+    """Pairwise L2 distances between label centroids (round 5): the
+    class-separability matrix next to centroid_cosine_by_label's
+    tightness read. Exact e6-int centroid numerators (one
+    label-bounded exchange); the pairwise numerator folds as Python
+    bigints on the driver (labels are bounded), one sqrt + one
+    division per pair. Returns (label_a, label_b, dist)."""
+    from ..stages.relational import sharded_group_sum
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dim = len(col[0])
+        v = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+        v6 = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        labs = np.asarray(batch.column("label"))
+        frames = []
+        for lab in np.unique(labs):
+            m = labs == lab
+            frames.append(pd.DataFrame({
+                "label": lab,
+                "dim": np.arange(0, dim + 1, dtype=np.int64),
+                "s6": np.concatenate((
+                    [np.int64(m.sum())], v6[m].sum(axis=0)))}))
+        return pd.concat(frames, ignore_index=True)
+
+    cent = sharded_group_sum(
+        _emb(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        keys=["label", "dim"], sum_cols=["s6"],
+        num_shards=8).to_pandas()
+    labels = sorted(cent["label"].unique())
+    cnum, nvec = {}, {}
+    for lab in labels:
+        g = cent[cent["label"] == lab].sort_values("dim")
+        nvec[lab] = int(g.loc[g["dim"] == 0, "s6"].iloc[0])
+        cnum[lab] = [int(x) for x in
+                     g.loc[g["dim"] > 0, "s6"]]
+    rows = []
+    for i, a in enumerate(labels):
+        for b_ in labels[i + 1:]:
+            na, nb = nvec[a], nvec[b_]
+            num = sum((ca * nb - cb * na) ** 2
+                      for ca, cb in zip(cnum[a], cnum[b_]))
+            dist = np.sqrt(float(num)) / (float(na * nb) * 1e6)
+            rows.append({
+                "label_a": np.int64(a), "label_b": np.int64(b_),
+                "dist": np.floor(dist * 1e6 + 0.5) / 1e6})
+    return pd.DataFrame(rows)
+
+
+def q_embedding_exact_dups(sf_dir: str):
+    """Exact-duplicate embedding audit (round 5): vectors identical
+    after e6 quantization — re-ingested rows or degenerate encoders.
+    Each vector reduces to a joined-int key string; the exchange
+    carries (md5 shard, key) and each key lives wholly in one shard.
+    Returns one row (n_vecs, n_distinct, n_dup_vecs)."""
+    import hashlib
+
+    from ..stages.relational import shard_of_keys, sharded_group_sum
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dim = len(col[0])
+        v = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+        v6 = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        keys = [",".join(map(str, row)) for row in v6]
+        df = pd.DataFrame({
+            "k": [hashlib.md5(k.encode()).hexdigest() for k in keys],
+            "n": np.int64(1)})
+        df["shard"] = shard_of_keys(df["k"].to_numpy(), 64)
+        return df.groupby(["shard", "k"], as_index=False).sum()
+
+    def shard_fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("k", as_index=False)["n"].sum()
+        dup = c.loc[c["n"] >= 2, "n"]
+        return pd.DataFrame([{
+            "z": np.int64(0),
+            "n_vecs": np.int64(int(c["n"].sum())),
+            "n_distinct": np.int64(len(c)),
+            "n_dup_vecs": np.int64(int(dup.sum()))}])
+
+    g = sharded_group_sum(
+        _emb(sf_dir).map_batches(partial, batch_format="pyarrow")
+        .groupby("shard").map_groups(shard_fold,
+                                     batch_format="pandas"),
+        keys=["z"], sum_cols=["n_vecs", "n_distinct", "n_dup_vecs"],
+        num_shards=1).to_pandas()
+    return pd.DataFrame([{
+        "n_vecs": np.int64(int(g["n_vecs"].sum())),
+        "n_distinct": np.int64(int(g["n_distinct"].sum())),
+        "n_dup_vecs": np.int64(int(g["n_dup_vecs"].sum()))}])
+
+
+def q_top_source_per_lang(sf_dir: str):
+    """Dominant source per language (round 5): the argmax of the
+    lang x source matrix with its share — the where-does-my-German-
+    come-from read. Bounded-domain exchange, driver argmax (ties:
+    higher count, then source asc). Returns (lang, top_source,
+    n_docs_top, n_docs_lang, share)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["lang", "source"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"lang": b["lang"].to_numpy(),
+                           "source": b["source"].to_numpy(),
+                           "n": np.int64(1)})
+        return df.groupby(["lang", "source"], as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["lang", "source"], sum_cols=["n"],
+        num_shards=4).to_pandas()
+    rows = []
+    for lang, grp in g.groupby("lang", sort=True):
+        grp = grp.sort_values(["n", "source"],
+                              ascending=[False, True],
+                              kind="mergesort")
+        tot = int(grp["n"].sum())
+        top = grp.iloc[0]
+        rows.append({
+            "lang": lang, "top_source": top["source"],
+            "n_docs_top": np.int64(int(top["n"])),
+            "n_docs_lang": np.int64(tot),
+            "share": np.floor(int(top["n"]) / tot * 1e6 + 0.5) / 1e6})
+    return pd.DataFrame(rows)
+
+
+def q_region_balance(sf_dir: str):
+    """Customers-per-supplier balance by REGION (round 5):
+    nation_balance one dimension up — the marketplace-liquidity read
+    at allocation granularity. Two dimension-bounded folds joined on
+    the broadcast region map. Returns (r_name, n_customers,
+    n_suppliers, ratio)."""
+    from ..stages.relational import sharded_group_sum
+
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    n2r = dict(zip(nat["n_nationkey"].astype(int),
+                   nat["n_regionkey"].astype(int)))
+    r2name = dict(zip(reg["r_regionkey"].astype(int), reg["r_name"]))
+
+    def fold(tbl: str, key: str, out: str) -> pd.DataFrame:
+        ds = ray.data.read_parquet(f"{sf_dir}/{tbl}.parquet",
+                                   columns=[key])
+
+        def partial(b: pd.DataFrame, _k=key) -> pd.DataFrame:
+            rk = b[_k].map(n2r)
+            df = pd.DataFrame({"r_name": rk.map(r2name).to_numpy(),
+                               out: np.int64(1)})
+            return df.groupby("r_name", as_index=False).sum()
+
+        return sharded_group_sum(
+            ds.map_batches(partial, batch_format="pandas"),
+            keys=["r_name"], sum_cols=[out],
+            num_shards=4).to_pandas()
+
+    c = fold("customer", "c_nationkey", "n_customers")
+    s = fold("supplier", "s_nationkey", "n_suppliers")
+    g = c.merge(s, on="r_name", how="outer").fillna(0)
+    nc = g["n_customers"].to_numpy(np.int64)
+    ns = g["n_suppliers"].to_numpy(np.int64)
+    g["ratio"] = np.where(
+        ns > 0, np.floor(nc / np.maximum(ns, 1) * 1e6 + 0.5) / 1e6,
+        0.0)
+    g["n_customers"] = nc
+    g["n_suppliers"] = ns
+    return g[["r_name", "n_customers", "n_suppliers", "ratio"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "dedup_savings_projection": q_dedup_savings_projection,
+    "window_dedup_summary": q_window_dedup_summary,
+    "centroid_distance_matrix": q_centroid_distance_matrix,
+    "embedding_exact_dups": q_embedding_exact_dups,
+    "top_source_per_lang": q_top_source_per_lang,
+    "region_balance": q_region_balance,
     "token_quantiles_by_source": q_token_quantiles_by_source,
     "first_line_dup_rate": q_first_line_dup_rate,
     "monthly_active_customers": q_monthly_active_customers,
@@ -19855,3 +20111,99 @@ ORACLE_SQL["hour_entropy_by_type"] = (
     "  / 1000000 AS hour_entropy FROM terms "
     "JOIN t ON t.event_type = terms.event_type "
     "GROUP BY terms.event_type")
+
+
+ORACLE_SQL["dedup_savings_projection"] = (
+    # transitive closure (dedup_components CTE) + char rollup of the
+    # dropped (non-minimum) members over the near-dup corpus
+    "WITH RECURSIVE " + _minhash_sql_prefix()
+    + ", e AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.6), "
+    "ed AS (SELECT id_a AS src, id_b AS dst FROM e "
+    "       UNION SELECT id_b, id_a FROM e), "
+    "n AS (SELECT DISTINCT src AS node FROM ed), "
+    "r(node, label) AS (SELECT node, node FROM n "
+    "  UNION SELECT ed.dst, r.label FROM r JOIN ed ON ed.src = r.node), "
+    "comp AS (SELECT node AS doc_id, min(label) AS component FROM r "
+    "  GROUP BY node), "
+    "drp AS (SELECT doc_id FROM comp WHERE component <> doc_id), "
+    "ln AS (SELECT c.doc_id, length(coalesce(c.text, ''))::BIGINT "
+    "  AS nc FROM corpus c) "
+    "SELECT (SELECT count(DISTINCT component) FROM comp)::BIGINT "
+    "  AS n_components, "
+    "(SELECT count(*) FROM drp)::BIGINT AS n_dropped, "
+    "coalesce((SELECT sum(ln.nc) FROM ln JOIN drp "
+    "  ON drp.doc_id = ln.doc_id), 0)::BIGINT AS chars_saved")
+
+
+ORACLE_SQL["window_dedup_summary"] = (
+    f"WITH wd AS ({ORACLE_SQL['window_dedup']}) "
+    f"SELECT (doc_id % {WINDOW_DEDUP_MOD})::BIGINT AS wk, "
+    "count(*)::BIGINT AS n_docs, "
+    "sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept, "
+    "floor(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) "
+    "  / count(*) * 1000000 + 0.5) / 1000000 AS keep_rate "
+    "FROM wd GROUP BY 1")
+
+
+ORACLE_SQL["centroid_distance_matrix"] = (
+    # exact HUGEINT numerator sum((ca*nb - cb*na)^2); one sqrt + one
+    # double division per label pair
+    "WITH v AS (SELECT vec_id, label, "
+    "  generate_subscripts(embedding, 1)::BIGINT AS dim, "
+    "  CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) "
+    "  AS BIGINT) AS v6 FROM embeddings), "
+    "c AS (SELECT label, dim, sum(v6)::HUGEINT AS cnum FROM v "
+    "  GROUP BY 1, 2), "
+    "nv AS (SELECT label, count(DISTINCT vec_id)::HUGEINT AS n "
+    "  FROM v GROUP BY 1), "
+    "p AS (SELECT a.label AS la, b.label AS lb, "
+    "  sum((a.cnum * nb.n - b.cnum * na.n) "
+    "    * (a.cnum * nb.n - b.cnum * na.n)) AS num, "
+    "  min(na.n) AS na, min(nb.n) AS nb "
+    "  FROM c a JOIN c b ON b.dim = a.dim AND b.label > a.label "
+    "  JOIN nv na ON na.label = a.label "
+    "  JOIN nv nb ON nb.label = b.label "
+    "  GROUP BY a.label, b.label) "
+    "SELECT la::BIGINT AS label_a, lb::BIGINT AS label_b, "
+    "floor(sqrt(CAST(num AS DOUBLE)) "
+    "  / (CAST(na * nb AS DOUBLE) * 1000000) * 1000000 + 0.5) "
+    "  / 1000000 AS dist FROM p")
+
+
+ORACLE_SQL["embedding_exact_dups"] = (
+    "WITH k AS (SELECT array_to_string(list_transform(embedding, "
+    "  x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)), ',') "
+    "  AS key FROM embeddings), "
+    "c AS (SELECT key, count(*)::BIGINT AS n FROM k GROUP BY 1) "
+    "SELECT sum(n)::BIGINT AS n_vecs, "
+    "count(*)::BIGINT AS n_distinct, "
+    "coalesce(sum(CASE WHEN n >= 2 THEN n ELSE 0 END), 0)::BIGINT "
+    "  AS n_dup_vecs FROM c")
+
+
+ORACLE_SQL["top_source_per_lang"] = (
+    "WITH g AS (SELECT lang, source, count(*)::BIGINT AS n "
+    "  FROM documents GROUP BY 1, 2), "
+    "t AS (SELECT lang, sum(n)::BIGINT AS tot FROM g GROUP BY 1), "
+    "r AS (SELECT lang, source, n, row_number() OVER ("
+    "  PARTITION BY lang ORDER BY n DESC, source) AS rn FROM g) "
+    "SELECT r.lang, r.source AS top_source, r.n AS n_docs_top, "
+    "t.tot AS n_docs_lang, "
+    "floor(CAST(r.n AS DOUBLE) / t.tot * 1000000 + 0.5) / 1000000 "
+    "  AS share FROM r JOIN t ON t.lang = r.lang WHERE r.rn = 1")
+
+
+ORACLE_SQL["region_balance"] = (
+    "WITH c AS (SELECT r.r_name, count(*)::BIGINT AS n_customers "
+    "  FROM customer cu JOIN nation n ON n.n_nationkey = cu.c_nationkey "
+    "  JOIN region r ON r.r_regionkey = n.n_regionkey GROUP BY 1), "
+    "s AS (SELECT r.r_name, count(*)::BIGINT AS n_suppliers "
+    "  FROM supplier su JOIN nation n ON n.n_nationkey = su.s_nationkey "
+    "  JOIN region r ON r.r_regionkey = n.n_regionkey GROUP BY 1) "
+    "SELECT coalesce(c.r_name, s.r_name) AS r_name, "
+    "coalesce(c.n_customers, 0) AS n_customers, "
+    "coalesce(s.n_suppliers, 0) AS n_suppliers, "
+    "CASE WHEN coalesce(s.n_suppliers, 0) > 0 THEN "
+    "floor(CAST(coalesce(c.n_customers, 0) AS DOUBLE) "
+    "  / s.n_suppliers * 1000000 + 0.5) / 1000000 ELSE 0.0 END "
+    "  AS ratio FROM c FULL JOIN s ON s.r_name = c.r_name")

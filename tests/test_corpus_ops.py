@@ -5272,3 +5272,60 @@ def test_monthly_active_customers_handbuilt(ray_session, tmp_path):
     out = (q_monthly_active_customers(str(sf))
            .sort_values("ym").reset_index(drop=True))
     assert out.values.tolist() == [[199501, 2], [199502, 1]]
+
+
+def test_embedding_exact_dups_handbuilt(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_embedding_exact_dups)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(4), type=pa.int64()),
+        "embedding": pa.array([[1.0, 2.0], [1.0, 2.0],
+                               [1.0, 2.0000001], [3.0, 4.0]],
+                              type=pa.list_(pa.float64())),
+        "label": pa.array([0] * 4, type=pa.int64())}),
+        str(sf / "embeddings.parquet"))
+    out = q_embedding_exact_dups(str(sf))
+    # 2.0000001 rounds to the same e6 int as 2.0 -> a triple + one
+    assert out.iloc[0].tolist() == [4, 2, 3]
+
+
+def test_centroid_distance_matrix_handbuilt(ray_session, tmp_path):
+    """Two singleton labels at unit distance."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_centroid_distance_matrix)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1], type=pa.int64()),
+        "embedding": pa.array([[0.0, 0.0], [1.0, 0.0]],
+                              type=pa.list_(pa.float64())),
+        "label": pa.array([1, 2], type=pa.int64())}),
+        str(sf / "embeddings.parquet"))
+    out = q_centroid_distance_matrix(str(sf))
+    assert out["label_a"].tolist() == [1]
+    assert out["dist"].iloc[0] == 1.0
+
+
+def test_top_source_per_lang_ties(ray_session, tmp_path):
+    """Equal counts: the lexicographically-smaller source wins."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_top_source_per_lang)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["a", "b", "c", "d"],
+                 sources=["web", "book", "book", "web"],
+                 langs=["en"] * 4)
+    out = q_top_source_per_lang(str(sf))
+    assert out["top_source"].iloc[0] == "book"
+    assert out["share"].iloc[0] == 0.5

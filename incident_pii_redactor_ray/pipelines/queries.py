@@ -14112,11 +14112,246 @@ def q_region_balance(sf_dir: str):
     return g[["r_name", "n_customers", "n_suppliers", "ratio"]]
 
 
+def q_discount_revenue_curve(sf_dir: str):
+    """Revenue by discount tier (round 5): exact e4 revenue per
+    rounded discount percent — the price-elasticity companion to
+    qty_discount_matrix's counts. 11-slot bounded domain, map-side.
+    Returns (d2, n_items, rev_e4)."""
+    from ..stages.relational import sharded_group_sum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        rev = np.asarray(_rev_e4(b), dtype=np.int64)
+        d2 = np.floor(np.asarray(b.column("l_discount"),
+                                 np.float64) * 100
+                      + 0.5).astype(np.int64)
+        df = pd.DataFrame({"d2": d2, "n_items": np.int64(1),
+                           "rev_e4": rev})
+        return df.groupby("d2", as_index=False).sum()
+
+    g = sharded_group_sum(
+        li.map_batches(partial, batch_format="pyarrow"),
+        keys=["d2"], sum_cols=["n_items", "rev_e4"],
+        num_shards=4).to_pandas()
+    for c in ("d2", "n_items", "rev_e4"):
+        g[c] = g[c].astype(np.int64)
+    return g[["d2", "n_items", "rev_e4"]]
+
+
+def q_order_lines_value_corr(sf_dir: str):
+    """Pearson correlation of lineitem count vs order value
+    (round 5): does basket size drive ticket size. Per-order line
+    counts fold through one key exchange; the big-big join against
+    orders fuses moment partials in-bucket (62-bit split, exact
+    Python-bigint fold, one double division). Returns one row
+    (n_orders, corr)."""
+    import math
+
+    from ..stages.relational import bucketed_hash_join, sharded_group_sum
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey"])
+
+    def cnt_part(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"o_orderkey": b["l_orderkey"]
+                           .to_numpy(np.int64), "nl": np.int64(1)})
+        return df.groupby("o_orderkey", as_index=False).sum()
+
+    counts = sharded_group_sum(
+        li.map_batches(cnt_part, batch_format="pandas"),
+        keys=["o_orderkey"], sum_cols=["nl"])
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey",
+                                            "o_totalprice"])
+
+    def ord_cents(b: pa.Table) -> pa.Table:
+        cents = np.floor(np.asarray(b.column("o_totalprice"),
+                                    np.float64) * 100
+                         + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "cents": pa.array(cents)})
+
+    cols = ("z", "n", "sx", "sy", "sxx_hi", "sxx_lo", "syy_hi",
+            "syy_lo", "sxy_hi", "sxy_lo")
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        # orders with no lineitems count as 0 lines (LEFT join)
+        x = df["nl"].fillna(0).to_numpy(np.int64)
+        y = df["cents"].to_numpy(np.int64)
+        xo, yo = x.astype(object), y.astype(object)
+        sxx = int((xo * xo).sum())
+        syy = int((yo * yo).sum())
+        sxy = int((xo * yo).sum())
+        M = (1 << 62) - 1
+        return pd.DataFrame([{
+            "z": np.int64(0), "n": np.int64(len(df)),
+            "sx": np.int64(int(x.sum())), "sy": np.int64(int(y.sum())),
+            "sxx_hi": np.int64(sxx >> 62), "sxx_lo": np.int64(sxx & M),
+            "syy_hi": np.int64(syy >> 62), "syy_lo": np.int64(syy & M),
+            "sxy_hi": np.int64(sxy >> 62), "sxy_lo": np.int64(sxy & M),
+        }])
+
+    parts = bucketed_hash_join(
+        orders.map_batches(ord_cents, batch_format="pyarrow"), counts,
+        on="o_orderkey", how="left", post=moments).to_pandas()
+    n = int(parts["n"].sum())
+    sx = sum(int(v) for v in parts["sx"])
+    sy = sum(int(v) for v in parts["sy"])
+    sxx = sum((int(h) << 62) + int(lo) for h, lo
+              in zip(parts["sxx_hi"], parts["sxx_lo"]))
+    syy = sum((int(h) << 62) + int(lo) for h, lo
+              in zip(parts["syy_hi"], parts["syy_lo"]))
+    sxy = sum((int(h) << 62) + int(lo) for h, lo
+              in zip(parts["sxy_hi"], parts["sxy_lo"]))
+    num = n * sxy - sx * sy
+    d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+    den = math.sqrt(float(d1) * float(d2))
+    corr = (np.floor(float(num) / den * 1e6 + 0.5) / 1e6
+            if den > 0 else np.nan)
+    return pd.DataFrame([{"n_orders": np.int64(n), "corr": corr}])
+
+
+def q_priority_status_matrix(sf_dir: str):
+    """Order priority x status matrix (round 5): where the open
+    backlog concentrates by urgency. 15-slot bounded domain,
+    map-side. Returns (o_orderpriority, o_orderstatus, n_orders)."""
+    from ..stages.relational import sharded_group_sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderpriority",
+                                            "o_orderstatus"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "o_orderpriority": b["o_orderpriority"].to_numpy(),
+            "o_orderstatus": b["o_orderstatus"].to_numpy(),
+            "n_orders": np.int64(1)})
+        return df.groupby(["o_orderpriority", "o_orderstatus"],
+                          as_index=False).sum()
+
+    g = sharded_group_sum(
+        orders.map_batches(partial, batch_format="pandas"),
+        keys=["o_orderpriority", "o_orderstatus"],
+        sum_cols=["n_orders"], num_shards=4).to_pandas()
+    g["n_orders"] = g["n_orders"].astype(np.int64)
+    return g[["o_orderpriority", "o_orderstatus", "n_orders"]]
+
+
+def q_first_event_hour_profile(sf_dir: str):
+    """Acquisition-hour histogram (round 5): the hour of each user's
+    FIRST event (ties: earliest ts then event_id) — when new users
+    arrive. First events resolve inside a user-shard exchange; the
+    hour rollup is 24-slot bounded. Returns (hour, n_users)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_id"])
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy("datetime64[us]").view("int64")
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "tus": us,
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "shard": b["user_id"].to_numpy(np.int64) % 64})
+
+    def first_in_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tus", "event_id"],
+                          kind="mergesort")
+        first = g["user_id"].ne(g["user_id"].shift())
+        f = g[first]
+        df = pd.DataFrame({
+            "hour": (f["tus"].to_numpy(np.int64)
+                     // 3_600_000_000) % 24,
+            "n_users": np.int64(1)})
+        return df.groupby("hour", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ev.map_batches(add_shard, batch_format="pandas")
+        .groupby("shard").map_groups(first_in_shard,
+                                     batch_format="pandas"),
+        keys=["hour"], sum_cols=["n_users"], num_shards=4).to_pandas()
+    for c in ("hour", "n_users"):
+        g[c] = g[c].astype(np.int64)
+    return g[["hour", "n_users"]]
+
+
+def q_embedding_norm_by_label(sf_dir: str):
+    """Mean embedding L2 norm per label (round 5): per-class scale
+    mismatch (one label's vectors systematically longer skews cosine
+    vs dot retrieval). Exact e6-int squared norms, one sqrt per vec,
+    per-vec norms e6-quantized before the label fold. Returns
+    (label, n_vecs, mean_norm)."""
+    from ..stages.relational import sharded_group_sum
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dim = len(col[0])
+        v = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+        v6 = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        n2 = (v6 * v6).sum(axis=1)
+        norm6 = np.floor(np.sqrt(n2.astype(np.float64)) / 1e6 * 1e6
+                         + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "label": np.asarray(batch.column("label"),
+                                dtype=np.int64),
+            "n": np.int64(1), "s6": norm6})
+        return df.groupby("label", as_index=False).sum()
+
+    g = sharded_group_sum(
+        _emb(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        keys=["label"], sum_cols=["n", "s6"], num_shards=4).to_pandas()
+    n = g["n"].to_numpy(np.int64)
+    g["mean_norm"] = np.floor(
+        g["s6"].to_numpy(np.int64).astype(np.float64) / n + 0.5) / 1e6
+    g["n_vecs"] = n
+    g["label"] = g["label"].astype(np.int64)
+    return g[["label", "n_vecs", "mean_norm"]]
+
+
+def q_longest_doc_per_source(sf_dir: str):
+    """Longest document per source (round 5): the truncation-policy
+    outlier exhibit (ties: smaller doc_id). Per-block argmax partials
+    merge on the driver — source-bounded. Returns (source, doc_id,
+    n_chars)."""
+    ds = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def block_top(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["source", "n_chars", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        return b[b["source"].ne(b["source"].shift())]
+
+    tops = (ds.map_batches(block_top, batch_format="pandas")
+            .to_pandas()
+            .sort_values(["source", "n_chars", "doc_id"],
+                         ascending=[True, False, True],
+                         kind="mergesort"))
+    tops = tops[tops["source"].ne(tops["source"].shift())]
+    tops["doc_id"] = tops["doc_id"].astype(np.int64)
+    tops["n_chars"] = tops["n_chars"].astype(np.int64)
+    return tops[["source", "doc_id", "n_chars"]].reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "discount_revenue_curve": q_discount_revenue_curve,
+    "order_lines_value_corr": q_order_lines_value_corr,
+    "priority_status_matrix": q_priority_status_matrix,
+    "first_event_hour_profile": q_first_event_hour_profile,
+    "embedding_norm_by_label": q_embedding_norm_by_label,
+    "longest_doc_per_source": q_longest_doc_per_source,
     "dedup_savings_projection": q_dedup_savings_projection,
     "window_dedup_summary": q_window_dedup_summary,
     "centroid_distance_matrix": q_centroid_distance_matrix,
@@ -20207,3 +20442,64 @@ ORACLE_SQL["region_balance"] = (
     "floor(CAST(coalesce(c.n_customers, 0) AS DOUBLE) "
     "  / s.n_suppliers * 1000000 + 0.5) / 1000000 ELSE 0.0 END "
     "  AS ratio FROM c FULL JOIN s ON s.r_name = c.r_name")
+
+
+ORACLE_SQL["discount_revenue_curve"] = (
+    "WITH q AS (SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) "
+    "  AS d2, CAST(round(l_extendedprice * 100) AS BIGINT) "
+    "  * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4 "
+    "  FROM lineitem) "
+    "SELECT d2, count(*)::BIGINT AS n_items, "
+    "sum(rev_e4)::BIGINT AS rev_e4 FROM q GROUP BY d2")
+
+
+ORACLE_SQL["order_lines_value_corr"] = (
+    "WITH lc AS (SELECT l_orderkey, count(*)::BIGINT AS nl "
+    "  FROM lineitem GROUP BY 1), "
+    "j AS (SELECT coalesce(lc.nl, 0) AS x, "
+    "  CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS y "
+    "  FROM orders o LEFT JOIN lc ON lc.l_orderkey = o.o_orderkey), "
+    "m AS (SELECT count(*)::HUGEINT AS n, sum(x::HUGEINT) AS sx, "
+    "  sum(y::HUGEINT) AS sy, sum(x::HUGEINT * x) AS sxx, "
+    "  sum(y::HUGEINT * y) AS syy, sum(x::HUGEINT * y) AS sxy "
+    "  FROM j) "
+    "SELECT n::BIGINT AS n_orders, "
+    "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 "
+    "THEN floor(CAST(n * sxy - sx * sy AS DOUBLE) "
+    "  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) "
+    "         * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5) "
+    "  / 1000000 ELSE CAST('nan' AS DOUBLE) END AS corr FROM m")
+
+
+ORACLE_SQL["priority_status_matrix"] = (
+    "SELECT o_orderpriority, o_orderstatus, "
+    "count(*)::BIGINT AS n_orders FROM orders "
+    "GROUP BY o_orderpriority, o_orderstatus")
+
+
+ORACLE_SQL["first_event_hour_profile"] = (
+    "WITH f AS (SELECT user_id, ts, row_number() OVER ("
+    "  PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn "
+    "  FROM events) "
+    "SELECT ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS hour, "
+    "count(*)::BIGINT AS n_users FROM f WHERE rn = 1 GROUP BY 1")
+
+
+ORACLE_SQL["embedding_norm_by_label"] = (
+    "WITH v AS (SELECT vec_id, label, "
+    "  CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) "
+    "  AS BIGINT) AS v6 FROM embeddings), "
+    "n2 AS (SELECT vec_id, min(label) AS label, "
+    "  CAST(floor(sqrt(CAST(sum(v6 * v6) AS DOUBLE)) / 1000000 "
+    "  * 1000000 + 0.5) AS BIGINT) AS norm6 FROM v GROUP BY vec_id) "
+    "SELECT label::BIGINT AS label, count(*)::BIGINT AS n_vecs, "
+    "floor(CAST(sum(norm6) AS DOUBLE) / count(*) + 0.5) / 1000000 "
+    "  AS mean_norm FROM n2 GROUP BY label")
+
+
+ORACLE_SQL["longest_doc_per_source"] = (
+    "WITH r AS (SELECT source, doc_id, n_chars, row_number() OVER ("
+    "  PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn "
+    "  FROM documents) "
+    "SELECT source, doc_id, n_chars::BIGINT AS n_chars FROM r "
+    "WHERE rn = 1")

@@ -5329,3 +5329,70 @@ def test_top_source_per_lang_ties(ray_session, tmp_path):
     out = q_top_source_per_lang(str(sf))
     assert out["top_source"].iloc[0] == "book"
     assert out["share"].iloc[0] == 0.5
+
+
+def test_order_lines_value_corr_perfect(ray_session, tmp_path):
+    """totalprice = 100 * n_lines exactly -> corr 1.0; one order has
+    no lineitems (counts as 0 lines, price 0 keeps perfection)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_order_lines_value_corr)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([100.0, 300.0, 0.0]),
+        "o_orderdate": pa.array(
+            [np.datetime64("1995-01-01", "us")] * 3,
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3)}),
+        str(sf / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 2, 2], type=pa.int64()),
+        "l_quantity": pa.array([1.0] * 4)}),
+        str(sf / "lineitem.parquet"))
+    out = q_order_lines_value_corr(str(sf))
+    assert out["n_orders"].iloc[0] == 3
+    assert out["corr"].iloc[0] == 1.0
+
+
+def test_first_event_hour_profile_handbuilt(ray_session, tmp_path):
+    """User 1's first event at hour 0, user 2's at hour 3."""
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_first_event_hour_profile)
+
+    us_h = 3_600 * 10**6
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [0, 5 * us_h, 3 * us_h, 4 * us_h],
+                  [1, 1, 2, 2], ["view"] * 4)
+    out = (q_first_event_hour_profile(str(sf))
+           .sort_values("hour").reset_index(drop=True))
+    assert out.values.tolist() == [[0, 1], [3, 1]]
+
+
+def test_longest_doc_per_source_ties(ray_session, tmp_path):
+    """Equal lengths: the smaller doc_id wins."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_longest_doc_per_source)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([5, 3, 9], type=pa.int64()),
+        "text": pa.array(["aaaa", "bbbb", "c"]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s", "s", "s"]),
+        "n_chars": pa.array([4, 4, 1], type=pa.int64())}),
+        str(sf / "documents.parquet"))
+    out = q_longest_doc_per_source(str(sf))
+    assert out["doc_id"].tolist() == [3]
+    assert out["n_chars"].tolist() == [4]

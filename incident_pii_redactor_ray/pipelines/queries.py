@@ -14341,11 +14341,244 @@ def q_longest_doc_per_source(sf_dir: str):
     return tops[["source", "doc_id", "n_chars"]].reset_index(drop=True)
 
 
+def q_value_percentile_by_type(sf_dir: str):
+    """Exact per-type event-value percentiles (round 5): p50/p90/p99
+    in cents via the (group, cents) histogram shape — the
+    monitoring-threshold input per event type. Returns (event_type,
+    p50_cents, p90_cents, p99_cents)."""
+    from ..stages.relational import grouped_exact_quantiles
+
+    ev = _events(sf_dir, ["event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "value": b["value"].to_numpy(np.float64)})
+
+    q = grouped_exact_quantiles(
+        ev.map_batches(prep, batch_format="pandas"),
+        group_col="event_type", val_col="value", pcts=(50, 90, 99),
+        scale=100.0)
+    for c in ("p50_cents", "p90_cents", "p99_cents"):
+        q[c] = q[c].astype(np.int64)
+    return q[["event_type", "p50_cents", "p90_cents", "p99_cents"]]
+
+
+def q_line_count_profile(sf_dir: str):
+    """Line-count profile per source (round 5): mean and max lines
+    per document — the is-this-prose-or-minified read. Lines =
+    newline count + 1 (every doc has at least one line). Map-side
+    fold + max fold over shared partials. Returns (source, n_docs,
+    mean_lines, max_lines)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        nl = (b["text"].fillna("").str.count("\n")
+              .to_numpy(np.int64) + 1)
+        df = pd.DataFrame({"source": b["source"].to_numpy(),
+                           "n_docs": np.int64(1), "sl": nl,
+                           "mx": nl})
+        return df.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), sl=("sl", "sum"),
+            mx=("mx", "max"))
+
+    parts = ds.map_batches(partial,
+                           batch_format="pandas").materialize()
+    g = sharded_group_sum(
+        parts.map_batches(lambda b: b[["source", "n_docs", "sl"]],
+                          batch_format="pandas"),
+        keys=["source"], sum_cols=["n_docs", "sl"],
+        num_shards=4).to_pandas()
+    mx = sharded_group_sum(
+        parts.map_batches(lambda b: b[["source", "mx"]],
+                          batch_format="pandas"),
+        keys=["source"], sum_cols=["mx"], how="max",
+        num_shards=4).to_pandas()
+    g = g.merge(mx, on="source")
+    n = g["n_docs"].to_numpy(np.int64)
+    g["mean_lines"] = np.floor(
+        g["sl"].to_numpy(np.int64).astype(np.float64) / n * 1e6
+        + 0.5) / 1e6
+    g["max_lines"] = g["mx"].astype(np.int64)
+    g["n_docs"] = n
+    return g[["source", "n_docs", "mean_lines", "max_lines"]]
+
+
+def q_nation_order_share(sf_dir: str):
+    """Order volume share by customer nation (round 5): the
+    demand-geography margin through a big-big orders-customer
+    bucketed join with the nation rollup fused in-bucket (the
+    segment_revenue_share shape one dimension over). Returns
+    (n_name, n_orders, share)."""
+    from ..stages.relational import bucketed_hash_join, sharded_group_sum
+
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    k2name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+
+    def okey(b: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": b.column("o_custkey"),
+                         "one": pa.array(np.ones(b.num_rows,
+                                                 dtype=np.int64))})
+
+    def nat_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            # n_name is post-CREATED (not a joined column), so the
+            # empty schema probe needs an explicitly typed Series
+            return pd.DataFrame({
+                "n_name": pd.Series([], dtype="string"),
+                "n_orders": pd.Series([], dtype="int64")})
+        g = df.groupby("c_nationkey", as_index=False) \
+            .agg(n_orders=("one", "sum"))
+        g["n_name"] = pd.Series(
+            g["c_nationkey"].astype(int).map(k2name), dtype="string")
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        return g[["n_name", "n_orders"]]
+
+    parts = bucketed_hash_join(
+        orders.map_batches(okey, batch_format="pyarrow"), cust,
+        on="c_custkey", how="inner", post=nat_fold)
+    g = sharded_group_sum(parts, keys=["n_name"],
+                          sum_cols=["n_orders"],
+                          num_shards=4).to_pandas()
+    tot = int(g["n_orders"].sum())
+    g["share"] = np.floor(
+        g["n_orders"].to_numpy(np.int64).astype(np.float64) / tot
+        * 1e6 + 0.5) / 1e6 if tot else 0.0
+    g["n_orders"] = g["n_orders"].astype(np.int64)
+    return g[["n_name", "n_orders", "share"]]
+
+
+def q_pair_band_multiplicity(sf_dir: str):
+    """Band-collision multiplicity histogram (round 5): in how many
+    of the 8 LSH bands each verified near-dup pair agrees — the
+    banding-efficiency read (mass at 8 means the bands are redundant
+    for this corpus; mass at 1 means the threshold sits at the edge
+    of recall). Pair members are dup-graph-sized: their band hashes
+    collect once via a broadcast membership pass over the signature
+    dataset, the per-pair count is driver work. Returns (n_bands,
+    n_pairs)."""
+    from ..stages.dedup import (MINHASH_NUM_BANDS,
+                                _minhash_sig_dataset)
+
+    pairs = dedup.minhash_lsh_pairs(_docs_with_neardups(sf_dir),
+                                    threshold=0.6).to_pandas()
+    if not len(pairs):
+        return pd.DataFrame({
+            "n_bands": pd.Series([], dtype="int64"),
+            "n_pairs": pd.Series([], dtype="int64")})
+    ids = np.unique(np.concatenate([
+        pairs["id_a"].to_numpy(np.int64),
+        pairs["id_b"].to_numpy(np.int64)]))
+    ref = ray.put(np.sort(ids))
+
+    def member_rows(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        pos = np.searchsorted(m, did)
+        hit = (pos < len(m)) & (m[np.clip(pos, 0, len(m) - 1)]
+                                == did)
+        keep = [b.column("doc_id")] + \
+            [b.column(f"band_{k}") for k in range(MINHASH_NUM_BANDS)]
+        t = pa.table({
+            "doc_id": keep[0],
+            **{f"band_{k}": keep[k + 1]
+               for k in range(MINHASH_NUM_BANDS)}})
+        return t.filter(pa.array(hit))
+
+    sig_df = _minhash_sig_dataset(
+        _docs_with_neardups(sf_dir), "text", "doc_id") \
+        .map_batches(member_rows, batch_format="pyarrow").to_pandas()
+    bh = {int(r["doc_id"]): tuple(
+        r[f"band_{k}"] for k in range(MINHASH_NUM_BANDS))
+        for _i, r in sig_df.iterrows()}
+    mult = [
+        sum(1 for k in range(MINHASH_NUM_BANDS)
+            if bh[int(a)][k] == bh[int(b_)][k])
+        for a, b_ in zip(pairs["id_a"], pairs["id_b"])]
+    u, c = np.unique(np.asarray(mult, dtype=np.int64),
+                     return_counts=True)
+    return pd.DataFrame({"n_bands": u.astype(np.int64),
+                         "n_pairs": c.astype(np.int64)})
+
+
+def q_quarterly_revenue(sf_dir: str):
+    """Quarterly order revenue (round 5): exact cents per calendar
+    quarter — the board-deck margin above monthly_seasonality.
+    Map-side fold in a quarter-bounded domain. Returns (yq,
+    n_orders, rev_cents)."""
+    from ..stages.relational import sharded_group_sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderdate",
+                                            "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"].to_numpy("datetime64[M]")
+        yr = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        q = (d.astype(np.int64) % 12) // 3 + 1
+        cents = np.floor(b["o_totalprice"].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+        df = pd.DataFrame({"yq": yr * 10 + q,
+                           "n_orders": np.int64(1),
+                           "rev_cents": cents})
+        return df.groupby("yq", as_index=False).sum()
+
+    g = sharded_group_sum(
+        orders.map_batches(partial, batch_format="pandas"),
+        keys=["yq"], sum_cols=["n_orders", "rev_cents"],
+        num_shards=4).to_pandas()
+    for c in ("yq", "n_orders", "rev_cents"):
+        g[c] = g[c].astype(np.int64)
+    return g[["yq", "n_orders", "rev_cents"]]
+
+
+def q_events_value_zero_rate(sf_dir: str):
+    """Zero / negative value rate per event type (round 5): the
+    ingest-sanity read on the value column (free events are fine for
+    views, alarming for purchases). Map-side fold on e6-quantized
+    values. Returns (event_type, n_events, n_zero, n_negative)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v6 = np.floor(b["value"].to_numpy(np.float64) * 1e6
+                      + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "n_events": np.int64(1),
+            "n_zero": (v6 == 0).astype(np.int64),
+            "n_negative": (v6 < 0).astype(np.int64)})
+        return df.groupby("event_type", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["event_type"], sum_cols=["n_events", "n_zero",
+                                       "n_negative"],
+        num_shards=4).to_pandas()
+    for c in ("n_events", "n_zero", "n_negative"):
+        g[c] = g[c].astype(np.int64)
+    return g[["event_type", "n_events", "n_zero", "n_negative"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "value_percentile_by_type": q_value_percentile_by_type,
+    "line_count_profile": q_line_count_profile,
+    "nation_order_share": q_nation_order_share,
+    "pair_band_multiplicity": q_pair_band_multiplicity,
+    "quarterly_revenue": q_quarterly_revenue,
+    "events_value_zero_rate": q_events_value_zero_rate,
     "discount_revenue_curve": q_discount_revenue_curve,
     "order_lines_value_corr": q_order_lines_value_corr,
     "priority_status_matrix": q_priority_status_matrix,
@@ -20503,3 +20736,75 @@ ORACLE_SQL["longest_doc_per_source"] = (
     "  FROM documents) "
     "SELECT source, doc_id, n_chars::BIGINT AS n_chars FROM r "
     "WHERE rn = 1")
+
+
+ORACLE_SQL["value_percentile_by_type"] = (
+    "WITH c AS (SELECT event_type, "
+    "  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents "
+    "  FROM events), "
+    "r AS (SELECT event_type, cents, row_number() OVER ("
+    "  PARTITION BY event_type ORDER BY cents) - 1 AS rn, "
+    "  count(*) OVER (PARTITION BY event_type) AS n FROM c) "
+    "SELECT event_type, "
+    "max(CASE WHEN rn = ((n-1)*50)//100 THEN cents END)::BIGINT "
+    "  AS p50_cents, "
+    "max(CASE WHEN rn = ((n-1)*90)//100 THEN cents END)::BIGINT "
+    "  AS p90_cents, "
+    "max(CASE WHEN rn = ((n-1)*99)//100 THEN cents END)::BIGINT "
+    "  AS p99_cents FROM r GROUP BY event_type")
+
+
+ORACLE_SQL["line_count_profile"] = (
+    "WITH d AS (SELECT source, "
+    "  (length(coalesce(text, '')) - length(replace("
+    "  coalesce(text, ''), chr(10), '')) + 1)::BIGINT AS nl "
+    "  FROM documents) "
+    "SELECT source, count(*)::BIGINT AS n_docs, "
+    "floor(CAST(sum(nl) AS DOUBLE) / count(*) * 1000000 + 0.5) "
+    "  / 1000000 AS mean_lines, "
+    "max(nl)::BIGINT AS max_lines FROM d GROUP BY source")
+
+
+ORACLE_SQL["nation_order_share"] = (
+    "WITH g AS (SELECT n.n_name, count(*)::BIGINT AS n_orders "
+    "  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+    "  JOIN nation n ON n.n_nationkey = c.c_nationkey GROUP BY 1), "
+    "t AS (SELECT sum(n_orders)::BIGINT AS tot FROM g) "
+    "SELECT g.n_name, g.n_orders, "
+    "floor(CAST(g.n_orders AS DOUBLE) / t.tot * 1000000 + 0.5) "
+    "  / 1000000 AS share FROM g, t")
+
+
+ORACLE_SQL["pair_band_multiplicity"] = (
+    # verified pairs joined back to the signature CTE; count agreeing
+    # bands per pair
+    "WITH " + _minhash_sql_prefix()
+    + ", pv AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.6), "
+    "mult AS (SELECT ("
+    + " + ".join(
+        f"CASE WHEN ma.bh{b} = mb.bh{b} THEN 1 ELSE 0 END"
+        for b in range(8))
+    + ")::BIGINT AS nb FROM pv "
+    "  JOIN m ma ON ma.doc_id = pv.id_a "
+    "  JOIN m mb ON mb.doc_id = pv.id_b) "
+    "SELECT nb AS n_bands, count(*)::BIGINT AS n_pairs FROM mult "
+    "GROUP BY nb")
+
+
+ORACLE_SQL["quarterly_revenue"] = (
+    "WITH o AS (SELECT (year(o_orderdate) * 10 "
+    "  + (month(o_orderdate) - 1) // 3 + 1)::BIGINT AS yq, "
+    "  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents "
+    "  FROM orders) "
+    "SELECT yq, count(*)::BIGINT AS n_orders, "
+    "sum(cents)::BIGINT AS rev_cents FROM o GROUP BY yq")
+
+
+ORACLE_SQL["events_value_zero_rate"] = (
+    "WITH e AS (SELECT event_type, "
+    "  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6 "
+    "  FROM events) "
+    "SELECT event_type, count(*)::BIGINT AS n_events, "
+    "sum(CASE WHEN v6 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero, "
+    "sum(CASE WHEN v6 < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative "
+    "FROM e GROUP BY event_type")

@@ -5396,3 +5396,57 @@ def test_longest_doc_per_source_ties(ray_session, tmp_path):
     out = q_longest_doc_per_source(str(sf))
     assert out["doc_id"].tolist() == [3]
     assert out["n_chars"].tolist() == [4]
+
+
+def test_line_count_profile_handbuilt(ray_session, tmp_path):
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_line_count_profile)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs4(sf, ["a\nb\nc", "single", "x\ny"],
+                 sources=["s"] * 3)
+    out = q_line_count_profile(str(sf))
+    assert out["n_docs"].iloc[0] == 3
+    assert out["mean_lines"].iloc[0] == 2.0
+    assert out["max_lines"].iloc[0] == 3
+
+
+def test_events_value_zero_rate_handbuilt(ray_session, tmp_path):
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_events_value_zero_rate)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [0, 1, 2, 3], [1, 1, 1, 1], ["view"] * 4,
+                  [0.0, -1.5, 2.0, 0.0])
+    out = q_events_value_zero_rate(str(sf))
+    assert out.iloc[0][["n_events", "n_zero",
+                        "n_negative"]].tolist() == [4, 2, 1]
+
+
+def test_quarterly_revenue_handbuilt(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_quarterly_revenue)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([10.0, 20.0, 5.0]),
+        "o_orderdate": pa.array(
+            [np.datetime64("1995-03-31", "us"),
+             np.datetime64("1995-04-01", "us"),
+             np.datetime64("1995-12-31", "us")],
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3)}),
+        str(sf / "orders.parquet"))
+    out = (q_quarterly_revenue(str(sf))
+           .sort_values("yq").reset_index(drop=True))
+    assert out.values.tolist() == [[19951, 1, 1000], [19952, 1, 2000],
+                                   [19954, 1, 500]]

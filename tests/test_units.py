@@ -320,3 +320,29 @@ def test_minhash_pairs_large_string_and_overflow(ray_session):
             .reset_index(drop=True))
     assert (over["id_a"] == 0).all()
     assert sorted(over["id_b"]) == [1, 2, 3, 4, 5]
+
+
+def test_minhash_pairs_parallelism_invariant(ray_session):
+    """r5: the vectorized shard_verify must produce the identical
+    pair set at any block split (the sort/lexsort tie-break rules are
+    load-bearing)."""
+    import pyarrow as pa
+    import ray.data
+
+    from incident_pii_redactor_ray.stages.dedup import minhash_lsh_pairs
+
+    texts = [f"alpha{i} beta{i} gamma{i} delta{i} shared common tail"
+             for i in range(20)]
+    texts += [t + " zzz" for t in texts[:10]]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string())})
+
+    def run(ds):
+        return (minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+                .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    a = run(ray.data.from_arrow(t))
+    b = run(ray.data.from_arrow(t).repartition(7))
+    assert a.values.tolist() == b.values.tolist()
+    assert len(a) >= 10

@@ -14568,11 +14568,249 @@ def q_events_value_zero_rate(sf_dir: str):
     return g[["event_type", "n_events", "n_zero", "n_negative"]]
 
 
+def q_order_calendar_gaps(sf_dir: str):
+    """Order-date coverage audit (round 5): span vs days with at
+    least one order — silent ingest holes in the order book (the
+    events-side calendar_gaps for the relational fact). Distinct
+    days reduce map-side; the day domain is bounded. Returns one row
+    (first_day, last_day, n_days_span, n_active_days, n_gap_days),
+    days as epoch days."""
+    from ..stages.relational import sharded_group_sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderdate"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(b["o_orderdate"]
+                         .to_numpy("datetime64[us]").view("int64")
+                         // 86_400_000_000)
+        return pd.DataFrame({"day": days, "one": np.int64(1)})
+
+    d = sharded_group_sum(
+        orders.map_batches(partial, batch_format="pandas"),
+        keys=["day"], sum_cols=["one"]).to_pandas()
+    days = d["day"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    active = len(days)
+    return pd.DataFrame([{
+        "first_day": np.int64(lo), "last_day": np.int64(hi),
+        "n_days_span": np.int64(hi - lo + 1),
+        "n_active_days": np.int64(active),
+        "n_gap_days": np.int64(hi - lo + 1 - active)}])
+
+
+def q_ship_lag_by_returnflag(sf_dir: str):
+    """Order-to-ship lag by return flag (round 5): do returned items
+    ship slower — the fulfilment-quality interaction. A big-big
+    lineitem-orders bucketed join fusing exact integer day-lag
+    partials in-bucket. Returns (l_returnflag, n_items,
+    mean_lag_days, max_lag_days)."""
+    from ..stages.relational import bucketed_hash_join, sharded_group_sum
+
+    US_DAY = 86_400_000_000
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_returnflag",
+                                        "l_shipdate"])
+
+    def li_days(b: pa.Table) -> pa.Table:
+        sd = np.asarray(b.column("l_shipdate")) \
+            .astype("datetime64[us]").view("int64") // US_DAY
+        return pa.table({"o_orderkey": b.column("l_orderkey"),
+                         "l_returnflag": b.column("l_returnflag"),
+                         "sday": pa.array(sd)})
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey",
+                                            "o_orderdate"])
+
+    def ord_days(b: pa.Table) -> pa.Table:
+        od = np.asarray(b.column("o_orderdate")) \
+            .astype("datetime64[us]").view("int64") // US_DAY
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "oday": pa.array(od)})
+
+    def lag_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "l_returnflag": pd.Series([], dtype="object"),
+                "n_items": pd.Series([], dtype="int64"),
+                "s_lag": pd.Series([], dtype="int64"),
+                "mx_lag": pd.Series([], dtype="int64")})
+        lag = (df["sday"].to_numpy(np.int64)
+               - df["oday"].to_numpy(np.int64))
+        g = df.assign(lag=lag).groupby("l_returnflag",
+                                       as_index=False).agg(
+            n_items=("lag", "size"), s_lag=("lag", "sum"),
+            mx_lag=("lag", "max"))
+        for c in ("n_items", "s_lag", "mx_lag"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    parts = bucketed_hash_join(
+        li.map_batches(li_days, batch_format="pyarrow"),
+        orders.map_batches(ord_days, batch_format="pyarrow"),
+        on="o_orderkey", how="inner", post=lag_fold).materialize()
+    g = sharded_group_sum(parts.map_batches(
+        lambda b: b[["l_returnflag", "n_items", "s_lag"]],
+        batch_format="pandas"),
+        keys=["l_returnflag"], sum_cols=["n_items", "s_lag"],
+        num_shards=4).to_pandas()
+    mx = sharded_group_sum(parts.map_batches(
+        lambda b: b[["l_returnflag", "mx_lag"]],
+        batch_format="pandas"),
+        keys=["l_returnflag"], sum_cols=["mx_lag"], how="max",
+        num_shards=4).to_pandas()
+    g = g.merge(mx, on="l_returnflag")
+    n = g["n_items"].to_numpy(np.int64)
+    g["mean_lag_days"] = np.floor(
+        g["s_lag"].to_numpy(np.int64).astype(np.float64) / n * 1e6
+        + 0.5) / 1e6
+    g["max_lag_days"] = g["mx_lag"].astype(np.int64)
+    g["n_items"] = n
+    return g[["l_returnflag", "n_items", "mean_lag_days",
+              "max_lag_days"]]
+
+
+def q_user_type_diversity(sf_dir: str):
+    """Event-type diversity histogram (round 5): users by the number
+    of DISTINCT event types they perform — the breadth-of-engagement
+    read. Distinct (user, type) pairs reduce map-side; per-user
+    counts resolve in a user-shard exchange; the histogram is
+    type-bounded. Returns (n_types, n_users)."""
+    from ..stages.relational import sharded_group_sum
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"user_id": b["user_id"]
+                           .to_numpy(np.int64),
+                           "event_type": b["event_type"].to_numpy(),
+                           "one": np.int64(1)})
+        return df.drop_duplicates(["user_id", "event_type"])
+
+    pairs = sharded_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        keys=["user_id", "event_type"], sum_cols=["one"])
+
+    def per_user(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"user_id": b["user_id"]
+                           .to_numpy(np.int64), "nt": np.int64(1)})
+        return df.groupby("user_id", as_index=False).sum()
+
+    cnt = sharded_group_sum(
+        pairs.map_batches(per_user, batch_format="pandas"),
+        keys=["user_id"], sum_cols=["nt"])
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"n_types": b["nt"].to_numpy(np.int64),
+                           "n_users": np.int64(1)})
+        return df.groupby("n_types", as_index=False).sum()
+
+    g = sharded_group_sum(
+        cnt.map_batches(hist, batch_format="pandas"),
+        keys=["n_types"], sum_cols=["n_users"],
+        num_shards=4).to_pandas()
+    for c in ("n_types", "n_users"):
+        g[c] = g[c].astype(np.int64)
+    return g[["n_types", "n_users"]]
+
+
+def q_part_size_hist(sf_dir: str):
+    """Part-size histogram (round 5): the catalog's size-domain
+    shape. Size-bounded map-side fold. Returns (p_size, n_parts)."""
+    from ..stages.relational import sharded_group_sum
+
+    pt = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_size"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"p_size": b["p_size"].to_numpy(np.int64),
+                           "n_parts": np.int64(1)})
+        return df.groupby("p_size", as_index=False).sum()
+
+    g = sharded_group_sum(
+        pt.map_batches(partial, batch_format="pandas"),
+        keys=["p_size"], sum_cols=["n_parts"],
+        num_shards=4).to_pandas()
+    for c in ("p_size", "n_parts"):
+        g[c] = g[c].astype(np.int64)
+    return g[["p_size", "n_parts"]]
+
+
+def q_monthly_ship_volume(sf_dir: str):
+    """Monthly shipped volume (round 5): items and exact summed
+    quantity per ship month — the logistics margin on the lineitem
+    fact. Month-bounded map-side fold; quantities are whole numbers
+    stored as floats, summed as exact ints. Returns (ym, n_items,
+    qty_sum)."""
+    from ..stages.relational import sharded_group_sum
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_shipdate", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["l_shipdate"].to_numpy("datetime64[M]")
+        ym = (d.astype("datetime64[Y]").astype(np.int64) + 1970) \
+            * 100 + (d.astype(np.int64) % 12 + 1)
+        qty = np.floor(b["l_quantity"].to_numpy(np.float64)
+                       + 0.5).astype(np.int64)
+        df = pd.DataFrame({"ym": ym, "n_items": np.int64(1),
+                           "qty_sum": qty})
+        return df.groupby("ym", as_index=False).sum()
+
+    g = sharded_group_sum(
+        li.map_batches(partial, batch_format="pandas"),
+        keys=["ym"], sum_cols=["n_items", "qty_sum"],
+        num_shards=4).to_pandas()
+    for c in ("ym", "n_items", "qty_sum"):
+        g[c] = g[c].astype(np.int64)
+    return g[["ym", "n_items", "qty_sum"]]
+
+
+def q_whitespace_ratio_by_source(sf_dir: str):
+    """Whitespace mass per source (round 5): the padding /
+    formatting-bloat read (token budgets pay for every byte).
+    Integer char counts fold map-side. Returns (source, n_chars,
+    n_ws, ws_ratio)."""
+    from ..stages.relational import sharded_group_sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        df = pd.DataFrame({
+            "source": b["source"].to_numpy(),
+            "n_chars": t.str.len().to_numpy(np.int64),
+            "n_ws": t.str.count(r"[ \t\n\f\r]")
+            .to_numpy(np.int64)})
+        return df.groupby("source", as_index=False).sum()
+
+    g = sharded_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["source"], sum_cols=["n_chars", "n_ws"],
+        num_shards=4).to_pandas()
+    nc = g["n_chars"].to_numpy(np.int64)
+    g["ws_ratio"] = np.where(
+        nc > 0, np.floor(g["n_ws"].to_numpy(np.int64)
+                         .astype(np.float64)
+                         / np.maximum(nc, 1) * 1e6 + 0.5) / 1e6,
+        0.0)
+    for c in ("n_chars", "n_ws"):
+        g[c] = g[c].astype(np.int64)
+    return g[["source", "n_chars", "n_ws", "ws_ratio"]]
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "order_calendar_gaps": q_order_calendar_gaps,
+    "ship_lag_by_returnflag": q_ship_lag_by_returnflag,
+    "user_type_diversity": q_user_type_diversity,
+    "part_size_hist": q_part_size_hist,
+    "monthly_ship_volume": q_monthly_ship_volume,
+    "whitespace_ratio_by_source": q_whitespace_ratio_by_source,
     "value_percentile_by_type": q_value_percentile_by_type,
     "line_count_profile": q_line_count_profile,
     "nation_order_share": q_nation_order_share,
@@ -20808,3 +21046,58 @@ ORACLE_SQL["events_value_zero_rate"] = (
     "sum(CASE WHEN v6 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero, "
     "sum(CASE WHEN v6 < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative "
     "FROM e GROUP BY event_type")
+
+
+ORACLE_SQL["order_calendar_gaps"] = (
+    "WITH d AS (SELECT DISTINCT epoch_us(o_orderdate) // 86400000000 "
+    "  AS day FROM orders) "
+    "SELECT min(day)::BIGINT AS first_day, "
+    "max(day)::BIGINT AS last_day, "
+    "(max(day) - min(day) + 1)::BIGINT AS n_days_span, "
+    "count(*)::BIGINT AS n_active_days, "
+    "(max(day) - min(day) + 1 - count(*))::BIGINT AS n_gap_days "
+    "FROM d")
+
+
+ORACLE_SQL["ship_lag_by_returnflag"] = (
+    "WITH j AS (SELECT l.l_returnflag, "
+    "  epoch_us(l.l_shipdate) // 86400000000 "
+    "  - epoch_us(o.o_orderdate) // 86400000000 AS lag "
+    "  FROM lineitem l JOIN orders o "
+    "  ON o.o_orderkey = l.l_orderkey) "
+    "SELECT l_returnflag, count(*)::BIGINT AS n_items, "
+    "floor(CAST(sum(lag) AS DOUBLE) / count(*) * 1000000 + 0.5) "
+    "  / 1000000 AS mean_lag_days, "
+    "max(lag)::BIGINT AS max_lag_days FROM j GROUP BY l_returnflag")
+
+
+ORACLE_SQL["user_type_diversity"] = (
+    "WITH u AS (SELECT user_id, "
+    "  count(DISTINCT event_type)::BIGINT AS nt FROM events "
+    "  GROUP BY 1) "
+    "SELECT nt AS n_types, count(*)::BIGINT AS n_users FROM u "
+    "GROUP BY nt")
+
+
+ORACLE_SQL["part_size_hist"] = (
+    "SELECT p_size::BIGINT AS p_size, count(*)::BIGINT AS n_parts "
+    "FROM part GROUP BY p_size")
+
+
+ORACLE_SQL["monthly_ship_volume"] = (
+    "SELECT (year(l_shipdate) * 100 + month(l_shipdate))::BIGINT "
+    "  AS ym, count(*)::BIGINT AS n_items, "
+    "sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::BIGINT "
+    "  AS qty_sum FROM lineitem GROUP BY 1")
+
+
+ORACLE_SQL["whitespace_ratio_by_source"] = (
+    "WITH d AS (SELECT source, "
+    "  length(coalesce(text, ''))::BIGINT AS nc, "
+    "  len(regexp_extract_all(coalesce(text, ''), "
+    "  '[ \\t\\n\\f\\r]'))::BIGINT AS nw FROM documents) "
+    "SELECT source, sum(nc)::BIGINT AS n_chars, "
+    "sum(nw)::BIGINT AS n_ws, "
+    "CASE WHEN sum(nc) > 0 THEN floor(CAST(sum(nw) AS DOUBLE) "
+    "  / sum(nc) * 1000000 + 0.5) / 1000000 ELSE 0.0 END "
+    "  AS ws_ratio FROM d GROUP BY source")

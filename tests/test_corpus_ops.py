@@ -5450,3 +5450,76 @@ def test_quarterly_revenue_handbuilt(ray_session, tmp_path):
            .sort_values("yq").reset_index(drop=True))
     assert out.values.tolist() == [[19951, 1, 1000], [19952, 1, 2000],
                                    [19954, 1, 500]]
+
+
+def test_order_calendar_gaps_handbuilt(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_order_calendar_gaps)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([1.0] * 3),
+        "o_orderdate": pa.array(
+            [np.datetime64("1970-01-01", "us"),
+             np.datetime64("1970-01-01", "us"),
+             np.datetime64("1970-01-05", "us")],
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3)}),
+        str(sf / "orders.parquet"))
+    out = q_order_calendar_gaps(str(sf))
+    assert out.iloc[0].tolist() == [0, 4, 5, 2, 3]
+
+
+def test_user_type_diversity_handbuilt(ray_session, tmp_path):
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_user_type_diversity)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(sf, [0, 1, 2, 3, 4], [1, 1, 1, 2, 2],
+                  ["view", "view", "purchase", "view", "view"])
+    out = (q_user_type_diversity(str(sf))
+           .sort_values("n_types").reset_index(drop=True))
+    # user 1: 2 types; user 2: 1 type
+    assert out.values.tolist() == [[1, 1], [2, 1]]
+
+
+def test_ship_lag_by_returnflag_handbuilt(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_ray.pipelines.queries import (
+        q_ship_lag_by_returnflag)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], type=pa.int64()),
+        "o_custkey": pa.array([1, 1], type=pa.int64()),
+        "o_orderstatus": pa.array(["O", "O"]),
+        "o_totalprice": pa.array([1.0, 1.0]),
+        "o_orderdate": pa.array(
+            [np.datetime64("1995-01-01", "us")] * 2,
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 2)}),
+        str(sf / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], type=pa.int64()),
+        "l_returnflag": pa.array(["N", "N", "R"]),
+        "l_shipdate": pa.array(
+            [np.datetime64("1995-01-03", "us"),
+             np.datetime64("1995-01-07", "us"),
+             np.datetime64("1995-01-11", "us")],
+            type=pa.timestamp("us"))}),
+        str(sf / "lineitem.parquet"))
+    out = q_ship_lag_by_returnflag(str(sf)).set_index("l_returnflag")
+    assert out.loc["N", "mean_lag_days"] == 4.0
+    assert out.loc["N", "max_lag_days"] == 6
+    assert out.loc["R", "mean_lag_days"] == 10.0
